@@ -1,0 +1,37 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Load-time idempotence (reference `load.py:123-165,181-212`): before each
+  * append, drop incoming rows whose primary key already exists in the target,
+  * and dedup the incoming batch itself by key.
+  *
+  * Scale notes: `left_anti` is the one-true-shape here — Catalyst plans it as
+  * a broadcast anti join when `existing` keys fit in memory (the usual case:
+  * keys only, not whole rows) and falls back to shuffled anti join otherwise.
+  * We pre-project `existing` to its key columns + distinct so only keys move.
+  */
+object LoadDedup {
+
+  /** J3/J4 (`load.py:143-158`): anti-join on 1..n key columns. */
+  def antiJoinOnKeys(incoming: DataFrame, existing: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val existingKeys = existing.select(keys.map(col): _*).distinct()
+    incoming.join(existingKeys, keys, "left_anti")
+  }
+
+  /** A11 (`load.py:189-210`): dedup by key keeping the FIRST row. pandas'
+    * `keep='first'` is row-order-defined; a distributed engine has no row
+    * order, so the caller must supply an explicit deterministic tiebreak
+    * ordering — same results on 1 core or 1000 executors. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String],
+      orderBy: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,34 @@
+package graft.engine
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Writers matching the reference's sink surface (SURVEY.md §2 S5/S6/S10). */
+object Sinks {
+
+  /** S5: gzip parquet, the reference's zone format
+    * (`filestorage_helper.py:96-99`). `partitionByCols` maps the reference's
+    * `{date}_{batch_id}` file-naming convention onto real partition columns,
+    * which is what makes downstream date/batch predicates prune at 100 TB. */
+  def parquetGzip(df: DataFrame, path: String,
+      partitionByCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", "gzip")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** S6: JSON-lines objects (the reference's S3 representation,
+    * `filestorage_helper.py:113-123`). */
+  def jsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** S10: idempotent JDBC append (`load.py:172`): anti-join against the
+    * target's existing keys, then append — the reference's read→dedup→append
+    * shape (`load.py:123-165`) kept, but the anti-join runs distributed. */
+  def jdbcAppendNew(incoming: DataFrame, existing: DataFrame,
+      keys: Seq[String], url: String, table: String,
+      props: Properties): Unit =
+    LoadDedup.antiJoinOnKeys(incoming, existing, keys)
+      .write.mode(SaveMode.Append).jdbc(url, table, props)
+}

@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine._
+
+/** The reference's relational surface (SURVEY.md §2: E/T/J/U/A-series) as
+  * driver-checkable queries over the testdata star schema.
+  *
+  * Cross-engine determinism: measures are aggregated in DECIMAL (exact and
+  * associative — partition order cannot change the result) and cast to
+  * double only at the end; every query ends in a total ORDER BY.
+  */
+object CoreRelational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Flagship: the reference's core dataflow shape (scan → derive → J1
+    * inner join → J2-style enrich → group stats) on the star schema.
+    * Per-order revenue is pre-aggregated BEFORE the join (map-side shrink:
+    * 60k lineitems → 15k order rows), the customer dim is broadcast, so the
+    * only wide shuffle is the final low-cardinality segment rollup. */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val revenue = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") -
+        dec(col("l_discount")))).as("rev"))
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .join(revenue, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("rev")).cast("double").as("total_revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val flagshipSql: String =
+    """SELECT c_mktsegment,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(rev) AS DOUBLE) AS total_revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN (SELECT l_orderkey,
+      |                  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+      |           FROM lineitem GROUP BY l_orderkey) r
+      |  ON o_orderkey = l_orderkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec("q_flagship_star", flagship, Some(flagshipSql), headline = true),
+
+    // A5/A7 + arithmetic: pricing summary (decimal-exact sums).
+    QuerySpec("q_agg_pricing", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") -
+            dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin), headline = true),
+
+    // E6: equality filter — pushed into the parquet scan by Catalyst.
+    QuerySpec("q_filter_eq", (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === lit("R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // E7: limit as deterministic top-k (plans as TakeOrderedAndProject —
+    // per-partition heaps, no global sort at scale).
+    QuerySpec("q_topk_orders", (s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }, Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // E2+U1+U2: display-name rename → ascii/snake normalize → column sort.
+    QuerySpec("q_rename_norm", (s, dir) => {
+      val display = Names.rename(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        Map("c_custkey" -> "Identifiant Client", "c_name" -> "Nom-Client",
+          "c_mktsegment" -> "Segment de Marché"))
+      Names.sortColumns(Names.normalizeColumns(display))
+        .orderBy("identifiant_client")
+    }, Some(
+      """SELECT c_custkey AS identifiant_client, c_name AS nom_client,
+        |       c_mktsegment AS segment_de_marche
+        |FROM customer ORDER BY identifiant_client""".stripMargin)),
+
+    // E3: substring + integer cast derive.
+    QuerySpec("q_substr_cast", (s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          Derive.substrCode(col("c_name"), 10, 9).as("cust_num"))
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey, CAST(SUBSTRING(c_name, 10, 9) AS BIGINT) AS cust_num
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // E5+E4: composite string key (the reference's full_adress).
+    QuerySpec("q_concat_key", (s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          Derive.concatKey(col("c_name"), col("c_mktsegment"),
+            col("c_nationkey").cast("string")).as("full_key"))
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey,
+        |       CONCAT_WS(' ', c_name, c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS full_key
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // E10: upper() — Tungsten-codegen'd, not np.vectorize.
+    QuerySpec("q_upper", (s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), Derive.toUpper(col("p_name")).as("p_name_upper"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey, UPPER(p_name) AS p_name_upper
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // T3: strip non-digits (the reference's arrondissement extract).
+    QuerySpec("q_regex_digits", (s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          Derive.digitsOnly(col("o_orderpriority")).cast("long").as("priority_code"))
+        .distinct()
+        .orderBy("o_orderpriority")
+    }, Some(
+      """SELECT DISTINCT o_orderpriority,
+        |       CAST(REGEXP_REPLACE(o_orderpriority, '\D', '', 'g') AS BIGINT) AS priority_code
+        |FROM orders ORDER BY o_orderpriority""".stripMargin)),
+
+    // T4: unit upscale from first existing candidate column.
+    QuerySpec("q_arith_scale", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          Derive.scaledFromFirstExisting(li,
+            Seq("l_quantity_mwh", "l_quantity"), 1000.0).as("qty_scaled"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity * 1000.0 AS qty_scaled
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // T5: zero→null then divide (null result where denominator is 0).
+    QuerySpec("q_safe_ratio", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Derive.safeRatio(col("l_extendedprice"), col("l_discount")).as("price_per_disc"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some(
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice / NULLIF(l_discount, 0) AS price_per_disc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // T6: absolute + signed differences.
+    QuerySpec("q_abs_diff", (s, dir) => {
+      val net = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Derive.absDiff(col("l_extendedprice"), net).as("abs_disc_amount"),
+          Derive.signedDiff(net, col("l_extendedprice")).as("net_minus_gross"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some(
+      """SELECT l_orderkey, l_linenumber,
+        |       ABS(l_extendedprice - l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) AS abs_disc_amount,
+        |       l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) - l_extendedprice AS net_minus_gross
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // T9/T1 core: coercing try_cast ladder incl. the ','→'.' decimal fix.
+    QuerySpec("q_try_cast", (s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("try_cast(p_name AS DOUBLE)").as("name_as_num"),
+          expr("try_cast(replace(CAST(p_retailprice AS STRING), '.', ',') AS DOUBLE)")
+            .as("price_comma_fails"),
+          expr("try_cast(replace(replace(CAST(p_retailprice AS STRING), '.', ','), ',', '.') AS DOUBLE)")
+            .as("price_fixed"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey,
+        |       TRY_CAST(p_name AS DOUBLE) AS name_as_num,
+        |       TRY_CAST(REPLACE(CAST(p_retailprice AS VARCHAR), '.', ',') AS DOUBLE) AS price_comma_fails,
+        |       TRY_CAST(REPLACE(REPLACE(CAST(p_retailprice AS VARCHAR), '.', ','), ',', '.') AS DOUBLE) AS price_fixed
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // J1+E8: inner equi-join with suffix namespacing; dim side broadcast.
+    QuerySpec("q_inner_join_suffix", (s, dir) => {
+      val c = Names.withSuffix(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"), "_c")
+      val o = Names.withSuffix(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"), "_o")
+      Joins.innerEqui(o, c, "o_custkey_o", "c_custkey_c", broadcastRight = true)
+        .orderBy("o_orderkey_o")
+    }, Some(
+      """SELECT o_orderkey AS o_orderkey_o, o_custkey AS o_custkey_o,
+        |       o_totalprice AS o_totalprice_o, c_custkey AS c_custkey_c,
+        |       c_name AS c_name_c, c_mktsegment AS c_mktsegment_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey_o""".stripMargin), headline = true),
+
+    // J2: left outer join on string-cast keys + whole-row dedup.
+    QuerySpec("q_left_join_strkey", (s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      Joins.leftOuterOnStringKey(o, c, "o_custkey", "c_custkey")
+        .orderBy("o_orderkey")
+    }, Some(
+      """SELECT DISTINCT o_orderkey, CAST(o_custkey AS VARCHAR) AS o_custkey,
+        |       o_orderstatus, CAST(c_custkey AS VARCHAR) AS c_custkey, c_name
+        |FROM orders LEFT JOIN customer
+        |  ON CAST(o_custkey AS VARCHAR) = CAST(c_custkey AS VARCHAR)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // J3: single-key anti-join (load-side idempotence).
+    QuerySpec("q_anti_join_pk", (s, dir) => {
+      val existing = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"))
+      LoadDedup.antiJoinOnKeys(
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        existing, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // J4: multi-key anti-join.
+    QuerySpec("q_anti_join_multikey", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val existing = li.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      LoadDedup.antiJoinOnKeys(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        existing, Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem e
+        |  WHERE e.l_shipdate < TIMESTAMP '1999-01-01'
+        |    AND e.l_orderkey = i.l_orderkey AND e.l_linenumber = i.l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // A10: whole-row distinct.
+    QuerySpec("q_dedup_rows", (s, dir) => {
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some(
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A11: dedup-by-key keeping FIRST under an explicit deterministic order.
+    QuerySpec("q_dedup_keep_first", (s, dir) => {
+      LoadDedup.dedupKeepFirst(
+        t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+        keys = Seq("o_custkey"), orderBy = Seq("o_orderdate", "o_orderkey"))
+        .orderBy("o_custkey")
+    }, Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // Set op: union of API "pages" by name (column order differs by design).
+    QuerySpec("q_union_pages", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val pageF = o.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val pageP = o.filter(col("o_orderstatus") === "P")
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+      pageF.unionByName(pageP).orderBy("o_orderkey")
+    }, Some(
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // T7+T8: config-driven entity conform: defaults for missing declared
+    // columns, project, dedup.
+    QuerySpec("q_entity_conform", (s, dir) => {
+      val spec = Entities.EntitySpec("clients", Seq(
+        "c_custkey" -> Entities.ColSpec("int64", -1.0),
+        "c_name" -> Entities.ColSpec("string", "N/C"),
+        "c_mktsegment" -> Entities.ColSpec("string", "N/C"),
+        "code_postal" -> Entities.ColSpec("string", "N/C"),
+        "score" -> Entities.ColSpec("float64", -1.0)), Nil)
+      Entities.conform(t(s, dir, "customer"), spec).orderBy("c_custkey")
+    }, Some(
+      """SELECT DISTINCT c_custkey, c_name, c_mktsegment,
+        |       'N/C' AS code_postal, CAST(-1.0 AS DOUBLE) AS score
+        |FROM customer ORDER BY c_custkey""".stripMargin))
+  )
+}
