@@ -1,0 +1,86 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** T1/T9: the reference's casting surface.
+  *
+  * T1 (`transform.py:85-102`) — trial-cast ladder: each string column is
+  * tried as numeric (after the French `','→'.'` decimal fix); if ANY
+  * non-null value fails, tried as timestamp; else left as string. pandas'
+  * `errors='raise'` means all-or-nothing per column — reproduced here by
+  * comparing `try_cast` success counts against non-null counts in ONE
+  * aggregation job over all candidate columns (the reference re-scans per
+  * column).
+  *
+  * T9 (`transform.py:272-289`) — declared-schema apply with coercion:
+  * `errors='coerce'` ⇒ unparseable values become null ⇒ `try_cast`.
+  *
+  * Spark 4 runs in ANSI mode, so plain `cast` throws on bad input;
+  * `try_cast` (SQL form — there is no `functions.try_cast`) gives the
+  * pandas coercion semantics and stays codegen'd.
+  */
+object Cast {
+
+  private def q(name: String) = s"`${name.replace("`", "``")}`"
+
+  /** `try_cast` with optional decimal-comma fix (literal `,`→`.` translate,
+    * matching pandas' non-regex `str.replace(',', '.')`). */
+  def tryCastCol(colName: String, sqlType: String, commaFix: Boolean = false): Column = {
+    val src = if (commaFix) s"translate(${q(colName)}, ',', '.')" else q(colName)
+    expr(s"try_cast($src AS $sqlType)")
+  }
+
+  /** T1: decide + apply. Returns the cast frame and the decided pandas-style
+    * dtype per column (feed to `SchemaIO.schemaToDtypeJson` to persist, as
+    * the reference does at `transform.py:394-397`). */
+  def autoCastStringColumns(df: DataFrame): (DataFrame, Map[String, String]) = {
+    val strCols = df.schema.fields
+      .filter(_.dataType == StringType).map(_.name).toSeq
+    if (strCols.isEmpty) return (df, Map.empty)
+
+    val aggs = strCols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      count(tryCastCol(c, "DOUBLE", commaFix = true)).as(s"${c}__num"),
+      count(tryCastCol(c, "TIMESTAMP")).as(s"${c}__ts"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+
+    val decided: Map[String, String] = strCols.map { c =>
+      val n = r.getAs[Long](s"${c}__n")
+      val dtype =
+        if (n > 0 && r.getAs[Long](s"${c}__num") == n) "float64"
+        else if (n > 0 && r.getAs[Long](s"${c}__ts") == n) "datetime64[ns]"
+        else "string"
+      c -> dtype
+    }.toMap
+
+    val out = decided.foldLeft(df) {
+      case (d, (c, "float64")) =>
+        d.withColumn(c, tryCastCol(c, "DOUBLE", commaFix = true))
+      case (d, (c, "datetime64[ns]")) =>
+        d.withColumn(c, tryCastCol(c, "TIMESTAMP"))
+      case (d, _) => d
+    }
+    (out, decided)
+  }
+
+  /** T9: apply a declared pandas-dtype schema with coercing casts. */
+  def applySchema(df: DataFrame, dtypes: Map[String, String]): DataFrame =
+    dtypes.foldLeft(df) { case (d, (c, dtype)) =>
+      if (!d.columns.contains(c)) d
+      else dtype match {
+        case t if t.startsWith("datetime64") =>
+          d.withColumn(c, tryCastCol(c, "TIMESTAMP"))
+        case "float64" | "float32" | "float" =>
+          d.withColumn(c, expr(s"try_cast(cast(${q(c)} AS STRING) AS DOUBLE)"))
+        case "int64" | "Int64" | "int32" | "int" =>
+          // pandas: to_numeric(coerce).astype('Int64') — via double, so "3.0" parses
+          d.withColumn(c,
+            expr(s"try_cast(cast(${q(c)} AS STRING) AS DOUBLE)").cast("long"))
+        case _ =>
+          d.withColumn(c, col(c).cast("string"))
+      }
+    }
+}

@@ -1,0 +1,168 @@
+package graft.engine
+
+import org.apache.commons.math3.distribution.{NormalDistribution, TDistribution}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group paired statistical tests (reference `transform.py:314-376`):
+  * for each DPE-label group, a paired t-test and a Wilcoxon signed-rank test
+  * between measured and estimated consumption, with `-99999` sentinels when
+  * a group has ≤1 usable pair or the Wilcoxon is undefined (all-zero diffs).
+  *
+  * Spark-first design, not a port: the reference iterates pandas groups and
+  * calls scipy per group. Here both tests are **closed-form aggregations**:
+  *
+  *   - moments (n, Σd, Σd²) are computed in DECIMAL — exact and associative,
+  *     so the result is identical regardless of partitioning; the t statistic
+  *     is then a scalar double formula over those exact sums;
+  *   - Wilcoxon rank-sums use tie-averaged ranks built from
+  *     `rank() + (count(tie group) - 1)/2` over a per-group window —
+  *     one shuffle+sort per group column, no driver-side loop;
+  *   - p-values (Student-t CDF / exact signed-rank DP / normal approx) run
+  *     on the handful of aggregated group rows, via commons-math3 (already
+  *     on Spark's classpath).
+  *
+  * At 100 TB the group count (DPE labels ≈ 7) is tiny relative to the data;
+  * everything reduces map-side before the single narrow shuffle, except the
+  * Wilcoxon rank window, which is the one inherently sort-bound step.
+  */
+object Stats {
+
+  val Sentinel = -99999.0
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Paired difference d = x − y in exact decimals. */
+  def pairedDiff(x: Column, y: Column): Column = dec(x) - dec(y)
+
+  /** A5-A8: per-group n / t-statistic from exact decimal moments.
+    * Output: label, sample_size, t_stat (sentinel when n ≤ 1). */
+  def pairedTTestStat(df: DataFrame, label: String, x: String, y: String): DataFrame = {
+    val d = pairedDiff(col(x), col(y))
+    val g = df.na.drop(Seq(x, y)) // A6: drop pairs with a null side
+      .groupBy(col(label))
+      .agg(
+        count(lit(1)).as("sample_size"),
+        sum(d).as("sd"),
+        sum(d * d).as("sdd"))
+    val n = col("sample_size").cast("double")
+    val sd = col("sd").cast("double")
+    val sdd = col("sdd").cast("double")
+    val mean = sd / n
+    val variance = (sdd - sd * sd / n) / (n - lit(1.0))
+    g.select(col(label), col("sample_size"),
+      when(col("sample_size") > 1, mean / sqrt(variance / n))
+        .otherwise(lit(Sentinel)).as("t_stat"))
+  }
+
+  /** Student-t two-sided p-value over the aggregated rows (≤ #groups). */
+  private val tPValue = udf { (t: Double, n: Long) =>
+    if (n <= 1 || t == Sentinel) Sentinel
+    else 2.0 * (1.0 - new TDistribution(n - 1.0).cumulativeProbability(math.abs(t)))
+  }
+
+  def withTTestPValue(stats: DataFrame): DataFrame =
+    stats.withColumn("p_value", tPValue(col("t_stat"), col("sample_size")))
+
+  /** A9: Wilcoxon signed-rank W per group, scipy `wilcoxon` semantics
+    * (zero_method='wilcox': zero differences dropped; ties mid-ranked;
+    * statistic = min(W+, W−)). Output: label, sample_size (pre-drop pair
+    * count), n_nonzero, w_stat (sentinel when the test is undefined). */
+  def wilcoxonStat(df: DataFrame, label: String, x: String, y: String): DataFrame = {
+    val paired = df.na.drop(Seq(x, y))
+      .select(col(label), pairedDiff(col(x), col(y)).as("d"))
+    val sizes = paired.groupBy(col(label)).agg(count(lit(1)).as("sample_size"))
+
+    val nz = paired.filter(col("d") =!= 0).withColumn("ad", abs(col("d")))
+    val wRank = Window.partitionBy(col(label)).orderBy(col("ad"))
+    val wTie = Window.partitionBy(col(label), col("ad"))
+    val ranked = nz.withColumn("r",
+      rank().over(wRank) + (count(lit(1)).over(wTie) - 1) / lit(2.0))
+    val agg = ranked.groupBy(col(label)).agg(
+      sum(when(col("d") > 0, col("r")).otherwise(lit(0.0))).as("w_plus"),
+      sum(when(col("d") < 0, col("r")).otherwise(lit(0.0))).as("w_minus"),
+      count(lit(1)).as("n_nonzero"))
+
+    sizes.join(agg, Seq(label), "left")
+      .select(col(label), col("sample_size"),
+        coalesce(col("n_nonzero"), lit(0L)).as("n_nonzero"),
+        when(col("sample_size") > 1 && col("n_nonzero") > 0,
+          least(col("w_plus"), col("w_minus"))).otherwise(lit(Sentinel)).as("w_stat"))
+  }
+
+  /** Wilcoxon two-sided p-value, mirroring scipy's method='auto':
+    * exact signed-rank distribution (DP over rank sums) when n ≤ 50 with
+    * untied integer ranks, else normal approximation with tie correction
+    * and no continuity correction. Needs the tie profile, so it takes the
+    * per-group sorted |d| multiplicities. */
+  def wilcoxonPValue(n: Long, wStat: Double, tieCounts: Seq[Long]): Double = {
+    if (n < 1 || wStat == Sentinel) return Sentinel
+    val hasTies = tieCounts.exists(_ > 1)
+    if (n <= 50 && !hasTies) {
+      // exact: #subsets of ranks {1..n} with sum ≤ W, doubled (two-sided)
+      val maxSum = (n * (n + 1) / 2).toInt
+      val counts = Array.ofDim[Double](maxSum + 1)
+      counts(0) = 1.0
+      var r = 1
+      while (r <= n) {
+        var s = maxSum
+        while (s >= r) { counts(s) += counts(s - r); s -= 1 }
+        r += 1
+      }
+      val w = math.floor(wStat).toInt min maxSum
+      val cum = counts.take(w + 1).sum
+      math.min(1.0, 2.0 * cum / math.pow(2.0, n.toDouble))
+    } else {
+      val mn = n * (n + 1) / 4.0
+      val tieAdj = tieCounts.map(t => t.toDouble * t * t - t).sum / 48.0
+      val se = math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tieAdj)
+      if (se == 0) return Sentinel
+      val z = (wStat - mn) / se
+      2.0 * new NormalDistribution().cumulativeProbability(-math.abs(z))
+    }
+  }
+
+  /** Full reference output shape (`transform.py:344-365`): one row per
+    * group with sample_size, t/p, W/p, batch_id — the
+    * `tests_statistiques_dpe` gold entity. p-values are computed on the
+    * collected group rows (bounded by label cardinality, ≤ dozens). */
+  def dpeStatistics(df: DataFrame, label: String, x: String, y: String,
+      batchId: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val t = pairedTTestStat(df, label, x, y)
+    val w = wilcoxonStat(df, label, x, y)
+    // tie profiles per group for the p-value (small: distinct |d| per label)
+    val ties = df.na.drop(Seq(x, y))
+      .select(col(label), abs(pairedDiff(col(x), col(y))).as("ad"))
+      .filter(col("ad") =!= 0)
+      .groupBy(col(label), col("ad")).agg(count(lit(1)).as("c"))
+      .groupBy(col(label)).agg(collect_list(col("c")).as("tie_counts"))
+
+    val joined = t.join(w.drop("sample_size"), Seq(label), "inner")
+      .join(ties, Seq(label), "left")
+
+    val rows = joined.collect().map { r =>
+      val lbl = r.getAs[String](label)
+      val n = r.getAs[Long]("sample_size")
+      val nNonzero = r.getAs[Long]("n_nonzero")
+      val tStat = r.getAs[Double]("t_stat")
+      val wStat = r.getAs[Double]("w_stat")
+      val tieCounts = Option(r.getAs[scala.collection.Seq[Long]]("tie_counts"))
+        .map(_.toSeq).getOrElse(Seq.empty)
+      val pT =
+        if (n <= 1) Sentinel
+        else 2.0 * (1.0 - new TDistribution(n - 1.0).cumulativeProbability(math.abs(tStat)))
+      val pW =
+        if (n <= 1 || wStat == Sentinel) Sentinel
+        else wilcoxonPValue(nNonzero, wStat, tieCounts)
+      (lbl, n, tStat, pT, wStat, pW, batchId)
+    }
+    rows.toSeq.toDF(label, "sample_size", "paired_t_test_t_statistic",
+      "paired_t_test_p_value", "wilcoxon_statistic", "wilcoxon_p_value",
+      "batch_id")
+  }
+}

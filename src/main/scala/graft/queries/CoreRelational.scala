@@ -242,9 +242,12 @@ object CoreRelational {
         |  ON CAST(o_custkey AS VARCHAR) = CAST(c_custkey AS VARCHAR)
         |ORDER BY o_orderkey""".stripMargin)),
 
-    // J3: single-key anti-join (load-side idempotence).
+    // J3: single-key anti-join (load-side idempotence). "Existing" is the
+    // subset of customers already holding a pending order, so survivors are
+    // non-empty — the load would append only them.
     QuerySpec("q_anti_join_pk", (s, dir) => {
       val existing = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P")
         .select(col("o_custkey").as("c_custkey"))
       LoadDedup.antiJoinOnKeys(
         t(s, dir, "customer").select("c_custkey", "c_name"),
@@ -252,7 +255,8 @@ object CoreRelational {
         .orderBy("c_custkey")
     }, Some(
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_orderstatus = 'P' AND o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin)),
 
     // J4: multi-key anti-join.

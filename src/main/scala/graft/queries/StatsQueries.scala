@@ -1,8 +1,164 @@
 package graft.queries
 
-import graft.QuerySpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** A1-A9: quantiles, IQR-conditional imputation, per-group paired tests. */
+import graft.QuerySpec
+import graft.engine._
+
+/** A1-A9: quantiles, IQR-conditional imputation, per-group paired tests.
+  *
+  * The paired columns are engineered from lineitem so that every difference
+  * is an exact DECIMAL (quantity/tax/discount scaled by 100) — the moment
+  * sums are then bit-identical across engines and partitionings, and only
+  * the final scalar formula runs in floating point (written as the same
+  * expression tree on both sides).
+  */
 object StatsQueries {
-  def specs: Seq[QuerySpec] = Seq()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** lineitem with synthetic nulls + an engineered outlier column:
+    * x1 → no outliers (mean fill path), x2 → heavy outliers (median path). */
+  private def imputeInput(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_linenumber") >= 4, lit(null))
+        .otherwise(col("l_quantity")).as("x1"),
+      when(col("l_linenumber") >= 4, lit(null))
+        .otherwise(when(col("l_linenumber") === 1, col("l_quantity") * 100.0)
+          .otherwise(col("l_quantity"))).as("x2"))
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // A1/A4: exact per-group quantiles (linear interpolation — matches
+    // pandas `quantile` and DuckDB `quantile_cont`) + decimal-exact mean.
+    QuerySpec("q_group_quantiles", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("q1"),
+          percentile(col("l_quantity"), lit(0.5)).as("med"),
+          percentile(col("l_quantity"), lit(0.75)).as("q3"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(col("l_quantity"))).as("mean_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """SELECT l_returnflag,
+        |       quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1,
+        |       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med,
+        |       quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q3,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS mean_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // A2/A3: IQR-conditional imputation — x1 takes the mean branch,
+    // x2 the median branch (outliers beyond Q3 + 1.5·IQR).
+    QuerySpec("q_impute_iqr", (s, dir) => {
+      val (filled, _) = Impute.fillFloats(imputeInput(s, dir), Seq("x1", "x2"))
+      filled.select(col("l_orderkey"), col("l_linenumber"),
+          col("x1").as("x1_filled"), col("x2").as("x2_filled"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some(
+      """WITH s AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_linenumber >= 4 THEN NULL ELSE l_quantity END AS x1,
+        |         CASE WHEN l_linenumber >= 4 THEN NULL
+        |              WHEN l_linenumber = 1 THEN l_quantity * 100.0
+        |              ELSE l_quantity END AS x2
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT quantile_cont(x1, 0.25) AS q1_1, quantile_cont(x1, 0.5) AS med_1,
+        |         quantile_cont(x1, 0.75) AS q3_1,
+        |         CAST(SUM(CAST(x1 AS DECIMAL(18,2))) AS DOUBLE)/COUNT(x1) AS mean_1,
+        |         quantile_cont(x2, 0.25) AS q1_2, quantile_cont(x2, 0.5) AS med_2,
+        |         quantile_cont(x2, 0.75) AS q3_2,
+        |         CAST(SUM(CAST(x2 AS DECIMAL(18,2))) AS DOUBLE)/COUNT(x2) AS mean_2
+        |  FROM s),
+        |ob AS (
+        |  SELECT SUM(CASE WHEN x1 < q1_1 - 1.5*(q3_1-q1_1) OR x1 > q3_1 + 1.5*(q3_1-q1_1)
+        |                  THEN 1 ELSE 0 END) AS out1,
+        |         SUM(CASE WHEN x2 < q1_2 - 1.5*(q3_2-q1_2) OR x2 > q3_2 + 1.5*(q3_2-q1_2)
+        |                  THEN 1 ELSE 0 END) AS out2
+        |  FROM s, st)
+        |SELECT l_orderkey, l_linenumber,
+        |       COALESCE(x1, CASE WHEN out1 > 0 THEN med_1 ELSE mean_1 END) AS x1_filled,
+        |       COALESCE(x2, CASE WHEN out2 > 0 THEN med_2 ELSE mean_2 END) AS x2_filled
+        |FROM s, st, ob
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // A5-A8: per-group paired t statistic from exact decimal moments.
+    QuerySpec("q_paired_ttest", (s, dir) => {
+      val in = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice").as("x"), (col("l_quantity") * 100.0).as("y"))
+      // t rounded to 8 dp: the exact decimal moments exceed double's 53-bit
+      // mantissa, and decimal→double conversion rounds differently across
+      // engines (correctly-rounded BigDecimal vs int128/10^s double math).
+      Stats.pairedTTestStat(in, "l_returnflag", "x", "y")
+        .withColumn("t_stat", round(col("t_stat"), 8))
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH d AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) -
+        |         CAST(l_quantity * 100.0 AS DECIMAL(12,2)) AS d
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, COUNT(*) AS sample_size,
+        |         SUM(d) AS sd, SUM(d*d) AS sdd
+        |  FROM d GROUP BY l_returnflag)
+        |SELECT l_returnflag, sample_size,
+        |       ROUND(CASE WHEN sample_size > 1 THEN
+        |         (CAST(sd AS DOUBLE) / CAST(sample_size AS DOUBLE)) /
+        |         SQRT(((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(sample_size AS DOUBLE))
+        |               / (CAST(sample_size AS DOUBLE) - 1.0)) / CAST(sample_size AS DOUBLE))
+        |       ELSE -99999.0 END, 8) AS t_stat
+        |FROM a ORDER BY l_returnflag""".stripMargin), headline = true),
+
+    // A9: Wilcoxon signed-rank W — zero diffs dropped, mid-rank ties
+    // (scipy `wilcoxon` zero_method='wilcox' semantics).
+    QuerySpec("q_wilcoxon", (s, dir) => {
+      val in = t(s, dir, "lineitem").select(col("l_returnflag"),
+        (col("l_tax") * 100.0).as("x"), (col("l_discount") * 100.0).as("y"))
+      Stats.wilcoxonStat(in, "l_returnflag", "x", "y")
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH d AS (
+        |  SELECT l_returnflag AS label,
+        |         CAST(l_tax * 100.0 AS DECIMAL(12,2)) -
+        |         CAST(l_discount * 100.0 AS DECIMAL(12,2)) AS d
+        |  FROM lineitem),
+        |sizes AS (SELECT label, COUNT(*) AS sample_size FROM d GROUP BY label),
+        |nz AS (SELECT label, d, ABS(d) AS ad FROM d WHERE d <> 0),
+        |ranked AS (
+        |  SELECT label, d,
+        |         RANK() OVER (PARTITION BY label ORDER BY ad) +
+        |         (COUNT(*) OVER (PARTITION BY label, ad) - 1) / 2.0 AS r
+        |  FROM nz),
+        |agg AS (
+        |  SELECT label,
+        |         SUM(CASE WHEN d > 0 THEN r ELSE 0.0 END) AS w_plus,
+        |         SUM(CASE WHEN d < 0 THEN r ELSE 0.0 END) AS w_minus,
+        |         COUNT(*) AS n_nonzero
+        |  FROM ranked GROUP BY label)
+        |SELECT s.label AS l_returnflag, s.sample_size,
+        |       COALESCE(a.n_nonzero, 0) AS n_nonzero,
+        |       CASE WHEN s.sample_size > 1 AND COALESCE(a.n_nonzero, 0) > 0
+        |            THEN LEAST(a.w_plus, a.w_minus) ELSE -99999.0 END AS w_stat
+        |FROM sizes s LEFT JOIN agg a USING(label)
+        |ORDER BY l_returnflag""".stripMargin), headline = true),
+
+    // A5-A9 full gold shape (`tests_statistiques_dpe`): t/W + p-values +
+    // batch_id. p-values (Student-t CDF, signed-rank exact/normal approx)
+    // are not DuckDB-expressible — driver records a rows-only check; the
+    // numeric parity is covered by StatsSpec unit tests.
+    QuerySpec("q_dpe_statistics", (s, dir) => {
+      val in = t(s, dir, "lineitem").select(col("l_returnflag"),
+        (col("l_tax") * 100.0).as("x"), (col("l_discount") * 100.0).as("y"))
+      Stats.dpeStatistics(in, "l_returnflag", "x", "y", batchId = "batch_r1")
+        .orderBy("l_returnflag")
+    }, None)
+  )
 }
