@@ -29,7 +29,8 @@ object QueryRegistry {
       queries.StatsQueries.specs ++
       queries.TextQueries.specs ++
       queries.DedupQueries.specs ++
-      queries.SimilarityQueries.specs
+      queries.SimilarityQueries.specs ++
+      queries.EventQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

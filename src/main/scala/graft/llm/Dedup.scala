@@ -1,0 +1,136 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is a hash-groupBy on md5(text) — one narrow shuffle of
+  *    (16-byte key, id), never the documents themselves;
+  *  - all-pairs Jaccard is quadratic and exists as the small-scale oracle /
+  *    verification path; the 100 TB path is MinHash-LSH: candidates come
+  *    from equi-joins on (band, band_key) — a standard shuffle join on a
+  *    short key — and only candidates pay the exact-Jaccard verification;
+  *  - MinHash permutations use lexicographic MIN over `md5(seed|shingle)`
+  *    hex strings: a valid random permutation min, associative (map-side
+  *    combinable), and reproducible in any engine with md5 — no
+  *    engine-specific hash seeds in the contract;
+  *  - SimHash is a single-pass native expression (see [[SimHash64Expr]]).
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: one row per distinct text.
+    * Output: text_md5, keeper_id (min id), n_copies. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles of a text column (empty array when too short). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array())
+  }
+
+  /** Distinct (id, shingle) pairs — the set representation used by both
+    * exact Jaccard and MinHash. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** All-pairs n-gram Jaccard ≥ threshold (quadratic — verification/oracle
+    * path; use [[minhashNearDups]] at scale).
+    * Output: id1, id2, jaccard. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("id1", "shingle")
+    val b = sh.toDF("id2", "shingle")
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("sz1") + col("sz2") - col("i")).cast("double")
+    inter
+      .join(sizes.toDF("id1", "sz1"), Seq("id1"))
+      .join(sizes.toDF("id2", "sz2"), Seq("id2"))
+      .select(col("id1"), col("id2"), round(j, 8).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: numPerms independent permutation-mins per doc.
+    * Output: idCol, sig_0 … sig_{numPerms-1} (md5 hex strings). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerms: Int): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+    val sigs = (0 until numPerms).map(p =>
+      min(md5(concat(lit(s"$p|"), col("shingle")))).as(s"sig_$p"))
+    sh.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** LSH banding: (id, band, band_key) — docs agreeing on all rows of any
+    * band land in the same bucket. */
+  def lshBands(signatures: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      val sigCols = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      md5(concat(sigCols: _*))
+    }
+    signatures.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Candidate pairs from LSH buckets (distinct, id1 < id2). */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
+    val bd = lshBands(sig, idCol, bands, rowsPerBand)
+    val a = bd.toDF("id1", "band", "band_key")
+    val b = bd.toDF("id2", "band", "band_key")
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** MinHash-LSH near-dups: candidates verified with exact Jaccard —
+    * the full scale path (candidate generation linear-ish, verification
+    * only on the candidate set). Output: id1, id2, jaccard ≥ threshold. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, n, bands, rowsPerBand)
+    val sh = shingleSets(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // intersection size: expand candidates by id1's shingles, then equi-join
+    // on (id2, shingle) so only shared shingles survive — never a cross
+    // product of both shingle sets.
+    val inter = cand
+      .join(sh.toDF("id1", "shingle"), Seq("id1"))
+      .join(sh.toDF("id2", "shingle"), Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("sz1") + col("sz2") - col("i")).cast("double")
+    inter
+      .join(sizes.toDF("id1", "sz1"), Seq("id1"))
+      .join(sizes.toDF("id2", "sz2"), Seq("id2"))
+      .select(col("id1"), col("id2"), round(j, 8).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprints via the native expression; emitted as 4×16-bit
+    * words (w0..w3) so the value is oracle-comparable without unsigned
+    * int64 headaches. */
+  def simhashFingerprints(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    SimHash.register(docs.sparkSession)
+    val h = expr(s"simhash64(`$textCol`)")
+    val words = (0 until 4).map(k =>
+      shiftrightunsigned(col("h"), k * 16).bitwiseAND(lit(0xffffL)).as(s"w$k"))
+    docs.select(col(idCol), h.as("h"))
+      .select((col(idCol) +: words): _*)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers, as a 100 TB pipeline needs both:
+  *  - brute-force cosine (exact): all-pairs / top-k — the correctness
+  *    baseline and the small-collection path;
+  *  - sign-LSH (random hyperplanes): O(n) bucketing, candidates only within
+  *    buckets, then exact verification — the scale path. Hyperplane
+  *    components are ±1 derived from md5 hex digits, so the identical
+  *    planes are constructible in any engine (the DuckDB oracle re-derives
+  *    them in SQL) and across cluster restarts with no RNG state.
+  *
+  * Numeric determinism: dot products are sequential left-folds
+  * (`aggregate(zip_with(...))`) over double-cast components — IEEE-identical
+  * on every engine/partitioning, so thresholds compare bit-equal doubles.
+  */
+object Similarity {
+
+  /** Float embedding → double components (exact widening). */
+  def vecDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Deterministic sequential-fold dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Pairwise cosine for all (id1 < id2) pairs with cos ≥ minCos.
+    * Output: id1, id2, cos. Quadratic — verification/baseline path. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame = {
+    val withNorm = emb.select(col(idCol).as("id"),
+      vecDouble(col(vecCol)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val a = withNorm.toDF("id1", "v1", "n21")
+    val b = withNorm.toDF("id2", "v2", "n22")
+    val cos = dot(col("v1"), col("v2")) / sqrt(col("n21") * col("n22"))
+    a.crossJoin(b)
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), round(col("cos"), 8).as("cos"))
+  }
+
+  /** Exact top-k neighbors per vector (brute force + per-id window).
+    * Output: id, neighbor_id, rank, cos. */
+  def topKNeighbors(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val withNorm = emb.select(col(idCol).as("id"),
+      vecDouble(col(vecCol)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val a = withNorm.toDF("id", "v1", "n21")
+    val b = withNorm.toDF("neighbor_id", "v2", "n22")
+    val cos = dot(col("v1"), col("v2")) / sqrt(col("n21") * col("n22"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    a.crossJoin(b)
+      .filter(col("id") =!= col("neighbor_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 8).as("cos"))
+  }
+
+  /** Deterministic ±1 hyperplanes: component j of plane p is +1 when the
+    * first hex digit of md5("hp<p>|<j>") is even. Engine-portable. */
+  def hyperplanes(planes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until planes).map { p =>
+      Array.tabulate(dim) { j =>
+        val hex = md5Hex(s"hp$p|$j")
+        if (Character.digit(hex.charAt(0), 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Sign-LSH bucket key: one bit per hyperplane ('1' iff v·r ≥ 0). */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    concat(planes.map { r =>
+      when(dot(vec, typedLit(r.toSeq)) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** ANN via sign-LSH: bucket, candidate pairs within a bucket, exact
+    * cosine verification ≥ minCos. Output: id1, id2, cos. */
+  def annPairs(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, minCos: Double): DataFrame = {
+    val hp = hyperplanes(planes, dimOf(emb, vecCol))
+    val withB = emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .withColumn("bucket", lshBucket(col("v"), hp))
+    val a = withB.toDF("id1", "v1", "n21", "bucket")
+    val b = withB.toDF("id2", "v2", "n22", "bucket")
+    val cos = dot(col("v1"), col("v2")) / sqrt(col("n21") * col("n22"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), round(col("cos"), 8).as("cos"))
+  }
+
+  private def dimOf(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).head().getInt(0)
+
+  private def md5Hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+}

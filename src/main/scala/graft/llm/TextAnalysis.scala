@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst expressions (split /
+  * regexp_extract_all / higher-order functions) — no UDFs in the hot path,
+  * so a 100 TB document scan stays inside whole-stage codegen. Language ID
+  * is a broadcast join against a tiny stopword lexicon followed by a
+  * per-document argmax window; at scale the lexicon side is constant-size
+  * and the only shuffle is the per-document aggregation.
+  */
+object TextAnalysis {
+
+  /** Word tokens: lowercase, split on non-alphanumeric runs, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= lit("")))
+
+  /** BPE-ish pre-tokenizer count: letter runs, single digits, single
+    * punctuation marks (the GPT-2-style pre-tokenization shape). */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeIshTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Rolling polynomial fingerprint over characters:
+    * h = fold(h*31 + codepoint) mod p. Sequential left fold → deterministic
+    * and engine-portable (exact int64 arithmetic). */
+  def rollingFingerprint(text: Column, mod: Long = 1000000007L): Column =
+    aggregate(
+      transform(filter(split(text, ""), c => c =!= lit("")),
+        c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % mod)
+
+  /** Tiny per-language stopword lexicons (public, common function words). */
+  val Lexicon: Seq[(String, String)] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "was", "for", "on",
+      "as", "with", "that", "it", "at", "by"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "du", "et", "un", "une",
+      "en", "est", "que", "qui", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "de", "del", "y", "un", "una", "en",
+      "es", "que", "se", "con", "por", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "in", "ist",
+      "von", "mit", "den", "zu", "auf", "als", "im")
+  ).flatMap { case (lang, words) => words.map(lang -> _) }
+
+  /** N-gram-heuristic language ID: stopword hits per language, argmax with
+    * deterministic (hits desc, lang asc) tiebreak; 'und' when nothing hits.
+    * Output: idCol, lang_pred, hits. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = broadcast(Lexicon.toDF("lang", "word"))
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+    val hits = tok.join(lex, "word")
+      .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("n").desc, col("lang").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("lang").as("lang_pred"), col("n").as("hits"))
+    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  val EnStopwords: Seq[String] = Lexicon.filter(_._1 == "en").map(_._2)
+
+  /** Heuristic quality features + composite score. Divisions are guarded
+    * with greatest(·,1): DuckDB yields NULL on double/0 where Spark yields
+    * Infinity, so a zero denominator must never reach the division. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val nChars = length(text)
+    val nTokens = wsTokenCount(text)
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val stop = size(filter(tokens(text), t => t.isInCollection(EnStopwords)))
+    val meanTokLen = length(regexp_replace(text, "\\s", "")).cast("double") /
+      greatest(nTokens, lit(1))
+    val punctRatio = punct.cast("double") / greatest(nChars, lit(1))
+    val stopRatio = stop.cast("double") / greatest(nTokens, lit(1))
+    df.select(col(idCol),
+      nChars.cast("long").as("n_chars"),
+      nTokens.cast("long").as("n_tokens"),
+      round(meanTokLen, 8).as("mean_token_len"),
+      round(punctRatio, 8).as("punct_ratio"),
+      round(stopRatio, 8).as("stopword_ratio"),
+      round(lit(0.3) * least(lit(1.0), nTokens.cast("double") / 100.0)
+        + lit(0.3) * (lit(1.0) - punctRatio)
+        + lit(0.4) * stopRatio, 8).as("quality_score"))
+  }
+}

@@ -1,9 +1,141 @@
 package graft.queries
 
-import graft.QuerySpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Document deduplication operators (exact, MinHash-LSH, SimHash,
-  * n-gram Jaccard) over `documents`. */
+import graft.QuerySpec
+import graft.engine.Tables
+import graft.llm.Dedup
+
+/** Document deduplication operators (exact, n-gram Jaccard, MinHash-LSH,
+  * SimHash) over `documents`. Thresholds calibrated to the testdata: the
+  * generator plants ~25 near-dup pairs at J ≥ 0.8, next-closest ≤ 0.1,
+  * so 0.5 separates cleanly. */
 object DedupQueries {
-  def specs: Seq[QuerySpec] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Shared oracle CTE: tokenized docs + distinct 3-gram shingle sets. */
+  private val shingleCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(CASE WHEN len(t) >= 3
+      |                     THEN list_transform(range(1, len(t) - 1),
+      |                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+      |                     ELSE [] END) AS shingle
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Exact dedup: hash-groupBy on md5(text). Duplicates are constructed by
+    // self-union with offset ids (the raw table has none) so keeper/count
+    // semantics are actually exercised.
+    QuerySpec("q_dedup_exact", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val all = d.unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exactGroups(all, "doc_id", "text").orderBy("text_md5")
+    }, Some(
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
+        |       COUNT(*) AS n_copies
+        |FROM all_docs GROUP BY md5(text) ORDER BY text_md5""".stripMargin)),
+
+    // All-pairs word-3-gram Jaccard ≥ 0.5 (quadratic baseline path).
+    QuerySpec("q_ngram_jaccard", (s, dir) => {
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH $shingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id1, id2,
+         |       ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON id1 = s1.doc_id
+         |JOIN sizes s2 ON id2 = s2.doc_id
+         |WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5
+         |ORDER BY id1, id2""".stripMargin)),
+
+    // MinHash-LSH (9 perms = 3 bands × 3 rows) candidates, verified with
+    // exact Jaccard ≥ 0.5 — the 100 TB near-dup path. Permutation mins are
+    // lexicographic MIN over md5(seed|shingle), reproducible in any engine.
+    QuerySpec("q_minhash_lsh", (s, dir) => {
+      Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+        n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         MIN(md5('0|' || shingle)) AS s0, MIN(md5('1|' || shingle)) AS s1,
+         |         MIN(md5('2|' || shingle)) AS s2, MIN(md5('3|' || shingle)) AS s3,
+         |         MIN(md5('4|' || shingle)) AS s4, MIN(md5('5|' || shingle)) AS s5,
+         |         MIN(md5('6|' || shingle)) AS s6, MIN(md5('7|' || shingle)) AS s7,
+         |         MIN(md5('8|' || shingle)) AS s8
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(s0 || s1 || s2) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(s3 || s4 || s5) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(s6 || s7 || s8) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id1
+         |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY c.id1, c.id2)
+         |SELECT id1, id2,
+         |       ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON id1 = s1.doc_id
+         |JOIN sizes s2 ON id2 = s2.doc_id
+         |WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5
+         |ORDER BY id1, id2""".stripMargin), headline = true),
+
+    // SimHash-64 fingerprints via the native Catalyst expression; the
+    // oracle replays the identical bit derivation relationally
+    // (md5 hex digits → ±weight per bit → sign vector).
+    QuerySpec("q_simhash", (s, dir) => {
+      Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                              x -> x <> '')) AS word
+        |    FROM documents) GROUP BY doc_id, word),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |         SUM(cnt * (2 * (CAST(FLOOR(
+        |               (instr('0123456789abcdef',
+        |                      substr(md5(word), CAST(FLOOR(j / 4) AS INT) + 1, 1)) - 1)
+        |               / POW(2, j % 4)) AS INT) % 2) - 1)) AS s
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN FLOOR(j / 16) = 0 AND s > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
+        |         CAST(SUM(CASE WHEN FLOOR(j / 16) = 1 AND s > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1,
+        |         CAST(SUM(CASE WHEN FLOOR(j / 16) = 2 AND s > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w2,
+        |         CAST(SUM(CASE WHEN FLOOR(j / 16) = 3 AND s > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w3
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, w0, w1, w2, w3 FROM fp ORDER BY doc_id""".stripMargin),
+      headline = true)
+  )
 }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.Tables
+import graft.llm.Multimodal
+
+/** Event-stream (batch view) and multimodal-metadata queries: tumbling
+  * windows over `events` (the batch-equivalent of the Structured Streaming
+  * path in `graft.streaming`), JSON scalar extraction, and binary-payload
+  * metadata over `documents`. */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos (legacy conf) and convert to a
+    * microsecond timestamp in-plan (`div 1000` stays in exact int64). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Tumbling 1-hour window aggregation (batch form; the streaming form
+    // with watermark lives in graft.streaming.EventStreams).
+    QuerySpec("q_window_hourly", (s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }, Some(
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin), headline = true),
+
+    // JSON scalar extraction from the props payload column (the reference's
+    // API-JSON flatten surface, S3/S8).
+    QuerySpec("q_json_extract", (s, dir) => {
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Multimodal plumbing metadata: opaque binary payload + typed metadata.
+    // (The mapPartitions decode-stub path is exercised in MultimodalSpec;
+    // byte-level features aren't SQL-expressible over blobs.)
+    QuerySpec("q_binary_meta", (s, dir) => {
+      Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text", "text")
+        .select(col("id").as("doc_id"), col("kind"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("checksum_md5"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, 'text' AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS checksum_md5
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,9 +1,98 @@
 package graft.queries
 
-import graft.QuerySpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Embedding similarity search (brute-force cosine top-k, LSH-bucketed ANN)
-  * over `embeddings`. */
+import graft.QuerySpec
+import graft.engine.Tables
+import graft.llm.Similarity
+
+/** Embedding similarity search (brute-force cosine top-k, sign-LSH ANN,
+  * embedding near-dup) over `embeddings` (64-dim float vectors).
+  *
+  * All dot products are sequential left-folds in double on both sides, so
+  * cosines are bit-identical across engines and threshold/rank comparisons
+  * never straddle an ulp. */
 object SimilarityQueries {
-  def specs: Seq[QuerySpec] = Seq()
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Oracle fragment: sequential-fold dot product of doc lists a.v · b.v. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), " +
+      s"(acc, x) -> acc + x)"
+
+  private val normCte =
+    s"""n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS n2
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Exact top-3 neighbors per vector (brute force + per-id window).
+    QuerySpec("q_cosine_topk", (s, dir) => {
+      Similarity.topKNeighbors(emb(s, dir), "vec_id", "embedding", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("id", "rnk")
+    }, Some(
+      s"""WITH $normCte,
+         |p AS (
+         |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         |         ${dotSql("a.v", "b.v")} / SQRT(a.n2 * b.n2) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |SELECT id, neighbor_id, rnk, ROUND(cos, 8) AS cos
+         |FROM r WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin),
+      headline = true),
+
+    // Embedding-cosine near-dup pairs (brute-force verification tier).
+    QuerySpec("q_embed_neardup", (s, dir) => {
+      Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", minCos = 0.4)
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH $normCte,
+         |p AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         ${dotSql("a.v", "b.v")} / SQRT(a.n2 * b.n2) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id1, id2, ROUND(cos, 8) AS cos
+         |FROM p WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin)),
+
+    // Sign-LSH ANN: 8 md5-derived ±1 hyperplanes → 8-bit bucket; candidates
+    // share a bucket, verified with exact cosine ≥ 0.3 — the O(n) scale
+    // path (the oracle re-derives the identical planes in SQL).
+    QuerySpec("q_ann_lsh", (s, dir) => {
+      Similarity.annPairs(emb(s, dir), "vec_id", "embedding",
+        planes = 8, minCos = 0.3)
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH $normCte,
+         |planes AS (
+         |  SELECT p, list_transform(range(1, 65),
+         |           i -> CASE WHEN (instr('0123456789abcdef',
+         |                  substr(md5('hp' || p || '|' || (i - 1)), 1, 1)) - 1) % 2 = 0
+         |                THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS r
+         |  FROM (SELECT unnest(range(0, 8)) AS p)),
+         |vb AS (
+         |  SELECT vec_id, p,
+         |         CASE WHEN ${dotSql("v", "r")} >= 0 THEN '1' ELSE '0' END AS bit
+         |  FROM n CROSS JOIN planes),
+         |bk AS (
+         |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+         |  FROM vb GROUP BY vec_id),
+         |p2 AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         ${dotSql("na.v", "nb.v")} / SQRT(na.n2 * nb.n2) AS cos
+         |  FROM bk a
+         |  JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id
+         |  JOIN n nb ON nb.vec_id = b.vec_id)
+         |SELECT id1, id2, ROUND(cos, 8) AS cos
+         |FROM p2 WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin))
+  )
 }

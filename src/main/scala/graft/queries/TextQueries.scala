@@ -1,9 +1,98 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.QuerySpec
+import graft.engine.Tables
+import graft.llm.TextAnalysis
 
 /** Text-analysis operators over `documents` (lang-id, quality, tokens,
   * fingerprints) — the training-data-pipeline surface. */
 object TextQueries {
-  def specs: Seq[QuerySpec] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** The en/fr/es/de stopword lexicon as a SQL VALUES list. */
+  private val lexValues: String = TextAnalysis.Lexicon
+    .map { case (lang, word) => s"('$lang','$word')" }.mkString(", ")
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Language ID: stopword-hit argmax with deterministic tiebreak.
+    QuerySpec("q_lang_id", (s, dir) => {
+      TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    }, Some(
+      s"""WITH lex(lang, word) AS (VALUES $lexValues),
+         |tok AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                            x -> x <> '')) AS word
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n
+         |  FROM tok JOIN lex USING (word) GROUP BY doc_id, lang),
+         |best AS (
+         |  SELECT doc_id, lang, n,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+         |  FROM hits)
+         |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred,
+         |       COALESCE(b.n, 0) AS hits
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin), headline = true),
+
+    // Quality features + composite score (pure arithmetic, div-by-zero
+    // guarded with greatest(·,1) — DuckDB nulls double/0, Spark gives Inf).
+    QuerySpec("q_text_quality", (s, dir) => {
+      TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         length(text) AS n_chars,
+        |         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+        |         len(list_filter(
+        |               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |               t -> t IN ('the','of','and','to','in','is','was','for','on','as','with','that','it','at','by'))) AS stop,
+        |         length(regexp_replace(text, '\s', '', 'g')) AS nospace
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       ROUND(CAST(nospace AS DOUBLE) / GREATEST(n_tokens, 1), 8) AS mean_token_len,
+        |       ROUND(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1), 8) AS punct_ratio,
+        |       ROUND(CAST(stop AS DOUBLE) / GREATEST(n_tokens, 1), 8) AS stopword_ratio,
+        |       ROUND(CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0)
+        |             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / GREATEST(n_chars, 1))
+        |             + CAST(0.4 AS DOUBLE) * (CAST(stop AS DOUBLE) / GREATEST(n_tokens, 1)), 8) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace + BPE-ish pre-tokenizer counts.
+    QuerySpec("q_token_counts", (s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextAnalysis.bpeIshTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Rolling polynomial fingerprint (sequential fold, exact int64).
+    QuerySpec("q_fingerprint", (s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |                          c -> CAST(ascii(c) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
 }
