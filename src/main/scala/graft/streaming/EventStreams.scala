@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` shape.
+  *
+  * The reference has no streaming at all (SURVEY.md §2: "Streaming: none"),
+  * but a training-data engine needs incremental ingest; these are the
+  * streaming duals of the batch event queries: the same transformations
+  * compiled against `readStream` instead of `read`, which is exactly how
+  * Spark unifies the two (identical logical plans, incremental execution).
+  *
+  * Scale notes: watermarks bound state; the windowed aggregation keeps one
+  * row of state per (window × event_type); sessionization keeps one state
+  * object per active user and evicts via event-time timeout — both are the
+  * canonical bounded-state shapes for indefinitely-running streams.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Internal per-user session accumulator (public: the state encoder's
+    * generated code needs reflective access to the constructor). */
+  final case class SessionState(startMs: Long, lastMs: Long,
+      n: Long, total: Double)
+
+  /** Tumbling-window counts/sums per event type. Works identically on a
+    * batch or streaming frame (same logical plan). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Event-time sessionization with a gap timeout: custom state via
+    * `flatMapGroupsWithState` (the reference-free operator Spark's built-in
+    * aggregations can't express). Emits one summary per closed session. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+
+    def flush(userId: Long, st: SessionState): SessionSummary =
+      SessionSummary(userId, new Timestamp(st.startMs), new Timestamp(st.lastMs),
+        st.n, st.total)
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(flush(userId, _)).iterator
+        state.remove()
+        return out
+      }
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[SessionSummary]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(st) if t - st.lastMs <= gapMs =>
+            cur = Some(st.copy(lastMs = math.max(st.lastMs, t),
+              n = st.n + 1, total = st.total + e.value))
+          case Some(st) =>
+            closed ::= flush(userId, st)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(st) =>
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastMs + gapMs)
+        case None => ()
+      }
+      closed.reverseIterator
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

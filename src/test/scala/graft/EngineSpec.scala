@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Prop, Properties}
+
+import graft.engine._
+
+/** ScalaCheck properties for U1 name normalization. */
+class NamesProps extends Properties("Names.normalize") {
+  property("idempotent") = Prop.forAll { (s: String) =>
+    val n = Names.normalize(s)
+    Names.normalize(n) == n
+  }
+  property("ascii snake output") = Prop.forAll { (s: String) =>
+    Names.normalize(s).matches("[a-z0-9_]*")
+  }
+}
+
+class NamesSpec extends SparkSpec {
+  test("normalize matches reference semantics (fonctions.py:59-73)") {
+    assert(Names.normalize("Consommation Annuelle (MWh)") ===
+      "consommation_annuelle_mwh_")
+    assert(Names.normalize("Code Département") === "code_departement")
+    assert(Names.normalize("Identifiant__BAN") === "identifiant_ban")
+    assert(Names.normalize("Adresse") === "adresse")
+  }
+  test("sortColumns orders alphabetically; withSuffix renames all") {
+    import spark.implicits._
+    val df = Seq((1, "a", 2.0)).toDF("b_col", "a_col", "c_col")
+    assert(Names.sortColumns(df).columns.toSeq === Seq("a_col", "b_col", "c_col"))
+    assert(Names.withSuffix(df, "_x").columns.forall(_.endsWith("_x")))
+  }
+}
+
+class CastSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trial-cast ladder: numeric (with comma fix) > timestamp > string") {
+    val df = Seq(
+      ("1,5", "2024-01-01 10:00:00", "abc", "3"),
+      ("2.5", "2024-06-30 00:00:00", "1",   "x"))
+      .toDF("num_comma", "ts", "mixed", "mixed2")
+    val (out, decided) = Cast.autoCastStringColumns(df)
+    assert(decided("num_comma") === "float64")
+    assert(decided("ts") === "datetime64[ns]")
+    assert(decided("mixed") === "string")  // pandas errors='raise': one bad value keeps column as string
+    assert(decided("mixed2") === "string")
+    assert(out.schema("num_comma").dataType === DoubleType)
+    assert(out.schema("ts").dataType === TimestampType)
+    assert(out.select("num_comma").as[Double].collect().sorted.toSeq === Seq(1.5, 2.5))
+  }
+
+  test("applySchema coerces bad values to null (errors='coerce')") {
+    val df = Seq(("x", "12"), ("3.5", "boom")).toDF("f", "i")
+    val out = Cast.applySchema(df, Map("f" -> "float64", "i" -> "Int64"))
+    assert(out.schema("f").dataType === DoubleType)
+    assert(out.schema("i").dataType === LongType)
+    val rows = out.collect()
+    assert(rows.map(r => Option(r.get(0))).toSet === Set(None, Some(3.5)))
+    assert(rows.map(r => Option(r.get(1))).toSet === Set(Some(12L), None))
+  }
+}
+
+class SchemaIOSpec extends SparkSpec {
+  test("pandas dtype JSON round-trips through StructType") {
+    val json = """{"a":"float64","b":"string","c":"int64","d":"datetime64[ns]"}"""
+    val st = SchemaIO.schemaFromDtypeJson(json)
+    assert(st.fields.map(_.dataType).toSeq ===
+      Seq(DoubleType, StringType, LongType, TimestampType))
+    assert(SchemaIO.schemaFromDtypeJson(SchemaIO.schemaToDtypeJson(st)) === st)
+  }
+  test("golden entity config parses cols, defaults, required") {
+    val cfg = """{"schema-adresses": {"cols": {"id_ban": {"type": "string"},
+      "score": {"type": "float64", "default": -1}}, "required": ["id_ban"]}}"""
+    val specs = SchemaIO.entitiesFromConfigJson(cfg)
+    assert(specs.map(_.name) === Seq("adresses"))
+    assert(specs.head.cols.map(_._1) === Seq("id_ban", "score"))
+    assert(specs.head.cols.toMap.apply("score").default === -1.0)
+    assert(specs.head.required === Seq("id_ban"))
+  }
+  test("entity conform adds defaults and dedups") {
+    import spark.implicits._
+    val silver = Seq(("b1", 1.0), ("b1", 1.0), ("b2", 2.0)).toDF("id_ban", "x")
+    val spec = Entities.EntitySpec("e", Seq(
+      "id_ban" -> Entities.ColSpec("string", "N/C"),
+      "missing" -> Entities.ColSpec("string", "N/C")), Nil)
+    val out = Entities.conform(silver, spec)
+    assert(out.columns.toSeq === Seq("id_ban", "missing"))
+    assert(out.count() === 2)
+    assert(out.select("missing").distinct().as[String].collect().toSeq === Seq("N/C"))
+  }
+}
+
+class ImputeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no-outlier column filled with mean; outlier column with median") {
+    val clean = Seq[Option[Double]](Some(1), Some(2), Some(3), Some(4), None)
+    val outly = Seq[Option[Double]](Some(1), Some(2), Some(3), Some(1000), None)
+    val df = clean.zip(outly).toDF("clean", "outly")
+    val (filled, strategies) = Impute.fillFloats(df, Seq("clean", "outly"))
+    assert(strategies === Map("clean" -> "mean", "outly" -> "median"))
+    assert(filled.filter(col("clean").isNull || col("outly").isNull).count() === 0)
+    val got = filled.agg(max("clean"), max("outly")).head()
+    assert(filled.filter(col("clean") === 2.5).count() === 1)  // mean of 1..4
+    assert(filled.filter(col("outly") === 2.5).count() === 1)  // median of 1,2,3,1000
+    assert(got != null)
+  }
+
+  test("columns without nulls are left untouched") {
+    val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b")
+    val (filled, strategies) = Impute.fillFloats(df, Seq("a", "b"))
+    assert(strategies.isEmpty)
+    assert(filled.collect().toSeq === df.collect().toSeq)
+  }
+}
+
+class LoadDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("anti-join append is idempotent (load.py:123-165 shape)") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("pk", "v")
+    val incoming = Seq((2L, "b2"), (3L, "c")).toDF("pk", "v")
+    val first = LoadDedup.antiJoinOnKeys(incoming, existing, Seq("pk"))
+    assert(first.select("pk").as[Long].collect().toSeq === Seq(3L))
+    // replay the same batch against the grown table: nothing new
+    val grown = existing.unionByName(first)
+    assert(LoadDedup.antiJoinOnKeys(incoming, grown, Seq("pk")).count() === 0)
+  }
+
+  test("multi-key anti-join and keep-first dedup are deterministic") {
+    val existing = Seq((1L, 1, "x")).toDF("k1", "k2", "v")
+    val incoming = Seq((1L, 1, "y"), (1L, 2, "z")).toDF("k1", "k2", "v")
+    val out = LoadDedup.antiJoinOnKeys(incoming, existing, Seq("k1", "k2"))
+    assert(out.select("v").as[String].collect().toSeq === Seq("z"))
+
+    val dups = Seq((1L, "2024-01-02", "late"), (1L, "2024-01-01", "early"))
+      .toDF("pk", "d", "v")
+    val kept = LoadDedup.dedupKeepFirst(dups, Seq("pk"), Seq("d"))
+    assert(kept.select("v").as[String].collect().toSeq === Seq("early"))
+  }
+}

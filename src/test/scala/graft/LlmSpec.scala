@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog again and again"), // near dup
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "tiny")).toDF("doc_id", "text")
+
+  test("exact groups: dup texts collapse to min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() === 4)
+    val dup = g.filter(col("n_copies") === 2).head()
+    assert(dup.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("jaccard pairs find exact and near dups, skip unrelated") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 })
+    assert(pairs.exists { case (a, b, _) => a == 1 && b == 3 })
+    assert(!pairs.exists { case (a, b, _) => b == 4 || a == 4 })
+  }
+
+  test("minhash-LSH candidates contain the true near-dups (recall on planted pairs)") {
+    val nd = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 2L)))  // identical docs always collide on every band
+  }
+
+  test("too-short docs produce no shingles and no pairs") {
+    val sh = Dedup.shingleSets(docs.filter(col("doc_id") === 5), "doc_id", "text", 3)
+    assert(sh.count() === 0)
+  }
+
+  test("simhash: identical docs equal; near-dups close; unrelated far") {
+    val h1 = SimHash.compute(docs.filter(col("doc_id") === 1).head().getString(1))
+    val h2 = SimHash.compute(docs.filter(col("doc_id") === 2).head().getString(1))
+    val h3 = SimHash.compute(docs.filter(col("doc_id") === 3).head().getString(1))
+    val h4 = SimHash.compute(docs.filter(col("doc_id") === 4).head().getString(1))
+    assert(h1 === h2)
+    assert(SimHash.hamming(h1, h3) < SimHash.hamming(h1, h4))
+    // expression and direct computation agree
+    val viaExpr = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1).head()
+    val w0 = h1 & 0xffffL
+    assert(viaExpr.getAs[Long]("w0") === w0)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // near 1
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))) // opposite of 1
+    .toDF("vec_id", "embedding")
+
+  test("cosine pairs: near above threshold, orthogonal/opposite below") {
+    val p = Similarity.cosinePairs(vecs, "vec_id", "embedding", minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p === Set((1L, 2L)))
+  }
+
+  test("top-k neighbors ranked by cosine with deterministic tiebreak") {
+    val top = Similarity.topKNeighbors(vecs, "vec_id", "embedding", k = 1)
+      .filter(col("id") === 1).head()
+    assert(top.getAs[Long]("neighbor_id") === 2L)
+    assert(top.getAs[Int]("rank") === 1)
+  }
+
+  test("ANN pairs are a subset of brute-force pairs at the same threshold") {
+    val brute = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annPairs(vecs, "vec_id", "embedding", planes = 4, minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(brute))
+    // identical-direction vectors always share every sign bucket
+    assert(ann.contains((1L, 2L)) === brute.contains((1L, 2L)))
+  }
+
+  test("hyperplanes are deterministic across calls (no RNG state)") {
+    assert(Similarity.hyperplanes(4, 16).map(_.toSeq) ===
+      Similarity.hyperplanes(4, 16).map(_.toSeq))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the stopword-dominant language, 'und' when none") {
+    val d = Seq(
+      (1L, "the cat is on the mat and it was fine"),
+      (2L, "le chat est dans la maison et les oiseaux"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "fr")
+    assert(out(3L) === "und")
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val d = Seq((1L, "Hello, world! 42 times")).toDF("doc_id", "text")
+    val r = d.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeIshTokenCount(col("text")).as("bpe")).head()
+    assert(r.getAs[Int]("ws") === 4)
+    // Hello , world ! 4 2 times → 7
+    assert(r.getAs[Int]("bpe") === 7)
+  }
+
+  test("rolling fingerprint is order-sensitive and deterministic") {
+    val d = Seq((1L, "abc"), (2L, "acb"), (3L, "abc")).toDF("doc_id", "text")
+    val f = d.select(col("doc_id"),
+      TextAnalysis.rollingFingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) === f(3L))
+    assert(f(1L) !== f(2L))
+    // h("abc") = ((97*31 + 98)*31 + 99) with h0 = 0*31+97
+    assert(f(1L) === ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
+  test("quality features: ratios bounded, zero-token doc safe") {
+    val d = Seq((1L, "good clean text with the usual words"),
+      (2L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityFeatures(d, "doc_id", "text").collect()
+    val r1 = rows.find(_.getLong(0) == 1).get
+    assert(r1.getAs[Double]("punct_ratio") === 0.0)
+    assert(r1.getAs[Double]("stopword_ratio") > 0.0)
+    val r2 = rows.find(_.getLong(0) == 2).get
+    assert(!r2.getAs[Double]("quality_score").isNaN)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payload plumbing: attach → mapPartitions feature extraction") {
+    val d = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val recs = Multimodal.attachPayload(d, "doc_id", "text", "audio")
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(recs).collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(1L).n_bytes === 5L)
+    assert(feats(1L).kind === "audio")
+    assert(feats(1L).feature.length === 4)
+    assert(feats(1L).feature(0) === 'h'.toInt / 255.0)
+    assert(feats(2L).n_bytes === 0L)
+    assert(feats(2L).checksum === 0L)
+  }
+
+  test("frame sampling stub keeps every stride-th byte") {
+    assert(Multimodal.sampleFrames(Array[Byte](0, 1, 2, 3, 4, 5), 2).toSeq ===
+      Seq[Byte](0, 2, 4))
+  }
+}

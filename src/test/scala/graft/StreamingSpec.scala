@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  test("streaming windowed agg over MemoryStream matches batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(1), 10, "click", 1.5),
+      Event(2, ts(2), 10, "click", 2.5),
+      Event(3, ts(61), 11, "view", 4.0))
+
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.windowedAgg(mem.toDF(), windowLen = "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_out")
+      .orderBy("window_start", "event_type").collect()
+    val batch = EventStreams.windowedAgg(events.toDF(), windowLen = "1 hour")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.length === 2)
+    assert(streamed.head.getAs[Long]("n_events") === 2L)
+    assert(streamed.head.getAs[Double]("sum_value") === 4.0)
+  }
+
+  test("sessionization closes sessions on gap and emits summaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 5 * 60000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session 1: user 10, minutes 1-3; then a 30-minute gap
+      mem.addData(Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(3), 10, "click", 2.0))
+      q.processAllAvailable()
+      // events past the gap + watermark push → session 1 must close
+      mem.addData(Event(3, ts(33), 10, "click", 4.0),
+        Event(4, ts(90), 99, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(5, ts(180), 99, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sessions = spark.table("sess_out").as[EventStreams.SessionSummary]
+      .collect().filter(_.user_id == 10)
+    assert(sessions.nonEmpty)
+    val s1 = sessions.minBy(_.session_start.getTime)
+    assert(s1.session_start === ts(1))
+    assert(s1.session_end === ts(3))
+    assert(s1.n_events === 2L)
+    assert(s1.total_value === 3.0)
+  }
+}
