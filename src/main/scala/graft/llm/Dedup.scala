@@ -48,7 +48,7 @@ object Dedup {
     * Output: id1, id2, jaccard. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n)
+    val sh = shingleSets(docs, idCol, textCol, n).persist()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.toDF("id1", "shingle")
     val b = sh.toDF("id2", "shingle")
@@ -67,8 +67,12 @@ object Dedup {
   /** MinHash signatures: numPerms independent permutation-mins per doc.
     * Output: idCol, sig_0 … sig_{numPerms-1} (md5 hex strings). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, numPerms: Int): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n)
+      n: Int, numPerms: Int): DataFrame =
+    minhashSignaturesFromShingles(shingleSets(docs, idCol, textCol, n),
+      idCol, numPerms)
+
+  def minhashSignaturesFromShingles(sh: DataFrame, idCol: String,
+      numPerms: Int): DataFrame = {
     val sigs = (0 until numPerms).map(p =>
       min(md5(concat(lit(s"$p|"), col("shingle")))).as(s"sig_$p"))
     sh.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
@@ -102,8 +106,17 @@ object Dedup {
     * only on the candidate set). Output: id1, id2, jaccard ≥ threshold. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, n, bands, rowsPerBand)
-    val sh = shingleSets(docs, idCol, textCol, n)
+    // The shingle pipeline (tokenize → explode → distinct) feeds signatures,
+    // set sizes, AND both sides of the intersection join; persist it once
+    // instead of recomputing the scan 4x. (Columnar cache, evictable.)
+    val sh = shingleSets(docs, idCol, textCol, n).persist()
+    val sig = minhashSignaturesFromShingles(sh, idCol, bands * rowsPerBand)
+    val bd = lshBands(sig, idCol, bands, rowsPerBand)
+    val a = bd.toDF("id1", "band", "band_key")
+    val b = bd.toDF("id2", "band", "band_key")
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // intersection size: expand candidates by id1's shingles, then equi-join
     // on (id2, shingle) so only shared shingles survive — never a cross

@@ -27,14 +27,21 @@ object Similarity {
   /** Float embedding → double components (exact widening). */
   def vecDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Deterministic sequential-fold dot product. */
-  def dot(a: Column, b: Column): Column =
+  /** Deterministic sequential-fold dot product (declarative form; kept as
+    * the readable spec of the evaluation order). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Same fold as [[dotFold]], evaluated by the native [[DotProductExpr]]
+    * (register once per session; bit-identical results, ~10x faster on
+    * wide pair joins). */
+  def dot(a: Column, b: Column): Column = DotProduct.dotSeq(a, b)
 
   /** Pairwise cosine for all (id1 < id2) pairs with cos ≥ minCos.
     * Output: id1, id2, cos. Quadratic — verification/baseline path. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame = {
+    DotProduct.register(emb.sparkSession)
     val withNorm = emb.select(col(idCol).as("id"),
       vecDouble(col(vecCol)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
@@ -52,6 +59,7 @@ object Similarity {
     * Output: id, neighbor_id, rank, cos. */
   def topKNeighbors(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    DotProduct.register(emb.sparkSession)
     val withNorm = emb.select(col(idCol).as("id"),
       vecDouble(col(vecCol)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
@@ -89,6 +97,7 @@ object Similarity {
     * cosine verification ≥ minCos. Output: id1, id2, cos. */
   def annPairs(emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, minCos: Double): DataFrame = {
+    DotProduct.register(emb.sparkSession)
     val hp = hyperplanes(planes, dimOf(emb, vecCol))
     val withB = emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))

@@ -34,7 +34,7 @@ object SimilarityQueries {
     // Exact top-3 neighbors per vector (brute force + per-id window).
     QuerySpec("q_cosine_topk", (s, dir) => {
       Similarity.topKNeighbors(emb(s, dir), "vec_id", "embedding", k = 3)
-        .withColumnRenamed("rank", "rnk")
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
         .orderBy("id", "rnk")
     }, Some(
       s"""WITH $normCte,

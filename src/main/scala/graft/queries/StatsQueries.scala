@@ -123,6 +123,7 @@ object StatsQueries {
       val in = t(s, dir, "lineitem").select(col("l_returnflag"),
         (col("l_tax") * 100.0).as("x"), (col("l_discount") * 100.0).as("y"))
       Stats.wilcoxonStat(in, "l_returnflag", "x", "y")
+        .drop("tie_counts")
         .orderBy("l_returnflag")
     }, Some(
       """WITH d AS (
