@@ -55,26 +55,32 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 8).as("cos"))
   }
 
-  /** Exact top-k neighbors per vector (brute force + per-id window).
+  /** Exact top-k neighbors per vector: brute-force pair scores reduced by
+    * the bounded-heap [[TopKByScore]] aggregate — map-side combine brings
+    * each task down to ≤k rows per id BEFORE the exchange, so the shuffle
+    * carries |ids|×k rows instead of all |ids|² candidates (a window-rank
+    * formulation would sort the full pair set). Ordering/ties identical to
+    * `row_number() OVER (ORDER BY cos DESC, neighbor_id)`.
     * Output: id, neighbor_id, rank, cos. */
   def topKNeighbors(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     DotProduct.register(emb.sparkSession)
+    TopK.register(emb.sparkSession)
     val withNorm = emb.select(col(idCol).as("id"),
       vecDouble(col(vecCol)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
     val a = withNorm.toDF("id", "v1", "n21")
     val b = withNorm.toDF("neighbor_id", "v2", "n22")
     val cos = dot(col("v1"), col("v2")) / sqrt(col("n21") * col("n22"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
     a.crossJoin(b)
       .filter(col("id") =!= col("neighbor_id"))
-      .withColumn("cos", cos)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 8).as("cos"))
+      .select(col("id"), cos.as("cos"), col("neighbor_id"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 8).as("cos"))
   }
 
   /** Deterministic ±1 hyperplanes: component j of plane p is +1 when the

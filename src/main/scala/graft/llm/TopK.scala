@@ -1,0 +1,120 @@
+package graft.llm
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Grouped top-k as a native aggregate: keep the k best (score, id) pairs
+  * per group in a bounded heap.
+  *
+  * Why: the standard Spark formulation of "top-k per key" is a
+  * `row_number() OVER (PARTITION BY key ORDER BY score DESC)` window, which
+  * shuffles and SORTS every candidate row (25M rows for a 5k×5k brute-force
+  * cosine; at cluster scale, billions). A `TypedImperativeAggregate` is
+  * map-side combinable: each task reduces its partition to ≤k rows per key
+  * before the exchange, so the shuffle carries |keys|×k rows instead of all
+  * candidates, and nothing is globally sorted.
+  *
+  * Ordering matches the window formulation exactly: higher score wins, ties
+  * broken by smaller id — so results are identical to `row_number`-based
+  * top-k (and to the DuckDB oracle's window mirror).
+  */
+case class TopKByScore(
+    scoreExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))))
+  override def prettyName: String = "topk_by_score"
+
+  /** "Goodness" order: an element is smaller when better (higher score,
+    * tie → smaller id). PriorityQueue dequeues the MAX = the worst. */
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  override def update(buf: mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null) {
+      add(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Double, Long)],
+      other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  private def add(buf: mutable.PriorityQueue[(Double, Long)],
+      e: (Double, Long)): Unit = {
+    if (buf.size < k) buf.enqueue(e)
+    else if (worstFirst.compare(e, buf.head) < 0) { // e beats current worst
+      buf.dequeue(); buf.enqueue(e)
+    }
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val sorted = buf.toArray.sorted(worstFirst) // ascending = best-first
+    new GenericArrayData(sorted.map { case (s, i) =>
+      InternalRow(s, i)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopK {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by_score", exprs => {
+        val k = exprs(2).eval(null).asInstanceOf[Int]
+        TopKByScore(exprs(0), exprs(1), k).toAggregateExpression()
+      }, "scala_udf")
+
+  /** Column form; requires [[register]] on the session first. */
+  def topKByScore(score: Column, id: Column, k: Column): Column =
+    call_function("topk_by_score", score, id, k)
+}

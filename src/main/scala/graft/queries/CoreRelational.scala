@@ -289,6 +289,7 @@ object CoreRelational {
       LoadDedup.dedupKeepFirst(
         t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
         keys = Seq("o_custkey"), orderBy = Seq("o_orderdate", "o_orderkey"))
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
         .orderBy("o_custkey")
     }, Some(
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (

@@ -34,6 +34,8 @@ object EventQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        // naive (NTZ) micros = DuckDB's timestamp representation exactly
+        .withColumn("hour", col("hour").cast("timestamp_ntz"))
         .orderBy("hour", "event_type")
     }, Some(
       """SELECT date_trunc('hour', ts) AS hour, event_type,
