@@ -25,6 +25,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // One-shot JIT/codegen warmup on the smoke-scale data (not the bench
+    // inputs): exercises the parquet reader, join, aggregation and shuffle
+    // paths so the first measured query doesn't pay baseline JVM
+    // compilation. (A full per-query warmup does NOT pay off: AQE re-plans
+    // per data scale, so stage codegen doesn't transfer, and the extra 40
+    // runs just add metaspace/GC pressure — measured slower.)
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

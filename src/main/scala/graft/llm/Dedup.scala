@@ -27,20 +27,31 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of a text column (empty array when too short). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** n-gram shingles from an ALREADY-MATERIALIZED token array column.
+    * The token expression must be a bound column, not an inline
+    * `tokens(text)` tree: higher-order functions evaluate their argument
+    * subtree per lambda element (no common-subexpression elimination in
+    * the interpreted HOF path), so inlining the tokenizer re-splits the
+    * document once per shingle — a ~100x blowup measured at sf0.1. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - n + 1),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array())
-  }
+
+  /** Word n-gram shingles of a text column (empty array when too short).
+    * Convenience form for single-expression use; pipelines should project
+    * tokens first (see [[shingleSets]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), n)
 
   /** Distinct (id, shingle) pairs — the set representation used by both
-    * exact Jaccard and MinHash. */
+    * exact Jaccard and MinHash. Tokens are materialized in their own
+    * projection so the tokenizer runs once per document. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("shingle"))
       .distinct()
 
   /** All-pairs n-gram Jaccard ≥ threshold (quadratic — verification/oracle
@@ -101,30 +112,47 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Raw (id, shingle) rows WITHOUT set-dedup — one narrow projection +
+    * explode, no shuffle. MIN-based signatures and countDistinct sizes are
+    * insensitive to duplicate shingles, so the expensive full-data
+    * `distinct` of [[shingleSets]] is unnecessary on the scale path. */
+  def rawShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("shingle"))
+
   /** MinHash-LSH near-dups: candidates verified with exact Jaccard —
-    * the full scale path (candidate generation linear-ish, verification
-    * only on the candidate set). Output: id1, id2, jaccard ≥ threshold. */
+    * the full scale path. Shuffle budget: ONE aggregation for signatures +
+    * set sizes (from raw shingles, no pre-distinct), one banded equi-join
+    * on short keys for candidates, and a verification join that first
+    * prunes the shingle stream to candidate docs with a broadcast semi
+    * join — set-dedup happens only on that pruned sliver, so nothing
+    * quadratic or full-data-wide ever shuffles.
+    * Output: id1, id2, jaccard ≥ threshold. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    // The shingle pipeline (tokenize → explode → distinct) feeds signatures,
-    // set sizes, AND both sides of the intersection join; persist it once
-    // instead of recomputing the scan 4x. (Columnar cache, evictable.)
-    val sh = shingleSets(docs, idCol, textCol, n).persist()
-    val sig = minhashSignaturesFromShingles(sh, idCol, bands * rowsPerBand)
+    val shRaw = rawShingles(docs, idCol, textCol, n)
+    val sigAggs = (0 until bands * rowsPerBand).map(p =>
+      min(md5(concat(lit(s"$p|"), col("shingle")))).as(s"sig_$p")) :+
+      countDistinct(col("shingle")).as("sz")
+    val sig = shRaw.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
     val bd = lshBands(sig, idCol, bands, rowsPerBand)
     val a = bd.toDF("id1", "band", "band_key")
     val b = bd.toDF("id2", "band", "band_key")
     val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // intersection size: expand candidates by id1's shingles, then equi-join
-    // on (id2, shingle) so only shared shingles survive — never a cross
-    // product of both shingle sets.
+    // verification: only candidate docs' shingles matter — broadcast the
+    // (tiny) candidate id set, semi-join, THEN dedup the pruned stream.
+    val candIds = cand.select(explode(array(col("id1"), col("id2"))).as(idCol))
+      .distinct()
+    val shCand = shRaw.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .distinct()
     val inter = cand
-      .join(sh.toDF("id1", "shingle"), Seq("id1"))
-      .join(sh.toDF("id2", "shingle"), Seq("id2", "shingle"))
+      .join(shCand.toDF("id1", "shingle"), Seq("id1"))
+      .join(shCand.toDF("id2", "shingle"), Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
+    val sizes = sig.select(col(idCol), col("sz"))
     val j = col("i").cast("double") /
       (col("sz1") + col("sz2") - col("i")).cast("double")
     inter

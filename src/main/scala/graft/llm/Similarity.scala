@@ -118,6 +118,38 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 8).as("cos"))
   }
 
+  /** IVF-style ANN: partition vectors into cells by nearest centroid, then
+    * search only within cells (nprobe=1), verifying candidates with exact
+    * cosine. Centroids are the vectors with the `numCells` smallest ids —
+    * deterministic and engine-portable; a production build would plug
+    * k-means centroids into the same cell-assignment plan. Assignment ties
+    * break on centroid id, so cells are reproducible bit-for-bit.
+    * Output: id1, id2, cos ≥ minCos. */
+  def ivfPairs(emb: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, minCos: Double): DataFrame = {
+    DotProduct.register(emb.sparkSession)
+    val withNorm = emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val centroids = broadcast(withNorm.filter(col("id") < numCells)
+      .toDF("cid", "cv", "cn2"))
+    val score = dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("cid").asc)
+    val cells = withNorm.crossJoin(centroids)
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"))
+    val a = cells.toDF("id1", "v1", "n21", "cell")
+    val b = cells.toDF("id2", "v2", "n22", "cell")
+    val cos = dot(col("v1"), col("v2")) / sqrt(col("n21") * col("n22"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), round(col("cos"), 8).as("cos"))
+  }
+
   private def dimOf(emb: DataFrame, vecCol: String): Int =
     emb.select(size(col(vecCol))).head().getInt(0)
 

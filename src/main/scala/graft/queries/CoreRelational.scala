@@ -55,9 +55,34 @@ object CoreRelational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** One SQL text, two engines: run verbatim through `spark.sql` AND as the
+    * DuckDB oracle — demonstrating the `spark.sql(...)` API surface with
+    * zero translation (TPC-H Q3 shape: selective join + decimal revenue
+    * rollup + deterministic top-10). */
+  val sqlApiText: String =
+    """SELECT o_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '2000-03-15'
+      |  AND l_shipdate > TIMESTAMP '1999-03-15'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
 
     QuerySpec("q_flagship_star", flagship, Some(flagshipSql), headline = true),
+
+    QuerySpec("q_sql_api", (s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(nm => Tables.load(s, dir, nm).createOrReplaceTempView(nm))
+      s.sql(sqlApiText)
+    }, Some(sqlApiText)),
 
     // A5/A7 + arithmetic: pricing summary (decimal-exact sums).
     QuerySpec("q_agg_pricing", (s, dir) => {

@@ -93,6 +93,30 @@ object SimilarityQueries {
          |  JOIN n na ON na.vec_id = a.vec_id
          |  JOIN n nb ON nb.vec_id = b.vec_id)
          |SELECT id1, id2, ROUND(cos, 8) AS cos
+         |FROM p2 WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin)),
+
+    // IVF ANN: nearest-of-16-centroids cell assignment (deterministic
+    // tiebreak), intra-cell candidate search, exact-cosine verification.
+    QuerySpec("q_ann_ivf", (s, dir) => {
+      Similarity.ivfPairs(emb(s, dir), "vec_id", "embedding",
+        numCells = 16, minCos = 0.3)
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH $normCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT id, v, n2, cell FROM (
+         |    SELECT n.vec_id AS id, n.v, n.n2, cent.cid AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotSql("n.v", "cent.cv")} / SQRT(n.n2 * cent.cn2) DESC,
+         |                      cent.cid ASC) AS rn
+         |    FROM n CROSS JOIN cent) t
+         |  WHERE rn = 1),
+         |p2 AS (
+         |  SELECT a.id AS id1, b.id AS id2,
+         |         ${dotSql("a.v", "b.v")} / SQRT(a.n2 * b.n2) AS cos
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id)
+         |SELECT id1, id2, ROUND(cos, 8) AS cos
          |FROM p2 WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin))
   )
 }
