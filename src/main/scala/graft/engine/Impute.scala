@@ -42,7 +42,10 @@ object Impute {
     }
     val q = df.agg(qAggs.head, qAggs.tail: _*).head()
 
-    val needFill = cols.filter(c => q.getAs[Long](s"${c}__nulls") > 0)
+    // fill only columns that have nulls AND at least one non-null value
+    // (all-null ⇒ quantiles are null; pandas leaves such columns untouched)
+    val needFill = cols.filter(c => q.getAs[Long](s"${c}__nulls") > 0 &&
+      !q.isNullAt(q.fieldIndex(s"${c}__q1")))
     if (needFill.isEmpty) return Seq.empty
 
     val oAggs = needFill.map { c =>

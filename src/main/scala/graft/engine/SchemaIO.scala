@@ -53,6 +53,17 @@ object SchemaIO {
   def load(path: String): StructType =
     schemaFromDtypeJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 
+  /** The reference's six-entity gold-model contract
+    * (`config/schema_golden_data_api_old.json`, data not code: column
+    * names/types/defaults ARE the interface a reference user's config
+    * carries), bundled so `Entities.splitAll` can consume it unchanged. */
+  def referenceGoldEntities: Seq[Entities.EntitySpec] = {
+    val in = getClass.getResourceAsStream("/schema_golden_data.json")
+    require(in != null, "bundled schema_golden_data.json missing")
+    val json = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    entitiesFromConfigJson(json)
+  }
+
   /** Parse the reference's golden-entity config
     * (`config/schema_golden_data_api_old.json`, read at
     * `transform.py:215-236`): `{"schema-<entity>": {"cols": {name:

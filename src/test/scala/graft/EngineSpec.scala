@@ -79,6 +79,26 @@ class SchemaIOSpec extends SparkSpec {
     assert(specs.head.cols.toMap.apply("score").default === -1.0)
     assert(specs.head.required === Seq("id_ban"))
   }
+  test("bundled reference gold-model config parses: 6 entities, full width") {
+    val specs = SchemaIO.referenceGoldEntities
+    assert(specs.map(_.name).toSet === Set("adresses", "logements", "villes",
+      "donnees_climatiques", "donnees_geocodage", "tests_statistiques_dpe"))
+    val byName = specs.map(s => s.name -> s).toMap
+    assert(byName("adresses").cols.size === 5)
+    assert(byName("logements").cols.size === 47)
+    assert(byName("tests_statistiques_dpe").cols.size === 7)
+    val logCols = byName("logements").cols.toMap
+    assert(logCols("conso_kwh_m2").dtype === "float64")
+    assert(logCols("conso_kwh_m2").default === -1.0)
+    assert(logCols("etiquette_dpe_ademe").default === "N/C")
+    // an empty silver frame conformed against it materializes ALL defaults
+    import spark.implicits._
+    val silver = Seq(("x")).toDF("unrelated")
+    val gold = Entities.conform(silver, byName("adresses"))
+    assert(gold.columns.toSeq === byName("adresses").cols.map(_._1))
+    assert(gold.head().getString(0) === "N/C")
+  }
+
   test("entity conform adds defaults and dedups") {
     import spark.implicits._
     val silver = Seq(("b1", 1.0), ("b1", 1.0), ("b2", 2.0)).toDF("id_ban", "x")
@@ -113,6 +133,14 @@ class ImputeSpec extends SparkSpec {
     val (filled, strategies) = Impute.fillFloats(df, Seq("a", "b"))
     assert(strategies.isEmpty)
     assert(filled.collect().toSeq === df.collect().toSeq)
+  }
+
+  test("all-null columns stay null (pandas: fillna(NaN) is a no-op)") {
+    val df = Seq((Some(1.0), Option.empty[Double]),
+      (Some(3.0), Option.empty[Double])).toDF("ok", "allnull")
+    val (filled, strategies) = Impute.fillFloats(df, Seq("ok", "allnull"))
+    assert(strategies.isEmpty) // ok has no nulls; allnull has no values
+    assert(filled.filter(col("allnull").isNull).count() === 2)
   }
 }
 
