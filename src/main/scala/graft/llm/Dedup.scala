@@ -162,6 +162,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate clusters from near-dup pairs: connected components by
+    * iterative min-label propagation, so each document maps to a canonical
+    * id (the smallest id in its component) — the "keep one per cluster"
+    * step of a dedup pipeline.
+    *
+    * Driver-side loop of joins (label ← min(label, neighbours' labels))
+    * with an early-exit convergence check; iterations are bounded by the
+    * component diameter, which for near-dup clusters is tiny. Each
+    * iteration is one shuffle join on the (small) node set — the standard
+    * large-graph CC shape without needing GraphX.
+    * Input: pairs (id1, id2). Output: (id, canonical_id). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("canonical_id", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("canonical_id")).as("nl"))
+      val updated = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("canonical_id"), coalesce(col("nl"), col("canonical_id")))
+            .as("canonical_id"))
+      val changed = updated.join(labels.withColumnRenamed("canonical_id", "old"), Seq("id"))
+        .filter(col("canonical_id") =!= col("old")).limit(1).count()
+      labels = updated.localCheckpoint() // cut the growing lineage per round
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash fingerprints via the native expression; emitted as 4×16-bit
     * words (w0..w3) so the value is oracle-comparable without unsigned
     * int64 headaches. */

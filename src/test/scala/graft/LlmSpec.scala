@@ -41,6 +41,15 @@ class DedupSpec extends SparkSpec {
     assert(sh.count() === 0)
   }
 
+  test("dupClusters: transitive chains collapse to the min id") {
+    import spark.implicits._
+    // chain 1-2-3 (never directly 1-3) + isolated pair 9-10
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("id1", "id2")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L, 10L -> 9L))
+  }
+
   test("simhash: identical docs equal; near-dups close; unrelated far") {
     val h1 = SimHash.compute(docs.filter(col("doc_id") === 1).head().getString(1))
     val h2 = SimHash.compute(docs.filter(col("doc_id") === 2).head().getString(1))
