@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -19,13 +19,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * being I/O-bound.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_seq"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Real codegen (no CodegenFallback): emits a static-helper call, so the
+    * surrounding Project/Filter stays one whole-stage-codegen'd loop
+    * instead of falling back to interpreted row processing. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.llm.DotProduct.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductExpr = copy(newLeft, newRight)
+}
+
+object DotProduct {
+  /** Tight sequential loop; called from both eval and generated code. */
+  def dot(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
@@ -36,11 +50,6 @@ case class DotProductExpr(left: Expression, right: Expression)
     acc
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): DotProductExpr = copy(newLeft, newRight)
-}
-
-object DotProduct {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_seq", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")

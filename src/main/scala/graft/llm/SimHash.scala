@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,13 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`CodegenFallback` for now — the eval is a single tight JVM loop; a
   * `doGenCode` emit is a follow-up optimization.)
   */
-case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
     SimHash.compute(input.asInstanceOf[UTF8String].toString)
+
+  /** Real codegen: static-helper call keeps the document scan inside one
+    * whole-stage-codegen'd loop (no interpreted fallback). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.SimHash.compute($c.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
