@@ -174,9 +174,13 @@ object Dedup {
     * large-graph CC shape without needing GraphX.
     * Input: pairs (id1, id2). Output: (id, canonical_id). */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge set once: the input `pairs` is typically an
+    // expensive similarity plan, and the propagation loop would otherwise
+    // recompute it on every iteration.
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("canonical_id", col("id"))
     var converged = false
