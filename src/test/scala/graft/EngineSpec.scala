@@ -144,6 +144,24 @@ class ImputeSpec extends SparkSpec {
   }
 }
 
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-phase salted aggregation equals direct aggregation") {
+    val df = (1 to 1000).map(i => ("hot", i.toLong, i * 1.5)) ++
+      (1 to 10).map(i => ("cold", i.toLong, i * 2.0))
+    val data = df.toDF("k", "id", "v")
+    val direct = data.groupBy("k")
+      .agg(sum(col("v").cast("decimal(18,2)")).as("sum_value"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val salted = graft.engine.Skew.saltedDecimalSum(
+      data, Seq("k"), "v", saltCol = col("id"), buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(salted.view.mapValues(_.doubleValue).toMap ===
+      direct.view.mapValues(_.doubleValue).toMap)
+  }
+}
+
 class LoadDedupSpec extends SparkSpec {
   import spark.implicits._
 
