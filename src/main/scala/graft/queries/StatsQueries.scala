@@ -151,6 +151,21 @@ object StatsQueries {
         |FROM sizes s LEFT JOIN agg a USING(label)
         |ORDER BY l_returnflag""".stripMargin), headline = true),
 
+    // Skew-proof two-phase aggregation: salt → partial → merge gives the
+    // same exact decimal sums as a direct groupBy (the oracle IS the
+    // direct form), proving the heavy-hitter path is value-transparent.
+    QuerySpec("q_agg_salted", (s, dir) => {
+      Skew.saltedDecimalSum(t(s, dir, "lineitem"),
+          keys = Seq("l_returnflag"), valueCol = "l_extendedprice",
+          saltCol = col("l_orderkey"), buckets = 32)
+        .select(col("l_returnflag"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // A5-A9 full gold shape (`tests_statistiques_dpe`): t/W + p-values +
     // batch_id. p-values (Student-t CDF, signed-rank exact/normal approx)
     // are not DuckDB-expressible — driver records a rows-only check; the

@@ -91,12 +91,16 @@ class SchemaIOSpec extends SparkSpec {
     assert(logCols("conso_kwh_m2").dtype === "float64")
     assert(logCols("conso_kwh_m2").default === -1.0)
     assert(logCols("etiquette_dpe_ademe").default === "N/C")
-    // an empty silver frame conformed against it materializes ALL defaults
+    // a silver frame missing every declared column still conforms for all
+    // six entities: full declared width, defaults materialized
     import spark.implicits._
     val silver = Seq(("x")).toDF("unrelated")
-    val gold = Entities.conform(silver, byName("adresses"))
-    assert(gold.columns.toSeq === byName("adresses").cols.map(_._1))
-    assert(gold.head().getString(0) === "N/C")
+    specs.foreach { spec =>
+      val gold = Entities.conform(silver, spec)
+      assert(gold.columns.toSeq === spec.cols.map(_._1), spec.name)
+      assert(gold.count() === 1)
+    }
+    assert(Entities.conform(silver, byName("adresses")).head().getString(0) === "N/C")
   }
 
   test("entity conform adds defaults and dedups") {
