@@ -1,0 +1,25 @@
+package graft
+
+/** The engine's determinism contract: identical results regardless of
+  * partitioning/parallelism — the property that makes the same job
+  * reproducible on 1 core or 1000 executors. Exercised by re-running
+  * representative queries under different shuffle-partition settings. */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val names = Seq("q_agg_pricing", "q_paired_ttest", "q_wilcoxon",
+    "q_cosine_topk", "q_minhash_lsh", "q_impute_iqr")
+
+  test("query results are identical under different shuffle partitioning") {
+    names.foreach { name =>
+      val q = QueryRegistry.byName(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = q.run(spark, dir).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val b = q.run(spark, dir).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a === b, s"$name differs across partitionings")
+      assert(a.nonEmpty || name == "q_minhash_lsh", s"$name empty")
+    }
+  }
+}
