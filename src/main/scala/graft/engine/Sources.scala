@@ -30,6 +30,27 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Flatten nested struct columns to `parent_child` scalars — the
+    * relational form of the reference's manual GeoJSON flatten
+    * (`extract.py:167-171`): one projection, recursive over struct depth,
+    * arrays/maps left opaque (the reference has none). */
+  def flattenStructs(df: DataFrame, sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    def expand(prefix: String, schema: StructType): Seq[(String, String)] =
+      schema.fields.flatMap { f =>
+        val path = if (prefix.isEmpty) s"`${f.name}`" else s"$prefix.`${f.name}`"
+        val name = if (prefix.isEmpty) f.name
+          else prefix.replace("`", "").replace(".", sep) + sep + f.name
+        f.dataType match {
+          case s: StructType => expand(path, s)
+          case _ => Seq(path -> name)
+        }
+      }
+    val cols = expand("", df.schema).map { case (p, n) => col(p).as(n) }
+    df.select(cols: _*)
+  }
+
   /** S7: parquet zone scan (`filestorage_helper.py:135-136`). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -139,6 +139,14 @@ class ImputeSpec extends SparkSpec {
     assert(filled.collect().toSeq === df.collect().toSeq)
   }
 
+  test("approx quantile path takes the same branches on small data") {
+    val clean = Seq[Option[Double]](Some(1), Some(2), Some(3), Some(4), None)
+    val outly = Seq[Option[Double]](Some(1), Some(2), Some(3), Some(1000), None)
+    val df = clean.zip(outly).toDF("clean", "outly")
+    val (_, strategies) = Impute.fillFloats(df, Seq("clean", "outly"), approx = true)
+    assert(strategies === Map("clean" -> "mean", "outly" -> "median"))
+  }
+
   test("all-null columns stay null (pandas: fillna(NaN) is a no-op)") {
     val df = Seq((Some(1.0), Option.empty[Double]),
       (Some(3.0), Option.empty[Double])).toDF("ok", "allnull")

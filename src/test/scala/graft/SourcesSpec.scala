@@ -38,6 +38,41 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.parquet(spark, dir).count() === 1)
   }
 
+  test("nested JSON structs flatten to parent_child scalars (S3 shape)") {
+    val dir = Files.createTempDirectory("graft_nested").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/geo.json"),
+      """{"label": "1 Rue X", "geometry": {"type": "Point", "score": 0.97},
+        | "props": {"city": {"name": "Nice", "code": "06000"}}}""".stripMargin
+        .replace("\n", ""))
+    val flat = Sources.flattenStructs(Sources.jsonLines(spark, s"$dir/geo.json"))
+    assert(flat.columns.sorted.toSeq === Seq("geometry_score", "geometry_type",
+      "label", "props_city_code", "props_city_name"))
+    val row = flat.select("props_city_name", "geometry_score").head()
+    assert(row.getString(0) === "Nice")
+    assert(row.getDouble(1) === 0.97)
+  }
+
+  test("date tags: fixed-clock yyyy_MM_dd naming (fonctions.py:75-79)") {
+    val clock = java.time.Clock.fixed(
+      java.time.Instant.parse("2026-08-12T10:00:00Z"), java.time.ZoneOffset.UTC)
+    assert(engine.Dates.todayTag(clock) === "2026_08_12")
+    assert(engine.Dates.yesterdayTag(clock) === "2026_08_11")
+    assert(engine.Dates.zoneFileName("adresses", "b7", clock) ===
+      "adresses_2026_08_12_b7")
+  }
+
+  test("telemetry recorder observes action durations (decorator_logger analog)") {
+    import graft.engine.Telemetry
+    val rec = Telemetry.attach(spark)
+    spark.range(100).count()
+    // listener delivery is async; give the bus a moment
+    val deadline = System.currentTimeMillis() + 5000
+    while (rec.records.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(rec.records.nonEmpty)
+    assert(rec.records.forall(!_.failed))
+  }
+
   test("S11: schema file save/load round-trip") {
     val f = Files.createTempDirectory("graft_schema").toString + "/schema.json"
     val df = Seq((1L, "x", 2.5)).toDF("id", "s", "v")
