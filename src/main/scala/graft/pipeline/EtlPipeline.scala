@@ -89,7 +89,8 @@ object EtlPipeline {
     * over the silver frame; returns the gold entity frames (written gzip
     * parquet under the gold zone). */
   def transform(spark: SparkSession, silver: DataFrame, zones: Zones,
-      batchId: String): Map[String, DataFrame] = {
+      batchId: String,
+      entitySpecs: Seq[Entities.EntitySpec] = GoldEntities): Map[String, DataFrame] = {
     // 1. casting (T1 inference; a declared schema would use Cast.applySchema)
     val (cast, _) = Cast.autoCastStringColumns(silver)
 
@@ -109,8 +110,10 @@ object EtlPipeline {
         Derive.absDiff(col("montant_net_ademe"), col("conso_kwh")))
       .withColumn("etiquette", col("o_orderpriority_enedis"))
 
-    // 4. split into gold entities (T7/T8/A10)
-    val entities = Entities.splitAll(derived, GoldEntities)
+    // 4. split into gold entities (T7/T8/A10); a reference user passes
+    // SchemaIO.referenceGoldEntities here to drive the original 6-table
+    // gold model from the bundled config
+    val entities = Entities.splitAll(derived, entitySpecs)
 
     // 5. per-label paired statistics (A5-A9) → tests_statistiques entity
     val stats = graft.engine.Stats.dpeStatistics(derived, "etiquette",
