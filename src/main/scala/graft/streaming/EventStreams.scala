@@ -45,6 +45,15 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming exact-dedup: drop events whose key was already seen within
+    * the watermark horizon (`dropDuplicatesWithinWatermark`) — the
+    * streaming dual of `Dedup.exactGroups`, with state bounded by the
+    * watermark instead of growing forever. */
+  def dedupedStream(events: DataFrame, keys: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Event-time sessionization with a gap timeout: custom state via
     * `flatMapGroupsWithState` (the reference-free operator Spark's built-in
     * aggregations can't express). Emits one summary per closed session. */

@@ -1,8 +1,34 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
 
 import graft.llm._
+
+/** Pure-JVM properties of the hashing kernels. */
+class LlmProps extends Properties("llm.kernels") {
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val doc = Gen.listOfN(12, word)
+
+  property("simhash is a bag-of-tokens function (order-invariant)") =
+    Prop.forAll(doc) { words =>
+      val a = SimHash.compute(words.mkString(" "))
+      val b = SimHash.compute(scala.util.Random.shuffle(words).mkString(" "))
+      a == b
+    }
+  property("simhash self-distance is zero") =
+    Prop.forAll(doc) { words =>
+      val h = SimHash.compute(words.mkString(" "))
+      SimHash.hamming(h, h) == 0
+    }
+  property("wilcoxon p-values are probabilities (or the sentinel)") =
+    Prop.forAll(Gen.choose(1, 60), Gen.choose(0.0, 400.0)) { (n, w) =>
+      val maxW = n.toLong * (n + 1) / 2
+      val p = graft.engine.Stats.wilcoxonPValue(n.toLong,
+        math.min(w, maxW.toDouble), Seq.fill(n)(1L))
+      (p >= 0.0 && p <= 1.0) || p == graft.engine.Stats.Sentinel
+    }
+}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._

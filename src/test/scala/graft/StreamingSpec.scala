@@ -37,6 +37,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.head.getAs[Double]("sum_value") === 4.0)
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupedStream(mem.toDF(), keys = Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(1, ts(2), 10, "click", 1.0), // duplicate id within watermark
+        Event(2, ts(3), 11, "view", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L))
+  }
+
   test("sessionization closes sessions on gap and emits summaries") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
