@@ -33,12 +33,20 @@ object Bench {
     // runs just add metaspace/GC pressure — measured slower.)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // failed runs are excluded from timing (not reported as fast
+      // successes) and surfaced on stderr; all-failed → -1 marker
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+        }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -76,9 +76,11 @@ object Cast {
         case "float64" | "float32" | "float" =>
           d.withColumn(c, expr(s"try_cast(cast(${q(c)} AS STRING) AS DOUBLE)"))
         case "int64" | "Int64" | "int32" | "int" =>
-          // pandas: to_numeric(coerce).astype('Int64') — via double, so "3.0" parses
+          // pandas: to_numeric(coerce).astype('Int64') — via double so "3.0"
+          // parses; the narrowing is ALSO a try_cast (ANSI cast would throw
+          // on values outside long range instead of coercing to null)
           d.withColumn(c,
-            expr(s"try_cast(cast(${q(c)} AS STRING) AS DOUBLE)").cast("long"))
+            expr(s"try_cast(try_cast(cast(${q(c)} AS STRING) AS DOUBLE) AS BIGINT)"))
         case _ =>
           d.withColumn(c, col(c).cast("string"))
       }

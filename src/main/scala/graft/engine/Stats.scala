@@ -32,7 +32,7 @@ object Stats {
 
   val Sentinel = -99999.0
 
-  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** Paired difference d = x − y in exact decimals. */
   def pairedDiff(x: Column, y: Column): Column = dec(x) - dec(y)
@@ -51,17 +51,22 @@ object Stats {
     val sd = col("sd").cast("double")
     val sdd = col("sdd").cast("double")
     val mean = sd / n
-    val variance = (sdd - sd * sd / n) / (n - lit(1.0))
+    // zero variance (all differences identical) → null, matching scipy's
+    // nan (pandas→SQL NULL) instead of an ANSI divide-by-zero crash
+    val variance0 = (sdd - sd * sd / n) / (n - lit(1.0))
+    val variance = when(variance0 =!= 0, variance0)
     g.select(col(label), col("sample_size"),
       when(col("sample_size") > 1, mean / sqrt(variance / n))
         .otherwise(lit(Sentinel)).as("t_stat"))
   }
 
-  /** Student-t two-sided p-value over the aggregated rows (≤ #groups). */
-  private val tPValue = udf { (t: Double, n: Long) =>
-    if (n <= 1 || t == Sentinel) Sentinel
+  /** Student-t two-sided p-value; shared by the UDF and the driver-side
+    * `dpeStatistics` path so sentinel/guard logic lives once. */
+  def tTestPValue(t: java.lang.Double, n: Long): Double =
+    if (n <= 1 || t == null || t == Sentinel) Sentinel
     else 2.0 * (1.0 - new TDistribution(n - 1.0).cumulativeProbability(math.abs(t)))
-  }
+
+  private val tPValue = udf { (t: java.lang.Double, n: Long) => tTestPValue(t, n) }
 
   def withTTestPValue(stats: DataFrame): DataFrame =
     stats.withColumn("p_value", tPValue(col("t_stat"), col("sample_size")))
@@ -155,17 +160,15 @@ object Stats {
       val lbl = r.getAs[String](label)
       val n = r.getAs[Long]("sample_size")
       val nNonzero = r.getAs[Long]("n_nonzero")
-      val tStat = r.getAs[Double]("t_stat")
+      val tStat = r.getAs[java.lang.Double]("t_stat")
       val wStat = r.getAs[Double]("w_stat")
       val tieCounts = Option(r.getAs[scala.collection.Seq[Long]]("tie_counts"))
         .map(_.toSeq).getOrElse(Seq.empty)
-      val pT =
-        if (n <= 1) Sentinel
-        else 2.0 * (1.0 - new TDistribution(n - 1.0).cumulativeProbability(math.abs(tStat)))
+      val pT = tTestPValue(tStat, n)
       val pW =
         if (n <= 1 || wStat == Sentinel) Sentinel
         else wilcoxonPValue(nNonzero, wStat, tieCounts)
-      (lbl, n, tStat, pT, wStat, pW, batchId)
+      (lbl, n, Option(tStat).map(_.toDouble), pT, wStat, pW, batchId)
     }
     rows.toSeq.toDF(label, "sample_size", "paired_t_test_t_statistic",
       "paired_t_test_p_value", "wilcoxon_statistic", "wilcoxon_p_value",

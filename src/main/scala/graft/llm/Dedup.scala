@@ -59,7 +59,10 @@ object Dedup {
     * Output: id1, id2, jaccard. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n).persist()
+    // no persist: a lazily-returned DataFrame can't unpersist safely, and
+    // pinning the full shingle set for the session lifetime is a leak —
+    // the recompute is acceptable on this deliberately-small-scale tier
+    val sh = shingleSets(docs, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.toDF("id1", "shingle")
     val b = sh.toDF("id2", "shingle")
@@ -100,16 +103,20 @@ object Dedup {
     signatures.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
 
-  /** Candidate pairs from LSH buckets (distinct, id1 < id2). */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
-    val bd = lshBands(sig, idCol, bands, rowsPerBand)
+  /** Candidate pairs sharing any LSH bucket (distinct, id1 < id2). */
+  def candidatePairsFromBands(bd: DataFrame): DataFrame = {
     val a = bd.toDF("id1", "band", "band_key")
     val b = bd.toDF("id2", "band", "band_key")
     a.join(b, Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** Candidate pairs from LSH buckets (distinct, id1 < id2). */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
+    candidatePairsFromBands(lshBands(sig, idCol, bands, rowsPerBand))
   }
 
   /** Raw (id, shingle) rows WITHOUT set-dedup — one narrow projection +
@@ -136,12 +143,7 @@ object Dedup {
       min(md5(concat(lit(s"$p|"), col("shingle")))).as(s"sig_$p")) :+
       countDistinct(col("shingle")).as("sz")
     val sig = shRaw.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
-    val bd = lshBands(sig, idCol, bands, rowsPerBand)
-    val a = bd.toDF("id1", "band", "band_key")
-    val b = bd.toDF("id2", "band", "band_key")
-    val cand = a.join(b, Seq("band", "band_key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    val cand = candidatePairsFromBands(lshBands(sig, idCol, bands, rowsPerBand))
     // verification: only candidate docs' shingles matter — broadcast the
     // (tiny) candidate id set, semi-join, THEN dedup the pruned stream.
     val candIds = cand.select(explode(array(col("id1"), col("id2"))).as(idCol))

@@ -37,6 +37,15 @@ object Similarity {
     * wide pair joins). */
   def dot(a: Column, b: Column): Column = DotProduct.dotSeq(a, b)
 
+  /** Cosine from a pair dot product and the precomputed squared norms,
+    * guarded for zero-norm vectors: the norm product is nulled when 0, so
+    * degenerate embeddings yield null (filtered by any threshold) instead
+    * of an ANSI-mode divide-by-zero crash — matching SQL NULL semantics. */
+  private def cosine(v1: Column, n21: Column, v2: Column, n22: Column): Column = {
+    val normProd = sqrt(n21 * n22)
+    dot(v1, v2) / when(normProd =!= 0, normProd)
+  }
+
   /** Pairwise cosine for all (id1 < id2) pairs with cos ≥ minCos.
     * Output: id1, id2, cos. Quadratic — verification/baseline path. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
@@ -47,7 +56,7 @@ object Similarity {
       .withColumn("n2", dot(col("v"), col("v")))
     val a = withNorm.toDF("id1", "v1", "n21")
     val b = withNorm.toDF("id2", "v2", "n22")
-    val cos = dot(col("v1"), col("v2")) / sqrt(col("n21") * col("n22"))
+    val cos = cosine(col("v1"), col("n21"), col("v2"), col("n22"))
     a.crossJoin(b)
       .filter(col("id1") < col("id2"))
       .withColumn("cos", cos)
@@ -71,7 +80,7 @@ object Similarity {
       .withColumn("n2", dot(col("v"), col("v")))
     val a = withNorm.toDF("id", "v1", "n21")
     val b = withNorm.toDF("neighbor_id", "v2", "n22")
-    val cos = dot(col("v1"), col("v2")) / sqrt(col("n21") * col("n22"))
+    val cos = cosine(col("v1"), col("n21"), col("v2"), col("n22"))
     a.crossJoin(b)
       .filter(col("id") =!= col("neighbor_id"))
       .select(col("id"), cos.as("cos"), col("neighbor_id"))
@@ -110,7 +119,7 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("v"), hp))
     val a = withB.toDF("id1", "v1", "n21", "bucket")
     val b = withB.toDF("id2", "v2", "n22", "bucket")
-    val cos = dot(col("v1"), col("v2")) / sqrt(col("n21") * col("n22"))
+    val cos = cosine(col("v1"), col("n21"), col("v2"), col("n22"))
     a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .withColumn("cos", cos)
@@ -132,7 +141,7 @@ object Similarity {
       .withColumn("n2", dot(col("v"), col("v")))
     val centroids = broadcast(withNorm.filter(col("id") < numCells)
       .toDF("cid", "cv", "cn2"))
-    val score = dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2"))
+    val score = cosine(col("v"), col("n2"), col("cv"), col("cn2"))
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("cid").asc)
     val cells = withNorm.crossJoin(centroids)
@@ -142,7 +151,7 @@ object Similarity {
       .select(col("id"), col("v"), col("n2"), col("cid").as("cell"))
     val a = cells.toDF("id1", "v1", "n21", "cell")
     val b = cells.toDF("id2", "v2", "n22", "cell")
-    val cos = dot(col("v1"), col("v2")) / sqrt(col("n21") * col("n22"))
+    val cos = cosine(col("v1"), col("n21"), col("v2"), col("n22"))
     a.join(b, Seq("cell"))
       .filter(col("id1") < col("id2"))
       .withColumn("cos", cos)

@@ -137,13 +137,21 @@ object EtlPipeline {
     order.foreach { entity =>
       val incoming = Sources.parquet(spark, s"${zones.gold}/$entity")
       val target = s"$targetDir/$entity"
+      // existence via the Hadoop FS API, so hdfs://, s3a://, and local
+      // targets all work (java.io.File would silently skip the anti-join
+      // for any non-local URI and break idempotence)
+      val targetPath = new org.apache.hadoop.fs.Path(target)
+      val fs = targetPath.getFileSystem(spark.sessionState.newHadoopConf())
       val fresh =
-        if (new java.io.File(target).exists()) {
+        if (fs.exists(targetPath)) {
           val existing = Sources.parquet(spark, target)
           LoadDedup.antiJoinOnKeys(incoming, existing, keys(entity))
         } else incoming
+      // deterministic keep-first needs a total tiebreak order: the key
+      // columns alone are constant within a key partition, so order by
+      // every column (sorted) to pin which duplicate survives.
       val deduped = LoadDedup.dedupKeepFirst(fresh, keys(entity),
-        orderBy = keys(entity))
+        orderBy = fresh.columns.sorted.toSeq)
       deduped.write.mode(SaveMode.Append).parquet(target)
     }
   }

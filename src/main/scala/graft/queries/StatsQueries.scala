@@ -102,8 +102,8 @@ object StatsQueries {
     }, Some(
       """WITH d AS (
         |  SELECT l_returnflag,
-        |         CAST(l_extendedprice AS DECIMAL(12,2)) -
-        |         CAST(l_quantity * 100.0 AS DECIMAL(12,2)) AS d
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) -
+        |         CAST(l_quantity * 100.0 AS DECIMAL(18,2)) AS d
         |  FROM lineitem),
         |a AS (
         |  SELECT l_returnflag, COUNT(*) AS sample_size,
@@ -112,8 +112,8 @@ object StatsQueries {
         |SELECT l_returnflag, sample_size,
         |       ROUND(CASE WHEN sample_size > 1 THEN
         |         (CAST(sd AS DOUBLE) / CAST(sample_size AS DOUBLE)) /
-        |         SQRT(((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(sample_size AS DOUBLE))
-        |               / (CAST(sample_size AS DOUBLE) - 1.0)) / CAST(sample_size AS DOUBLE))
+        |         SQRT(NULLIF((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(sample_size AS DOUBLE))
+        |               / (CAST(sample_size AS DOUBLE) - 1.0), 0.0) / CAST(sample_size AS DOUBLE))
         |       ELSE -99999.0 END, 8) AS t_stat
         |FROM a ORDER BY l_returnflag""".stripMargin), headline = true),
 
@@ -128,8 +128,8 @@ object StatsQueries {
     }, Some(
       """WITH d AS (
         |  SELECT l_returnflag AS label,
-        |         CAST(l_tax * 100.0 AS DECIMAL(12,2)) -
-        |         CAST(l_discount * 100.0 AS DECIMAL(12,2)) AS d
+        |         CAST(l_tax * 100.0 AS DECIMAL(18,2)) -
+        |         CAST(l_discount * 100.0 AS DECIMAL(18,2)) AS d
         |  FROM lineitem),
         |sizes AS (SELECT label, COUNT(*) AS sample_size FROM d GROUP BY label),
         |nz AS (SELECT label, d, ABS(d) AS ad FROM d WHERE d <> 0),

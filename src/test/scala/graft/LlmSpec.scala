@@ -124,6 +124,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.contains((1L, 2L)) === brute.contains((1L, 2L)))
   }
 
+  test("zero-norm vectors don't crash; their pairs drop out as null cosine") {
+    import spark.implicits._
+    val withZero = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)), (3L, Array(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(withZero, "vec_id", "embedding", minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 3L))) // zero-norm vec 2 never appears
+    val top = Similarity.topKNeighbors(withZero, "vec_id", "embedding", k = 2)
+      .filter(col("id") === 1).collect()
+    assert(top.head.getAs[Long]("neighbor_id") === 3L)
+  }
+
   test("hyperplanes are deterministic across calls (no RNG state)") {
     assert(Similarity.hyperplanes(4, 16).map(_.toSeq) ===
       Similarity.hyperplanes(4, 16).map(_.toSeq))
