@@ -18,6 +18,19 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Bucketed + sorted table write: pre-partitions data by join key so
+    * subsequent equi-joins/aggregations on that key run WITHOUT a shuffle
+    * (verified by BucketingSpec asserting no exchange in the join plan).
+    * This is the 100 TB co-location play: pay the clustering once at write
+    * time, skip it on every downstream join. External table via `path`. */
+  def bucketedTable(df: DataFrame, tableName: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(tableName)
+
   /** S6: JSON-lines objects (the reference's S3 representation,
     * `filestorage_helper.py:113-123`). */
   def jsonLines(df: DataFrame, path: String): Unit =
