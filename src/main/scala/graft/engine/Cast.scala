@@ -50,8 +50,10 @@ object Cast {
     val decided: Map[String, String] = strCols.map { c =>
       val n = r.getAs[Long](s"${c}__n")
       val dtype =
-        if (n > 0 && r.getAs[Long](s"${c}__num") == n) "float64"
-        else if (n > 0 && r.getAs[Long](s"${c}__ts") == n) "datetime64[ns]"
+        // n == 0 → float64: pandas to_numeric on an all-null column
+        // succeeds trivially, so the reference ladder lands on numeric
+        if (r.getAs[Long](s"${c}__num") == n) "float64"
+        else if (r.getAs[Long](s"${c}__ts") == n) "datetime64[ns]"
         else "string"
       c -> dtype
     }.toMap

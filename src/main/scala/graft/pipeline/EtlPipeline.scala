@@ -25,11 +25,14 @@ object EtlPipeline {
 
   final case class Zones(bronze: String, silver: String, gold: String)
 
-  /** E1 (`extract.py:317-331`): schema assert — required columns present,
-    * input non-empty. Driver-side require; cheap and observable. */
-  def assertRequired(df: DataFrame, required: Seq[String]): DataFrame = {
+  /** E1 (`extract.py:317-331`): schema assert — required columns present
+    * and (optionally) input non-empty. The emptiness probe runs a one-row
+    * job (`isEmpty` = limit-1 scan), so it is opt-in for hot paths. */
+  def assertRequired(df: DataFrame, required: Seq[String],
+      requireNonEmpty: Boolean = false): DataFrame = {
     val missing = required.filterNot(df.columns.contains)
     require(missing.isEmpty, s"missing required columns: $missing")
+    if (requireNonEmpty) require(!df.isEmpty, "input frame is empty")
     df
   }
 

@@ -51,6 +51,15 @@ class CastSpec extends SparkSpec {
     assert(out.select("num_comma").as[Double].collect().sorted.toSeq === Seq(1.5, 2.5))
   }
 
+  test("all-null string column lands on float64 (pandas to_numeric no-op)") {
+    val df = Seq((Option.empty[String], "x"), (Option.empty[String], "y"))
+      .toDF("allnull", "tag")
+    val (out, decided) = Cast.autoCastStringColumns(df)
+    assert(decided("allnull") === "float64")
+    assert(out.schema("allnull").dataType === DoubleType)
+    assert(decided("tag") === "string")
+  }
+
   test("applySchema coerces bad values to null (errors='coerce')") {
     val df = Seq(("x", "12"), ("3.5", "boom")).toDF("f", "i")
     val out = Cast.applySchema(df, Map("f" -> "float64", "i" -> "Int64"))

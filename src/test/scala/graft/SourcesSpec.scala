@@ -20,6 +20,27 @@ class SourcesSpec extends SparkSpec {
     assert(df.select("conso_mwh").as[Double].collect().sorted.toSeq === Seq(7.25, 12.5))
   }
 
+  test("display-header CSV variant normalizes to canonical snake names") {
+    // extract.py:336-344 renames French display headers; normalizeColumns
+    // subsumes the hand-written mapping generically
+    val dir = Files.createTempDirectory("graft_disp").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/disp.csv"),
+      "Adresse;Nom Commune;Code Commune;Code IRIS;Code Département\n" +
+        "1 RUE X;NICE;06029;060290101;06\n")
+    val df = graft.engine.Names.normalizeColumns(
+      Sources.csv(spark, s"$dir/disp.csv"))
+    assert(df.columns.toSeq === Seq("adresse", "nom_commune", "code_commune",
+      "code_iris", "code_departement"))
+  }
+
+  test("empty-input assert (E1) raises when opted in") {
+    val df = spark.range(0).selectExpr("id AS a")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.EtlPipeline.assertRequired(df, Seq("a"), requireNonEmpty = true)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("S6/S8: JSON-lines sink then scan preserves rows") {
     val dir = Files.createTempDirectory("graft_json").toString + "/out"
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
