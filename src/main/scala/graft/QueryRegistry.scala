@@ -30,7 +30,8 @@ object QueryRegistry {
       queries.TextQueries.specs ++
       queries.DedupQueries.specs ++
       queries.SimilarityQueries.specs ++
-      queries.EventQueries.specs
+      queries.EventQueries.specs ++
+      queries.PipelineQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

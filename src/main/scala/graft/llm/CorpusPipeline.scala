@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The canonical pretraining-corpus cleaning flow, composed from the
+  * engine's operators: quality scoring → language filter → MinHash-LSH
+  * near-dup removal keeping one canonical document per duplicate cluster.
+  *
+  * This is the composition a training-data user actually runs; every stage
+  * is one of the individually-oracle-verified operators, and the composed
+  * result is itself oracle-checked end-to-end (`q_corpus_clean`).
+  *
+  * Scale shape: quality + language are map-side/broadcast stages over the
+  * document scan; the only super-linear work is LSH candidate generation
+  * (equi-join on band keys) + verification on candidates; cluster
+  * resolution runs on the (tiny) near-dup pair set.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minQuality: Double = 0.45,
+      lang: String = "en",
+      shingleN: Int = 3,
+      bands: Int = 3,
+      rowsPerBand: Int = 3,
+      jaccardThreshold: Double = 0.5)
+
+  /** Returns the surviving documents with their audit columns:
+    * (idCol, lang_pred, quality_score). */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val quality = TextAnalysis.qualityFeatures(docs, idCol, textCol)
+      .select(col(idCol), col("quality_score"))
+    val lang = TextAnalysis.langId(docs, idCol, textCol)
+      .select(col(idCol), col("lang_pred"))
+
+    val pairs = Dedup.minhashNearDups(docs, idCol, textCol,
+      cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.jaccardThreshold)
+      .select("id1", "id2")
+    // non-canonical members of each duplicate cluster are dropped; the
+    // canonical survivor still passes through the quality/language gates
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("canonical_id"))
+      .select(col("id").as(idCol))
+
+    docs.select(col(idCol))
+      .join(lang, Seq(idCol))
+      .join(quality, Seq(idCol))
+      .filter(col("quality_score") >= cfg.minQuality &&
+        col("lang_pred") === cfg.lang)
+      .join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -17,7 +17,7 @@ object DedupQueries {
     Tables.load(s, dir, "documents")
 
   /** Shared oracle CTE: tokenized docs + distinct 3-gram shingle sets. */
-  private val shingleCte =
+  private[queries] val shingleCte =
     """toks AS (
       |  SELECT doc_id,
       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t

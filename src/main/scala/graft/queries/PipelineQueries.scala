@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QuerySpec
+import graft.engine.Tables
+import graft.llm.CorpusPipeline
+
+/** End-to-end composed pipelines, oracle-checked as wholes: every stage is
+  * an individually-verified operator, and the composition is re-verified
+  * so stage interactions (join semantics, filter ordering, dedup policy)
+  * are covered too. */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Pretraining-corpus cleaning: quality ≥ 0.45, lang = en, MinHash-LSH
+    // near-dup removal keeping the canonical (min-id) doc per cluster.
+    QuerySpec("q_corpus_clean", (s, dir) => {
+      CorpusPipeline.clean(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH ${DedupQueries.shingleCte},
+         |sig AS (
+         |  SELECT doc_id,
+         |         MIN(md5('0|' || shingle)) AS s0, MIN(md5('1|' || shingle)) AS s1,
+         |         MIN(md5('2|' || shingle)) AS s2, MIN(md5('3|' || shingle)) AS s3,
+         |         MIN(md5('4|' || shingle)) AS s4, MIN(md5('5|' || shingle)) AS s5,
+         |         MIN(md5('6|' || shingle)) AS s6, MIN(md5('7|' || shingle)) AS s7,
+         |         MIN(md5('8|' || shingle)) AS s8
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(s0 || s1 || s2) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(s3 || s4 || s5) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(s6 || s7 || s8) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id1
+         |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY c.id1, c.id2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
+         |  SELECT * FROM r),
+         |losers AS (
+         |  SELECT id FROM (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
+         |  WHERE id <> canonical),
+         |lex(lang, word) AS (VALUES ${TextQueries.lexValues}),
+         |tok AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                            x -> x <> '')) AS word
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n
+         |  FROM tok JOIN lex USING (word) GROUP BY doc_id, lang),
+         |best AS (
+         |  SELECT doc_id, lang, n,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+         |  FROM hits),
+         |langp AS (
+         |  SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+         |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
+         |f AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+         |         len(list_filter(
+         |               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+         |               t -> t IN ('the','of','and','to','in','is','was','for','on','as','with','that','it','at','by'))) AS stop
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id,
+         |         ROUND(CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0)
+         |               + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / GREATEST(n_chars, 1))
+         |               + CAST(0.4 AS DOUBLE) * (CAST(stop AS DOUBLE) / GREATEST(n_tokens, 1)), 8) AS quality_score
+         |  FROM f)
+         |SELECT d.doc_id, l.lang_pred, q.quality_score
+         |FROM documents d
+         |JOIN langp l USING (doc_id)
+         |JOIN qual q USING (doc_id)
+         |WHERE q.quality_score >= 0.45 AND l.lang_pred = 'en'
+         |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin), headline = true)
+  )
+}

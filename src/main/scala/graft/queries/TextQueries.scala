@@ -15,7 +15,7 @@ object TextQueries {
     Tables.load(s, dir, "documents")
 
   /** The en/fr/es/de stopword lexicon as a SQL VALUES list. */
-  private val lexValues: String = TextAnalysis.Lexicon
+  private[queries] val lexValues: String = TextAnalysis.Lexicon
     .map { case (lang, word) => s"('$lang','$word')" }.mkString(", ")
 
   def specs: Seq[QuerySpec] = Seq(
