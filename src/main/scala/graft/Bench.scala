@@ -50,7 +50,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total over successful runs only; -1 markers stay visible per-query
+    val ok = results.values.filter(_ >= 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

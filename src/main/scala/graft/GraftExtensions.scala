@@ -17,7 +17,8 @@ import graft.llm.{DotProductExpr, SimHash64Expr, TopKByScore}
   *
   * Surface: `simhash64(text)`, `dot_seq(arr, arr)`,
   * `topk_by_score(score, id, k)` — all native expressions/aggregates (no
-  * UDF serialization, codegen-friendly).
+  * UDF serialization, codegen-friendly). The builder lambdas here are the
+  * single source of truth; the per-object `register` helpers delegate.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftFunctions._
@@ -28,28 +29,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", name, usage)
+
+  /** Evaluate a foldable argument as a positive Int (accepts int/long
+    * literals, rejects null/other types with a clear error). */
+  private def literalK(e: Expression): Int = e.eval(null) match {
+    case i: java.lang.Integer => require(i > 0, "k must be positive"); i
+    case l: java.lang.Long    => require(l > 0, "k must be positive"); l.toInt
+    case null => throw new IllegalArgumentException(
+      "topk_by_score: k must be a non-null integer literal")
+    case other => throw new IllegalArgumentException(
+      s"topk_by_score: k must be an integer literal, got $other")
+  }
 
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("simhash64",
-      info("simhash64", "simhash64(text) - 64-bit SimHash fingerprint"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)),
     ("dot_seq",
-      info("dot_seq", "dot_seq(a, b) - sequential-fold dot product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_seq"),
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))),
     ("topk_by_score",
-      info("topk_by_score",
-        "topk_by_score(score, id, k) - k best (score,id) pairs per group"),
-      (exprs: Seq[Expression]) => {
-        val k = exprs(2).eval(null).asInstanceOf[Int]
-        TopKByScore(exprs(0), exprs(1), k).toAggregateExpression()
-      }))
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (exprs: Seq[Expression]) =>
+        TopKByScore(exprs(0), exprs(1), literalK(exprs(2)))
+          .toAggregateExpression()))
 
-  /** Register on an already-built session (temp functions). */
+  /** Register one function by name on an existing session. */
+  def register(spark: SparkSession, name: String): Unit = {
+    val (_, _, builder) = all.find(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown function $name"))
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
+  /** Register every engine function on an existing session. */
   def registerAll(spark: SparkSession): Unit =
-    all.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "scala_udf")
-    }
+    all.foreach { case (name, _, _) => register(spark, name) }
 }

@@ -40,19 +40,23 @@ object Cast {
       .filter(_.dataType == StringType).map(_.name).toSeq
     if (strCols.isEmpty) return (df, Map.empty)
 
-    val aggs = strCols.flatMap { c => Seq(
+    val aggs = count(lit(1)).as("__rows") +: strCols.flatMap { c => Seq(
       count(col(c)).as(s"${c}__n"),
       count(tryCastCol(c, "DOUBLE", commaFix = true)).as(s"${c}__num"),
       count(tryCastCol(c, "TIMESTAMP")).as(s"${c}__ts"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getAs[Long]("__rows")
 
     val decided: Map[String, String] = strCols.map { c =>
       val n = r.getAs[Long](s"${c}__n")
       val dtype =
-        // n == 0 → float64: pandas to_numeric on an all-null column
-        // succeeds trivially, so the reference ladder lands on numeric
-        if (r.getAs[Long](s"${c}__num") == n) "float64"
+        // empty FRAME → keep string: an inference run over a 0-row batch
+        // must not flip gold schema types between batches (parquet append
+        // targets need stable types). All-null columns WITH rows → float64,
+        // pandas' trivial to_numeric success.
+        if (rows == 0) "string"
+        else if (r.getAs[Long](s"${c}__num") == n) "float64"
         else if (r.getAs[Long](s"${c}__ts") == n) "datetime64[ns]"
         else "string"
       c -> dtype

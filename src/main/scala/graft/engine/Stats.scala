@@ -46,15 +46,20 @@ object Stats {
       .agg(
         count(lit(1)).as("sample_size"),
         sum(d).as("sd"),
-        sum(d * d).as("sdd"))
+        sum(d * d).as("sdd"),
+        min(d).as("min_d"),
+        max(d).as("max_d"))
     val n = col("sample_size").cast("double")
     val sd = col("sd").cast("double")
     val sdd = col("sdd").cast("double")
     val mean = sd / n
     // zero variance (all differences identical) → null, matching scipy's
-    // nan (pandas→SQL NULL) instead of an ANSI divide-by-zero crash
+    // nan (pandas→SQL NULL) instead of an ANSI divide-by-zero crash.
+    // Constancy is detected EXACTLY via decimal min = max — the double
+    // formula can cancel to ~1e-16 instead of 0 for constant non-integer
+    // diffs and would otherwise emit an astronomical t.
     val variance0 = (sdd - sd * sd / n) / (n - lit(1.0))
-    val variance = when(variance0 =!= 0, variance0)
+    val variance = when(col("min_d") =!= col("max_d"), variance0)
     g.select(col(label), col("sample_size"),
       when(col("sample_size") > 1, mean / sqrt(variance / n))
         .otherwise(lit(Sentinel)).as("t_stat"))

@@ -27,7 +27,13 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.5)
 
   /** Returns the surviving documents with their audit columns:
-    * (idCol, lang_pred, quality_score). */
+    * (idCol, lang_pred, quality_score).
+    *
+    * Gates run BEFORE dedup: near-dup clusters are resolved among the
+    * gate-surviving docs only, so every cluster keeps exactly one passing
+    * representative (a failing canonical can't drag its passing duplicates
+    * out of the corpus) — and the expensive LSH stage sees only the
+    * already-filtered subset. */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val quality = TextAnalysis.qualityFeatures(docs, idCol, textCol)
@@ -35,20 +41,19 @@ object CorpusPipeline {
     val lang = TextAnalysis.langId(docs, idCol, textCol)
       .select(col(idCol), col("lang_pred"))
 
-    val pairs = Dedup.minhashNearDups(docs, idCol, textCol,
-      cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.jaccardThreshold)
-      .select("id1", "id2")
-    // non-canonical members of each duplicate cluster are dropped; the
-    // canonical survivor still passes through the quality/language gates
-    val losers = Dedup.dupClusters(pairs)
-      .filter(col("id") =!= col("canonical_id"))
-      .select(col("id").as(idCol))
-
-    docs.select(col(idCol))
+    val gated = docs.select(col(idCol), col(textCol))
       .join(lang, Seq(idCol))
       .join(quality, Seq(idCol))
       .filter(col("quality_score") >= cfg.minQuality &&
         col("lang_pred") === cfg.lang)
-      .join(losers, Seq(idCol), "left_anti")
+
+    val pairs = Dedup.minhashNearDups(gated, idCol, textCol,
+      cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.jaccardThreshold)
+      .select("id1", "id2")
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("canonical_id"))
+      .select(col("id").as(idCol))
+
+    gated.drop(textCol).join(losers, Seq(idCol), "left_anti")
   }
 }

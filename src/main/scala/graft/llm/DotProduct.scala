@@ -51,8 +51,7 @@ object DotProduct {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_seq", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    graft.GraftFunctions.register(spark, "dot_seq")
 
   /** Column form; requires [[register]] on the session first. */
   def dotSeq(a: Column, b: Column): Column = call_function("dot_seq", a, b)

@@ -45,10 +45,10 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
 object SimHash {
 
-  /** Register `simhash64(text)` for SQL/expr use on this session. */
+  /** Register `simhash64(text)` for SQL/expr use on this session
+    * (delegates to the single builder registry in [[graft.GraftFunctions]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+    graft.GraftFunctions.register(spark, "simhash64")
 
   def compute(text: String): Long = {
     val counts = new java.util.HashMap[String, Int]()

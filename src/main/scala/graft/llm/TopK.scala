@@ -108,11 +108,7 @@ case class TopKByScore(
 
 object TopK {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_by_score", exprs => {
-        val k = exprs(2).eval(null).asInstanceOf[Int]
-        TopKByScore(exprs(0), exprs(1), k).toAggregateExpression()
-      }, "scala_udf")
+    graft.GraftFunctions.register(spark, "topk_by_score")
 
   /** Column form; requires [[register]] on the session first. */
   def topKByScore(score: Column, id: Column, k: Column): Column =

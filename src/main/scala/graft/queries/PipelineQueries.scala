@@ -8,7 +8,7 @@ import graft.llm.CorpusPipeline
 
 /** End-to-end composed pipelines, oracle-checked as wholes: every stage is
   * an individually-verified operator, and the composition is re-verified
-  * so stage interactions (join semantics, filter ordering, dedup policy)
+  * so stage interactions (gate ordering, dedup policy, join semantics)
   * are covered too. */
 object PipelineQueries {
 
@@ -17,13 +17,61 @@ object PipelineQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
-    // Pretraining-corpus cleaning: quality ≥ 0.45, lang = en, MinHash-LSH
-    // near-dup removal keeping the canonical (min-id) doc per cluster.
+    // Pretraining-corpus cleaning: quality ≥ 0.45 AND lang = en first, then
+    // MinHash-LSH near-dup clusters resolved AMONG the survivors with the
+    // canonical (min-id) doc kept per cluster.
     QuerySpec("q_corpus_clean", (s, dir) => {
       CorpusPipeline.clean(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }, Some(
-      s"""WITH ${DedupQueries.shingleCte},
+      s"""WITH lex(lang, word) AS (VALUES ${TextQueries.lexValues}),
+         |tok AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                            x -> x <> '')) AS word
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n
+         |  FROM tok JOIN lex USING (word) GROUP BY doc_id, lang),
+         |best AS (
+         |  SELECT doc_id, lang, n,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+         |  FROM hits),
+         |langp AS (
+         |  SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+         |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
+         |f AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+         |         len(list_filter(
+         |               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+         |               t -> t IN ('the','of','and','to','in','is','was','for','on','as','with','that','it','at','by'))) AS stop
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id,
+         |         ROUND(CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0)
+         |               + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / GREATEST(n_chars, 1))
+         |               + CAST(0.4 AS DOUBLE) * (CAST(stop AS DOUBLE) / GREATEST(n_tokens, 1)), 8) AS quality_score
+         |  FROM f),
+         |gated AS (
+         |  SELECT d.doc_id, d.text, l.lang_pred, q.quality_score
+         |  FROM documents d
+         |  JOIN langp l USING (doc_id)
+         |  JOIN qual q USING (doc_id)
+         |  WHERE q.quality_score >= 0.45 AND l.lang_pred = 'en'),
+         |toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+         |  FROM gated),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(CASE WHEN len(t) >= 3
+         |                     THEN list_transform(range(1, len(t) - 1),
+         |                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         |                     ELSE [] END) AS shingle
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          |sig AS (
          |  SELECT doc_id,
          |         MIN(md5('0|' || shingle)) AS s0, MIN(md5('1|' || shingle)) AS s1,
@@ -62,43 +110,10 @@ object PipelineQueries {
          |  SELECT * FROM r),
          |losers AS (
          |  SELECT id FROM (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
-         |  WHERE id <> canonical),
-         |lex(lang, word) AS (VALUES ${TextQueries.lexValues}),
-         |tok AS (
-         |  SELECT doc_id,
-         |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-         |                            x -> x <> '')) AS word
-         |  FROM documents),
-         |hits AS (
-         |  SELECT doc_id, lang, COUNT(*) AS n
-         |  FROM tok JOIN lex USING (word) GROUP BY doc_id, lang),
-         |best AS (
-         |  SELECT doc_id, lang, n,
-         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
-         |  FROM hits),
-         |langp AS (
-         |  SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
-         |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
-         |f AS (
-         |  SELECT doc_id, length(text) AS n_chars,
-         |         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
-         |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
-         |         len(list_filter(
-         |               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
-         |               t -> t IN ('the','of','and','to','in','is','was','for','on','as','with','that','it','at','by'))) AS stop
-         |  FROM documents),
-         |qual AS (
-         |  SELECT doc_id,
-         |         ROUND(CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0)
-         |               + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / GREATEST(n_chars, 1))
-         |               + CAST(0.4 AS DOUBLE) * (CAST(stop AS DOUBLE) / GREATEST(n_tokens, 1)), 8) AS quality_score
-         |  FROM f)
-         |SELECT d.doc_id, l.lang_pred, q.quality_score
-         |FROM documents d
-         |JOIN langp l USING (doc_id)
-         |JOIN qual q USING (doc_id)
-         |WHERE q.quality_score >= 0.45 AND l.lang_pred = 'en'
-         |  AND NOT EXISTS (SELECT 1 FROM losers x WHERE x.id = d.doc_id)
-         |ORDER BY doc_id""".stripMargin), headline = true)
+         |  WHERE id <> canonical)
+         |SELECT g.doc_id, g.lang_pred, g.quality_score
+         |FROM gated g
+         |WHERE NOT EXISTS (SELECT 1 FROM losers x WHERE x.id = g.doc_id)
+         |ORDER BY g.doc_id""".stripMargin), headline = true)
   )
 }

@@ -107,13 +107,15 @@ object StatsQueries {
         |  FROM lineitem),
         |a AS (
         |  SELECT l_returnflag, COUNT(*) AS sample_size,
-        |         SUM(d) AS sd, SUM(d*d) AS sdd
+        |         SUM(d) AS sd, SUM(d*d) AS sdd, MIN(d) AS min_d, MAX(d) AS max_d
         |  FROM d GROUP BY l_returnflag)
         |SELECT l_returnflag, sample_size,
         |       ROUND(CASE WHEN sample_size > 1 THEN
         |         (CAST(sd AS DOUBLE) / CAST(sample_size AS DOUBLE)) /
-        |         SQRT(NULLIF((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(sample_size AS DOUBLE))
-        |               / (CAST(sample_size AS DOUBLE) - 1.0), 0.0) / CAST(sample_size AS DOUBLE))
+        |         SQRT((CASE WHEN min_d <> max_d THEN
+        |                 (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(sample_size AS DOUBLE))
+        |                 / (CAST(sample_size AS DOUBLE) - 1.0)
+        |               ELSE NULL END) / CAST(sample_size AS DOUBLE))
         |       ELSE -99999.0 END, 8) AS t_stat
         |FROM a ORDER BY l_returnflag""".stripMargin), headline = true),
 

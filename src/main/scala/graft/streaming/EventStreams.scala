@@ -50,8 +50,9 @@ object EventStreams {
     * streaming dual of `Dedup.exactGroups`, with state bounded by the
     * watermark instead of growing forever. */
   def dedupedStream(events: DataFrame, keys: Seq[String],
-      watermarkDelay: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermarkDelay)
+      watermarkDelay: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
   /** Event-time sessionization with a gap timeout: custom state via
