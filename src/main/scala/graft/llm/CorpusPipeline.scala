@@ -41,11 +41,15 @@ object CorpusPipeline {
     val lang = TextAnalysis.langId(docs, idCol, textCol)
       .select(col(idCol), col("lang_pred"))
 
+    // materialize the gated set once: it feeds the LSH signature scan, the
+    // verification joins, and the final output — without the checkpoint the
+    // quality+language subtree would be recomputed for each consumer
     val gated = docs.select(col(idCol), col(textCol))
       .join(lang, Seq(idCol))
       .join(quality, Seq(idCol))
       .filter(col("quality_score") >= cfg.minQuality &&
         col("lang_pred") === cfg.lang)
+      .localCheckpoint()
 
     val pairs = Dedup.minhashNearDups(gated, idCol, textCol,
       cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.jaccardThreshold)

@@ -59,10 +59,12 @@ object Dedup {
     * Output: id1, id2, jaccard. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // no persist: a lazily-returned DataFrame can't unpersist safely, and
-    // pinning the full shingle set for the session lifetime is a leak —
-    // the recompute is acceptable on this deliberately-small-scale tier
-    val sh = shingleSets(docs, idCol, textCol, n)
+    // cache the shingle set: it feeds sizes + both intersection sides (3
+    // evaluations otherwise). The cache's lifetime is bounded — Spark's
+    // ContextCleaner unpersists it automatically once the returned plan
+    // becomes unreachable, so a lazily-returned DataFrame doesn't pin it
+    // for the session.
+    val sh = shingleSets(docs, idCol, textCol, n).persist()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.toDF("id1", "shingle")
     val b = sh.toDF("id2", "shingle")

@@ -43,6 +43,21 @@ object Multimodal {
   def sampleFrames(payload: Array[Byte], stride: Int): Array[Byte] =
     payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
 
+  /** Resize stub: box-average the payload down to `targetLen` buckets —
+    * the shape (fixed output size, averaging pool) of an image resize,
+    * over opaque bytes since no codecs exist in this environment. */
+  def resize(payload: Array[Byte], targetLen: Int): Array[Double] = {
+    if (payload.isEmpty) return Array.fill(targetLen)(0.0)
+    Array.tabulate(targetLen) { b =>
+      val from = (b.toLong * payload.length / targetLen).toInt
+      val to = (((b + 1).toLong * payload.length) / targetLen).toInt max (from + 1)
+      var s = 0.0
+      var i = from
+      while (i < to) { s += (payload(i) & 0xff); i += 1 }
+      s / (to - from) / 255.0
+    }
+  }
+
   /** STUB decode — deterministic fake features (no codecs in this
     * environment). Rolling-hash checksum + first-4-bytes "feature". */
   private def decodeStub(r: MediaRecord): MediaFeatures = {

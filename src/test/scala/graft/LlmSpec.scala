@@ -212,4 +212,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(Array[Byte](0, 1, 2, 3, 4, 5), 2).toSeq ===
       Seq[Byte](0, 2, 4))
   }
+
+  test("resize stub pools to a fixed length, normalized 0..1") {
+    val r = Multimodal.resize(Array[Byte](0, 51, 102, -103), 2) // -103 = 153 unsigned
+    assert(r.length === 2)
+    assert(math.abs(r(0) - (0 + 51) / 2.0 / 255.0) < 1e-12)
+    assert(math.abs(r(1) - (102 + 153) / 2.0 / 255.0) < 1e-12)
+    assert(Multimodal.resize(Array.empty[Byte], 3).toSeq === Seq(0.0, 0.0, 0.0))
+  }
 }
