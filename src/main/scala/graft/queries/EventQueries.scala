@@ -44,6 +44,35 @@ object EventQueries {
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin), headline = true),
 
+    // Batch sessionization (gaps-and-islands windows): 30-minute gap
+    // sessions per user over the event stream's batch view.
+    QuerySpec("q_sessions_batch", (s, dir) => {
+      graft.streaming.EventStreams.sessionizeBatch(events(s, dir),
+          gapMs = 30 * 60 * 1000L)
+        .orderBy("user_id", "session_start")
+    }, Some(
+      """WITH base AS (
+        |  -- epoch microseconds: the exact values Spark sees (ns div 1000)
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, us, value,
+        |         CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sid AS (
+        |  SELECT user_id, us, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM e)
+        |SELECT user_id,
+        |       make_timestamp(MIN(us)) AS session_start,
+        |       make_timestamp(MAX(us)) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sid GROUP BY user_id, s
+        |ORDER BY user_id, session_start""".stripMargin), headline = true),
+
     // JSON scalar extraction from the props payload column (the reference's
     // API-JSON flatten surface, S3/S8).
     QuerySpec("q_json_extract", (s, dir) => {

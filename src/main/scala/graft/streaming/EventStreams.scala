@@ -55,6 +55,33 @@ object EventStreams {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Batch sessionization: the gaps-and-islands window formulation — a
+    * session break is a gap > gapMs from the previous event of the same
+    * user; session id = running count of breaks. Relational dual of
+    * [[sessionize]] (which holds the same semantics as streaming state);
+    * closes every session since a batch has a defined end.
+    * Output: user_id, session_start, session_end, n_events, total_value. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    val newSession = when(
+      lag(us, 1).over(order).isNull ||
+        us - lag(us, 1).over(order) > gapMs * 1000L, 1L).otherwise(0L)
+    events
+      .withColumn("__brk", newSession)
+      .withColumn("__sid", sum(col("__brk")).over(running))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .drop("__sid")
+  }
+
   /** Event-time sessionization with a gap timeout: custom state via
     * `flatMapGroupsWithState` (the reference-free operator Spark's built-in
     * aggregations can't express). Emits one summary per closed session. */

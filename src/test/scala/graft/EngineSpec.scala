@@ -79,6 +79,34 @@ class SchemaIOSpec extends SparkSpec {
       Seq(DoubleType, StringType, LongType, TimestampType))
     assert(SchemaIO.schemaFromDtypeJson(SchemaIO.schemaToDtypeJson(st)) === st)
   }
+  test("reference 229-column silver schema round-trips through the codec") {
+    // the real production dtype map (tests/ressources/schemas/
+    // schema_silver_data.json): 105 float64 / 95 string / 23 int64 /
+    // 6 datetime64[ns]
+    val json = new String(getClass.getResourceAsStream("/schema_silver_data.json")
+      .readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    val st = SchemaIO.schemaFromDtypeJson(json)
+    assert(st.fields.length === 229)
+    val byType = st.fields.groupBy(_.dataType).view.mapValues(_.length).toMap
+    assert(byType(DoubleType) === 105)
+    assert(byType(StringType) === 95)
+    assert(byType(LongType) === 23)
+    assert(byType(TimestampType) === 6)
+    // round-trip through the pandas-dtype codec is stable
+    val again = SchemaIO.schemaFromDtypeJson(SchemaIO.schemaToDtypeJson(st))
+    assert(again === st)
+    // and the coercing apply accepts a frame carrying a subset of it
+    import spark.implicits._
+    val df = Seq(("12.5", "x")).toDF(st.fields(0).name, "unrelated")
+    val dtypes = SchemaIO.schemaToDtypeJson(st)
+    val parsed = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readValue(dtypes, classOf[java.util.LinkedHashMap[String, String]])
+    import scala.jdk.CollectionConverters._
+    val out = Cast.applySchema(df, parsed.asScala.toMap)
+    assert(out.schema(st.fields(0).name).dataType === SchemaIO.toSparkType(
+      parsed.asScala(st.fields(0).name)))
+  }
+
   test("golden entity config parses cols, defaults, required") {
     val cfg = """{"schema-adresses": {"cols": {"id_ban": {"type": "string"},
       "score": {"type": "float64", "default": -1}}, "required": ["id_ban"]}}"""

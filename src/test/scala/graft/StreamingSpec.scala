@@ -55,6 +55,39 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("batch sessionization (gaps-and-islands) agrees with streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Event(1, ts(1), 10, "click", 1.0), Event(2, ts(3), 10, "click", 2.0),
+      Event(3, ts(40), 10, "click", 4.0), // 37-min gap → new session
+      Event(4, ts(5), 11, "view", 1.5))
+    val batch = EventStreams.sessionizeBatch(evs.toDF(), gapMs = 30 * 60000L)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(batch.length === 3)
+    assert(batch.head._3 === 2L) // user 10, first session: 2 events
+    assert(batch.head._4 === 3.0)
+
+    // streaming path emits the same CLOSED sessions (a subset: the final
+    // session per user never closes without more data)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sess_cmp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(Event(9, ts(600), 99, "view", 0.0)) // push watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_cmp").as[EventStreams.SessionSummary]
+      .collect().map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    assert(streamed.subsetOf(
+      batch.map(b => (b._1, b._3, b._4)).toSet))
+    assert(streamed.contains((10L, 2L, 3.0))) // user 10's closed session
+  }
+
   test("sessionization closes sessions on gap and emits summaries") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
