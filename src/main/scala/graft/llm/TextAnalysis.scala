@@ -75,6 +75,47 @@ object TextAnalysis {
 
   val EnStopwords: Seq[String] = Lexicon.filter(_._1 == "en").map(_._2)
 
+  /** Character trigrams of the lowercased text (word-boundary padded with
+    * spaces, the classic Cavnar-Trenkle n-gram-profile representation). */
+  def charTrigrams(text: Column): Column = {
+    val padded = concat(lit(" "),
+      regexp_replace(lower(text), "[^a-z0-9]+", " "), lit(" "))
+    transform(sequence(lit(1), greatest(length(padded) - 2, lit(1))),
+      i => substr(padded, i, lit(3)))
+  }
+
+  /** Per-language char-trigram profiles, derived deterministically from the
+    * stopword lexicons (padded " word "): distinct (lang, trigram) pairs. */
+  val TrigramProfiles: Seq[(String, String)] = Lexicon.flatMap {
+    case (lang, word) =>
+      val padded = s" $word "
+      (0 until padded.length - 2).map(i => lang -> padded.substring(i, i + 3))
+  }.distinct
+
+  /** Char-n-gram-profile language ID (Cavnar-Trenkle-style): score each
+    * language by the count of document trigram OCCURRENCES found in its
+    * profile; argmax with (score desc, lang asc) tiebreak, 'und' when no
+    * trigram hits. Complementary to [[langId]] (word-level): profiles catch
+    * morphology that whole-word matching misses. */
+  def langIdNgram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profiles = broadcast(TrigramProfiles.toDF("lang", "tri"))
+    val tris = docs.select(col(idCol),
+        explode(charTrigrams(col(textCol))).as("tri"))
+    val hits = tris.join(profiles, "tri")
+      .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("n").desc, col("lang").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("lang").as("lang_pred"), col("n").as("tri_hits"))
+    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("tri_hits"), lit(0L)).as("tri_hits"))
+  }
+
   /** Heuristic quality features + composite score. Divisions are guarded
     * with greatest(·,1): DuckDB yields NULL on double/0 where Spark yields
     * Infinity, so a zero denominator must never reach the division. */

@@ -42,6 +42,38 @@ object TextQueries {
          |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
          |ORDER BY d.doc_id""".stripMargin), headline = true),
 
+    // Char-trigram-profile language ID (Cavnar-Trenkle-style n-gram
+    // heuristic): document trigram occurrences scored against per-language
+    // profiles derived from the same lexicons.
+    QuerySpec("q_lang_id_ngram", (s, dir) => {
+      TextAnalysis.langIdNgram(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    }, Some {
+      val profValues = TextAnalysis.TrigramProfiles
+        .map { case (lang, tri) => s"('$lang','${tri.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH prof(lang, tri) AS (VALUES $profValues),
+         |padded AS (
+         |  SELECT doc_id,
+         |         ' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' ' AS p
+         |  FROM documents),
+         |tris AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, GREATEST(length(p) - 2, 1) + 1),
+         |                               i -> substr(p, CAST(i AS INT), 3))) AS tri
+         |  FROM padded),
+         |hits AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n
+         |  FROM tris JOIN prof USING (tri) GROUP BY doc_id, lang),
+         |best AS (
+         |  SELECT doc_id, lang, n,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+         |  FROM hits)
+         |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred,
+         |       COALESCE(b.n, 0) AS tri_hits
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin
+    }),
+
     // Quality features + composite score (pure arithmetic, div-by-zero
     // guarded with greatest(·,1) — DuckDB nulls double/0, Spark gives Inf).
     QuerySpec("q_text_quality", (s, dir) => {

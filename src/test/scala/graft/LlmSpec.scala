@@ -158,6 +158,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === "und")
   }
 
+  test("char-trigram langId catches morphology the word lexicon misses") {
+    val d = Seq(
+      (1L, "the cats establish the establishment"), // 'the' trigrams dominate
+      (2L, "des oiseaux magnifiques dans les montagnes"),
+      (3L, "qqq zzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdNgram(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "fr")
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val d = Seq((1L, "Hello, world! 42 times")).toDF("doc_id", "text")
     val r = d.select(
