@@ -85,6 +85,21 @@ object EventQueries {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Multimodal batched decode: binary payload → mapPartitions feature
+    // extraction (one decoder init per partition). Byte-level stub features
+    // aren't SQL-expressible over blobs — no oracle; the driver records a
+    // rows-only check and MultimodalSpec pins the values.
+    QuerySpec("q_media_features", (s, dir) => {
+      import s.implicits._
+      val recs = Multimodal.attachPayload(
+        t(s, dir, "documents"), "doc_id", "text", "text")
+        .as[Multimodal.MediaRecord]
+      Multimodal.extractFeatures(recs).toDF()
+        .select(col("id").as("doc_id"), col("kind"), col("n_bytes"),
+          col("checksum"), col("feature")(0).as("f0"))
+        .orderBy("doc_id")
+    }, None),
+
     // Multimodal plumbing metadata: opaque binary payload + typed metadata.
     // (The mapPartitions decode-stub path is exercised in MultimodalSpec;
     // byte-level features aren't SQL-expressible over blobs.)
