@@ -178,11 +178,13 @@ object Dedup {
     * large-graph CC shape without needing GraphX.
     * Input: pairs (id1, id2). Output: (id, canonical_id). */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the edge set once: the input `pairs` is typically an
-    // expensive similarity plan, and the propagation loop would otherwise
-    // recompute it on every iteration.
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    // materialize the pair set BEFORE mirroring it: the input is typically
+    // an expensive similarity plan and both union branches reference it —
+    // without this checkpoint the whole similarity computation runs twice
+    // (and the propagation loop would recompute it every iteration).
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(p.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct()
@@ -194,13 +196,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("canonical_id")).as("nl"))
+      // checkpoint the new labels WITH a per-row change flag, then read the
+      // convergence bit off the checkpointed data — one materialization per
+      // round instead of computing the update plan twice.
       val updated = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
           least(col("canonical_id"), coalesce(col("nl"), col("canonical_id")))
-            .as("canonical_id"))
-      val changed = updated.join(labels.withColumnRenamed("canonical_id", "old"), Seq("id"))
-        .filter(col("canonical_id") =!= col("old")).limit(1).count()
-      labels = updated.localCheckpoint() // cut the growing lineage per round
+            .as("canonical_id"),
+          (col("nl").isNotNull && col("nl") < col("canonical_id")).as("__changed"))
+        .localCheckpoint()
+      val changed = updated.filter(col("__changed")).limit(1).count()
+      labels = updated.drop("__changed")
       converged = changed == 0
       iter += 1
     }

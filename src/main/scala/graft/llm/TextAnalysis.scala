@@ -75,14 +75,28 @@ object TextAnalysis {
 
   val EnStopwords: Seq[String] = Lexicon.filter(_._1 == "en").map(_._2)
 
-  /** Character trigrams of the lowercased text (word-boundary padded with
-    * spaces, the classic Cavnar-Trenkle n-gram-profile representation). */
-  def charTrigrams(text: Column): Column = {
-    val padded = concat(lit(" "),
-      regexp_replace(lower(text), "[^a-z0-9]+", " "), lit(" "))
+  /** Lowercased, non-alphanumeric-collapsed, space-padded text — the
+    * classic Cavnar-Trenkle profile representation. Materialize this as a
+    * projection column BEFORE sliding trigrams over it: HOF lambdas
+    * re-evaluate their argument subtree per element, so inlining this
+    * regexp under [[slidingTrigrams]] costs O(len²) regexp evaluations
+    * per document. */
+  def paddedProfileText(text: Column): Column =
+    concat(lit(" "), regexp_replace(lower(text), "[^a-z0-9]+", " "), lit(" "))
+
+  /** All length-3 substrings of an already-materialized padded column.
+    * `padded` should be a plain attribute reference (see
+    * [[paddedProfileText]]) so the per-element work is just a substring. */
+  def slidingTrigrams(padded: Column): Column =
     transform(sequence(lit(1), greatest(length(padded) - 2, lit(1))),
       i => substr(padded, i, lit(3)))
-  }
+
+  /** Character trigrams of the lowercased text (word-boundary padded with
+    * spaces). Convenience composition — only safe on short strings; for a
+    * document scan, project [[paddedProfileText]] first and call
+    * [[slidingTrigrams]] on the resulting attribute. */
+  def charTrigrams(text: Column): Column =
+    slidingTrigrams(paddedProfileText(text))
 
   /** Per-language char-trigram profiles, derived deterministically from the
     * stopword lexicons (padded " word "): distinct (lang, trigram) pairs. */
@@ -96,24 +110,37 @@ object TextAnalysis {
     * language by the count of document trigram OCCURRENCES found in its
     * profile; argmax with (score desc, lang asc) tiebreak, 'und' when no
     * trigram hits. Complementary to [[langId]] (word-level): profiles catch
-    * morphology that whole-word matching misses. */
+    * morphology that whole-word matching misses.
+    *
+    * Scale shape: the profiles are a few hundred constant trigrams, so the
+    * whole operator is a shuffle-free projection — per-language hit counts
+    * via `filter(trigrams, t ∈ profile)` (InSet, O(1) per trigram) and a
+    * literal when-chain argmax. No explode, no join, no shuffle: a 100 TB
+    * scan stays embarrassingly parallel. (The trigram array is projected in
+    * its own step and referenced by all four counts; CollapseProject keeps
+    * non-cheap multi-referenced projections separate, so it is built once
+    * per document.) */
   def langIdNgram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val profiles = broadcast(TrigramProfiles.toDF("lang", "tri"))
-    val tris = docs.select(col(idCol),
-        explode(charTrigrams(col(textCol))).as("tri"))
-    val hits = tris.join(profiles, "tri")
-      .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("n").desc, col("lang").asc)
-    val best = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("lang").as("lang_pred"), col("n").as("tri_hits"))
-    docs.select(col(idCol)).join(best, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
-        coalesce(col("tri_hits"), lit(0L)).as("tri_hits"))
+    val langs = TrigramProfiles.map(_._1).distinct.sorted
+    val profileOf = TrigramProfiles.groupBy(_._1)
+      .map { case (l, ps) => l -> ps.map(_._2) }
+    val tris = docs
+      .select(col(idCol), paddedProfileText(col(textCol)).as("__padded"))
+      .select(col(idCol), slidingTrigrams(col("__padded")).as("__tris"))
+    val counted = tris.select(
+      col(idCol) +: langs.map { l =>
+        size(filter(col("__tris"), t => t.isInCollection(profileOf(l))))
+          .cast("long").as(s"__n_$l")
+      }: _*)
+    // argmax over a fixed, asc-sorted language list: strict > keeps the
+    // earlier (smaller) lang on ties; all-zero stays at the 'und' seed.
+    val (bestLang, bestN) = langs.foldLeft((lit("und"), lit(0L))) {
+      case ((bl, bn), l) =>
+        val n = col(s"__n_$l")
+        (when(n > bn, lit(l)).otherwise(bl), when(n > bn, n).otherwise(bn))
+    }
+    counted.select(col(idCol),
+      bestLang.as("lang_pred"), bestN.as("tri_hits"))
   }
 
   /** Heuristic quality features + composite score. Divisions are guarded
