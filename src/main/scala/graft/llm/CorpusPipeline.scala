@@ -36,17 +36,28 @@ object CorpusPipeline {
     * already-filtered subset. */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val quality = TextAnalysis.qualityFeatures(docs, idCol, textCol)
-      .select(col(idCol), col("quality_score"))
-    val lang = TextAnalysis.langId(docs, idCol, textCol)
-      .select(col(idCol), col("lang_pred"))
+    // Both gates are map-side column expressions over one tokenization of
+    // the scan — a single fused projection, no self-joins, no shuffle
+    // before LSH. Counts get their own named-column step so the token
+    // array is built once (CollapseProject keeps non-cheap
+    // multi-referenced projections separate).
+    val counts = TextAnalysis.wordHitCounts(col("__toks"))
+    val counted = docs
+      .select(col(idCol), col(textCol),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +: col(textCol) +:
+        TextAnalysis.qualityScore(col(textCol), col("__toks"))
+          .as("quality_score") +:
+        counts.map { case (l, n) => n.as(s"__n_$l") }: _*)
+    val (bestLang, _) = TextAnalysis.argmaxByLang(
+      counts.map { case (l, _) => l -> col(s"__n_$l") })
 
     // materialize the gated set once: it feeds the LSH signature scan, the
     // verification joins, and the final output — without the checkpoint the
-    // quality+language subtree would be recomputed for each consumer
-    val gated = docs.select(col(idCol), col(textCol))
-      .join(lang, Seq(idCol))
-      .join(quality, Seq(idCol))
+    // gate subtree would be recomputed for each consumer
+    val gated = counted
+      .select(col(idCol), col(textCol), bestLang.as("lang_pred"),
+        col("quality_score"))
       .filter(col("quality_score") >= cfg.minQuality &&
         col("lang_pred") === cfg.lang)
       .localCheckpoint()

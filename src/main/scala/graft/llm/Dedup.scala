@@ -144,6 +144,10 @@ object Dedup {
     val sigAggs = (0 until bands * rowsPerBand).map(p =>
       min(md5(concat(lit(s"$p|"), col("shingle")))).as(s"sig_$p")) :+
       countDistinct(col("shingle")).as("sz")
+    // sig/cand are referenced by several downstream consumers; the repeated
+    // subtrees stay IDENTICAL so ReuseExchange dedupes them in the single
+    // physical plan — an explicit checkpoint here measures SLOWER (adds
+    // eager serialization for no saved work).
     val sig = shRaw.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
     val cand = candidatePairsFromBands(lshBands(sig, idCol, bands, rowsPerBand))
     // verification: only candidate docs' shingles matter — broadcast the

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language ID,
@@ -52,25 +51,40 @@ object TextAnalysis {
       "von", "mit", "den", "zu", "auf", "als", "im")
   ).flatMap { case (lang, words) => words.map(lang -> _) }
 
+  /** Per-language argmax over (lang, hit-count) columns with deterministic
+    * (count desc, lang asc) tiebreak; ('und', 0) when nothing hits. The
+    * input must be asc-sorted by lang: strict > keeps the earlier lang on
+    * ties. Returns (bestLang, bestCount) column expressions. */
+  def argmaxByLang(counts: Seq[(String, Column)]): (Column, Column) =
+    counts.foldLeft((lit("und"), lit(0L))) { case ((bl, bn), (l, n)) =>
+      (when(n > bn, lit(l)).otherwise(bl), when(n > bn, n).otherwise(bn))
+    }
+
+  /** Per-language stopword OCCURRENCE counts from a materialized token
+    * array, asc-sorted by lang. InSet membership per token — map-side,
+    * no explode/join. */
+  def wordHitCounts(toks: Column): Seq[(String, Column)] =
+    Lexicon.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, ps) =>
+      l -> size(filter(toks, t => t.isInCollection(ps.map(_._2)))).cast("long")
+    }
+
   /** N-gram-heuristic language ID: stopword hits per language, argmax with
     * deterministic (hits desc, lang asc) tiebreak; 'und' when nothing hits.
-    * Output: idCol, lang_pred, hits. */
+    * Output: idCol, lang_pred, hits.
+    *
+    * Scale shape: the lexicon is a constant ~60 words, so this is a
+    * shuffle-free projection (per-language InSet counts over the token
+    * array + when-chain argmax) — no explode, no join; a 100 TB scan stays
+    * embarrassingly parallel. */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val lex = broadcast(Lexicon.toDF("lang", "word"))
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
-    val hits = tok.join(lex, "word")
-      .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("n").desc, col("lang").asc)
-    val best = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("lang").as("lang_pred"), col("n").as("hits"))
-    docs.select(col(idCol)).join(best, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+    val counts = wordHitCounts(col("__toks"))
+    val counted = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +:
+        counts.map { case (l, n) => n.as(s"__n_$l") }: _*)
+    val (bestLang, bestN) =
+      argmaxByLang(counts.map { case (l, _) => l -> col(s"__n_$l") })
+    counted.select(col(idCol), bestLang.as("lang_pred"), bestN.as("hits"))
   }
 
   val EnStopwords: Seq[String] = Lexicon.filter(_._1 == "en").map(_._2)
@@ -132,38 +146,47 @@ object TextAnalysis {
         size(filter(col("__tris"), t => t.isInCollection(profileOf(l))))
           .cast("long").as(s"__n_$l")
       }: _*)
-    // argmax over a fixed, asc-sorted language list: strict > keeps the
-    // earlier (smaller) lang on ties; all-zero stays at the 'und' seed.
-    val (bestLang, bestN) = langs.foldLeft((lit("und"), lit(0L))) {
-      case ((bl, bn), l) =>
-        val n = col(s"__n_$l")
-        (when(n > bn, lit(l)).otherwise(bl), when(n > bn, n).otherwise(bn))
-    }
+    val (bestLang, bestN) =
+      argmaxByLang(langs.map(l => l -> col(s"__n_$l")))
     counted.select(col(idCol),
       bestLang.as("lang_pred"), bestN.as("tri_hits"))
   }
 
-  /** Heuristic quality features + composite score. Divisions are guarded
-    * with greatest(·,1): DuckDB yields NULL on double/0 where Spark yields
-    * Infinity, so a zero denominator must never reach the division. */
-  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text = col(textCol)
+  /** Composite quality score as a single column expression (same formula
+    * as [[qualityFeatures]]'s quality_score). `toks` must be a
+    * materialized token-array attribute (see [[tokens]]). Divisions are
+    * guarded with greatest(·,1): DuckDB yields NULL on double/0 where
+    * Spark yields Infinity, so a zero denominator must never reach the
+    * division. */
+  def qualityScore(text: Column, toks: Column): Column = {
     val nChars = length(text)
     val nTokens = wsTokenCount(text)
     val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
-    val stop = size(filter(tokens(text), t => t.isInCollection(EnStopwords)))
+    val stop = size(filter(toks, t => t.isInCollection(EnStopwords)))
+    round(lit(0.3) * least(lit(1.0), nTokens.cast("double") / 100.0)
+      + lit(0.3) * (lit(1.0) - punct.cast("double") / greatest(nChars, lit(1)))
+      + lit(0.4) * (stop.cast("double") / greatest(nTokens, lit(1))), 8)
+  }
+
+  /** Heuristic quality features + composite score. Divisions guarded as in
+    * [[qualityScore]]. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val withToks = df.select(col(idCol), text, tokens(text).as("__toks"))
+    val nChars = length(text)
+    val nTokens = wsTokenCount(text)
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
     val meanTokLen = length(regexp_replace(text, "\\s", "")).cast("double") /
       greatest(nTokens, lit(1))
     val punctRatio = punct.cast("double") / greatest(nChars, lit(1))
-    val stopRatio = stop.cast("double") / greatest(nTokens, lit(1))
-    df.select(col(idCol),
+    val stopRatio = size(filter(col("__toks"), t => t.isInCollection(EnStopwords)))
+      .cast("double") / greatest(nTokens, lit(1))
+    withToks.select(col(idCol),
       nChars.cast("long").as("n_chars"),
       nTokens.cast("long").as("n_tokens"),
       round(meanTokLen, 8).as("mean_token_len"),
       round(punctRatio, 8).as("punct_ratio"),
       round(stopRatio, 8).as("stopword_ratio"),
-      round(lit(0.3) * least(lit(1.0), nTokens.cast("double") / 100.0)
-        + lit(0.3) * (lit(1.0) - punctRatio)
-        + lit(0.4) * stopRatio, 8).as("quality_score"))
+      qualityScore(text, col("__toks")).as("quality_score"))
   }
 }
