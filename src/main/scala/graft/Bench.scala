@@ -46,6 +46,15 @@ object Bench {
             None
         }
       }
+      // Post-query hygiene, OUTSIDE the timer: drop cached/checkpointed
+      // blocks left by iterative operators (dupClusters' localCheckpoints,
+      // persisted shingle sets). Spark frees those via ContextCleaner weak
+      // references, i.e. only after a driver GC — across ~50 queries the
+      // blocks otherwise accumulate in the block manager and progressively
+      // starve later queries (measured: total 55s -> 151s run-to-run drift
+      // without this; stable with it).
+      spark.catalog.clearCache()
+      System.gc()
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -50,22 +50,39 @@ object SimHash {
   def register(spark: SparkSession): Unit =
     graft.GraftFunctions.register(spark, "simhash64")
 
+  // MessageDigest.getInstance is a provider lookup + allocation — at one
+  // call per TOKEN it dominates the kernel. Executors call compute from
+  // many codegen'd task threads, hence thread-local reuse (reset() via
+  // digest() is implicit).
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val sepPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   def compute(text: String): Long = {
     val counts = new java.util.HashMap[String, Int]()
     var i = 0
-    val toks = text.toLowerCase.split("[^a-z0-9]+")
+    val toks = sepPattern.split(text.toLowerCase)
     while (i < toks.length) {
       val t = toks(i)
       if (t.nonEmpty) counts.merge(t, 1, Integer.sum)
       i += 1
     }
     val acc = new Array[Long](64)
+    val md = md5Local.get()
     counts.forEach { (tok, cnt) =>
-      val hex = md5Hex(tok)
+      val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+      // bit j is bit (j%4) of the j/4-th HEX DIGIT of the md5 hex string —
+      // the contract the SQL oracle replays. Hex digit 2k is the high
+      // nibble of byte k, digit 2k+1 the low nibble; read nibbles straight
+      // off the 16 digest bytes instead of materializing the hex string.
       var j = 0
       while (j < 64) {
-        val digit = Character.digit(hex.charAt(j / 4), 16)
-        val bit = (digit >> (j % 4)) & 1
+        val k = j / 4
+        val nibble =
+          if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xf
+          else d(k >> 1) & 0xf
+        val bit = (nibble >> (j % 4)) & 1
         acc(j) += cnt.toLong * (2 * bit - 1)
         j += 1
       }
@@ -81,17 +98,4 @@ object SimHash {
 
   /** Hamming distance between two fingerprints. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
-
-  private def md5Hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    var i = 0
-    while (i < d.length) {
-      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
-      sb.append(Character.forDigit(d(i) & 0xf, 16))
-      i += 1
-    }
-    sb.toString
-  }
 }
