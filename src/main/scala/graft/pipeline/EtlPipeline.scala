@@ -93,7 +93,8 @@ object EtlPipeline {
     * parquet under the gold zone). */
   def transform(spark: SparkSession, silver: DataFrame, zones: Zones,
       batchId: String,
-      entitySpecs: Seq[Entities.EntitySpec] = GoldEntities): Map[String, DataFrame] = {
+      entitySpecs: Seq[Entities.EntitySpec] = GoldEntities,
+      clock: java.time.Clock = java.time.Clock.systemUTC()): Map[String, DataFrame] = {
     // 1. casting (T1 inference; a declared schema would use Cast.applySchema)
     val (cast, _) = Cast.autoCastStringColumns(silver)
 
@@ -123,8 +124,11 @@ object EtlPipeline {
       "conso_kwh_m2", "montant_net_ademe", batchId)
 
     val all = entities + ("tests_statistiques" -> stats)
+    // zone file naming mirrors the reference's `{entity}_{date}_{batch_id}`
+    // contract (`transform.py:308`) — the loader locates the same run by
+    // reconstructing the name from (batchId, clock)
     all.foreach { case (name, df) =>
-      Sinks.parquetGzip(df, s"${zones.gold}/$name")
+      Sinks.parquetGzip(df, s"${zones.gold}/${Dates.zoneFileName(name, batchId, clock)}")
     }
     all
   }
@@ -134,11 +138,13 @@ object EtlPipeline {
     * the reference's Postgres (same anti-join-then-append contract as
     * `Sinks.jdbcAppendNew`). */
   def load(spark: SparkSession, zones: Zones, targetDir: String,
-      keys: Map[String, Seq[String]]): Unit = {
+      keys: Map[String, Seq[String]], batchId: String,
+      clock: java.time.Clock = java.time.Clock.systemUTC()): Unit = {
     val order = Seq("adresses", "logements", "tests_statistiques")
       .filter(keys.contains)
     order.foreach { entity =>
-      val incoming = Sources.parquet(spark, s"${zones.gold}/$entity")
+      val incoming = Sources.parquet(spark,
+        s"${zones.gold}/${Dates.zoneFileName(entity, batchId, clock)}")
       val target = s"$targetDir/$entity"
       // existence via the Hadoop FS API, so hdfs://, s3a://, and local
       // targets all work (java.io.File would silently skip the anti-join
@@ -161,13 +167,34 @@ object EtlPipeline {
 
   /** EP1: the full E→T→L flow. */
   def run(spark: SparkSession, sfDir: String, zones: Zones, targetDir: String,
-      batchId: String): Map[String, DataFrame] = {
+      batchId: String,
+      clock: java.time.Clock = java.time.Clock.systemUTC()): Map[String, DataFrame] = {
     val silver = extract(spark, sfDir, zones, batchId)
-    val gold = transform(spark, silver, zones, batchId)
+    val gold = transform(spark, silver, zones, batchId, clock = clock)
     load(spark, zones, targetDir, Map(
       "adresses" -> Seq("c_custkey_ban"),
       "logements" -> Seq("o_orderkey_enedis"),
-      "tests_statistiques" -> Seq("batch_id", "etiquette")))
+      "tests_statistiques" -> Seq("batch_id", "etiquette")), batchId, clock)
     gold
+  }
+
+  /** EP1 with per-action telemetry — the Spark-native analog of the
+    * reference's `decorator_logger` timing wrapper around every pipeline
+    * stage (`utils/__init__.py:156-182`): returns the gold entities plus
+    * one (action, duration) record per executed job. */
+  def runInstrumented(spark: SparkSession, sfDir: String, zones: Zones,
+      targetDir: String, batchId: String,
+      clock: java.time.Clock = java.time.Clock.systemUTC())
+      : (Map[String, DataFrame], Seq[Telemetry.QueryRecord]) = {
+    val recorder = Telemetry.attach(spark)
+    try {
+      val gold = run(spark, sfDir, zones, targetDir, batchId, clock)
+      // QueryExecutionListener callbacks are delivered asynchronously on the
+      // shared listener bus; bounded poll until the first record lands
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (recorder.records.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      (gold, recorder.records)
+    } finally spark.listenerManager.unregister(recorder)
   }
 }

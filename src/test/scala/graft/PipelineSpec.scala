@@ -16,14 +16,19 @@ class PipelineSpec extends SparkSpec {
     (Zones(s"$root/bronze", s"$root/silver", s"$root/gold"), s"$root/db")
   }
 
+  // fixed clock: zone file names embed the date; pin it for assertions
+  private val clock = java.time.Clock.fixed(
+    java.time.Instant.parse("2026-08-12T00:00:00Z"), java.time.ZoneOffset.UTC)
+
   test("EP1 end-to-end: extract -> transform -> load over medallion zones") {
     val (zones, db) = tmpZones()
-    val gold = EtlPipeline.run(spark, sfDir, zones, db, batchId = "b1")
+    val gold = EtlPipeline.run(spark, sfDir, zones, db, batchId = "b1", clock)
 
-    // zone contract: bronze/silver/gold files exist
+    // zone contract: bronze/silver/gold files exist; gold names follow the
+    // reference's `{entity}_{date}_{batch_id}` convention (transform.py:308)
     assert(new java.io.File(s"${zones.bronze}/merged_enedis_ban").exists())
     assert(new java.io.File(s"${zones.silver}/silver_data").exists())
-    assert(new java.io.File(s"${zones.gold}/adresses").exists())
+    assert(new java.io.File(s"${zones.gold}/adresses_2026_08_12_b1").exists())
 
     // silver is batch-partitioned and stamped
     val silver = spark.read.parquet(s"${zones.silver}/silver_data")
@@ -44,15 +49,24 @@ class PipelineSpec extends SparkSpec {
 
   test("loader is idempotent: re-running the same batch appends nothing") {
     val (zones, db) = tmpZones()
-    EtlPipeline.run(spark, sfDir, zones, db, batchId = "b1")
+    EtlPipeline.run(spark, sfDir, zones, db, batchId = "b1", clock)
     val before = spark.read.parquet(s"$db/logements").count()
     // replay load with identical gold zone
     EtlPipeline.load(spark, zones, db, Map(
       "adresses" -> Seq("c_custkey_ban"),
       "logements" -> Seq("o_orderkey_enedis"),
-      "tests_statistiques" -> Seq("batch_id", "etiquette")))
+      "tests_statistiques" -> Seq("batch_id", "etiquette")), "b1", clock)
     val after = spark.read.parquet(s"$db/logements").count()
     assert(after === before)
+  }
+
+  test("instrumented run returns per-action telemetry records") {
+    val (zones, db) = tmpZones()
+    val (gold, records) =
+      EtlPipeline.runInstrumented(spark, sfDir, zones, db, "b1", clock)
+    assert(gold("adresses").count() > 0)
+    assert(records.nonEmpty)
+    assert(records.exists(r => !r.failed && r.durationNs > 0))
   }
 
   test("extract asserts required columns (E1 semantics)") {
