@@ -217,6 +217,73 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (the MapReduce CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    * rewires every node's strictly-larger neighbors (large-star), then its
+    * smaller neighbors (small-star), to the neighborhood minimum. Rounds
+    * needed are O(log n) REGARDLESS of component diameter — the scale
+    * path when clusters can be long chains (e.g. transitive near-dup
+    * chains at 100 TB), where [[dupClusters]]' min-label propagation
+    * needs O(diameter) shuffles. Per round: two groupBy-min aggregations
+    * + two joins on the (small) edge set.
+    *
+    * Same contract as [[dupClusters]]: input pairs (id1, id2), output
+    * (id, canonical_id) with canonical_id = min id of the component. */
+  def dupClustersStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val nodes = p.select(col("id1").as("id"))
+      .unionByName(p.select(col("id2").as("id"))).distinct()
+
+    // edges kept oriented (a, b) with a > b; both stars preserve this
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.filter(col("v") > col("u")).join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("a").agg(min(col("b")).as("m"))
+      val relinked = e.join(mins, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+      relinked.unionByName(mins.select(col("a"), col("m").as("b"))).distinct()
+    }
+    // order-insensitive edge-set signature: (count, sum of per-edge hashes).
+    // Sum in decimal — ANSI mode throws on bigint overflow, and 2^33 edges
+    // of ~2^63 hashes overflow a long.
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var edges = p
+      .select(greatest(col("id1"), col("id2")).as("a"),
+        least(col("id1"), col("id2")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      iter += 1
+    }
+    // fixed point = disjoint stars rooted at each component's minimum:
+    // every edge is (member, root); roots/isolated nodes label themselves
+    nodes.join(edges.select(col("a").as("id"), col("b").as("root")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("root"), col("id")).as("canonical_id"))
+  }
+
   /** SimHash fingerprints via the native expression; emitted as 4×16-bit
     * words (w0..w3) so the value is oracle-comparable without unsigned
     * int64 headaches. */

@@ -31,6 +31,31 @@ object DedupQueries {
       |  FROM toks),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Oracle for both duplicate-cluster variants: transitive closure via a
+    * recursive CTE + per-node MIN label. */
+  private val dupClustersOracle: String =
+    s"""WITH $shingleCte,
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT id1, id2 FROM inter
+       |  JOIN sizes s1 ON id1 = s1.doc_id
+       |  JOIN sizes s2 ON id2 = s2.doc_id
+       |  WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(id, lbl) AS (
+       |    SELECT src, src FROM edges
+       |    UNION
+       |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
+       |  SELECT * FROM r)
+       |SELECT id, MIN(lbl) AS canonical_id
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
 
     // Exact dedup: hash-groupBy on md5(text). Duplicates are constructed by
@@ -114,28 +139,16 @@ object DedupQueries {
       val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5).select("id1", "id2")
       Dedup.dupClusters(pairs).orderBy("id")
-    }, Some(
-      s"""WITH $shingleCte,
-         |inter AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |pairs AS (
-         |  SELECT id1, id2 FROM inter
-         |  JOIN sizes s1 ON id1 = s1.doc_id
-         |  JOIN sizes s2 ON id2 = s2.doc_id
-         |  WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5),
-         |edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM pairs
-         |  UNION SELECT id2, id1 FROM pairs),
-         |reach AS (
-         |  WITH RECURSIVE r(id, lbl) AS (
-         |    SELECT src, src FROM edges
-         |    UNION
-         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
-         |  SELECT * FROM r)
-         |SELECT id, MIN(lbl) AS canonical_id
-         |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+    }, Some(dupClustersOracle)),
+
+    // Same contract via alternating large-star/small-star contraction —
+    // the O(log n)-round scale path for large-diameter components; result
+    // is identical, so it shares the recursive-CTE oracle.
+    QuerySpec("q_dup_clusters_star", (s, dir) => {
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5).select("id1", "id2")
+      Dedup.dupClustersStar(pairs).orderBy("id")
+    }, Some(dupClustersOracle)),
 
     // SimHash-64 fingerprints via the native Catalyst expression; the
     // oracle replays the identical bit derivation relationally

@@ -76,6 +76,30 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L, 10L -> 9L))
   }
 
+  test("dupClustersStar: long chain collapses in O(log n) rounds") {
+    import spark.implicits._
+    // a 64-node chain has diameter 63 — min-label propagation would need
+    // ~63 shuffle rounds; star contraction must finish inside its default
+    // 25-round budget (expected ~log2(64))
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.dupClustersStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64)
+    assert(got.values.forall(_ === 0L))
+  }
+
+  test("dupClustersStar matches dupClusters on a mixed component graph") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 10L), (7L, 7L), (5L, 4L))
+      .toDF("id1", "id2")
+    val star = Dedup.dupClustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+    assert(star(3L) === 1L && star(10L) === 9L && star(4L) === 4L && star(7L) === 7L)
+  }
+
   test("simhash: identical docs equal; near-dups close; unrelated far") {
     val h1 = SimHash.compute(docs.filter(col("doc_id") === 1).head().getString(1))
     val h2 = SimHash.compute(docs.filter(col("doc_id") === 2).head().getString(1))
