@@ -117,6 +117,37 @@ object SimilarityQueries {
          |         ${dotSql("a.v", "b.v")} / SQRT(a.n2 * b.n2) AS cos
          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id)
          |SELECT id1, id2, ROUND(cos, 8) AS cos
-         |FROM p2 WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin))
+         |FROM p2 WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin)),
+
+    // Int8-quantized cosine pairs: symmetric per-vector scalar
+    // quantization (q = round(127·v/amax)); the uniform scale cancels in
+    // cosine, so scores come from exact integer dot products — the
+    // 4×-smaller storage/bandwidth tier of a 100 TB similarity pipeline.
+    QuerySpec("q_quantized_cos", (s, dir) => {
+      Similarity.quantizedCosPairs(emb(s, dir), "vec_id", "embedding",
+        minCos = 0.4)
+        .orderBy("id1", "id2")
+    }, Some(
+      """WITH base AS (
+        |  SELECT vec_id, v,
+        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+        |qv AS (
+        |  SELECT vec_id,
+        |         CASE WHEN amax <> 0
+        |              THEN list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+        |  FROM base),
+        |qn AS (
+        |  SELECT vec_id, q,
+        |         CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i])) AS DOUBLE) AS qn2
+        |  FROM qv),
+        |p AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |         CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |           / SQRT(a.qn2 * b.qn2) AS qcos
+        |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, ROUND(qcos, 8) AS qcos
+        |FROM p WHERE qcos >= 0.4 ORDER BY id1, id2""".stripMargin))
   )
 }

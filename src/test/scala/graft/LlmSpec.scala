@@ -165,6 +165,35 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(4, 16).map(_.toSeq) ===
       Similarity.hyperplanes(4, 16).map(_.toSeq))
   }
+
+  test("int8 quantization: codes in [-127,127], reconstruction within scale/2") {
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding").collect()
+    val orig = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    q.foreach { r =>
+      val id = r.getLong(0)
+      val codes = r.getSeq[Long](1)
+      val scale = r.getDouble(2)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      codes.zip(orig(id)).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("quantized cosine tracks exact cosine; zero vectors drop out") {
+    val withZero = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qp = Similarity.quantizedCosPairs(withZero, "vec_id", "embedding", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(qp.keySet === Set((1L, 2L))) // zero-norm vec 3 never appears
+    val exact = Similarity.cosinePairs(withZero, "vec_id", "embedding", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // int8 over 4 dims: quantized score within ~1/127-per-component error
+    assert(math.abs(qp((1L, 2L)) - exact((1L, 2L))) < 0.02)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
