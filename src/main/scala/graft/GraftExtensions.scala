@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.llm.{DotProductExpr, SimHash64Expr, TopKByScore}
+import graft.llm.{DotProductExpr, SimHash64Expr, TopKByScore, WordShinglesExpr}
 
 /** The engine's custom Catalyst functions, packaged the two standard ways:
   *
@@ -16,7 +16,8 @@ import graft.llm.{DotProductExpr, SimHash64Expr, TopKByScore}
   *  - [[GraftFunctions.registerAll]] for an existing session.
   *
   * Surface: `simhash64(text)`, `dot_seq(arr, arr)`,
-  * `topk_by_score(score, id, k)` — all native expressions/aggregates (no
+  * `topk_by_score(score, id, k)`, `word_shingles(text, n)` — all native
+  * expressions/aggregates (no
   * UDF serialization, codegen-friendly). The builder lambdas here are the
   * single source of truth; the per-object `register` helpers delegate.
   */
@@ -32,13 +33,13 @@ object GraftFunctions {
 
   /** Evaluate a foldable argument as a positive Int (accepts int/long
     * literals, rejects null/other types with a clear error). */
-  private def literalK(e: Expression): Int = e.eval(null) match {
-    case i: java.lang.Integer => require(i > 0, "k must be positive"); i
-    case l: java.lang.Long    => require(l > 0, "k must be positive"); l.toInt
+  private def literalK(e: Expression, fn: String): Int = e.eval(null) match {
+    case i: java.lang.Integer => require(i > 0, s"$fn: k must be positive"); i
+    case l: java.lang.Long    => require(l > 0, s"$fn: k must be positive"); l.toInt
     case null => throw new IllegalArgumentException(
-      "topk_by_score: k must be a non-null integer literal")
+      s"$fn: k must be a non-null integer literal")
     case other => throw new IllegalArgumentException(
-      s"topk_by_score: k must be an integer literal, got $other")
+      s"$fn: k must be an integer literal, got $other")
   }
 
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -51,8 +52,12 @@ object GraftFunctions {
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       (exprs: Seq[Expression]) =>
-        TopKByScore(exprs(0), exprs(1), literalK(exprs(2)))
-          .toAggregateExpression()))
+        TopKByScore(exprs(0), exprs(1), literalK(exprs(2), "topk_by_score"))
+          .toAggregateExpression()),
+    ("word_shingles",
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      (exprs: Seq[Expression]) =>
+        WordShinglesExpr(exprs(0), literalK(exprs(1), "word_shingles"))))
 
   /** Register one function by name on an existing session. */
   def register(spark: SparkSession, name: String): Unit = {

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *    verification path; the 100 TB path is MinHash-LSH: candidates come
   *    from equi-joins on (band, band_key) — a standard shuffle join on a
   *    short key — and only candidates pay the exact-Jaccard verification;
-  *  - MinHash permutations use lexicographic MIN over `md5(seed|shingle)`
-  *    hex strings: a valid random permutation min, associative (map-side
-  *    combinable), and reproducible in any engine with md5 — no
+  *  - MinHash permutations use lexicographic MIN over 16-hex-char halves
+  *    of `md5(seed|shingle)` (two independent 64-bit permutations per md5
+  *    evaluation): a valid random permutation min, associative (map-side
+  *    combinable), and reproducible in any engine with md5 + substr — no
   *    engine-specific hash seeds in the contract;
   *  - SimHash is a single-pass native expression (see [[SimHash64Expr]]).
   */
@@ -46,13 +47,16 @@ object Dedup {
     shinglesFromTokens(TextAnalysis.tokens(text), n)
 
   /** Distinct (id, shingle) pairs — the set representation used by both
-    * exact Jaccard and MinHash. Tokens are materialized in their own
-    * projection so the tokenizer runs once per document. */
+    * exact Jaccard and MinHash. Runs the native [[WordShinglesExpr]]
+    * kernel (one byte-scan per document; same contract as the declarative
+    * [[wordShingles]] spec). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("shingle"))
+      n: Int): DataFrame = {
+    Shingles.register(docs.sparkSession)
+    docs.select(col(idCol),
+        explode(Shingles.wordShingles(col(textCol), n)).as("shingle"))
       .distinct()
+  }
 
   /** All-pairs n-gram Jaccard ≥ threshold (quadratic — verification/oracle
     * path; use [[minhashNearDups]] at scale).
@@ -87,10 +91,18 @@ object Dedup {
     minhashSignaturesFromShingles(shingleSets(docs, idCol, textCol, n),
       idCol, numPerms)
 
+  /** Permutation key p: half (p%2) of the md5 hex of seed ⌊p/2⌋ — one
+    * md5 evaluation feeds TWO independent 64-bit permutations (the halves
+    * of a cryptographic digest are independently uniform), halving the
+    * md5 work of the signature scan. Still engine-portable:
+    * `SUBSTR(md5(seed || '|' || shingle), 1|17, 16)` in any SQL. */
+  private[llm] def permKey(p: Int, shingle: Column): Column =
+    substring(md5(concat(lit(s"${p / 2}|"), shingle)), (p % 2) * 16 + 1, 16)
+
   def minhashSignaturesFromShingles(sh: DataFrame, idCol: String,
       numPerms: Int): DataFrame = {
     val sigs = (0 until numPerms).map(p =>
-      min(md5(concat(lit(s"$p|"), col("shingle")))).as(s"sig_$p"))
+      min(permKey(p, col("shingle"))).as(s"sig_$p"))
     sh.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
   }
 
@@ -126,9 +138,11 @@ object Dedup {
     * insensitive to duplicate shingles, so the expensive full-data
     * `distinct` of [[shingleSets]] is unnecessary on the scale path. */
   def rawShingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("shingle"))
+      n: Int): DataFrame = {
+    Shingles.register(docs.sparkSession)
+    docs.select(col(idCol),
+      explode(Shingles.wordShingles(col(textCol), n)).as("shingle"))
+  }
 
   /** MinHash-LSH near-dups: candidates verified with exact Jaccard —
     * the full scale path. Shuffle budget: ONE aggregation for signatures +
@@ -142,7 +156,7 @@ object Dedup {
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val shRaw = rawShingles(docs, idCol, textCol, n)
     val sigAggs = (0 until bands * rowsPerBand).map(p =>
-      min(md5(concat(lit(s"$p|"), col("shingle")))).as(s"sig_$p")) :+
+      min(permKey(p, col("shingle"))).as(s"sig_$p")) :+
       countDistinct(col("shingle")).as("sz")
     // sig/cand are referenced by several downstream consumers; the repeated
     // subtrees stay IDENTICAL so ReuseExchange dedupes them in the single

@@ -74,11 +74,15 @@ object PipelineQueries {
          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          |sig AS (
          |  SELECT doc_id,
-         |         MIN(md5('0|' || shingle)) AS s0, MIN(md5('1|' || shingle)) AS s1,
-         |         MIN(md5('2|' || shingle)) AS s2, MIN(md5('3|' || shingle)) AS s3,
-         |         MIN(md5('4|' || shingle)) AS s4, MIN(md5('5|' || shingle)) AS s5,
-         |         MIN(md5('6|' || shingle)) AS s6, MIN(md5('7|' || shingle)) AS s7,
-         |         MIN(md5('8|' || shingle)) AS s8
+         |         MIN(SUBSTR(md5('0|' || shingle), 1, 16))  AS s0,
+         |         MIN(SUBSTR(md5('0|' || shingle), 17, 16)) AS s1,
+         |         MIN(SUBSTR(md5('1|' || shingle), 1, 16))  AS s2,
+         |         MIN(SUBSTR(md5('1|' || shingle), 17, 16)) AS s3,
+         |         MIN(SUBSTR(md5('2|' || shingle), 1, 16))  AS s4,
+         |         MIN(SUBSTR(md5('2|' || shingle), 17, 16)) AS s5,
+         |         MIN(SUBSTR(md5('3|' || shingle), 1, 16))  AS s6,
+         |         MIN(SUBSTR(md5('3|' || shingle), 17, 16)) AS s7,
+         |         MIN(SUBSTR(md5('4|' || shingle), 1, 16))  AS s8
          |  FROM sh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, 0 AS band, md5(s0 || s1 || s2) AS band_key FROM sig

@@ -67,6 +67,25 @@ class DedupSpec extends SparkSpec {
     assert(sh.count() === 0)
   }
 
+  test("native word_shingles matches the declarative spec (incl. unicode/edge cases)") {
+    Shingles.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  Leading   spaces, UPPER case, punct!!! and--dashes  ",
+      "café über naïve — l'été à Paris 42 fois", // multi-byte separators
+      "one two", // fewer tokens than n
+      "", // empty
+      "a1 b2 c3 d4 e5",
+      "tabs\tand\nnewlines\r\nsplit too").toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val got = texts.select(Shingles.wordShingles(col("text"), n).as("s"))
+        .collect().map(_.getSeq[String](0))
+      val want = texts.select(Dedup.wordShingles(col("text"), n).as("s"))
+        .collect().map(_.getSeq[String](0))
+      assert(got.toSeq === want.toSeq, s"n=$n")
+    }
+  }
+
   test("dupClusters: transitive chains collapse to the min id") {
     import spark.implicits._
     // chain 1-2-3 (never directly 1-3) + isolated pair 9-10
