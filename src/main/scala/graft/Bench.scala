@@ -32,6 +32,21 @@ object Bench {
     // per data scale, so stage codegen doesn't transfer, and the extra 40
     // runs just add metaspace/GC pressure — measured slower.)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Second warmup: the dedup kernel chain (shingles → minhash → CC),
+    // shared by the five heaviest queries, compiles a distinct set of
+    // generated classes the relational warmup never touches. Still on the
+    // smoke-scale data and outside every timer; measured -2.5s on the
+    // driver-config total. (Per-query warmup remains a non-starter — see
+    // the note above.)
+    try {
+      val docs = graft.engine.Tables
+        .load(spark, "/root/testdata/sf0.001", "documents")
+      graft.llm.Dedup.dupClusters(
+        graft.llm.Dedup.minhashNearDups(docs, "doc_id", "text", 3, 3, 3, 0.5)
+          .select("id1", "id2")).count()
+      spark.catalog.clearCache()
+      System.gc()
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       // failed runs are excluded from timing (not reported as fast
       // successes) and surfaced on stderr; all-failed → -1 marker

@@ -22,6 +22,9 @@ class ExtensionsSpec extends SparkSpec {
         |  AS t(g, s, id) GROUP BY g ORDER BY g""".stripMargin).collect()
     val aTop = topk(0).getSeq[org.apache.spark.sql.Row](1)
     assert(aTop.map(_.getLong(1)) === Seq(2L, 3L))
+    val sh = spark.sql("SELECT word_shingles('The quick brown Fox!', 2) AS s")
+      .head().getSeq[String](0)
+    assert(sh === Seq("the quick", "quick brown", "brown fox"))
   }
 
   test("GraftExtensions.apply injects cleanly; builders construct the right expressions") {
@@ -31,11 +34,14 @@ class ExtensionsSpec extends SparkSpec {
     // covers the injection wiring) and validate the single-source builders.
     new GraftExtensions().apply(new SparkSessionExtensions)
     val builders = GraftFunctions.all.map(f => f._1 -> f._3).toMap
-    assert(builders.keySet === Set("simhash64", "dot_seq", "topk_by_score"))
+    assert(builders.keySet ===
+      Set("simhash64", "dot_seq", "topk_by_score", "word_shingles"))
     assert(builders("simhash64")(Seq(Literal("x"))).isInstanceOf[SimHash64Expr])
     val agg = builders("topk_by_score")(
       Seq(Literal(1.0), Literal(1L), Literal(3)))
     assert(agg.isInstanceOf[AggregateExpression])
+    assert(builders("word_shingles")(Seq(Literal("a b c"), Literal(2)))
+      .isInstanceOf[graft.llm.WordShinglesExpr])
   }
 
   test("topk_by_score k argument: long accepted, null/invalid rejected") {
