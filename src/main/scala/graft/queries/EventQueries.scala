@@ -73,6 +73,68 @@ object EventQueries {
         |FROM sid GROUP BY user_id, s
         |ORDER BY user_id, session_start""".stripMargin), headline = true),
 
+    // Backward as-of join: every click attached to the user's latest view
+    // at-or-before it. Implemented as union + running last(ignoreNulls)
+    // window — one shuffle, linear, no per-key candidate blowup (see
+    // engine.TimeJoins scale notes); the oracle mirrors the exact same
+    // union+window formulation so tie semantics match bit-for-bit.
+    QuerySpec("q_asof_join", (s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "us")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("us"),
+          col("event_id").as("view_id"), col("value"))
+      graft.engine.TimeJoins.asofJoinBackward(
+          clicks, views, Seq("user_id"), "us", Seq("view_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+          col("matched_view_id"), col("matched_value"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, us, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
+        |         event_id AS matched_view_id, value AS matched_value
+        |  FROM base WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, us, 1 AS side, event_id,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |  FROM base WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT user_id, us, side, event_id,
+        |         LAST_VALUE(matched_view_id IGNORE NULLS) OVER w AS matched_view_id,
+        |         LAST_VALUE(matched_value IGNORE NULLS) OVER w AS matched_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY us, side, matched_view_id NULLS FIRST
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, make_timestamp(us) AS ts,
+        |       matched_view_id, matched_value
+        |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
+    // Bounded range self-join: ordered pairs of same-user events within 5
+    // minutes. Spark side buckets time by the window width so candidates
+    // come from an equi-join on (user, bucket) — the oracle states the
+    // plain inequality join (DuckDB's IEJoin evaluates it directly).
+    QuerySpec("q_range_pairs", (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      graft.engine.TimeJoins.rangeSelfJoin(
+          ev, Seq("user_id"), "us", "event_id", withinUs = 300000000L)
+        .orderBy("event_id_1", "event_id_2")
+    }, Some(
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS event_id_1, b.event_id AS event_id_2,
+        |       b.us - a.us AS gap_us
+        |FROM base a JOIN base b ON a.user_id = b.user_id
+        | AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        | AND b.us - a.us <= 300000000
+        |ORDER BY event_id_1, event_id_2""".stripMargin)),
+
     // JSON scalar extraction from the props payload column (the reference's
     // API-JSON flatten surface, S3/S8).
     QuerySpec("q_json_extract", (s, dir) => {

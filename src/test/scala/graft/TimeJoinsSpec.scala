@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.engine.TimeJoins
+
+class TimeJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asof(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long, Double)]) = {
+    val l = left.toDF("event_id", "user_id", "us")
+    val r = right.toDF("view_id", "user_id", "us", "value")
+      .select($"user_id", $"us", $"view_id", $"value")
+    TimeJoins.asofJoinBackward(l, r, Seq("user_id"), "us", Seq("view_id", "value"))
+      .select("event_id", "matched_view_id", "matched_value")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+  }
+
+  test("asof: latest at-or-before right row matches; none before -> null") {
+    val m = asof(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 50L)),
+      right = Seq((10L, 7L, 80L, 1.0), (11L, 7L, 200L, 2.0)))
+    assert(m(1L) === (Some(10L), Some(1.0)))   // 80 <= 100 < 200
+    assert(m(2L) === (Some(11L), Some(2.0)))   // latest of {80, 200}
+    assert(m(3L) === (None, None))             // nothing at or before 50
+  }
+
+  test("asof: equal timestamp matches inclusively; partition keys isolate users") {
+    val m = asof(
+      left = Seq((1L, 7L, 100L), (2L, 8L, 100L)),
+      right = Seq((10L, 7L, 100L, 1.0)))
+    assert(m(1L) === (Some(10L), Some(1.0)))   // ts tie -> right row visible
+    assert(m(2L) === (None, None))             // other user sees nothing
+  }
+
+  test("asof: right-side timestamp ties resolve to the largest tiebreak id") {
+    val m = asof(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((10L, 7L, 90L, 1.0), (12L, 7L, 90L, 3.0), (11L, 7L, 90L, 2.0)))
+    assert(m(1L) === (Some(12L), Some(3.0)))
+  }
+
+  test("range self-join: within-window pairs once each, across bucket boundaries") {
+    // Δ=100 ⇒ buckets [0,100), [100,200)… ; (95,105) crosses the boundary,
+    // (95,190) is 95 apart within Δ, (95,196) is 101 apart — out.
+    val df = Seq((1L, 7L, 95L), (2L, 7L, 105L), (3L, 7L, 190L), (4L, 7L, 196L))
+      .toDF("event_id", "user_id", "us")
+    val got = TimeJoins.rangeSelfJoin(df, Seq("user_id"), "us", "event_id", 100L)
+      .select("event_id_1", "event_id_2", "gap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 10L), (1L, 3L, 95L), (2L, 3L, 85L), (2L, 4L, 91L), (3L, 4L, 6L)))
+  }
+
+  test("range self-join: equal-ts pair emitted once, ordered by id; users isolated") {
+    val df = Seq((1L, 7L, 50L), (2L, 7L, 50L), (3L, 8L, 50L))
+      .toDF("event_id", "user_id", "us")
+    val got = TimeJoins.rangeSelfJoin(df, Seq("user_id"), "us", "event_id", 100L)
+      .collect().map { case Row(u: Long, a: Long, b: Long, g: Long) => (u, a, b, g) }.toSet
+    assert(got === Set((7L, 1L, 2L, 0L)))
+  }
+}
