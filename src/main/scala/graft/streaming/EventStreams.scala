@@ -55,6 +55,32 @@ object EventStreams {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: each left event joined to right events
+    * of the same key whose timestamp falls in
+    * `[left.ts − lookback, left.ts]` — the streaming dual of the batch
+    * temporal joins in `engine.TimeJoins` (bounded lookback instead of
+    * unbounded as-of, because unbounded right-side state cannot be evicted
+    * on a stream).
+    *
+    * Scale: watermarks on BOTH sides plus the time-range predicate are
+    * what let Spark evict buffered rows once `watermark − lookback` passes
+    * them — state is bounded by rate × (delay + lookback) per side. Both
+    * inputs shuffle once on the join key; works identically on batch
+    * frames (the watermark is a no-op there). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      lookback: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(tsCol, watermarkDelay)
+      else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(tsCol, watermarkDelay)
+      else right).alias("r")
+    l.join(r, expr(
+      s"""l.`$keyCol` = r.`$keyCol` AND
+         |r.`$tsCol` BETWEEN l.`$tsCol` - INTERVAL $lookback AND l.`$tsCol`
+         |""".stripMargin))
+  }
+
   /** Batch sessionization: the gaps-and-islands window formulation — a
     * session break is a gap > gapMs from the previous event of the same
     * user; session id = running count of breaks. Relational dual of

@@ -55,6 +55,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("stream-stream interval join matches pairs within lookback, per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = EventStreams.intervalJoin(
+        clicks.toDF().selectExpr("event_id AS click_id", "user_id", "ts"),
+        views.toDF().selectExpr("event_id AS view_id", "user_id", "ts"),
+        lookback = "10 minutes")
+    val q = joined
+      .selectExpr("click_id", "view_id")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(Event(101, ts(1), 10, "view", 0.0),   // 9 min before → in
+        Event(102, ts(25), 10, "view", 0.0),              // 15 min after → out
+        Event(103, ts(8), 11, "view", 0.0))               // other user → out
+      clicks.addData(Event(1, ts(10), 10, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ij_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 101L)))
+    assert(joined.isStreaming)
+  }
+
   test("batch sessionization (gaps-and-islands) agrees with streaming state") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(

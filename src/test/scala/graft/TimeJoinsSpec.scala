@@ -50,6 +50,43 @@ class TimeJoinsSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 10L), (1L, 3L, 95L), (2L, 3L, 85L), (2L, 4L, 91L), (3L, 4L, 6L)))
   }
 
+  test("asof matches brute force on randomized collision-heavy data") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      // tiny ts/user domains force equal-ts ties and cross-user isolation
+      val left = (1 to 60).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(20).toLong))
+      val right = (101 to 160).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, rnd.nextInt(9).toDouble))
+      val expected = left.map { case (id, u, ts) =>
+        val best = right.filter(r => r._2 == u && r._3 <= ts)
+          .sortBy(r => (r._3, r._1)).lastOption
+        id -> ((best.map(_._1), best.map(_._4)))
+      }.toMap
+      assert(asof(left, right) === expected)
+    }
+  }
+
+  test("range self-join matches brute force on randomized data") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val rows = (1 to 80).map(i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(500).toLong))
+      val delta = 1L + rnd.nextInt(120)
+      val expected = (for {
+        a <- rows; b <- rows
+        if a._2 == b._2
+        if a._3 < b._3 || (a._3 == b._3 && a._1 < b._1)
+        if b._3 - a._3 <= delta
+      } yield (a._2, a._1, b._1, b._3 - a._3)).toSet
+      val got = TimeJoins.rangeSelfJoin(
+          rows.toDF("event_id", "user_id", "us"),
+          Seq("user_id"), "us", "event_id", delta)
+        .collect().map { case Row(u: Long, a: Long, b: Long, g: Long) => (u, a, b, g) }.toSet
+      assert(got === expected, s"delta=$delta")
+    }
+  }
+
   test("range self-join: equal-ts pair emitted once, ordered by id; users isolated") {
     val df = Seq((1L, 7L, 50L), (2L, 7L, 50L), (3L, 8L, 50L))
       .toDF("event_id", "user_id", "us")
