@@ -66,6 +66,37 @@ class PlanSpec extends SparkSpec {
     assert(hasWscg, unwrapped.toString)
   }
 
+  test("as-of join plans exactly one exchange per input (no range-join blowup)") {
+    import spark.implicits._
+    val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "us")
+    val r = Seq((10L, 7L, 80L, 1.0)).toDF("view_id", "user_id", "us", "value")
+      .select($"user_id", $"us", $"view_id", $"value")
+    val df = graft.engine.TimeJoins.asofJoinBackward(
+      l, r, Seq("user_id"), "us", Seq("view_id", "value"))
+    val plan = planString(df)
+    // union + one window: hash exchanges only on the partition key — a
+    // range-join formulation would surface as a join node here instead
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "hashpartitioning".r.findAllIn(plan.toLowerCase).length
+    assert(exchanges >= 1, plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
+
+  test("range self-join is a bucketed equi-join, not a nested loop") {
+    import spark.implicits._
+    val df = graft.engine.TimeJoins.rangeSelfJoin(
+      Seq((1L, 7L, 95L)).toDF("event_id", "user_id", "us"),
+      Seq("user_id"), "us", "event_id", 100L)
+    val plan = planString(df)
+    // candidates must come from a hash-partitionable equi-join on
+    // (keys, bucket); the Δ predicate is a post-join filter
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("anti-join dedup ships keys only (pruned scan on the existing side)") {
     val orders = Tables.load(spark, dir, "orders")
     val existing = Tables.load(spark, dir, "orders").limit(100)
