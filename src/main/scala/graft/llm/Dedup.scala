@@ -195,12 +195,25 @@ object Dedup {
     * iteration is one shuffle join on the (small) node set — the standard
     * large-graph CC shape without needing GraphX.
     * Input: pairs (id1, id2). Output: (id, canonical_id). */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
     // materialize the pair set BEFORE mirroring it: the input is typically
     // an expensive similarity plan and both union branches reference it —
     // without this checkpoint the whole similarity computation runs twice
     // (and the propagation loop would recompute it every iteration).
     val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    // Adaptive small-graph fast path (same reasoning as Spark's broadcast
+    // threshold): the near-dup edge set after LSH banding is orders of
+    // magnitude smaller than the corpus — when it fits comfortably on the
+    // driver, exact union-find there replaces O(diameter) shuffle rounds
+    // with zero. The count runs over the already-checkpointed pairs (one
+    // cheap pass); ids must be integral for order parity with Spark's min.
+    if (localEdgeThreshold > 0 && p.count() <= localEdgeThreshold) {
+      localUnionFind(p) match {
+        case Some(labels) => return labels
+        case None => () // non-integral ids: fall through to the loop
+      }
+    }
     val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(p.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
@@ -229,6 +242,47 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Driver-side exact union-find over a collected edge set (the
+    * [[dupClusters]] small-graph fast path). Roots are component minima —
+    * identical labels to the distributed propagation — via union-by-min
+    * with path compression. Only integral id types (order parity with
+    * Spark's `min` is then trivial); anything else returns None. */
+  private def localUnionFind(p: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val dt = p.schema.fields(0).dataType
+    val integral = dt == LongType || dt == IntegerType ||
+      dt == ShortType || dt == ByteType
+    if (!integral || p.schema.fields(1).dataType != dt) return None
+    def toL(a: Any): Long = a match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nx = parent(c); parent(c) = r; c = nx
+      }
+      r
+    }
+    p.collect().foreach { row =>
+      val a = toL(row.get(0)); val b = toL(row.get(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = p.sparkSession
+    import spark.implicits._
+    val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    Some(labels.toDF("id", "canonical_id")
+      .select(col("id").cast(dt).as("id"),
+        col("canonical_id").cast(dt).as("canonical_id")))
   }
 
   /** Connected components by alternating large-star / small-star

@@ -119,6 +119,32 @@ class DedupSpec extends SparkSpec {
     assert(star(3L) === 1L && star(10L) === 9L && star(4L) === 4L && star(7L) === 7L)
   }
 
+  test("dupClusters: distributed propagation matches the union-find fast path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = ((0 until 120).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)) ++
+      (200L until 220L).map(i => (i, i + 1))) // diameter-20 chain
+      .toDF("id1", "id2")
+    val fast = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.dupClusters(pairs, maxIter = 40, localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dist)
+    assert(fast(220L) === 200L)
+  }
+
+  test("dupClusters: int ids keep their type through the fast path") {
+    import spark.implicits._
+    val pairs = Seq((1, 2), (2, 3)).toDF("id1", "id2")
+    val out = Dedup.dupClusters(pairs)
+    assert(out.schema.fields.map(_.dataType).toSeq ===
+      Seq(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType))
+    val got = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got === Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
   test("simhash: identical docs equal; near-dups close; unrelated far") {
     val h1 = SimHash.compute(docs.filter(col("doc_id") === 1).head().getString(1))
     val h2 = SimHash.compute(docs.filter(col("doc_id") === 2).head().getString(1))
