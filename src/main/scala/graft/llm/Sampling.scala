@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and ordering for training-data exports.
+  *
+  * Random sampling via RNG state (`df.sample`, `sampleBy`) is not
+  * reproducible across engines, partitionings, or reruns — a training
+  * pipeline needs the SAME subset on every run and on every engine that
+  * audits it. These operators derive uniformity from md5 of the row key
+  * instead (the engine's standard portable-randomness trick): a row is in
+  * the sample iff the first 8 hex chars of `md5(seed|key)` fall below the
+  * fraction's threshold, a pure per-row predicate.
+  *
+  * Scale: both operators are map-only (no shuffle, no state); the sample
+  * predicate pushes no work to the driver and composes with scan pruning.
+  * The shuffle ordering is a total sort — at 100 TB it range-partitions
+  * like any global ORDER BY (used at the export edge, once).
+  */
+object Sampling {
+
+  /** Hex threshold on [0, 16^8) equivalent to `fraction`; md5 hex compares
+    * lexicographically identically in any engine. */
+  private[llm] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    // 1.0 must keep EVERY row, including md5 prefixes of "ffffffff":
+    // 'g' sorts after every hex char, so `hex < "g"` is always true
+    if (fraction >= 1.0) "g"
+    else f"${math.min((fraction * 4294967296.0).round, 4294967295L)}%08x"
+  }
+
+  private def uniformHex(seed: String, key: Column): Column =
+    substring(md5(concat(lit(s"$seed|"), key.cast("string"))), 1, 8)
+
+  /** Keep ~`fraction` of rows, deterministically by `keyCol`. The same key
+    * is kept or dropped on every run and engine (sample stability under
+    * reruns + joinability of samples across tables sharing the key). */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+      seed: String = "sample"): DataFrame =
+    df.filter(uniformHex(seed, col(keyCol)) < lit(hexThreshold(fraction)))
+
+  /** Stratified variant: per-stratum fractions (e.g. language re-balancing
+    * for a training mix); strata absent from the map keep `default`. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      seed: String = "sample"): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexThreshold(default))) {
+        case (acc, (stratum, f)) =>
+          when(col(stratumCol) === lit(stratum), lit(hexThreshold(f)))
+            .otherwise(acc)
+      }
+    df.filter(uniformHex(seed, col(keyCol)) < threshold)
+  }
+
+  /** Deterministic global shuffle: a reproducible training order via
+    * ORDER BY md5(seed|key) — same permutation on every run/engine; change
+    * `seed` per epoch for a fresh order. */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+      seed: String = "epoch0"): DataFrame =
+    df.orderBy(uniformHex(seed, col(keyCol)).asc, col(keyCol).asc)
+}

@@ -125,6 +125,34 @@ object TextQueries {
         |           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
         |                          c -> CAST(ascii(c) AS BIGINT))),
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling: md5-uniform per key, per-language
+    // fractions (training-mix re-balancing). Same subset on every run,
+    // partitioning, and engine — the oracle IS the reproducibility check.
+    QuerySpec("q_strat_sample", (s, dir) => {
+      graft.llm.Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "fr" -> 0.25), default = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      CASE WHEN lang = 'en' THEN '80000000'
+        |           WHEN lang = 'fr' THEN '40000000'
+        |           ELSE '1999999a' END
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic global shuffle key: reproducible training order
+    // (ORDER BY md5(seed|key)); new seed = new epoch permutation.
+    QuerySpec("q_shuffle_order", (s, dir) => {
+      graft.llm.Sampling.deterministicShuffle(docs(s, dir), "doc_id",
+          seed = "epoch0")
+        .select(col("doc_id"),
+          substring(md5(concat(lit("epoch0|"), col("doc_id").cast("string"))),
+            1, 8).as("shuffle_key"))
+    }, Some(
+      """SELECT doc_id,
+        |       substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val keys = (1L to 2000L).toDF("id")
+
+  test("fraction edges: 1.0 keeps every row, 0.0 keeps none") {
+    assert(Sampling.deterministicSample(keys, "id", 1.0).count() === 2000L)
+    assert(Sampling.deterministicSample(keys, "id", 0.0).count() === 0L)
+  }
+
+  test("sample rate lands near the fraction; invariant under repartitioning") {
+    val picked = Sampling.deterministicSample(keys, "id", 0.5)
+      .as[Long].collect().toSet
+    assert(math.abs(picked.size - 1000) < 80, s"got ${picked.size}")
+    val repart = Sampling.deterministicSample(keys.repartition(7), "id", 0.5)
+      .as[Long].collect().toSet
+    assert(repart === picked)
+  }
+
+  test("smaller fractions are subsets of larger ones (nested thresholds)") {
+    val s25 = Sampling.deterministicSample(keys, "id", 0.25).as[Long].collect().toSet
+    val s50 = Sampling.deterministicSample(keys, "id", 0.5).as[Long].collect().toSet
+    assert(s25.subsetOf(s50))
+    // a different seed draws a genuinely different subset
+    val other = Sampling.deterministicSample(keys, "id", 0.25, seed = "s2")
+      .as[Long].collect().toSet
+    assert(other !== s25)
+  }
+
+  test("stratified sampling honors per-stratum fractions and the default") {
+    val df = (1L to 3000L).toDF("id")
+      .withColumn("lang", element_at(array(lit("en"), lit("fr"), lit("zh")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")))
+    val out = Sampling.stratifiedSample(df, "id", "lang",
+        Map("en" -> 0.8, "fr" -> 0.2), default = 0.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse("zh", 0L) === 0L)        // default 0 drops stratum
+    assert(math.abs(out("en") - 800L) < 90, out.toString)
+    assert(math.abs(out("fr") - 200L) < 60, out.toString)
+  }
+
+  test("deterministic shuffle is a stable total permutation") {
+    val once = Sampling.deterministicShuffle(keys, "id").as[Long].collect().toSeq
+    val again = Sampling.deterministicShuffle(keys.repartition(5), "id")
+      .as[Long].collect().toSeq
+    assert(once === again)
+    assert(once.sorted === (1L to 2000L))
+    assert(once !== (1L to 2000L).toSeq)          // actually permuted
+    val epoch1 = Sampling.deterministicShuffle(keys, "id", seed = "epoch1")
+      .as[Long].collect().toSeq
+    assert(epoch1 !== once)                       // new seed, new order
+  }
+}
