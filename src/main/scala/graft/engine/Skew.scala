@@ -43,6 +43,28 @@ object Skew {
     twoPhaseAgg(df, keys, saltCol, buckets, aggs, merges)
   }
 
+  /** Salted equi-join for skewed keys when BOTH sides are too large to
+    * broadcast: the fact side gets a deterministic salt from `factSaltCol`
+    * (a row-unique column, so the hot key spreads over `buckets`
+    * reducers); the dim side is replicated once per salt value. Join runs
+    * on (keys, salt) — the hot key's rows land on `buckets` different
+    * partitions instead of one. Replication costs `buckets × |dim|`, so
+    * size buckets to the skew factor, not higher. AQE's skew-join split
+    * handles moderate skew on its own; this is the explicit fix for the
+    * pathological single-key case (and for joins under non-AQE engines).
+    * `joinType` supports inner/left (fact side preserved). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      factSaltCol: Column, buckets: Int = 32,
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left, got $joinType")
+    val saltedFact = fact
+      .withColumn("__salt", pmod(hash(factSaltCol), lit(buckets)))
+    val saltedDim = dim
+      .withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    saltedFact.join(saltedDim, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Salted sum of a decimal-cast column — the engine's standard
     * deterministic measure aggregation, skew-proofed. */
   def saltedDecimalSum(df: DataFrame, keys: Seq[String], valueCol: String,

@@ -168,6 +168,49 @@ object StatsQueries {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Salted equi-join for the pathological single-hot-key case (both
+    // sides too large to broadcast): fact salted by a row-unique column,
+    // dim replicated per salt — value-transparent, so the oracle is the
+    // plain join. Aggregated output keeps the compare small.
+    QuerySpec("q_join_salted", (s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("orderkey"),
+          col("l_extendedprice"), col("l_orderkey"))
+      val dim = t(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(fact, dim, Seq("orderkey"),
+          factSaltCol = col("l_orderkey"), buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Column profiling report: one aggregation job for all columns
+    // (exact distinct counts; approx=true swaps HLL for wide tables).
+    QuerySpec("q_profile_orders", (s, dir) => {
+      graft.engine.Profile.profile(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+        .orderBy("column_name")
+    }, Some(
+      Seq(("o_custkey", true), ("o_orderpriority", false),
+          ("o_orderstatus", false), ("o_totalprice", true)).map {
+        case (c, num) =>
+          val (mn, mx, ms, xs) =
+            if (num) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+          s"""SELECT '$c' AS column_name, COUNT($c) AS n_nonnull,
+             |COUNT(DISTINCT $c) AS n_distinct, $mn AS min_num, $mx AS max_num,
+             |$ms AS min_str, $xs AS max_str FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))),
+
     // A5-A9 full gold shape (`tests_statistiques_dpe`): t/W + p-values +
     // batch_id. p-values (Student-t CDF, signed-rank exact/normal approx)
     // are not DuckDB-expressible — driver records a rows-only check; the

@@ -209,6 +209,54 @@ class SkewSpec extends SparkSpec {
     assert(salted.view.mapValues(_.doubleValue).toMap ===
       direct.view.mapValues(_.doubleValue).toMap)
   }
+
+  test("salted join equals plain join (inner and left, incl. unmatched rows)") {
+    val fact = ((1 to 500).map(i => (1L, i.toLong)) ++  // hot key
+      Seq((2L, 900L), (7L, 901L))).toDF("k", "rowid")   // 7 has no dim row
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "rowid", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val plainInner = canon(fact.join(dim, Seq("k")))
+    val saltedInner = canon(graft.engine.Skew.saltedJoin(
+      fact, dim, Seq("k"), factSaltCol = col("rowid"), buckets = 8))
+    assert(saltedInner === plainInner)
+    val plainLeft = canon(fact.join(dim, Seq("k"), "left"))
+    val saltedLeft = canon(graft.engine.Skew.saltedJoin(
+      fact, dim, Seq("k"), factSaltCol = col("rowid"), buckets = 8, "left"))
+    assert(saltedLeft === plainLeft)
+    assert(plainLeft.exists(_._3.isEmpty)) // the unmatched fact row survives
+  }
+}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile reports nulls, exact ndv, typed min/max per column") {
+    val df = Seq(
+      (Some(1L), Some("b"), Some(2.5)),
+      (Some(1L), None, Some(-1.0)),
+      (Some(3L), Some("a"), None)).toDF("num", "s", "d")
+    val rows = graft.engine.Profile.profile(df, Seq("num", "s", "d"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("num").getLong(1) === 3L)      // n_nonnull
+    assert(rows("num").getLong(2) === 2L)      // exact ndv
+    assert(rows("num").getDouble(3) === 1.0)   // min_num
+    assert(rows("num").getDouble(4) === 3.0)   // max_num
+    assert(rows("s").getLong(1) === 2L)
+    assert(rows("s").getString(5) === "a" && rows("s").getString(6) === "b")
+    assert(rows("s").isNullAt(3) && rows("s").isNullAt(4))
+    assert(rows("d").getLong(1) === 2L)
+    assert(rows("d").getDouble(3) === -1.0 && rows("d").getDouble(4) === 2.5)
+  }
+
+  test("approx profile keeps the same shape with HLL distinct counts") {
+    val df = (1L to 1000L).toDF("id")
+    val r = graft.engine.Profile.profile(df, Seq("id"), approx = true).head()
+    assert(r.getLong(1) === 1000L)
+    assert(math.abs(r.getLong(2) - 1000L) < 50L)
+  }
 }
 
 class LoadDedupSpec extends SparkSpec {
