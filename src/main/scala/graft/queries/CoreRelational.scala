@@ -108,6 +108,67 @@ object CoreRelational {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin), headline = true),
 
+    // Pivot: long→wide per-status counts over the five priority values
+    // (explicit value list ⇒ no extra distinct-values job; renamed to
+    // stable snake-case aliases on both engines).
+    QuerySpec("q_pivot_priority", (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .toDF("o_orderstatus", "p_urgent", "p_high", "p_medium",
+          "p_notspec", "p_low")
+        .na.fill(0L, Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low"))
+        .orderBy("o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Rollup: subtotal + grand-total rows via grouping sets (NULL group
+    // markers match across engines; the row-sorted hash compare makes
+    // NULL ordering moot).
+    QuerySpec("q_rollup_sales", (s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Moving-window analytics: 7-day trailing average of daily order
+    // counts (lag/lead family; runs over the small aggregated frame, so
+    // the unpartitioned window is not a scale hazard).
+    QuerySpec("q_moving_avg", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+      daily.select(col("d"), col("n"),
+          (sum(col("n")).over(w).cast("double") /
+            count(col("n")).over(w)).as("avg7"))
+        .orderBy("d")
+    }, Some(
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, COUNT(*) AS n FROM orders GROUP BY o_orderdate)
+        |SELECT d, n,
+        |       CAST(SUM(n) OVER w AS DOUBLE) / COUNT(n) OVER w AS avg7
+        |FROM daily
+        |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY d""".stripMargin)),
+
     // E6: equality filter — pushed into the parquet scan by Catalyst.
     QuerySpec("q_filter_eq", (s, dir) => {
       t(s, dir, "lineitem")
