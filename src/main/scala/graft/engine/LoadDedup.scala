@@ -22,6 +22,19 @@ object LoadDedup {
     incoming.join(existingKeys, keys, "left_anti")
   }
 
+  /** Merge/upsert: the append-only loader's missing half. Rows of
+    * `existing` whose key appears in `incoming` are REPLACED by the
+    * incoming version (dedup'd keep-first under `orderBy` — explicit, so
+    * deterministic under any partitioning); unmatched existing rows are
+    * kept; new keys are inserted. Anti-join ships keys only; no row of
+    * either table moves twice.
+    * (Schemas must match by name — same contract as unionByName.) */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+      orderBy: Seq[String]): DataFrame = {
+    val latest = dedupKeepFirst(incoming, keys, orderBy)
+    antiJoinOnKeys(existing, latest, keys).unionByName(latest)
+  }
+
   /** A11 (`load.py:189-210`): dedup by key keeping the FIRST row. pandas'
     * `keep='first'` is row-order-defined; a distributed engine has no row
     * order, so the caller must supply an explicit deterministic tiebreak

@@ -31,6 +31,15 @@ object Sinks {
       .option("path", path)
       .saveAsTable(tableName)
 
+  /** ORC sink (zlib): format breadth beyond the reference's surface —
+    * interchange with ORC-based warehouses without an extra copy step. */
+  def orc(df: DataFrame, path: String,
+      partitionByCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", "zlib")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .orc(path)
+  }
+
   /** S6: JSON-lines objects (the reference's S3 representation,
     * `filestorage_helper.py:113-123`). */
   def jsonLines(df: DataFrame, path: String): Unit =

@@ -59,6 +59,11 @@ object Sources {
     * `numPartitions`+bounds enable a parallel partitioned read — the
     * reference's single-connection `read_sql_table` is the non-scalable
     * version of this. */
+  /** Columnar-format breadth beyond the reference's parquet/JSON: ORC scan
+    * (predicate pushdown + column pruning, same as parquet). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def jdbc(spark: SparkSession, url: String, table: String,
       props: Properties = new Properties(),
       partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame =

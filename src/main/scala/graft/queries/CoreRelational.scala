@@ -108,6 +108,40 @@ object CoreRelational {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin), headline = true),
 
+    // Merge/upsert (the append-only loader's missing half): keys in the
+    // incoming batch replace their existing rows, new keys insert,
+    // untouched rows survive. Incoming is derived from `orders` itself
+    // (key mod classes) so both engines see identical inputs.
+    QuerySpec("q_upsert", (s, dir) => {
+      val existing = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val updates = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val inserts = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 7)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      graft.engine.LoadDedup.upsert(existing,
+          updates.unionByName(inserts),
+          Seq("o_orderkey"), Seq("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |inc AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |SELECT e.* FROM existing e
+        |WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = e.o_orderkey)
+        |UNION ALL SELECT * FROM inc
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Pivot: long→wide per-status counts over the five priority values
     // (explicit value list ⇒ no extra distinct-values job; renamed to
     // stable snake-case aliases on both engines).

@@ -179,7 +179,7 @@ object StatsQueries {
       val dim = t(s, dir, "orders")
         .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
       Skew.saltedJoin(fact, dim, Seq("orderkey"),
-          factSaltCol = col("l_orderkey"), buckets = 8)
+          factSaltCol = col("l_orderkey"), buckets = 4)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")

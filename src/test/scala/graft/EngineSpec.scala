@@ -262,6 +262,16 @@ class ProfileSpec extends SparkSpec {
 class LoadDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("upsert replaces matched keys, keeps unmatched, inserts new") {
+    val existing = Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("pk", "v")
+    val incoming = Seq((2L, "new2"), (2L, "zzz2"), (4L, "new4")).toDF("pk", "v")
+    val out = LoadDedup.upsert(existing, incoming, Seq("pk"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // pk=2 replaced by keep-first under v-order ("new2" < "zzz2");
+    // pk=1,3 untouched; pk=4 inserted
+    assert(out === Map(1L -> "old1", 2L -> "new2", 3L -> "old3", 4L -> "new4"))
+  }
+
   test("anti-join append is idempotent (load.py:123-165 shape)") {
     val existing = Seq((1L, "a"), (2L, "b")).toDF("pk", "v")
     val incoming = Seq((2L, "b2"), (3L, "c")).toDF("pk", "v")

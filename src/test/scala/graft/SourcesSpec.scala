@@ -59,6 +59,21 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.parquet(spark, dir).count() === 1)
   }
 
+  test("ORC sink/scan round-trips rows, schema, and partition pruning") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/out"
+    val df = Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p1"))
+      .toDF("id", "name", "part")
+    Sinks.orc(df, dir, partitionByCols = Seq("part"))
+    val back = Sources.orc(spark, dir)
+    assert(back.count() === 3)
+    assert(back.columns.sorted.toSeq === Seq("id", "name", "part"))
+    // partition predicate prunes at the directory level
+    val pruned = back.filter(org.apache.spark.sql.functions.col("part") === "p1")
+    assert(pruned.count() === 2)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), pruned.queryExecution.executedPlan)
+  }
+
   test("nested JSON structs flatten to parent_child scalars (S3 shape)") {
     val dir = Files.createTempDirectory("graft_nested").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/geo.json"),
