@@ -161,8 +161,40 @@ object DedupQueries {
     QuerySpec("q_simhash", (s, dir) => {
       Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    }, Some(s"WITH $simhashFpCte\nSELECT doc_id, w0, w1, w2, w3 FROM fp ORDER BY doc_id"),
+      headline = true),
+
+    // SimHash near-dup pipeline: 4×16-bit band blocking (Hamming ≤ 3 ⇒
+    // ≥1 shared word, pigeonhole) then exact bit_count(xor) verification.
+    QuerySpec("q_simhash_neardup", (s, dir) => {
+      Dedup.simhashNearDups(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id1", "id2")
     }, Some(
-      """WITH tok AS (
+      s"""WITH $simhashFpCte,
+         |bands AS (
+         |  SELECT doc_id, band,
+         |         CASE band WHEN 0 THEN w0 WHEN 1 THEN w1
+         |                   WHEN 2 THEN w2 ELSE w3 END AS word
+         |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.word = b.word AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT id1, id2,
+         |         CAST(bit_count(xor(f1.w0, f2.w0)) + bit_count(xor(f1.w1, f2.w1)) +
+         |              bit_count(xor(f1.w2, f2.w2)) + bit_count(xor(f1.w3, f2.w3))
+         |              AS BIGINT) AS hamming
+         |  FROM cand
+         |  JOIN fp f1 ON cand.id1 = f1.doc_id
+         |  JOIN fp f2 ON cand.id2 = f2.doc_id)
+         |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin))
+  )
+
+  /** Shared oracle CTE chain computing the 4×16-bit SimHash words in SQL
+    * (md5 nibble bits, ±1 weighted by token count, sign → bit). */
+  private[queries] val simhashFpCte: String =
+    """tok AS (
         |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
         |    SELECT doc_id,
         |           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -182,8 +214,5 @@ object DedupQueries {
         |         CAST(SUM(CASE WHEN FLOOR(j / 16) = 1 AND s > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1,
         |         CAST(SUM(CASE WHEN FLOOR(j / 16) = 2 AND s > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w2,
         |         CAST(SUM(CASE WHEN FLOOR(j / 16) = 3 AND s > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w3
-        |  FROM bits GROUP BY doc_id)
-        |SELECT doc_id, w0, w1, w2, w3 FROM fp ORDER BY doc_id""".stripMargin),
-      headline = true)
-  )
+        |  FROM bits GROUP BY doc_id)""".stripMargin
 }

@@ -86,6 +86,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash near-dups: exact dup at hamming 0; unrelated docs excluded") {
+    val nd = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(nd.contains((1L, 2L, 0L)))            // identical text ⇒ identical fp
+    assert(!nd.exists { case (a, b, _) => a == 4L || b == 4L })
+    assert(nd.forall(_._3 <= 3L))
+    // widening the budget can only add pairs (monotone in maxHamming)
+    val wide = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.map(t => (t._1, t._2)).toSet.subsetOf(wide))
+  }
+
   test("dupClusters: transitive chains collapse to the min id") {
     import spark.implicits._
     // chain 1-2-3 (never directly 1-3) + isolated pair 9-10
