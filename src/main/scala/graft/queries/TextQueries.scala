@@ -127,6 +127,49 @@ object TextQueries {
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF top-5 terms per document: tf from the token explode, df over
+    // distinct (doc, word), idf = ln(N/df). Scores round to 8 dp BEFORE
+    // ranking so a last-ulp ln() difference between libm implementations
+    // can neither flip ranks nor the hash. Per-doc window groups are
+    // vocabulary-bounded — no scale hazard.
+    QuerySpec("q_tfidf", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 8))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("word").asc)
+      scored.withColumn("term_rank", row_number().over(w).cast("long"))
+        .filter(col("term_rank") <= 5)
+        .select("doc_id", "term_rank", "word", "tf", "score")
+        .orderBy("doc_id", "term_rank")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word, tf,
+        |         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 8) AS score
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, word) AS term_rank
+        |  FROM scored)
+        |SELECT doc_id, term_rank, word, tf, score
+        |FROM ranked WHERE term_rank <= 5
+        |ORDER BY doc_id, term_rank""".stripMargin)),
+
     // Deterministic stratified sampling: md5-uniform per key, per-language
     // fractions (training-mix re-balancing). Same subset on every run,
     // partitioning, and engine — the oracle IS the reproducibility check.
