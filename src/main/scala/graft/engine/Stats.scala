@@ -116,6 +116,55 @@ object Stats {
         coalesce(col("tie_counts"), typedLit(Seq.empty[Long])).as("tie_counts"))
   }
 
+  /** Mann-Whitney U (unpaired two-sample rank-sum) per group — beyond the
+    * reference's paired tests: compares `value` between the `a` and `b`
+    * populations of `sample` within each `label` group.
+    *
+    * Same scale discipline as [[wilcoxonStat]]: tie groups pre-aggregate
+    * FIRST (map-side combinable groupBy on (label, value)), the rank
+    * window sorts only distinct values per group, and mid-ranks are exact
+    * half-integers (dyadic — double sums stay exact and associative, so
+    * results are partition-order-independent). U = min(U1, U2). */
+  def mannWhitneyStat(df: DataFrame, label: String, value: String,
+      sample: String, a: String, b: String): DataFrame = {
+    val base = df.na.drop(Seq(value))
+      .filter(col(sample).isin(a, b))
+      .select(col(label), dec(col(value)).as("v"),
+        (col(sample) === lit(a)).as("is_a"))
+    val ties = base.groupBy(col(label), col("v"))
+      .agg(count(when(col("is_a"), 1)).as("ca"),
+        count(when(!col("is_a"), 1)).as("cb"),
+        count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col(label)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = ties.withColumn("midrank",
+      coalesce(sum(col("c")).over(wCum), lit(0L)) + (col("c") + 1) / lit(2.0))
+    val agg = ranked.groupBy(col(label)).agg(
+      sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+      sum(col("ca") * col("midrank")).as("r1"),
+      collect_list(col("c")).as("tie_counts"))
+    val u1 = col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
+    agg.select(col(label), col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0,
+        least(u1, col("n1") * col("n2") - u1)).otherwise(lit(Sentinel))
+        .as("u_stat"),
+      col("tie_counts"))
+  }
+
+  /** Mann-Whitney two-sided p-value: normal approximation with tie
+    * correction, no continuity correction (scipy `method='asymptotic',
+    * use_continuity=False`). Runs on the aggregated group rows. */
+  def mannWhitneyPValue(n1: Long, n2: Long, uStat: Double,
+      tieCounts: Seq[Long]): Double = {
+    if (n1 < 1 || n2 < 1 || uStat == Sentinel) return Sentinel
+    val n = (n1 + n2).toDouble
+    val tieAdj = tieCounts.map(t => t.toDouble * t * t - t).sum / (n * (n - 1))
+    val sigma2 = n1 * n2 / 12.0 * ((n + 1) - tieAdj)
+    if (sigma2 <= 0) return Sentinel
+    val z = (uStat - n1 * n2 / 2.0) / math.sqrt(sigma2)
+    2.0 * new NormalDistribution().cumulativeProbability(-math.abs(z))
+  }
+
   /** Wilcoxon two-sided p-value, mirroring scipy's method='auto':
     * exact signed-rank distribution (DP over rank sums) when n ≤ 50 with
     * untied integer ranks, else normal approximation with tie correction

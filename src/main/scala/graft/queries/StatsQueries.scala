@@ -168,6 +168,40 @@ object StatsQueries {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Mann-Whitney U (unpaired rank-sum) per line status: quantity of
+    // returned (R) vs accepted (A) lineitems. Tie-pre-aggregated midranks
+    // are exact half-integers, so double sums are associative and the
+    // oracle mirror is bit-exact; p-values stay in StatsSpec.
+    QuerySpec("q_mannwhitney", (s, dir) => {
+      Stats.mannWhitneyStat(t(s, dir, "lineitem"), "l_linestatus",
+          "l_quantity", "l_returnflag", a = "A", b = "R")
+        .select(col("l_linestatus"), col("n1"), col("n2"), col("u_stat"))
+        .orderBy("l_linestatus")
+    }, Some(
+      """WITH base AS (
+        |  SELECT l_linestatus AS label, CAST(l_quantity AS DECIMAL(18,2)) AS v,
+        |         l_returnflag = 'A' AS is_a
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |ties AS (
+        |  SELECT label, v, COUNT(*) FILTER (WHERE is_a) AS ca,
+        |         COUNT(*) FILTER (WHERE NOT is_a) AS cb, COUNT(*) AS c
+        |  FROM base GROUP BY label, v),
+        |ranked AS (
+        |  SELECT label, ca, cb, c,
+        |         COALESCE(SUM(c) OVER (PARTITION BY label ORDER BY v
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + (c + 1) / 2.0 AS midrank
+        |  FROM ties),
+        |agg AS (
+        |  SELECT label, CAST(SUM(ca) AS BIGINT) AS n1,
+        |         CAST(SUM(cb) AS BIGINT) AS n2,
+        |         SUM(ca * midrank) AS r1
+        |  FROM ranked GROUP BY label)
+        |SELECT label AS l_linestatus, n1, n2,
+        |       LEAST(r1 - n1 * (n1 + 1) / 2.0,
+        |             n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0)) AS u_stat
+        |FROM agg ORDER BY l_linestatus""".stripMargin)),
+
     // Salted equi-join for the pathological single-hot-key case (both
     // sides too large to broadcast): fact salted by a row-unique column,
     // dim replicated per salt — value-transparent, so the oracle is the
