@@ -165,6 +165,41 @@ object Stats {
     2.0 * new NormalDistribution().cumulativeProbability(-math.abs(z))
   }
 
+  /** Chi-square test of independence, cell layer: observed vs expected
+    * counts per (rowVal, colVal) with the per-cell χ² contribution.
+    * Everything here is per-cell scalar arithmetic over exact integer
+    * totals — no floating-point SUM appears in the distributed plan, so
+    * the output is bit-deterministic (contributions round to 8 dp); the
+    * statistic and p-value fold the handful of cells driver-side
+    * ([[chiSquareTest]]). Three count aggregations + two broadcast-sized
+    * joins; nothing wider than the contingency table ever shuffles. */
+  def chiSquareCells(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val obs = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = obs.groupBy(col(rowCol)).agg(sum(col("observed")).as("row_total"))
+    val colTot = obs.groupBy(col(colCol)).agg(sum(col("observed")).as("col_total"))
+    val n = obs.agg(sum(col("observed")).as("n_total"))
+    val eRaw = (col("row_total") * col("col_total")).cast("double") /
+      col("n_total").cast("double")
+    val diff = col("observed") - eRaw
+    obs.join(rowTot, rowCol).join(colTot, colCol).crossJoin(broadcast(n))
+      .select(col(rowCol), col(colCol), col("observed"),
+        round(eRaw, 8).as("expected"),
+        round(diff * diff / eRaw, 8).as("contrib"))
+  }
+
+  /** χ² statistic + two-sided p over the collected cells (≤ r×c rows);
+    * recomputes contributions from exact counts in a deterministic cell
+    * order. Returns (chi2, dof, p). */
+  def chiSquareTest(cells: Seq[(Long, Double)], nRows: Int, nCols: Int): (Double, Int, Double) = {
+    val chi2 = cells.map { case (o, e) => val d = o - e; d * d / e }.sum
+    val dof = (nRows - 1) * (nCols - 1)
+    if (dof < 1) return (chi2, dof, Sentinel)
+    val p = 1.0 - new org.apache.commons.math3.distribution
+      .ChiSquaredDistribution(dof.toDouble).cumulativeProbability(chi2)
+    (chi2, dof, p)
+  }
+
   /** Wilcoxon two-sided p-value, mirroring scipy's method='auto':
     * exact signed-rank distribution (DP over rank sums) when n ≤ 50 with
     * untied integer ranks, else normal approximation with tie correction

@@ -202,6 +202,31 @@ object StatsQueries {
         |             n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0)) AS u_stat
         |FROM agg ORDER BY l_linestatus""".stripMargin)),
 
+    // Chi-square contingency cells (returnflag × linestatus): observed,
+    // expected, and per-cell contribution from exact integer totals —
+    // no float SUM in the plan, so bit-deterministic; the folded χ²/p
+    // run driver-side over these cells (StatsSpec).
+    QuerySpec("q_chisq_cells", (s, dir) => {
+      Stats.chiSquareCells(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some(
+      """WITH obs AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS observed
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |rt AS (SELECT l_returnflag, CAST(SUM(observed) AS BIGINT) AS row_total
+        |       FROM obs GROUP BY l_returnflag),
+        |ct AS (SELECT l_linestatus, CAST(SUM(observed) AS BIGINT) AS col_total
+        |       FROM obs GROUP BY l_linestatus),
+        |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM obs)
+        |SELECT l_returnflag, l_linestatus, observed,
+        |       ROUND(CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE), 8) AS expected,
+        |       ROUND((observed - CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |             * (observed - CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |             / (CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE)), 8) AS contrib
+        |FROM obs JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus)
+        |CROSS JOIN n
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // Salted equi-join for the pathological single-hot-key case (both
     // sides too large to broadcast): fact salted by a row-unique column,
     // dim replicated per salt — value-transparent, so the oracle is the
