@@ -39,6 +39,37 @@ object TextAnalysis {
       lit(0L),
       (acc, x) => (acc * 31 + x) % mod)
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * local-fingerprint scheme): hash every character k-gram (md5 hex
+    * prefix — fixed-width, so lexicographic min = numeric min in any
+    * engine), slide a window of `w` hashes, keep each window's minimum,
+    * dedupe. Guarantees a shared fingerprint for any matching substring
+    * of length ≥ k + w − 1 — position-robust local dedup where shingle
+    * sets are whole-document-global.
+    *
+    * Scale: map-only per document (explode at the end); k-gram hashes are
+    * materialized into a projection column FIRST so the window transform
+    * doesn't re-evaluate the md5 chain per window (HOF lambdas re-run
+    * their argument subtree per element).
+    * Output: (idCol, fingerprint) distinct rows. */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w")
+    val hashes = expr(
+      s"""CASE WHEN length(`$textCol`) >= $k
+         |  THEN transform(sequence(1, length(`$textCol`) - $k + 1),
+         |         i -> substring(md5(substring(`$textCol`, i, $k)), 1, 8))
+         |  ELSE array() END""".stripMargin)
+    val wins = expr(
+      s"""CASE WHEN size(__hs) >= $w
+         |  THEN transform(sequence(1, size(__hs) - $w + 1),
+         |         j -> array_min(slice(__hs, j, $w)))
+         |  WHEN size(__hs) > 0 THEN array(array_min(__hs))
+         |  ELSE array() END""".stripMargin)
+    df.select(col(idCol), hashes.as("__hs"))
+      .select(col(idCol), explode(array_distinct(wins)).as("fingerprint"))
+  }
+
   /** Tiny per-language stopword lexicons (public, common function words). */
   val Lexicon: Seq[(String, String)] = Seq(
     "en" -> Seq("the", "of", "and", "to", "in", "is", "was", "for", "on",

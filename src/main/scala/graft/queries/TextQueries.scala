@@ -127,6 +127,31 @@ object TextQueries {
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing fingerprints (MOSS): per-window minimum of k-gram hashes —
+    // any shared substring of length ≥ k+w−1 shares a fingerprint. Hex
+    // md5 prefixes compare identically in both engines.
+    QuerySpec("q_winnow", (s, dir) => {
+      TextAnalysis.winnow(docs(s, dir), "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id", "fingerprint")
+    }, Some(
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(text) >= 8
+        |              THEN list_transform(range(1, length(text) - 8 + 2),
+        |                     i -> substr(md5(substr(text, i, 8)), 1, 8))
+        |              ELSE [] END AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hs) >= 4
+        |              THEN list_transform(range(1, len(hs) - 4 + 2),
+        |                     j -> list_min(list_slice(hs, j, j + 3)))
+        |              WHEN len(hs) > 0 THEN [list_min(hs)]
+        |              ELSE [] END AS wins
+        |  FROM g)
+        |SELECT doc_id, unnest(list_distinct(wins)) AS fingerprint
+        |FROM w ORDER BY doc_id, fingerprint""".stripMargin)),
+
     // TF-IDF top-5 terms per document: tf from the token explode, df over
     // distinct (doc, word), idf = ln(N/df). Scores round to 8 dp BEFORE
     // ranking so a last-ulp ln() difference between libm implementations

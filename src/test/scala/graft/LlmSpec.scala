@@ -256,6 +256,26 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("winnowing: shared substring >= k+w-1 shares a fingerprint; length edges") {
+    val k = 8; val w = 4
+    val common = "identical stretch of text here" // 30 chars > k+w-1 = 11
+    val d = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"another beginning $common tail"),
+      (3L, "completely unrelated content xyz"),
+      (4L, "short"),                    // < k ⇒ no fingerprints
+      (5L, "exactly9c")).toDF("doc_id", "text") // k ≤ len < k+w−1 ⇒ 1 fp
+    val fp = TextAnalysis.winnow(d, "doc_id", "text", k, w).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)   // guarantee
+    assert((byDoc(3L) intersect byDoc(1L)).isEmpty)
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).size === 1)
+    // fingerprints are distinct per doc
+    assert(fp.distinct.length === fp.length)
+  }
+
   test("langId picks the stopword-dominant language, 'und' when none") {
     val d = Seq(
       (1L, "the cat is on the mat and it was fine"),
