@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.llm.{DotProductExpr, SimHash64Expr, TopKByScore, WordShinglesExpr}
+import graft.llm.{DotProductExpr, SimHash64Expr, TopKByScore, WinnowExpr, WordShinglesExpr}
 
 /** The engine's custom Catalyst functions, packaged the two standard ways:
   *
@@ -57,7 +57,12 @@ object GraftFunctions {
     ("word_shingles",
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
       (exprs: Seq[Expression]) =>
-        WordShinglesExpr(exprs(0), literalK(exprs(1), "word_shingles"))))
+        WordShinglesExpr(exprs(0), literalK(exprs(1), "word_shingles"))),
+    ("winnow_fps",
+      new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) =>
+        WinnowExpr(exprs(0), literalK(exprs(1), "winnow_fps"),
+          literalK(exprs(2), "winnow_fps"))))
 
   /** Register one function by name on an existing session. */
   def register(spark: SparkSession, name: String): Unit = {

@@ -55,6 +55,17 @@ object TextAnalysis {
   def winnow(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k w=$w")
+    graft.GraftFunctions.register(df.sparkSession, "winnow_fps")
+    df.select(col(idCol),
+      explode(call_function("winnow_fps", col(textCol), lit(k), lit(w)))
+        .as("fingerprint"))
+  }
+
+  /** Declarative winnowing — the readable spec the native [[winnow]]
+    * kernel (`llm.WinnowExpr`) is equivalence-tested against; the DuckDB
+    * oracle replays this same shape. */
+  private[graft] def winnowDeclarative(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     val hashes = expr(
       s"""CASE WHEN length(`$textCol`) >= $k
          |  THEN transform(sequence(1, length(`$textCol`) - $k + 1),

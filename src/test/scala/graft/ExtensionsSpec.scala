@@ -35,7 +35,11 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
     val builders = GraftFunctions.all.map(f => f._1 -> f._3).toMap
     assert(builders.keySet ===
-      Set("simhash64", "dot_seq", "topk_by_score", "word_shingles"))
+      Set("simhash64", "dot_seq", "topk_by_score", "word_shingles",
+        "winnow_fps"))
+    assert(builders("winnow_fps")(
+        Seq(Literal("abcdefghij"), Literal(8), Literal(4)))
+      .isInstanceOf[graft.llm.WinnowExpr])
     assert(builders("simhash64")(Seq(Literal("x"))).isInstanceOf[SimHash64Expr])
     val agg = builders("topk_by_score")(
       Seq(Literal(1.0), Literal(1L), Literal(3)))

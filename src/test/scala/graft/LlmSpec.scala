@@ -276,6 +276,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp.distinct.length === fp.length)
   }
 
+  test("native winnow kernel matches the declarative spec (unicode + edges + params)") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "héllo wörld — ünïcode 多字节文本 and ascii mixed in"),
+      (3L, "aaaaaaaaaaaaaaaaaaaa"),          // degenerate: all grams equal
+      (4L, "short"), (5L, ""), (6L, "exactly9c")).toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 4), (3, 1), (1, 5), (5, 50))) {
+      val native = TextAnalysis.winnow(d, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val decl = TextAnalysis.winnowDeclarative(d, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(native === decl, s"k=$k w=$w")
+    }
+  }
+
   test("langId picks the stopword-dominant language, 'und' when none") {
     val d = Seq(
       (1L, "the cat is on the mat and it was fine"),
