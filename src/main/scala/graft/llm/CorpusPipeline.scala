@@ -42,9 +42,13 @@ object CorpusPipeline {
     // array is built once (CollapseProject keeps non-cheap
     // multi-referenced projections separate).
     val counts = TextAnalysis.wordHitCounts(col("__toks"))
+    // native one-pass tokenizer (word_shingles n=1 ≡ TextAnalysis.tokens;
+    // equivalence covered in DedupSpec) — the token array is the widest
+    // intermediate of the gate stage
+    Shingles.register(docs.sparkSession)
     val counted = docs
       .select(col(idCol), col(textCol),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
+        Shingles.wordShingles(col(textCol), 1).as("__toks"))
       .select(col(idCol) +: col(textCol) +:
         TextAnalysis.qualityScore(col(textCol), col("__toks"))
           .as("quality_score") +:
