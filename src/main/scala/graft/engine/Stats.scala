@@ -143,10 +143,14 @@ object Stats {
       sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
       sum(col("ca") * col("midrank")).as("r1"),
       collect_list(col("c")).as("tie_counts"))
-    val u1 = col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
+    // double arithmetic BEFORE any product: n1*(n1+1) in LongType would
+    // silently wrap past ~3e9 rows per sample
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val u1 = col("r1") - n1d * (n1d + 1) / lit(2.0)
     agg.select(col(label), col("n1"), col("n2"),
       when(col("n1") > 0 && col("n2") > 0,
-        least(u1, col("n1") * col("n2") - u1)).otherwise(lit(Sentinel))
+        least(u1, n1d * n2d - u1)).otherwise(lit(Sentinel))
         .as("u_stat"),
       col("tie_counts"))
   }
@@ -159,9 +163,10 @@ object Stats {
     if (n1 < 1 || n2 < 1 || uStat == Sentinel) return Sentinel
     val n = (n1 + n2).toDouble
     val tieAdj = tieCounts.map(t => t.toDouble * t * t - t).sum / (n * (n - 1))
-    val sigma2 = n1 * n2 / 12.0 * ((n + 1) - tieAdj)
+    val prod = n1.toDouble * n2.toDouble // Long product would wrap at scale
+    val sigma2 = prod / 12.0 * ((n + 1) - tieAdj)
     if (sigma2 <= 0) return Sentinel
-    val z = (uStat - n1 * n2 / 2.0) / math.sqrt(sigma2)
+    val z = (uStat - prod / 2.0) / math.sqrt(sigma2)
     2.0 * new NormalDistribution().cumulativeProbability(-math.abs(z))
   }
 
@@ -179,11 +184,18 @@ object Stats {
     val rowTot = obs.groupBy(col(rowCol)).agg(sum(col("observed")).as("row_total"))
     val colTot = obs.groupBy(col(colCol)).agg(sum(col("observed")).as("col_total"))
     val n = obs.agg(sum(col("observed")).as("n_total"))
-    val eRaw = (col("row_total") * col("col_total")).cast("double") /
+    // the FULL row×col grid, not just observed combinations: a
+    // structurally-empty cell still contributes (0−e)²/e = e to χ² —
+    // dropping it understates the statistic and inflates p
+    val grid = rowTot.crossJoin(colTot)
+    // double BEFORE the product: row_total*col_total in LongType wraps
+    // past ~3e9 marginals
+    val eRaw = col("row_total").cast("double") * col("col_total").cast("double") /
       col("n_total").cast("double")
-    val diff = col("observed") - eRaw
-    obs.join(rowTot, rowCol).join(colTot, colCol).crossJoin(broadcast(n))
-      .select(col(rowCol), col(colCol), col("observed"),
+    val diff = coalesce(col("observed"), lit(0L)) - eRaw
+    grid.join(obs, Seq(rowCol, colCol), "left").crossJoin(broadcast(n))
+      .select(col(rowCol), col(colCol),
+        coalesce(col("observed"), lit(0L)).as("observed"),
         round(eRaw, 8).as("expected"),
         round(diff * diff / eRaw, 8).as("contrib"))
   }

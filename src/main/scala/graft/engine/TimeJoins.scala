@@ -39,23 +39,30 @@ object TimeJoins {
       rightCols: Seq[String], prefix: String = "matched_"): DataFrame = {
     require(rightCols.nonEmpty, "asofJoinBackward needs at least one rightCol")
     val matched = rightCols.map(prefix + _)
+    // The whole right payload rides in ONE struct: per-column
+    // last(ignoreNulls) folds would stitch fields from DIFFERENT right
+    // rows whenever a real payload field is null (the filler nulls on
+    // left rows are indistinguishable from data nulls). The struct is
+    // non-null exactly for right rows, so one last(ignoreNulls) carries
+    // the matched row atomically, null payload fields included.
     val r = right.select(
       (partKeys :+ tsCol).map(col) ++
         rightCols.zip(matched).map { case (c, m) => col(c).as(m) }: _*)
+      .withColumn("__p", struct(matched.map(col): _*))
       .withColumn("__side", lit(0))
     val l = left.withColumn("__side", lit(1))
-    // Right rows sort before left rows at equal ts (inclusive match); the
-    // running last() only ever sees non-null payload from right rows, so
-    // left-vs-left peer order cannot change any result.
+    // Right rows sort before left rows at equal ts (inclusive match);
+    // equal-ts right rows totally ordered by their payload columns.
     val w = Window
       .partitionBy(partKeys.map(col): _*)
       .orderBy(col(tsCol).asc +: col("__side").asc +:
         matched.map(col(_).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withMatch = matched.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
-      (d, m) => d.withColumn(m, last(col(m), ignoreNulls = true).over(w))
-    }
-    withMatch.where(col("__side") === 1).drop("__side")
+    val withMatch = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    matched.foldLeft(withMatch.where(col("__side") === 1)) {
+      (d, m) => d.withColumn(m, col(s"__p.$m"))
+    }.drop("__side", "__p")
   }
 
   /** Bounded range self-join: all ordered pairs of rows sharing `partKeys`
@@ -69,7 +76,11 @@ object TimeJoins {
       idCol: String, withinUs: Long): DataFrame = {
     require(withinUs > 0, "withinUs must be positive")
     val base = df.select((partKeys ++ Seq(usCol, idCol)).map(col): _*)
-    val bucket: Column = floor(col(usCol) / lit(withinUs))
+    // exact long floor-division: double division would round us/Δ for
+    // |us| > 2^52 and mis-bucket boundary rows (pmod makes the numerator
+    // an exact multiple, so integral `div` truncation IS floor)
+    val bucket: Column =
+      expr(s"(`$usCol` - pmod(`$usCol`, $withinUs)) div $withinUs")
     // earlier side keeps its own bucket; later side fans out to its bucket
     // and the previous one, so every within-Δ pair meets on exactly one key
     val a = base.withColumn("__b", bucket)

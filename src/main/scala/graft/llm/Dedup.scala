@@ -305,7 +305,11 @@ object Dedup {
       }
       r
     }
-    p.collect().foreach { row =>
+    val rows = p.collect()
+    // null ids: bail to the distributed loop (which tolerates them)
+    // rather than crashing the fast path
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    rows.foreach { row =>
       val a = toL(row.get(0)); val b = toL(row.get(1))
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)

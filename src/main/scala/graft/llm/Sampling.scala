@@ -30,7 +30,10 @@ object Sampling {
     else f"${math.min((fraction * 4294967296.0).round, 4294967295L)}%08x"
   }
 
-  private def uniformHex(seed: String, key: Column): Column =
+  /** The md5-uniform key both sampling and shuffling order by — public so
+    * queries/pipelines can surface the exact key the library uses instead
+    * of re-deriving it. */
+  def uniformHex(seed: String, key: Column): Column =
     substring(md5(concat(lit(s"$seed|"), key.cast("string"))), 1, 8)
 
   /** Keep ~`fraction` of rows, deterministically by `keyCol`. The same key

@@ -97,22 +97,25 @@ object EventQueries {
         |  FROM events),
         |u AS (
         |  SELECT user_id, us, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
-        |         event_id AS matched_view_id, value AS matched_value
+        |         event_id AS m_id, value AS m_value
         |  FROM base WHERE event_type = 'view'
         |  UNION ALL
         |  SELECT user_id, us, 1 AS side, event_id,
         |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
         |  FROM base WHERE event_type = 'click'),
         |m AS (
+        |  -- the payload rides in ONE struct (atomic match, even with null
+        |  -- payload fields) - mirrors the Spark struct-window formulation
         |  SELECT user_id, us, side, event_id,
-        |         LAST_VALUE(matched_view_id IGNORE NULLS) OVER w AS matched_view_id,
-        |         LAST_VALUE(matched_value IGNORE NULLS) OVER w AS matched_value
+        |         LAST_VALUE(CASE WHEN side = 0
+        |                         THEN struct_pack(vid := m_id, val := m_value) END
+        |                    IGNORE NULLS) OVER w AS s
         |  FROM u
         |  WINDOW w AS (PARTITION BY user_id
-        |               ORDER BY us, side, matched_view_id NULLS FIRST
+        |               ORDER BY us, side, m_id NULLS FIRST, m_value NULLS FIRST
         |               ROWS UNBOUNDED PRECEDING))
         |SELECT event_id, user_id, make_timestamp(us) AS ts,
-        |       matched_view_id, matched_value
+        |       s.vid AS matched_view_id, s.val AS matched_value
         |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin)),
 
     // Bounded range self-join: ordered pairs of same-user events within 5

@@ -198,8 +198,10 @@ object StatsQueries {
         |         SUM(ca * midrank) AS r1
         |  FROM ranked GROUP BY label)
         |SELECT label AS l_linestatus, n1, n2,
-        |       LEAST(r1 - n1 * (n1 + 1) / 2.0,
-        |             n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0)) AS u_stat
+        |       -- double BEFORE any product: same tree as the Spark side
+        |       LEAST(r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0,
+        |             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |               - (r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0)) AS u_stat
         |FROM agg ORDER BY l_linestatus""".stripMargin)),
 
     // Chi-square contingency cells (returnflag × linestatus): observed,
@@ -217,14 +219,20 @@ object StatsQueries {
         |       FROM obs GROUP BY l_returnflag),
         |ct AS (SELECT l_linestatus, CAST(SUM(observed) AS BIGINT) AS col_total
         |       FROM obs GROUP BY l_linestatus),
-        |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM obs)
+        |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM obs),
+        |-- full row x col grid: structurally-empty cells still contribute
+        |grid AS (SELECT * FROM rt CROSS JOIN ct),
+        |cells AS (
+        |  SELECT g.l_returnflag, g.l_linestatus,
+        |         COALESCE(o.observed, 0) AS observed,
+        |         CAST(g.row_total AS DOUBLE) * CAST(g.col_total AS DOUBLE)
+        |           / CAST(n_total AS DOUBLE) AS e
+        |  FROM grid g LEFT JOIN obs o USING (l_returnflag, l_linestatus)
+        |  CROSS JOIN n)
         |SELECT l_returnflag, l_linestatus, observed,
-        |       ROUND(CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE), 8) AS expected,
-        |       ROUND((observed - CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE))
-        |             * (observed - CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE))
-        |             / (CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE)), 8) AS contrib
-        |FROM obs JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus)
-        |CROSS JOIN n
+        |       ROUND(e, 8) AS expected,
+        |       ROUND((observed - e) * (observed - e) / e, 8) AS contrib
+        |FROM cells
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     // Salted equi-join for the pathological single-hot-key case (both
@@ -234,11 +242,15 @@ object StatsQueries {
     QuerySpec("q_join_salted", (s, dir) => {
       val fact = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("orderkey"),
-          col("l_extendedprice"), col("l_orderkey"))
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       val dim = t(s, dir, "orders")
         .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      // salt must be ROW-unique (orderkey+linenumber), never the join key
+      // itself — salting by the key would leave every hot-key row on one
+      // partition and pay the dim replication for nothing
       Skew.saltedJoin(fact, dim, Seq("orderkey"),
-          factSaltCol = col("l_orderkey"), buckets = 4)
+          factSaltCol = struct(col("l_orderkey"), col("l_linenumber")),
+          buckets = 4)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")

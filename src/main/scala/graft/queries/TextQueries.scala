@@ -217,8 +217,8 @@ object TextQueries {
       graft.llm.Sampling.deterministicShuffle(docs(s, dir), "doc_id",
           seed = "epoch0")
         .select(col("doc_id"),
-          substring(md5(concat(lit("epoch0|"), col("doc_id").cast("string"))),
-            1, 8).as("shuffle_key"))
+          graft.llm.Sampling.uniformHex("epoch0", col("doc_id"))
+            .as("shuffle_key"))
     }, Some(
       """SELECT doc_id,
         |       substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key

@@ -146,6 +146,16 @@ class DedupSpec extends SparkSpec {
     assert(fast(220L) === 200L)
   }
 
+  test("dupClusters: null ids fall back to the distributed path, no crash") {
+    import spark.implicits._
+    val pairs = Seq((Some(1L), Some(2L)), (Some(2L), None), (None, Some(9L)))
+      .toDF("id1", "id2")
+    val got = Dedup.dupClusters(pairs).collect()
+      .filter(r => !r.isNullAt(0))
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(got(2L) === 1L) // the non-null component still resolves
+  }
+
   test("dupClusters: int ids keep their type through the fast path") {
     import spark.implicits._
     val pairs = Seq((1, 2), (2, 3)).toDF("id1", "id2")

@@ -50,6 +50,30 @@ class TimeJoinsSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 10L), (1L, 3L, 95L), (2L, 3L, 85L), (2L, 4L, 91L), (3L, 4L, 6L)))
   }
 
+  test("asof: null payload fields stay atomic (no cross-row stitching)") {
+    // right rows: (ts=10, vid=1, val=5.0) then (ts=20, vid=2, val=null).
+    // The match for a click at ts=30 is vid=2 WITH ITS null value — a
+    // per-column last(ignoreNulls) would stitch val=5.0 from the older row.
+    val l = Seq((1L, 7L, 30L)).toDF("event_id", "user_id", "us")
+    val r = Seq((10L, 7L, 10L, Some(5.0)), (2L, 7L, 20L, None))
+      .toDF("view_id", "user_id", "us", "value")
+      .select($"user_id", $"us", $"view_id", $"value")
+    val row = TimeJoins.asofJoinBackward(l, r, Seq("user_id"), "us",
+      Seq("view_id", "value")).head()
+    assert(row.getAs[Long]("matched_view_id") === 2L)
+    assert(row.isNullAt(row.fieldIndex("matched_value")))
+  }
+
+  test("range self-join: exact bucketing beyond 2^52 (no double rounding)") {
+    val base = (1L << 53) + 11 // double division would round us/delta here
+    val df = Seq((1L, 7L, base), (2L, 7L, base + 50L), (3L, 7L, base + 151L))
+      .toDF("event_id", "user_id", "us")
+    val got = TimeJoins.rangeSelfJoin(df, Seq("user_id"), "us", "event_id", 100L)
+      .select("event_id_1", "event_id_2", "gap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 50L)))
+  }
+
   test("asof matches brute force on randomized collision-heavy data") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 3) {
