@@ -204,6 +204,56 @@ object StatsQueries {
         |               - (r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0)) AS u_stat
         |FROM agg ORDER BY l_linestatus""".stripMargin)),
 
+    // Pearson correlation + simple OLS per group from exact decimal
+    // moments (n, Σx, Σy, Σx², Σy², Σxy) — the built-in corr/covar
+    // aggregate in doubles is partition-order-dependent; decimal moments
+    // are exact and associative, doubles appear only in the final scalar
+    // formula, rounded to 8 dp on both engines.
+    QuerySpec("q_corr_ols", (s, dir) => {
+      val x = col("l_quantity").cast("decimal(12,2)")
+      val y = col("l_extendedprice").cast("decimal(12,2)")
+      val m = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      val (nd, sxd, syd) =
+        (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+      val (sxxd, syyd, sxyd) =
+        (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      val num = nd * sxyd - sxd * syd
+      val denx = nd * sxxd - sxd * sxd
+      val deny = nd * syyd - syd * syd
+      m.select(col("l_returnflag"), col("n"),
+          when(denx > 0 && deny > 0,
+            round(num / sqrt(denx) / sqrt(deny), 8)).as("corr"),
+          when(denx > 0, round(num / denx, 8)).as("slope"),
+          when(denx > 0, round((syd - num / denx * sxd) / nd, 8)).as("intercept"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |       CASE WHEN nd*sxxd - sxd*sxd > 0 AND nd*syyd - syd*syd > 0
+        |            THEN ROUND((nd*sxyd - sxd*syd) / sqrt(nd*sxxd - sxd*sxd)
+        |                       / sqrt(nd*syyd - syd*syd), 8) END AS corr,
+        |       CASE WHEN nd*sxxd - sxd*sxd > 0
+        |            THEN ROUND((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd), 8) END AS slope,
+        |       CASE WHEN nd*sxxd - sxd*sxd > 0
+        |            THEN ROUND((syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd, 8) END AS intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin)),
+
     // Chi-square contingency cells (returnflag × linestatus): observed,
     // expected, and per-cell contribution from exact integer totals —
     // no float SUM in the plan, so bit-deterministic; the folded χ²/p
