@@ -181,6 +181,41 @@ object CoreRelational {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    // Cube: all 4 grouping sets (both, each, grand total) — completes the
+    // grouping-sets family next to q_rollup_sales.
+    QuerySpec("q_cube_sales", (s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Fixed-width histogram over a derived bin key (integer arithmetic on
+    // cents — no float binning ambiguity at bucket edges).
+    QuerySpec("q_histogram", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+        .groupBy(expr("cents div 500000").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bin_low", (col("bin") * 5000L).cast("double"))
+        .select("bin", "bin_low", "n")
+        .orderBy("bin")
+    }, Some(
+      """SELECT bin, CAST(bin * 5000 AS DOUBLE) AS bin_low, n FROM (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |         // 500000 AS bin,
+        |         COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |ORDER BY bin""".stripMargin)),
+
     // Moving-window analytics: 7-day trailing average of daily order
     // counts (lag/lead family; runs over the small aggregated frame, so
     // the unpartitioned window is not a scale hazard).
