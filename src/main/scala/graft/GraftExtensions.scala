@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.llm.{DotProductExpr, SimHash64Expr, TopKByScore, WinnowExpr, WordShinglesExpr}
+import graft.llm.{DotProductExpr, MinHashSigsExpr, SimHash64Expr, TopKByScore, WinnowExpr, WordShinglesExpr}
 
 /** The engine's custom Catalyst functions, packaged the two standard ways:
   *
@@ -62,7 +62,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fps"),
       (exprs: Seq[Expression]) =>
         WinnowExpr(exprs(0), literalK(exprs(1), "winnow_fps"),
-          literalK(exprs(2), "winnow_fps"))))
+          literalK(exprs(2), "winnow_fps"))),
+    ("minhash_sigs",
+      new ExpressionInfo(classOf[MinHashSigsExpr].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) =>
+        MinHashSigsExpr(exprs(0), literalK(exprs(1), "minhash_sigs"),
+          literalK(exprs(2), "minhash_sigs"))))
 
   /** Register one function by name on an existing session. */
   def register(spark: SparkSession, name: String): Unit = {

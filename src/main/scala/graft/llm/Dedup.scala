@@ -85,11 +85,36 @@ object Dedup {
   }
 
   /** MinHash signatures: numPerms independent permutation-mins per doc.
-    * Output: idCol, sig_0 … sig_{numPerms-1} (md5 hex strings). */
+    * Output: idCol, sig_0 … sig_{numPerms-1} (16-hex md5-half strings).
+    * Computed by the native map-side kernel (`llm.MinHashSigsExpr` — one
+    * pass per document, no explode/aggregation); the declarative
+    * [[minhashSignaturesFromShingles]] remains as the readable spec it is
+    * equivalence-tested against. Docs with no shingles emit no row (same
+    * as the aggregation formulation). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, numPerms: Int): DataFrame =
-    minhashSignaturesFromShingles(shingleSets(docs, idCol, textCol, n),
-      idCol, numPerms)
+      n: Int, numPerms: Int): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession, "minhash_sigs")
+    docs.select(col(idCol),
+        call_function("minhash_sigs", col(textCol), lit(n), lit(numPerms))
+          .as("__m"))
+      .where(col("__m").isNotNull)
+      .select(col(idCol) +:
+        (0 until numPerms).map(p => col("__m.sigs")(p).as(s"sig_$p")): _*)
+  }
+
+  /** Signatures + distinct-shingle sizes in the same map-only pass (the
+    * fused signature/size scan of [[minhashNearDups]]). */
+  private def minhashSignaturesWithSize(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, numPerms: Int): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession, "minhash_sigs")
+    docs.select(col(idCol),
+        call_function("minhash_sigs", col(textCol), lit(n), lit(numPerms))
+          .as("__m"))
+      .where(col("__m").isNotNull)
+      .select(col(idCol) +:
+        (0 until numPerms).map(p => col("__m.sigs")(p).as(s"sig_$p")) :+
+        col("__m.sz").as("sz"): _*)
+  }
 
   /** Permutation key p: half (p%2) of the md5 hex of seed ⌊p/2⌋ — one
     * md5 evaluation feeds TWO independent 64-bit permutations (the halves
@@ -155,14 +180,14 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val shRaw = rawShingles(docs, idCol, textCol, n)
-    val sigAggs = (0 until bands * rowsPerBand).map(p =>
-      min(permKey(p, col("shingle"))).as(s"sig_$p")) :+
-      countDistinct(col("shingle")).as("sz")
-    // sig/cand are referenced by several downstream consumers; the repeated
-    // subtrees stay IDENTICAL so ReuseExchange dedupes them in the single
-    // physical plan — an explicit checkpoint here measures SLOWER (adds
-    // eager serialization for no saved work).
-    val sig = shRaw.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    // signatures + sizes come from the native per-document kernel — a
+    // map-only projection over the scan; the old explode → groupBy(min…,
+    // countDistinct) formulation shuffled every shingle occurrence and
+    // paid an Expand for the distinct count. Re-evaluating the (cheap,
+    // shuffle-free) projection for the two consumers below beats any
+    // checkpoint (measured on the old agg too).
+    val sig = minhashSignaturesWithSize(docs, idCol, textCol, n,
+      bands * rowsPerBand)
     val cand = candidatePairsFromBands(lshBands(sig, idCol, bands, rowsPerBand))
     // verification: only candidate docs' shingles matter — broadcast the
     // (tiny) candidate id set, semi-join, THEN dedup the pruned stream.

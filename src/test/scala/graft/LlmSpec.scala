@@ -86,6 +86,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native minhash signature kernel matches the declarative aggregation") {
+    val extra = Seq(
+      (10L, "répétition répétition répétition unicode tokens mixed 中文 here"),
+      (11L, "a b a b a b a b"), // heavy duplicate shingles
+      (12L, "")).toDF("doc_id", "text")
+    val all = docs.unionByName(extra)
+    for (perms <- Seq(1, 2, 9)) {
+      val native = Dedup.minhashSignatures(all, "doc_id", "text", 3, perms)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val decl = Dedup.minhashSignaturesFromShingles(
+          Dedup.shingleSets(all, "doc_id", "text", 3), "doc_id", perms)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(native === decl, s"perms=$perms")
+    }
+  }
+
   test("simhash near-dups: exact dup at hamming 0; unrelated docs excluded") {
     val nd = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
