@@ -90,25 +90,28 @@ object Dedup {
     * pass per document, no explode/aggregation); the declarative
     * [[minhashSignaturesFromShingles]] remains as the readable spec it is
     * equivalence-tested against. Docs with no shingles emit no row (same
-    * as the aggregation formulation). */
+    * as the aggregation formulation).
+    *
+    * PRECONDITION: `idCol` must uniquely identify rows (a document table).
+    * The old aggregation formulation silently merged duplicate ids'
+    * shingle sets; with the per-row kernel, duplicate ids produce one
+    * signature row each. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, numPerms: Int): DataFrame = {
-    graft.GraftFunctions.register(docs.sparkSession, "minhash_sigs")
-    docs.select(col(idCol),
-        call_function("minhash_sigs", col(textCol), lit(n), lit(numPerms))
-          .as("__m"))
-      .where(col("__m").isNotNull)
-      .select(col(idCol) +:
-        (0 until numPerms).map(p => col("__m.sigs")(p).as(s"sig_$p")): _*)
-  }
+      n: Int, numPerms: Int): DataFrame =
+    minhashSignaturesWithSize(docs, idCol, textCol, n, numPerms).drop("sz")
 
-  /** Signatures + distinct-shingle sizes in the same map-only pass (the
-    * fused signature/size scan of [[minhashNearDups]]). */
+  /** Signatures + distinct-shingle size in one map-only kernel pass (the
+    * fused signature/size scan of [[minhashNearDups]]). The null filter
+    * rides ABOVE an `explode(array(kernel))` generate: a plain
+    * `.where(isNotNull(alias))` would be pushed below the projection and
+    * re-evaluate the whole kernel per row in the Filter — the Generate is
+    * the optimizer barrier that keeps it at exactly one evaluation. */
   private def minhashSignaturesWithSize(docs: DataFrame, idCol: String,
       textCol: String, n: Int, numPerms: Int): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession, "minhash_sigs")
     docs.select(col(idCol),
-        call_function("minhash_sigs", col(textCol), lit(n), lit(numPerms))
+        explode(array(
+          call_function("minhash_sigs", col(textCol), lit(n), lit(numPerms))))
           .as("__m"))
       .where(col("__m").isNotNull)
       .select(col(idCol) +:
@@ -180,13 +183,13 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val shRaw = rawShingles(docs, idCol, textCol, n)
-    // signatures + sizes come from the native per-document kernel — a
-    // map-only projection over the scan; the old explode → groupBy(min…,
+    // signatures come from the native per-document kernel — a map-only
+    // projection over the scan; the old explode → groupBy(min…,
     // countDistinct) formulation shuffled every shingle occurrence and
-    // paid an Expand for the distinct count. Re-evaluating the (cheap,
-    // shuffle-free) projection for the two consumers below beats any
-    // checkpoint (measured on the old agg too).
-    val sig = minhashSignaturesWithSize(docs, idCol, textCol, n,
+    // paid an Expand for the distinct count. The kernel scan has exactly
+    // ONE consumer (the band join); sizes come from the already-pruned
+    // candidate shingle set below, so no second kernel pass exists.
+    val sig = minhashSignatures(docs, idCol, textCol, n,
       bands * rowsPerBand)
     val cand = candidatePairsFromBands(lshBands(sig, idCol, bands, rowsPerBand))
     // verification: only candidate docs' shingles matter — broadcast the
@@ -199,7 +202,10 @@ object Dedup {
       .join(shCand.toDF("id1", "shingle"), Seq("id1"))
       .join(shCand.toDF("id2", "shingle"), Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
-    val sizes = sig.select(col(idCol), col("sz"))
+    // distinct-shingle sizes, but ONLY for candidate docs — shCand is
+    // already the distinct (id, shingle) sliver, so this is a tiny count
+    // instead of a second full-corpus kernel scan
+    val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val j = col("i").cast("double") /
       (col("sz1") + col("sz2") - col("i")).cast("double")
     inter

@@ -2,7 +2,7 @@ package graft.llm
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * disappear from the plan.
   */
 case class MinHashSigsExpr(child: Expression, n: Int, numPerms: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   require(n >= 1 && numPerms >= 1, s"minhash_sigs: n=$n perms=$numPerms")
   override def dataType: DataType = StructType(Seq(
     StructField("sigs", ArrayType(StringType, containsNull = false)),
@@ -61,7 +62,8 @@ object MinHashSigs {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  private val HexDigits = "0123456789abcdef".getBytes
+  private val HexDigits =
+    "0123456789abcdef".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
   // "s|" prefixes for the digest seeds, grown on demand (tiny)
   @volatile private var prefixes: Array[Array[Byte]] = Array.empty
@@ -72,7 +74,11 @@ object MinHashSigs {
       if (s >= p.length) {
         val np = java.util.Arrays.copyOf(p, s + 8)
         var i = p.length
-        while (i < np.length) { np(i) = s"$i|".getBytes; i += 1 }
+        while (i < np.length) {
+          // explicit charset: default-charset JVMs would change every md5
+          np(i) = s"$i|".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          i += 1
+        }
         prefixes = np
         p = np
       }

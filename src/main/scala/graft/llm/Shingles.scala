@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -29,7 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * MinHash-LSH, corpus cleaning), which makes it the hottest kernel in
   * the llm surface.
   */
-case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   require(n >= 1, "shingle size n must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"

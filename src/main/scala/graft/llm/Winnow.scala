@@ -2,7 +2,7 @@ package graft.llm
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * any w), and only materializes hex strings for the few distinct minima.
   */
 case class WinnowExpr(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   require(k >= 1 && w >= 1, s"winnow: k=$k w=$w must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "winnow_fps"
@@ -51,7 +52,8 @@ object Winnow {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  private val HexDigits = "0123456789abcdef".getBytes
+  private val HexDigits =
+    "0123456789abcdef".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
   /** One-pass winnowing kernel. Called from generated code — keep the
     * signature (UTF8String, int, int) → ArrayData stable. */

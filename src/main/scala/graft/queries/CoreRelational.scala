@@ -203,7 +203,9 @@ object CoreRelational {
       t(s, dir, "lineitem")
         .select((col("l_extendedprice").cast("decimal(12,2)") * 100)
           .cast("long").as("cents"))
-        .groupBy(expr("cents div 500000").as("bin"))
+        // floor semantics on both engines (Spark `div` truncates toward
+        // zero; DuckDB `//` floors — they differ on negatives)
+        .groupBy(expr("(cents - pmod(cents, 500000)) div 500000").as("bin"))
         .agg(count(lit(1)).as("n"))
         .withColumn("bin_low", (col("bin") * 5000L).cast("double"))
         .select("bin", "bin_low", "n")

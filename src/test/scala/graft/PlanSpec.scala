@@ -97,6 +97,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("minhash signature kernel is evaluated exactly once (generate barrier)") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
+    val sig = graft.llm.Dedup.minhashSignatures(d, "doc_id", "text", 3, 4)
+    val plan = sig.queryExecution.executedPlan.toString
+    // the null filter must ride ABOVE the Generate: a pushed-down filter
+    // would re-run the whole digest kernel per row (2 occurrences)
+    val occurrences = "minhash_sigs".r.findAllIn(plan).length
+    assert(occurrences === 1, plan)
+    // and the null-doc row is still dropped
+    assert(sig.count() === 1)
+  }
+
+  test("non-string input to native text kernels fails at analysis time") {
+    import spark.implicits._
+    graft.GraftFunctions.registerAll(spark)
+    val d = Seq((1L, 2L)).toDF("id", "num")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      d.selectExpr("minhash_sigs(num, 3, 4)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      d.selectExpr("winnow_fps(num, 8, 4)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      d.selectExpr("word_shingles(num, 3)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      d.selectExpr("simhash64(num)").collect()
+    }
+  }
+
   test("anti-join dedup ships keys only (pruned scan on the existing side)") {
     val orders = Tables.load(spark, dir, "orders")
     val existing = Tables.load(spark, dir, "orders").limit(100)
