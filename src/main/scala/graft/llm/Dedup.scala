@@ -198,13 +198,23 @@ object Dedup {
       .distinct()
     val shCand = shRaw.join(broadcast(candIds), Seq(idCol), "left_semi")
       .distinct()
+    verifiedJaccard(cand, shRaw, idCol, threshold)
+  }
+
+  /** Shared verification tail: exact Jaccard over candidate pairs, with
+    * the shingle stream pruned to candidate docs by a broadcast semi-join
+    * BEFORE the set-dedup, and sizes counted on that same pruned sliver
+    * (never a second full-corpus pass). */
+  private def verifiedJaccard(cand: DataFrame, shRaw: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    val candIds = cand.select(explode(array(col("id1"), col("id2"))).as(idCol))
+      .distinct()
+    val shCand = shRaw.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .distinct()
     val inter = cand
       .join(shCand.toDF("id1", "shingle"), Seq("id1"))
       .join(shCand.toDF("id2", "shingle"), Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
-    // distinct-shingle sizes, but ONLY for candidate docs — shCand is
-    // already the distinct (id, shingle) sliver, so this is a tiny count
-    // instead of a second full-corpus kernel scan
     val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val j = col("i").cast("double") /
       (col("sz1") + col("sz2") - col("i")).cast("double")
@@ -213,6 +223,41 @@ object Dedup {
       .join(sizes.toDF("id2", "sz2"), Seq("id2"))
       .select(col("id1"), col("id2"), round(j, 8).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The persistable LSH state of a corpus: its (id, band, band_key)
+    * table. Written once (e.g. bucketed by band_key), it lets every future
+    * batch dedup against the corpus WITHOUT re-shingling or re-hashing
+    * it — the incremental-ingest shape of a production dedup pipeline. */
+  def bandTable(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    lshBands(minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand),
+      idCol, bands, rowsPerBand)
+
+  /** Incremental near-dups: match a NEW batch against an EXISTING corpus.
+    * Only the new batch is shingled/hashed; the corpus contributes its
+    * persisted [[bandTable]] (candidate generation) and its raw text ONLY
+    * for docs that land in a candidate pair (the verification scan is
+    * pruned by a broadcast semi-join, so at 100 TB the corpus read is
+    * id-pruned, not a full pass). Pairs among corpus docs are NOT
+    * re-examined (the corpus is assumed already deduped) — output is
+    * exactly the all-docs result restricted to pairs touching the batch.
+    * Output: id1, id2, jaccard ≥ threshold (id1 < id2). */
+  def minhashNearDupsIncremental(newDocs: DataFrame, corpus: DataFrame,
+      corpusBands: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val bNew = bandTable(newDocs, idCol, textCol, n, bands, rowsPerBand)
+    val candNew = candidatePairsFromBands(bNew)
+    val a = bNew.toDF("ida", "band", "band_key")
+    val b = corpusBands.toDF("idb", "band", "band_key")
+    val candCross = a.join(b, Seq("band", "band_key"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+      .distinct()
+    val cand = candNew.unionByName(candCross).distinct()
+    val shRaw = rawShingles(newDocs.unionByName(corpus), idCol, textCol, n)
+    verifiedJaccard(cand, shRaw, idCol, threshold)
   }
 
   /** SimHash near-dup pipeline: band blocking + exact Hamming verify.

@@ -56,6 +56,45 @@ object DedupQueries {
        |SELECT id, MIN(lbl) AS canonical_id
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** The minhash-LSH oracle pipeline; `extraWhere` restricts the verified
+    * pair set (ANDed after the threshold predicate). */
+  private def minhashOracle(extraWhere: String): String =
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         MIN(SUBSTR(md5('0|' || shingle), 1, 16))  AS s0,
+         |         MIN(SUBSTR(md5('0|' || shingle), 17, 16)) AS s1,
+         |         MIN(SUBSTR(md5('1|' || shingle), 1, 16))  AS s2,
+         |         MIN(SUBSTR(md5('1|' || shingle), 17, 16)) AS s3,
+         |         MIN(SUBSTR(md5('2|' || shingle), 1, 16))  AS s4,
+         |         MIN(SUBSTR(md5('2|' || shingle), 17, 16)) AS s5,
+         |         MIN(SUBSTR(md5('3|' || shingle), 1, 16))  AS s6,
+         |         MIN(SUBSTR(md5('3|' || shingle), 17, 16)) AS s7,
+         |         MIN(SUBSTR(md5('4|' || shingle), 1, 16))  AS s8
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(s0 || s1 || s2) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(s3 || s4 || s5) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(s6 || s7 || s8) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id1
+         |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY c.id1, c.id2)
+         |SELECT id1, id2,
+         |       ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON id1 = s1.doc_id
+         |JOIN sizes s2 ON id2 = s2.doc_id
+         |WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5
+         |$extraWhere
+         |ORDER BY id1, id2""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
 
     // Exact dedup: hash-groupBy on md5(text). Duplicates are constructed by
@@ -101,41 +140,25 @@ object DedupQueries {
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
         n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
         .orderBy("id1", "id2")
-    }, Some(
-      s"""WITH $shingleCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |         MIN(SUBSTR(md5('0|' || shingle), 1, 16))  AS s0,
-         |         MIN(SUBSTR(md5('0|' || shingle), 17, 16)) AS s1,
-         |         MIN(SUBSTR(md5('1|' || shingle), 1, 16))  AS s2,
-         |         MIN(SUBSTR(md5('1|' || shingle), 17, 16)) AS s3,
-         |         MIN(SUBSTR(md5('2|' || shingle), 1, 16))  AS s4,
-         |         MIN(SUBSTR(md5('2|' || shingle), 17, 16)) AS s5,
-         |         MIN(SUBSTR(md5('3|' || shingle), 1, 16))  AS s6,
-         |         MIN(SUBSTR(md5('3|' || shingle), 17, 16)) AS s7,
-         |         MIN(SUBSTR(md5('4|' || shingle), 1, 16))  AS s8
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, md5(s0 || s1 || s2) AS band_key FROM sig
-         |  UNION ALL SELECT doc_id, 1, md5(s3 || s4 || s5) FROM sig
-         |  UNION ALL SELECT doc_id, 2, md5(s6 || s7 || s8) FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.id1, c.id2, COUNT(*) AS i
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.id1
-         |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
-         |  GROUP BY c.id1, c.id2)
-         |SELECT id1, id2,
-         |       ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) AS jaccard
-         |FROM inter
-         |JOIN sizes s1 ON id1 = s1.doc_id
-         |JOIN sizes s2 ON id2 = s2.doc_id
-         |WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5
-         |ORDER BY id1, id2""".stripMargin), headline = true),
+    }, Some(minhashOracle(extraWhere = "")), headline = true),
+
+    // Incremental ingest: dedup a NEW batch (doc_id % 5 = 0) against the
+    // EXISTING corpus via its persisted band table — only the batch is
+    // hashed, the corpus text is read id-pruned for verification, and
+    // corpus-corpus pairs are not re-examined. Equals the all-docs result
+    // restricted to pairs touching the batch (which is the oracle).
+    QuerySpec("q_incr_dedup", (s, dir) => {
+      val all = docs(s, dir)
+      val newBatch = all.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = all.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val corpusBands = Dedup.bandTable(corpus, "doc_id", "text",
+        n = 3, bands = 3, rowsPerBand = 3)
+      Dedup.minhashNearDupsIncremental(newBatch, corpus, corpusBands,
+          "doc_id", "text", n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
+        .orderBy("id1", "id2")
+    }, Some(minhashOracle(
+      extraWhere = "AND (id1 % 5 = 0 OR id2 % 5 = 0)"))),
+
 
     // Duplicate clusters: connected components (min-label propagation)
     // over the Jaccard ≥ 0.5 near-dup pairs → (id, canonical id). The

@@ -86,6 +86,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup equals the full result restricted to batch pairs") {
+    val newBatch = docs.filter(col("doc_id") % 2 === 0) // ids 2, 4
+    val corpus = docs.filter(col("doc_id") % 2 =!= 0)   // ids 1, 3, 5
+    val corpusBands = Dedup.bandTable(corpus, "doc_id", "text", 3, 3, 3)
+    val incr = Dedup.minhashNearDupsIncremental(newBatch, corpus, corpusBands,
+        "doc_id", "text", 3, 3, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 3, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr === full.filter(p => p._1 % 2 == 0 || p._2 % 2 == 0))
+    assert(incr.contains((1L, 2L))) // the planted cross pair survives
+  }
+
   test("native minhash signature kernel matches the declarative aggregation") {
     val extra = Seq(
       (10L, "répétition répétition répétition unicode tokens mixed 中文 here"),
