@@ -169,6 +169,30 @@ object Similarity {
     * The codes are emitted as longs rather than bytes so downstream
     * integer arithmetic can't overflow a narrow type under ANSI mode;
     * a parquet sink would store them as `array<tinyint>` via cast. */
+  /** Per-label centroid of an embedding column — the training step of an
+    * IVF index (cells = labels here; k-means iterations are this exact
+    * aggregation in a loop) and the class-prototype primitive of
+    * nearest-centroid classification.
+    *
+    * Determinism: each float component is scaled by 2^scaleBits and
+    * FLOORED to an exact long (float→double is exact, ×2^20 is exact, so
+    * the fixed-point value is identical in any engine); the centroid is
+    * the exact integer sum divided back out — no float summation order
+    * anywhere. One shuffle of (label, dim) partial sums; map-side
+    * combine reduces each task to |labels|×dim rows.
+    * Output: labelCol, dim (1-based), n, centroid (rounded 8 dp). */
+  def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String,
+      scaleBits: Int = 20): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    emb.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(labelCol), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("x").cast("double") * scale).cast("long").as("xi"))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("s"))
+      .select(col(labelCol), col("dim"), col("n"),
+        round(col("s").cast("double") / scale / col("n"), 8).as("centroid"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
       .withColumn("amax", array_max(transform(col("v"), x => abs(x))))

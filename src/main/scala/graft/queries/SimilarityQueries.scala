@@ -148,6 +148,23 @@ object SimilarityQueries {
         |           / SQRT(a.qn2 * b.qn2) AS qcos
         |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, ROUND(qcos, 8) AS qcos
-        |FROM p WHERE qcos >= 0.4 ORDER BY id1, id2""".stripMargin))
+        |FROM p WHERE qcos >= 0.4 ORDER BY id1, id2""".stripMargin)),
+
+    // Per-label embedding centroids (IVF training step / class
+    // prototypes): fixed-point component sums (float→double→×2^20→floor
+    // → exact long) so no float summation order exists on either engine.
+    QuerySpec("q_embed_centroids", (s, dir) => {
+      Similarity.labelCentroids(emb(s, dir), "label", "embedding")
+        .orderBy("label", "dim")
+    }, Some(
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (
+        |  SELECT label, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+        |f AS (
+        |  SELECT label, dim, CAST(FLOOR(v[dim] * 1048576.0) AS BIGINT) AS xi
+        |  FROM x)
+        |SELECT label, dim, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(xi) AS DOUBLE) / 1048576.0 / COUNT(*), 8) AS centroid
+        |FROM f GROUP BY label, dim ORDER BY label, dim""".stripMargin))
   )
 }

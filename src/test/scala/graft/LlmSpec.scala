@@ -257,6 +257,20 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Long]("neighbor_id") === 3L)
   }
 
+  test("label centroids: exact fixed-point means per (label, dim)") {
+    val df = Seq(
+      (0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)), // label 0: mean (2, 4)
+      (1, Array(-1.5f, 0.5f)))                        // label 1: itself
+      .toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got((0, 1L)) === ((2L, 2.0)))
+    assert(got((0, 2L)) === ((2L, 4.0)))
+    assert(got((1, 1L)) === ((1L, -1.5)))
+    assert(got((1, 2L)) === ((1L, 0.5)))
+  }
+
   test("hyperplanes are deterministic across calls (no RNG state)") {
     assert(Similarity.hyperplanes(4, 16).map(_.toSeq) ===
       Similarity.hyperplanes(4, 16).map(_.toSeq))
