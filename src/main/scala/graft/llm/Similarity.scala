@@ -193,6 +193,35 @@ object Similarity {
         round(col("s").cast("double") / scale / col("n"), 8).as("centroid"))
   }
 
+  /** Nearest-centroid assignment (IVF cell routing / nearest-prototype
+    * classification): each vector goes to the centroid with the highest
+    * dot product, ties to the smallest label. Both sides are fixed-point
+    * (2^20) longs, so the per-(vector, label) dot is an EXACT integer sum
+    * — deterministic under any partitioning, no float summation order.
+    * The centroid table broadcasts (|labels|×dim rows); per-vector work
+    * is one explode + broadcast join + integer aggregation.
+    * Output: idCol, assigned_label, score (fixed-point dot / 2^40, 8 dp). */
+  def nearestCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, labelCol: String = "label",
+      scaleBits: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scale = (1L << scaleBits).toDouble
+    val cent = centroids.select(col(labelCol), col("dim"),
+      floor(col("centroid") * lit(scale)).cast("long").as("ci"))
+    val vx = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("x").cast("double") * lit(scale)).cast("long").as("xi"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("s").desc, col(labelCol).asc)
+    vx.join(broadcast(cent), Seq("dim"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(col("xi") * col("ci")).as("s"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(labelCol).as("assigned_label"),
+        round(col("s").cast("double") / lit(scale * scale), 8).as("score"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
       .withColumn("amax", array_max(transform(col("v"), x => abs(x))))

@@ -165,6 +165,41 @@ object SimilarityQueries {
         |  FROM x)
         |SELECT label, dim, COUNT(*) AS n,
         |       ROUND(CAST(SUM(xi) AS DOUBLE) / 1048576.0 / COUNT(*), 8) AS centroid
-        |FROM f GROUP BY label, dim ORDER BY label, dim""".stripMargin))
+        |FROM f GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+
+    // Nearest-centroid assignment (IVF routing / nearest-prototype
+    // classification): exact fixed-point dot per (vector, label) — an
+    // integer sum, so bit-deterministic; argmax ties to smallest label.
+    QuerySpec("q_nearest_centroid", (s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.labelCentroids(e, "label", "embedding")
+      Similarity.nearestCentroids(e, "vec_id", "embedding", cents)
+        .orderBy("vec_id")
+    }, Some(
+      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |xd AS (
+        |  SELECT label, vec_id, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+        |f AS (
+        |  SELECT label, vec_id, dim,
+        |         CAST(FLOOR(v[dim] * 1048576.0) AS BIGINT) AS xi
+        |  FROM xd),
+        |cent AS (
+        |  SELECT label, dim,
+        |         CAST(FLOOR(ROUND(CAST(SUM(xi) AS DOUBLE) / 1048576.0 / COUNT(*), 8)
+        |                    * 1048576.0) AS BIGINT) AS ci
+        |  FROM f GROUP BY label, dim),
+        |scores AS (
+        |  SELECT f.vec_id, c.label,
+        |         CAST(SUM(f.xi * c.ci) AS BIGINT) AS s
+        |  FROM f JOIN cent c USING (dim)
+        |  GROUP BY f.vec_id, c.label),
+        |ranked AS (
+        |  SELECT vec_id, label, s,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                            ORDER BY s DESC, label) AS rn
+        |  FROM scores)
+        |SELECT vec_id, label AS assigned_label,
+        |       ROUND(CAST(s AS DOUBLE) / 1099511627776.0, 8) AS score
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin))
   )
 }

@@ -271,6 +271,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got((1, 2L)) === ((1L, 0.5)))
   }
 
+  test("nearest-centroid assignment routes vectors to their prototype") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 1, Array(0.0f, 1.0f)), (4L, 1, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = Similarity.labelCentroids(df, "label", "embedding")
+    val got = Similarity.nearestCentroids(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
   test("hyperplanes are deterministic across calls (no RNG state)") {
     assert(Similarity.hyperplanes(4, 16).map(_.toSeq) ===
       Similarity.hyperplanes(4, 16).map(_.toSeq))
