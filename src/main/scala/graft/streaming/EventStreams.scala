@@ -81,6 +81,25 @@ object EventStreams {
          |""".stripMargin))
   }
 
+  /** Idempotent streaming load: `foreachBatch` + the engine's anti-join
+    * dedup — each micro-batch appends only rows whose keys the target has
+    * not seen (the reference loader's read→anti-join→append shape,
+    * `load.py:123-165`, applied per batch). Combined with
+    * `dropDuplicatesWithinWatermark` upstream this gives effectively-once
+    * delivery to sinks without transactional append (plain parquet dirs,
+    * JDBC). `readExisting`/`append` abstract the target so the same logic
+    * drives files or JDBC. */
+  def idempotentForeachBatch(
+      readExisting: () => DataFrame,
+      append: DataFrame => Unit,
+      keys: Seq[String]): (DataFrame, Long) => Unit = { (batch, _) =>
+    val fresh = graft.engine.LoadDedup
+      .antiJoinOnKeys(batch, readExisting(), keys)
+      // a batch can also collide with itself (retried offsets)
+      .dropDuplicates(keys)
+    append(fresh)
+  }
+
   /** Batch sessionization: the gaps-and-islands window formulation — a
     * session break is a gap > gapMs from the previous event of the same
     * user; session id = running count of breaks. Relational dual of

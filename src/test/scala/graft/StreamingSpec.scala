@@ -80,6 +80,34 @@ class StreamingSpec extends SparkSpec {
     assert(joined.isStreaming)
   }
 
+  test("foreachBatch idempotent load appends each key exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
+    def existing(): org.apache.spark.sql.DataFrame =
+      try spark.read.parquet(dir)
+      catch { case _: Throwable =>
+        Seq.empty[(Long, Long)].toDF("event_id", "user_id") }
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().select($"event_id", $"user_id")
+      .writeStream
+      .foreachBatch(EventStreams.idempotentForeachBatch(
+        () => existing(),
+        b => b.write.mode("append").parquet(dir),
+        keys = Seq("event_id")))
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts(1), 10, "a", 1.0), Event(2, ts(2), 11, "b", 1.0),
+        Event(1, ts(1), 10, "a", 1.0)) // in-batch duplicate key
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(3), 11, "b", 1.0), // replay of key 2
+        Event(3, ts(4), 12, "c", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(dir).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("batch sessionization (gaps-and-islands) agrees with streaming state") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
