@@ -222,6 +222,55 @@ object Similarity {
         round(col("s").cast("double") / lit(scale * scale), 8).as("score"))
   }
 
+  /** Deterministic k-means (Lloyd) over an embedding column: seeds are
+    * the k lowest-id vectors (no RNG), distances are exact integer sums of
+    * fixed-point squared differences, centroid updates are the exact
+    * fixed-point means of [[labelCentroids]] re-quantized each round —
+    * every step is bit-deterministic under any partitioning and
+    * replayable in plain SQL (the oracle unrolls the iterations).
+    * Cluster labels are the seed ids. A fixed iteration count (no
+    * convergence test) keeps the computation engine-portable.
+    *
+    * Scale: per iteration, one broadcast join of the (k×dim) centroid
+    * table against the exploded vectors + one integer aggregation —
+    * the canonical distributed Lloyd shape; iterations compose lazily
+    * (checkpoint between rounds if plans grow too deep).
+    * Output: idCol, cluster_id. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scaleBits: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters")
+    val scale = (1L << scaleBits).toDouble
+    val vx = emb
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("x").cast("double") * lit(scale)).cast("long").as("xi"))
+    val seeds = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cluster"))
+    var centFixed = seeds
+      .join(vx.withColumnRenamed(idCol, "cluster"), Seq("cluster"))
+      .select(col("cluster"), col("dim"), col("xi").as("ci"))
+    var assign: DataFrame = null
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("d2").asc, col("cluster").asc)
+    for (i <- 1 to iters) {
+      val diff = col("xi") - col("ci")
+      assign = vx.join(broadcast(centFixed), Seq("dim"))
+        .groupBy(col(idCol), col("cluster"))
+        .agg(sum(diff * diff).as("d2"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(idCol), col("cluster"))
+      if (i < iters) {
+        centFixed = assign.join(vx, Seq(idCol))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(floor(round(sum(col("xi")).cast("double") / lit(scale) /
+            count(lit(1)), 8) * lit(scale)).cast("long").as("ci"))
+      }
+    }
+    assign.select(col(idCol), col("cluster").as("cluster_id"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
       .withColumn("amax", array_max(transform(col("v"), x => abs(x))))

@@ -200,6 +200,45 @@ object SimilarityQueries {
         |  FROM scores)
         |SELECT vec_id, label AS assigned_label,
         |       ROUND(CAST(s AS DOUBLE) / 1099511627776.0, 8) AS score
-        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // Deterministic k-means (k=4, 2 Lloyd iterations): lowest-id seeds,
+    // exact fixed-point distances and centroid updates — the oracle
+    // unrolls both iterations in SQL. Cluster labels are the seed ids.
+    QuerySpec("q_kmeans", (s, dir) => {
+      Similarity.kmeansAssign(emb(s, dir), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .orderBy("vec_id")
+    }, Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |xd AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+        |vx AS (SELECT vec_id, dim,
+        |              CAST(FLOOR(v[dim] * 1048576.0) AS BIGINT) AS xi
+        |       FROM xd),
+        |seeds AS (SELECT vec_id AS cluster FROM e ORDER BY vec_id LIMIT 4),
+        |c0 AS (SELECT s.cluster, vx.dim, vx.xi AS ci
+        |       FROM seeds s JOIN vx ON vx.vec_id = s.cluster),
+        |d1 AS (SELECT vx.vec_id, c.cluster,
+        |              SUM((vx.xi - c.ci) * (vx.xi - c.ci)) AS d2
+        |       FROM vx JOIN c0 c USING (dim) GROUP BY vx.vec_id, c.cluster),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster,
+        |                ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                                   ORDER BY d2, cluster) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cluster, vx.dim,
+        |              CAST(FLOOR(ROUND(CAST(SUM(vx.xi) AS DOUBLE) / 1048576.0
+        |                               / COUNT(*), 8) * 1048576.0) AS BIGINT) AS ci
+        |       FROM a1 a JOIN vx ON vx.vec_id = a.vec_id
+        |       GROUP BY a.cluster, vx.dim),
+        |d2c AS (SELECT vx.vec_id, c.cluster,
+        |               SUM((vx.xi - c.ci) * (vx.xi - c.ci)) AS d2
+        |        FROM vx JOIN c1 c USING (dim) GROUP BY vx.vec_id, c.cluster),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster,
+        |                ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                                   ORDER BY d2, cluster) AS rn
+        |         FROM d2c) WHERE rn = 1)
+        |SELECT vec_id, cluster AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin))
   )
 }

@@ -282,6 +282,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("kmeans: separated clusters converge to their groups; labels = seed ids") {
+    // seeds are the two lowest ids (1 and 2) — both in group A, but after
+    // an update round the centroids split across the two true groups
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.9f, 0.1f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L))
+    assert(got.values.toSet.subsetOf(Set(1L, 2L)))    // labels are seed ids
+    assert(got(10L) === got(11L))                     // B co-clustered
+    assert(got(1L) === got(3L))                       // A co-clustered
+    assert(got(1L) !== got(10L))                      // groups separated
+  }
+
   test("hyperplanes are deterministic across calls (no RNG state)") {
     assert(Similarity.hyperplanes(4, 16).map(_.toSeq) ===
       Similarity.hyperplanes(4, 16).map(_.toSeq))
