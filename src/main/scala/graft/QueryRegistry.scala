@@ -31,6 +31,7 @@ object QueryRegistry {
       queries.DedupQueries.specs ++
       queries.SimilarityQueries.specs ++
       queries.EventQueries.specs ++
+      queries.AnalyticsQueries.specs ++
       queries.PipelineQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap

@@ -65,6 +65,43 @@ object TimeJoins {
     }.drop("__side", "__p")
   }
 
+  /** Forward (inclusive) as-of join: for every left row, attach the EARLIEST
+    * right row with `right.tsCol >= left.tsCol` within the same `partKeys` —
+    * the mirror of [[asofJoinBackward]], same union + single-window design
+    * (one shuffle, linear work, no per-key candidate blowup).
+    *
+    * Equal-timestamp right rows are tie-broken by the payload columns
+    * ascending (first wins) so results are deterministic.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      partKeys: Seq[String], tsCol: String,
+      rightCols: Seq[String], prefix: String = "matched_"): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoinForward needs at least one rightCol")
+    val matched = rightCols.map(prefix + _)
+    // Same atomic-payload trick as the backward join: the whole right row
+    // rides in one struct so a single first(ignoreNulls) can't stitch
+    // fields from different right rows when payload fields are null.
+    val r = right.select(
+      (partKeys :+ tsCol).map(col) ++
+        rightCols.zip(matched).map { case (c, m) => col(c).as(m) }: _*)
+      .withColumn("__p", struct(matched.map(col): _*))
+      .withColumn("__side", lit(1))
+    val l = left.withColumn("__side", lit(0))
+    // Left rows sort before right rows at equal ts, so the forward-looking
+    // window (current row → end) still sees the equal-ts right row
+    // (inclusive match); equal-ts right rows totally ordered by payload.
+    val w = Window
+      .partitionBy(partKeys.map(col): _*)
+      .orderBy(col(tsCol).asc +: col("__side").asc +:
+        matched.map(col(_).asc_nulls_first): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withMatch = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+    matched.foldLeft(withMatch.where(col("__side") === 0)) {
+      (d, m) => d.withColumn(m, col(s"__p.$m"))
+    }.drop("__side", "__p")
+  }
+
   /** Bounded range self-join: all ordered pairs of rows sharing `partKeys`
     * whose `usCol` (epoch microseconds, long) values are within `withinUs`
     * of each other. Pair order is (earlier, later), ties broken by `idCol`,

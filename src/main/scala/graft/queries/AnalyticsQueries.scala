@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.Tables
+
+/** Analytic breadth beyond the reference's surface (which has no window
+  * functions, set ops, or grouping sets at all — SURVEY.md §2 "Window
+  * functions: none"): ranking/offset/frame windows, semi-join and set
+  * operators, explicit grouping sets, exact heavy hitters, ordered list
+  * aggregation, edit-distance candidate verification, and the forward
+  * as-of join (mirror of `q_asof_join`).
+  *
+  * Determinism: every window carries a TOTAL order (unique tiebreak key in
+  * the ORDER BY), frame sums run in DECIMAL, and every query ends in a
+  * total ORDER BY — same rules as the rest of the registry.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events.ts is parquet TIMESTAMP(NANOS) — same legacy-nanos read as
+    * EventQueries (see the note there). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Offset windows: per-user previous/next event (LAG/LEAD) and the gap
+    // to the previous event — the per-entity "time since last action"
+    // feature every event pipeline derives. One shuffle on user_id.
+    QuerySpec("q_lag_lead", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events)
+        |SELECT user_id, event_id,
+        |       us - LAG(us) OVER w AS gap_us,
+        |       LAG(event_type) OVER w AS prev_type,
+        |       LEAD(event_type) OVER w AS next_type
+        |FROM base
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY event_id""".stripMargin)),
+
+    // Ranking windows: rank/dense_rank tolerate ties deterministically
+    // (equal inputs ⇒ equal ranks); ntile REQUIRES the total order
+    // (o_orderkey tiebreak) or bucket assignment is partition-order luck.
+    QuerySpec("q_rank_ntile", (s, dir) => {
+      val ties = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc)
+      val total = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(ties).cast("long").as("price_rank"),
+          dense_rank().over(ties).cast("long").as("price_dense_rank"),
+          ntile(4).over(total).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """SELECT o_orderkey, o_orderpriority,
+        |       RANK() OVER t AS price_rank,
+        |       DENSE_RANK() OVER t AS price_dense_rank,
+        |       NTILE(4) OVER u AS quartile
+        |FROM orders
+        |WINDOW t AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
+        |       u AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Frame window: per-customer running spend (prefix sums in DECIMAL —
+    // exact, so partitioning can't change the doubles) + order sequence.
+    QuerySpec("q_running_total", (s, dir) => {
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(ord).cast("long").as("order_seq"),
+          sum(dec(col("o_totalprice"))).over(run)
+            .cast("double").as("running_spend"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |       ROW_NUMBER() OVER w AS order_seq,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Left-semi join: existence probe without payload duplication — ships
+    // only the probe keys, never multiplies rows (vs inner-join+distinct).
+    QuerySpec("q_semi_join", (s, dir) => {
+      val returned = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+      t(s, dir, "orders")
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Set op INTERSECT (distinct semantics on both engines): customers
+    // holding orders in BOTH statuses.
+    QuerySpec("q_intersect_keys", (s, dir) => {
+      val orders = t(s, dir, "orders")
+      orders.where(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(
+          orders.where(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }, Some(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // Set op EXCEPT (distinct semantics): customers with open orders but
+    // no finished ones.
+    QuerySpec("q_except_keys", (s, dir) => {
+      val orders = t(s, dir, "orders")
+      orders.where(col("o_orderstatus") === "O").select("o_custkey")
+        .except(
+          orders.where(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    }, Some(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // Explicit GROUPING SETS (beyond the rollup/cube family already in
+    // CoreRelational): per-priority and per-status subtotals + grand total
+    // in one pass; GROUPING() flags disambiguate subtotal rows from real
+    // NULL groups. Cast to INT on both engines (Spark emits TINYINT).
+    QuerySpec("q_grouping_sets", (s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("g_pri"), col("g_st"),
+          col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+
+    // Exact heavy hitters: users above a global-fraction threshold. The
+    // threshold is a 1-row broadcast (scalar subquery shape) — the fact
+    // side aggregates map-side then joins nothing bigger than itself; no
+    // driver-side collect.
+    QuerySpec("q_heavy_hitters", (s, dir) => {
+      val ev = events(s, dir)
+      val thresh = ev.agg((count(lit(1)) / lit(200.0)).as("__t"))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .join(broadcast(thresh))
+        .where(col("n_events") > col("__t"))
+        .drop("__t")
+        .orderBy("user_id")
+    }, Some(
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id
+        |HAVING COUNT(*) > (SELECT COUNT(*) / 200.0 FROM events)
+        |ORDER BY user_id""".stripMargin)),
+
+    // Ordered list aggregation: collect_list is partition-order-dependent —
+    // sort_array makes it canonical before serialization (same rule as
+    // DuckDB's mandatory ORDER BY inside string_agg).
+    QuerySpec("q_list_agg", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(array_join(sort_array(collect_list(col("l_partkey"))), ",")
+          .as("parts"),
+          count(lit(1)).as("n_parts"))
+        .orderBy("l_orderkey")
+    }, Some(
+      """SELECT l_orderkey,
+        |       string_agg(l_partkey, ',' ORDER BY l_partkey) AS parts,
+        |       COUNT(*) AS n_parts
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    // Edit-distance near-dup verification: block on (brand, noun) so the
+    // quadratic levenshtein verify runs inside small buckets (the same
+    // block→verify shape as the MinHash/SimHash pipelines — candidates
+    // from an equi-join on a short key, exact check after).
+    QuerySpec("q_edit_distance", (s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          element_at(split(col("p_name"), " "), 2).as("noun"))
+      val a = p.select(col("p_brand"), col("noun"),
+        col("p_partkey").as("id1"), col("p_name").as("name1"))
+      val b = p.select(col("p_brand"), col("noun"),
+        col("p_partkey").as("id2"), col("p_name").as("name2"))
+      a.join(b, Seq("p_brand", "noun"))
+        .where(col("id1") < col("id2"))
+        .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+        .where(col("dist") > 0 && col("dist") <= 3)
+        .select("id1", "id2", "dist")
+        .orderBy("id1", "id2")
+    }, Some(
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 2) AS noun
+        |  FROM part)
+        |SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |       levenshtein(a.p_name, b.p_name) AS dist
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.noun = b.noun
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+        |ORDER BY id1, id2""".stripMargin)),
+
+    // Forward as-of join: every click attached to the user's NEXT purchase
+    // at-or-after it (mirror of q_asof_join; same union + single-window
+    // design — one shuffle, no candidate blowup). The oracle mirrors the
+    // union+window formulation so tie semantics match bit-for-bit.
+    QuerySpec("q_asof_forward", (s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "us")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"),
+          col("event_id").as("purchase_id"), col("value"))
+      graft.engine.TimeJoins.asofJoinForward(
+          clicks, purchases, Seq("user_id"), "us", Seq("purchase_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+          col("matched_purchase_id"), col("matched_value"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, us, 1 AS side, CAST(NULL AS BIGINT) AS event_id,
+        |         event_id AS m_id, value AS m_value
+        |  FROM base WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, us, 0 AS side, event_id,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |  FROM base WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT user_id, us, side, event_id,
+        |         FIRST_VALUE(CASE WHEN side = 1
+        |                          THEN struct_pack(pid := m_id, val := m_value) END
+        |                     IGNORE NULLS) OVER w AS s
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY us, side, m_id NULLS FIRST, m_value NULLS FIRST
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, make_timestamp(us) AS ts,
+        |       s.pid AS matched_purchase_id, s.val AS matched_value
+        |FROM m WHERE side = 0 ORDER BY event_id""".stripMargin))
+  )
+}

@@ -111,6 +111,47 @@ class TimeJoinsSpec extends SparkSpec {
     }
   }
 
+  private def asofFwd(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long, Double)]) = {
+    val l = left.toDF("event_id", "user_id", "us")
+    val r = right.toDF("view_id", "user_id", "us", "value")
+      .select($"user_id", $"us", $"view_id", $"value")
+    TimeJoins.asofJoinForward(l, r, Seq("user_id"), "us", Seq("view_id", "value"))
+      .select("event_id", "matched_view_id", "matched_value")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+  }
+
+  test("asof forward: earliest at-or-after right row matches; none after -> null") {
+    val m = asofFwd(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 90L)),
+      right = Seq((10L, 7L, 100L, 1.0), (11L, 7L, 200L, 2.0)))
+    assert(m(1L) === (Some(10L), Some(1.0)))   // equal ts matches inclusively
+    assert(m(2L) === (None, None))             // nothing at or after 250
+    assert(m(3L) === (Some(10L), Some(1.0)))   // earliest of {100, 200}
+  }
+
+  test("asof forward: right-side ts ties resolve to the smallest tiebreak id") {
+    val m = asofFwd(
+      left = Seq((1L, 7L, 80L)),
+      right = Seq((12L, 7L, 90L, 3.0), (10L, 7L, 90L, 1.0), (11L, 7L, 90L, 2.0)))
+    assert(m(1L) === (Some(10L), Some(1.0)))
+  }
+
+  test("asof forward matches brute force on randomized collision-heavy data") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val left = (1 to 60).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(20).toLong))
+      val right = (101 to 160).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, rnd.nextInt(9).toDouble))
+      val expected = left.map { case (id, u, ts) =>
+        val best = right.filter(r => r._2 == u && r._3 >= ts)
+          .sortBy(r => (r._3, r._1)).headOption
+        id -> ((best.map(_._1), best.map(_._4)))
+      }.toMap
+      assert(asofFwd(left, right) === expected)
+    }
+  }
+
   test("range self-join: equal-ts pair emitted once, ordered by id; users isolated") {
     val df = Seq((1L, 7L, 50L), (2L, 7L, 50L), (3L, 8L, 50L))
       .toDF("event_id", "user_id", "us")
