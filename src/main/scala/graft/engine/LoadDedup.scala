@@ -35,6 +35,42 @@ object LoadDedup {
     antiJoinOnKeys(existing, latest, keys).unionByName(latest)
   }
 
+  /** Bloom-pruned anti-join for the 100 TB load path: when `existing` is a
+    * huge target table (its keys do NOT fit in a broadcast) and the
+    * incoming batch is mostly-new, the plain shuffled anti-join moves the
+    * ENTIRE incoming batch over the network just to discard almost no
+    * rows. Instead: build a Bloom filter over the existing keys (one
+    * aggregate job, a few bytes per key), and split the batch map-side —
+    * rows the filter rejects are DEFINITELY new and skip the shuffle
+    * entirely; only probable-hits (true dups + `fpp` false positives) go
+    * through the exact anti-join. Correctness never depends on the filter:
+    * false positives just ride the exact path. Null key fields take the
+    * exact path too (anti-join keeps null-keyed rows; the filter can't
+    * represent them).
+    *
+    * The membership probe is a Scala UDF (no public Catalyst expression
+    * wraps `BloomFilter.mightContain`) — acceptable here because it gates
+    * a shuffle, not a hot aggregation loop. Like the reference's
+    * read-before-load (`load.py:128`), the filter build is EAGER: one job
+    * over existing keys before the plan is returned.
+    */
+  def antiJoinBloomPruned(incoming: DataFrame, existing: DataFrame,
+      keys: Seq[String], expectedKeys: Long, fpp: Double = 0.03): DataFrame = {
+    // composite keys probe as one -joined string; a collision or a
+    // null-collapse only routes a row to the exact path (never wrong)
+    def keyOf(df: DataFrame) =
+      concat_ws("", keys.map(c => df(c).cast("string")): _*)
+    val existingKeys = existing.select(keys.map(col): _*).distinct()
+    val bloom = existingKeys.stat
+      .bloomFilter(keyOf(existingKeys), expectedKeys, fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val mightExist = udf((k: String) => bc.value.mightContain(k))
+    val maybe = anyKeyNull || mightExist(keyOf(incoming))
+    incoming.where(!maybe)
+      .unionByName(antiJoinOnKeys(incoming.where(maybe), existing, keys))
+  }
+
   /** A11 (`load.py:189-210`): dedup by key keeping the FIRST row. pandas'
     * `keep='first'` is row-order-defined; a distributed engine has no row
     * order, so the caller must supply an explicit deterministic tiebreak

@@ -293,4 +293,31 @@ class LoadDedupSpec extends SparkSpec {
     val kept = LoadDedup.dedupKeepFirst(dups, Seq("pk"), Seq("d"))
     assert(kept.select("v").as[String].collect().toSeq === Seq("early"))
   }
+
+  test("bloom-pruned anti-join equals the exact anti-join (incl. null keys)") {
+    val rnd = new scala.util.Random(3)
+    val existing = (1 to 400).map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(5)))
+      .map { case (k, g) => (if (k % 7 == 0) None else Some(k), g) }
+      .toDF("pk", "g")
+    val incoming = (1 to 400).map(i => (rnd.nextInt(600).toLong, i))
+      .map { case (k, i) => (if (k % 11 == 0) None else Some(k), i) }
+      .toDF("pk", "i")
+    val exact = LoadDedup.antiJoinOnKeys(incoming, existing, Seq("pk"))
+      .collect().map(r => (Option(r.get(0)), r.getInt(1))).sortBy(_._2)
+    val pruned = LoadDedup
+      .antiJoinBloomPruned(incoming, existing, Seq("pk"), expectedKeys = 500L)
+      .collect().map(r => (Option(r.get(0)), r.getInt(1))).sortBy(_._2)
+    assert(pruned === exact)
+  }
+
+  test("bloom-pruned anti-join equals exact on composite keys") {
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k1", "k2")
+    val incoming =
+      Seq((1L, "a", 10), (1L, "b", 11), (3L, "c", 12), (9L, "z", 13))
+        .toDF("k1", "k2", "v")
+    val got = LoadDedup
+      .antiJoinBloomPruned(incoming, existing, Seq("k1", "k2"), 10L)
+      .select("v").as[Int].collect().sorted
+    assert(got.toSeq === Seq(11, 13))
+  }
 }
