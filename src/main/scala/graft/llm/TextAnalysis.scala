@@ -210,6 +210,53 @@ object TextAnalysis {
       + lit(0.4) * (stop.cast("double") / greatest(nTokens, lit(1))), 8)
   }
 
+  /** PII redaction: emails → `<EMAIL>`, phone-shaped numbers (optional
+    * leading `+`/`(`, then 3+ short digit groups joined by space/()./-
+    * separators — bare digit runs do NOT qualify) → `<PHONE>`, remaining
+    * 6+ digit runs → `<ID>`. Order matters: emails first (their digits
+    * must not half-match the phone rule), phones before bare ID runs.
+    * Map-only codegen'd regexes, deliberately within the common Java/RE2
+    * dialect (no backrefs or lookaround), so the same patterns run
+    * anywhere. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email,
+      "[+(]?[0-9]{1,4}([ ()./-]+[0-9]{1,4}){2,}", "<PHONE>")
+    regexp_replace(phone, "[0-9]{6,}", "<ID>")
+  }
+
+  /** Token repetition ratio: share of the total token count held by the
+    * single most repeated token — high values flag boilerplate/spam docs.
+    * The explode pre-aggregates to one row per DISTINCT (doc, token)
+    * before the per-doc rollup, so the shuffle is vocabulary-bounded, not
+    * token-count-bounded. Docs with zero tokens produce no row. */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).as("max_token_freq"),
+        sum(col("__n")).as("n_tokens"))
+      .select(col(idCol), col("max_token_freq"), col("n_tokens"),
+        round(col("max_token_freq").cast("double") / col("n_tokens"), 8)
+          .as("repetition_ratio"))
+
+  /** Corpus-level length gate: keep docs whose character length falls in
+    * the [lo, hi] percent-rank band WITHIN its language — per-language
+    * outlier trimming with no global magic threshold. percent_rank is
+    * value-based (equal lengths share a rank), so ties land on the same
+    * side of the cut under any partitioning or engine. */
+  def lengthBand(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(length(col(textCol)))
+    df.select(col(idCol), col(langCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        round(percent_rank().over(w), 8).as("len_pr"))
+      .where(col("len_pr") >= lo && col("len_pr") <= hi)
+  }
+
   /** Heuristic quality features + composite score. Divisions guarded as in
     * [[qualityScore]]. */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {

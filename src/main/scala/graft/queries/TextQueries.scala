@@ -222,6 +222,68 @@ object TextQueries {
     }, Some(
       """SELECT doc_id,
         |       substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
-        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin))
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
+
+    // PII redaction. The synthetic corpus has no PII, so the query stamps
+    // deterministic email/phone/id fragments into each doc (same
+    // derivation on both engines), then scrubs them — exercising all
+    // three rules: email first, phone-shaped runs, then bare 6+ digit ids.
+    QuerySpec("q_redact_pii", (s, dir) => {
+      val stamped = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or +33 "), (col("doc_id") % 10).cast("string"),
+        lit(" 12 34 56 78 ref "), (col("doc_id") * col("doc_id")).cast("string"))
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.redactPii(stamped).as("clean_text"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH stamped AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@mail.example.org or +33 ' || CAST(doc_id % 10 AS VARCHAR) ||
+        |         ' 12 34 56 78 ref ' || CAST(doc_id * doc_id AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(t,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '[+(]?[0-9]{1,4}([ ()./-]+[0-9]{1,4}){2,}', '<PHONE>', 'g'),
+        |         '[0-9]{6,}', '<ID>', 'g') AS clean_text
+        |FROM stamped ORDER BY doc_id""".stripMargin)),
+
+    // Token repetition ratio (boilerplate/spam signal): the explode
+    // pre-aggregates per distinct (doc, token) so the shuffle is
+    // vocabulary-bounded.
+    QuerySpec("q_repetition", (s, dir) => {
+      TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS n FROM tok GROUP BY doc_id, word)
+        |SELECT doc_id, MAX(n) AS max_token_freq,
+        |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |       ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 8) AS repetition_ratio
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-level per-language length-band gate (percent_rank is value-
+    // based, so equal lengths land on the same side of the cut anywhere).
+    QuerySpec("q_length_band", (s, dir) => {
+      TextAnalysis.lengthBand(docs(s, dir), "doc_id", "text", "lang",
+          lo = 0.05, hi = 0.95)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH pr AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |         ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+        |                                    ORDER BY length(text)), 8) AS len_pr
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, len_pr FROM pr
+        |WHERE len_pr >= 0.05 AND len_pr <= 0.95
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -45,6 +45,15 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (broadcast — the stream side never shuffles, no streaming
+    * state, no watermark). The static side is re-resolved per micro-batch,
+    * so slowly-changing dimension reloads (new parquet snapshot under the
+    * same path) flow into later batches — the standard SCD-light pattern. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming exact-dedup: drop events whose key was already seen within
     * the watermark horizon (`dropDuplicatesWithinWatermark`) — the
     * streaming dual of `Dedup.exactGroups`, with state bounded by the

@@ -426,6 +426,46 @@ class TextAnalysisSpec extends SparkSpec {
     val r2 = rows.find(_.getLong(0) == 2).get
     assert(!r2.getAs[Double]("quality_score").isNaN)
   }
+
+  test("PII redaction: email, phone shapes, bare id runs; clean text untouched") {
+    val d = Seq(
+      (1L, "mail a.b+c@sub.example.org now"),
+      (2L, "call +33 6 12 34 56 78 or (555) 123-4567 today"),
+      (3L, "ref 123456789 and short 12345 stays"),
+      (4L, "nothing to redact here")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "mail <EMAIL> now")
+    assert(got(2L) === "call <PHONE> or <PHONE> today")
+    assert(got(3L) === "ref <ID> and short 12345 stays")
+    assert(got(4L) === "nothing to redact here")
+  }
+
+  test("repetition ratio: dominant token share; zero-token docs absent") {
+    val d = Seq(
+      (1L, "spam spam spam ham"),
+      (2L, "all words differ here"),
+      (3L, "...")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRatio(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 4L, 0.75)))
+    assert(got(2L) === ((1L, 4L, 0.25)))
+    assert(!got.contains(3L)) // no tokens -> no row
+  }
+
+  test("length band keeps the inner percentile band per language") {
+    val docs = (1 to 20).map(i => (i.toLong, "x" * i, "en")) ++
+      Seq((100L, "y" * 3, "fr"), (101L, "y" * 4, "fr"), (102L, "y" * 5, "fr"))
+    val got = TextAnalysis.lengthBand(docs.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", lo = 0.10, hi = 0.90)
+      .select("doc_id").as[Long].collect().toSet
+    // en: percent_rank = (i-1)/19 -> keep ranks in [0.10, 0.90] = ids 3..18
+    assert(got.filter(_ < 100L) === (3L to 18L).toSet)
+    // fr: ranks 0, 0.5, 1.0 -> only the middle survives
+    assert(got.filter(_ >= 100L) === Set(101L))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -55,6 +55,25 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("stream-static enrichment broadcast-joins each micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.enrichWithStatic(mem.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 12, "view", 2.0)) // user 12 not in dim -> null tier
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_out")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> Some("gold"), 2L -> None))
+  }
+
   test("stream-stream interval join matches pairs within lookback, per key") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
