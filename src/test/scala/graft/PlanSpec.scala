@@ -137,4 +137,58 @@ class PlanSpec extends SparkSpec {
     // the anti-join's build side must read only the key column
     assert(plan.contains("LeftAnti"), plan)
   }
+
+  test("semi-join plans as a real semi join (no row multiplication)") {
+    val orders = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val df = orders.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+    val plan = planString(df)
+    assert(plan.contains("LeftSemi"), plan)
+    // probe side reads only the join key + pushed filter column
+    assert(plan.contains("ReadSchema: struct<l_orderkey:"), plan)
+    assert(!plan.contains("l_extendedprice"), plan)
+  }
+
+  test("forward as-of join: window formulation, one exchange, no join node") {
+    import spark.implicits._
+    val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "us")
+    val r = Seq((10L, 7L, 120L, 1.0)).toDF("view_id", "user_id", "us", "value")
+      .select($"user_id", $"us", $"view_id", $"value")
+    val df = graft.engine.TimeJoins.asofJoinForward(
+      l, r, Seq("user_id"), "us", Seq("view_id", "value"))
+    val plan = planString(df)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
+
+  test("grouping sets expand once and pre-reduce map-side") {
+    val df = Tables.load(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val plan = planString(df)
+    // one Expand node feeds a partial aggregate below the exchange: the
+    // subtotal fan-out happens map-side, the shuffle carries pre-reduced
+    // (group, partial-count) rows only
+    val expands = "Expand".r.findAllIn(plan).length
+    assert(expands === 1, plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("bloom-pruned anti-join: only the probable-hit branch joins") {
+    import spark.implicits._
+    val incoming = (1L to 100L).toDF("pk")
+    val existing = (1L to 10L).toDF("pk")
+    val df = graft.engine.LoadDedup.antiJoinBloomPruned(
+      incoming, existing, Seq("pk"), expectedKeys = 10L)
+    val plan = planString(df)
+    // exactly one anti join (the exact path); the definitely-new branch
+    // is a plain filtered scan unioned back in
+    val antis = "LeftAnti".r.findAllIn(plan).length
+    assert(antis === 1, plan)
+    assert(plan.contains("Union"), plan)
+  }
 }
