@@ -155,6 +155,64 @@ object Stats {
       col("tie_counts"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group:
+    * `D = max_x |F_a(x) − F_b(x)|` between the empirical CDFs of the `a`
+    * and `b` populations of `sample` within each `label` group.
+    *
+    * Same scale discipline as [[mannWhitneyStat]]: ties pre-aggregate into
+    * one row per DISTINCT (label, value) map-side, the ECDF window sorts
+    * distinct values only, and the ECDF fractions are exact-int divisions
+    * (identical IEEE doubles under any partitioning). Each |diff| rounds
+    * to 8 dp BEFORE the max so a last-ulp wobble can't flip which point
+    * attains it. Groups missing either sample get the −99999 sentinel
+    * (reference convention, `transform.py:357-365`). */
+  def ksStat(df: DataFrame, label: String, value: String,
+      sample: String, a: String, b: String): DataFrame = {
+    val base = df.na.drop(Seq(value))
+      .filter(col(sample).isin(a, b))
+      .select(col(label), dec(col(value)).as("v"),
+        (col(sample) === lit(a)).as("is_a"))
+    val ties = base.groupBy(col(label), col("v"))
+      .agg(count(when(col("is_a"), 1)).as("ca"),
+        count(when(!col("is_a"), 1)).as("cb"))
+    val wCum = Window.partitionBy(col(label)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(label))
+    ties
+      .select(col(label),
+        sum(col("ca")).over(wCum).as("__fa"),
+        sum(col("cb")).over(wCum).as("__fb"),
+        sum(col("ca")).over(wTot).as("__n1"),
+        sum(col("cb")).over(wTot).as("__n2"))
+      .groupBy(col(label))
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        max(round(abs(
+          when(col("__n1") > 0, col("__fa").cast("double") / col("__n1"))
+            .otherwise(lit(0.0)) -
+          when(col("__n2") > 0, col("__fb").cast("double") / col("__n2"))
+            .otherwise(lit(0.0))), 8)).as("__d"))
+      .select(col(label), col("n1"), col("n2"),
+        when(col("n1") > 0 && col("n2") > 0, col("__d"))
+          .otherwise(lit(Sentinel)).as("ks_stat"))
+  }
+
+  /** KS two-sided p-value: Kolmogorov asymptotic distribution with the
+    * Stephens small-sample correction,
+    * `λ = (√n_e + 0.12 + 0.11/√n_e)·D`, `n_e = n1·n2/(n1+n2)`,
+    * `p = 2·Σ_{j≥1} (−1)^{j−1} e^{−2j²λ²}` (clamped to [0,1]). */
+  def ksPValue(n1: Long, n2: Long, d: Double): Double = {
+    if (n1 < 1 || n2 < 1 || d == Sentinel) return Sentinel
+    val ne = n1.toDouble * n2.toDouble / (n1.toDouble + n2.toDouble)
+    val sq = math.sqrt(ne)
+    val lambda = (sq + 0.12 + 0.11 / sq) * d
+    // below λ≈0.2 the Kolmogorov CDF is < 1e-13 (p = 1) and the
+    // alternating series needs thousands of terms — short-circuit it
+    if (lambda < 0.2) return 1.0
+    val sum = (1 to 100).map(j =>
+      2.0 * math.pow(-1.0, j - 1) * math.exp(-2.0 * j * j * lambda * lambda)).sum
+    math.min(1.0, math.max(0.0, sum))
+  }
+
   /** Mann-Whitney two-sided p-value: normal approximation with tie
     * correction, no continuity correction (scipy `method='asymptotic',
     * use_continuity=False`). Runs on the aggregated group rows. */

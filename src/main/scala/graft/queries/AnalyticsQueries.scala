@@ -242,6 +242,30 @@ object AnalyticsQueries {
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
         |ORDER BY id1, id2""".stripMargin)),
 
+    // Grouped top-k through the native bounded-heap aggregate (the same
+    // TopKByScore that powers cosine top-k): each task pre-reduces to ≤k
+    // rows per group BEFORE the exchange — the window formulation the
+    // oracle uses would shuffle and sort every row.
+    QuerySpec("q_topk_group", (s, dir) => {
+      graft.llm.TopK.register(s)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.llm.TopK.topKByScore(
+          col("o_totalprice"), col("o_orderkey"), lit(3)).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk")
+    }, Some(
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin)),
+
     // Forward as-of join: every click attached to the user's NEXT purchase
     // at-or-after it (mirror of q_asof_join; same union + single-window
     // design — one shuffle, no candidate blowup). The oracle mirrors the

@@ -74,6 +74,16 @@ object CoreRelational {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Correlated scalar subquery (count per outer row) — verbatim on both
+    * engines; Catalyst decorrelates to a left outer join + aggregate. */
+  val sqlSubqueryText: String =
+    """SELECT c_custkey,
+      |       (SELECT COUNT(*) FROM orders
+      |        WHERE o_custkey = c_custkey
+      |          AND o_orderstatus = 'F') AS n_finished
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
 
     QuerySpec("q_flagship_star", flagship, Some(flagshipSql), headline = true),
@@ -83,6 +93,15 @@ object CoreRelational {
         .foreach(nm => Tables.load(s, dir, nm).createOrReplaceTempView(nm))
       s.sql(sqlApiText)
     }, Some(sqlApiText)),
+
+    // Correlated scalar subquery, one SQL text on both engines: Catalyst
+    // decorrelates it to an outer join + aggregate — the "no optimizer
+    // work needed" claim of SURVEY §4, demonstrated.
+    QuerySpec("q_sql_subquery", (s, dir) => {
+      Seq("customer", "orders")
+        .foreach(nm => Tables.load(s, dir, nm).createOrReplaceTempView(nm))
+      s.sql(sqlSubqueryText)
+    }, Some(sqlSubqueryText)),
 
     // A5/A7 + arithmetic: pricing summary (decimal-exact sums).
     QuerySpec("q_agg_pricing", (s, dir) => {

@@ -204,6 +204,42 @@ object StatsQueries {
         |               - (r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0)) AS u_stat
         |FROM agg ORDER BY l_linestatus""".stripMargin)),
 
+    // Two-sample Kolmogorov-Smirnov D per group: ECDF differences over
+    // tie-pre-aggregated distinct values (same scale shape as Mann-Whitney
+    // — the window sorts distinct values, not rows); each |Fa−Fb| rounds
+    // to 8 dp before the max on both engines.
+    QuerySpec("q_ks_test", (s, dir) => {
+      Stats.ksStat(t(s, dir, "lineitem"), "l_linestatus",
+          "l_extendedprice", "l_returnflag", a = "A", b = "R")
+        .orderBy("l_linestatus")
+    }, Some(
+      """WITH base AS (
+        |  SELECT l_linestatus AS label, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |         l_returnflag = 'A' AS is_a
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |ties AS (
+        |  SELECT label, v, COUNT(*) FILTER (WHERE is_a) AS ca,
+        |         COUNT(*) FILTER (WHERE NOT is_a) AS cb
+        |  FROM base GROUP BY label, v),
+        |ecdf AS (
+        |  SELECT label,
+        |         SUM(ca) OVER (PARTITION BY label ORDER BY v
+        |                       ROWS UNBOUNDED PRECEDING) AS fa,
+        |         SUM(cb) OVER (PARTITION BY label ORDER BY v
+        |                       ROWS UNBOUNDED PRECEDING) AS fb,
+        |         SUM(ca) OVER (PARTITION BY label) AS n1,
+        |         SUM(cb) OVER (PARTITION BY label) AS n2
+        |  FROM ties)
+        |SELECT label AS l_linestatus,
+        |       CAST(MAX(n1) AS BIGINT) AS n1,
+        |       CAST(MAX(n2) AS BIGINT) AS n2,
+        |       CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0 THEN
+        |         MAX(ROUND(ABS(
+        |           CASE WHEN n1 > 0 THEN CAST(fa AS DOUBLE) / n1 ELSE 0.0 END -
+        |           CASE WHEN n2 > 0 THEN CAST(fb AS DOUBLE) / n2 ELSE 0.0 END), 8))
+        |       ELSE -99999.0 END AS ks_stat
+        |FROM ecdf GROUP BY label ORDER BY l_linestatus""".stripMargin)),
+
     // Pearson correlation + simple OLS per group from exact decimal
     // moments (n, Σx, Σy, Σx², Σy², Σxy) — the built-in corr/covar
     // aggregate in doubles is partition-order-dependent; decimal moments
