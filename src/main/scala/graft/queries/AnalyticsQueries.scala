@@ -224,9 +224,14 @@ object AnalyticsQueries {
         col("p_partkey").as("id1"), col("p_name").as("name1"))
       val b = p.select(col("p_brand"), col("noun"),
         col("p_partkey").as("id2"), col("p_name").as("name2"))
+      // threshold form = banded O(k·n) edit distance with early exit
+      // (returns -1 past the bound) — the scale path; the oracle's plain
+      // levenshtein agrees wherever dist ≤ k, and rows past the bound are
+      // filtered on both sides
       a.join(b, Seq("p_brand", "noun"))
         .where(col("id1") < col("id2"))
-        .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+        .withColumn("dist",
+          levenshtein(col("name1"), col("name2"), 3).cast("long"))
         .where(col("dist") > 0 && col("dist") <= 3)
         .select("id1", "id2", "dist")
         .orderBy("id1", "id2")

@@ -44,6 +44,33 @@ object EventQueries {
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin), headline = true),
 
+    // Sliding 1-hour/30-minute windows (batch form of the streaming
+    // sliding aggregation): every event lands in exactly len/slide = 2
+    // windows; the oracle mirrors Spark's epoch-aligned window grid by
+    // exploding each event to its two window starts in exact integer
+    // microsecond arithmetic.
+    QuerySpec("q_window_sliding", (s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    }, Some(
+      """WITH base AS (
+        |  SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (
+        |  SELECT unnest([us - (us % 1800000000),
+        |                 us - (us % 1800000000) - 1800000000]) AS win_us,
+        |         event_type, value
+        |  FROM base)
+        |SELECT make_timestamp(win_us) AS win_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY win_us, event_type
+        |ORDER BY win_start, event_type""".stripMargin)),
+
     // Batch sessionization (gaps-and-islands windows): 30-minute gap
     // sessions per user over the event stream's batch view.
     QuerySpec("q_sessions_batch", (s, dir) => {

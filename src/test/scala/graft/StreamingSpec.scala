@@ -55,6 +55,38 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("windowed agg in append mode drops data later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedAgg(mem.toDF(), windowLen = "1 hour",
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: window [0,60) gets 2 events; max ts = 200min
+      mem.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 10, "click", 2.0),
+        Event(3, ts(200), 10, "click", 4.0))
+      q.processAllAvailable() // watermark advances to 190min; [0,60) closes
+      // batch 2: an event for the CLOSED [0,60) window — must be dropped
+      mem.addData(Event(4, ts(3), 10, "click", 100.0))
+      q.processAllAvailable()
+      // advance far enough to also close [180,240)
+      mem.addData(Event(5, ts(500), 10, "click", 8.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_out")
+      .select("window_start", "n_events", "sum_value")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000L,
+        r.getLong(1), r.getDouble(2))).toSet
+    // [0,60) emitted once with the pre-watermark events only (late event
+    // 4 discarded, no re-emission); [180,240) has exactly event 3
+    assert(rows.contains((0L, 2L, 3.0)), rows)
+    assert(rows.contains((180L, 1L, 4.0)), rows)
+    assert(!rows.exists(_._3 == 103.0), rows)
+  }
+
   test("stream-static enrichment broadcast-joins each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
