@@ -63,4 +63,44 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, keyCol: String,
       seed: String = "epoch0"): DataFrame =
     df.orderBy(uniformHex(seed, col(keyCol)).asc, col(keyCol).asc)
+
+  /** Exactly-k-per-group deterministic sample: the k rows with the
+    * smallest md5(seed|key) within each group (fraction-based sampling
+    * can't promise a count; balanced eval sets need exactly k per
+    * stratum). One shuffle on the group key; ties are impossible given
+    * distinct keys, and the md5 tiebreak makes equal-hash collisions
+    * deterministic anyway. */
+  def samplePerGroup(df: DataFrame, keyCol: String, groupCol: String, k: Int,
+      seed: String = "sample"): DataFrame = {
+    require(k > 0, s"k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(uniformHex(seed, col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Deterministic train/val/test split: hash-range assignment per key
+    * (e.g. 0.8/0.1/0.1). Map-only, stable under reruns, and consistent
+    * across tables sharing the key — a document and its embeddings land
+    * in the same split. Weights must sum to ~1; the last split absorbs
+    * the rounding tail. */
+  def assignSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], seed: String = "split",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights sum to $total")
+    // materialize the digest once; the when-chain then compares a plain
+    // attribute instead of re-hashing per branch
+    val hashed = df.withColumn("__h", uniformHex(seed, col(keyCol)))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val assign = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((name, _), cumW)) =>
+          when(col("__h") < lit(hexThreshold(cumW)), lit(name)).otherwise(acc)
+      }
+    hashed.withColumn(outCol, assign).drop("__h")
+  }
 }

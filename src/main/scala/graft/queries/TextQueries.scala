@@ -224,6 +224,94 @@ object TextQueries {
         |       substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
 
+    // Bigram collocations by PMI: ln(p(w1w2) / (p(w1)·p(w2))) from exact
+    // integer counts, rounded to 8 dp BEFORE the rank (the q_tfidf float
+    // discipline); c12 ≥ 5 floors the noise. The bigram explode is a
+    // map-side transform over the materialized token array.
+    QuerySpec("q_bigram_pmi", (s, dir) => {
+      val toks = docs(s, dir)
+        .select(graft.llm.TextAnalysis.tokens(col("text")).as("l"))
+      val uni = toks.select(explode(col("l")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val n1 = uni.agg(sum(col("c1")).as("n1"))
+      val big = toks.where(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS w1, l[i] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .where(col("c12") >= 5)
+      val n2 = big.agg(sum(col("c12")).as("n2"))
+      val (c12d, n1d, n2d) = (col("c12").cast("double"),
+        col("n1").cast("double"), col("n2").cast("double"))
+      val (c1d, c2d) = (col("u1.c1").cast("double"), col("u2.c1").cast("double"))
+      big
+        .join(broadcast(uni.as("u1")), col("w1") === col("u1.w"))
+        .join(broadcast(uni.as("u2")), col("w2") === col("u2.w"))
+        .join(broadcast(n1)).join(broadcast(n2))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log(c12d * n1d * n1d / (n2d * c1d * c2d)), 8).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS c1
+        |  FROM (SELECT unnest(l) AS w FROM tok) GROUP BY w),
+        |n1 AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1 FROM uni),
+        |big AS (
+        |  SELECT l[i] AS w1, l[i + 1] AS w2
+        |  FROM tok, UNNEST(range(1, len(l))) AS t(i)),
+        |bc AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+        |  HAVING COUNT(*) >= 5),
+        |n2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS n2 FROM bc)
+        |SELECT w1, w2, c12,
+        |       ROUND(LN(CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |                / (CAST(n2 AS DOUBLE) * CAST(u1.c1 AS DOUBLE)
+        |                   * CAST(u2.c1 AS DOUBLE))), 8) AS pmi
+        |FROM bc
+        |JOIN uni u1 ON w1 = u1.w
+        |JOIN uni u2 ON w2 = u2.w
+        |CROSS JOIN n1 CROSS JOIN n2
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // Exactly-k-per-group deterministic sample: balanced per-language eval
+    // subsets (fraction sampling can't promise a count).
+    QuerySpec("q_sample_per_group", (s, dir) => {
+      graft.llm.Sampling.samplePerGroup(
+          docs(s, dir).select("doc_id", "lang"), "doc_id", "lang", k = 20)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic train/val/test split by hash range: stable under
+    // reruns and consistent across tables sharing the key. Thresholds are
+    // the engine's hexThreshold(0.8)/(0.9) cut points.
+    QuerySpec("q_train_split", (s, dir) => {
+      graft.llm.Sampling.assignSplit(docs(s, dir).select("doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |                 < 'cccccccd' THEN 'train'
+        |            WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |                 < 'e6666666' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // PII redaction. The synthetic corpus has no PII, so the query stamps
     // deterministic email/phone/id fragments into each doc (same
     // derivation on both engines), then scrubs them — exercising all

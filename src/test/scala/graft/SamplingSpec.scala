@@ -45,6 +45,40 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("fr") - 200L) < 60, out.toString)
   }
 
+  test("per-group sample takes exactly k, deterministically, under repartition") {
+    val df = (1L to 900L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val once = Sampling.samplePerGroup(df, "id", "g", k = 25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(once.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map("g0" -> 25, "g1" -> 25, "g2" -> 25))
+    val again = Sampling.samplePerGroup(df.repartition(7), "id", "g", k = 25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(once.sorted.toSeq === again.sorted.toSeq)
+    // k >= group size keeps the whole group
+    assert(Sampling.samplePerGroup(df, "id", "g", k = 500).count() === 900L)
+  }
+
+  test("split assignment is total, stable, and near the requested weights") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.assignSplit(keys, "id", splits)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum === 2000L)                 // total: every row assigned
+    assert(math.abs(out("train") - 1600L) < 80, out.toString)
+    assert(math.abs(out("val") - 200L) < 60, out.toString)
+    assert(math.abs(out("test") - 200L) < 60, out.toString)
+    // same key -> same split on a different table sharing the key space
+    val other = (1L to 500L).toDF("id")
+    val a = Sampling.assignSplit(keys.filter(col("id") <= 500), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.assignSplit(other, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(keys, "id", Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
+
   test("deterministic shuffle is a stable total permutation") {
     val once = Sampling.deterministicShuffle(keys, "id").as[Long].collect().toSeq
     val again = Sampling.deterministicShuffle(keys.repartition(5), "id")
