@@ -100,6 +100,63 @@ object EventQueries {
         |FROM sid GROUP BY user_id, s
         |ORDER BY user_id, session_start""".stripMargin), headline = true),
 
+    // Ordered funnel (view → click-after-view → purchase-after-click):
+    // per-stage MIN-timestamp aggregation, each stage a narrow join on
+    // user_id against the previous stage's 1-row-per-user frame — never a
+    // per-user event sort or a sequence UDF.
+    QuerySpec("q_funnel", (s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("us") > col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("us") > col("t2"))
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM base
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT b.user_id, MIN(us) AS t2 FROM base b JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > t1 GROUP BY b.user_id),
+        |p AS (SELECT b.user_id, MIN(us) AS t3 FROM base b JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > t2 GROUP BY b.user_id)
+        |SELECT user_id, t1, t2, t3
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin)),
+
+    // Cohort retention: users grouped by their first-activity week, counted
+    // per week offset — two aggregations and one join, all on user_id/week
+    // keys (epoch-aligned integer weeks; timestamps are positive so int
+    // division is floor division on both engines).
+    QuerySpec("q_cohort_retention", (s, dir) => {
+      val wk = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      wk.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }, Some(
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY user_id)
+        |SELECT cohort_week, wk - cohort_week AS week_offset,
+        |       COUNT(*) AS n_users
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY cohort_week, wk - cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin)),
+
     // Backward as-of join: every click attached to the user's latest view
     // at-or-before it. Implemented as union + running last(ignoreNulls)
     // window — one shuffle, linear, no per-key candidate blowup (see
