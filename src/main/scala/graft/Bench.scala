@@ -56,7 +56,7 @@ object Bench {
     // metaspace/GC pressure; keep this list to the queries whose cold-vs-
     // warm gap exceeds ~1s.)
     Seq("q_dup_clusters_star", "q_dpe_statistics", "q_cosine_topk",
-      "q_corpus_clean").foreach { n =>
+      "q_corpus_clean", "q_repetition").foreach { n =>
       try {
         SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
         spark.catalog.clearCache()
