@@ -100,6 +100,43 @@ object EventQueries {
         |FROM sid GROUP BY user_id, s
         |ORDER BY user_id, session_start""".stripMargin), headline = true),
 
+    // Hourly resample + forward fill per user (pandas resample().ffill()
+    // shape): per-key spine from the key's own activity span, keep-last
+    // bucket representative, one running last(ignoreNulls) fill window.
+    QuerySpec("q_resample_ffill", (s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .where(col("event_type") === "purchase")
+      graft.engine.Resample.resampleFfill(ev, Seq("user_id"), "us",
+          "event_id", "value", stepUs = 3600000000L)
+        .select(col("user_id"),
+          timestamp_micros(col("bucket_us")).cast("timestamp_ntz").as("hour"),
+          col("value_ffill"))
+        .orderBy("user_id", "hour")
+    }, Some(
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |pts AS (
+        |  SELECT user_id, us - us % 3600000000 AS hr, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, us - us % 3600000000
+        |                            ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM base),
+        |p AS (SELECT user_id, hr, value FROM pts WHERE rn = 1),
+        |b AS (SELECT user_id, MIN(us - us % 3600000000) AS lo,
+        |             MAX(us - us % 3600000000) AS hi
+        |      FROM base GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, unnest(range(lo, hi + 3600000000, 3600000000)) AS hr
+        |  FROM b),
+        |j AS (SELECT s.user_id, s.hr, p.value
+        |      FROM spine s LEFT JOIN p USING (user_id, hr))
+        |SELECT user_id, make_timestamp(hr) AS hour,
+        |       LAST_VALUE(value IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY hr
+        |               ROWS UNBOUNDED PRECEDING) AS value_ffill
+        |FROM j ORDER BY user_id, hour""".stripMargin)),
+
     // Ordered funnel (view → click-after-view → purchase-after-click):
     // per-stage MIN-timestamp aggregation, each stage a narrow join on
     // user_id against the previous stage's 1-row-per-user frame — never a

@@ -259,6 +259,37 @@ class ProfileSpec extends SparkSpec {
   }
 }
 
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resample+ffill: keep-last per bucket, gaps filled forward, spans per key") {
+    // user 7: events in hours 0 (two: id 2 is later) and 3 -> spine 0..3,
+    // hours 1-2 forward-filled from hour 0's LAST event (id 2, v=2.0).
+    // user 8: single event -> one spine row, no fill needed.
+    val h = 3600000000L
+    val df = Seq(
+      (7L, 100L, 1L, 1.0), (7L, 200L, 2L, 2.0), (7L, 3 * h + 5L, 3L, 9.0),
+      (8L, 2 * h + 1L, 4L, 4.0)).toDF("user_id", "us", "event_id", "value")
+    val out = Resample.resampleFfill(df, Seq("user_id"), "us", "event_id",
+        "value", stepUs = h)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / h, r.getDouble(2))).toSet
+    assert(out === Set(
+      (7L, 0L, 2.0), (7L, 1L, 2.0), (7L, 2L, 2.0), (7L, 3L, 9.0),
+      (8L, 2L, 4.0)))
+  }
+
+  test("resample+ffill: equal-us tie inside a bucket resolves by id desc") {
+    val h = 3600000000L
+    val df = Seq((7L, 50L, 1L, 1.0), (7L, 50L, 9L, 5.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val out = Resample.resampleFfill(df, Seq("user_id"), "us", "event_id",
+      "value", stepUs = h).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(2) === 5.0) // id 9 wins the tie
+  }
+}
+
 class LoadDedupSpec extends SparkSpec {
   import spark.implicits._
 
