@@ -63,6 +63,10 @@ object LoadDedup {
     val existingKeys = existing.select(keys.map(col): _*).distinct()
     val bloom = existingKeys.stat
       .bloomFilter(keyOf(existingKeys), expectedKeys, fpp)
+    // broadcast lifetime: like a broadcast-join table, the block is
+    // released by ContextCleaner once the returned plan (whose UDF closure
+    // holds the only reference) is dropped and a driver GC runs — batch
+    // loops don't accumulate filters beyond the plans they keep alive
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
     val mightExist = udf((k: String) => bc.value.mightContain(k))

@@ -14,4 +14,16 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its timestamp normalized: the file stores parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read the
+    * raw nanos (legacy conf) and convert to a microsecond timestamp
+    * in-plan (`div 1000` stays in exact int64). The single shared entry
+    * point for every query over `events`. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

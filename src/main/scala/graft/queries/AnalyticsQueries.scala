@@ -23,13 +23,8 @@ object AnalyticsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — same legacy-nanos read as
-    * EventQueries (see the note there). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
@@ -217,9 +212,13 @@ object AnalyticsQueries {
     // block→verify shape as the MinHash/SimHash pipelines — candidates
     // from an equi-join on a short key, exact check after).
     QuerySpec("q_edit_distance", (s, dir) => {
+      // guarded second token: a one-word name must yield '' (DuckDB
+      // split_part semantics), not an ANSI INVALID_ARRAY_INDEX error
       val p = t(s, dir, "part")
+        .withColumn("__parts", split(col("p_name"), " "))
         .select(col("p_partkey"), col("p_name"), col("p_brand"),
-          element_at(split(col("p_name"), " "), 2).as("noun"))
+          when(size(col("__parts")) >= 2, element_at(col("__parts"), 2))
+            .otherwise(lit("")).as("noun"))
       val a = p.select(col("p_brand"), col("noun"),
         col("p_partkey").as("id1"), col("p_name").as("name1"))
       val b = p.select(col("p_brand"), col("noun"),

@@ -234,13 +234,16 @@ object TextQueries {
       val uni = toks.select(explode(col("l")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c1"))
       val n1 = uni.agg(sum(col("c1")).as("n1"))
-      val big = toks.where(size(col("l")) >= 2)
+      val bigAll = toks.where(size(col("l")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(l)-1), i -> struct(l[i-1] AS w1, l[i] AS w2))")).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .where(col("c12") >= 5)
-      val n2 = big.agg(sum(col("c12")).as("n2"))
+      // n2 is the total bigram mass BEFORE the frequency floor — summing
+      // after the c12 >= 5 filter would inflate every PMI by the constant
+      // ln(total / frequent_mass)
+      val n2 = bigAll.agg(sum(col("c12")).as("n2"))
+      val big = bigAll.where(col("c12") >= 5)
       val (c12d, n1d, n2d) = (col("c12").cast("double"),
         col("n1").cast("double"), col("n2").cast("double"))
       val (c1d, c2d) = (col("u1.c1").cast("double"), col("u2.c1").cast("double"))
@@ -265,10 +268,9 @@ object TextQueries {
         |big AS (
         |  SELECT l[i] AS w1, l[i + 1] AS w2
         |  FROM tok, UNNEST(range(1, len(l))) AS t(i)),
-        |bc AS (
-        |  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
-        |  HAVING COUNT(*) >= 5),
-        |n2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS n2 FROM bc)
+        |bcall AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |n2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS n2 FROM bcall),
+        |bc AS (SELECT * FROM bcall WHERE c12 >= 5)
         |SELECT w1, w2, c12,
         |       ROUND(LN(CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
         |                / (CAST(n2 AS DOUBLE) * CAST(u1.c1 AS DOUBLE)
