@@ -18,6 +18,27 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving every other partition of the zone untouched — the
+    * re-run/backfill primitive for the medallion layout (re-processing one
+    * `{date}_{batch_id}` never truncates the table, unlike a plain
+    * Overwrite which drops ALL partitions). Session conf is restored after
+    * the write. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionByCols: Seq[String]): Unit = {
+    require(partitionByCols.nonEmpty, "overwritePartitions needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionByCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed + sorted table write: pre-partitions data by join key so
     * subsequent equi-joins/aggregations on that key run WITHOUT a shuffle
     * (verified by BucketingSpec asserting no exchange in the join plan).

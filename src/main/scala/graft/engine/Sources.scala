@@ -55,6 +55,14 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Parquet scan with schema evolution: batches written before a column
+    * was added coexist with newer ones — the merged schema is the union,
+    * old files read the new columns as null. The zone-append story for a
+    * pipeline whose silver schema grows over time (the reference re-applies
+    * a declared schema per run; a 100 TB zone can't be rewritten). */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S9: full-table JDBC read used by load-side dedup (`load.py:128`).
     * `numPartitions`+bounds enable a parallel partitioned read — the
     * reference's single-connection `read_sql_table` is the non-scalable

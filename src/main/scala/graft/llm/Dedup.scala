@@ -411,7 +411,8 @@ object Dedup {
     * + two joins on the (small) edge set.
     *
     * Same contract as [[dupClusters]]: input pairs (id1, id2), output
-    * (id, canonical_id) with canonical_id = min id of the component. */
+    * (id, canonical_id) with canonical_id = min id of the component.
+    */
   def dupClustersStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
     val nodes = p.select(col("id1").as("id"))
@@ -464,6 +465,28 @@ object Dedup {
         Seq("id"), "left")
       .select(col("id"),
         coalesce(col("root"), col("id")).as("canonical_id"))
+  }
+
+  /** Canonical-document retention: collapse each near-dup cluster to its
+    * single best member (highest `scoreCol`, ties to the smallest id) —
+    * the policy step that turns cluster labels into a deduplicated corpus.
+    * Docs absent from `clusters` (the (id, canonical_id) output of
+    * [[dupClusters]]/[[dupClustersStar]]) are singletons and keep
+    * themselves. One window over cluster_id; the join ships (id, score)
+    * pairs only, never documents. */
+  def keepCanonical(docs: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = docs.select(col(idCol), col(scoreCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("canonical_id"), col(idCol)))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wc = Window.partitionBy(col("cluster_id"))
+    assign.withColumn("__rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(wc))
+      .where(col("__rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("kept_id"), col("n_docs"))
   }
 
   /** SimHash fingerprints via the native expression; emitted as 4×16-bit

@@ -33,7 +33,9 @@ object DedupQueries {
 
   /** Oracle for both duplicate-cluster variants: transitive closure via a
     * recursive CTE + per-node MIN label. */
-  private val dupClustersOracle: String =
+  /** CTE prefix shared by the cluster-label oracles: jaccard pairs →
+    * symmetric edges → recursive reachability. */
+  private val dupClustersCtes: String =
     s"""WITH $shingleCte,
        |inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
@@ -52,7 +54,10 @@ object DedupQueries {
        |    SELECT src, src FROM edges
        |    UNION
        |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
-       |  SELECT * FROM r)
+       |  SELECT * FROM r)""".stripMargin
+
+  private val dupClustersOracle: String =
+    s"""$dupClustersCtes
        |SELECT id, MIN(lbl) AS canonical_id
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
@@ -177,6 +182,32 @@ object DedupQueries {
         n = 3, threshold = 0.5).select("id1", "id2")
       Dedup.dupClustersStar(pairs).orderBy("id")
     }, Some(dupClustersOracle)),
+
+    // Retention policy on top of the cluster labels: each near-dup cluster
+    // keeps its longest member (ties to the smallest id); singletons keep
+    // themselves. The corpus-dedup step that actually DROPS documents.
+    QuerySpec("q_dedup_canonical", (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5).select("id1", "id2")
+      Dedup.keepCanonical(d, "doc_id", "n_chars", Dedup.dupClusters(pairs))
+        .orderBy("cluster_id")
+    }, Some(
+      s"""$dupClustersCtes,
+         |clusters AS (
+         |  SELECT id, MIN(lbl) AS canonical_id FROM reach GROUP BY id),
+         |assign AS (
+         |  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS cluster_id,
+         |         d.n_chars
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
+         |ranked AS (
+         |  SELECT cluster_id, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                            ORDER BY n_chars DESC, doc_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+         |  FROM assign)
+         |SELECT cluster_id, doc_id AS kept_id, n_docs
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
 
     // SimHash-64 fingerprints via the native Catalyst expression; the
     // oracle replays the identical bit derivation relationally

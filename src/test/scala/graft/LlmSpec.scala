@@ -127,6 +127,18 @@ class DedupSpec extends SparkSpec {
     assert(nd.map(t => (t._1, t._2)).toSet.subsetOf(wide))
   }
 
+  test("keepCanonical keeps the best doc per cluster; singletons survive") {
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (9L, 7L))
+      .toDF("doc_id", "n_chars")
+    // cluster {1,2,3} (canonical 1); doc 9 is a singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("id", "canonical_id")
+    val got = Dedup.keepCanonical(docs, "doc_id", "n_chars", clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // longest wins; the 50-char tie resolves to the smaller id (2)
+    assert(got === Set((1L, 2L, 3L), (9L, 9L, 1L)))
+  }
+
   test("dupClusters: transitive chains collapse to the min id") {
     import spark.implicits._
     // chain 1-2-3 (never directly 1-3) + isolated pair 9-10

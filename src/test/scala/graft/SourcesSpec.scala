@@ -74,6 +74,39 @@ class SourcesSpec extends SparkSpec {
       .contains("PartitionFilters"), pruned.queryExecution.executedPlan)
   }
 
+  test("dynamic partition overwrite replaces only the rewritten partitions") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_dyn").toString + "/zone"
+    val day1 = Seq((1L, "d1", "a"), (2L, "d2", "b"))
+      .toDF("id", "day", "v")
+    Sinks.overwritePartitions(day1, dir, Seq("day"))
+    // re-run day 2 only, with corrected rows; day 1 must survive
+    val day2fix = Seq((2L, "d2", "B2"), (3L, "d2", "c"))
+      .toDF("id", "day", "v")
+    Sinks.overwritePartitions(day2fix, dir, Seq("day"))
+    val got = Sources.parquet(spark, dir)
+      .select("id", "day", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "d1", "a"), (2L, "d2", "B2"), (3L, "d2", "c")))
+    // conf restored (default overwrite mode would have dropped day 1)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
+
+  test("mergeSchema scan unions evolving batch schemas; old files read null") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_evo").toString + "/zone"
+    Seq((1L, "x")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=b1")
+    Seq((2L, "y", 9.5)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/batch=b2")
+    val df = Sources.parquetMerged(spark, dir)
+    assert(df.columns.toSet === Set("id", "v", "score", "batch"))
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("score")))
+    assert(byId(2L).getDouble(byId(2L).fieldIndex("score")) === 9.5)
+  }
+
   test("nested JSON structs flatten to parent_child scalars (S3 shape)") {
     val dir = Files.createTempDirectory("graft_nested").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/geo.json"),
