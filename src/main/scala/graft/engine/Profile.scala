@@ -48,4 +48,31 @@ object Profile {
         col(s"__xs_$c").as("max_str"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Equal-frequency discretization WITHOUT a global sort: one exact-
+    * percentile aggregation computes the `buckets − 1` interior cut
+    * points, then assignment is a map-side broadcast-join + when-chain —
+    * the scale-correct form of `ntile()` over an unpartitioned window
+    * (which funnels every row through one task). Buckets are 1-based;
+    * values are assigned to the first bucket whose cut is ≥ the value
+    * (boundary values go to the LOWER bucket — ties share a bucket, so
+    * the result is value-based and partitioning-independent; bucket
+    * populations are only approximately equal in the presence of ties,
+    * the standard equal-frequency caveat). Nulls get bucket null. */
+  def quantileBuckets(df: DataFrame, valueCol: String, buckets: Int,
+      outCol: String = "bucket"): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = df.agg(percentile(col(valueCol),
+      lit(qs.toArray)).as("__cuts"))
+    val assign = (1 until buckets).reverse
+      .foldLeft(lit(buckets).cast("long")) { (acc, b) =>
+        when(col(valueCol) <= element_at(col("__cuts"), b), lit(b).cast("long"))
+          .otherwise(acc)
+      }
+    df.join(broadcast(cuts))
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(null)).otherwise(assign))
+      .drop("__cuts")
+  }
 }

@@ -246,6 +246,66 @@ object AnalyticsQueries {
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
         |ORDER BY id1, id2""".stripMargin)),
 
+    // Equal-frequency decile assignment WITHOUT a global sort: exact
+    // percentile cuts (one aggregation) + broadcast when-chain — the
+    // scale-correct form of unpartitioned ntile(), which would funnel
+    // every row through a single window task.
+    QuerySpec("q_quantile_buckets", (s, dir) => {
+      graft.engine.Profile.quantileBuckets(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          "o_totalprice", buckets = 10)
+        .orderBy("o_orderkey")
+    }, Some {
+      val cases = (1 until 10)
+        .map(b => s"WHEN o_totalprice <= c[$b] THEN $b").mkString(" ")
+      s"""WITH cuts AS (
+         |  SELECT quantile_cont(o_totalprice,
+         |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+         |  FROM orders)
+         |SELECT o_orderkey, o_totalprice,
+         |       CAST(CASE $cases ELSE 10 END AS BIGINT) AS bucket
+         |FROM orders CROSS JOIN cuts
+         |ORDER BY o_orderkey""".stripMargin
+    }),
+
+    // Per-group z-score normalization from exact decimal moments (the
+    // q_corr_ols discipline: built-in stddev in doubles is partition-
+    // order-dependent); zero-variance groups yield null, never an ANSI
+    // division error.
+    QuerySpec("q_zscore_norm", (s, dir) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val m = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      val (nd, sxd, sxxd) = (col("n").cast("double"),
+        col("sx").cast("double"), col("sxx").cast("double"))
+      val variance = (sxxd - sxd * sxd / nd) / (nd - 1)
+      val std = when(variance > 0, sqrt(variance))
+      t(s, dir, "lineitem")
+        .join(broadcast(m), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((col("l_quantity").cast("double") - sxd / nd) / std, 8).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some(
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       ROUND((CAST(l_quantity AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |             / (CASE WHEN (CAST(sxx AS DOUBLE)
+        |                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |                             / CAST(n AS DOUBLE))
+        |                          / (CAST(n AS DOUBLE) - 1) > 0
+        |                     THEN sqrt((CAST(sxx AS DOUBLE)
+        |                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |                                  / CAST(n AS DOUBLE))
+        |                               / (CAST(n AS DOUBLE) - 1)) END), 8) AS z
+        |FROM lineitem JOIN m USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // Grouped top-k through the native bounded-heap aggregate (the same
     // TopKByScore that powers cosine top-k): each task pre-reduces to ≤k
     // rows per group BEFORE the exchange — the window formulation the

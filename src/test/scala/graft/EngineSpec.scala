@@ -251,6 +251,24 @@ class ProfileSpec extends SparkSpec {
     assert(rows("d").getDouble(3) === -1.0 && rows("d").getDouble(4) === 2.5)
   }
 
+  test("quantile buckets: quartiles of 1..100, nulls pass through, stable under repartition") {
+    val df = ((1 to 100).map(i => Some(i.toDouble)) ++ Seq(None, None))
+      .toDF("v")
+    val got = graft.engine.Profile.quantileBuckets(df, "v", buckets = 4)
+      .collect().map(r => Option(r.get(0)).map(_.toString.toDouble) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // cuts at 25.75/50.5/75.25: 1..25 -> q1, 26..50 -> q2, 51..75 -> q3
+    assert(got(Some(25.0)) === Some(1L) && got(Some(26.0)) === Some(2L))
+    assert(got(Some(50.0)) === Some(2L) && got(Some(51.0)) === Some(3L))
+    assert(got(Some(75.0)) === Some(3L) && got(Some(76.0)) === Some(4L))
+    assert(got(None) === None)
+    val again = graft.engine.Profile
+      .quantileBuckets(df.repartition(7), "v", buckets = 4)
+      .collect().map(r => Option(r.get(0)).map(_.toString.toDouble) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(again === got)
+  }
+
   test("approx profile keeps the same shape with HLL distinct counts") {
     val df = (1L to 1000L).toDF("id")
     val r = graft.engine.Profile.profile(df, Seq("id"), approx = true).head()
