@@ -62,6 +62,10 @@ object Profile {
   def quantileBuckets(df: DataFrame, valueCol: String, buckets: Int,
       outCol: String = "bucket"): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets")
+    require(!df.columns.contains("__cuts"),
+      "input already has a __cuts column")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a different outCol")
     val qs = (1 until buckets).map(_.toDouble / buckets)
     val cuts = df.agg(percentile(col(valueCol),
       lit(qs.toArray)).as("__cuts"))

@@ -22,21 +22,18 @@ object Sinks {
     * `df`, leaving every other partition of the zone untouched — the
     * re-run/backfill primitive for the medallion layout (re-processing one
     * `{date}_{batch_id}` never truncates the table, unlike a plain
-    * Overwrite which drops ALL partitions). Session conf is restored after
-    * the write. */
+    * Overwrite which drops ALL partitions). The mode is a WRITE-SCOPED
+    * option (takes precedence over the session conf), so concurrent
+    * writers on the same session can't race each other into a
+    * whole-table truncation; compression matches the S5 gzip zone format
+    * so backfilled partitions don't diverge from parquetGzip's. */
   def overwritePartitions(df: DataFrame, path: String,
       partitionByCols: Seq[String]): Unit = {
     require(partitionByCols.nonEmpty, "overwritePartitions needs partition columns")
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite)
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "gzip")
       .partitionBy(partitionByCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
   }
 
   /** Bucketed + sorted table write: pre-partitions data by join key so

@@ -31,8 +31,6 @@ object DedupQueries {
       |  FROM toks),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Oracle for both duplicate-cluster variants: transitive closure via a
-    * recursive CTE + per-node MIN label. */
   /** CTE prefix shared by the cluster-label oracles: jaccard pairs →
     * symmetric edges → recursive reachability. */
   private val dupClustersCtes: String =
@@ -56,6 +54,8 @@ object DedupQueries {
        |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
        |  SELECT * FROM r)""".stripMargin
 
+  /** Oracle for both duplicate-cluster variants: transitive closure via a
+    * recursive CTE + per-node MIN label. */
   private val dupClustersOracle: String =
     s"""$dupClustersCtes
        |SELECT id, MIN(lbl) AS canonical_id

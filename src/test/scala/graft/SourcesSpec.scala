@@ -88,9 +88,13 @@ class SourcesSpec extends SparkSpec {
       .select("id", "day", "v").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(got === Set((1L, "d1", "a"), (2L, "d2", "B2"), (3L, "d2", "c")))
-    // conf restored (default overwrite mode would have dropped day 1)
-    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      .forall(_ != "dynamic"))
+    // write-scoped option, not session conf: the session mode is untouched
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .toLowerCase !== "dynamic")
+    // backfilled partitions keep the S5 gzip zone format
+    val files = new java.io.File(s"$dir/day=d2").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains(".gz.")), files.toSeq)
   }
 
   test("mergeSchema scan unions evolving batch schemas; old files read null") {
