@@ -32,13 +32,17 @@ object EventStreams {
   final case class SessionState(startMs: Long, lastMs: Long,
       n: Long, total: Double)
 
-  /** Tumbling-window counts/sums per event type. Works identically on a
-    * batch or streaming frame (same logical plan). */
+  /** Tumbling (or, with `slide` < `windowLen`, sliding) window counts/sums
+    * per event type. Works identically on a batch or streaming frame (same
+    * logical plan); sliding windows multiply state by windowLen/slide open
+    * windows per key, still watermark-bounded. */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      slide: Option[String] = None): DataFrame = {
     val src = if (events.isStreaming)
       events.withWatermark("ts", watermarkDelay) else events
-    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+    src.groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),

@@ -55,6 +55,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("sliding streaming windows agree with the batch dual") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(10), 10, "click", 1.0),
+      Event(2, ts(40), 10, "click", 2.0),
+      Event(3, ts(70), 11, "view", 4.0))
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.windowedAgg(mem.toDF(), windowLen = "1 hour",
+        slide = Some("30 minutes"))
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("slide_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = EventStreams.windowedAgg(events.toDF(), windowLen = "1 hour",
+        slide = Some("30 minutes"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    // every event lands in exactly len/slide = 2 windows
+    assert(streamed.map(_.getAs[Long]("n_events")).sum === 2L * events.size)
+  }
+
   test("windowed agg in append mode drops data later than the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
