@@ -103,6 +103,48 @@ object CoreRelational {
       s.sql(sqlSubqueryText)
     }, Some(sqlSubqueryText)),
 
+    // Date-part scalar breadth (SURVEY §2 scalar inventory): month
+    // truncation, day-of-week (normalized to DuckDB's Sunday=0), quarter,
+    // day diffs — all date-typed before the boundary-sensitive ops so both
+    // engines count the same units.
+    QuerySpec("q_date_parts", (s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+          trunc(to_date(col("o_orderdate")), "month")
+            .cast("timestamp_ntz").as("month_start"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """SELECT o_orderkey,
+        |       CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+        |            AS TIMESTAMP) AS month_start,
+        |       CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS dow,
+        |       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+        |       CAST(date_diff('day', DATE '1995-01-01',
+        |                      CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // String scalar breadth: pad/translate/reverse/position/repeat (the
+    // portable subset — initcap/soundex etc. differ across engines).
+    QuerySpec("q_string_funcs", (s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_code"),
+          translate(col("p_name"), " ", "_").as("slug"),
+          reverse(col("p_brand")).as("brand_rev"),
+          instr(col("p_name"), "ring").cast("long").as("ring_pos"),
+          expr("repeat('*', p_size % 5)").as("stars"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey,
+        |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_code,
+        |       translate(p_name, ' ', '_') AS slug,
+        |       reverse(p_brand) AS brand_rev,
+        |       CAST(strpos(p_name, 'ring') AS BIGINT) AS ring_pos,
+        |       repeat('*', p_size % 5) AS stars
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // A5/A7 + arithmetic: pricing summary (decimal-exact sums).
     QuerySpec("q_agg_pricing", (s, dir) => {
       t(s, dir, "lineitem")
