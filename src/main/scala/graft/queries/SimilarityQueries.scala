@@ -31,6 +31,26 @@ object SimilarityQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // Vector norms through the declarative HOF surface (zip_with squares →
+    // aggregate left-fold): the built-in form of the embedding math the
+    // native DotProductExpr accelerates elsewhere — map-only, and the
+    // fold order matches DuckDB's list_reduce exactly. Intermediate
+    // arrays materialize as projection columns first (HOF lambdas
+    // re-evaluate non-attribute argument subtrees per element).
+    QuerySpec("q_vec_norm", (s, dir) => {
+      emb(s, dir)
+        .withColumn("__v", transform(col("embedding"), _.cast("double")))
+        .withColumn("__sq", zip_with(col("__v"), col("__v"), _ * _))
+        .select(col("vec_id"),
+          round(sqrt(aggregate(col("__sq"), lit(0.0), _ + _)), 8).as("l2_norm"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH $normCte
+         |SELECT vec_id, ROUND(sqrt(n2), 8) AS l2_norm,
+         |       CAST(len(v) AS BIGINT) AS dim
+         |FROM n ORDER BY vec_id""".stripMargin)),
+
     // Exact top-3 neighbors per vector (brute force + per-id window).
     QuerySpec("q_cosine_topk", (s, dir) => {
       Similarity.topKNeighbors(emb(s, dir), "vec_id", "embedding", k = 3)
