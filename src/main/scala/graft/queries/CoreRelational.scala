@@ -105,8 +105,9 @@ object CoreRelational {
 
     // Date-part scalar breadth (SURVEY §2 scalar inventory): month
     // truncation, day-of-week (normalized to DuckDB's Sunday=0), quarter,
-    // day diffs — all date-typed before the boundary-sensitive ops so both
-    // engines count the same units.
+    // day diffs. The boundary-sensitive ops (month_start, days_since) go
+    // through to_date on both engines so they count the same units;
+    // dow/quarter extract from the raw timestamp, identical either way.
     QuerySpec("q_date_parts", (s, dir) => {
       t(s, dir, "orders").select(col("o_orderkey"),
           trunc(to_date(col("o_orderdate")), "month")
