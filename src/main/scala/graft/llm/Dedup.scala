@@ -192,12 +192,9 @@ object Dedup {
     val sig = minhashSignatures(docs, idCol, textCol, n,
       bands * rowsPerBand)
     val cand = candidatePairsFromBands(lshBands(sig, idCol, bands, rowsPerBand))
-    // verification: only candidate docs' shingles matter — broadcast the
-    // (tiny) candidate id set, semi-join, THEN dedup the pruned stream.
-    val candIds = cand.select(explode(array(col("id1"), col("id2"))).as(idCol))
-      .distinct()
-    val shCand = shRaw.join(broadcast(candIds), Seq(idCol), "left_semi")
-      .distinct()
+    // verification (candidate-id pruning + exact Jaccard) lives in
+    // verifiedJaccard, which semi-joins the raw shingle stream down to
+    // candidate docs before any set-dedup.
     verifiedJaccard(cand, shRaw, idCol, threshold)
   }
 

@@ -16,6 +16,13 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** The production near-dup pair set (MinHash-LSH, verified ≥ 0.5) —
+    * shared input of the cluster/canonical queries. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+      n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
+      .select("id1", "id2")
+
   /** Shared oracle CTE: tokenized docs + distinct 3-gram shingle sets. */
   private[queries] val shingleCte =
     """toks AS (
@@ -31,9 +38,10 @@ object DedupQueries {
       |  FROM toks),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** CTE prefix shared by the cluster-label oracles: jaccard pairs →
-    * symmetric edges → recursive reachability. */
-  private val dupClustersCtes: String =
+  /** CTE prefix for the EXACT (quadratic-input) cluster oracle: all-pairs
+    * jaccard pairs → symmetric edges → recursive reachability. Retained as
+    * the cross-validation tier (`q_dup_clusters_exact`). */
+  private val dupClustersExactCtes: String =
     s"""WITH $shingleCte,
        |inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
@@ -54,51 +62,84 @@ object DedupQueries {
        |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
        |  SELECT * FROM r)""".stripMargin
 
-  /** Oracle for both duplicate-cluster variants: transitive closure via a
-    * recursive CTE + per-node MIN label. */
-  private val dupClustersOracle: String =
-    s"""$dupClustersCtes
+  /** Oracle for the quadratic-input cluster variant: transitive closure via
+    * a recursive CTE + per-node MIN label. */
+  private val dupClustersExactOracle: String =
+    s"""$dupClustersExactCtes
        |SELECT id, MIN(lbl) AS canonical_id
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
-  /** The minhash-LSH oracle pipeline; `extraWhere` restricts the verified
-    * pair set (ANDed after the threshold predicate). */
+  /** MinHash-LSH pair chain (follows `shingleCte` in a WITH list): 9
+    * permutation mins → 3 banded buckets → candidate pairs → exact-Jaccard
+    * verification. Ends in `mh_pairs(id1, id2, jaccard)` with the ≥ 0.5
+    * threshold applied — the relational mirror of
+    * [[graft.llm.Dedup.minhashNearDups]], shared by the near-dup oracle AND
+    * the cluster/canonical oracles (which consume LSH pairs, not the
+    * quadratic all-pairs set). */
+  private val minhashPairsCte: String =
+    """sig AS (
+      |  SELECT doc_id,
+      |         MIN(SUBSTR(md5('0|' || shingle), 1, 16))  AS s0,
+      |         MIN(SUBSTR(md5('0|' || shingle), 17, 16)) AS s1,
+      |         MIN(SUBSTR(md5('1|' || shingle), 1, 16))  AS s2,
+      |         MIN(SUBSTR(md5('1|' || shingle), 17, 16)) AS s3,
+      |         MIN(SUBSTR(md5('2|' || shingle), 1, 16))  AS s4,
+      |         MIN(SUBSTR(md5('2|' || shingle), 17, 16)) AS s5,
+      |         MIN(SUBSTR(md5('3|' || shingle), 1, 16))  AS s6,
+      |         MIN(SUBSTR(md5('3|' || shingle), 17, 16)) AS s7,
+      |         MIN(SUBSTR(md5('4|' || shingle), 1, 16))  AS s8
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(s0 || s1 || s2) AS band_key FROM sig
+      |  UNION ALL SELECT doc_id, 1, md5(s3 || s4 || s5) FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(s6 || s7 || s8) FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |mh_inter AS (
+      |  SELECT c.id1, c.id2, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.id1
+      |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+      |  GROUP BY c.id1, c.id2),
+      |mh_pairs AS (
+      |  SELECT id1, id2,
+      |         ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) AS jaccard
+      |  FROM mh_inter
+      |  JOIN sizes s1 ON id1 = s1.doc_id
+      |  JOIN sizes s2 ON id2 = s2.doc_id
+      |  WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5)""".stripMargin
+
+  /** The minhash-LSH oracle; `extraWhere` restricts the verified pair set
+    * (ANDed after the threshold predicate). */
   private def minhashOracle(extraWhere: String): String =
-      s"""WITH $shingleCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |         MIN(SUBSTR(md5('0|' || shingle), 1, 16))  AS s0,
-         |         MIN(SUBSTR(md5('0|' || shingle), 17, 16)) AS s1,
-         |         MIN(SUBSTR(md5('1|' || shingle), 1, 16))  AS s2,
-         |         MIN(SUBSTR(md5('1|' || shingle), 17, 16)) AS s3,
-         |         MIN(SUBSTR(md5('2|' || shingle), 1, 16))  AS s4,
-         |         MIN(SUBSTR(md5('2|' || shingle), 17, 16)) AS s5,
-         |         MIN(SUBSTR(md5('3|' || shingle), 1, 16))  AS s6,
-         |         MIN(SUBSTR(md5('3|' || shingle), 17, 16)) AS s7,
-         |         MIN(SUBSTR(md5('4|' || shingle), 1, 16))  AS s8
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, md5(s0 || s1 || s2) AS band_key FROM sig
-         |  UNION ALL SELECT doc_id, 1, md5(s3 || s4 || s5) FROM sig
-         |  UNION ALL SELECT doc_id, 2, md5(s6 || s7 || s8) FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.id1, c.id2, COUNT(*) AS i
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.id1
-         |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
-         |  GROUP BY c.id1, c.id2)
-         |SELECT id1, id2,
-         |       ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) AS jaccard
-         |FROM inter
-         |JOIN sizes s1 ON id1 = s1.doc_id
-         |JOIN sizes s2 ON id2 = s2.doc_id
-         |WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5
-         |$extraWhere
-         |ORDER BY id1, id2""".stripMargin
+    s"""WITH $shingleCte,
+       |$minhashPairsCte
+       |SELECT id1, id2, jaccard FROM mh_pairs
+       |WHERE TRUE $extraWhere
+       |ORDER BY id1, id2""".stripMargin
+
+  /** CTE prefix for the PRODUCTION cluster oracles: LSH-verified pairs →
+    * symmetric edges → recursive reachability — mirrors feeding
+    * [[graft.llm.Dedup.dupClusters]] from [[graft.llm.Dedup.minhashNearDups]]. */
+  private val dupClustersLshCtes: String =
+    s"""WITH $shingleCte,
+       |$minhashPairsCte,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM mh_pairs
+       |  UNION SELECT id2, id1 FROM mh_pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(id, lbl) AS (
+       |    SELECT src, src FROM edges
+       |    UNION
+       |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
+       |  SELECT * FROM r)""".stripMargin
+
+  private val dupClustersLshOracle: String =
+    s"""$dupClustersLshCtes
+       |SELECT id, MIN(lbl) AS canonical_id
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   def specs: Seq[QuerySpec] = Seq(
 
@@ -166,34 +207,42 @@ object DedupQueries {
 
 
     // Duplicate clusters: connected components (min-label propagation)
-    // over the Jaccard ≥ 0.5 near-dup pairs → (id, canonical id). The
-    // oracle replays it with a recursive CTE (transitive closure + min).
+    // over the near-dup pairs → (id, canonical id). Pairs come from the
+    // LSH scale path (minhashNearDups — bucketed candidates, never
+    // all-pairs), and the oracle mirrors that same LSH pipeline before its
+    // recursive-CTE transitive closure.
     QuerySpec("q_dup_clusters", (s, dir) => {
-      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5).select("id1", "id2")
-      Dedup.dupClusters(pairs).orderBy("id")
-    }, Some(dupClustersOracle)),
+      Dedup.dupClusters(lshPairs(s, dir)).orderBy("id")
+    }, Some(dupClustersLshOracle)),
 
     // Same contract via alternating large-star/small-star contraction —
     // the O(log n)-round scale path for large-diameter components; result
-    // is identical, so it shares the recursive-CTE oracle.
+    // is identical, so it shares the LSH recursive-CTE oracle.
     QuerySpec("q_dup_clusters_star", (s, dir) => {
+      Dedup.dupClustersStar(lshPairs(s, dir)).orderBy("id")
+    }, Some(dupClustersLshOracle)),
+
+    // Cross-validation tier: the same CC contract fed from the EXACT
+    // all-pairs Jaccard set (quadratic by documented contract, like
+    // q_ngram_jaccard). Exists to pin that the LSH-fed production variant
+    // loses nothing on data where both are computable.
+    QuerySpec("q_dup_clusters_exact", (s, dir) => {
       val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5).select("id1", "id2")
-      Dedup.dupClustersStar(pairs).orderBy("id")
-    }, Some(dupClustersOracle)),
+      Dedup.dupClusters(pairs).orderBy("id")
+    }, Some(dupClustersExactOracle)),
 
     // Retention policy on top of the cluster labels: each near-dup cluster
     // keeps its longest member (ties to the smallest id); singletons keep
-    // themselves. The corpus-dedup step that actually DROPS documents.
+    // themselves. The corpus-dedup step that actually DROPS documents —
+    // clusters come from the LSH pair path, like q_dup_clusters.
     QuerySpec("q_dedup_canonical", (s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
-        n = 3, threshold = 0.5).select("id1", "id2")
-      Dedup.keepCanonical(d, "doc_id", "n_chars", Dedup.dupClusters(pairs))
+      Dedup.keepCanonical(d, "doc_id", "n_chars",
+          Dedup.dupClusters(lshPairs(s, dir)))
         .orderBy("cluster_id")
     }, Some(
-      s"""$dupClustersCtes,
+      s"""$dupClustersLshCtes,
          |clusters AS (
          |  SELECT id, MIN(lbl) AS canonical_id FROM reach GROUP BY id),
          |assign AS (
