@@ -63,15 +63,15 @@ object Sources {
   def parquetMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
-  /** S9: full-table JDBC read used by load-side dedup (`load.py:128`).
-    * `numPartitions`+bounds enable a parallel partitioned read — the
-    * reference's single-connection `read_sql_table` is the non-scalable
-    * version of this. */
   /** Columnar-format breadth beyond the reference's parquet/JSON: ORC scan
     * (predicate pushdown + column pruning, same as parquet). */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** S9: full-table JDBC read used by load-side dedup (`load.py:128`).
+    * `numPartitions`+bounds enable a parallel partitioned read — the
+    * reference's single-connection `read_sql_table` is the non-scalable
+    * version of this. */
   def jdbc(spark: SparkSession, url: String, table: String,
       props: Properties = new Properties(),
       partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame =

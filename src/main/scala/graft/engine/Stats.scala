@@ -235,9 +235,16 @@ object Stats {
     * the output is bit-deterministic (contributions round to 8 dp); the
     * statistic and p-value fold the handful of cells driver-side
     * ([[chiSquareTest]]). Three count aggregations + two broadcast-sized
-    * joins; nothing wider than the contingency table ever shuffles. */
+    * joins; nothing wider than the contingency table ever shuffles.
+    *
+    * Null categories are dropped up front (pandas.crosstab / scipy
+    * behavior): groupBy would keep a null key in the marginals, but the
+    * equi-join from the full grid back to `obs` can't match null keys, so
+    * null rows would report observed=0 while inflating expected counts. */
   def chiSquareCells(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
-    val obs = df.groupBy(col(rowCol), col(colCol))
+    val obs = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol), col(colCol))
       .agg(count(lit(1)).as("observed"))
     val rowTot = obs.groupBy(col(rowCol)).agg(sum(col("observed")).as("row_total"))
     val colTot = obs.groupBy(col(colCol)).agg(sum(col("observed")).as("col_total"))

@@ -16,14 +16,19 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events` with its timestamp normalized: the file stores parquet
-    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read the
-    * raw nanos (legacy conf) and convert to a microsecond timestamp
-    * in-plan (`div 1000` stays in exact int64). The single shared entry
-    * point for every query over `events`. */
+    * TIMESTAMP(NANOS), which Spark's schema conversion rejects — so the
+    * scan declares an explicit read schema with `ts` as LONG (the reader
+    * then hands back the raw int64 nanos) and converts to a microsecond
+    * timestamp in-plan (`div 1000` stays in exact int64). Schema-on-read
+    * only: no session conf is touched (the legacy `nanosAsLong` conf would
+    * be a hidden global mutation on shared sessions). The single shared
+    * entry point for every query over `events`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    spark.read
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

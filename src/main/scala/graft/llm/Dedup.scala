@@ -258,23 +258,44 @@ object Dedup {
   }
 
   /** SimHash near-dup pipeline: band blocking + exact Hamming verify.
-    * Two 64-bit fingerprints within Hamming distance ≤ 3 must agree on at
-    * least one of their four 16-bit words (pigeonhole), so candidates come
-    * from an equi-join on (band, word) — O(n) candidate generation, the
-    * same blocking trick as MinHash-LSH but over a 1-word signature.
-    * Verification is `bit_count(xor)` per word, summed — codegen'd
-    * built-ins, no UDF.
+    * The 64-bit fingerprint is split into `maxHamming + 1` contiguous
+    * bit-ranges: two fingerprints within Hamming distance ≤ maxHamming
+    * must agree on at least one range (pigeonhole — at most maxHamming
+    * ranges can contain a differing bit), so candidate generation is
+    * ALWAYS complete for the requested distance, whatever its value.
+    * Candidates come from an equi-join on (band, word) — O(n) candidate
+    * generation, the same blocking trick as MinHash-LSH but over a 1-word
+    * signature; with the default maxHamming = 3 this is the classic
+    * 4 × 16-bit blocking. Verification is `bit_count(xor)` per word,
+    * summed — codegen'd built-ins, no UDF.
     *
     * Scale: the fingerprint scan is map-only; the band join shuffles
     * (band, word, id) triples only (20 bytes/row), never documents; at
     * 100 TB materialize `fp` once (write/checkpoint) instead of letting
-    * the three references below recompute the scan. */
+    * the three references below recompute the scan. Note the selectivity
+    * trade-off: larger maxHamming ⇒ more, narrower bands ⇒ bigger
+    * candidate buckets (an 8-bit band has only 256 distinct values) —
+    * past maxHamming ≈ 7 consider multi-probe over wider bands instead. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val numBands = maxHamming + 1
     val fp = simhashFingerprints(docs, idCol, textCol)
-    val words = (0 until 4).map(k =>
-      struct(lit(k).as("band"), col(s"w$k").as("word")))
-    val bands = fp.select(col(idCol), explode(array(words: _*)).as("bw"))
+    // rebuild the 64-bit fingerprint from its 16-bit words, then slice it
+    // into numBands contiguous ranges (widths differ by at most one bit)
+    val h64 = (0 until 4).map(k => shiftleft(col(s"w$k"), k * 16))
+      .reduce(_ bitwiseOR _)
+    val widths = Array.tabulate(numBands)(k =>
+      64 / numBands + (if (k < 64 % numBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    val words = (0 until numBands).map(k =>
+      struct(lit(k).as("band"),
+        shiftrightunsigned(col("__h"), offsets(k))
+          .bitwiseAND(lit(mask(widths(k)))).as("word")))
+    val bands = fp.withColumn("__h", h64)
+      .select(col(idCol), explode(array(words: _*)).as("bw"))
       .select(col(idCol), col("bw.band").as("band"), col("bw.word").as("word"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.word") === col("b.word") &&

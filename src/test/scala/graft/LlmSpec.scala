@@ -127,6 +127,30 @@ class DedupSpec extends SparkSpec {
     assert(nd.map(t => (t._1, t._2)).toSet.subsetOf(wide))
   }
 
+  test("simhash near-dups: band blocking is complete for any maxHamming") {
+    // ground truth: brute-force all-pairs Hamming over the fingerprints —
+    // the banded path must recover EXACTLY this set (pigeonhole over
+    // maxHamming+1 bands guarantees no candidate is dropped)
+    val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+    val f1 = fp.toDF("id1", "a0", "a1", "a2", "a3")
+    val f2 = fp.toDF("id2", "b0", "b1", "b2", "b3")
+    val ham = (0 until 4).map(k =>
+        bit_count(col(s"a$k").bitwiseXOR(col(s"b$k"))))
+      .reduce(_ + _).cast("long")
+    for (h <- Seq(0, 4, 5, 9, 63)) {
+      val brute = f1.crossJoin(f2).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), ham.as("hamming"))
+        .filter(col("hamming") <= h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val banded = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(banded === brute, s"maxHamming=$h")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 64)
+    }
+  }
+
   test("keepCanonical keeps the best doc per cluster; singletons survive") {
     val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (9L, 7L))
       .toDF("doc_id", "n_chars")
