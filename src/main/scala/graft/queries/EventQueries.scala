@@ -280,6 +280,31 @@ object EventQueries {
         .orderBy("doc_id")
     }, None),
 
+    // REAL image decode (javax.imageio, JDK-builtin): PNG bytes generated
+    // deterministically per doc_id (solid fill, dims/color pure functions
+    // of the id), decoded back via ImageIO into dimensions + channel
+    // means. The oracle recomputes those facts arithmetically — the decode
+    // path is wrong unless the round-trip is bit-exact. Audio/video stay
+    // on the documented stub (q_media_features).
+    QuerySpec("q_image_meta", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "image/png",
+          Multimodal.syntheticPng(id)))
+      Multimodal.imageFeatures(recs).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |       CAST(8 + doc_id % 5 AS INT) AS width,
+        |       CAST(8 + doc_id % 3 AS INT) AS height,
+        |       CAST(37 * doc_id % 256 AS DOUBLE) AS mean_r,
+        |       CAST(59 * doc_id % 256 AS DOUBLE) AS mean_g,
+        |       CAST(83 * doc_id % 256 AS DOUBLE) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Multimodal plumbing metadata: opaque binary payload + typed metadata.
     // (The mapPartitions decode-stub path is exercised in MultimodalSpec;
     // byte-level features aren't SQL-expressible over blobs.)

@@ -521,6 +521,47 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).checksum === 0L)
   }
 
+  test("imageio decode: synthetic PNG round-trip recovers dims and fill color") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 100000L)) {
+      val m = Multimodal.decodeImage(
+        Multimodal.MediaRecord(id, "image/png", Multimodal.syntheticPng(id)))
+      assert(m.width === (8 + id % 5).toInt, s"id=$id")
+      assert(m.height === (8 + id % 3).toInt, s"id=$id")
+      assert(m.mean_r === (37 * id % 256).toDouble, s"id=$id")
+      assert(m.mean_g === (59 * id % 256).toDouble, s"id=$id")
+      assert(m.mean_b === (83 * id % 256).toDouble, s"id=$id")
+    }
+  }
+
+  test("imageio decode: non-solid image means average over all pixels") {
+    // 2×1 PNG: black + white pixel → every channel mean is 127.5
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000)
+    img.setRGB(1, 0, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val m = Multimodal.decodeImage(
+      Multimodal.MediaRecord(5L, "image/png", out.toByteArray))
+    assert((m.width, m.height) === (2, 1))
+    assert(m.mean_r === 127.5 && m.mean_g === 127.5 && m.mean_b === 127.5)
+    // garbage bytes → clear error, not a null deref
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(
+        Multimodal.MediaRecord(6L, "image/png", Array[Byte](1, 2, 3)))
+    }
+  }
+
+  test("imageFeatures decodes a Dataset of PNGs distributively") {
+    val metas = Multimodal.imageFeatures(
+        spark.range(0, 50).as[Long].repartition(4)
+          .map(id => Multimodal.MediaRecord(id, "image/png",
+            Multimodal.syntheticPng(id))))
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size === 50)
+    assert(metas(13L).width === (8 + 13 % 5) && metas(13L).mean_g === (59 * 13 % 256).toDouble)
+  }
+
   test("frame sampling stub keeps every stride-th byte") {
     assert(Multimodal.sampleFrames(Array[Byte](0, 1, 2, 3, 4, 5), 2).toSeq ===
       Seq[Byte](0, 2, 4))
