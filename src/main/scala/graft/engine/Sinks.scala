@@ -71,4 +71,19 @@ object Sinks {
       props: Properties): Unit =
     LoadDedup.antiJoinOnKeys(incoming, existing, keys)
       .write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** FK-ordered idempotent JDBC load (`load.py:181-212`): each entity is
+    * appended-new in the given sequence, so referential-integrity parents
+    * land before their children — the JDBC-literal form of
+    * `EtlPipeline.load`'s parquet stand-in. Tables must already exist
+    * (they carry the PK/FK DDL that makes the ordering matter); each step
+    * reads the target's current keys and anti-joins before appending, so
+    * re-running a batch is a no-op. Entity tuples: (table, rows, keys). */
+  def jdbcLoadOrdered(spark: org.apache.spark.sql.SparkSession, url: String,
+      props: Properties,
+      entities: Seq[(String, DataFrame, Seq[String])]): Unit =
+    entities.foreach { case (table, df, keys) =>
+      jdbcAppendNew(df, Sources.jdbc(spark, url, table, props), keys,
+        url, table, props)
+    }
 }
