@@ -64,15 +64,15 @@ object CorpusPipeline {
         col("quality_score"))
       .filter(col("quality_score") >= cfg.minQuality &&
         col("lang_pred") === cfg.lang)
-      .localCheckpoint()
+    val gatedCk = graft.engine.Checkpoints.iterationBarrier(gated)
 
-    val pairs = Dedup.minhashNearDups(gated, idCol, textCol,
+    val pairs = Dedup.minhashNearDups(gatedCk, idCol, textCol,
       cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.jaccardThreshold)
       .select("id1", "id2")
     val losers = Dedup.dupClusters(pairs)
       .filter(col("id") =!= col("canonical_id"))
       .select(col("id").as(idCol))
 
-    gated.drop(textCol).join(losers, Seq(idCol), "left_anti")
+    gatedCk.drop(textCol).join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -329,7 +329,8 @@ object Dedup {
     // an expensive similarity plan and both union branches reference it —
     // without this checkpoint the whole similarity computation runs twice
     // (and the propagation loop would recompute it every iteration).
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val p = graft.engine.Checkpoints.iterationBarrier(
+      pairs.select(col("id1"), col("id2")))
     // Adaptive small-graph fast path (same reasoning as Spark's broadcast
     // threshold): the near-dup edge set after LSH banding is orders of
     // magnitude smaller than the corpus — when it fits comfortably on the
@@ -342,16 +343,16 @@ object Dedup {
         case None => () // non-integral ids: fall through to the loop
       }
     }
-    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+    val edges0 = p.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(p.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("id")).distinct()
+    val edgesCk = graft.engine.Checkpoints.iterationBarrier(edges0)
+    val nodes = edgesCk.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("canonical_id", col("id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val viaNeighbor = edges
+      val viaNeighbor = edgesCk
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("canonical_id")).as("nl"))
@@ -363,9 +364,9 @@ object Dedup {
           least(col("canonical_id"), coalesce(col("nl"), col("canonical_id")))
             .as("canonical_id"),
           (col("nl").isNotNull && col("nl") < col("canonical_id")).as("__changed"))
-        .localCheckpoint()
-      val changed = updated.filter(col("__changed")).limit(1).count()
-      labels = updated.drop("__changed")
+      val updatedCk = graft.engine.Checkpoints.iterationBarrier(updated)
+      val changed = updatedCk.filter(col("__changed")).limit(1).count()
+      labels = updatedCk.drop("__changed")
       converged = changed == 0
       iter += 1
     }
@@ -432,7 +433,8 @@ object Dedup {
     * (id, canonical_id) with canonical_id = min id of the component.
     */
   def dupClustersStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val p = graft.engine.Checkpoints.iterationBarrier(
+      pairs.select(col("id1"), col("id2")))
     val nodes = p.select(col("id1").as("id"))
       .unionByName(p.select(col("id2").as("id"))).distinct()
 
@@ -465,12 +467,13 @@ object Dedup {
     var edges = p
       .select(greatest(col("id1"), col("id2")).as("a"),
         least(col("id1"), col("id2")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct()
+    edges = graft.engine.Checkpoints.iterationBarrier(edges)
     var sig = signature(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = graft.engine.Checkpoints.iterationBarrier(smallStar(largeStar(edges)))
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next

@@ -233,8 +233,12 @@ object Similarity {
     *
     * Scale: per iteration, one broadcast join of the (k×dim) centroid
     * table against the exploded vectors + one integer aggregation —
-    * the canonical distributed Lloyd shape; iterations compose lazily
-    * (checkpoint between rounds if plans grow too deep).
+    * the canonical distributed Lloyd shape. The k×dim centroid table is
+    * materialized per round via [[graft.engine.Checkpoints.iterationBarrier]]
+    * (local by default; reliable `checkpoint()` under
+    * `spark.graft.checkpoint.reliable` for cluster fault-tolerance), so
+    * plan depth stays O(1) in the iteration count instead of the rounds
+    * composing into one unboundedly deep lazy tree.
     * Output: idCol, cluster_id. */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scaleBits: Int = 20): DataFrame = {
@@ -262,10 +266,11 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col(idCol), col("cluster"))
       if (i < iters) {
-        centFixed = assign.join(vx, Seq(idCol))
-          .groupBy(col("cluster"), col("dim"))
-          .agg(floor(round(sum(col("xi")).cast("double") / lit(scale) /
-            count(lit(1)), 8) * lit(scale)).cast("long").as("ci"))
+        centFixed = graft.engine.Checkpoints.iterationBarrier(
+          assign.join(vx, Seq(idCol))
+            .groupBy(col("cluster"), col("dim"))
+            .agg(floor(round(sum(col("xi")).cast("double") / lit(scale) /
+              count(lit(1)), 8) * lit(scale)).cast("long").as("ci")))
       }
     }
     assign.select(col(idCol), col("cluster").as("cluster_id"))
