@@ -368,10 +368,63 @@ object StatsQueries {
              |$ms AS min_str, $xs AS max_str FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))),
 
+    // The SQL-expressible core of the gold statistics entity: everything
+    // in q_dpe_statistics EXCEPT the p-values — n, t statistic (exact
+    // decimal moments), nonzero-pair count, Wilcoxon W — so the whole
+    // aggregation/ranking machinery hash-matches DuckDB and only the
+    // special-function CDF layer stays spec-gated (StatsSpec).
+    QuerySpec("q_dpe_stats_core", (s, dir) => {
+      val in = t(s, dir, "lineitem").select(col("l_returnflag"),
+        (col("l_tax") * 100.0).as("x"), (col("l_discount") * 100.0).as("y"))
+      val tt = Stats.pairedTTestStat(in, "l_returnflag", "x", "y")
+        .withColumn("t_stat", round(col("t_stat"), 8))
+      val ww = Stats.wilcoxonStat(in, "l_returnflag", "x", "y")
+        .drop("tie_counts", "sample_size")
+      tt.join(ww, Seq("l_returnflag"))
+        .withColumn("batch_id", lit("batch_r2"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH d AS (
+        |  SELECT l_returnflag AS label,
+        |         CAST(l_tax * 100.0 AS DECIMAL(18,2)) -
+        |         CAST(l_discount * 100.0 AS DECIMAL(18,2)) AS d
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT label, COUNT(*) AS sample_size, SUM(d) AS sd, SUM(d*d) AS sdd,
+        |         MIN(d) AS min_d, MAX(d) AS max_d
+        |  FROM d GROUP BY label),
+        |nz AS (SELECT label, d, ABS(d) AS ad FROM d WHERE d <> 0),
+        |ranked AS (
+        |  SELECT label, d,
+        |         RANK() OVER (PARTITION BY label ORDER BY ad) +
+        |         (COUNT(*) OVER (PARTITION BY label, ad) - 1) / 2.0 AS r
+        |  FROM nz),
+        |agg AS (
+        |  SELECT label,
+        |         SUM(CASE WHEN d > 0 THEN r ELSE 0.0 END) AS w_plus,
+        |         SUM(CASE WHEN d < 0 THEN r ELSE 0.0 END) AS w_minus,
+        |         COUNT(*) AS n_nonzero
+        |  FROM ranked GROUP BY label)
+        |SELECT a.label AS l_returnflag, a.sample_size,
+        |       ROUND(CASE WHEN a.sample_size > 1 THEN
+        |         (CAST(sd AS DOUBLE) / CAST(a.sample_size AS DOUBLE)) /
+        |         SQRT((CASE WHEN min_d <> max_d THEN
+        |                 (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(a.sample_size AS DOUBLE))
+        |                 / (CAST(a.sample_size AS DOUBLE) - 1.0)
+        |               ELSE NULL END) / CAST(a.sample_size AS DOUBLE))
+        |       ELSE -99999.0 END, 8) AS t_stat,
+        |       COALESCE(g.n_nonzero, 0) AS n_nonzero,
+        |       CASE WHEN a.sample_size > 1 AND COALESCE(g.n_nonzero, 0) > 0
+        |            THEN LEAST(g.w_plus, g.w_minus) ELSE -99999.0 END AS w_stat,
+        |       'batch_r2' AS batch_id
+        |FROM a LEFT JOIN agg g USING(label)
+        |ORDER BY l_returnflag""".stripMargin)),
+
     // A5-A9 full gold shape (`tests_statistiques_dpe`): t/W + p-values +
     // batch_id. p-values (Student-t CDF, signed-rank exact/normal approx)
-    // are not DuckDB-expressible — driver records a rows-only check; the
-    // numeric parity is covered by StatsSpec unit tests.
+    // are not DuckDB-expressible — driver records a rows-only check on
+    // this full shape; its SQL-expressible core is q_dpe_stats_core
+    // (hash-matched) and the p-value layer is covered by StatsSpec.
     QuerySpec("q_dpe_statistics", (s, dir) => {
       val in = t(s, dir, "lineitem").select(col("l_returnflag"),
         (col("l_tax") * 100.0).as("x"), (col("l_discount") * 100.0).as("y"))
