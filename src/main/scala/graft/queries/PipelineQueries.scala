@@ -17,6 +17,32 @@ object PipelineQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // S3/S4 as a LITERAL connector: the nation table is re-served as a
+    // cursor-paginated page chain (the reference API's response shape)
+    // and read back through the graft-rest DataSource V2 TableProvider —
+    // pagination walk on the driver, one partition per page, pruned
+    // columns pushed into the record parser. The oracle is the plain
+    // relational content, so the whole envelope/pagination/parse path
+    // must be value-transparent to pass.
+    QuerySpec("q_rest_pages", (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val fixtureDir = java.nio.file.Files
+        .createTempDirectory("graft-rest-pages").toString
+      graft.sources.rest.RestFixtures.writePages(
+        Tables.load(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey"),
+        fixtureDir, pageSize = 10)
+      s.read.format("graft-rest").load(fixtureDir)
+        // JSON numbers infer as long; restore the table's int32 key types
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }, Some(
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // Pretraining-corpus cleaning: quality ≥ 0.45 AND lang = en first, then
     // MinHash-LSH near-dup clusters resolved AMONG the survivors with the
     // canonical (min-id) doc kept per cluster.

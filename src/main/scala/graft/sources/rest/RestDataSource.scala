@@ -1,0 +1,201 @@
+package graft.sources.rest
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-rest`: a DataSource V2 `TableProvider` replaying the reference's
+  * paginated REST extraction (`extract.py:146-155`, `353-365`) from local
+  * fixture files — the S3/S4 sources as a LITERAL connector rather than a
+  * modeled union of pre-fetched scans.
+  *
+  * Contract: `path` points at a directory of page envelopes
+  * `page_<i>.json`, each `{"results": [ {flat object}... ], "next": <int
+  * or null>}` — the shape of a cursor-paginated API response. Page
+  * DISCOVERY is sequential link-following from `startPage` (default 0) on
+  * the driver, exactly like an API client walking `next` cursors; record
+  * PARSING is distributed, one `InputPartition` per discovered page.
+  * (A live-HTTP variant would swap the file read in [[RestPages.readPage]]
+  * for a GET — the planning/partitioning contract is unchanged; this
+  * environment is zero-egress, so pages come from fixtures.)
+  *
+  * Schema: user-provided (`.schema(...)`) or inferred from the first
+  * page's records (string/long/double/boolean — the flat payloads the
+  * reference's dict-flatten produces). Column pruning is pushed into the
+  * reader: `SupportsPushDownRequiredColumns` trims the parsed fields, so
+  * `SELECT one_col` never materializes whole records.
+  */
+final class RestDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rest"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestPages.inferSchema(RestPages.dir(options), RestPages.startPage(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new RestTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+final class RestTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-rest(${RestPages.dir(options)})"
+  override def schema(): StructType = schema0
+  private val schema0 = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(schema0, options)
+}
+
+final class RestScanBuilder(fullSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new RestScan(required,
+    RestPages.dir(options), RestPages.startPage(options))
+}
+
+final class RestScan(schema: StructType, dir: String, startPage: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-rest dir=$dir start=$startPage cols=${schema.fieldNames.mkString(",")}"
+
+  /** Driver-side pagination walk: follow `next` cursors from `startPage`,
+    * emitting one partition per page (the distributed-parse handoff). */
+  override def planInputPartitions(): Array[InputPartition] =
+    RestPages.walk(dir, startPage)
+      .map(p => RestInputPartition(dir, p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(schema)
+}
+
+final case class RestInputPartition(dir: String, page: Int)
+    extends InputPartition
+
+final class RestReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rp = p.asInstanceOf[RestInputPartition]
+    new RestPartitionReader(schema, rp.dir, rp.page)
+  }
+}
+
+final class RestPartitionReader(schema: StructType, dir: String, page: Int)
+    extends PartitionReader[InternalRow] {
+  private val records = RestPages.readPage(dir, page)._1.iterator
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (records.hasNext) { current = convert(records.next()); true }
+    else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+
+  private def convert(node: JsonNode): InternalRow = {
+    val vals = schema.fields.map { f =>
+      val v = node.get(f.name)
+      if (v == null || v.isNull) null
+      else f.dataType match {
+        case StringType =>
+          UTF8String.fromString(if (v.isTextual) v.asText() else v.toString)
+        case LongType => v.asLong()
+        case IntegerType => v.asInt()
+        case DoubleType => v.asDouble()
+        case BooleanType => v.asBoolean()
+        case dt => throw new IllegalArgumentException(
+          s"graft-rest: unsupported column type $dt for field ${f.name}")
+      }
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+}
+
+/** Page-envelope IO shared by planning (walk/infer, driver) and reading
+  * (per-partition parse, executors). */
+object RestPages {
+  private val mapper = new ObjectMapper()
+
+  def dir(options: CaseInsensitiveStringMap): String = {
+    val d = options.get("path")
+    require(d != null, "graft-rest requires a 'path' option (page directory)")
+    d
+  }
+
+  def startPage(options: CaseInsensitiveStringMap): Int =
+    Option(options.get("startPage")).map(_.toInt).getOrElse(0)
+
+  def pageFile(dir: String, page: Int): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, s"page_$page.json")
+
+  /** Parse one page envelope → (records, next cursor). */
+  def readPage(dir: String, page: Int): (Seq[JsonNode], Option[Int]) = {
+    val root = mapper.readTree(
+      java.nio.file.Files.readAllBytes(pageFile(dir, page)))
+    val results = Option(root.get("results"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val next = Option(root.get("next")).filterNot(_.isNull).map(_.asInt())
+    (results, next)
+  }
+
+  /** Follow `next` cursors from `start`; cycle-guarded so a malformed
+    * fixture can't hang planning. */
+  def walk(dir: String, start: Int): Seq[Int] = {
+    val seen = scala.collection.mutable.LinkedHashSet[Int](start)
+    var cursor = readPage(dir, start)._2
+    while (cursor.exists(!seen.contains(_))) {
+      val p = cursor.get
+      seen += p
+      cursor = readPage(dir, p)._2
+    }
+    seen.toSeq
+  }
+
+  /** Infer string/long/double/boolean columns from the first page, in
+    * first-seen field order; a field that is integral in one record and
+    * fractional in another widens to double, mixed otherwise → string. */
+  def inferSchema(dir: String, start: Int): StructType = {
+    val (records, _) = readPage(dir, start)
+    require(records.nonEmpty,
+      s"graft-rest: cannot infer schema from empty first page in $dir")
+    val order = scala.collection.mutable.LinkedHashSet[String]()
+    val types = scala.collection.mutable.HashMap[String, DataType]()
+    def typeOf(v: JsonNode): DataType =
+      if (v.isIntegralNumber) LongType
+      else if (v.isNumber) DoubleType
+      else if (v.isBoolean) BooleanType
+      else StringType
+    records.foreach { r =>
+      r.fields().asScala.foreach { e =>
+        if (!e.getValue.isNull) {
+          order += e.getKey
+          val t = typeOf(e.getValue)
+          types.updateWith(e.getKey) {
+            case None | Some(`t`) => Some(t)
+            case Some(LongType) if t == DoubleType => Some(DoubleType)
+            case Some(DoubleType) if t == LongType => Some(DoubleType)
+            case Some(_) => Some(StringType)
+          }
+        }
+      }
+    }
+    StructType(order.toSeq.map(n => StructField(n, types(n), nullable = true)))
+  }
+}

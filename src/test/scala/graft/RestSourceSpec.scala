@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.sources.rest.{RestFixtures, RestPages}
+
+/** graft-rest DataSource V2: pagination walk, schema inference, column
+  * pruning, startPage cursor, and equivalence with the modeled page-union
+  * query (q_union_pages). */
+class RestSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("rest-spec").toString
+
+  test("page chain read equals source frame; one partition per page") {
+    val dir = tmp()
+    val df = (1 to 25).map(i => (i.toLong, s"name_$i", i % 5)).toDF("id", "name", "grp")
+    val n = RestFixtures.writePages(df, dir, pageSize = 10)
+    assert(n === 3)
+    val back = spark.read.format("graft-rest").load(dir)
+    assert(back.rdd.getNumPartitions === 3)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === (1 to 25).map(i => (i.toLong, s"name_$i")))
+  }
+
+  test("matches the modeled union-of-pages query on real orders data") {
+    val dir = tmp()
+    val o = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val expected = graft.QueryRegistry.byName("q_union_pages")
+      .run(spark, "/root/testdata/sf0.001")
+    RestFixtures.writePages(
+      expected.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      dir, pageSize = 100)
+    val got = spark.read.format("graft-rest").load(dir)
+      .orderBy("o_orderkey")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      expected.orderBy("o_orderkey").collect().map(_.toSeq).toSeq)
+  }
+
+  test("column pruning reaches the scan (SupportsPushDownRequiredColumns)") {
+    val dir = tmp()
+    RestFixtures.writePages(
+      (1 to 5).map(i => (i.toLong, s"n$i", i * 1.5)).toDF("id", "name", "score"),
+      dir, pageSize = 2)
+    val pruned = spark.read.format("graft-rest").load(dir).select("name")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.output.map(_.name) === Seq("name"))
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq ===
+      (1 to 5).map(i => s"n$i"))
+  }
+
+  test("startPage resumes mid-chain; inference widens long+double to double") {
+    val dir = tmp()
+    RestFixtures.writePages(
+      (1 to 9).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir, pageSize = 3)
+    val tail = spark.read.format("graft-rest")
+      .option("startPage", "1").load(dir)
+    assert(tail.select("id").as[Long].collect().sorted.toSeq ===
+      (4L to 9L))
+    // mixed integral/fractional field → DoubleType; mixed with text → string
+    val mixDir = tmp()
+    java.nio.file.Files.write(RestPages.pageFile(mixDir, 0),
+      """{"results":[{"a":1,"b":1,"c":true},{"a":2.5,"b":"x","c":false}],"next":null}"""
+        .getBytes("UTF-8"))
+    val mixed = spark.read.format("graft-rest").load(mixDir)
+    val types = mixed.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types === Map("a" -> "double", "b" -> "string", "c" -> "boolean"))
+    assert(mixed.count() === 2)
+  }
+
+  test("user-supplied schema skips inference; missing fields read null") {
+    val dir = tmp()
+    java.nio.file.Files.write(RestPages.pageFile(dir, 0),
+      """{"results":[{"id":7}],"next":null}""".getBytes("UTF-8"))
+    val got = spark.read.format("graft-rest")
+      .schema("id LONG, absent STRING").load(dir).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === 7L && got(0).isNullAt(1))
+  }
+}
