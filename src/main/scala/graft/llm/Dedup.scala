@@ -312,6 +312,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup clusters with EXACT-DUP PRE-COLLAPSE — the composition that
+    * survives the adversarial hot-bucket case. A group of identical
+    * documents shares every band key, so feeding them straight into LSH
+    * creates one bucket whose candidate join is quadratic in the group
+    * size (AQE skew-split balances the tasks, but the total work remains
+    * |group|²). Collapsing exact groups FIRST (md5-groupBy, min-id
+    * representative) means each distinct text enters the banded join
+    * once: candidate work is quadratic only in bucket DIVERSITY, never in
+    * duplication, and the member → representative expansion at the end is
+    * a linear join.
+    *
+    * Labels are identical to running [[dupClusters]] over the full near-dup
+    * pair set (each representative is its group's min id, so the cluster
+    * minimum over representatives IS the cluster minimum over all
+    * members) — with one deliberate improvement: shingle-less documents
+    * (e.g. empty/whitespace texts) are invisible to MinHash and would all
+    * label themselves, but identical ones are still exact duplicates and
+    * cluster here through the md5 collapse.
+    * Output: (id, canonical_id) for EVERY input document. */
+  def nearDupClustersExactFirst(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val keyed = docs.select(col(idCol), md5(col(textCol)).as("__k"))
+    val groups = keyed.groupBy(col("__k")).agg(min(col(idCol)).as("rep"))
+    // rep-id set is corpus-sized (one per distinct text) — a plain
+    // shuffled semi-join; never broadcast it
+    val reps = docs.join(groups.select(col("rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    val pairs = minhashNearDups(reps, idCol, textCol, n, bands, rowsPerBand,
+      threshold).select("id1", "id2")
+    val repClusters = dupClusters(pairs).withColumnRenamed("id", "rep")
+    keyed.join(groups, Seq("__k"))
+      .join(repClusters, Seq("rep"), "left")
+      .select(col(idCol).as("id"),
+        coalesce(col("canonical_id"), col("rep")).as("canonical_id"))
+  }
+
   /** Duplicate clusters from near-dup pairs: connected components by
     * iterative min-label propagation, so each document maps to a canonical
     * id (the smallest id in its component) — the "keep one per cluster"

@@ -258,6 +258,37 @@ object DedupQueries {
          |SELECT cluster_id, doc_id AS kept_id, n_docs
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
 
+    // Exact-dup pre-collapse + LSH clusters — the hot-bucket-proof
+    // composition (identical texts collapse to one representative BEFORE
+    // banding, so candidate work scales with text diversity, not
+    // duplication). Exact dups are constructed by self-union with offset
+    // ids (the raw table has none); the oracle collapses groups on
+    // md5(text), replays the LSH cluster pipeline over the (original-doc)
+    // representatives, and expands labels back over the union.
+    QuerySpec("q_dup_clusters_collapse", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val all = d.unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.nearDupClustersExactFirst(all, "doc_id", "text",
+        n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
+        .orderBy("id")
+    }, Some(
+      s"""$dupClustersLshCtes,
+         |clusters AS (
+         |  SELECT id, MIN(lbl) AS canonical_id FROM reach GROUP BY id),
+         |all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+         |grp AS (
+         |  SELECT md5(text) AS k, MIN(doc_id) AS rep
+         |  FROM all_docs GROUP BY md5(text))
+         |SELECT a.doc_id AS id, COALESCE(c.canonical_id, g.rep) AS canonical_id
+         |FROM all_docs a
+         |JOIN grp g ON md5(a.text) = g.k
+         |LEFT JOIN clusters c ON g.rep = c.id
+         |ORDER BY id""".stripMargin)),
+
     // SimHash-64 fingerprints via the native Catalyst expression; the
     // oracle replays the identical bit derivation relationally
     // (md5 hex digits → ±weight per bit → sign vector).
