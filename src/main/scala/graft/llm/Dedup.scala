@@ -312,6 +312,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination (training-data hygiene): training documents
+    * sharing at least one word n-gram with an EVALUATION corpus — the
+    * GPT-3-style n-gram-overlap contamination check that keeps test sets
+    * out of pretraining data.
+    *
+    * Scale shape: eval corpora are benchmark-sized (thousands of docs), so
+    * their distinct shingle set BROADCASTS; the training side is a
+    * map-only shingle scan joined map-side against that broadcast — only
+    * MATCHED (id, shingle) occurrences enter the one aggregation shuffle,
+    * and contamination is rare, so that shuffle is tiny regardless of
+    * corpus size. Never a full-corpus distinct.
+    * Output: idCol, n_shared (distinct shared n-grams per flagged doc). */
+  def contaminatedDocs(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val evalSh = shingleSets(eval, idCol, textCol, n)
+      .select("shingle").distinct()
+    rawShingles(train, idCol, textCol, n)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+  }
+
   /** Near-dup clusters with EXACT-DUP PRE-COLLAPSE — the composition that
     * survives the adversarial hot-bucket case. A group of identical
     * documents shares every band key, so feeding them straight into LSH

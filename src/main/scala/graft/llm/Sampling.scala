@@ -81,6 +81,42 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Contiguous sequence packing (the concat-and-cut loader shape):
+    * documents are concatenated in a deterministic md5-shuffled order
+    * within `numShards` hash shards and cut at `seqLen`-unit boundaries;
+    * each document is assigned the pack in which it STARTS (`pack_id`)
+    * and its offset there (`pack_offset`). `lenCol` is whatever length
+    * unit the loader packs by (tokens, chars, bytes).
+    *
+    * Doc-preserving first-fit bin packing is inherently sequential;
+    * sharded concat-and-cut is the distributed contract production
+    * loaders actually use — each shard's running sum is an independent
+    * window, so the job parallelizes across shards (size numShards to
+    * cluster cores; one shard's data, not the corpus, is the window
+    * unit) and the result is bit-deterministic under any partitioning.
+    * Output: keyCol, shard, pack_id, pack_offset. */
+  def packSequences(df: DataFrame, keyCol: String, lenCol: String,
+      seqLen: Int, numShards: Int, seed: String = "pack"): DataFrame = {
+    require(seqLen > 0 && numShards > 0,
+      s"packSequences: seqLen=$seqLen numShards=$numShards")
+    val hex = md5(concat(lit(s"$seed|"), col(keyCol).cast("string")))
+    // first md5 byte → shard, next 8 hex chars → order within shard:
+    // the same engine-portable digest arithmetic as uniformHex
+    val hashed = df.select(col(keyCol), col(lenCol),
+      conv(substring(hex, 1, 2), 16, 10).cast("int").mod(numShards).as("shard"),
+      substring(hex, 3, 8).as("__ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__ord").asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hashed
+      .withColumn("__start", sum(col(lenCol)).over(w) - col(lenCol))
+      .select(col(keyCol), col("shard"),
+        expr(s"__start div $seqLen").as("pack_id"),
+        pmod(col("__start"), lit(seqLen.toLong)).as("pack_offset"))
+  }
+
   /** Deterministic train/val/test split: hash-range assignment per key
     * (e.g. 0.8/0.1/0.1). Map-only, stable under reruns, and consistent
     * across tables sharing the key — a document and its embeddings land

@@ -258,6 +258,34 @@ object DedupQueries {
          |SELECT cluster_id, doc_id AS kept_id, n_docs
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
 
+    // Benchmark decontamination: training docs (doc_id % 50 ≠ 0) sharing
+    // any word 8-gram with the held-out eval slice (doc_id % 50 = 0) —
+    // the n-gram overlap check that keeps test sets out of pretraining
+    // data. Eval shingles broadcast; only matched occurrences shuffle.
+    QuerySpec("q_contamination", (s, dir) => {
+      val d = docs(s, dir)
+      val eval = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val train = d.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      Dedup.contaminatedDocs(train, eval, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(CASE WHEN len(t) >= 8
+        |                     THEN list_transform(range(1, len(t) - 6),
+        |                            i -> array_to_string(list_slice(t, i, i + 7), ' '))
+        |                     ELSE [] END) AS shingle
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Exact-dup pre-collapse + LSH clusters — the hot-bucket-proof
     // composition (identical texts collapse to one representative BEFORE
     // banding, so candidate work scales with text diversity, not

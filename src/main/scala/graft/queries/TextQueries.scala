@@ -314,6 +314,38 @@ object TextQueries {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Contiguous sequence packing (concat-and-cut loader shape): docs are
+    // md5-shuffled into 4 hash shards, concatenated per shard, and cut at
+    // 2048-length-unit boundaries (here n_chars as the length unit). Each
+    // doc gets the pack it starts in + its offset — the export-edge step
+    // that turns a corpus into fixed-size training sequences.
+    QuerySpec("q_pack_sequences", (s, dir) => {
+      graft.llm.Sampling.packSequences(
+          docs(s, dir).select("doc_id", "n_chars"), "doc_id", "n_chars",
+          seqLen = 2048, numShards = 4)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         md5('pack|' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+        |               (instr('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 4
+        |              AS INT) AS shard,
+        |         substr(hx, 3, 8) AS ord
+        |  FROM h),
+        |c AS (
+        |  SELECT doc_id, shard,
+        |         SUM(n_chars) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |                            ROWS UNBOUNDED PRECEDING) - n_chars AS st
+        |  FROM s)
+        |SELECT doc_id, shard,
+        |       CAST(FLOOR(st / 2048.0) AS BIGINT) AS pack_id,
+        |       CAST(st % 2048 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // PII redaction. The synthetic corpus has no PII, so the query stamps
     // deterministic email/phone/id fragments into each doc (same
     // derivation on both engines), then scrubs them — exercising all

@@ -183,7 +183,7 @@ object RestPages {
       else if (v.isBoolean) BooleanType
       else StringType
     records.foreach { r =>
-      r.fields().asScala.foreach { e =>
+      r.properties().asScala.foreach { e =>
         if (!e.getValue.isNull) {
           order += e.getKey
           val t = typeOf(e.getValue)

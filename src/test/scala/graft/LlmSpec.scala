@@ -151,6 +151,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminatedDocs flags n-gram overlap with the eval set only") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon shared tail here"),
+      (2L, "completely unrelated training document content words"),
+      (3L, "alpha beta gamma delta epsilon shared tail here too")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix words then alpha beta gamma delta epsilon shared tail here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminatedDocs(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 3 share 5-grams with eval; doc 2 is clean
+    assert(got.keySet === Set(1L, 3L))
+    // doc 1's tokens = eval's suffix: all its 4 distinct 5-grams are shared
+    assert(got(1L) === 4L)
+  }
+
+  test("packSequences: deterministic shards, contiguous offsets, long docs span") {
+    val d = (1L to 40L).map(i => (i, 600L + i)).toDF("doc_id", "n_len")
+    val packed = Sampling.packSequences(d, "doc_id", "n_len",
+      seqLen = 1000, numShards = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(packed.length === 40)
+    // offsets are within the pack, shards within range
+    assert(packed.forall { case (_, sh, p, off) =>
+      sh >= 0 && sh < 3 && p >= 0 && off >= 0 && off < 1000 })
+    // per shard: starts are strictly increasing pack positions — replaying
+    // the cumsum from the emitted (pack_id, pack_offset) must reconstruct
+    // each shard's total length exactly
+    val byShard = packed.groupBy(_._2)
+    val lens = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byShard.foreach { case (_, rows) =>
+      val starts = rows.map { case (id, _, p, off) => (p * 1000 + off, lens(id)) }
+        .sortBy(_._1)
+      starts.sliding(2).foreach {
+        case Array((s1, l1), (s2, _)) => assert(s2 === s1 + l1)
+        case _ => ()
+      }
+    }
+    // deterministic: same input → identical assignment
+    val again = Sampling.packSequences(d, "doc_id", "n_len", 1000, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(_._1).toSeq === packed.sortBy(_._1).toSeq)
+  }
+
   test("keepCanonical keeps the best doc per cluster; singletons survive") {
     val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (9L, 7L))
       .toDF("doc_id", "n_chars")
