@@ -257,6 +257,39 @@ object TextAnalysis {
       .where(col("len_pr") >= lo && col("len_pr") <= hi)
   }
 
+  /** Boilerplate line removal (CCNet/RefinedWeb-style web-corpus
+    * cleaning): a line occurring in at least `minDocs` DISTINCT documents
+    * (nav menus, cookie banners, copyright footers) is removed from every
+    * document; line order and within-document duplicates of non-boilerplate
+    * lines are preserved.
+    *
+    * Scale shape: one explode + a line-keyed count-distinct aggregation
+    * (the shuffle carries (line, id) pairs — vocabulary-bounded once
+    * counts pre-reduce map-side); the frequent-line set is SMALL BY
+    * DEFINITION (at most total-lines / minDocs entries), so it broadcasts
+    * and the removal anti-join is map-side; reconstruction is one
+    * aggregation keyed by the document id (cardinality ≫ executors).
+    * Documents whose every line was boilerplate survive with empty text.
+    * Output: idCol, clean_text. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+    val frequent = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("line")
+    val kept = lines.join(broadcast(frequent), Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        sep).as("clean_text"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Heuristic quality features + composite score. Divisions guarded as in
     * [[qualityScore]]. */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -346,6 +346,40 @@ object TextQueries {
         |       CAST(st % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Boilerplate line removal. The synthetic corpus is single-line, so
+    // the query stamps every doc with a shared header/footer (the web-page
+    // nav/copyright shape) around its unique body, then strips lines
+    // occurring in ≥ 30 distinct docs — header and footer vanish, bodies
+    // survive byte-identical, order preserved.
+    QuerySpec("q_boilerplate", (s, dir) => {
+      val stamped = docs(s, dir).select(col("doc_id"),
+        concat(lit("nav home about contact\n"), col("text"),
+          lit("\ncopyright 2024 example corp")).as("text"))
+      TextAnalysis.stripBoilerplate(stamped, "doc_id", "text", minDocs = 30)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH stamped AS (
+        |  SELECT doc_id,
+        |         'nav home about contact' || chr(10) || text || chr(10) ||
+        |         'copyright 2024 example corp' AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos,
+        |         unnest(string_split(t, chr(10))) AS line
+        |  FROM stamped),
+        |freq AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line)
+        |  WHERE nd >= 30),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  WHERE line NOT IN (SELECT line FROM freq))
+        |SELECT s.doc_id,
+        |       COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS clean_text
+        |FROM stamped s LEFT JOIN kept k USING (doc_id)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
     // PII redaction. The synthetic corpus has no PII, so the query stamps
     // deterministic email/phone/id fragments into each doc (same
     // derivation on both engines), then scrubs them — exercising all

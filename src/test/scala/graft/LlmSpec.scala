@@ -417,6 +417,20 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stripBoilerplate: frequent lines removed, order and dup lines kept") {
+    val docs = Seq(
+      (1L, "HEADER\nbody one\nbody one\nFOOTER"),   // dup body line preserved
+      (2L, "HEADER\nunique two\nFOOTER"),
+      (3L, "HEADER\nFOOTER"),                       // all-boilerplate doc
+      (4L, "HEADER\nzz last\nmid\nFOOTER")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "body one\nbody one")
+    assert(got(2L) === "unique two")
+    assert(got(3L) === "")                          // survives, empty
+    assert(got(4L) === "zz last\nmid")              // original order, not sorted
+  }
+
   test("winnowing: shared substring >= k+w-1 shares a fingerprint; length edges") {
     val k = 8; val w = 4
     val common = "identical stretch of text here" // 30 chars > k+w-1 = 11

@@ -178,6 +178,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("contamination check broadcasts the eval shingle set") {
+    val d = Tables.load(spark, dir, "documents")
+    val eval = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val train = d.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val plan = planString(
+      graft.llm.Dedup.contaminatedDocs(train, eval, "doc_id", "text", n = 8))
+    // eval corpora are benchmark-sized: their distinct shingles must ride
+    // a broadcast, never shuffle the training side's shingle stream
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // and the one shuffle aggregates matched hits only: the partial
+    // aggregate sits below the exchange
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("sequence packing windows per shard, no global sort") {
+    val plan = planString(graft.llm.Sampling.packSequences(
+      Tables.load(spark, dir, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", seqLen = 2048, numShards = 4))
+    // the running sum must partition by shard (hash exchange), NOT run as
+    // a single global-order window (range exchange into one partition)
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("bloom-pruned anti-join: only the probable-hit branch joins") {
     import spark.implicits._
     val incoming = (1L to 100L).toDF("pk")
