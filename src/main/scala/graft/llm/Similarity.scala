@@ -276,6 +276,40 @@ object Similarity {
     assign.select(col(idCol), col("cluster").as("cluster_id"))
   }
 
+  /** Deterministic ±1 random projection (Achlioptas sign matrix):
+    * dimension reduction for embedding columns — out_j = Σ_i s(i,j)·v_i
+    * with the sign s(i,j) derived from an md5 nibble, so the SAME
+    * projection matrix exists on every engine and run without shipping
+    * one. Johnson–Lindenstrauss: pairwise geometry is preserved to
+    * O(1/√outDim) — the storage/bandwidth tier ahead of exact cosine,
+    * complementing [[quantizeInt8]] (which narrows values; this narrows
+    * DIMENSIONS).
+    *
+    * Exactness: inputs quantize to 2^scaleBits fixed-point longs, the
+    * signed sum is exact integer arithmetic, and one division rescales at
+    * the end — bit-identical under any partitioning and replayable in
+    * plain SQL. Shape: explode(dims) × broadcast j-grid, partial
+    * aggregation map-side; the shuffle carries (id, j) groups only.
+    * Output: idCol, dim (1..outDim), value. */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: String = "rp", scaleBits: Int = 20): DataFrame = {
+    require(outDim >= 1, s"outDim=$outDim")
+    val scale = (1L << scaleBits).toDouble
+    val vx = emb
+      .select(col(idCol), posexplode(vecDouble(col(vecCol))).as(Seq("pos", "x")))
+      .select(col(idCol), (col("pos") + 1).as("i"),
+        floor(col("x") * lit(scale)).cast("long").as("xi"))
+    val sign = (conv(substring(md5(concat_ws("|",
+        lit(seed), col("i"), col("j"))), 1, 1), 16, 10).cast("int")
+      % 2) * 2 - 1
+    vx.select(col(idCol), col("i"), col("xi"),
+        explode(sequence(lit(1), lit(outDim))).as("j"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("xi") * sign).as("__acc"))
+      .select(col(idCol), col("j").cast("long").as("dim"),
+        round(col("__acc").cast("double") / lit(scale), 8).as("value"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
       .withColumn("amax", array_max(transform(col("v"), x => abs(x))))

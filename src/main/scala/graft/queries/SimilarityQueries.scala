@@ -143,6 +143,32 @@ object SimilarityQueries {
     // quantization (q = round(127·v/amax)); the uniform scale cancels in
     // cosine, so scores come from exact integer dot products — the
     // 4×-smaller storage/bandwidth tier of a 100 TB similarity pipeline.
+    // Deterministic ±1 random projection to 8 dims (JL sketch tier):
+    // md5-nibble sign matrix, exact fixed-point signed sums — the oracle
+    // replays the identical matrix and arithmetic relationally.
+    QuerySpec("q_rand_proj", (s, dir) => {
+      Similarity.randomProjection(emb(s, dir), "vec_id", "embedding",
+          outDim = 8)
+        .orderBy("vec_id", "dim")
+    }, Some(
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |vx AS (
+        |  SELECT vec_id,
+        |         unnest(range(1, len(v) + 1)) AS i,
+        |         unnest(list_transform(range(1, len(v) + 1),
+        |                  k -> CAST(FLOOR(v[k] * 1048576.0) AS BIGINT))) AS xi
+        |  FROM base),
+        |g AS (SELECT unnest(range(1, 9)) AS j),
+        |s AS (
+        |  SELECT vec_id, j,
+        |         SUM(xi * (((instr('0123456789abcdef',
+        |                      substr(md5('rp|' || CAST(i AS VARCHAR) || '|' ||
+        |                             CAST(j AS VARCHAR)), 1, 1)) - 1) % 2) * 2 - 1)) AS acc
+        |  FROM vx CROSS JOIN g GROUP BY vec_id, j)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+        |       ROUND(CAST(acc AS DOUBLE) / 1048576.0, 8) AS value
+        |FROM s ORDER BY vec_id, dim""".stripMargin)),
+
     QuerySpec("q_quantized_cos", (s, dir) => {
       Similarity.quantizedCosPairs(emb(s, dir), "vec_id", "embedding",
         minCos = 0.4)

@@ -113,6 +113,60 @@ object EventStreams {
     append(fresh)
   }
 
+  /** Streaming corpus ingest with near-dup rejection: each micro-batch is
+    * deduped against the persisted corpus STATE — its kept documents and
+    * their MinHash band table — via the incremental LSH path
+    * ([[graft.llm.Dedup.minhashNearDupsIncremental]]: only the batch is
+    * hashed, the corpus read is candidate-pruned), then survivors are
+    * appended and the band table extended with THEIR bands only. The
+    * continuous-ingest shape of a production training-data pipeline:
+    * per-batch cost ∝ batch size + its collisions, never corpus size.
+    *
+    * Rejection policy (deterministic, single-pass): a batch document is
+    * rejected iff it near-dups any corpus document or any SMALLER-ID
+    * document of the same batch. Chains may over-reject (b rejected for
+    * corpus, c rejected for b) — the conservative trade production
+    * ingest makes for a one-pass decision; run a periodic compaction
+    * with [[graft.llm.Dedup.dupClusters]] if chain precision matters.
+    *
+    * State I/O is abstracted (`readCorpus`/`readBands`/`appendDocs`/
+    * `appendBands`) so parquet zones, JDBC, or a table format all fit. */
+  def nearDupIngestForeachBatch(
+      readCorpus: () => DataFrame,
+      readBands: () => DataFrame,
+      appendDocs: DataFrame => Unit,
+      appendBands: DataFrame => Unit,
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): (DataFrame, Long) => Unit = { (batch0, _) =>
+    import graft.llm.Dedup
+    val batch = batch0.dropDuplicates(idCol)
+    val corpus = readCorpus()
+    val pairs = Dedup.minhashNearDupsIncremental(batch, corpus, readBands(),
+      idCol, textCol, n, bands, rowsPerBand, threshold)
+      .select("id1", "id2")
+    val corpusIds = corpus.select(col(idCol).as("__cid"))
+    // id1 < id2 always; either side may be the corpus one
+    val rejects = pairs
+      .join(corpusIds, col("id1") === col("__cid"), "left_semi")
+      .select(col("id2").as(idCol))
+      .unionByName(pairs
+        .join(corpusIds, col("id2") === col("__cid"), "left_semi")
+        .select(col("id1").as(idCol)))
+      .unionByName(pairs // batch-internal pair: larger id loses
+        .join(corpusIds, col("id1") === col("__cid"), "left_anti")
+        .join(corpusIds, col("id2") === col("__cid"), "left_anti")
+        .select(col("id2").as(idCol)))
+      .distinct()
+    val accepted = batch.join(rejects, Seq(idCol), "left_anti")
+      // one materialization: accepted feeds the doc append AND the band
+      // derivation; without it the whole dedup plan runs twice
+      .localCheckpoint()
+    appendDocs(accepted)
+    appendBands(graft.llm.Dedup.bandTable(accepted, idCol, textCol,
+      n, bands, rowsPerBand))
+  }
+
   /** Batch sessionization: the gaps-and-islands window formulation — a
     * session break is a gap > gapMs from the previous event of the same
     * user; session id = running count of breaks. Relational dual of

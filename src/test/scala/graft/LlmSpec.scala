@@ -301,6 +301,32 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))) // opposite of 1
     .toDF("vec_id", "embedding")
 
+  test("randomProjection applies exactly the md5-nibble sign matrix") {
+    // unit basis vector e_1 → out_j = s(1, j) · 1.0 exactly (1.0 is an
+    // exact fixed-point value), so the result IS the sign matrix row
+    def sign(seed: String, i: Int, j: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$i|$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (Character.digit(hex.charAt(0), 16) % 2) * 2 - 1
+    }
+    val got = Similarity.randomProjection(
+        Seq((7L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", outDim = 6)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got.size === 6)
+    (1 to 6).foreach { j =>
+      assert(got(j.toLong) === sign("rp", 1, j).toDouble, s"j=$j")
+    }
+    // opposite vectors project to opposite sketches (linearity on exact
+    // fixed-point inputs)
+    val pm = Similarity.randomProjection(vecs, "vec_id", "embedding", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (1 to 6).foreach { j =>
+      assert(pm((4L, j.toLong)) === -pm((1L, j.toLong)), s"j=$j")
+    }
+  }
+
   test("cosine pairs: near above threshold, orthogonal/opposite below") {
     val p = Similarity.cosinePairs(vecs, "vec_id", "embedding", minCos = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -243,4 +243,50 @@ class StreamingSpec extends SparkSpec {
     assert(s1.n_events === 2L)
     assert(s1.total_value === 3.0)
   }
+
+  test("streaming near-dup ingest: batches dedup against a GROWING corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // corpus starts with doc 1; its band table is the persisted LSH state
+    var corpus: DataFrame = Seq((1L, base)).toDF("doc_id", "text")
+      .localCheckpoint()
+    var bandState: DataFrame = graft.llm.Dedup.bandTable(
+      corpus, "doc_id", "text", 3, 3, 3).localCheckpoint()
+
+    val sink = EventStreams.nearDupIngestForeachBatch(
+      () => corpus, () => bandState,
+      docs => corpus = corpus.unionByName(docs).localCheckpoint(),
+      bds => bandState = bandState.unionByName(bds).localCheckpoint(),
+      "doc_id", "text", n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      // batch 1: near-dup of corpus doc 1 (rejected) + novel doc 10 (kept)
+      mem.addData(
+        (5L, base.replace("kappa", "lambda")),
+        (10L, "completely novel content about spark adaptive execution plans"))
+      q.processAllAvailable()
+      assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(1L, 10L))
+
+      // batch 2: near-dup of BATCH-1's accepted doc 10 (rejected — proves
+      // the band state grew), near-dup chain inside the batch (21 kept,
+      // 22 rejected for 21), novel 30 kept
+      mem.addData(
+        (20L, "completely novel content about spark adaptive execution engine"),
+        (21L, "fresh second batch document with its own distinctive words"),
+        (22L, "fresh second batch document with its own distinctive tokens"),
+        (30L, "yet another unrelated document mentioning catalyst optimizer rules"))
+      q.processAllAvailable()
+      assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(1L, 10L, 21L, 30L))
+      // band state covers exactly the kept docs (3 bands each)
+      assert(bandState.select("doc_id").distinct().as[Long].collect()
+        .sorted.toSeq === Seq(1L, 10L, 21L, 30L))
+    } finally q.stop()
+  }
 }
