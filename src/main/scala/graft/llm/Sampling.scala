@@ -81,6 +81,28 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Training-mixture assembly: exactly `counts(stratum)` rows per stratum
+    * (the smallest-md5 ones — deterministic), strata absent from the map
+    * contribute nothing. The step that turns per-source corpora into a
+    * target data mix (e.g. 60% web / 30% code / 10% books expressed as
+    * absolute document counts). Under-filled strata return every row they
+    * have — the caller decides whether to re-weight or accept the
+    * shortfall. One shuffle on the stratum key, like [[samplePerGroup]]. */
+  def mixToCounts(df: DataFrame, keyCol: String, stratumCol: String,
+      counts: Map[String, Long], seed: String = "mix"): DataFrame = {
+    require(counts.values.forall(_ >= 0), s"negative count in $counts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(uniformHex(seed, col(keyCol)).asc, col(keyCol).asc)
+    val kCol = counts.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
+      case (acc, (stratum, k)) =>
+        when(col(stratumCol) === lit(stratum), lit(k)).otherwise(acc)
+    }
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= kCol)
+      .drop("__rn")
+  }
+
   /** Contiguous sequence packing (the concat-and-cut loader shape):
     * documents are concatenated in a deterministic md5-shuffled order
     * within `numShards` hash shards and cut at `seqLen`-unit boundaries;

@@ -274,8 +274,13 @@ object TextAnalysis {
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Long, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // cache the exploded lines: they feed BOTH the frequency count and
+    // the removal anti-join (two full corpus scans + splits otherwise).
+    // ContextCleaner unpersists once the returned plan is unreachable,
+    // same lifetime reasoning as jaccardPairs' shingle cache.
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+      .persist()
     val frequent = lines.groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)

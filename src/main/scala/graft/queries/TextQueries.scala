@@ -298,6 +298,29 @@ object TextQueries {
         |  FROM h)
         |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
 
+    // Training-mixture assembly: exact per-language document counts
+    // (smallest-md5 picks), absent languages contribute nothing, and the
+    // zh target (200) exceeds its sf0.001 population — exercising the
+    // under-filled-stratum contract at the small scales.
+    QuerySpec("q_mix_counts", (s, dir) => {
+      graft.llm.Sampling.mixToCounts(
+          docs(s, dir).select("doc_id", "lang"), "doc_id", "lang",
+          Map("en" -> 100L, "fr" -> 40L, "zh" -> 200L))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, lang FROM r
+        |WHERE rn <= CASE lang WHEN 'en' THEN 100 WHEN 'fr' THEN 40
+        |                      WHEN 'zh' THEN 200 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split by hash range: stable under
     // reruns and consistent across tables sharing the key. Thresholds are
     // the engine's hexThreshold(0.8)/(0.9) cut points.
