@@ -8,7 +8,10 @@ class DeterminismSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private val names = Seq("q_agg_pricing", "q_paired_ttest", "q_wilcoxon",
-    "q_cosine_topk", "q_minhash_lsh", "q_impute_iqr")
+    "q_cosine_topk", "q_minhash_lsh", "q_impute_iqr",
+    // round-2 ops whose determinism rests on md5 ordering / exact
+    // fixed-point sums / window cumsums
+    "q_pack_sequences", "q_rand_proj", "q_mix_counts", "q_boilerplate")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
