@@ -204,11 +204,20 @@ object Dedup {
     * (never a second full-corpus pass). */
   private def verifiedJaccard(cand: DataFrame, shRaw: DataFrame,
       idCol: String, threshold: Double): DataFrame = {
-    val candIds = cand.select(explode(array(col("id1"), col("id2"))).as(idCol))
+    // cache BOTH shared subtrees: `cand` feeds the id-pruning AND the
+    // intersection join (two evaluations of the signature scan + band
+    // join otherwise), and the pruned shingle set feeds both intersection
+    // sides plus the size count (three full-corpus shingle scans
+    // otherwise). Same bounded-lifetime reasoning as jaccardPairs'
+    // cache — ContextCleaner reclaims once the plan is unreachable.
+    val candCached = cand.persist()
+    val candIds = candCached
+      .select(explode(array(col("id1"), col("id2"))).as(idCol))
       .distinct()
     val shCand = shRaw.join(broadcast(candIds), Seq(idCol), "left_semi")
       .distinct()
-    val inter = cand
+      .persist()
+    val inter = candCached
       .join(shCand.toDF("id1", "shingle"), Seq("id1"))
       .join(shCand.toDF("id2", "shingle"), Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
