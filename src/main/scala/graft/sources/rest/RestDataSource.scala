@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -62,20 +62,34 @@ final class RestTable(schema: StructType, options: CaseInsensitiveStringMap)
 
 final class RestScanBuilder(fullSchema: StructType,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** Accept the comparison/null filters [[RestFilters]] can evaluate
+    * against a parsed record; everything accepted is ALSO returned as
+    * residual (Spark re-checks it — exactly how parquet treats pushed
+    * filters), so pushdown is a row-skipping optimization, never a
+    * correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(RestFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan = new RestScan(required,
-    RestPages.dir(options), RestPages.startPage(options))
+    RestPages.dir(options), RestPages.startPage(options), pushed)
 }
 
-final class RestScan(schema: StructType, dir: String, startPage: Int)
+final class RestScan(schema: StructType, dir: String, startPage: Int,
+    filters: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-rest dir=$dir start=$startPage cols=${schema.fieldNames.mkString(",")}"
+    s"graft-rest dir=$dir start=$startPage cols=${schema.fieldNames.mkString(",")}" +
+      s" PushedFilters: [${filters.mkString(", ")}]"
 
   /** Driver-side pagination walk: follow `next` cursors from `startPage`,
     * emitting one partition per page (the distributed-parse handoff). */
@@ -84,23 +98,25 @@ final class RestScan(schema: StructType, dir: String, startPage: Int)
       .map(p => RestInputPartition(dir, p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RestReaderFactory(schema)
+    new RestReaderFactory(schema, filters)
 }
 
 final case class RestInputPartition(dir: String, page: Int)
     extends InputPartition
 
-final class RestReaderFactory(schema: StructType)
+final class RestReaderFactory(schema: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RestInputPartition]
-    new RestPartitionReader(schema, rp.dir, rp.page)
+    new RestPartitionReader(schema, rp.dir, rp.page, filters)
   }
 }
 
-final class RestPartitionReader(schema: StructType, dir: String, page: Int)
+final class RestPartitionReader(schema: StructType, dir: String, page: Int,
+    filters: Array[Filter])
     extends PartitionReader[InternalRow] {
   private val records = RestPages.readPage(dir, page)._1.iterator
+    .filter(r => filters.forall(RestFilters.eval(_, r)))
   private var current: InternalRow = _
 
   override def next(): Boolean =
@@ -197,5 +213,48 @@ object RestPages {
       }
     }
     StructType(order.toSeq.map(n => StructField(n, types(n), nullable = true)))
+  }
+}
+
+/** The filter subset the record parser can evaluate directly on a parsed
+  * JSON node — rows failing a pushed filter are skipped BEFORE row
+  * conversion. Comparisons follow Spark semantics: any comparison against
+  * a missing/null field is false (only IsNull matches it). */
+object RestFilters {
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+    case _ => false
+  }
+
+  def eval(f: Filter, r: JsonNode): Boolean = f match {
+    case IsNull(a) => isNull(r, a)
+    case IsNotNull(a) => !isNull(r, a)
+    case EqualTo(a, v) => cmp(r, a, v).contains(0)
+    case GreaterThan(a, v) => cmp(r, a, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(r, a, v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(r, a, v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(r, a, v).exists(_ <= 0)
+    case _ => true // unsupported filters pass; Spark re-checks them
+  }
+
+  private def isNull(r: JsonNode, field: String): Boolean = {
+    val v = r.get(field)
+    v == null || v.isNull
+  }
+
+  /** Three-way compare of the record field against the literal, None when
+    * the field is missing/null or not comparable to the literal's type. */
+  private def cmp(r: JsonNode, field: String, lit: Any): Option[Int] = {
+    val v = r.get(field)
+    if (v == null || v.isNull) return None
+    lit match {
+      case s: String if v.isTextual => Some(v.asText().compareTo(s))
+      case s: UTF8String if v.isTextual => Some(v.asText().compareTo(s.toString))
+      case b: Boolean if v.isBoolean => Some(v.asBoolean().compareTo(b))
+      case n: Number if v.isNumber =>
+        Some(java.lang.Double.compare(v.asDouble(), n.doubleValue()))
+      case _ => None
+    }
   }
 }

@@ -73,6 +73,30 @@ class RestSourceSpec extends SparkSpec {
     assert(mixed.count() === 2)
   }
 
+  test("filter pushdown skips rows at parse time; Spark still re-checks") {
+    val dir = tmp()
+    RestFixtures.writePages(
+      (1 to 20).map(i => (i.toLong, s"name_$i", i % 4)).toDF("id", "name", "grp"),
+      dir, pageSize = 5)
+    val df = spark.read.format("graft-rest").load(dir)
+      .filter(col("grp") === 2 && col("id") > 5L)
+    // the scan advertises the pushed filters...
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.head.scan.description().contains("PushedFilters: ["), scans.head.scan.description())
+    assert(scans.head.scan.description().contains("EqualTo(grp,2)"), scans.head.scan.description())
+    // ...and the result is exact
+    assert(df.select("id").as[Long].collect().sorted.toSeq ===
+      (6 to 20).filter(_ % 4 == 2).map(_.toLong))
+    // null-field semantics: comparisons never match a missing field
+    val dirN = tmp()
+    java.nio.file.Files.write(RestPages.pageFile(dirN, 0),
+      """{"results":[{"a":1},{"b":"only"}],"next":null}""".getBytes("UTF-8"))
+    val dn = spark.read.format("graft-rest").schema("a LONG, b STRING").load(dirN)
+    assert(dn.filter(col("a") > 0L).count() === 1)
+    assert(dn.filter(col("a").isNull).count() === 1)
+  }
+
   test("user-supplied schema skips inference; missing fields read null") {
     val dir = tmp()
     java.nio.file.Files.write(RestPages.pageFile(dir, 0),
