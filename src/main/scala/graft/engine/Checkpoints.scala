@@ -15,6 +15,12 @@ import org.apache.spark.sql.DataFrame
   *    set via `sparkContext.setCheckpointDir`, HDFS/object-store at
   *    cluster scale): `checkpoint()` writes the RDD to the reliable store,
   *    surviving executor loss — the mode a multi-hour 100 TB CC job runs.
+  *    Each iteration writes a NEW checkpoint and Spark does not delete
+  *    superseded ones by default — on a real cluster also set
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` at session
+  *    build (ContextCleaner then removes a round's files once its RDD is
+  *    unreferenced), or point the checkpoint dir at a storage path with a
+  *    TTL/lifecycle rule; otherwise an N-round job retains N copies.
   *
   * Both are eager (materialize now), so callers can count on "computed
   * exactly once" semantics either way.

@@ -63,12 +63,13 @@ object Dedup {
     * Output: id1, id2, jaccard. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // cache the shingle set: it feeds sizes + both intersection sides (3
-    // evaluations otherwise). The cache's lifetime is bounded — Spark's
-    // ContextCleaner unpersists it automatically once the returned plan
-    // becomes unreachable, so a lazily-returned DataFrame doesn't pin it
-    // for the session.
-    val sh = shingleSets(docs, idCol, textCol, n).persist()
+    // materialize the shingle set once (it feeds sizes + both
+    // intersection sides — 3 evaluations otherwise). localCheckpoint, NOT
+    // persist: checkpoint blocks free when the RDD is GC'd after the plan
+    // becomes unreachable, while Dataset caches are pinned by the session
+    // CacheManager until explicitly unpersisted — a leak for callers that
+    // never get a handle to unpersist (e.g. per-micro-batch use).
+    val sh = shingleSets(docs, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.toDF("id1", "shingle")
     val b = sh.toDF("id2", "shingle")
@@ -204,19 +205,21 @@ object Dedup {
     * (never a second full-corpus pass). */
   private def verifiedJaccard(cand: DataFrame, shRaw: DataFrame,
       idCol: String, threshold: Double): DataFrame = {
-    // cache BOTH shared subtrees: `cand` feeds the id-pruning AND the
-    // intersection join (two evaluations of the signature scan + band
+    // materialize BOTH shared subtrees: `cand` feeds the id-pruning AND
+    // the intersection join (two evaluations of the signature scan + band
     // join otherwise), and the pruned shingle set feeds both intersection
     // sides plus the size count (three full-corpus shingle scans
-    // otherwise). Same bounded-lifetime reasoning as jaccardPairs'
-    // cache — ContextCleaner reclaims once the plan is unreachable.
-    val candCached = cand.persist()
+    // otherwise). localCheckpoint, not persist — blocks free on RDD GC
+    // once the returned plan is unreachable; Dataset caches would pin in
+    // the session CacheManager forever (a per-micro-batch leak for the
+    // streaming ingest path).
+    val candCached = cand.localCheckpoint()
     val candIds = candCached
       .select(explode(array(col("id1"), col("id2"))).as(idCol))
       .distinct()
     val shCand = shRaw.join(broadcast(candIds), Seq(idCol), "left_semi")
       .distinct()
-      .persist()
+      .localCheckpoint()
     val inter = candCached
       .join(shCand.toDF("id1", "shingle"), Seq("id1"))
       .join(shCand.toDF("id2", "shingle"), Seq("id2", "shingle"))
@@ -253,6 +256,18 @@ object Dedup {
       corpusBands: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val bNew = bandTable(newDocs, idCol, textCol, n, bands, rowsPerBand)
+    val cand = incrementalCandidates(bNew, corpusBands)
+    val shRaw = rawShingles(newDocs.unionByName(corpus), idCol, textCol, n)
+    verifiedJaccard(cand, shRaw, idCol, threshold)
+  }
+
+  /** Candidate pairs of an incremental batch against a persisted corpus
+    * band table: batch-internal bucket pairs plus batch × corpus bucket
+    * collisions. The corpus side is consumed AS STORED — persist it
+    * bucketed by (band, band_key) and this join never reshuffles it
+    * (asserted in BucketingSpec); only the small batch side pays a band
+    * exchange. */
+  def incrementalCandidates(bNew: DataFrame, corpusBands: DataFrame): DataFrame = {
     val candNew = candidatePairsFromBands(bNew)
     val a = bNew.toDF("ida", "band", "band_key")
     val b = corpusBands.toDF("idb", "band", "band_key")
@@ -261,9 +276,7 @@ object Dedup {
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
       .distinct()
-    val cand = candNew.unionByName(candCross).distinct()
-    val shRaw = rawShingles(newDocs.unionByName(corpus), idCol, textCol, n)
-    verifiedJaccard(cand, shRaw, idCol, threshold)
+    candNew.unionByName(candCross).distinct()
   }
 
   /** SimHash near-dup pipeline: band blocking + exact Hamming verify.

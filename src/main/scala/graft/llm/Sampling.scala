@@ -87,18 +87,29 @@ object Sampling {
     * target data mix (e.g. 60% web / 30% code / 10% books expressed as
     * absolute document counts). Under-filled strata return every row they
     * have — the caller decides whether to re-weight or accept the
-    * shortfall. One shuffle on the stratum key, like [[samplePerGroup]]. */
+    * shortfall. One shuffle on the stratum key, like [[samplePerGroup]].
+    *
+    * Scale contract: each stratum is ONE window unit (a per-stratum sort
+    * task) and ranks are 64-bit (a running count, not int row_number —
+    * no wrap past 2^31 rows). Exact counts inherently serialize per
+    * stratum; when a single stratum outgrows one task, use the rate-based
+    * [[deterministicSample]]/[[stratifiedSample]] (map-only) or pre-shard
+    * the stratum and split its count across shards. */
   def mixToCounts(df: DataFrame, keyCol: String, stratumCol: String,
       counts: Map[String, Long], seed: String = "mix"): DataFrame = {
     require(counts.values.forall(_ >= 0), s"negative count in $counts")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(uniformHex(seed, col(keyCol)).asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val kCol = counts.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
       case (acc, (stratum, k)) =>
         when(col(stratumCol) === lit(stratum), lit(k)).otherwise(acc)
     }
-    df.withColumn("__rn", row_number().over(w))
+    // running count over the total (hash, key) order = a long rank with
+    // no ties — row_number semantics without its int32 ceiling
+    df.withColumn("__rn", sum(lit(1L)).over(w))
       .filter(col("__rn") <= kCol)
       .drop("__rn")
   }

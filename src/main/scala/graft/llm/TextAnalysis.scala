@@ -274,17 +274,21 @@ object TextAnalysis {
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Long, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    // cache the exploded lines: they feed BOTH the frequency count and
-    // the removal anti-join (two full corpus scans + splits otherwise).
-    // ContextCleaner unpersists once the returned plan is unreachable,
-    // same lifetime reasoning as jaccardPairs' shingle cache.
+    // split() takes a REGEX; quote the separator so "|" or "." callers
+    // get literal line splitting (array_join below is literal either way)
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
-      .persist()
+      posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
+    // materialize the SMALL side eagerly (frequent lines are bounded by
+    // total-lines/minDocs) instead of caching the corpus-sized exploded
+    // line set: two corpus scans total, zero cache residency — caching
+    // the full line explosion would be infeasible at 100 TB and Dataset
+    // caches are session-pinned until explicitly unpersisted.
     val frequent = lines.groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("line")
+      .localCheckpoint()
     val kept = lines.join(broadcast(frequent), Seq("line"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(

@@ -184,13 +184,16 @@ object RestPages {
     seen.toSeq
   }
 
-  /** Infer string/long/double/boolean columns from the first page, in
-    * first-seen field order; a field that is integral in one record and
-    * fractional in another widens to double, mixed otherwise → string. */
+  /** Infer string/long/double/boolean columns from the first NON-EMPTY
+    * page (an empty fixture chain — e.g. a written-out empty DataFrame —
+    * has nothing to infer from and needs a user schema), in first-seen
+    * field order; a field that is integral in one record and fractional
+    * in another widens to double, mixed otherwise → string. */
   def inferSchema(dir: String, start: Int): StructType = {
-    val (records, _) = readPage(dir, start)
+    val records = walk(dir, start).iterator
+      .map(readPage(dir, _)._1).find(_.nonEmpty).getOrElse(Seq.empty)
     require(records.nonEmpty,
-      s"graft-rest: cannot infer schema from empty first page in $dir")
+      s"graft-rest: all pages in $dir are empty — pass an explicit schema")
     val order = scala.collection.mutable.LinkedHashSet[String]()
     val types = scala.collection.mutable.HashMap[String, DataType]()
     def typeOf(v: JsonNode): DataType =
@@ -244,14 +247,25 @@ object RestFilters {
   }
 
   /** Three-way compare of the record field against the literal, None when
-    * the field is missing/null or not comparable to the literal's type. */
+    * the field is missing/null or not comparable to the literal's type.
+    * Matches Spark's semantics exactly: strings compare in UTF-8 BINARY
+    * order (Java's compareTo is UTF-16 code-unit order — wrong for
+    * supplementary characters), and integral values compare as longs
+    * (a double round-trip silently equates neighbors past 2^53). */
   private def cmp(r: JsonNode, field: String, lit: Any): Option[Int] = {
     val v = r.get(field)
     if (v == null || v.isNull) return None
+    def utf8(s: String) =
+      Some(UTF8String.fromString(v.asText()).compareTo(UTF8String.fromString(s)))
     lit match {
-      case s: String if v.isTextual => Some(v.asText().compareTo(s))
-      case s: UTF8String if v.isTextual => Some(v.asText().compareTo(s.toString))
+      case s: String if v.isTextual => utf8(s)
+      case s: UTF8String if v.isTextual => utf8(s.toString)
       case b: Boolean if v.isBoolean => Some(v.asBoolean().compareTo(b))
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte)
+          if v.isIntegralNumber =>
+        Some(java.lang.Long.compare(v.asLong(),
+          n.asInstanceOf[Number].longValue()))
       case n: Number if v.isNumber =>
         Some(java.lang.Double.compare(v.asDouble(), n.doubleValue()))
       case _ => None

@@ -140,8 +140,14 @@ object EventStreams {
       n: Int, bands: Int, rowsPerBand: Int,
       threshold: Double): (DataFrame, Long) => Unit = { (batch0, _) =>
     import graft.llm.Dedup
-    val batch = batch0.dropDuplicates(idCol)
     val corpus = readCorpus()
+    // replay guard: foreachBatch is at-least-once — a retried batch's docs
+    // may ALREADY be in the corpus under the same ids, and same-id pairs
+    // are invisible to the near-dup join (id1 < id2), so without this
+    // anti-join a replay would append them a second time and corrupt the
+    // dedup state. Same reasoning as idempotentForeachBatch.
+    val batch = batch0.dropDuplicates(idCol)
+      .join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
     val pairs = Dedup.minhashNearDupsIncremental(batch, corpus, readBands(),
       idCol, textCol, n, bands, rowsPerBand, threshold)
       .select("id1", "id2")

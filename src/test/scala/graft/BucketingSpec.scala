@@ -62,34 +62,33 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val persisted = spark.table("bands_bkt")
-      val nd = Dedup.minhashNearDupsIncremental(newBatch, corpus, persisted,
-        "doc_id", "text", n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.FileSourceScanExec
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      // the candidate subtree is cached (verifiedJaccard persists it), so
-      // the bucketed scan lives inside InMemoryTableScan fragments —
-      // recurse into cached plans when collecting
-      def fragments(p: SparkPlan): Seq[SparkPlan] =
-        p +: p.collect { case im: InMemoryTableScanExec => im }
-          .flatMap(im => fragments(im.relation.cachedPlan))
-      val frags = fragments(nd.queryExecution.executedPlan)
+      // assert on the LAZY candidate-join plan (the full incremental API
+      // eagerly materializes its small verified output, leaving only a
+      // checkpoint scan to inspect)
+      val cand = Dedup.incrementalCandidates(
+        Dedup.bandTable(newBatch, "doc_id", "text", 3, 3, 3), persisted)
+      val exec = cand.queryExecution.executedPlan
       // the corpus band state is consumed through its buckets...
-      val bucketedScans = frags.flatMap(_.collect {
-        case f: FileSourceScanExec if f.bucketedScan => f })
-      assert(bucketedScans.nonEmpty, frags.mkString("\n----\n"))
+      val bucketedScans = exec.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(bucketedScans.nonEmpty, exec.toString)
       // ...and no BAND-KEY shuffle ever sits above a bucketed corpus
       // scan: the band join consumes the buckets directly, so only the
       // (small) batch side pays a band exchange. Downstream id-keyed
-      // aggregation shuffles are legitimate and excluded.
-      val offenders = frags.flatMap(_.collect {
+      // shuffles are legitimate and excluded.
+      val offenders = exec.collect {
         case e: ShuffleExchangeExec
           if e.outputPartitioning.toString.contains("band") &&
             e.child.collect {
-              case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty => e })
+              case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty => e }
       assert(offenders.isEmpty,
         s"corpus band scan reshuffled on band keys:\n${offenders.mkString("\n")}")
-      // and the result equals the unbucketed formulation
+      // and the full incremental result over the bucketed state equals the
+      // unbucketed formulation
+      val nd = Dedup.minhashNearDupsIncremental(newBatch, corpus, persisted,
+        "doc_id", "text", n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
       val plainBands = Dedup.bandTable(corpus, "doc_id", "text", 3, 3, 3)
       val expected = Dedup.minhashNearDupsIncremental(newBatch, corpus,
           plainBands, "doc_id", "text", 3, 3, 3, 0.5)

@@ -457,6 +457,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) === "zz last\nmid")              // original order, not sorted
   }
 
+  test("stripBoilerplate treats regex-metachar separators literally") {
+    val docs = Seq(
+      (1L, "NAV|body one|NAV"), (2L, "NAV|body two|NAV"),
+      (3L, "NAV|body three|NAV")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripBoilerplate(docs, "doc_id", "text",
+        minDocs = 3, sep = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // '|' as a raw regex would split between every character and strip
+    // frequent single letters; literal splitting keeps bodies intact
+    assert(got(1L) === "body one")
+    assert(got(2L) === "body two")
+  }
+
   test("winnowing: shared substring >= k+w-1 shares a fingerprint; length edges") {
     val k = 8; val w = 4
     val common = "identical stretch of text here" // 30 chars > k+w-1 = 11

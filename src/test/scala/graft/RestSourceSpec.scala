@@ -97,6 +97,34 @@ class RestSourceSpec extends SparkSpec {
     assert(dn.filter(col("a").isNull).count() === 1)
   }
 
+  test("pushed filters compare integrals exactly past double precision") {
+    val dir = tmp()
+    // 2^53 and neighbors are indistinguishable as doubles — an exact long
+    // compare must keep 2^53+1 > 2^53 while a double compare drops it
+    val big = 9007199254740992L // 2^53
+    java.nio.file.Files.write(RestPages.pageFile(dir, 0),
+      s"""{"results":[{"id":$big},{"id":${big + 1}}],"next":null}"""
+        .getBytes("UTF-8"))
+    val df = spark.read.format("graft-rest").schema("id LONG").load(dir)
+    assert(df.filter(col("id") > big).as[Long].collect().toSeq ===
+      Seq(big + 1))
+  }
+
+  test("empty fixture round-trips with a user schema; inference says so") {
+    val dir = tmp()
+    val n = RestFixtures.writePages(
+      spark.range(0).select(col("id")), dir, pageSize = 10)
+    assert(n === 1)
+    // user schema: clean empty read
+    assert(spark.read.format("graft-rest").schema("id LONG").load(dir)
+      .count() === 0)
+    // no schema: a clear error pointing at the fix, not a crash later
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-rest").load(dir)
+    }
+    assert(ex.getMessage.contains("explicit schema"))
+  }
+
   test("user-supplied schema skips inference; missing fields read null") {
     val dir = tmp()
     java.nio.file.Files.write(RestPages.pageFile(dir, 0),

@@ -287,6 +287,18 @@ class StreamingSpec extends SparkSpec {
       // band state covers exactly the kept docs (3 bands each)
       assert(bandState.select("doc_id").distinct().as[Long].collect()
         .sorted.toSeq === Seq(1L, 10L, 21L, 30L))
+
+      // replay guard: foreachBatch is at-least-once — re-delivering an
+      // already-ingested batch (same ids) must be a NO-OP, not a
+      // duplicate append (same-id pairs are invisible to the near-dup
+      // join, so only the id anti-join protects state integrity here)
+      sink(Seq(
+        (21L, "fresh second batch document with its own distinctive words"),
+        (30L, "yet another unrelated document mentioning catalyst optimizer rules"))
+        .toDF("doc_id", "text"), 99L)
+      assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(1L, 10L, 21L, 30L))
+      assert(bandState.count() === 4 * 3)
     } finally q.stop()
   }
 }
