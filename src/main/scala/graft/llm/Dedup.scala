@@ -205,6 +205,18 @@ object Dedup {
     * (never a second full-corpus pass). */
   private def verifiedJaccard(cand: DataFrame, shRaw: DataFrame,
       idCol: String, threshold: Double): DataFrame = {
+    val j = col("i").cast("double") /
+      (col("sz1") + col("sz2") - col("i")).cast("double")
+    verifiedOverlap(cand, shRaw, idCol)
+      .select(col("id1"), col("id2"), round(j, 8).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact overlap facts per candidate pair: (id1, id2, i, sz1, sz2) —
+    * distinct-shingle intersection and set sizes, the shared substrate of
+    * Jaccard AND containment scoring. */
+  private def verifiedOverlap(cand: DataFrame, shRaw: DataFrame,
+      idCol: String): DataFrame = {
     // materialize BOTH shared subtrees: `cand` feeds the id-pruning AND
     // the intersection join (two evaluations of the signature scan + band
     // join otherwise), and the pruned shingle set feeds both intersection
@@ -225,13 +237,41 @@ object Dedup {
       .join(shCand.toDF("id2", "shingle"), Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
     val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val j = col("i").cast("double") /
-      (col("sz1") + col("sz2") - col("i")).cast("double")
     inter
       .join(sizes.toDF("id1", "sz1"), Seq("id1"))
       .join(sizes.toDF("id2", "sz2"), Seq("id2"))
-      .select(col("id1"), col("id2"), round(j, 8).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Containment scoring over LSH candidates: c1 = |A∩B|/|A| and
+    * c2 = |A∩B|/|B| per candidate pair, kept when either reaches
+    * `minContainment` — the asymmetric relation symmetric Jaccard
+    * underweights (a short document fully quoted inside a long one has
+    * containment 1 but low Jaccard). Shares the banded candidate
+    * generation and the exact-overlap verification with
+    * [[minhashNearDups]].
+    *
+    * CAVEAT (documented recall bound): MinHash collision probability
+    * tracks JACCARD, so extreme-asymmetry pairs (tiny ∩ huge) may miss
+    * candidacy — for exhaustive containment at scale, feed candidates
+    * from winnowing fingerprints ([[TextAnalysis.winnow]]; shared local
+    * substrings guarantee shared fingerprints) into the same verifier.
+    * Output: id1, id2, containment_1, containment_2, jaccard. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int,
+      minContainment: Double): DataFrame = {
+    val shRaw = rawShingles(docs, idCol, textCol, n)
+    val sig = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
+    val cand = candidatePairsFromBands(lshBands(sig, idCol, bands, rowsPerBand))
+    val c1 = col("i").cast("double") / col("sz1").cast("double")
+    val c2 = col("i").cast("double") / col("sz2").cast("double")
+    val j = col("i").cast("double") /
+      (col("sz1") + col("sz2") - col("i")).cast("double")
+    verifiedOverlap(cand, shRaw, idCol)
+      .select(col("id1"), col("id2"),
+        round(c1, 8).as("containment_1"), round(c2, 8).as("containment_2"),
+        round(j, 8).as("jaccard"))
+      .filter(greatest(col("containment_1"), col("containment_2"))
+        >= minContainment)
   }
 
   /** The persistable LSH state of a corpus: its (id, band, band_key)

@@ -258,6 +258,30 @@ object DedupQueries {
          |SELECT cluster_id, doc_id AS kept_id, n_docs
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
 
+    // Containment scoring over the LSH candidates: the asymmetric overlap
+    // (|A∩B|/|A|, |A∩B|/|B|) that catches quotation/subset relations
+    // symmetric Jaccard underweights. Shares candidates + verification
+    // with q_minhash_lsh; the oracle extends the same CTE chain with the
+    // per-side divisions.
+    QuerySpec("q_containment", (s, dir) => {
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        n = 3, bands = 3, rowsPerBand = 3, minContainment = 0.6)
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH $shingleCte,
+         |$minhashPairsCte,
+         |cont AS (
+         |  SELECT id1, id2,
+         |         ROUND(CAST(i AS DOUBLE) / CAST(s1.sz AS DOUBLE), 8) AS containment_1,
+         |         ROUND(CAST(i AS DOUBLE) / CAST(s2.sz AS DOUBLE), 8) AS containment_2,
+         |         ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) AS jaccard
+         |  FROM mh_inter
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id)
+         |SELECT * FROM cont
+         |WHERE GREATEST(containment_1, containment_2) >= 0.6
+         |ORDER BY id1, id2""".stripMargin)),
+
     // Benchmark decontamination: training docs (doc_id % 50 ≠ 0) sharing
     // any word 8-gram with the held-out eval slice (doc_id % 50 = 0) —
     // the n-gram overlap check that keeps test sets out of pretraining

@@ -151,6 +151,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: a quoted subset scores containment 1, lower jaccard") {
+    val d = Seq(
+      // doc 1 = doc 2's first 10 words: 8 shingles, all ⊂ doc 2's 10
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (3L, "totally different third document about unrelated matters entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text",
+        n = 3, bands = 3, rowsPerBand = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // c1 = 8/8 = 1.0 (quoted subset), c2 = 8/10, jaccard = 8/10 —
+    // the asymmetry containment reports and jaccard hides. (High-J pair
+    // so LSH candidacy is certain; the recall caveat documented on the
+    // operator is precisely about LOW-J subset pairs.)
+    pairs.get((1L, 2L)) match {
+      case Some((c1, c2, j)) =>
+        assert(c1 === 1.0)
+        assert(c2 === 0.8)
+        assert(j === 0.8)
+      case None =>
+        fail(s"pair (1,2) missed candidacy: $pairs")
+    }
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("contaminatedDocs flags n-gram overlap with the eval set only") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon shared tail here"),
