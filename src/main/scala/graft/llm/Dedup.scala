@@ -259,9 +259,40 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int,
       minContainment: Double): DataFrame = {
-    val shRaw = rawShingles(docs, idCol, textCol, n)
     val sig = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
     val cand = candidatePairsFromBands(lshBands(sig, idCol, bands, rowsPerBand))
+    containmentFromCandidates(cand,
+      rawShingles(docs, idCol, textCol, n), idCol, minContainment)
+  }
+
+  /** Candidate pairs from shared winnowing fingerprints: ANY pair sharing
+    * a substring of length ≥ k+w−1 is guaranteed a candidate, INDEPENDENT
+    * of Jaccard — the candidate source that closes [[containmentPairs]]'
+    * banding recall bound for low-Jaccard subset/quotation pairs. A
+    * standard short-key equi-join on the fingerprint (same shuffle shape
+    * as the LSH band join). */
+  def winnowCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val fp = TextAnalysis.winnow(docs, idCol, textCol, k, w)
+    val a = fp.toDF("id1", "fingerprint")
+    val b = fp.toDF("id2", "fingerprint")
+    a.join(b, Seq("fingerprint"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Containment over winnowing candidates ([[winnowCandidates]]) — full
+    * recall for quotation pairs whose shared substrings reach k+w−1
+    * characters, whatever their Jaccard. Scoring (word n-gram overlap
+    * ratios) is identical to [[containmentPairs]]. */
+  def containmentPairsWinnow(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, w: Int, minContainment: Double): DataFrame =
+    containmentFromCandidates(winnowCandidates(docs, idCol, textCol, k, w),
+      rawShingles(docs, idCol, textCol, n), idCol, minContainment)
+
+  /** Shared containment projection over any candidate source. */
+  private def containmentFromCandidates(cand: DataFrame, shRaw: DataFrame,
+      idCol: String, minContainment: Double): DataFrame = {
     val c1 = col("i").cast("double") / col("sz1").cast("double")
     val c2 = col("i").cast("double") / col("sz2").cast("double")
     val j = col("i").cast("double") /

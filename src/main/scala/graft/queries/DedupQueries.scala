@@ -282,6 +282,55 @@ object DedupQueries {
          |WHERE GREATEST(containment_1, containment_2) >= 0.6
          |ORDER BY id1, id2""".stripMargin)),
 
+    // Containment via WINNOWING candidates: any pair sharing an 11-char
+    // substring (k=8, w=4) is guaranteed candidacy regardless of Jaccard —
+    // the full-recall twin of q_containment for low-J quotation pairs.
+    // Oracle: the q_winnow fingerprint CTE generates candidates, then the
+    // same word-3-gram overlap scoring.
+    QuerySpec("q_containment_winnow", (s, dir) => {
+      Dedup.containmentPairsWinnow(docs(s, dir), "doc_id", "text",
+        n = 3, k = 8, w = 4, minContainment = 0.6)
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH $shingleCte,
+         |g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(text) >= 8
+         |              THEN list_transform(range(1, length(text) - 8 + 2),
+         |                     i -> substr(md5(substr(text, i, 8)), 1, 8))
+         |              ELSE [] END AS hs
+         |  FROM documents),
+         |wn AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(hs) >= 4
+         |              THEN list_transform(range(1, len(hs) - 4 + 2),
+         |                     j -> list_min(list_slice(hs, j, j + 3)))
+         |              WHEN len(hs) > 0 THEN [list_min(hs)]
+         |              ELSE [] END AS wins
+         |  FROM g),
+         |fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS fingerprint FROM wn),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM fp a JOIN fp b
+         |    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id),
+         |win_inter AS (
+         |  SELECT c.id1, c.id2, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id1
+         |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY c.id1, c.id2),
+         |cont AS (
+         |  SELECT id1, id2,
+         |         ROUND(CAST(i AS DOUBLE) / CAST(s1.sz AS DOUBLE), 8) AS containment_1,
+         |         ROUND(CAST(i AS DOUBLE) / CAST(s2.sz AS DOUBLE), 8) AS containment_2,
+         |         ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) AS jaccard
+         |  FROM win_inter
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id)
+         |SELECT * FROM cont
+         |WHERE GREATEST(containment_1, containment_2) >= 0.6
+         |ORDER BY id1, id2""".stripMargin)),
+
     // Benchmark decontamination: training docs (doc_id % 50 ≠ 0) sharing
     // any word 8-gram with the held-out eval slice (doc_id % 50 = 0) —
     // the n-gram overlap check that keeps test sets out of pretraining

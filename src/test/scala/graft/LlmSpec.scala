@@ -177,6 +177,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("winnow candidates recover the low-Jaccard quoted subset LSH misses") {
+    // doc 1 is a verbatim quote inside the much longer doc 2: jaccard is
+    // only 3/24, far below any LSH banding's reliable collision range,
+    // but the shared 29-char substring ≥ k+w−1 = 11 GUARANTEES a shared
+    // winnowing fingerprint — candidacy is certain, not probabilistic
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "many prefix words come first here alpha beta gamma delta epsilon " +
+        "and then a long unrelated tail continues with more filler words " +
+        "until the document ends"),
+      (3L, "totally different third document about unrelated matters entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairsWinnow(d, "doc_id", "text",
+        n = 3, k = 8, w = 4, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(4))).toMap
+    val (c1, j) = pairs((1L, 2L))
+    assert(c1 === 1.0)  // fully contained
+    assert(j < 0.2)     // ...yet nearly invisible to Jaccard
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("contaminatedDocs flags n-gram overlap with the eval set only") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon shared tail here"),
