@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.llm.{DotProductExpr, MinHashSigsExpr, SimHash64Expr, TopKByScore, WinnowExpr, WordShinglesExpr}
+import graft.llm.{CovSums, DotProductExpr, MinHashSigsExpr, SimHash64Expr, TopKByScore, WinnowExpr, WordShinglesExpr}
 
 /** The engine's custom Catalyst functions, packaged the two standard ways:
   *
@@ -67,7 +67,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) =>
         MinHashSigsExpr(exprs(0), literalK(exprs(1), "minhash_sigs"),
-          literalK(exprs(2), "minhash_sigs"))))
+          literalK(exprs(2), "minhash_sigs"))),
+    ("cov_sums",
+      new ExpressionInfo(classOf[CovSums].getName, "cov_sums"),
+      (exprs: Seq[Expression]) =>
+        CovSums(exprs(0), literalK(exprs(1), "cov_sums"))
+          .toAggregateExpression()))
 
   /** Register one function by name on an existing session. */
   def register(spark: SparkSession, name: String): Unit = {

@@ -32,7 +32,8 @@ object QueryRegistry {
       queries.SimilarityQueries.specs ++
       queries.EventQueries.specs ++
       queries.AnalyticsQueries.specs ++
-      queries.PipelineQueries.specs
+      queries.PipelineQueries.specs ++
+      queries.SketchQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

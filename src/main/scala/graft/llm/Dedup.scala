@@ -662,6 +662,57 @@ object Dedup {
       .select(col("cluster_id"), col(idCol).as("kept_id"), col("n_docs"))
   }
 
+  /** Segment-level exact dedup (the "line dedup" pass of RefinedWeb-style
+    * corpora, with a deterministic fixed-width segmenter since the corpus
+    * has no line structure): each document splits into consecutive k-token
+    * segments; a segment survives only at its FIRST corpus occurrence
+    * (ordered by doc id, then position), including repeats within one
+    * document; documents are reassembled from their surviving segments.
+    *
+    * Scale shape — the shuffles never carry document text twice:
+    *  1. keep-first runs over a SLIM frame (md5(segment), doc, seg_idx):
+    *     the window shuffle moves 16-byte keys, not segments;
+    *  2. winners (doc, seg_idx) join back to the segment table derived
+    *     map-side from the same scan, keyed on (doc, seg_idx);
+    *  3. reassembly groups by doc id.
+    *
+    * Output: idCol, clean_text ('' when fully deduplicated away),
+    * n_segs, n_kept. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"segmentDedup: k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val base = docs.select(col(idCol), toks.as("__toks"))
+      .withColumn("n_segs", ceil(size(col("__toks")) / lit(k.toDouble)).cast("long"))
+    val segs = base
+      .select(col(idCol), col("n_segs"),
+        explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"),
+        col("__toks"))
+      .select(col(idCol), col("seg_idx"),
+        array_join(slice(col("__toks"),
+          (col("seg_idx") * k + 1).cast("int"), lit(k)), " ").as("seg_text"))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col(idCol).asc, col("seg_idx").asc)
+    val kept = segs
+      .select(col(idCol), col("seg_idx"), md5(col("seg_text")).as("__key"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("seg_idx"))
+    val rebuilt = kept.join(segs, Seq(idCol, "seg_idx"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg_text")))),
+          s => s.getField("seg_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col(idCol), col("n_segs"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segs"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** SimHash fingerprints via the native expression; emitted as 4×16-bit
     * words (w0..w3) so the value is oracle-comparable without unsigned
     * int64 headaches. */

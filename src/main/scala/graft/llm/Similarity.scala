@@ -350,6 +350,42 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("qcos"), 8).as("qcos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
+    * cluster-then-compare. Vectors are k-means-clustered
+    * ([[kmeansAssign]] — deterministic seeds/fixed-point updates), and
+    * exact pairwise cosine runs only WITHIN each cluster: a vector is
+    * dropped when a lower-id vector in its cluster has cosine ≥ minCos
+    * (the non-chained greedy rule — one join, no sequential dependency).
+    *
+    * Scale shape: the quadratic compare is confined to cluster-local
+    * candidate sets (k chosen so clusters fit comfortably — the paper uses
+    * ~√n clusters); the cluster assignment itself is the broadcast-centroid
+    * Lloyd iteration. The self-join keys on cluster_id, so candidate
+    * generation is an equi-join, not a cross join.
+    *
+    * Output: idCol, cluster_id, kept (false = semantic duplicate). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, minCos: Double): DataFrame = {
+    DotProduct.register(emb.sparkSession)
+    val assign = kmeansAssign(emb, idCol, vecCol, k, iters)
+    val withNorm = emb.select(col(idCol), vecDouble(col(vecCol)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .join(assign, Seq(idCol))
+    val a = withNorm.select(col(idCol).as("id1"), col("v").as("v1"),
+      col("n2").as("n21"), col("cluster_id"))
+    val b = withNorm.select(col(idCol).as("id2"), col("v").as("v2"),
+      col("n2").as("n22"), col("cluster_id"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("n21"), col("v2"), col("n22")))
+      .filter(col("cos") >= minCos)
+      .select(col("id2").as(idCol)).distinct()
+    withNorm.select(col(idCol), col("cluster_id"))
+      .join(dropped.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        coalesce(col("__dup"), lit(false)).unary_!.as("kept"))
+  }
+
   private def dimOf(emb: DataFrame, vecCol: String): Int =
     emb.select(size(col(vecCol))).head().getInt(0)
 

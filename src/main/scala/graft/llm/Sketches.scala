@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency/cardinality sketches for 100 TB profiling passes:
+  * HyperLogLog distinct counts and Count-Min frequency estimation.
+  *
+  * Why sketches at all: an exact `COUNT(DISTINCT x)` over 100 TB shuffles
+  * every distinct value; an exact per-token frequency table shuffles the
+  * vocabulary. Both sketches here reduce a partition to a CONSTANT-size
+  * state (m buckets / d×w counters) that merges associatively, so the
+  * map-side partial aggregation collapses each task's slice before the
+  * exchange — the shuffle carries O(m) rows per partition regardless of
+  * data volume.
+  *
+  * Why md5-derived hashing: the estimate must be reproducible across
+  * engines (the DuckDB oracle replays the identical sketch in SQL), so
+  * bucket/rho/cell derivations use md5 hex — no engine-private hash seeds
+  * — and all bucket sums are exact integers (bit shifts, not float pow):
+  * the only floating-point step is the final estimate formula, an
+  * IEEE-deterministic single division.
+  *
+  * Reference analog: the reference profiles frequency/cardinality with
+  * pandas `nunique`/`value_counts` (reference `transform.py` profiling
+  * steps); these are the sketch-tier equivalents a cluster needs.
+  */
+object Sketches {
+
+  /** 2-hex-char (8-bit) value of `h`'s chars [pos, pos+1], 0..255. */
+  private def hexByte(h: Column, pos: Int): Column =
+    conv(substring(h, pos, 2), 16, 10).cast("int")
+
+  /** HyperLogLog distinct-count estimate per group (m = 64 buckets,
+    * alpha_64 = 0.709, Flajolet et al. 2007).
+    *
+    * Derivation (mirrored verbatim by the SQL oracle):
+    *   bucket = first byte of md5("hllb|" + v) mod 64
+    *   rho    = (# leading zero bits of the 64-bit prefix of
+    *             md5("hllr|" + v)) + 1, clamped to 48
+    *   S      = Σ_buckets 2^(48 − max rho)  +  (64 − #present) · 2^48
+    *   est    = 0.709 · 64² · 2^48 / S
+    *
+    * The 2^48 scaling keeps every term an exact BIGINT (no float pow, no
+    * order-dependent float sums); the rho ≤ 48 clamp loses nothing
+    * observable (P[rho > 48] = 2^-48 per value) and is applied identically
+    * on both engines. The standard small-range correction applies when
+    * est ≤ 2.5m and empty buckets exist: linear counting m·ln(m/V). The
+    * branch condition compares the UNROUNDED raw estimate (deterministic —
+    * exact-integer inputs), and the ln() result is rounded to 8dp like
+    * every float statistic in this engine (cross-libm last-ulp variation
+    * sits ~9 orders of magnitude below the rounding grid — same contract
+    * as the exp() in the KS-test oracle).
+    *
+    * Output: groupCols*, hll_estimate (double, 8dp), buckets_used,
+    * exact_distinct (for error inspection at test scale — at 100 TB you
+    * would drop it; it is the thing the sketch replaces). */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val m = 64
+    val v = col(valueCol).cast("string")
+    val bucket = pmod(hexByte(md5(concat(lit("hllb|"), v)), 1), lit(m))
+    // Leading-zero count of the 64-bit (16-hex-char) prefix, via nibble
+    // arithmetic: ltrim the zero nibbles, then the first surviving nibble
+    // contributes 3/2/1/0 more zero bits depending on its high bits.
+    val h16 = substring(md5(concat(lit("hllr|"), v)), 1, 16)
+    val stripped = ltrim(h16, "0")
+    val nibbleZeros = (lit(16) - length(stripped)) * 4
+    val firstNib = substring(stripped, 1, 1)
+    val extra = when(firstNib === "1", 3)
+      .when(firstNib.isin("2", "3"), 2)
+      .when(firstNib.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(stripped === "", lit(65))
+      .otherwise(nibbleZeros + extra + 1)
+
+    val perBucket = df
+      .select(col(groupCol), bucket.as("bucket"), least(rho, lit(48)).as("rho"))
+      .groupBy(groupCol, "bucket")
+      .agg(max("rho").as("rmax"))
+    val sketch = perBucket
+      .groupBy(groupCol)
+      .agg(
+        (sum(expr("shiftleft(cast(1 as bigint), 48 - rmax)")) +
+          (lit(m.toLong) - count(lit(1))) * lit(281474976710656L)).as("s48"),
+        count(lit(1)).as("buckets_used"))
+      .withColumn("__raw",
+        lit(0.709) * lit(64.0) * lit(64.0) * lit(281474976710656.0) /
+          col("s48").cast("double"))
+      .withColumn("hll_estimate",
+        when(col("__raw") <= lit(160.0) && col("buckets_used") < m,
+          round(lit(64.0) *
+            log(lit(64.0) / (lit(m.toLong) - col("buckets_used")).cast("double")), 8))
+          .otherwise(round(col("__raw"), 8)))
+    val exact = df.groupBy(groupCol)
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    sketch.join(exact, Seq(groupCol))
+      .select(col(groupCol), col("hll_estimate"), col("buckets_used"),
+        col("exact_distinct"))
+  }
+
+  /** Count-Min sketch (d hash rows × w counters) over a value column,
+    * probed back for every distinct value: estimate = min_r counter[r][c_r].
+    *
+    * Build: each occurrence increments one cell per hash row — a groupBy
+    * on (row, cell) whose partial aggregation bounds per-task state at
+    * d·w counters. Probe: the ≤ d·w-row sketch is broadcast and each
+    * distinct value takes the min over its d cells. Overestimation only
+    * (CM guarantee): est ≥ exact always, est ≤ exact + εN w.h.p.
+    *
+    * Output: value, exact_cnt, cms_est — exact_cnt exists for the error
+    * column at test scale; production keeps only the sketch. */
+  def cmsCounts(values: DataFrame, valueCol: String,
+      d: Int = 4, w: Int = 128): DataFrame = {
+    val v = col(valueCol).cast("string")
+    val rows = explode(array((0 until d).map(lit): _*)).as("r")
+    def cellOf(value: Column): Column = pmod(
+      hexByte(md5(concat(lit("cms"), col("r").cast("string"), lit("|"), value)), 1),
+      lit(w))
+    val sketch = values
+      .select(v.as("value"), rows)
+      .withColumn("cell", cellOf(col("value")))
+      .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+    val exact = values.groupBy(v.as("value"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact
+      .select(col("value"), col("exact_cnt"),
+        explode(array((0 until d).map(lit): _*)).as("r"))
+      .withColumn("cell", cellOf(col("value")))
+    probes
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy("value", "exact_cnt")
+      .agg(min("cnt").as("cms_est"))
+  }
+}

@@ -423,7 +423,44 @@ object DedupQueries {
          |  FROM cand
          |  JOIN fp f1 ON cand.id1 = f1.doc_id
          |  JOIN fp f2 ON cand.id2 = f2.doc_id)
-         |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin))
+         |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin)),
+
+    // Segment-level exact dedup: fixed 10-token segments, corpus-wide
+    // keep-first (by doc id then position), documents reassembled from
+    // surviving segments — the "line dedup" pass of a web-corpus
+    // pipeline, with the keep-first window running over md5 keys so the
+    // shuffle never carries segment text (see Dedup.segmentDedup).
+    QuerySpec("q_segment_dedup", (s, dir) => {
+      Dedup.segmentDedup(docs(s, dir), "doc_id", "text", k = 10)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |         CAST(CEIL(len(toks) / 10.0) AS BIGINT) AS n_segs FROM t),
+        |sx AS (
+        |  SELECT doc_id, unnest(range(0, n_segs)) AS seg_idx, toks FROM b),
+        |seg AS (
+        |  SELECT doc_id, seg_idx,
+        |         array_to_string(toks[(seg_idx * 10 + 1):(seg_idx * 10 + 10)],
+        |                         ' ') AS seg_text
+        |  FROM sx),
+        |kept AS (
+        |  SELECT doc_id, seg_idx, seg_text FROM (
+        |    SELECT doc_id, seg_idx, seg_text,
+        |           ROW_NUMBER() OVER (PARTITION BY seg_text
+        |                              ORDER BY doc_id, seg_idx) AS rn
+        |    FROM seg) WHERE rn = 1),
+        |reb AS (
+        |  SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text,
+        |         COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+        |       b.n_segs, COALESCE(reb.n_kept, 0) AS n_kept
+        |FROM b LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared oracle CTE chain computing the 4×16-bit SimHash words in SQL

@@ -256,7 +256,40 @@ object SimilarityQueries {
           k = 4, iters = 2)
         .orderBy("vec_id")
     }, Some(
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH $kmeansA2Cte
+        |SELECT vec_id, cluster AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin)),
+
+    // SemDeDup (cluster-then-compare semantic dedup): k-means cells from
+    // the same deterministic Lloyd unroll, exact cosine only WITHIN each
+    // cell, drop-the-higher-id greedy rule. The oracle reuses the k-means
+    // CTE and mirrors the intra-cluster pair join.
+    QuerySpec("q_semantic_dedup", (s, dir) => {
+      Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding",
+          k = 4, iters = 2, minCos = 0.4)
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH $kmeansA2Cte,
+         |nn AS (SELECT e.vec_id, e.v, ${dotSql("e.v", "e.v")} AS n2 FROM e),
+         |dp AS (
+         |  SELECT y.vec_id AS dropped
+         |  FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  JOIN nn a ON a.vec_id = x.vec_id
+         |  JOIN nn b ON b.vec_id = y.vec_id
+         |  WHERE (CASE WHEN SQRT(a.n2 * b.n2) <> 0
+         |          THEN ${dotSql("a.v", "b.v")} / SQRT(a.n2 * b.n2) END) >= 0.4),
+         |dd AS (SELECT DISTINCT dropped FROM dp)
+         |SELECT a2.vec_id, a2.cluster AS cluster_id,
+         |       (dd.dropped IS NULL) AS kept
+         |FROM a2 LEFT JOIN dd ON dd.dropped = a2.vec_id
+         |ORDER BY vec_id""".stripMargin))
+  )
+
+  /** Deterministic k-means CTE chain (shared by q_kmeans and
+    * q_semantic_dedup): seeds → 2 unrolled Lloyd rounds → final
+    * assignment `a2(vec_id, cluster)`, with `e(vec_id, v)` the
+    * double-cast embeddings. */
+  private val kmeansA2Cte: String =
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |xd AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
         |vx AS (SELECT vec_id, dim,
         |              CAST(FLOOR(v[dim] * 1048576.0) AS BIGINT) AS xi
@@ -284,7 +317,5 @@ object SimilarityQueries {
         |         SELECT vec_id, cluster,
         |                ROW_NUMBER() OVER (PARTITION BY vec_id
         |                                   ORDER BY d2, cluster) AS rn
-        |         FROM d2c) WHERE rn = 1)
-        |SELECT vec_id, cluster AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin))
-  )
+        |         FROM d2c) WHERE rn = 1)""".stripMargin
 }

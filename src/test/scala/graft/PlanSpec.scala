@@ -216,4 +216,38 @@ class PlanSpec extends SparkSpec {
     assert(antis === 1, plan)
     assert(plan.contains("Union"), plan)
   }
+
+  test("hll sketch pre-reduces map-side (partial max per bucket)") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => ("g", i)).toDF("g", "v")
+    val plan = planString(graft.llm.Sketches.hllDistinct(df, "g", "v"))
+    // the per-(group,bucket) rho reduction must combine before the exchange
+    assert(plan.contains("partial_max"), plan)
+  }
+
+  test("cms probe joins the constant-size sketch via broadcast") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => s"t${i % 40}").toDF("v")
+    val plan = planString(graft.llm.Sketches.cmsCounts(vals, "v"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // sketch build pre-reduces map-side before its exchange
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("cov_sums aggregates with a map-side partial (one buffer per task)") {
+    graft.llm.Covariance.register(spark)
+    val df = Tables.load(spark, dir, "embeddings")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .agg(graft.llm.Covariance.covSums(col("v"), 64).as("cs"))
+    val plan = planString(df)
+    assert(plan.contains("partial_cov_sums"), plan)
+  }
+
+  test("segment dedup: keep-first window shuffles md5 keys, not segment text") {
+    val df = graft.llm.Dedup.segmentDedup(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", k = 10)
+    val plan = planString(df)
+    // the window's exchange partitions on the 16-byte derived key
+    assert(plan.contains("hashpartitioning(__key"), plan)
+  }
 }

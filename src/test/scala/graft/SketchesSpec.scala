@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Covariance, Dedup, Similarity, Sketches}
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- HyperLogLog ----
+
+  test("hll: linear-counting regime tracks small exact cardinalities") {
+    val df = (1L to 200L).map(i => ("g", i)).toDF("g", "v")
+    val r = Sketches.hllDistinct(df, "g", "v").head()
+    val est = r.getAs[Double]("hll_estimate")
+    assert(r.getAs[Long]("exact_distinct") === 200L)
+    assert(math.abs(est - 200.0) / 200.0 < 0.35, s"est=$est")
+  }
+
+  test("hll: raw regime within expected error at n >> 2.5m") {
+    val df = (1L to 20000L).map(i => ("g", i)).toDF("g", "v")
+    val r = Sketches.hllDistinct(df, "g", "v").head()
+    val est = r.getAs[Double]("hll_estimate")
+    // m=64 → relative std ≈ 1.04/√64 = 13%; allow 4 sigma
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.52, s"est=$est")
+  }
+
+  test("hll: estimate is partitioning-invariant (mergeable sketch)") {
+    val df = (1L to 5000L).map(i => ("g", i % 700)).toDF("g", "v")
+    val a = Sketches.hllDistinct(df, "g", "v").head().getAs[Double]("hll_estimate")
+    val b = Sketches.hllDistinct(df.repartition(13), "g", "v")
+      .head().getAs[Double]("hll_estimate")
+    assert(a === b)
+  }
+
+  test("hll: duplicate values do not move the estimate") {
+    val once = (1L to 300L).map(i => ("g", i)).toDF("g", "v")
+    val tripled = ((1L to 300L) ++ (1L to 300L) ++ (1L to 300L))
+      .map(i => ("g", i)).toDF("g", "v")
+    val a = Sketches.hllDistinct(once, "g", "v").head().getAs[Double]("hll_estimate")
+    val b = Sketches.hllDistinct(tripled, "g", "v").head().getAs[Double]("hll_estimate")
+    assert(a === b)
+  }
+
+  // ---- Count-Min ----
+
+  test("cms: overestimation-only guarantee and error bound") {
+    val vals = (1 to 50).flatMap(i => Seq.fill(i)(s"tok$i")).toDF("v")
+    val out = Sketches.cmsCounts(vals, "v").collect()
+    assert(out.length === 50)
+    val n = (1 to 50).sum
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= exact, s"${r.getAs[String]("value")}: est=$est < exact=$exact")
+      // CM bound: est ≤ exact + 2N/w with prob 1 - (1/2)^d; generous slack
+      assert(est <= exact + 4L * n / 128, s"est=$est exact=$exact")
+    }
+  }
+
+  test("cms: estimates are partitioning-invariant") {
+    val vals = (1 to 40).flatMap(i => Seq.fill(i)(s"w$i")).toDF("v")
+    val a = Sketches.cmsCounts(vals, "v").orderBy("value").collect().toSeq
+    val b = Sketches.cmsCounts(vals.repartition(9), "v")
+      .orderBy("value").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- CovSums ----
+
+  test("cov_sums matches a brute-force Gram computation, any partitioning") {
+    val dim = 5
+    val vecs = (0 until 40).map { r =>
+      Tuple1((0 until dim).map(c => ((r * 31 + c * 7) % 13 - 6) / 3.0).toArray)
+    }
+    val df = vecs.toDF("v")
+    Covariance.register(spark)
+    def run(d: org.apache.spark.sql.DataFrame): Row =
+      d.agg(Covariance.covSums(col("v"), dim).as("cs")).select("cs.*").head()
+    val r = run(df)
+    assert(r.getAs[Long]("n") === 40L)
+    // brute force in exact fixed point
+    val fx = vecs.map(_._1.map(x => math.floor(x * 65536.0).toLong))
+    val expS = (0 until dim).map(i => fx.map(_(i)).sum)
+    val expP = for (i <- 0 until dim; j <- i until dim)
+      yield fx.map(v => v(i) * v(j)).sum
+    assert(r.getAs[Seq[Long]]("s") === expS)
+    assert(r.getAs[Seq[Long]]("p") === expP)
+    assert(run(df.repartition(7)) === r)
+  }
+
+  test("cov_sums rejects wrong-dimension vectors") {
+    Covariance.register(spark)
+    val bad = Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+    val e = intercept[Exception] {
+      bad.agg(Covariance.covSums(col("v"), 3)).head()
+    }
+    assert(e.getMessage.contains("cov_sums") ||
+      e.getCause != null && e.getCause.getMessage.contains("cov_sums"))
+  }
+
+  // ---- segment dedup ----
+
+  test("segmentDedup: corpus-wide keep-first, within-doc repeats collapse") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // segs (k=3): "a b c", "d e f"
+      (2L, "a b c x y z"),       // "a b c" dup of doc1 seg0 → dropped
+      (3L, "d e f d e f"),       // both segs dup of doc1 seg1 → ''
+      (4L, "x y z q")            // "x y z" dup of doc2 seg1; "q" kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq === Seq(
+        (1L, "a b c d e f", 2L, 2L),
+        (2L, "x y z", 2L, 1L),
+        (3L, "", 2L, 0L),
+        (4L, "q", 2L, 1L)))
+  }
+
+  test("segmentDedup: no duplicates → identity reassembly") {
+    val docs = Seq((1L, "one two three four five"), (2L, "six seven"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq ===
+      Seq("one two three four five", "six seven"))
+  }
+
+  // ---- semantic dedup ----
+
+  test("semanticDedup: dropped vectors have a kept-or-any lower-id near-dup in-cluster") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 4, iters = 2, minCos = 0.4)
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"), r.getAs[Boolean]("kept")))
+    assert(rows.length === emb.count())
+    // brute-force verification of the greedy rule
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) Double.NaN else d / (na * nb)
+    }
+    val byCluster = rows.groupBy(_._2)
+    byCluster.values.foreach { members =>
+      members.foreach { case (id, _, kept) =>
+        val hasLowerDup = members.exists { case (o, _, _) =>
+          o < id && cos(vecs(o), vecs(id)) >= 0.4 - 1e-12
+        }
+        assert(kept === !hasLowerDup, s"vec $id kept=$kept")
+      }
+    }
+  }
+}
