@@ -126,4 +126,32 @@ object Covariance {
   /** Column form (vec must be array<double>); requires [[register]]. */
   def covSums(vec: Column, dim: Int): Column =
     call_function("cov_sums", vec, org.apache.spark.sql.functions.lit(dim))
+
+  /** Upper-triangle covariance cells (i, j, n, cov) from one [[CovSums]]
+    * pass: cov = E[x_i x_j] − E[x_i]E[x_j] at 8dp, the exact expression
+    * the DuckDB oracle replays (fixed-point sums → one IEEE division
+    * chain). Shared by `q_embed_covariance` and the PCA driver solve. */
+  def covarianceCells(emb: org.apache.spark.sql.DataFrame, vecCol: String,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    register(emb.sparkSession)
+    val cs = emb
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .agg(covSums(col("v"), dim).as("cs"))
+    val ij = cs
+      .select(col("cs"), explode(sequence(lit(1), lit(dim))).as("i"))
+      .select(col("cs"), col("i"),
+        explode(sequence(col("i"), lit(dim))).as("j"))
+    val t = (col("i") - 1) * dim - (col("i") - 1) * (col("i") - 2) / 2 +
+      (col("j") - col("i")) + 1
+    ij.select(
+      col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+      col("cs.n").as("n"),
+      round((element_at(col("cs.p"), t.cast("int")).cast("double") /
+          lit(4294967296.0)) / col("cs.n") -
+        (element_at(col("cs.s"), col("i").cast("int")).cast("double") /
+          lit(65536.0) / col("cs.n")) *
+        (element_at(col("cs.s"), col("j").cast("int")).cast("double") /
+          lit(65536.0) / col("cs.n")), 8).as("cov"))
+  }
 }

@@ -266,14 +266,33 @@ object Dedup {
   }
 
   /** Candidate pairs from shared winnowing fingerprints: ANY pair sharing
-    * a substring of length ≥ k+w−1 is guaranteed a candidate, INDEPENDENT
-    * of Jaccard — the candidate source that closes [[containmentPairs]]'
-    * banding recall bound for low-Jaccard subset/quotation pairs. A
-    * standard short-key equi-join on the fingerprint (same shuffle shape
-    * as the LSH band join). */
+    * a substring of length ≥ k+w−1 whose fingerprint lands in ≤ maxDf
+    * documents is guaranteed a candidate, INDEPENDENT of Jaccard — the
+    * candidate source that closes [[containmentPairs]]' banding recall
+    * bound for low-Jaccard subset/quotation pairs. A standard short-key
+    * equi-join on the fingerprint (same shuffle shape as the LSH band
+    * join).
+    *
+    * maxDf is the scale contract, not an optimization: a fingerprint in f
+    * documents emits f² join rows, so corpus-boilerplate substrings
+    * (template headers, frequent phrases — document frequency in the
+    * thousands) turn the candidate join quadratic while carrying no
+    * discriminative signal. Dropping them is standard winnowing practice
+    * (MOSS ignores too-common fingerprints for exactly this reason);
+    * recall stays complete for every pair sharing a RARE (df ≤ maxDf)
+    * substring, and Σf² is bounded by maxDf·Σf — linear in the
+    * fingerprint volume. */
   def winnowCandidates(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int): DataFrame = {
-    val fp = TextAnalysis.winnow(docs, idCol, textCol, k, w)
+      k: Int, w: Int, maxDf: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp0 = TextAnalysis.winnow(docs, idCol, textCol, k, w)
+    val fp =
+      if (maxDf == Int.MaxValue) fp0
+      else fp0
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+        .filter(col("__df") <= maxDf)
+        .drop("__df")
     val a = fp.toDF("id1", "fingerprint")
     val b = fp.toDF("id2", "fingerprint")
     a.join(b, Seq("fingerprint"))
@@ -283,11 +302,15 @@ object Dedup {
 
   /** Containment over winnowing candidates ([[winnowCandidates]]) — full
     * recall for quotation pairs whose shared substrings reach k+w−1
-    * characters, whatever their Jaccard. Scoring (word n-gram overlap
-    * ratios) is identical to [[containmentPairs]]. */
+    * characters AND are rarer than maxDf documents, whatever their
+    * Jaccard (see [[winnowCandidates]] for why the df cap is part of the
+    * contract). Scoring (word n-gram overlap ratios) is identical to
+    * [[containmentPairs]]. */
   def containmentPairsWinnow(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, w: Int, minContainment: Double): DataFrame =
-    containmentFromCandidates(winnowCandidates(docs, idCol, textCol, k, w),
+      n: Int, k: Int, w: Int, minContainment: Double,
+      maxDf: Int = Int.MaxValue): DataFrame =
+    containmentFromCandidates(
+      winnowCandidates(docs, idCol, textCol, k, w, maxDf),
       rawShingles(docs, idCol, textCol, n), idCol, minContainment)
 
   /** Shared containment projection over any candidate source. */

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable frequency/cardinality sketches for 100 TB profiling passes:
@@ -130,5 +131,38 @@ object Sketches {
       .join(broadcast(sketch), Seq("r", "cell"))
       .groupBy("value", "exact_cnt")
       .agg(min("cnt").as("cms_est"))
+  }
+
+  /** Fixed-bin histogram quantiles per group: the bounded-memory scale
+    * path next to the exact `percentile` tier (which holds per-group
+    * value multisets in memory — see SCALING.md trade-offs).
+    *
+    * bin = floor(value / binWidth); per-(group, bin) counts pre-reduce
+    * map-side, so task state is bounded by the bin count regardless of
+    * rows. The q-quantile estimate is the upper edge of the first bin
+    * whose cumulative count reaches ceil(q·n) — a conservative bound
+    * within binWidth of the exact quantile, and exact-integer/IEEE
+    * deterministic throughout (no interpolation in floats that could
+    * diverge across engines).
+    *
+    * Output: groupCol, q, est, n — one row per group × quantile. */
+  def binQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Double, qs: Seq[Double]): DataFrame = {
+    require(binWidth > 0 && qs.nonEmpty, s"binQuantiles: w=$binWidth qs=$qs")
+    val bin = floor(col(valueCol).cast("double") / lit(binWidth)).cast("long")
+    val hist = df.select(col(groupCol), bin.as("bin"))
+      .groupBy(groupCol, "bin").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy(groupCol).orderBy("bin")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(groupCol)))
+    cum
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col(groupCol), col("q"), col("n"))
+      .agg(min("bin").as("bin"))
+      .select(col(groupCol), col("q"),
+        round((col("bin") + 1).cast("double") * lit(binWidth), 8).as("est"),
+        col("n"))
   }
 }

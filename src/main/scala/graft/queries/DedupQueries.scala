@@ -282,14 +282,19 @@ object DedupQueries {
          |WHERE GREATEST(containment_1, containment_2) >= 0.6
          |ORDER BY id1, id2""".stripMargin)),
 
-    // Containment via WINNOWING candidates: any pair sharing an 11-char
-    // substring (k=8, w=4) is guaranteed candidacy regardless of Jaccard —
-    // the full-recall twin of q_containment for low-J quotation pairs.
-    // Oracle: the q_winnow fingerprint CTE generates candidates, then the
-    // same word-3-gram overlap scoring.
+    // Containment via WINNOWING candidates: any pair sharing a RARE
+    // (df ≤ 20) 11-char substring (k=8, w=4) is guaranteed candidacy
+    // regardless of Jaccard — the full-recall twin of q_containment for
+    // low-J quotation pairs. The df cap is the scale contract: a
+    // fingerprint in f docs emits f² candidate rows, and boilerplate
+    // substrings (df in the thousands on this small-vocabulary corpus)
+    // made the uncapped join quadratic — 211 s of a 276 s bench at sf0.1
+    // before the cap, with zero discriminative value from those keys.
+    // Oracle: the q_winnow fingerprint CTE + QUALIFY df filter generates
+    // candidates, then the same word-3-gram overlap scoring.
     QuerySpec("q_containment_winnow", (s, dir) => {
       Dedup.containmentPairsWinnow(docs(s, dir), "doc_id", "text",
-        n = 3, k = 8, w = 4, minContainment = 0.6)
+        n = 3, k = 8, w = 4, minContainment = 0.6, maxDf = 20)
         .orderBy("id1", "id2")
     }, Some(
       s"""WITH $shingleCte,
@@ -308,7 +313,10 @@ object DedupQueries {
          |              WHEN len(hs) > 0 THEN [list_min(hs)]
          |              ELSE [] END AS wins
          |  FROM g),
-         |fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS fingerprint FROM wn),
+         |fp0 AS (SELECT doc_id, unnest(list_distinct(wins)) AS fingerprint FROM wn),
+         |fp AS (
+         |  SELECT doc_id, fingerprint FROM fp0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY fingerprint) <= 20),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |  FROM fp a JOIN fp b

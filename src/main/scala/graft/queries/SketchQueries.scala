@@ -107,53 +107,109 @@ object SketchQueries {
          |GROUP BY p.token, p.exact_cnt ORDER BY token""".stripMargin
     }),
 
+    // Fixed-bin histogram quantiles of extended price per return flag —
+    // the bounded-memory sketch tier beside the exact percentile
+    // (q_group_quantiles): per-(group, bin) counts pre-reduce map-side,
+    // estimate = upper edge of the ceil(q·n)-rank bin.
+    QuerySpec("q_bin_quantiles", (s, dir) => {
+      Sketches.binQuantiles(Tables.load(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", binWidth = 100.0,
+          qs = Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("l_returnflag", "q")
+    }, Some(
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |         CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+        |                    / CAST(100.0 AS DOUBLE)) AS BIGINT) AS bin,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, bin),
+        |c AS (
+        |  SELECT l_returnflag, bin,
+        |         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h),
+        |qx AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q),
+        |cand AS (
+        |  SELECT l_returnflag, q, bin, CAST(n AS BIGINT) AS n
+        |  FROM c CROSS JOIN qx
+        |  WHERE cum >= CEIL(q * n))
+        |SELECT l_returnflag, q,
+        |       ROUND(CAST(MIN(bin) + 1 AS DOUBLE) * CAST(100.0 AS DOUBLE), 8) AS est,
+        |       n
+        |FROM cand GROUP BY l_returnflag, q, n
+        |ORDER BY l_returnflag, q""".stripMargin)),
+
     // Gram/covariance matrix of the embedding corpus (64×64 upper
     // triangle) via the native map-side-combining CovSums aggregate; the
     // oracle replays the identical fixed-point sums relationally.
     QuerySpec("q_embed_covariance", (s, dir) => {
-      Covariance.register(s)
-      val dim = 64
-      val cs = Tables.load(s, dir, "embeddings")
-        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
-        .agg(Covariance.covSums(col("v"), dim).as("cs"))
-      val ij = cs
-        .select(col("cs"), explode(sequence(lit(1), lit(dim))).as("i"))
-        .select(col("cs"), col("i"),
-          explode(sequence(col("i"), lit(dim))).as("j"))
-      // upper-triangle index (1-based arrays): t = (i-1)*dim - (i-1)(i-2)/2 + (j-i) + 1
-      val t = (col("i") - 1) * dim - (col("i") - 1) * (col("i") - 2) / 2 +
-        (col("j") - col("i")) + 1
-      ij.select(
-          col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          col("cs.n").as("n"),
-          round((element_at(col("cs.p"), t.cast("int")).cast("double") /
-              lit(4294967296.0)) / col("cs.n") -
-            (element_at(col("cs.s"), col("i").cast("int")).cast("double") /
-              lit(65536.0) / col("cs.n")) *
-            (element_at(col("cs.s"), col("j").cast("int")).cast("double") /
-              lit(65536.0) / col("cs.n")), 8).as("cov"))
+      Covariance.covarianceCells(Tables.load(s, dir, "embeddings"),
+          "embedding", dim = 64)
         .orderBy("i", "j")
     }, Some(
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |f AS (
-        |  SELECT vec_id, unnest(range(1, len(v) + 1)) AS d,
-        |         unnest(list_transform(range(1, len(v) + 1),
-        |                  k -> CAST(FLOOR(v[k] * 65536.0) AS BIGINT))) AS xi
-        |  FROM e),
-        |cnt AS (SELECT COUNT(*) AS n FROM e),
-        |sm AS (SELECT d, CAST(SUM(xi) AS BIGINT) AS si FROM f GROUP BY d),
-        |pr AS (
-        |  SELECT a.d AS i, b.d AS j, CAST(SUM(a.xi * b.xi) AS BIGINT) AS pij
-        |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.d <= b.d
-        |  GROUP BY a.d, b.d)
-        |SELECT pr.i, pr.j, cnt.n,
-        |       ROUND((CAST(pij AS DOUBLE) / 4294967296.0) / cnt.n
-        |             - (CAST(sa.si AS DOUBLE) / 65536.0 / cnt.n)
-        |               * (CAST(sb.si AS DOUBLE) / 65536.0 / cnt.n), 8) AS cov
-        |FROM pr
-        |CROSS JOIN cnt
-        |JOIN sm sa ON sa.d = pr.i
-        |JOIN sm sb ON sb.d = pr.j
-        |ORDER BY i, j""".stripMargin))
+      s"""WITH $covCellsCte
+        |SELECT i, j, n, cov FROM cc ORDER BY i, j""".stripMargin)),
+
+    // Distributed PCA: CovSums sketch → driver power iteration (3 rounds,
+    // exact 2^20 fixed point) → map-only projection. The oracle replays
+    // the ENTIRE solve relationally — covariance cells, symmetric
+    // expansion, three unrolled matrix-vector/renormalize rounds (exact
+    // integer sums; the only float ops are IEEE-exact mul/div/sqrt), and
+    // the fixed-point projection dot.
+    QuerySpec("q_pca_project", (s, dir) => {
+      graft.llm.Pca.pcaProject(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, iters = 3)
+        .orderBy("vec_id")
+    }, Some {
+      val iterCtes = (1 to 3).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""w$k AS (SELECT c.i, SUM(c.cfx * v.vj) AS w
+           |        FROM cfull c JOIN $prev v ON v.j = c.j GROUP BY c.i),
+           |d$k AS (SELECT i, CAST(FLOOR(w / 1048576.0) AS BIGINT) AS d FROM w$k),
+           |s$k AS (SELECT SUM(d * d) AS ss FROM d$k),
+           |v$k AS (SELECT i AS j,
+           |          CAST(FLOOR(CAST(d AS DOUBLE) * 1048576.0
+           |                     / SQRT(CAST(ss AS DOUBLE))) AS BIGINT) AS vj
+           |        FROM d$k CROSS JOIN s$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $covCellsCte,
+         |cfull AS (
+         |  SELECT i, j, CAST(FLOOR(cov * 1048576.0) AS BIGINT) AS cfx FROM cc
+         |  UNION ALL
+         |  SELECT j, i, CAST(FLOOR(cov * 1048576.0) AS BIGINT) FROM cc WHERE i <> j),
+         |v0 AS (SELECT unnest(range(1, 65)) AS j, CAST(131072 AS BIGINT) AS vj),
+         |$iterCtes
+         |SELECT f.vec_id,
+         |       ROUND(CAST(SUM(f.xi * v3.vj) AS DOUBLE) / 68719476736.0, 8) AS score
+         |FROM f JOIN v3 ON v3.j = f.d
+         |GROUP BY f.vec_id ORDER BY vec_id""".stripMargin
+    })
   )
+
+  /** Shared oracle CTE chain: exact fixed-point Gram sums over the
+    * embeddings (`f` at 2^16 scale) reduced to the 8dp upper-triangle
+    * covariance cells `cc(i, j, n, cov)` — the SQL replay of
+    * [[graft.llm.Covariance.covarianceCells]]. */
+  private val covCellsCte: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |f AS (
+      |  SELECT vec_id, unnest(range(1, len(v) + 1)) AS d,
+      |         unnest(list_transform(range(1, len(v) + 1),
+      |                  k -> CAST(FLOOR(v[k] * 65536.0) AS BIGINT))) AS xi
+      |  FROM e),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |sm AS (SELECT d, CAST(SUM(xi) AS BIGINT) AS si FROM f GROUP BY d),
+      |pr AS (
+      |  SELECT a.d AS i, b.d AS j, CAST(SUM(a.xi * b.xi) AS BIGINT) AS pij
+      |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.d <= b.d
+      |  GROUP BY a.d, b.d),
+      |cc AS (
+      |  SELECT pr.i, pr.j, cnt.n,
+      |         ROUND((CAST(pij AS DOUBLE) / 4294967296.0) / cnt.n
+      |               - (CAST(sa.si AS DOUBLE) / 65536.0 / cnt.n)
+      |                 * (CAST(sb.si AS DOUBLE) / 65536.0 / cnt.n), 8) AS cov
+      |  FROM pr
+      |  CROSS JOIN cnt
+      |  JOIN sm sa ON sa.d = pr.i
+      |  JOIN sm sb ON sb.d = pr.j)""".stripMargin
 }

@@ -199,6 +199,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("winnow df cap drops boilerplate-only pairs, keeps rare-substring pairs") {
+    // docs 1..6 share ONLY a boilerplate header (df=6 > maxDf=2);
+    // docs 10/11 share a rare quoted sentence (df=2 ≤ maxDf)
+    val boiler = "common header line appears everywhere in this corpus "
+    val d = (Seq(
+      (10L, boiler + "the rare quoted sentence lives right here"),
+      (11L, boiler + "the rare quoted sentence lives right here with a tail")) ++
+      (1L to 6L).map(i => (i, boiler + s"unique body number $i")))
+      .toDF("doc_id", "text")
+    val cand = Dedup.winnowCandidates(d, "doc_id", "text", k = 8, w = 4,
+      maxDf = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((10L, 11L)), cand)
+    // pairs among 1..6 share nothing rarer than the df-6 header
+    assert(!cand.exists { case (a, b) => a <= 6L && b <= 6L }, cand)
+  }
+
   test("contaminatedDocs flags n-gram overlap with the eval set only") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon shared tail here"),

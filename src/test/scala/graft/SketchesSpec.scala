@@ -100,6 +100,64 @@ class SketchesSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("cov_sums"))
   }
 
+  // ---- bin quantiles ----
+
+  test("binQuantiles: estimate within one bin width of the exact quantile") {
+    val vals = (1 to 10000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val out = Sketches.binQuantiles(vals, "g", "v", binWidth = 50.0,
+      qs = Seq(0.25, 0.5, 0.9)).orderBy("q").collect()
+    val exact = Map(0.25 -> 2500.0, 0.5 -> 5000.0, 0.9 -> 9000.0)
+    out.foreach { r =>
+      val q = r.getAs[Double]("q"); val est = r.getAs[Double]("est")
+      assert(est >= exact(q) && est - exact(q) <= 50.0, s"q=$q est=$est")
+      assert(r.getAs[Long]("n") === 10000L)
+    }
+  }
+
+  test("binQuantiles: partitioning-invariant") {
+    val vals = (1 to 3000).map(i => (s"g${i % 3}", (i * 17 % 997).toDouble))
+      .toDF("g", "v")
+    val a = Sketches.binQuantiles(vals, "g", "v", 10.0, Seq(0.5, 0.75))
+      .orderBy("g", "q").collect().toSeq
+    val b = Sketches.binQuantiles(vals.repartition(11), "g", "v", 10.0, Seq(0.5, 0.75))
+      .orderBy("g", "q").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- PCA ----
+
+  test("pca: power iteration recovers a dominant planted direction") {
+    // vectors concentrated along e1 with small noise on e2
+    val rows = (0 until 200).map { i =>
+      val main = (i % 21 - 10).toDouble // symmetric, var along dim 1
+      val noise = ((i * 7) % 5 - 2).toDouble / 10.0
+      Tuple2(i.toLong, Array(main, noise, 0.0, 0.0))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.llm.Pca.pcaProject(df, "vec_id", "embedding",
+      dim = 4, iters = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    // scores must be (close to) proportional to the dim-1 component
+    val byMain = rows.groupBy(_._2(0)).view.mapValues(_.map(t => out(t._1)))
+    // same main component → nearly identical score (noise contributes little)
+    byMain.foreach { case (m, scores) =>
+      assert(scores.max - scores.min < 0.2, s"main=$m spread=${scores.toList}")
+    }
+    // ordering follows the planted direction (up to global sign)
+    val s10 = out(rows.indexWhere(_._2(0) == 10.0).toLong)
+    val sm10 = out(rows.indexWhere(_._2(0) == -10.0).toLong)
+    assert(math.signum(s10) == -math.signum(sm10) && math.abs(s10) > 1.0)
+  }
+
+  test("pca: projection is partitioning-invariant (exact fixed point)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = graft.llm.Pca.pcaProject(emb, "vec_id", "embedding", 64, 3)
+      .orderBy("vec_id").collect().toSeq
+    val b = graft.llm.Pca.pcaProject(emb.repartition(7), "vec_id", "embedding", 64, 3)
+      .orderBy("vec_id").collect().toSeq
+    assert(a === b)
+  }
+
   // ---- segment dedup ----
 
   test("segmentDedup: corpus-wide keep-first, within-doc repeats collapse") {
