@@ -248,4 +248,54 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class HllWindow(window_start: Timestamp, hll_estimate: Double,
+      buckets_used: Long)
+
+  /** Streaming distinct-user estimate per tumbling window: the
+    * [[graft.llm.Sketches.hllDistinct]] sketch as FLAT custom state — each
+    * open window holds exactly 64 bytes (the per-bucket rho maxima),
+    * regardless of how many users stream through. The window flushes once
+    * the watermark passes its end (event-time timeout), emitting the
+    * identical estimate the batch operator computes on equal input
+    * (same md5 derivations, same exact-integer sum, same estimate
+    * branches — StreamingSpec asserts equality).
+    *
+    * This is what a built-in `approx_count_distinct` window cannot give a
+    * stream: `dropDuplicates` state grows with distinct keys; this state
+    * is CONSTANT per window — the sketch-tier shape for
+    * distinct-cardinality monitoring over unbounded streams. */
+  def hllDistinctWindows(events: Dataset[Event], windowMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[HllWindow] = {
+    import events.sparkSession.implicits._
+    import graft.llm.Sketches
+
+    def flush(winStartMs: Long, rmax: Array[Byte]): HllWindow =
+      HllWindow(new Timestamp(winStartMs), Sketches.hllScalarEstimate(rmax),
+        rmax.count(_ > 0).toLong)
+
+    def update(winStartMs: Long, rows: Iterator[Event],
+        state: GroupState[Array[Byte]]): Iterator[HllWindow] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(flush(winStartMs, _)).iterator
+        state.remove()
+        return out
+      }
+      val rmax = state.getOption.getOrElse(new Array[Byte](Sketches.HllBuckets))
+      rows.foreach { e =>
+        val v = e.user_id.toString
+        val b = Sketches.hllScalarBucket(v)
+        val r = Sketches.hllScalarRho(v).toByte
+        if (r > rmax(b)) rmax(b) = r
+      }
+      state.update(rmax)
+      state.setTimeoutTimestamp(winStartMs + windowMs)
+      Iterator.empty
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -37,6 +37,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.head.getAs[Double]("sum_value") === 4.0)
   }
 
+  test("streaming windowed HLL state equals the batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    // two 1-hour windows; users overlap and repeat within windows
+    val w1 = (1 to 40).map(u => Event(u.toLong, ts(u % 50), (u % 25).toLong, "c", 0.0))
+    val w2 = (1 to 30).map(u => Event(100 + u.toLong, ts(60 + (u % 50)), (u % 17).toLong, "c", 0.0))
+    val closer = Event(999, ts(600), 1, "c", 0.0) // advances the watermark
+
+    val mem = MemoryStream[Event]
+    mem.addData(w1 ++ w2: _*)
+    val q = EventStreams.hllDistinctWindows(mem.toDS(), windowMs = 3600000L,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(closer)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("hll_out")
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getDouble(1), r.getLong(2)))
+    assert(streamed.length === 2) // both hour windows flushed, 10-min window open
+    // batch twin on the same rows, grouped by the same tumbling window
+    val batch = graft.llm.Sketches.hllDistinct(
+        (w1 ++ w2).toDF().selectExpr(
+          "cast(floor(cast(ts as double) / 3600) * 3600000 as long) as win",
+          "user_id"),
+        "win", "user_id")
+      .orderBy("win").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(streamed.toSeq === batch.toSeq)
+    // sanity: estimates track the true cardinalities (25 and 17)
+    assert(math.abs(streamed(0)._2 - 25.0) < 10.0)
+    assert(math.abs(streamed(1)._2 - 17.0) < 8.0)
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
