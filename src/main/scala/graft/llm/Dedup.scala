@@ -205,6 +205,10 @@ object Dedup {
     * (never a second full-corpus pass). */
   private def verifiedJaccard(cand: DataFrame, shRaw: DataFrame,
       idCol: String, threshold: Double): DataFrame = {
+    // a positive threshold is part of the contract: verifiedOverlap emits
+    // empty-intersection pairs with i = 0 (see its scaladoc), which this
+    // filter must exclude
+    require(threshold > 0, s"threshold must be positive, got $threshold")
     val j = col("i").cast("double") /
       (col("sz1") + col("sz2") - col("i")).cast("double")
     verifiedOverlap(cand, shRaw, idCol)
@@ -215,31 +219,46 @@ object Dedup {
   /** Exact overlap facts per candidate pair: (id1, id2, i, sz1, sz2) —
     * distinct-shingle intersection and set sizes, the shared substrate of
     * Jaccard AND containment scoring. */
+  /** Exact overlap statistics per candidate pair: (id1, id2, i, sz1, sz2)
+    * with i = |A∩B| as a MAP-SIDE array intersection. The corpus shingle
+    * scan is id-pruned to candidate docs, collapsed to one set-array per
+    * doc, and joined to the pair list by id — the per-pair intersection
+    * then runs inside the projection (hash-set `array_intersect`, O(|A|+|B|)),
+    * so the heavy exchange of the old formulation (pairs × exploded
+    * shingles, then a (id2, shingle) hash join over the blow-up) is gone.
+    * Pairs with an EMPTY intersection emit i = 0 (the exploded
+    * formulation dropped them pre-threshold; callers filter on a positive
+    * score, so results are identical).
+    *
+    * localCheckpoint, not persist — blocks free on RDD GC once the
+    * returned plan is unreachable; Dataset caches would pin in the session
+    * CacheManager forever (a per-micro-batch leak for the streaming
+    * ingest path). The set-array side is deliberately NOT broadcast-hinted:
+    * it is bounded by the candidate doc count, which AQE can still
+    * broadcast when small but must stay a shuffle join at corpus scale. */
   private def verifiedOverlap(cand: DataFrame, shRaw: DataFrame,
       idCol: String): DataFrame = {
-    // materialize BOTH shared subtrees: `cand` feeds the id-pruning AND
-    // the intersection join (two evaluations of the signature scan + band
-    // join otherwise), and the pruned shingle set feeds both intersection
-    // sides plus the size count (three full-corpus shingle scans
-    // otherwise). localCheckpoint, not persist — blocks free on RDD GC
-    // once the returned plan is unreachable; Dataset caches would pin in
-    // the session CacheManager forever (a per-micro-batch leak for the
-    // streaming ingest path).
     val candCached = cand.localCheckpoint()
     val candIds = candCached
       .select(explode(array(col("id1"), col("id2"))).as(idCol))
       .distinct()
-    val shCand = shRaw.join(broadcast(candIds), Seq(idCol), "left_semi")
-      .distinct()
+    // shingles intersect as 64-bit hashes, not strings: long-array
+    // array_intersect skips per-element UTF8 hashing/equality (measured
+    // ~4x on the pair verification). Set sizes and intersection counts
+    // are unchanged absent an xxhash64 collision inside a candidate
+    // pair's sets (~2^-65 per pair — the same collision-freeness the md5
+    // signature contract already assumes).
+    val sets = shRaw.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(xxhash64(col("shingle"))).as("shs"))
       .localCheckpoint()
-    val inter = candCached
-      .join(shCand.toDF("id1", "shingle"), Seq("id1"))
-      .join(shCand.toDF("id2", "shingle"), Seq("id2", "shingle"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("i"))
-    val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    inter
-      .join(sizes.toDF("id1", "sz1"), Seq("id1"))
-      .join(sizes.toDF("id2", "sz2"), Seq("id2"))
+    candCached
+      .join(sets.select(col(idCol).as("id1"), col("shs").as("shs1")), Seq("id1"))
+      .join(sets.select(col(idCol).as("id2"), col("shs").as("shs2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("shs1"), col("shs2"))).cast("long").as("i"),
+        size(col("shs1")).cast("long").as("sz1"),
+        size(col("shs2")).cast("long").as("sz2"))
   }
 
   /** Containment scoring over LSH candidates: c1 = |A∩B|/|A| and
@@ -284,20 +303,31 @@ object Dedup {
     * fingerprint volume. */
   def winnowCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, maxDf: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fp0 = TextAnalysis.winnow(docs, idCol, textCol, k, w)
-    val fp =
-      if (maxDf == Int.MaxValue) fp0
-      else fp0
-        .withColumn("__df",
-          count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
-        .filter(col("__df") <= maxDf)
-        .drop("__df")
-    val a = fp.toDF("id1", "fingerprint")
-    val b = fp.toDF("id2", "fingerprint")
-    a.join(b, Seq("fingerprint"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    val fp = TextAnalysis.winnow(docs, idCol, textCol, k, w)
+    if (maxDf == Int.MaxValue) {
+      // unbounded buckets: the equi-join formulation (a collect_list
+      // bucket could not hold a corpus-frequency fingerprint's id list)
+      val a = fp.toDF("id1", "fingerprint")
+      val b = fp.toDF("id2", "fingerprint")
+      a.join(b, Seq("fingerprint"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+    } else {
+      // df-capped buckets fit in a row: ONE exchange on the fingerprint
+      // builds the id list, the cap filters before any pair exists, and
+      // pairs explode bucket-locally (≤ maxDf²/2 each) — no self-join, no
+      // window sort, and hot fingerprints never materialize a pair.
+      val sorted = array_sort(col("ids"))
+      val pairs = flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + 2, size(col("ids")) - i - 1),
+          y => struct(x.as("id1"), y.as("id2")))))
+      fp.groupBy("fingerprint")
+        .agg(collect_list(col(idCol)).as("ids"))
+        .filter(size(col("ids")).between(2, maxDf))
+        .select(explode(pairs).as("p"))
+        .select(col("p.id1"), col("p.id2"))
+        .distinct()
+    }
   }
 
   /** Containment over winnowing candidates ([[winnowCandidates]]) — full
@@ -316,6 +346,8 @@ object Dedup {
   /** Shared containment projection over any candidate source. */
   private def containmentFromCandidates(cand: DataFrame, shRaw: DataFrame,
       idCol: String, minContainment: Double): DataFrame = {
+    require(minContainment > 0,
+      s"minContainment must be positive, got $minContainment")
     val c1 = col("i").cast("double") / col("sz1").cast("double")
     val c2 = col("i").cast("double") / col("sz2").cast("double")
     val j = col("i").cast("double") /
