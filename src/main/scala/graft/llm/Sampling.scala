@@ -114,6 +114,47 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Temperature-flattened mixture resampling (the multilingual
+    * rebalancing of mT5/ROOTS-style corpora): stratum s is sampled at a
+    * rate that redistributes a `budget` of rows proportionally to
+    * n_s^tau — tau < 1 upweights small strata, tau = 1 keeps natural
+    * proportions. Row selection is the same md5-threshold rule as
+    * [[deterministicSample]], so the sample is stable across runs,
+    * engines and partitionings; rates > 1 saturate (a stratum cannot
+    * yield more rows than it has).
+    *
+    * Determinism: per-stratum weights quantize to exact 2^20 fixed-point
+    * longs, so the weight TOTAL is an order-free integer sum; the rate is
+    * one IEEE division chain from exact integers; and the hex threshold
+    * derives in-plan (floor(x+0.5), lowercase hex) — replayable in SQL
+    * verbatim. tau = 0.5 uses sqrt (IEEE-exact); other tau use pow,
+    * whose last-ulp behavior is libm-specific — fine in one engine,
+    * but only the sqrt path is oracle-pinned.
+    *
+    * Scale shape: one count aggregation over the stratum key, a
+    * broadcast of |strata| rates, then a MAP-ONLY filter. */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+      budget: Long, tau: Double = 0.5, seed: String = "tmix"): DataFrame = {
+    require(budget >= 0 && tau > 0, s"budget=$budget tau=$tau")
+    val nD = col("n").cast("double")
+    val wExpr = floor(
+      (if (tau == 0.5) sqrt(nD) else pow(nD, tau)) * lit(1048576.0))
+      .cast("long")
+    val weights = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n")).withColumn("w", wExpr)
+    val total = weights.agg(sum(col("w")).as("__wtot"))
+    val rate = (lit(budget) * col("w")).cast("double") / col("__wtot") / nD
+    val thr = when(rate >= 1.0, lit("g"))
+      .otherwise(lower(lpad(hex(
+        least(floor(rate * lit(4294967296.0) + lit(0.5)),
+          lit(4294967295.0)).cast("long")), 8, "0")))
+    val rates = weights.crossJoin(broadcast(total))
+      .select(col(stratumCol), thr.as("__thr"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(uniformHex(seed, col(keyCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Contiguous sequence packing (the concat-and-cut loader shape):
     * documents are concatenated in a deterministic md5-shuffled order
     * within `numShards` hash shards and cut at `seqLen`-unit boundaries;

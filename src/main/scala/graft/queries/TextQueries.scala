@@ -321,6 +321,35 @@ object TextQueries {
         |                      WHEN 'zh' THEN 200 ELSE 0 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // Temperature-flattened mixture (tau = 0.5): per-language sampling
+    // rates ∝ √n_lang redistribute a 300-doc budget toward small
+    // languages; md5-threshold row selection, exact fixed-point weights,
+    // saturating rates — the oracle re-derives rate and hex threshold
+    // relationally.
+    QuerySpec("q_temperature_mix", (s, dir) => {
+      graft.llm.Sampling.temperatureMix(
+          docs(s, dir).select("doc_id", "lang"), "doc_id", "lang",
+          budget = 300L)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |wt AS (SELECT lang, n,
+        |             CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+        |      FROM n),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM wt),
+        |r AS (SELECT lang, CAST(300 * w AS DOUBLE) / wtot / CAST(n AS DOUBLE) AS rate
+        |      FROM wt CROSS JOIN tot),
+        |th AS (SELECT lang,
+        |              CASE WHEN rate >= 1.0 THEN 'g'
+        |                   ELSE printf('%08x',
+        |                          CAST(LEAST(FLOOR(rate * 4294967296.0 + 0.5),
+        |                                     4294967295.0) AS BIGINT)) END AS thr
+        |       FROM r)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN th USING (lang)
+        |WHERE substr(md5('tmix|' || CAST(doc_id AS VARCHAR)), 1, 8) < thr
+        |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split by hash range: stable under
     // reruns and consistent across tables sharing the key. Thresholds are
     // the engine's hexThreshold(0.8)/(0.9) cut points.

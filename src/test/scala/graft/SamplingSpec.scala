@@ -79,6 +79,28 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix upweights small strata and saturates at 1.0") {
+    // strata: big (1600 rows), small (100 rows), tiny (25 rows)
+    val df = ((1 to 1600).map(i => (i.toLong, "big")) ++
+      (2001 to 2100).map(i => (i.toLong, "small")) ++
+      (3001 to 3025).map(i => (i.toLong, "tiny"))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "id", "src", budget = 400L)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tau=0.5 weights: √1600=40, √100=10, √25=5 → targets 290/73/36:
+    // tiny saturates at its population (rate > 1)
+    assert(out("tiny") === 25L, out)
+    // natural proportions would give small ~400·100/1725 ≈ 23; the
+    // flattened mix should land near its √-share target of ~73
+    assert(out("small") > 40L && out("small") < 110L, out)
+    assert(out("big") < 350L, out)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(df.repartition(9), "id", "src", 400L)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
   test("deterministic shuffle is a stable total permutation") {
     val once = Sampling.deterministicShuffle(keys, "id").as[Long].collect().toSeq
     val again = Sampling.deterministicShuffle(keys.repartition(5), "id")
