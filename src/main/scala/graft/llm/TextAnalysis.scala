@@ -19,6 +19,49 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
 
+  /** Per-document mean unigram log-probability under the corpus' own
+    * unigram LM — the CCNet-style perplexity-proxy quality score (docs of
+    * improbable tokens score low; higher = more "in-distribution").
+    * Add-one smoothing over the corpus vocabulary keeps unseen-token
+    * probability finite; the LM is the corpus itself, so this is the
+    * self-scoring pass a quality-filter pipeline runs before thresholding.
+    *
+    * Scale shape: token counts are ONE vocabulary-bounded aggregation;
+    * the per-doc score is a token→vocabulary equi-join (vocabulary side
+    * pre-aggregated, broadcastable) followed by a doc-keyed aggregation.
+    * Determinism: counts and totals are exact longs; each token's
+    * log-prob rounds to 8dp BEFORE the per-doc mean (pinning the
+    * cross-libm ln() ulp, same contract as the KS-test's exp). The mean
+    * itself is computed ENTIRELY in integers: per-token log-probs scale
+    * to exact 1e-8 units (decimal→long), and the divide-by-n rounds
+    * half-away via (2a+n) div 2n — a float mean of 8dp values lands on
+    * exact half-grid ties (sum/n has more decimals than the output),
+    * where engines' double ROUND disagrees.
+    *
+    * Output: idCol, n_tokens, avg_logprob (8dp). */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("__tot"),
+      count(lit(1)).as("__vsz"))
+    val lp = round(
+      log((col("cnt") + 1).cast("double") /
+        (col("__tot") + col("__vsz")).cast("double")), 8)
+    // -lp in exact 1e-8 units (log-probs are ≤ 0; negate to stay in the
+    // positive range where `div` truncation IS floor division)
+    val lpNegScaled = (lp.cast("decimal(20,8)") * lit(-100000000L)).cast("long")
+    toks
+      .join(broadcast(vocab.crossJoin(totals)), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(lpNegScaled).as("__a"))
+      .withColumn("avg_logprob",
+        -(expr("(2 * __a + n_tokens) div (2 * n_tokens)").cast("double") /
+          lit(100000000.0)))
+      .drop("__a")
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= lit("")))

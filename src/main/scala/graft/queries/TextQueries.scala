@@ -321,6 +321,38 @@ object TextQueries {
         |                      WHEN 'zh' THEN 200 ELSE 0 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style quality score: mean unigram log-probability of each doc
+    // under the corpus' own add-one-smoothed unigram LM. Per-token
+    // log-probs round to 8dp BEFORE the per-doc mean (pins the ln() ulp,
+    // same contract as the KS-test exp); the mean computes in exact 1e-8
+    // integer units with half-away integer rounding — a float mean of 8dp
+    // values lands on exact rounding ties where engines disagree.
+    QuerySpec("q_unigram_logprob", (s, dir) => {
+      TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS vsz FROM v),
+        |lp AS (
+        |  SELECT token,
+        |         CAST(CAST(ROUND(ln(CAST(cnt + 1 AS DOUBLE)
+        |                            / CAST(tot + vsz AS DOUBLE)), 8)
+        |                   AS DECIMAL(20,8)) * -100000000 AS BIGINT) AS nlp
+        |  FROM v CROSS JOIN t),
+        |agg AS (
+        |  SELECT tk.doc_id, COUNT(*) AS n_tokens, CAST(SUM(nlp) AS BIGINT) AS a
+        |  FROM tk JOIN lp USING (token)
+        |  GROUP BY tk.doc_id)
+        |SELECT doc_id, n_tokens,
+        |       -(CAST((2 * a + n_tokens) // (2 * n_tokens) AS DOUBLE)
+        |         / 100000000.0) AS avg_logprob
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // Temperature-flattened mixture (tau = 0.5): per-language sampling
     // rates ∝ √n_lang redistribute a 300-doc budget toward small
     // languages; md5-threshold row selection, exact fixed-point weights,

@@ -507,6 +507,24 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("unigramLogProb: common-token docs outscore rare-token docs; invariant") {
+    val docs = Seq(
+      (1L, "the the the the cat"),      // mostly the corpus' dominant token
+      (2L, "zyx qwv jkl pnm cat"),      // singletons throughout
+      (3L, "the cat the cat the cat")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("avg_logprob"))).toMap
+    assert(out(1L)._1 === 5L)
+    assert(out(1L)._2 > out(2L)._2) // common tokens → higher mean log-prob
+    assert(out(3L)._2 > out(2L)._2)
+    assert(out.values.forall(_._2 < 0.0))
+    val again = TextAnalysis.unigramLogProb(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("avg_logprob"))).toMap
+    assert(again === out)
+  }
+
   test("stripBoilerplate: frequent lines removed, order and dup lines kept") {
     val docs = Seq(
       (1L, "HEADER\nbody one\nbody one\nFOOTER"),   // dup body line preserved
