@@ -340,4 +340,33 @@ object Stats {
       "paired_t_test_p_value", "wilcoxon_statistic", "wilcoxon_p_value",
       "batch_id")
   }
+
+  /** Robust per-group outlier statistics via median/MAD (the
+    * outlier-resistant twin of z-score flagging — one extreme value
+    * cannot move the threshold the way it moves a mean/stddev):
+    * med = median(x), mad = median(|x − med|), outlier ⇔ |x − med| > k·mad.
+    *
+    * Two passes by construction (deviations need the median first); each
+    * is one exact-percentile aggregation, and the tiny per-group (med,
+    * mad) table broadcasts back for the flag count. Inherits the exact
+    * `percentile` memory trade-off documented in SCALING.md.
+    * Output: groupCol, n, med, mad (8dp), n_outliers. */
+  def madOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val base = df.select(col(groupCol), col(valueCol).cast("double").as("x"))
+    val med = base.groupBy(col(groupCol))
+      .agg(percentile(col("x"), lit(0.5)).as("med"))
+    val dev = base.join(broadcast(med), Seq(groupCol))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val stats = dev.groupBy(col(groupCol))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"),
+        max(col("med")).as("med"), count(lit(1)).as("n"))
+    dev.drop("med")
+      .join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L))
+        .as("n_outliers"))
+      .select(col(groupCol), col("n"), round(col("med"), 8).as("med"),
+        round(col("mad"), 8).as("mad"), col("n_outliers"))
+  }
 }

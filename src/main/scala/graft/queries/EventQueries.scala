@@ -21,6 +21,37 @@ object EventQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // Per-user EWMA (alpha = 0.5) over the event-time-ordered value
+    // series: a sequential left fold seeded by the first value, so the
+    // evaluation order is pinned and both engines produce bit-identical
+    // doubles (0.5 is exact; the fold is the same expression tree).
+    // Scale shape: one groupBy on the key; each user's series folds
+    // inside its own aggregation buffer — no window, no global sort.
+    QuerySpec("q_ewma", (s, dir) => {
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .groupBy("user_id")
+        .agg(
+          sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("__evs"),
+          count(lit(1)).as("n_events"))
+        .withColumn("__vals", transform(col("__evs"), x => x.getField("value")))
+        .select(col("user_id"), col("n_events"),
+          round(aggregate(
+            slice(col("__vals"), lit(2),
+              greatest(size(col("__vals")) - 1, lit(0))),
+            element_at(col("__vals"), 1),
+            (acc, x) => x * lit(0.5) + acc * lit(0.5)), 8).as("ewma"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH g AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |         list(value ORDER BY ts, event_id) AS vals
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       ROUND(list_reduce(vals, (acc, x) -> x * 0.5 + acc * 0.5), 8) AS ewma
+        |FROM g ORDER BY user_id""".stripMargin)),
+
     // Tumbling 1-hour window aggregation (batch form; the streaming form
     // with watermark lives in graft.streaming.EventStreams).
     QuerySpec("q_window_hourly", (s, dir) => {

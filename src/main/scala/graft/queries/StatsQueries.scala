@@ -54,6 +54,35 @@ object StatsQueries {
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Robust outliers: median/MAD flagging (k = 3) — the
+    // outlier-resistant twin of z-score filtering; both percentile passes
+    // mirror quantile_cont exactly, and the flag compares the UNROUNDED
+    // mad on both engines.
+    QuerySpec("q_mad_outliers", (s, dir) => {
+      Stats.madOutlierStats(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS med
+        |      FROM b GROUP BY l_returnflag),
+        |d AS (SELECT b.l_returnflag, x, ABS(x - med) AS adev
+        |      FROM b JOIN m USING (l_returnflag)),
+        |s AS (SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad,
+        |             COUNT(*) AS n
+        |      FROM d GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, s.n,
+        |       ROUND(m.med, 8) AS med, ROUND(s.mad, 8) AS mad,
+        |       CAST(SUM(CASE WHEN d.adev > CAST(3.0 AS DOUBLE) * s.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d
+        |JOIN s USING (l_returnflag)
+        |JOIN m USING (l_returnflag)
+        |GROUP BY d.l_returnflag, s.n, m.med, s.mad
+        |ORDER BY l_returnflag""".stripMargin)),
+
     // A2/A3: IQR-conditional imputation — x1 takes the mean branch,
     // x2 the median branch (outliers beyond Q3 + 1.5·IQR).
     QuerySpec("q_impute_iqr", (s, dir) => {
