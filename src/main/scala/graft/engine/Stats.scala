@@ -356,8 +356,11 @@ object Stats {
     val base = df.select(col(groupCol), col(valueCol).cast("double").as("x"))
     val med = base.groupBy(col(groupCol))
       .agg(percentile(col("x"), lit(0.5)).as("med"))
+    // dev feeds the MAD aggregation AND the flag count — materialize once
+    // so the operator stays at the documented two input passes
     val dev = base.join(broadcast(med), Seq(groupCol))
       .withColumn("adev", abs(col("x") - col("med")))
+      .localCheckpoint()
     val stats = dev.groupBy(col(groupCol))
       .agg(percentile(col("adev"), lit(0.5)).as("mad"),
         max(col("med")).as("med"), count(lit(1)).as("n"))

@@ -216,9 +216,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact overlap facts per candidate pair: (id1, id2, i, sz1, sz2) —
-    * distinct-shingle intersection and set sizes, the shared substrate of
-    * Jaccard AND containment scoring. */
   /** Exact overlap statistics per candidate pair: (id1, id2, i, sz1, sz2)
     * with i = |A∩B| as a MAP-SIDE array intersection. The corpus shingle
     * scan is id-pruned to candidate docs, collapsed to one set-array per
@@ -313,17 +310,25 @@ object Dedup {
         .filter(col("id1") < col("id2"))
         .select("id1", "id2").distinct()
     } else {
-      // df-capped buckets fit in a row: ONE exchange on the fingerprint
-      // builds the id list, the cap filters before any pair exists, and
-      // pairs explode bucket-locally (≤ maxDf²/2 each) — no self-join, no
-      // window sort, and hot fingerprints never materialize a pair.
+      // df-capped path: a COUNT aggregation (map-side combinable — safe
+      // for any bucket size) finds the rare fingerprints first, a
+      // semi-join drops hot ones BEFORE any id list exists, and only the
+      // surviving ≤ maxDf-row buckets collect into a row, where pairs
+      // explode bucket-locally (≤ maxDf²/2 each) — no self-join, no
+      // window sort, and a boilerplate fingerprint never materializes
+      // its id list (collect_list first would buffer the full hot-bucket
+      // array — the exact failure the unbounded branch avoids).
+      val rare = fp.groupBy("fingerprint")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df").between(2, maxDf))
+        .select("fingerprint")
       val sorted = array_sort(col("ids"))
       val pairs = flatten(transform(sorted, (x, i) =>
         transform(slice(sorted, i + 2, size(col("ids")) - i - 1),
           y => struct(x.as("id1"), y.as("id2")))))
-      fp.groupBy("fingerprint")
+      fp.join(rare, Seq("fingerprint"), "left_semi")
+        .groupBy("fingerprint")
         .agg(collect_list(col(idCol)).as("ids"))
-        .filter(size(col("ids")).between(2, maxDf))
         .select(explode(pairs).as("p"))
         .select(col("p.id1"), col("p.id2"))
         .distinct()
@@ -741,6 +746,10 @@ object Dedup {
     val base = docs.select(col(idCol), toks.as("__toks"))
       .withColumn("n_segs", ceil(size(col("__toks")) / lit(k.toDouble)).cast("long"))
     val segs = base
+      // token-less docs (n_segs = 0) must emit NO segments: Spark's
+      // sequence(start, stop) steps DOWNWARD when start > stop, so
+      // sequence(0, -1) is [0, -1], not empty — filter first
+      .filter(col("n_segs") > 0)
       .select(col(idCol), col("n_segs"),
         explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"),
         col("__toks"))

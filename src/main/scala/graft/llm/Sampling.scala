@@ -143,7 +143,12 @@ object Sampling {
     val weights = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n")).withColumn("w", wExpr)
     val total = weights.agg(sum(col("w")).as("__wtot"))
-    val rate = (lit(budget) * col("w")).cast("double") / col("__wtot") / nD
+    // budget and w multiply as DOUBLES: the long product budget·w
+    // overflows int64 for corpus-scale strata (n = 10^11 ⇒ w ≈ 3·10^11,
+    // wraps past budget ≈ 3·10^7) — the double product is exact below
+    // 2^53 and deterministically rounded beyond, on both engines
+    val rate = lit(budget).cast("double") * col("w").cast("double") /
+      col("__wtot") / nD
     val thr = when(rate >= 1.0, lit("g"))
       .otherwise(lower(lpad(hex(
         least(floor(rate * lit(4294967296.0) + lit(0.5)),

@@ -368,9 +368,14 @@ object Similarity {
       k: Int, iters: Int, minCos: Double): DataFrame = {
     DotProduct.register(emb.sparkSession)
     val assign = kmeansAssign(emb, idCol, vecCol, k, iters)
+    // withNorm feeds BOTH pair sides and the final kept-projection: the
+    // Lloyd-assignment subtree is the operator's most expensive plan, so
+    // materialize it once (localCheckpoint — blocks free on RDD GC, no
+    // CacheManager pin; same rationale as verifiedOverlap)
     val withNorm = emb.select(col(idCol), vecDouble(col(vecCol)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
       .join(assign, Seq(idCol))
+      .localCheckpoint()
     val a = withNorm.select(col(idCol).as("id1"), col("v").as("v1"),
       col("n2").as("n21"), col("cluster_id"))
     val b = withNorm.select(col(idCol).as("id2"), col("v").as("v2"),

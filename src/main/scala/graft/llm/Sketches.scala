@@ -112,6 +112,11 @@ object Sketches {
     * column at test scale; production keeps only the sketch. */
   def cmsCounts(values: DataFrame, valueCol: String,
       d: Int = 4, w: Int = 128): DataFrame = {
+    // cells derive from ONE md5 byte (0..255): widths above 256 would
+    // silently use only 256 cells, and non-divisors of 256 would bias
+    // the wrap-around cells — reject both so the ε = 2/w bound holds
+    require(d >= 1 && w >= 1 && w <= 256 && 256 % w == 0,
+      s"cmsCounts: w must divide 256 (got d=$d, w=$w)")
     val v = col(valueCol).cast("string")
     val rows = explode(array((0 until d).map(lit): _*)).as("r")
     def cellOf(value: Column): Column = pmod(

@@ -51,8 +51,11 @@ object TextAnalysis {
     // -lp in exact 1e-8 units (log-probs are ≤ 0; negate to stay in the
     // positive range where `div` truncation IS floor division)
     val lpNegScaled = (lp.cast("decimal(20,8)") * lit(-100000000L)).cast("long")
+    // vocabulary side NOT broadcast-hinted: AQE broadcasts it when small,
+    // but a web-scale vocabulary (billions of distinct tokens) must stay
+    // a shuffle join — same convention as verifiedOverlap's set side
     toks
-      .join(broadcast(vocab.crossJoin(totals)), Seq("token"))
+      .join(vocab.crossJoin(totals), Seq("token"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(lpNegScaled).as("__a"))

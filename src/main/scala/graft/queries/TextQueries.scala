@@ -369,7 +369,9 @@ object TextQueries {
         |             CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
         |      FROM n),
         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM wt),
-        |r AS (SELECT lang, CAST(300 * w AS DOUBLE) / wtot / CAST(n AS DOUBLE) AS rate
+        |r AS (SELECT lang,
+        |             CAST(300 AS DOUBLE) * CAST(w AS DOUBLE)
+        |               / wtot / CAST(n AS DOUBLE) AS rate
         |      FROM wt CROSS JOIN tot),
         |th AS (SELECT lang,
         |              CASE WHEN rate >= 1.0 THEN 'g'

@@ -177,6 +177,17 @@ class SketchesSpec extends SparkSpec {
         (4L, "q", 2L, 1L)))
   }
 
+  test("segmentDedup: token-less docs emit no segments (no phantom rows)") {
+    // sequence(0, -1) regression: Spark sequences step DOWNWARD when
+    // start > stop, so an unguarded explode invents segments for empty docs
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "", 0L, 0L), (2L, "", 0L, 0L), (3L, "a b c", 2L, 2L)))
+  }
+
   test("segmentDedup: no duplicates → identity reassembly") {
     val docs = Seq((1L, "one two three four five"), (2L, "six seven"))
       .toDF("doc_id", "text")
