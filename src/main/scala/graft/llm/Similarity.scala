@@ -127,6 +127,36 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 8).as("cos"))
   }
 
+  /** Cross-corpus semantic contamination: LEFT vectors (e.g. an eval
+    * set) that have a near neighbor among RIGHT vectors (e.g. the
+    * training corpus) in embedding space — the semantic complement of
+    * n-gram decontamination ([[Dedup.contaminatedDocs]] catches verbatim
+    * overlap; this catches paraphrases that embed nearby).
+    *
+    * Shape: both sides bucket under the SAME md5-derived sign-LSH planes,
+    * candidates come from the bucket equi-join (never a cross join), and
+    * only candidates pay the exact cosine. At 100 TB the tiny eval side's
+    * buckets broadcast; the train side is a map-only bucket projection.
+    * Output: one row per contaminated left id — idCol, n_neighbors,
+    * max_cos (8dp). */
+  def crossContamination(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, planes: Int, minCos: Double): DataFrame = {
+    DotProduct.register(left.sparkSession)
+    val hp = hyperplanes(planes, dimOf(left, vecCol))
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(s"${p}_id"), vecDouble(col(vecCol)).as(s"${p}_v"))
+        .withColumn(s"${p}_n2", dot(col(s"${p}_v"), col(s"${p}_v")))
+        .withColumn("bucket", lshBucket(col(s"${p}_v"), hp))
+    side(left, "l").join(side(right, "r"), Seq("bucket"))
+      .withColumn("cos",
+        cosine(col("l_v"), col("l_n2"), col("r_v"), col("r_n2")))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("l_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        round(max(col("cos")), 8).as("max_cos"))
+      .select(col("l_id").as(idCol), col("n_neighbors"), col("max_cos"))
+  }
+
   /** IVF-style ANN: partition vectors into cells by nearest centroid, then
     * search only within cells (nprobe=1), verifying candidates with exact
     * cosine. Centroids are the vectors with the `numCells` smallest ids —

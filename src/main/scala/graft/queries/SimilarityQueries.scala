@@ -115,6 +115,46 @@ object SimilarityQueries {
          |SELECT id1, id2, ROUND(cos, 8) AS cos
          |FROM p2 WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin)),
 
+    // Cross-corpus semantic contamination: eval vectors (vec_id % 50 = 0)
+    // with a cosine ≥ 0.3 neighbor among train vectors, candidates from a
+    // shared 4-plane sign-LSH bucketing (16 buckets — a bucket equi-join,
+    // never eval × train). The embedding-space complement of the n-gram
+    // q_contamination.
+    QuerySpec("q_semantic_contamination", (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.crossContamination(
+          e.filter(pmod(col("vec_id"), lit(50)) === 0),
+          e.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+          "vec_id", "embedding", planes = 4, minCos = 0.3)
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH $normCte,
+         |planes AS (
+         |  SELECT p, list_transform(range(1, 65),
+         |           i -> CASE WHEN (instr('0123456789abcdef',
+         |                  substr(md5('hp' || p || '|' || (i - 1)), 1, 1)) - 1) % 2 = 0
+         |                THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS r
+         |  FROM (SELECT unnest(range(0, 4)) AS p)),
+         |vb AS (
+         |  SELECT vec_id, p,
+         |         CASE WHEN ${dotSql("v", "r")} >= 0 THEN '1' ELSE '0' END AS bit
+         |  FROM n CROSS JOIN planes),
+         |bk AS (
+         |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+         |  FROM vb GROUP BY vec_id),
+         |p2 AS (
+         |  SELECT l.vec_id AS eval_id,
+         |         ${dotSql("nl.v", "nr.v")} / SQRT(nl.n2 * nr.n2) AS cos
+         |  FROM bk l
+         |  JOIN bk r ON l.bucket = r.bucket
+         |  JOIN n nl ON nl.vec_id = l.vec_id
+         |  JOIN n nr ON nr.vec_id = r.vec_id
+         |  WHERE l.vec_id % 50 = 0 AND r.vec_id % 50 <> 0)
+         |SELECT eval_id AS vec_id, COUNT(*) AS n_neighbors,
+         |       ROUND(MAX(cos), 8) AS max_cos
+         |FROM p2 WHERE cos >= 0.3
+         |GROUP BY eval_id ORDER BY vec_id""".stripMargin)),
+
     // IVF ANN: nearest-of-16-centroids cell assignment (deterministic
     // tiebreak), intra-cell candidate search, exact-cosine verification.
     QuerySpec("q_ann_ivf", (s, dir) => {

@@ -197,6 +197,31 @@ class SketchesSpec extends SparkSpec {
       Seq("one two three four five", "six seven"))
   }
 
+  // ---- cross-corpus semantic contamination ----
+
+  test("crossContamination: flags planted paraphrase neighbors, one row per left id") {
+    // right corpus: two clusters; left: one vector near cluster A, one far
+    val mk = (s: Double, d: Int) =>
+      Array.tabulate(8)(i => if (i == d) s else 0.01 * (i + 1))
+    val right = (0 until 20).map(i =>
+      (i.toLong, mk(1.0 + 0.01 * i, i % 2))).toDF("vec_id", "embedding")
+    val left = Seq(
+      (100L, mk(0.9, 0)),   // close to the dim-0 cluster
+      (101L, Array.fill(8)(-1.0))) // anti-aligned: no neighbor
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.crossContamination(
+        left, right, "vec_id", "embedding", planes = 2, minCos = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(100L) && out(100L) >= 1L, out)
+    assert(!out.contains(101L), out)
+    // invariance under repartitioning
+    val again = graft.llm.Similarity.crossContamination(
+        left.repartition(3), right.repartition(5), "vec_id", "embedding",
+        planes = 2, minCos = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
   // ---- semantic dedup ----
 
   test("semanticDedup: dropped vectors have a kept-or-any lower-id near-dup in-cluster") {
