@@ -75,6 +75,38 @@ object TextAnalysis {
   def bpeIshTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
+  /** Overlapping token-window chunking (the RAG/embedding-prep shape):
+    * windows of `size` whitespace tokens starting every `stride` tokens,
+    * so consecutive chunks overlap by size − stride. The last window may
+    * be short; a document shorter than one window yields exactly one
+    * chunk. Map-only (explode over an in-row index sequence — no
+    * shuffle); chunk_idx is the 0-based window ordinal.
+    * Output: idCol, chunk_idx, chunk_text, n_tokens. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"chunkTokens: size=$size stride=$stride")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    // number of windows: 1 + floor((max(0, n - size) + stride - 1) / stride)
+    // — the double division is floor-exact at these magnitudes and the
+    // oracle mirrors the identical expression
+    val n = org.apache.spark.sql.functions.size(col("__toks")).cast("long")
+    val nChunks = lit(1L) +
+      floor((greatest(n - size, lit(0L)) + stride - 1).cast("double") /
+        lit(stride.toDouble)).cast("long")
+    docs.select(col(idCol), toks.as("__toks"))
+      .filter(org.apache.spark.sql.functions.size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(size)), " ")
+          .as("chunk_text"),
+        org.apache.spark.sql.functions.size(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(size)))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Rolling polynomial fingerprint over characters:
     * h = fold(h*31 + codepoint) mod p. Sequential left fold → deterministic
     * and engine-portable (exact int64 arithmetic). */

@@ -321,6 +321,32 @@ object TextQueries {
         |                      WHEN 'zh' THEN 200 ELSE 0 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // RAG-style chunking: 16-token windows every 12 tokens (4-token
+    // overlap), map-only. Window count and slices are exact integer
+    // formulas mirrored by the oracle.
+    QuerySpec("q_chunk_overlap", (s, dir) => {
+      TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text",
+          size = 16, stride = 12)
+        .orderBy("doc_id", "chunk_idx")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |         1 + CAST(FLOOR(CAST(GREATEST(len(toks) - 16, 0) + 12 - 1 AS DOUBLE)
+        |                        / CAST(12 AS DOUBLE)) AS BIGINT) AS n_chunks
+        |  FROM t WHERE len(toks) > 0),
+        |cx AS (
+        |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM b)
+        |SELECT doc_id, chunk_idx,
+        |       array_to_string(toks[(chunk_idx * 12 + 1):(chunk_idx * 12 + 16)],
+        |                       ' ') AS chunk_text,
+        |       CAST(len(toks[(chunk_idx * 12 + 1):(chunk_idx * 12 + 16)])
+        |            AS BIGINT) AS n_tokens
+        |FROM cx ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // CCNet-style quality score: mean unigram log-probability of each doc
     // under the corpus' own add-one-smoothed unigram LM. Per-token
     // log-probs round to 8dp BEFORE the per-doc mean (pins the ln() ulp,

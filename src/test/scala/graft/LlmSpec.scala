@@ -507,6 +507,22 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkTokens: overlapping windows, short/empty-doc edges") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),  // 7 toks, size 4 stride 2 → 3 chunks
+      (2L, "x y"),            // shorter than one window → 1 chunk
+      (3L, "   ")             // token-less → no rows
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", size = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, "a b c d", 4L),
+      (1L, 1L, "c d e f", 4L),
+      (1L, 2L, "e f g", 3L),
+      (2L, 0L, "x y", 2L)))
+  }
+
   test("unigramLogProb: common-token docs outscore rare-token docs; invariant") {
     val docs = Seq(
       (1L, "the the the the cat"),      // mostly the corpus' dominant token
