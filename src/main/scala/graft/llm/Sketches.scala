@@ -56,10 +56,15 @@ object Sketches {
     * Output: groupCols*, hll_estimate (double, 8dp), buckets_used,
     * exact_distinct (for error inspection at test scale — at 100 TB you
     * would drop it; it is the thing the sketch replaces). */
-  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val m = 64
+  /** The per-(group, bucket) sketch STATE: (groupCol, bucket, rmax).
+    * This is the mergeable representation — two sketches over disjoint
+    * (or overlapping!) row sets merge by MAX per bucket, which is how
+    * per-shard/per-partition sketches roll up without rescanning
+    * ([[hllMergeAll]] demonstrates it; the oracle proves the merged and
+    * direct estimates coincide). */
+  def hllBuckets(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("string")
-    val bucket = pmod(hexByte(md5(concat(lit("hllb|"), v)), 1), lit(m))
+    val bucket = pmod(hexByte(md5(concat(lit("hllb|"), v)), 1), lit(HllBuckets))
     // Leading-zero count of the 64-bit (16-hex-char) prefix, via nibble
     // arithmetic: ltrim the zero nibbles, then the first surviving nibble
     // contributes 3/2/1/0 more zero bits depending on its high bits.
@@ -73,13 +78,17 @@ object Sketches {
       .otherwise(0)
     val rho = when(stripped === "", lit(65))
       .otherwise(nibbleZeros + extra + 1)
-
-    val perBucket = df
-      .select(col(groupCol), bucket.as("bucket"), least(rho, lit(48)).as("rho"))
+    df.select(col(groupCol), bucket.as("bucket"), least(rho, lit(48)).as("rho"))
       .groupBy(groupCol, "bucket")
       .agg(max("rho").as("rmax"))
-    val sketch = perBucket
-      .groupBy(groupCol)
+  }
+
+  /** Estimate columns from a bucket-state frame grouped by `keys`
+    * (empty = one global row): hll_estimate, buckets_used. */
+  private def estimateFrom(perBucket: DataFrame, keys: Seq[String]): DataFrame = {
+    val m = HllBuckets
+    perBucket
+      .groupBy(keys.map(col): _*)
       .agg(
         (sum(expr("shiftleft(cast(1 as bigint), 48 - rmax)")) +
           (lit(m.toLong) - count(lit(1))) * lit(281474976710656L)).as("s48"),
@@ -92,11 +101,38 @@ object Sketches {
           round(lit(64.0) *
             log(lit(64.0) / (lit(m.toLong) - col("buckets_used")).cast("double")), 8))
           .otherwise(round(col("__raw"), 8)))
+      .drop("s48", "__raw")
+  }
+
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val sketch = estimateFrom(hllBuckets(df, groupCol, valueCol), Seq(groupCol))
     val exact = df.groupBy(groupCol)
       .agg(countDistinct(col(valueCol)).as("exact_distinct"))
     sketch.join(exact, Seq(groupCol))
       .select(col(groupCol), col("hll_estimate"), col("buckets_used"),
         col("exact_distinct"))
+  }
+
+  /** Global estimate by MERGING per-group sketches (max per bucket) —
+    * the two-level rollup a sharded 100 TB profile uses: each shard
+    * keeps its m-bucket state, the merge touches sketches only, and the
+    * result is IDENTICAL to sketching the union directly (max is
+    * associative/commutative/idempotent, so overlapping groups are fine).
+    * Output: one row — merged_estimate, direct_estimate, exact_distinct
+    * (merged = direct by construction; the oracle hash proves it in both
+    * engines). */
+  def hllMergeAll(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val merged = estimateFrom(
+      hllBuckets(df, groupCol, valueCol)
+        .groupBy("bucket").agg(max("rmax").as("rmax")),
+      Seq.empty)
+      .select(col("hll_estimate").as("merged_estimate"))
+    val direct = estimateFrom(
+      hllBuckets(df.withColumn("__g", lit(1)), "__g", valueCol),
+      Seq.empty)
+      .select(col("hll_estimate").as("direct_estimate"))
+    val exact = df.agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    merged.crossJoin(direct).crossJoin(exact)
   }
 
   /** Count-Min sketch (d hash rows × w counters) over a value column,

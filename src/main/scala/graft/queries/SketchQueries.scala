@@ -77,6 +77,70 @@ object SketchQueries {
          |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
     }),
 
+    // Sketch MERGEABILITY, proven end-to-end: the global distinct-user
+    // estimate computed by merging the five per-event-type sketches
+    // (max per bucket — sketches only, no rescan) must equal the direct
+    // global sketch; the oracle derives both and the hash compare pins
+    // merged == direct in both engines.
+    QuerySpec("q_hll_merge", (s, dir) => {
+      Sketches.hllMergeAll(Tables.events(s, dir), "event_type", "user_id")
+    }, Some {
+      val bMd5 = "md5('hllb|' || v)"
+      s"""WITH v AS (
+         |  SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
+         |hb AS (
+         |  SELECT event_type,
+         |         ${sqlHexByte(bMd5, 1)} % 64 AS bucket,
+         |         ltrim(substr(md5('hllr|' || v), 1, 16), '0') AS stripped
+         |  FROM v),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |         LEAST(CASE WHEN stripped = '' THEN 65
+         |                    ELSE (16 - length(stripped)) * 4
+         |                         + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+         |                                WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+         |                                WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 1
+         |                                ELSE 0 END + 1 END, 48) AS rho
+         |  FROM hb),
+         |pb AS (SELECT event_type, bucket, MAX(rho) AS rmax
+         |       FROM r GROUP BY event_type, bucket),
+         |mrg AS (SELECT bucket, MAX(rmax) AS rmax FROM pb GROUP BY bucket),
+         |dir AS (SELECT bucket, MAX(rho) AS rmax FROM r GROUP BY bucket),
+         |est_m AS (
+         |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (48 - rmax)) AS BIGINT)
+         |           + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 48) AS s48,
+         |         COUNT(*) AS bu
+         |  FROM mrg),
+         |est_d AS (
+         |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (48 - rmax)) AS BIGINT)
+         |           + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 48) AS s48,
+         |         COUNT(*) AS bu
+         |  FROM dir),
+         |fm AS (
+         |  SELECT CASE WHEN CAST(0.709 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+         |                   * CAST(64.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE)
+         |                   / CAST(s48 AS DOUBLE) <= CAST(160.0 AS DOUBLE) AND bu < 64
+         |              THEN ROUND(CAST(64.0 AS DOUBLE)
+         |                         * ln(CAST(64.0 AS DOUBLE) / CAST(64 - bu AS DOUBLE)), 8)
+         |              ELSE ROUND(CAST(0.709 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+         |                         * CAST(64.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE)
+         |                         / CAST(s48 AS DOUBLE), 8) END AS merged_estimate
+         |  FROM est_m),
+         |fd AS (
+         |  SELECT CASE WHEN CAST(0.709 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+         |                   * CAST(64.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE)
+         |                   / CAST(s48 AS DOUBLE) <= CAST(160.0 AS DOUBLE) AND bu < 64
+         |              THEN ROUND(CAST(64.0 AS DOUBLE)
+         |                         * ln(CAST(64.0 AS DOUBLE) / CAST(64 - bu AS DOUBLE)), 8)
+         |              ELSE ROUND(CAST(0.709 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+         |                         * CAST(64.0 AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE)
+         |                         / CAST(s48 AS DOUBLE), 8) END AS direct_estimate
+         |  FROM est_d),
+         |ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+         |SELECT merged_estimate, direct_estimate, exact_distinct
+         |FROM fm CROSS JOIN fd CROSS JOIN ex""".stripMargin
+    }),
+
     // Count-Min sketch (4×128) over document tokens, probed for every
     // distinct token: cms_est ≥ exact_cnt always (CM overestimation-only
     // guarantee — the spec asserts it).

@@ -43,6 +43,19 @@ class SketchesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("hll: merged per-group sketches equal the direct global sketch") {
+    // overlapping groups on purpose — max-merge is idempotent
+    val df = ((1L to 900L).map(v => ("a", v)) ++
+      (500L to 1400L).map(v => ("b", v)) ++
+      (1L to 100L).map(v => ("c", v))).toDF("g", "v")
+    val r = Sketches.hllMergeAll(df, "g", "v").head()
+    assert(r.getAs[Double]("merged_estimate") ===
+      r.getAs[Double]("direct_estimate"))
+    assert(r.getAs[Long]("exact_distinct") === 1400L)
+    val est = r.getAs[Double]("merged_estimate")
+    assert(math.abs(est - 1400.0) / 1400.0 < 0.52, s"est=$est")
+  }
+
   // ---- Count-Min ----
 
   test("cms: overestimation-only guarantee and error bound") {
