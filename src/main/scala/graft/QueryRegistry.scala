@@ -33,7 +33,8 @@ object QueryRegistry {
       queries.EventQueries.specs ++
       queries.AnalyticsQueries.specs ++
       queries.PipelineQueries.specs ++
-      queries.SketchQueries.specs
+      queries.SketchQueries.specs ++
+      queries.GraphQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -487,6 +487,37 @@ object Dedup {
       .agg(countDistinct(col("shingle")).as("n_shared"))
   }
 
+  /** [[contaminatedDocs]] for eval corpora TOO LARGE to broadcast as a
+    * shingle SET: a Bloom filter over the eval shingles (a few MiB of bits
+    * for hundreds of millions of n-grams at 3% fpp) broadcasts instead,
+    * prefiltering the training shingle scan MAP-SIDE; only probable hits
+    * (true matches + fpp false positives) enter the exact verification
+    * join — a SHUFFLE join on the shingle key, not a broadcast, so neither
+    * side's size is ever a driver/executor-memory constraint.
+    *
+    * Correctness never depends on the filter: Bloom filters have no false
+    * negatives, so the output is IDENTICAL to [[contaminatedDocs]] — false
+    * positives are discarded by the exact join. The probe is a Scala UDF
+    * (no public Catalyst expression wraps `BloomFilter.mightContain`),
+    * acceptable because it gates a shuffle, not a hot aggregation loop;
+    * the filter build is EAGER (one job over eval shingles, mirroring the
+    * eager filter build of `LoadDedup.antiJoinBloomPruned`).
+    * Output: idCol, n_shared — bit-identical to [[contaminatedDocs]]. */
+  def contaminatedDocsBloom(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int, expectedShingles: Long,
+      fpp: Double = 0.03): DataFrame = {
+    val evalSh = shingleSets(eval, idCol, textCol, n)
+      .select("shingle").distinct()
+    val bloom = evalSh.stat.bloomFilter("shingle", expectedShingles, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightMatch = udf((s: String) => s != null && bc.value.mightContain(s))
+    rawShingles(train, idCol, textCol, n)
+      .where(mightMatch(col("shingle")))
+      .join(evalSh, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+  }
+
   /** Near-dup clusters with EXACT-DUP PRE-COLLAPSE — the composition that
     * survives the adversarial hot-bucket case. A group of identical
     * documents shares every band key, so feeding them straight into LSH

@@ -19,6 +19,34 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
 
+  /** Hashing-trick featurization (Weinberger et al. 2009, "Feature
+    * Hashing for Large Scale Multitask Learning"): each token maps to a
+    * fixed bucket via its first md5 byte mod `dim`, yielding a sparse
+    * per-document term-frequency vector of FIXED dimension with no
+    * vocabulary table — the featurizer that feeds linear quality
+    * classifiers over an unbounded corpus vocabulary.
+    *
+    * Scale shape: a map-only tokenize/hash scan followed by ONE
+    * aggregation on (id, bucket) with map-side partial counts — output
+    * cardinality is bounded by docs × dim regardless of vocabulary size,
+    * and no driver-side dictionary ever exists. `dim` must divide 256 so
+    * the byte → bucket map is exactly uniform (same contract as the
+    * Count-Min cell derivation).
+    * Output: idCol, bucket (0..dim-1), tf. */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1 && 256 % dim == 0,
+      s"dim must divide 256 for an unbiased byte->bucket map, got $dim")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("fh|"), col("token"))), 1, 2), 16, 10)
+        .cast("long"),
+      lit(dim.toLong))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol), bucket.as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Per-document mean unigram log-probability under the corpus' own
     * unigram LM — the CCNet-style perplexity-proxy quality score (docs of
     * improbable tokens score low; higher = more "in-distribution").

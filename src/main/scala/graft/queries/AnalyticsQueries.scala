@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
-import graft.engine.Tables
+import graft.engine.{Layout, Tables}
 
 /** Analytic breadth beyond the reference's surface (which has no window
   * functions, set ops, or grouping sets at all — SURVEY.md §2 "Window
@@ -28,7 +28,35 @@ object AnalyticsQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** DuckDB replay of [[graft.engine.Layout.zValue]]: the identical
+    * 16-bit interleave as a flat shift/mask sum over x (even bits) and
+    * y (odd bits). */
+  private val zInterleaveSql: String =
+    (0 until 16).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+
   def specs: Seq[QuerySpec] = Seq(
+
+    // Z-order (Morton) clustering key over part: bit-interleave of
+    // partkey and floor(retailprice) — the layout key that makes parquet
+    // min/max stats tight on BOTH dimensions (see Layout.zorderWrite and
+    // LayoutSpec's file-skipping assertion; pure integer bit arithmetic,
+    // replayed exactly by the oracle).
+    QuerySpec("q_zorder", (s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"),
+          Layout.zValue(
+            pmod(col("p_partkey"), lit(65536L)),
+            pmod(floor(col("p_retailprice")), lit(65536L))).as("zval"))
+        .orderBy("p_partkey")
+    }, Some(
+      s"""WITH b AS (
+         |  SELECT p_partkey,
+         |         p_partkey % 65536 AS x,
+         |         CAST(FLOOR(p_retailprice) AS BIGINT) % 65536 AS y
+         |  FROM part)
+         |SELECT p_partkey, $zInterleaveSql AS zval
+         |FROM b ORDER BY p_partkey""".stripMargin)),
 
     // Offset windows: per-user previous/next event (LAG/LEAD) and the gap
     // to the previous event — the per-entity "time since last action"

@@ -76,7 +76,7 @@ object DedupQueries {
     * [[graft.llm.Dedup.minhashNearDups]], shared by the near-dup oracle AND
     * the cluster/canonical oracles (which consume LSH pairs, not the
     * quadratic all-pairs set). */
-  private val minhashPairsCte: String =
+  private[queries] val minhashPairsCte: String =
     """sig AS (
       |  SELECT doc_id,
       |         MIN(SUBSTR(md5('0|' || shingle), 1, 16))  AS s0,
@@ -363,6 +363,38 @@ object DedupQueries {
         |  FROM toks),
         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-tier decontamination: same check as q_contamination, but the
+    // eval shingles broadcast as BLOOM BITS (map-side prefilter) and the
+    // exact verification is a shuffle join of probable hits only — the
+    // tier for eval sets too large to broadcast as a set. No false
+    // negatives, so the output is bit-identical to the exact join and the
+    // oracle IS the exact SQL. Different split (doc_id % 25) so the
+    // result set differs from q_contamination's.
+    QuerySpec("q_bloom_decontam", (s, dir) => {
+      val d = docs(s, dir)
+      val eval = d.filter(pmod(col("doc_id"), lit(25)) === 0)
+      val train = d.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+      Dedup.contaminatedDocsBloom(train, eval, "doc_id", "text", n = 8,
+          expectedShingles = 200000L)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(CASE WHEN len(t) >= 8
+        |                     THEN list_transform(range(1, len(t) - 6),
+        |                            i -> array_to_string(list_slice(t, i, i + 7), ' '))
+        |                     ELSE [] END) AS shingle
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 25 <> 0)
         |SELECT doc_id, COUNT(*) AS n_shared
         |FROM tr JOIN ev USING (shingle)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.Tables
+import graft.llm.{Dedup, Graph}
+
+/** Graph operators over relational edge derivations: PageRank (the
+  * source-authority ranking a web-curation pipeline weights domains by)
+  * and per-node triangle counts (cluster-cohesion diagnostics over the
+  * near-dup pair graph). Both are exact-integer formulations, so the
+  * DuckDB oracles replay them bit-identically — PageRank by unrolling
+  * the damped iterations as CTEs (the PCA-power-iteration trick).
+  */
+object GraphQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** customer → supplier purchase edges (supplier ids offset so the two
+    * key spaces cannot collide in one node namespace). */
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val l = Tables.load(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+  }
+
+  /** Fixed-point PageRank oracle: S = 2^30, d = 17/20, `iters` unrolled
+    * contribution/update CTE rounds (all floor division on non-negative
+    * BIGINTs — exact in both engines). */
+  private def pageRankOracle(iters: Int): String = {
+    val S = "CAST(1073741824 AS BIGINT)"
+    val rounds = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+         |  FROM e JOIN deg d ON d.src = e.src JOIN $prev r ON r.node = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT nodes.node,
+         |         CAST((3 * $S) // (20 * nn.n)
+         |              + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$k c ON c.node = nodes.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS src,
+       |         l_suppkey + 1000000 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST($S // nn.n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, ROUND(CAST(r AS DOUBLE) / 1073741824.0, 8) AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // PageRank (3 damped rounds, exact 2^30 fixed point) over the
+    // customer -> supplier purchase graph: per-iteration cost is one
+    // edges ⋈ ranks join plus one contribution aggregation — the |E|-
+    // proportional shape that holds at web scale. The oracle unrolls the
+    // identical integer solve.
+    QuerySpec("q_pagerank", (s, dir) => {
+      Graph.pageRank(purchaseEdges(s, dir), "src", "dst", iters = 3)
+        .orderBy("node")
+    }, Some(pageRankOracle(3))),
+
+    // Per-node triangle counts over the MinHash-LSH near-dup pair graph
+    // (duplicate clusters are near-cliques, so triangle density is the
+    // cohesion diagnostic separating tight duplicate groups from chains
+    // of borderline pairs). Low->high orientation generates each wedge at
+    // its lowest-id apex exactly once — the degeneracy-bounded shape.
+    QuerySpec("q_triangles", (s, dir) => {
+      val pairs = Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+          n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
+        .select("id1", "id2")
+      Graph.triangleCounts(pairs, "id1", "id2")
+        .orderBy("node")
+    }, Some(
+      s"""WITH ${DedupQueries.shingleCte},
+         |${DedupQueries.minhashPairsCte},
+         |und AS (SELECT id1 AS a, id2 AS b FROM mh_pairs),
+         |tri AS (
+         |  SELECT ab.a AS a, ab.b AS b, ac.b AS c
+         |  FROM und ab
+         |  JOIN und ac ON ac.a = ab.a AND ac.b > ab.b
+         |  JOIN und bc ON bc.a = ab.b AND bc.b = ac.b),
+         |tn AS (SELECT unnest([a, b, c]) AS node FROM tri)
+         |SELECT node, COUNT(*) AS triangles
+         |FROM tn GROUP BY node ORDER BY node""".stripMargin))
+  )
+}

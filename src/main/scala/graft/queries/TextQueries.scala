@@ -538,6 +538,28 @@ object TextQueries {
         |       ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 8) AS repetition_ratio
         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Hashing-trick featurization: token -> md5-byte bucket mod 64,
+    // sparse per-doc tf vector of fixed dimension (no vocabulary table —
+    // the featurizer for linear quality classifiers at corpus scale).
+    QuerySpec("q_feature_hash", (s, dir) => {
+      TextAnalysis.featureHash(docs(s, dir), "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "bucket")
+    }, Some(
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents),
+        |hb AS (
+        |  SELECT doc_id,
+        |         ((instr('0123456789abcdef', substr(md5('fh|' || token), 1, 1)) - 1) * 16
+        |          + (instr('0123456789abcdef', substr(md5('fh|' || token), 2, 1)) - 1))
+        |           % 64 AS bucket
+        |  FROM tk)
+        |SELECT doc_id, bucket, COUNT(*) AS tf
+        |FROM hb GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin)),
+
     // Corpus-level per-language length-band gate (percent_rank is value-
     // based, so equal lengths land on the same side of the cut anywhere).
     QuerySpec("q_length_band", (s, dir) => {

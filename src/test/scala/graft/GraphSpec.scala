@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Graph
+
+/** PageRank fixed-point semantics and triangle counting. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1L << 30
+
+  test("pageRank matches a hand-computed fixed-point round on a 3-node chain") {
+    // 1 -> 2 -> 3 : node 1 has no in-edges, node 3 is dangling
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRank(e, "src", "dst", iters = 1)
+      .orderBy("node").as[(Long, Double)].collect()
+    val n = 3L
+    val r0 = S / n
+    val base = (3L * S) / (20L * n)
+    def rnd(fx: Long) = math.rint(fx.toDouble / S * 1e8) / 1e8
+    // deg(1) = deg(2) = 1; node 1 gets no contributions
+    val exp = Seq(
+      1L -> rnd(base),
+      2L -> rnd(base + (17L * (r0 / 1L)) / 20L),
+      3L -> rnd(base + (17L * (r0 / 1L)) / 20L))
+    assert(got.toSeq == exp)
+  }
+
+  test("pageRank mass flows over two iterations (ranks keep changing)") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(e, "src", "dst", iters = 1)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    val r2 = Graph.pageRank(e, "src", "dst", iters = 2)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    // a 3-cycle keeps uniform rank through every round: each node passes
+    // its full rank along, so only the damping floor erodes the values
+    assert(r1.map(_._2).distinct.size == 1)
+    assert(r2.map(_._2).distinct.size == 1)
+    // and mass decays monotonically under the floor-division contract
+    assert(r2.head._2 <= r1.head._2)
+  }
+
+  test("pageRank deduplicates edges and ignores null endpoints") {
+    val e = Seq(
+        (Some(1L), Some(2L)), (Some(1L), Some(2L)),
+        (None, Some(2L)), (Some(1L), None))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(e, "src", "dst", iters = 1)
+      .orderBy("node").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+  }
+
+  test("triangleCounts: K4 gives every node C(3,2)=3 triangles") {
+    val k4 = (for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (a.toLong, b.toLong)).toDF("id1", "id2")
+    val got = Graph.triangleCounts(k4, "id1", "id2")
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: direction, duplication, and self-loops are normalized") {
+    // triangle {1,2,3} given with mixed directions + dup + self-loop;
+    // node 4 hangs off node 3 (pendant — no triangle)
+    val e = Seq((3L, 1L), (1L, 2L), (2L, 3L), (2L, 1L), (1L, 1L), (3L, 4L))
+      .toDF("id1", "id2")
+    val got = Graph.triangleCounts(e, "id1", "id2")
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}

@@ -231,6 +231,38 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) === 4L)
   }
 
+  test("contaminatedDocsBloom is bit-identical to the exact join, even " +
+      "under a high-false-positive filter") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon shared tail here"),
+      (2L, "completely unrelated training document content words"),
+      (3L, "alpha beta gamma delta epsilon shared tail here too"),
+      (4L, "short text")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix words then alpha beta gamma delta epsilon shared tail here"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.contaminatedDocs(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // fpp 0.5 + tiny capacity: many false positives MUST ride the exact
+    // verification path without changing the result
+    val bloom = Dedup.contaminatedDocsBloom(train, eval, "doc_id", "text",
+        n = 5, expectedShingles = 4L, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(bloom === exact)
+  }
+
+  test("featureHash: tf sums to token count, buckets in range, dim gated") {
+    val docs = Seq((1L, "a b c a"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.featureHash(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (_, b, _) => b >= 0 && b < 16 })
+    assert(got.filter(_._1 == 1L).map(_._3).sum == 4L) // 4 tokens
+    assert(!got.exists(_._1 == 2L)) // empty doc: no rows
+    intercept[IllegalArgumentException] {
+      TextAnalysis.featureHash(docs, "doc_id", "text", dim = 7)
+    }
+  }
+
   test("packSequences: deterministic shards, contiguous offsets, long docs span") {
     val d = (1L to 40L).map(i => (i, 600L + i)).toDF("doc_id", "n_len")
     val packed = Sampling.packSequences(d, "doc_id", "n_len",
