@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[decodeImage]] parses PNG/JPEG bytes with the
   * JDK's built-in `javax.imageio` (no external codec needed) into
-  * dimensions + per-channel means. Only AUDIO/VIDEO decode remains a
-  * clearly-marked STUB ([[decodeStub]] — the container ships no such
-  * codecs); swapping in a real codec changes only that function.
+  * dimensions + per-channel means. AUDIO decode is REAL for WAV/PCM:
+  * [[decodeWav]] walks the RIFF chunk layout (fmt/data) with pure byte
+  * arithmetic — no codec involved — into rate/channels/bit-depth/sample
+  * stats. Only VIDEO decode remains a clearly-marked STUB ([[decodeStub]]
+  * — the container ships no video codecs); swapping in a real codec
+  * changes only that function.
   */
 object Multimodal {
 
@@ -128,10 +131,110 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Decoded audio facts from a WAV/PCM payload: format header fields +
+    * exact-integer sample statistics (mean |amplitude|, peak). */
+  final case class AudioMeta(id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_samples: Long, mean_abs: Double, peak: Int)
+
+  /** REAL audio decode for WAV (RIFF/PCM — the container ships no lossy
+    * codecs, but WAV needs none): walks the RIFF chunk list, reads the
+    * `fmt ` chunk (PCM format 1 only; 8- or 16-bit), then scans the
+    * `data` chunk samples with exact long-integer accumulation — mean
+    * absolute amplitude is a single division of an exact integer sum, so
+    * the result is deterministic under any partitioning. Unknown chunks
+    * (LIST, fact, …) are skipped via their declared size, including the
+    * RIFF odd-size pad byte. */
+  def decodeWav(r: MediaRecord): AudioMeta = {
+    val b = r.payload
+    require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+      s"not a RIFF/WAVE payload for id=${r.id}")
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var nSamples = 0L; var sumAbs = 0L; var peak = 0
+    while (pos + 8 <= b.length) {
+      val id = tag(b, pos)
+      val size = bb.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= b.length,
+        s"truncated chunk '$id' in WAV payload for id=${r.id}")
+      id match {
+        case "fmt " =>
+          require(bb.getShort(pos + 8) == 1,
+            s"non-PCM WAV (format ${bb.getShort(pos + 8)}) for id=${r.id}")
+          channels = bb.getShort(pos + 10)
+          sampleRate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22)
+          require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+        case "data" =>
+          require(bits != 0, s"WAV data chunk before fmt for id=${r.id}")
+          if (bits == 16) {
+            var i = pos + 8
+            val end = pos + 8 + (size & ~1)
+            while (i < end) {
+              val s = bb.getShort(i).toInt
+              val a = math.abs(s)
+              sumAbs += a; if (a > peak) peak = a; nSamples += 1
+              i += 2
+            }
+          } else { // 8-bit WAV is unsigned, centered at 128
+            var i = pos + 8
+            val end = pos + 8 + size
+            while (i < end) {
+              val a = math.abs((b(i) & 0xff) - 128)
+              sumAbs += a; if (a > peak) peak = a; nSamples += 1
+              i += 1
+            }
+          }
+        case _ => () // LIST/fact/cue/…: skip by declared size
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned (pad byte)
+    }
+    require(nSamples > 0, s"WAV payload without samples for id=${r.id}")
+    AudioMeta(r.id, sampleRate, channels, bits, nSamples,
+      sumAbs.toDouble / nSamples, peak)
+  }
+
+  private def tag(b: Array[Byte], at: Int): String =
+    new String(b, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Batched per-partition WAV decode — same `mapPartitions` shape as
+    * [[imageFeatures]] (decoder state amortized per partition). */
+  def audioFeatures(ds: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeWav))
+  }
+
+  /** Deterministic WAV generator (encode side of the RIFF round-trip,
+    * used by tests and the oracle-checked q_audio_meta): 16-bit mono PCM
+    * whose header fields and samples are pure functions of `id` —
+    *   sample_rate = 8000 + (id mod 4)·2000, n = 16 + id mod 17,
+    *   sample(i)   = ((id·31 + i·97) mod 65536) − 32768
+    * — so rate, sample count, mean |amplitude| and peak are
+    * SQL-expressible facts an oracle can recompute without decoding. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = (8000 + Math.floorMod(id, 4L) * 2000).toInt
+    val n = (16 + Math.floorMod(id, 17L)).toInt
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      bb.putShort((Math.floorMod(id * 31 + i * 97L, 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** STUB decode — deterministic fake features, used for the kinds this
-    * container genuinely cannot decode (audio/video; images go through
-    * the real [[decodeImage]]). Rolling-hash checksum + first-4-bytes
-    * "feature". */
+    * container genuinely cannot decode (video; images go through the real
+    * [[decodeImage]], WAV audio through [[decodeWav]]). Rolling-hash
+    * checksum + first-4-bytes "feature". */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     var h = 0L
     var i = 0

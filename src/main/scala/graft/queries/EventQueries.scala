@@ -349,6 +349,45 @@ object EventQueries {
       """SELECT doc_id, 'text' AS kind,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS checksum_md5
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL audio decode (RIFF/WAV PCM — pure byte arithmetic, no codec):
+    // WAV bytes generated deterministically per doc_id, decoded back by
+    // walking the RIFF chunk list into rate/channels/bits + exact-integer
+    // sample stats. The oracle recomputes every fact arithmetically
+    // (mean |amplitude| via a generate_series unnest of the sample
+    // formula) — the byte-level parse is wrong unless the round-trip is
+    // bit-exact. Video stays on the documented stub (q_media_features).
+    QuerySpec("q_audio_meta", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "audio/wav",
+          Multimodal.syntheticWav(id)))
+      Multimodal.audioFeatures(recs).toDF()
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"), col("mean_abs"), col("peak"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(8000 + (doc_id % 4) * 2000 AS INT) AS sample_rate,
+        |         CAST(16 + doc_id % 17 AS BIGINT) AS n
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, sample_rate, n,
+        |         unnest(generate_series(0, n - 1)) AS i
+        |  FROM s
+        |), samp AS (
+        |  SELECT doc_id, sample_rate, n,
+        |         abs(((doc_id * 31 + i * 97) % 65536) - 32768) AS a
+        |  FROM u
+        |)
+        |SELECT doc_id, sample_rate, CAST(1 AS INT) AS channels,
+        |       CAST(16 AS INT) AS bits, n AS n_samples,
+        |       CAST(sum(a) AS DOUBLE) / n AS mean_abs,
+        |       CAST(max(a) AS INT) AS peak
+        |FROM samp GROUP BY doc_id, sample_rate, n
+        |ORDER BY doc_id""".stripMargin))
   )
 }

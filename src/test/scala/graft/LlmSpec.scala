@@ -789,6 +789,53 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(13L).width === (8 + 13 % 5) && metas(13L).mean_g === (59 * 13 % 256).toDouble)
   }
 
+  test("wav decode: synthetic RIFF/PCM round-trip recovers header + exact stats") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 100000L)) {
+      val m = Multimodal.decodeWav(
+        Multimodal.MediaRecord(id, "audio/wav", Multimodal.syntheticWav(id)))
+      assert(m.sample_rate === (8000 + (id % 4) * 2000).toInt, s"id=$id")
+      assert(m.channels === 1 && m.bits === 16, s"id=$id")
+      val n = (16 + id % 17).toInt
+      assert(m.n_samples === n.toLong, s"id=$id")
+      val samples = (0 until n).map(i => (id * 31 + i * 97L) % 65536L - 32768L)
+      assert(m.peak === samples.map(math.abs).max.toInt, s"id=$id")
+      assert(m.mean_abs === samples.map(math.abs).sum.toDouble / n, s"id=$id")
+    }
+  }
+
+  test("wav decode: skips unknown chunks, rejects non-RIFF and non-PCM") {
+    // splice a LIST chunk (with odd size → pad byte) between fmt and data
+    val base = Multimodal.syntheticWav(3L)
+    val bb = java.nio.ByteBuffer.allocate(base.length + 8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 36) // RIFF header + fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](9, 9, 9, 0))
+    bb.put(base, 36, base.length - 36) // data chunk
+    val m = Multimodal.decodeWav(
+      Multimodal.MediaRecord(3L, "audio/wav", bb.array()))
+    assert(m.n_samples === (16 + 3 % 17).toLong && m.bits === 16)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(
+        Multimodal.MediaRecord(4L, "audio/wav", Array.fill[Byte](64)(7)))
+    }
+    // non-PCM format tag in an otherwise valid layout
+    val bad = Multimodal.syntheticWav(4L).clone()
+    bad(20) = 3 // fmt audioFormat = 3 (IEEE float)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Multimodal.MediaRecord(4L, "audio/wav", bad))
+    }
+  }
+
+  test("audioFeatures decodes a Dataset of WAVs distributively") {
+    val metas = Multimodal.audioFeatures(
+        spark.range(0, 50).as[Long].repartition(4)
+          .map(id => Multimodal.MediaRecord(id, "audio/wav",
+            Multimodal.syntheticWav(id))))
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size === 50)
+    assert(metas(13L).sample_rate === 10000 && metas(13L).n_samples === (16 + 13 % 17).toLong)
+  }
+
   test("frame sampling stub keeps every stride-th byte") {
     assert(Multimodal.sampleFrames(Array[Byte](0, 1, 2, 3, 4, 5), 2).toSeq ===
       Seq[Byte](0, 2, 4))
