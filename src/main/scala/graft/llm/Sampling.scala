@@ -160,6 +160,37 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Probability-proportional-to-size (Poisson/PPS) sampling: row i is
+    * kept with rate `budget`·wᵢ/W (capped at 1), so the expected sample
+    * size is ≤ `budget` and heavy rows (longer / higher-quality docs) are
+    * favored proportionally to `weightCol` — the quality-weighted
+    * subsample step of a curation pipeline, without the sequential pass a
+    * weighted-reservoir would need.
+    *
+    * Determinism: W is an exact integer sum of the weight column; the
+    * per-row rate is one IEEE double product/division chain from exact
+    * integers (long·long products can overflow at corpus scale — the
+    * double product is exact below 2^53 and deterministically rounded
+    * beyond, on both engines); inclusion reuses the md5-hex threshold of
+    * [[deterministicSample]], derived in-plan per row.
+    *
+    * Scale shape: one SUM aggregation, a 1-row broadcast, then a MAP-ONLY
+    * filter — no shuffle of the data itself. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      budget: Long, seed: String = "wpps"): DataFrame = {
+    require(budget >= 0, s"budget=$budget")
+    val total = df.agg(sum(col(weightCol).cast("long")).as("__wtot"))
+    val rate = lit(budget).cast("double") * col(weightCol).cast("double") /
+      col("__wtot").cast("double")
+    val thr = when(rate >= 1.0, lit("g"))
+      .otherwise(lower(lpad(hex(
+        least(floor(rate * lit(4294967296.0) + lit(0.5)),
+          lit(4294967295.0)).cast("long")), 8, "0")))
+    df.crossJoin(broadcast(total))
+      .filter(uniformHex(seed, col(keyCol)) < thr)
+      .drop("__wtot")
+  }
+
   /** Contiguous sequence packing (the concat-and-cut loader shape):
     * documents are concatenated in a deterministic md5-shuffled order
     * within `numShards` hash shards and cut at `seqLen`-unit boundaries;

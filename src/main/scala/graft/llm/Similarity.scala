@@ -380,6 +380,106 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("qcos"), 8).as("qcos"))
   }
 
+  /** Shared PQ explode: vector → (id, s = subspace 0..m-1, j = offset
+    * within subspace, xi = 2^scaleBits fixed-point component). */
+  private def pqVx(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, scaleBits: Int): DataFrame = {
+    val dim = dimOf(emb, vecCol)
+    require(m >= 1 && dim % m == 0, s"PQ: m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val scale = (1L << scaleBits).toDouble
+    emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("id"),
+        expr(s"CAST(pos div $dsub AS BIGINT)").as("s"),
+        pmod(col("pos"), lit(dsub)).cast("long").as("j"),
+        floor(col("x").cast("double") * lit(scale)).cast("long").as("xi"))
+  }
+
+  /** PQ codebook: entry `code` of subspace s is the s-th subvector of the
+    * vector with the `code`-th smallest id (deterministic, engine-portable
+    * — same convention as [[ivfPairs]] centroids; a production build would
+    * plug per-subspace k-means into the same plan). */
+  private def pqCodebook(vx: DataFrame, ksub: Int): DataFrame =
+    vx.filter(col("id") < ksub)
+      .select(col("id").cast("long").as("code"), col("s"), col("j"),
+        col("xi").as("ci"))
+
+  /** Product quantization (PQ, Jégou et al. 2011): each vector splits into
+    * `m` contiguous subvectors; each subvector is assigned the nearest of
+    * `ksub` codebook entries by EXACT fixed-point integer L2 distance
+    * (ties → smallest code). A 64-dim float vector compresses to m codes —
+    * the storage tier that makes billion-scale ANN fit in memory,
+    * complementing [[quantizeInt8]] (narrows values) and
+    * [[randomProjection]] (narrows dimensions).
+    *
+    * Scale shape: the codebook (m·ksub·dsub rows) broadcasts; candidate
+    * distances aggregate with map-side combine to m·ksub rows per vector,
+    * and the argmin is a `min(struct(d2, code))` aggregate — no window
+    * sort. All arithmetic is exact integers (components are 2^scaleBits
+    * fixed-point; d2 ≤ dsub·2^(2·scaleBits+2) ≪ 2^63).
+    * Output: idCol, subspace (0-based), code, d2. */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, scaleBits: Int = 20): DataFrame = {
+    require(ksub >= 1, s"ksub=$ksub")
+    val vx = pqVx(emb, idCol, vecCol, m, scaleBits)
+    val cb = broadcast(pqCodebook(vx, ksub))
+    val diff = col("xi") - col("ci")
+    vx.join(cb, Seq("s", "j"))
+      .groupBy(col("id"), col("s"), col("code"))
+      .agg(sum(diff * diff).as("d2"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("id").as(idCol), col("s").as("subspace"),
+        col("b.code").as("code"), col("b.d2").as("d2"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay full
+    * precision; the distance to a coded vector is the sum over subspaces
+    * of the query-to-codebook-entry distance looked up from a per-query
+    * LUT (Q·m·ksub exact integer entries, broadcast). The scan side
+    * touches only the m codes per vector — never the original floats —
+    * which is the whole point of PQ at 100 TB: the index is ~1/32 the
+    * corpus, and candidates alone fetch full vectors for re-ranking.
+    *
+    * Top-k smallest distances per query via the bounded-heap
+    * [[TopKByScore]] aggregate (map-side combine: the shuffle carries
+    * queries×k rows, not queries×n); ties → smallest neighbor id; the
+    * query itself is excluded. All distances are exact integers (< 2^53,
+    * so the negated double score is exact too).
+    * Output: query_id, neighbor_id, rank, d2. */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, queryIds: Seq[Long], k: Int,
+      scaleBits: Int = 20): DataFrame = {
+    require(k >= 1 && queryIds.nonEmpty, s"pqAdcTopK: k=$k queries=$queryIds")
+    TopK.register(emb.sparkSession)
+    val vx = pqVx(emb, idCol, vecCol, m, scaleBits)
+    val cb = broadcast(pqCodebook(vx, ksub))
+    val diff = col("xi") - col("ci")
+    val codes = vx.join(cb, Seq("s", "j"))
+      .groupBy(col("id"), col("s"), col("code"))
+      .agg(sum(diff * diff).as("d2"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("id"), col("s"), col("b.code").as("code"))
+    val lut = broadcast(
+      vx.filter(col("id").isInCollection(queryIds))
+        .select(col("id").as("qid"), col("s"), col("j"), col("xi"))
+        .join(cb, Seq("s", "j"))
+        .groupBy(col("qid"), col("s"), col("code"))
+        .agg(sum(diff * diff).as("ld2")))
+    codes.join(lut, Seq("s", "code"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("ld2")).as("d2"))
+      .select(col("qid"), (-col("d2").cast("double")).as("score"), col("id"))
+      .groupBy(col("qid"))
+      .agg(TopK.topKByScore(col("score"), col("id"), lit(k)).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("t.score")).cast("long").as("d2"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
     * cluster-then-compare. Vectors are k-means-clustered
     * ([[kmeansAssign]] — deterministic seeds/fixed-point updates), and

@@ -299,6 +299,52 @@ object SimilarityQueries {
       s"""WITH $kmeansA2Cte
         |SELECT vec_id, cluster AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin)),
 
+    // Product quantization codes (PQ): 64-dim vectors → 8 subspaces × 16
+    // codebook entries (subvectors of the 16 lowest-id vectors), nearest
+    // entry by exact fixed-point integer L2 per subspace, ties to the
+    // smallest code. The oracle replays codebook, distances, and argmin
+    // relationally — every value is an exact integer.
+    QuerySpec("q_pq_codes", (s, dir) => {
+      Similarity.pqCodes(emb(s, dir), "vec_id", "embedding", m = 8, ksub = 16)
+        .orderBy("vec_id", "subspace")
+    }, Some(
+      s"""WITH $pqCte
+        |SELECT vec_id, s AS subspace, code, d2 FROM a
+        |ORDER BY vec_id, subspace""".stripMargin)),
+
+    // Asymmetric-distance (ADC) top-k over PQ codes: full-precision query
+    // → per-query LUT of exact integer subspace distances → distance to a
+    // coded vector = sum of LUT entries for its codes; top-5 per query,
+    // ties to the smallest neighbor id, self excluded. The scan side
+    // reads only the codes — the PQ promise at scale.
+    QuerySpec("q_pq_adc", (s, dir) => {
+      Similarity.pqAdcTopK(emb(s, dir), "vec_id", "embedding", m = 8,
+          ksub = 16, queryIds = Seq(20L, 21L, 22L), k = 5)
+        .orderBy("query_id", "rank")
+    }, Some(
+      s"""WITH $pqCte,
+        |q AS (
+        |  SELECT vec_id AS qid, s, j, xi FROM vx WHERE vec_id IN (20, 21, 22)),
+        |lut AS (
+        |  SELECT q.qid, q.s, cb.code,
+        |         CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS ld2
+        |  FROM q JOIN cb ON q.s = cb.s AND q.j = cb.j
+        |  GROUP BY q.qid, q.s, cb.code),
+        |adc AS (
+        |  SELECT l.qid, a.vec_id, CAST(SUM(l.ld2) AS BIGINT) AS d2
+        |  FROM a JOIN lut l ON a.s = l.s AND a.code = l.code
+        |  WHERE a.vec_id <> l.qid
+        |  GROUP BY l.qid, a.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY d2, vec_id) AS rank
+        |  FROM adc)
+        |SELECT qid AS query_id, vec_id AS neighbor_id,
+        |       CAST(rank AS INT) AS rank, d2
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // SemDeDup (cluster-then-compare semantic dedup): k-means cells from
     // the same deterministic Lloyd unroll, exact cosine only WITHIN each
     // cell, drop-the-higher-id greedy rule. The oracle reuses the k-means
@@ -323,6 +369,29 @@ object SimilarityQueries {
          |FROM a2 LEFT JOIN dd ON dd.dropped = a2.vec_id
          |ORDER BY vec_id""".stripMargin))
   )
+
+  /** PQ CTE chain (shared by q_pq_codes and q_pq_adc): fixed-point
+    * subspace explode `vx(vec_id, s, j, xi)` → codebook `cb` (subvectors
+    * of the 16 lowest-id vectors) → per-(vector, subspace, code) exact
+    * integer L2 `d` → argmin assignment `a(vec_id, s, code, d2)`. */
+  private val pqCte: String =
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |xd AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+        |vx AS (SELECT vec_id,
+        |              CAST((dim - 1) // 8 AS BIGINT) AS s,
+        |              CAST((dim - 1) % 8 AS BIGINT) AS j,
+        |              CAST(FLOOR(v[dim] * 1048576.0) AS BIGINT) AS xi
+        |       FROM xd),
+        |cb AS (SELECT vec_id AS code, s, j, xi AS ci FROM vx WHERE vec_id < 16),
+        |d AS (SELECT vx.vec_id, vx.s, cb.code,
+        |             CAST(SUM((vx.xi - cb.ci) * (vx.xi - cb.ci)) AS BIGINT) AS d2
+        |      FROM vx JOIN cb ON vx.s = cb.s AND vx.j = cb.j
+        |      GROUP BY vx.vec_id, vx.s, cb.code),
+        |a AS (SELECT vec_id, s, code, d2 FROM (
+        |        SELECT vec_id, s, code, d2,
+        |               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |                                  ORDER BY d2, code) AS rn
+        |        FROM d) WHERE rn = 1)""".stripMargin
 
   /** Deterministic k-means CTE chain (shared by q_kmeans and
     * q_semantic_dedup): seeds → 2 unrolled Lloyd rounds → final

@@ -379,6 +379,35 @@ object TextQueries {
         |         / 100000000.0) AS avg_logprob
         |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // Probability-proportional-to-size (Poisson/PPS) sampling: each doc
+    // kept at rate budget·n_chars/Σn_chars — the quality-weighted
+    // subsample step. Exact integer weight total, per-row IEEE rate and
+    // in-plan hex threshold; the oracle replays rate + threshold + md5
+    // predicate relationally.
+    QuerySpec("q_weighted_sample", (s, dir) => {
+      graft.llm.Sampling.weightedSample(
+          docs(s, dir).select("doc_id", "n_chars"), "doc_id", "n_chars",
+          budget = 200L)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tot AS (
+        |  SELECT CAST(SUM(n_chars) AS BIGINT) AS wtot FROM documents),
+        |r AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         CAST(200 AS DOUBLE) * CAST(d.n_chars AS DOUBLE)
+        |           / CAST(t.wtot AS DOUBLE) AS rate
+        |  FROM documents d CROSS JOIN tot t),
+        |th AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN rate >= 1.0 THEN 'g'
+        |              ELSE printf('%08x',
+        |                     CAST(LEAST(FLOOR(rate * 4294967296.0 + 0.5),
+        |                                4294967295.0) AS BIGINT)) END AS thr
+        |  FROM r)
+        |SELECT doc_id, n_chars FROM th
+        |WHERE substr(md5('wpps|' || CAST(doc_id AS VARCHAR)), 1, 8) < thr
+        |ORDER BY doc_id""".stripMargin)),
+
     // Temperature-flattened mixture (tau = 0.5): per-language sampling
     // rates ∝ √n_lang redistribute a 300-doc budget toward small
     // languages; md5-threshold row selection, exact fixed-point weights,

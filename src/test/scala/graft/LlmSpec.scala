@@ -459,6 +459,48 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Long]("neighbor_id") === 3L)
   }
 
+  test("PQ codes: per-subspace nearest codebook entry, exact integer d2") {
+    // ids 0/1 ARE the codebook (ksub = 2); dim 4, m = 2 → dsub = 2
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.2f, 0.8f)),  // both subspaces nearest entry 0
+      (3L, Array(0.1f, 0.9f, 0.9f, 0.2f)))  // both subspaces nearest entry 1
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(df, "vec_id", "embedding", m = 2, ksub = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(codes.size === 8)
+    // codebook vectors code to themselves with zero distance
+    assert(codes((0L, 0L)) === ((0L, 0L)) && codes((0L, 1L)) === ((0L, 0L)))
+    assert(codes((1L, 0L)) === ((1L, 0L)) && codes((1L, 1L)) === ((1L, 0L)))
+    assert(codes((2L, 0L))._1 === 0L && codes((2L, 1L))._1 === 0L)
+    assert(codes((3L, 0L))._1 === 1L && codes((3L, 1L))._1 === 1L)
+    assert(codes((2L, 0L))._2 > 0L)
+    // deterministic under repartitioning
+    val again = Similarity.pqCodes(df.repartition(3), "vec_id", "embedding", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(again === codes)
+  }
+
+  test("PQ ADC top-k: LUT distances rank by codes, ties to smaller id, no self") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.2f, 0.8f)),
+      (3L, Array(0.1f, 0.9f, 0.9f, 0.2f)))  // same codes as id 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqAdcTopK(df, "vec_id", "embedding", m = 2, ksub = 2,
+        queryIds = Seq(2L), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 3L)) // near codes first; 1<3 tie
+    assert(got(1)._3 === got(2)._3)                 // ids 1,3 share codes → same ADC
+    assert(!got.map(_._1).contains(2L))             // self excluded
+    assert(got.map(_._2).toSeq === Seq(1, 2, 3))
+  }
+
   test("label centroids: exact fixed-point means per (label, dim)") {
     val df = Seq(
       (0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)), // label 0: mean (2, 4)

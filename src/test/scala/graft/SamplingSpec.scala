@@ -101,6 +101,26 @@ class SamplingSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("weighted PPS sample favors heavy rows, saturates, and is stable") {
+    // weight 0 rows can never be kept; a row with rate >= 1 always is
+    val df = ((1L to 900L).map(i => (i, 1L)) ++ Seq((1000L, 0L), (2000L, 500000L)))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", "w", budget = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(!kept.contains(1000L))                 // zero weight
+    assert(kept.contains(2000L))                  // rate saturates at 1
+    // expected light-row keeps: 100 * 1 / 500900 each ≈ 0.18 total
+    assert(kept.count(_ <= 900L) < 50, s"kept=${kept.size}")
+    // deterministic under repartitioning
+    val again = Sampling.weightedSample(df.repartition(7), "id", "w", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(again === kept)
+    // uniform weights degrade to ~budget expected size
+    val uni = Sampling.weightedSample(keys.withColumn("w", lit(3L)),
+      "id", "w", budget = 500L).count()
+    assert(uni > 400L && uni < 600L, s"uni=$uni")
+  }
+
   test("deterministic shuffle is a stable total permutation") {
     val once = Sampling.deterministicShuffle(keys, "id").as[Long].collect().toSeq
     val again = Sampling.deterministicShuffle(keys.repartition(5), "id")
