@@ -93,6 +93,57 @@ object TextAnalysis {
       .drop("__a")
   }
 
+  /** DSIR-style hashed importance weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each document
+    * by how much more likely its tokens are under a TARGET distribution
+    * (e.g. wiki-like, or one language) than under the full SOURCE corpus —
+    * log w_d = Σ_tokens [ln p_tgt(b) − ln p_src(b)] over hashed token
+    * buckets (the hashing trick bounds both LMs at `buckets` cells
+    * regardless of vocabulary size), add-one smoothed. Selecting top
+    * documents by this weight is the DSIR recipe for carving a
+    * domain-matched subset out of a web-scale corpus.
+    *
+    * Determinism: both ln() results round to 8 dp BEFORE differencing
+    * (pins the libm ulp — same contract as [[unigramLogProb]]); the
+    * per-bucket log-ratio then lives on the exact 1e-8 grid and the
+    * per-doc sum is exact int64 arithmetic.
+    *
+    * Scale shape: two bucket-count aggregations (≤ `buckets` cells each,
+    * map-side partials), a `buckets`-row broadcast, then one doc-keyed
+    * aggregation — token text never shuffles. Docs with zero tokens have
+    * no distribution to score and are absent from the output.
+    * Output: idCol, n_tokens, log_ratio. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1 && 256 % buckets == 0,
+      s"buckets must divide 256 for an unbiased byte->bucket map, got $buckets")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("ds|"), col("token"))), 1, 2), 16, 10)
+        .cast("long"),
+      lit(buckets.toLong))
+    val tb = docs
+      .select(col(idCol), isTarget.cast("boolean").as("__t"),
+        explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol), col("__t"), bucket.as("b"))
+    // one pass builds both LMs: conditional count for the target side
+    val counts = tb.groupBy(col("b"))
+      .agg(count(lit(1)).as("sc"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("tc"))
+    val tot = counts.agg(sum(col("sc")).as("__s"), sum(col("tc")).as("__tt"))
+    val lnTgt = round(log((col("tc") + 1).cast("double") /
+      (col("__tt") + buckets).cast("double")), 8).cast("decimal(20,8)")
+    val lnSrc = round(log((col("sc") + 1).cast("double") /
+      (col("__s") + buckets).cast("double")), 8).cast("decimal(20,8)")
+    val lrTab = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        ((lnTgt - lnSrc) * lit(100000000L)).cast("long").as("lr"))
+    tb.join(broadcast(lrTab), Seq("b")) // ≤ `buckets` rows — always broadcast
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("__a"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__a").cast("double") / lit(100000000.0)).as("log_ratio"))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= lit("")))

@@ -408,6 +408,47 @@ object TextQueries {
         |WHERE substr(md5('wpps|' || CAST(doc_id AS VARCHAR)), 1, 8) < thr
         |ORDER BY doc_id""".stripMargin)),
 
+    // DSIR hashed importance weights: how much more "en-like" than
+    // corpus-like each doc's tokens are — per-bucket target/source
+    // log-ratio (8dp-pinned ln, exact 1e-8-grid sums), hashed-trick LMs
+    // of 64 cells. The oracle rebuilds both LMs and the ratio table.
+    QuerySpec("q_dsir_weights", (s, dir) => {
+      TextAnalysis.dsirWeights(docs(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tk AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents),
+        |hb AS (
+        |  SELECT doc_id, t,
+        |         ((instr('0123456789abcdef', substr(md5('ds|' || token), 1, 1)) - 1) * 16
+        |          + (instr('0123456789abcdef', substr(md5('ds|' || token), 2, 1)) - 1))
+        |           % 64 AS b
+        |  FROM tk),
+        |c AS (
+        |  SELECT b, COUNT(*) AS sc,
+        |         CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tc
+        |  FROM hb GROUP BY b),
+        |tt AS (SELECT CAST(SUM(sc) AS BIGINT) AS s,
+        |              CAST(SUM(tc) AS BIGINT) AS ttot FROM c),
+        |lr AS (
+        |  SELECT b,
+        |         CAST((CAST(ROUND(ln(CAST(tc + 1 AS DOUBLE)
+        |                             / CAST(ttot + 64 AS DOUBLE)), 8)
+        |                    AS DECIMAL(20,8))
+        |             - CAST(ROUND(ln(CAST(sc + 1 AS DOUBLE)
+        |                             / CAST(s + 64 AS DOUBLE)), 8)
+        |                    AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS lr
+        |  FROM c CROSS JOIN tt),
+        |agg AS (
+        |  SELECT hb.doc_id, COUNT(*) AS n_tokens, CAST(SUM(lr.lr) AS BIGINT) AS a
+        |  FROM hb JOIN lr USING (b) GROUP BY hb.doc_id)
+        |SELECT doc_id, n_tokens, CAST(a AS DOUBLE) / 100000000.0 AS log_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // Temperature-flattened mixture (tau = 0.5): per-language sampling
     // rates ∝ √n_lang redistribute a 300-doc budget toward small
     // languages; md5-threshold row selection, exact fixed-point weights,

@@ -773,6 +773,49 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dsirWeights reproduces the hashed target/source log-ratio exactly") {
+    val docs = Seq(
+      (1L, "aa bb aa", true), (2L, "cc dd", false), (3L, "aa cc", false))
+      .toDF("doc_id", "text", "is_tgt")
+    // replicate the bucket map + LM + 8dp-ln arithmetic in plain Scala
+    def bucket(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ds|$tok".getBytes("UTF-8"))
+      ((h(0).toInt & 0xff) % 64).toLong
+    }
+    val toks = Seq((1L, "aa", true), (1L, "bb", true), (1L, "aa", true),
+      (2L, "cc", false), (2L, "dd", false), (3L, "aa", false), (3L, "cc", false))
+      .map { case (d, t, tgt) => (d, bucket(t), tgt) }
+    val sc = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tc = toks.filter(_._3).groupBy(_._2).view.mapValues(_.size.toLong)
+      .toMap.withDefaultValue(0L)
+    val (s8, t8) = (toks.size.toLong, toks.count(_._3).toLong)
+    def ln8(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def lr(b: Long): Long =
+      ((ln8((tc(b) + 1.0) / (t8 + 64.0)) - ln8((sc(b) + 1.0) / (s8 + 64.0)))
+        * BigDecimal(100000000L)).toLongExact
+    val expect = toks.groupBy(_._1).view.mapValues { ts =>
+      (ts.size.toLong, ts.map(t => lr(t._2)).sum.toDouble / 1e8)
+    }.toMap
+    val got = graft.llm.TextAnalysis.dsirWeights(
+        docs, "doc_id", "text", isTarget = col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expect)
+    // the target doc's tokens are (mostly) target-distribution tokens:
+    // its weight must exceed the disjoint-vocabulary doc's
+    assert(got(1L)._2 > got(2L)._2)
+    // deterministic under repartitioning
+    val again = graft.llm.TextAnalysis.dsirWeights(
+        docs.repartition(5), "doc_id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(again === got)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
