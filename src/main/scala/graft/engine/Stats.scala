@@ -351,6 +351,26 @@ object Stats {
     * mad) table broadcasts back for the flag count. Inherits the exact
     * `percentile` memory trade-off documented in SCALING.md.
     * Output: groupCol, n, med, mad (8dp), n_outliers. */
+  /** Per-group winsorization: clip `valueCol` to its group's exact
+    * [lo, hi] percentiles — the outlier-TAMING twin of outlier flagging
+    * (regression/feature pipelines keep the row, bounded). One exact
+    * percentile aggregation (same `quantile_cont`-parity interpolation as
+    * [[madOutlierStats]], same documented multiset trade-off), the tiny
+    * per-group cut table broadcasts back, and the clip itself is map-only.
+    * Output: df's columns + `<valueCol>_wins`. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"winsorize: lo=$lo hi=$hi")
+    val base = df.withColumn("__x", col(valueCol).cast("double"))
+    val cuts = base.groupBy(col(groupCol))
+      .agg(percentile(col("__x"), lit(lo)).as("__lo"),
+        percentile(col("__x"), lit(hi)).as("__hi"))
+    base.join(broadcast(cuts), Seq(groupCol))
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col("__x"), col("__lo")), col("__hi")))
+      .drop("__x", "__lo", "__hi")
+  }
+
   def madOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {
     val base = df.select(col(groupCol), col(valueCol).cast("double").as("x"))

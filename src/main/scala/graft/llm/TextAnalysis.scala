@@ -93,6 +93,50 @@ object TextAnalysis {
       .drop("__a")
   }
 
+  /** Gopher quality rules (Rae et al. 2021, appendix A1.1): the composite
+    * document gate production corpora apply before anything expensive —
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * fraction of words containing a letter, and a minimum stop-word count.
+    * Words are whitespace tokens (Gopher filters on words, not the
+    * normalized LM tokens).
+    *
+    * Entirely MAP-ONLY (one projection, no shuffle, no state) — the gate
+    * runs at scan speed however large the corpus. All ratios are single
+    * IEEE divisions of exact integer counts, so `passes` is bit-stable
+    * on any engine/partitioning. Zero-word documents have no ratios and
+    * are absent from the output (they fail any word-count floor anyway).
+    * Output: idCol, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    * n_stop, passes. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 30, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= lit(""))
+    val nWords = size(col("__w")).cast("long")
+    val charSum = aggregate(transform(col("__w"), w => length(w)),
+      lit(0L), (acc, x) => acc + x)
+    val nSymbol = size(filter(col("__w"),
+      w => w.contains("#") || w.contains("...")))
+    val nAlpha = size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
+    val nStop = size(filter(col("__w"),
+      w => lower(w).isInCollection(stopwords)))
+    docs.select(col(idCol), words.as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col(idCol), nWords.as("n_words"),
+        (charSum.cast("double") / nWords.cast("double")).as("mean_word_len"),
+        (nSymbol.cast("double") / nWords.cast("double")).as("symbol_ratio"),
+        (nAlpha.cast("double") / nWords.cast("double")).as("alpha_frac"),
+        nStop.cast("long").as("n_stop"))
+      .withColumn("passes",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("n_stop") >= minStopwords)
+  }
+
   /** DSIR-style hashed importance weight (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score each document
     * by how much more likely its tokens are under a TARGET distribution

@@ -83,6 +83,32 @@ object StatsQueries {
         |GROUP BY d.l_returnflag, s.n, m.med, s.mad
         |ORDER BY l_returnflag""".stripMargin)),
 
+    // Per-group winsorization: values clipped to the exact group
+    // [p05, p95] — one percentile pass, broadcast cuts, map-only clip.
+    // Unrounded clipped doubles compare bit-equal because percentile /
+    // quantile_cont interpolate identically (q_impute_iqr precedent).
+    QuerySpec("q_winsorize", (s, dir) => {
+      Stats.winsorize(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+            "l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice_wins"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some(
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |         CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, quantile_cont(x, 0.05) AS lo,
+        |         quantile_cont(x, 0.95) AS hi
+        |  FROM b GROUP BY l_returnflag)
+        |SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag,
+        |       LEAST(GREATEST(b.x, c.lo), c.hi) AS l_extendedprice_wins
+        |FROM b JOIN c USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // A2/A3: IQR-conditional imputation — x1 takes the mean branch,
     // x2 the median branch (outliers beyond Q3 + 1.5·IQR).
     QuerySpec("q_impute_iqr", (s, dir) => {

@@ -408,6 +408,41 @@ object TextQueries {
         |WHERE substr(md5('wpps|' || CAST(doc_id AS VARCHAR)), 1, 8) < thr
         |ORDER BY doc_id""".stripMargin)),
 
+    // Gopher quality rules (Rae et al. 2021): the composite map-only
+    // document gate — word count, mean word length, symbol ratio,
+    // alphabetic-word fraction, stop-word floor. Ratios are single IEEE
+    // divisions of exact integer counts; the oracle replays every rule.
+    QuerySpec("q_gopher_rules", (s, dir) => {
+      TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |         CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+        |           / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+        |         CAST(len(list_filter(ws, x -> contains(x, '#')
+        |                                    OR contains(x, '...'))) AS DOUBLE)
+        |           / CAST(len(ws) AS DOUBLE) AS symbol_ratio,
+        |         CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |              AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS alpha_frac,
+        |         CAST(len(list_filter(ws, x ->
+        |                list_contains(['the','be','to','of','and','that',
+        |                               'have','with'], lower(x)))) AS BIGINT)
+        |           AS n_stop
+        |  FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+        |       (n_words >= 30 AND n_words <= 100000
+        |        AND mean_word_len >= CAST(3.0 AS DOUBLE)
+        |        AND mean_word_len <= CAST(10.0 AS DOUBLE)
+        |        AND symbol_ratio <= CAST(0.1 AS DOUBLE)
+        |        AND alpha_frac >= CAST(0.8 AS DOUBLE)
+        |        AND n_stop >= 2) AS passes
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
     // DSIR hashed importance weights: how much more "en-like" than
     // corpus-like each doc's tokens are — per-bucket target/source
     // log-ratio (8dp-pinned ln, exact 1e-8-grid sums), hashed-trick LMs

@@ -578,6 +578,42 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopher rules gate on every dimension; empty docs are absent") {
+    val good = ("word " * 15 + "the of and the " + "words " * 14).trim // 33 words
+    val docs = Seq(
+      (1L, good),                            // passes every rule
+      (2L, "the of and tiny"),               // too few words
+      (3L, good.replace("word", "####w")),   // symbol ratio too high
+      (4L, ("123 " * 20 + "the of and").trim), // alpha fraction too low
+      (5L, good.replace("the", "xxe").replace("of", "xf").replace("and", "nnd")),
+      (6L, ""))                              // empty → absent
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(6), r.getLong(5)))).toMap
+    assert(!got.contains(6L))
+    assert(got(1L)._2 === true)
+    assert(got(2L)._2 === false && got(2L)._1 === 4L)
+    assert(got(3L)._2 === false)
+    assert(got(4L)._2 === false)
+    assert(got(5L)._2 === false && got(5L)._3 === 0L) // no stopwords left
+  }
+
+  test("gopher ratios are exact integer-count divisions") {
+    val got = graft.llm.TextAnalysis.gopherRules(
+        Seq((9L, "ab# cdef 12 the")).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(got.getLong(1) === 4L)
+    assert(got.getDouble(2) === (3 + 4 + 2 + 3) / 4.0)  // mean word length
+    assert(got.getDouble(3) === 1 / 4.0)                // one '#' word
+    assert(got.getDouble(4) === 3 / 4.0)                // '12' has no letter
+    assert(got.getLong(5) === 1L)                       // 'the'
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
