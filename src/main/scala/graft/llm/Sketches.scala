@@ -192,6 +192,14 @@ object Sketches {
   def hllScalarBucket(v: String): Int =
     Integer.parseInt(md5Hex("hllb|" + v).substring(0, 2), 16) % HllBuckets
 
+  /** Scalar twin of [[cmsCounts]]' cell derivation (row r of the sketch):
+    * first md5 byte of "cms<r>|<v>" mod w — kept bit-identical to the
+    * Column form so the STREAMING window sketch
+    * ([[graft.streaming.EventStreams.cmsWindows]]) equals the batch
+    * sketch cell-for-cell on equal input. */
+  def cmsScalarCell(r: Int, v: String, w: Int): Int =
+    Integer.parseInt(md5Hex("cms" + r + "|" + v).substring(0, 2), 16) % w
+
   /** rho of a value: leading zero bits of the 64-bit "hllr|v" hash
     * prefix + 1, clamped to 48 (same clamp as the relational form). */
   def hllScalarRho(v: String): Int = {

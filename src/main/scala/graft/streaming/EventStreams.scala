@@ -298,4 +298,59 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class CmsWindow(window_start: Timestamp, r: Int, cell: Int,
+      cnt: Long)
+
+  /** Streaming Count-Min sketch per tumbling window: each open window
+    * holds exactly d·w long counters however many events stream through —
+    * the mergeable frequency state a monitoring pipeline keeps instead of
+    * per-key counts (whose state grows with key cardinality). Counter
+    * updates are ORDER-FREE integer increments, so the flushed cells are
+    * bit-equal to the batch sketch ([[graft.llm.Sketches.cmsCounts]]'
+    * internal aggregation — same md5 cell derivation via
+    * [[graft.llm.Sketches.cmsScalarCell]]) on equal input; StreamingSpec
+    * asserts cell-for-cell equality. The counted value is `user_id`
+    * (stringified, matching the batch cast); empty cells are not emitted,
+    * matching the batch groupBy. Downstream, the flushed (r, cell, cnt)
+    * rows answer point queries / heavy-hitters exactly like the batch
+    * probe side of cmsCounts. */
+  def cmsWindows(events: Dataset[Event], windowMs: Long, d: Int = 4,
+      w: Int = 128, watermarkDelay: String = "10 minutes"): Dataset[CmsWindow] = {
+    import events.sparkSession.implicits._
+    import graft.llm.Sketches
+    require(d >= 1 && w >= 1 && w <= 256 && 256 % w == 0,
+      s"cmsWindows: w must divide 256 (got d=$d, w=$w)")
+
+    def flush(winStartMs: Long, cnts: Array[Long]): Iterator[CmsWindow] =
+      cnts.indices.iterator.filter(cnts(_) > 0L).map { i =>
+        CmsWindow(new Timestamp(winStartMs), i / w, i % w, cnts(i))
+      }
+
+    def update(winStartMs: Long, rows: Iterator[Event],
+        state: GroupState[Array[Long]]): Iterator[CmsWindow] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.iterator.flatMap(flush(winStartMs, _))
+        state.remove()
+        return out
+      }
+      val cnts = state.getOption.getOrElse(new Array[Long](d * w))
+      rows.foreach { e =>
+        val v = e.user_id.toString
+        var r = 0
+        while (r < d) {
+          cnts(r * w + Sketches.cmsScalarCell(r, v, w)) += 1L
+          r += 1
+        }
+      }
+      state.update(cnts)
+      state.setTimeoutTimestamp(winStartMs + windowMs)
+      Iterator.empty
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -74,6 +74,54 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(streamed(1)._2 - 17.0) < 8.0)
   }
 
+  test("streaming windowed CMS cells equal the batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    // two 1-hour windows of skewed user traffic (ts ≥ 1 min: a row at
+    // exactly epoch 0 ties the initial watermark and is dropped as late —
+    // the standard watermark contract, not a sketch property)
+    val w1 = (1 to 60).map(u => Event(u.toLong, ts(1 + u % 50), (u % 7).toLong, "c", 0.0))
+    val w2 = (1 to 40).map(u => Event(100 + u.toLong, ts(60 + (u % 50)), (u % 5).toLong, "c", 0.0))
+    val closer = Event(999, ts(600), 1, "c", 0.0) // advances the watermark
+
+    val mem = MemoryStream[Event]
+    mem.addData(w1 ++ w2: _*)
+    val q = EventStreams.cmsWindows(mem.toDS(), windowMs = 3600000L,
+        d = 4, w = 128, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(closer)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("cms_out")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    // batch twin: the same cell derivation over the same rows per window
+    import org.apache.spark.sql.functions._
+    val batch = (w1 ++ w2).toDF()
+      .selectExpr(
+        "cast(floor(cast(ts as double) / 3600) * 3600000 as long) as win",
+        "cast(user_id as string) as value")
+      .select(col("win"), col("value"),
+        explode(array((0 until 4).map(lit): _*)).as("r"))
+      .withColumn("cell", pmod(
+        conv(substring(md5(concat(lit("cms"), col("r").cast("string"),
+          lit("|"), col("value"))), 1, 2), 16, 10).cast("int"), lit(128)))
+      .groupBy("win", "r", "cell").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(streamed === batch)
+    // sanity: a known heavy user's point estimate upper-bounds its truth
+    val u3w1 = (1 to 60).count(_ % 7 == 3) // true count of user 3 in window 1
+    val est = (0 until 4).map { r =>
+      streamed((0L, r, graft.llm.Sketches.cmsScalarCell(r, "3", 128)))
+    }.min
+    assert(est >= u3w1)
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
