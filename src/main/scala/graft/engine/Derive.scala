@@ -49,4 +49,16 @@ object Derive {
   /** E11 (`extract.py:579`, `transform.py:371`): literal batch-id stamp. */
   def withBatchId(df: DataFrame, batchId: String): DataFrame =
     df.withColumn("batch_id", lit(batchId))
+
+  /** Wide→long reshape (pandas `melt` — the dual of pivot): one output
+    * row per (id row, value column). Spark's native `unpivot` plans this
+    * as a single map-only Expand (no shuffle, no UNION of self-scans —
+    * one pass over the input however many columns melt). Value columns
+    * must share a type; numeric inputs are cast to double here. */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+      varName: String = "variable", valueName: String = "value"): DataFrame =
+    df.select(idCols.map(col) ++
+        valueCols.map(c => col(c).cast("double").as(c)): _*)
+      .unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+        varName, valueName)
 }

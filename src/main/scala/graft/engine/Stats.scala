@@ -351,6 +351,60 @@ object Stats {
     * mad) table broadcasts back for the flag count. Inherits the exact
     * `percentile` memory trade-off documented in SCALING.md.
     * Output: groupCol, n, med, mad (8dp), n_outliers. */
+  /** Per-group mode (most frequent value, ties to the smallest value):
+    * one (group, value) count aggregation with map-side partials, then an
+    * argmax folded into a single `max(struct(cnt, negOrd))`-style
+    * aggregate — here `min(struct(-cnt, value))`, so no window sort and
+    * the shuffle carries one row per distinct (group, value).
+    * Output: groupCol, mode_value, mode_count. */
+  def groupMode(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(groupCol))
+      .agg(min(struct((-col("cnt")).as("nc"), col(valueCol).as("v"))).as("b"))
+      .select(col(groupCol), col("b.v").as("mode_value"),
+        (-col("b.nc")).as("mode_count"))
+
+  /** Shannon entropy of a category distribution per group,
+    * H = −Σ p·ln p. Each ln(c/n) rounds to 8 dp (the engine's libm-ulp
+    * pin), is weighted by the EXACT integer count c, summed in exact
+    * 1e-8-grid integers, and divided by n once at the end — deterministic
+    * under any partitioning. Two count aggregations (category, then
+    * group), both with map-side partials.
+    * Output: groupCol, n, n_categories, entropy. */
+  def categoryEntropy(df: DataFrame, groupCol: String,
+      categoryCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(categoryCol))
+      .agg(count(lit(1)).as("c"))
+    val n = counts.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_categories"))
+    val lnp = round(log(col("c").cast("double") / col("n").cast("double")), 8)
+      .cast("decimal(20,8)")
+    counts.join(n, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("n_categories"),
+        ((lnp * lit(-100000000L)).cast("long") * col("c")).as("term"))
+      .groupBy(col(groupCol), col("n"), col("n_categories"))
+      .agg(sum(col("term")).as("t"))
+      .select(col(groupCol), col("n"), col("n_categories"),
+        (col("t").cast("double") / lit(100000000.0) /
+          col("n").cast("double")).as("entropy"))
+  }
+
+  /** Herfindahl–Hirschman concentration index per group over a key's
+    * share of rows: HHI = Σ_k (c_k/n)² — computed as the EXACT integer
+    * Σc² divided once by n² (a per-share float sum would be
+    * partition-order-dependent). 1/HHI is the "effective number of
+    * contributors" — the skew diagnostic for partitioning keys.
+    * Output: groupCol, n, hhi. */
+  def hhi(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("c2"))
+      .select(col(groupCol), col("n"),
+        (col("c2").cast("double") /
+          (col("n") * col("n")).cast("double")).as("hhi"))
+
   /** Per-group winsorization: clip `valueCol` to its group's exact
     * [lo, hi] percentiles — the outlier-TAMING twin of outlier flagging
     * (regression/feature pipelines keep the row, bounded). One exact

@@ -398,6 +398,85 @@ object AnalyticsQueries {
         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT event_id, user_id, make_timestamp(us) AS ts,
         |       s.pid AS matched_purchase_id, s.val AS matched_value
-        |FROM m WHERE side = 0 ORDER BY event_id""".stripMargin))
+        |FROM m WHERE side = 0 ORDER BY event_id""".stripMargin)),
+
+    // Per-group mode: most frequent value, ties to the smallest — one
+    // count aggregation + a min(struct) argmax, no window sort.
+    QuerySpec("q_group_mode", (s, dir) => {
+      graft.engine.Stats.groupMode(t(s, dir, "orders"),
+          "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderstatus")
+    }, Some(
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY cnt DESC, o_orderpriority) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_value, cnt AS mode_count
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Shannon entropy of each user's event-type distribution: 8dp-pinned
+    // ln weighted by exact counts, summed on the 1e-8 integer grid.
+    QuerySpec("q_category_entropy", (s, dir) => {
+      graft.engine.Stats.categoryEntropy(events(s, dir),
+          "user_id", "event_type")
+        .orderBy("user_id")
+    }, Some(
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |n AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |         COUNT(*) AS n_categories
+        |  FROM c GROUP BY user_id),
+        |t AS (
+        |  SELECT c.user_id, n.n, n.n_categories,
+        |         CAST(CAST(ROUND(ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)),
+        |                         8) AS DECIMAL(20,8)) * -100000000 AS BIGINT)
+        |           * c.c AS term
+        |  FROM c JOIN n USING (user_id))
+        |SELECT user_id, n, n_categories,
+        |       CAST(SUM(term) AS DOUBLE) / 100000000.0 / CAST(n AS DOUBLE)
+        |         AS entropy
+        |FROM t GROUP BY user_id, n, n_categories
+        |ORDER BY user_id""".stripMargin)),
+
+    // Herfindahl–Hirschman concentration of supplier share per return
+    // flag: exact integer sum-of-squares over one division — the skew
+    // diagnostic for a join/partition key.
+    QuerySpec("q_hhi", (s, dir) => {
+      graft.engine.Stats.hhi(t(s, dir, "lineitem"),
+          "l_returnflag", "l_suppkey")
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH c AS (
+        |  SELECT l_returnflag, l_suppkey, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n,
+        |       CAST(SUM(c * c) AS DOUBLE)
+        |         / CAST(SUM(c) * SUM(c) AS DOUBLE) AS hhi
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Wide→long reshape (pandas melt): Spark's unpivot plans ONE map-only
+    // Expand — no shuffle, no unioned self-scans. The oracle is the
+    // equivalent UNION ALL.
+    QuerySpec("q_melt", (s, dir) => {
+      graft.engine.Derive.melt(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("l_orderkey", "l_linenumber", "variable")
+    }, Some(
+      """SELECT l_orderkey, l_linenumber, v AS variable,
+        |       CASE v WHEN 'l_quantity' THEN CAST(l_quantity AS DOUBLE)
+        |              WHEN 'l_extendedprice' THEN CAST(l_extendedprice AS DOUBLE)
+        |              WHEN 'l_discount' THEN CAST(l_discount AS DOUBLE)
+        |              ELSE CAST(l_tax AS DOUBLE) END AS value
+        |FROM lineitem
+        |CROSS JOIN (SELECT unnest(['l_quantity', 'l_extendedprice',
+        |                           'l_discount', 'l_tax']) AS v)
+        |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin))
   )
 }

@@ -250,4 +250,25 @@ class PlanSpec extends SparkSpec {
     // the window's exchange partitions on the 16-byte derived key
     assert(plan.contains("hashpartitioning(__key"), plan)
   }
+
+  test("melt plans one map-only Expand: no shuffle, no unioned self-scans") {
+    val df = graft.engine.Derive.melt(Tables.load(spark, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val plan = planString(df)
+    assert("Expand".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert("FileScan|Scan parquet".r.findAllIn(plan).length === 1, plan)
+  }
+
+  test("PQ codebook and ADC LUT ride broadcasts; argmin is an aggregate") {
+    val df = graft.llm.Similarity.pqAdcTopK(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      m = 8, ksub = 16, queryIds = Seq(20L, 21L, 22L), k = 5)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // no window sort anywhere: subspace argmin and top-k are aggregates
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
 }
