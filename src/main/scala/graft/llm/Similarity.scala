@@ -164,8 +164,12 @@ object Similarity {
     * k-means centroids into the same cell-assignment plan. Assignment ties
     * break on centroid id, so cells are reproducible bit-for-bit.
     * Output: id1, id2, cos ≥ minCos. */
-  def ivfPairs(emb: DataFrame, idCol: String, vecCol: String,
-      numCells: Int, minCos: Double): DataFrame = {
+  /** IVF cell assignment shared by [[ivfPairs]] and [[pqIvfTopK]]:
+    * centroids are the `numCells` lowest-id vectors (broadcast), each
+    * vector routes to its highest-cosine centroid, ties to the smallest
+    * centroid id. Output: id, v, n2, cell. */
+  def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
+      numCells: Int): DataFrame = {
     DotProduct.register(emb.sparkSession)
     val withNorm = emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
@@ -174,11 +178,17 @@ object Similarity {
     val score = cosine(col("v"), col("n2"), col("cv"), col("cn2"))
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("cid").asc)
-    val cells = withNorm.crossJoin(centroids)
+    withNorm.crossJoin(centroids)
       .withColumn("score", score)
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("id"), col("v"), col("n2"), col("cid").as("cell"))
+  }
+
+  def ivfPairs(emb: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, minCos: Double): DataFrame = {
+    DotProduct.register(emb.sparkSession)
+    val cells = ivfCells(emb, idCol, vecCol, numCells)
     val a = cells.toDF("id1", "v1", "n21", "cell")
     val b = cells.toDF("id2", "v2", "n22", "cell")
     val cos = cosine(col("v1"), col("n21"), col("v2"), col("n22"))
@@ -469,6 +479,55 @@ object Similarity {
         .agg(sum(diff * diff).as("ld2")))
     codes.join(lut, Seq("s", "code"))
       .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("ld2")).as("d2"))
+      .select(col("qid"), (-col("d2").cast("double")).as("score"), col("id"))
+      .groupBy(col("qid"))
+      .agg(TopK.topKByScore(col("score"), col("id"), lit(k)).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("t.score")).cast("long").as("d2"))
+  }
+
+  /** IVF-PQ: the composed production ANN shape (route, then compress) —
+    * vectors route to IVF cells ([[ivfCells]]), and within the query's
+    * cell (nprobe = 1, same recall contract as [[ivfPairs]]) candidates
+    * rank by PQ asymmetric distance ([[pqAdcTopK]]'s LUT), never by the
+    * raw floats. At 100 TB this is the FAISS IVFADC layout: the cell
+    * prunes the scan to 1/numCells of the corpus, the codes shrink what
+    * remains ~32×, and only the returned top-k would fetch full vectors
+    * for re-ranking. Broadcasts: centroids (route), codebook, per-query
+    * LUT, query-cell table — all tiny; nothing quadratic anywhere.
+    * Output: query_id, neighbor_id, rank, d2. */
+  def pqIvfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, m: Int, ksub: Int, queryIds: Seq[Long], k: Int,
+      scaleBits: Int = 20): DataFrame = {
+    require(k >= 1 && queryIds.nonEmpty, s"pqIvfTopK: k=$k queries=$queryIds")
+    TopK.register(emb.sparkSession)
+    val cells = ivfCells(emb, idCol, vecCol, numCells)
+      .select(col("id"), col("cell"))
+    val vx = pqVx(emb, idCol, vecCol, m, scaleBits)
+    val cb = broadcast(pqCodebook(vx, ksub))
+    val diff = col("xi") - col("ci")
+    val codes = vx.join(cb, Seq("s", "j"))
+      .groupBy(col("id"), col("s"), col("code"))
+      .agg(sum(diff * diff).as("d2"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("id"), col("s"), col("b.code").as("code"))
+    val qcells = broadcast(cells.filter(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("cell")))
+    val lut = broadcast(
+      vx.filter(col("id").isInCollection(queryIds))
+        .select(col("id").as("qid"), col("s"), col("j"), col("xi"))
+        .join(cb, Seq("s", "j"))
+        .groupBy(col("qid"), col("s"), col("code"))
+        .agg(sum(diff * diff).as("ld2")))
+    codes.join(cells, Seq("id"))
+      .join(qcells, Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .join(lut, Seq("qid", "s", "code"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("ld2")).as("d2"))
       .select(col("qid"), (-col("d2").cast("double")).as("score"), col("id"))

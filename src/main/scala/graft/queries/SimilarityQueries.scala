@@ -345,6 +345,50 @@ object SimilarityQueries {
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF-PQ (FAISS IVFADC layout): route to the cosine-nearest IVF cell,
+    // rank the cell's candidates by PQ asymmetric distance — cell prunes
+    // the scan, codes shrink the rest ~32×. The oracle chains the IVF
+    // assignment CTE with the PQ CTE verbatim.
+    QuerySpec("q_ivf_pq", (s, dir) => {
+      Similarity.pqIvfTopK(emb(s, dir), "vec_id", "embedding",
+          numCells = 16, m = 8, ksub = 16, queryIds = Seq(20L, 21L, 22L), k = 5)
+        .orderBy("query_id", "rank")
+    }, Some(
+      s"""WITH $normCte,
+        |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.vec_id AS id, cent.cid AS cell,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY ${dotSql("n.v", "cent.cv")} / SQRT(n.n2 * cent.cn2) DESC,
+        |                      cent.cid ASC) AS rn
+        |    FROM n CROSS JOIN cent) t
+        |  WHERE rn = 1),
+        |$pqCte,
+        |qc AS (SELECT id AS qid, cell FROM assign WHERE id IN (20, 21, 22)),
+        |q AS (
+        |  SELECT vec_id AS qid, s, j, xi FROM vx WHERE vec_id IN (20, 21, 22)),
+        |lut AS (
+        |  SELECT q.qid, q.s, cb.code,
+        |         CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS ld2
+        |  FROM q JOIN cb ON q.s = cb.s AND q.j = cb.j
+        |  GROUP BY q.qid, q.s, cb.code),
+        |adc AS (
+        |  SELECT qc.qid, a.vec_id, CAST(SUM(l.ld2) AS BIGINT) AS d2
+        |  FROM a JOIN assign av ON av.id = a.vec_id
+        |  JOIN qc ON qc.cell = av.cell AND a.vec_id <> qc.qid
+        |  JOIN lut l ON l.qid = qc.qid AND l.s = a.s AND l.code = a.code
+        |  GROUP BY qc.qid, a.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY d2, vec_id) AS rank
+        |  FROM adc)
+        |SELECT qid AS query_id, vec_id AS neighbor_id,
+        |       CAST(rank AS INT) AS rank, d2
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // SemDeDup (cluster-then-compare semantic dedup): k-means cells from
     // the same deterministic Lloyd unroll, exact cosine only WITHIN each
     // cell, drop-the-higher-id greedy rule. The oracle reuses the k-means

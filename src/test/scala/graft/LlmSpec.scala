@@ -501,6 +501,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).toSeq === Seq(1, 2, 3))
   }
 
+  test("IVF-PQ: candidates confined to the query's cell, ranked by ADC") {
+    // 6 vectors, 2 cells (centroids = ids 0, 1); dim 4, m = 2, ksub = 2
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),   // centroid/codebook 0
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),   // centroid/codebook 1
+      (2L, Array(0.9f, 0.1f, 0.2f, 0.8f)),   // cell 0 (query)
+      (3L, Array(0.8f, 0.2f, 0.1f, 0.9f)),   // cell 0
+      (4L, Array(0.1f, 0.9f, 0.8f, 0.2f)),   // cell 1
+      (5L, Array(0.2f, 0.8f, 0.9f, 0.1f)))   // cell 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqIvfTopK(df, "vec_id", "embedding", numCells = 2,
+        m = 2, ksub = 2, queryIds = Seq(2L), k = 5)
+      .orderBy("rank").collect().map(r => r.getLong(1))
+    // only cell-0 residents are candidates: ids 0 and 3; never 1/4/5
+    assert(got.toSet === Set(0L, 3L))
+    // ADC distances agree with the flat-PQ path restricted to the cell
+    val flat = Similarity.pqAdcTopK(df, "vec_id", "embedding", m = 2,
+        ksub = 2, queryIds = Seq(2L), k = 5)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val ivf = Similarity.pqIvfTopK(df, "vec_id", "embedding", 2, 2, 2,
+        Seq(2L), 5).collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(ivf === flat.view.filterKeys(Set(0L, 3L)).toMap)
+  }
+
   test("label centroids: exact fixed-point means per (label, dim)") {
     val df = Seq(
       (0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)), // label 0: mean (2, 4)
