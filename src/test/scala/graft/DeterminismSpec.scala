@@ -11,7 +11,11 @@ class DeterminismSpec extends SparkSpec {
     "q_cosine_topk", "q_minhash_lsh", "q_impute_iqr",
     // round-2 ops whose determinism rests on md5 ordering / exact
     // fixed-point sums / window cumsums
-    "q_pack_sequences", "q_rand_proj", "q_mix_counts", "q_boilerplate")
+    "q_pack_sequences", "q_rand_proj", "q_mix_counts", "q_boilerplate",
+    // round-2 session-3 ops: PQ argmin/ADC ties, PPS thresholds, 8dp-ln
+    // grids, percentile cuts, struct-argmax, RIFF byte parsing
+    "q_pq_codes", "q_ivf_pq", "q_weighted_sample", "q_dsir_weights",
+    "q_winsorize", "q_group_mode", "q_category_entropy", "q_audio_meta")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
