@@ -272,4 +272,43 @@ object Sketches {
         round((col("bin") + 1).cast("double") * lit(binWidth), 8).as("est"),
         col("n"))
   }
+
+  /** Histogram-sketch MERGEABILITY, proven end-to-end (the quantile
+    * counterpart of [[hllMergeAll]]): per-group (bin, cnt) histograms —
+    * the stored sketch states — merge by plain SUM per bin, with no
+    * rescan of the data; the quantile estimates read off the MERGED
+    * histogram must equal the estimates from a DIRECT global histogram.
+    * Exact integer counts make the merge lossless by construction, and
+    * the oracle derives both paths so the hash compare pins
+    * merged == direct in both engines.
+    *
+    * Scale: the merge input is sketch-size (groups × occupied bins), so
+    * the single-partition cumulative window is over histogram cells,
+    * never rows — the two-level rollup shape (per-partition sketches
+    * rolled into a corpus summary without touching the corpus again).
+    * Output: q, n, merged_est, direct_est. */
+  def binQuantileMerge(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Double, qs: Seq[Double]): DataFrame = {
+    require(binWidth > 0 && qs.nonEmpty, s"binQuantileMerge: w=$binWidth qs=$qs")
+    val bin = floor(col(valueCol).cast("double") / lit(binWidth)).cast("long")
+    def histQuantiles(hist: DataFrame, estName: String): DataFrame = {
+      val total = hist.agg(sum(col("cnt")).as("n"))
+      hist.crossJoin(broadcast(total))
+        .withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+        .withColumn("q", explode(array(qs.map(lit): _*)))
+        .filter(col("cum") >= ceil(col("q") * col("n")))
+        .groupBy(col("q"), col("n"))
+        .agg(min("bin").as("bin"))
+        .select(col("q"), col("n"),
+          round((col("bin") + 1).cast("double") * lit(binWidth), 8).as(estName))
+    }
+    val perGroup = df.select(col(groupCol), bin.as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("cnt"))
+    val merged = perGroup.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val direct = df.select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    histQuantiles(merged, "merged_est")
+      .join(histQuantiles(direct, "direct_est"), Seq("q", "n"))
+      .select(col("q"), col("n"), col("merged_est"), col("direct_est"))
+  }
 }

@@ -93,6 +93,35 @@ object TextAnalysis {
       .drop("__a")
   }
 
+  /** Out-of-vocabulary rate per document against the corpus' own
+    * frequency-thresholded vocabulary (tokens with corpus count ≥
+    * `minCount`): the tokenizer-coverage diagnostic a training pipeline
+    * runs before committing to a vocab — docs with high OOV under the
+    * production vocab are mis-tokenized (wrong language, encoding damage,
+    * code-as-prose).
+    *
+    * Scale shape: ONE vocabulary count aggregation, then a token→vocab
+    * equi-join (the vocab side broadcasts when small but is NOT hinted —
+    * a web-scale vocabulary must stay a shuffle join, same convention as
+    * [[unigramLogProb]]) and a doc-keyed aggregation. The rate is one
+    * IEEE division of exact counts. Zero-token docs are absent.
+    * Output: idCol, n_tokens, n_oov, oov_rate. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount")
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("token"), lit(1).as("__v"))
+    toks.join(vocab, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Gopher quality rules (Rae et al. 2021, appendix A1.1): the composite
     * document gate production corpora apply before anything expensive —
     * word-count bounds, mean-word-length bounds, symbol-to-word ratio,

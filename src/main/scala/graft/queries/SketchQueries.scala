@@ -203,6 +203,44 @@ object SketchQueries {
         |FROM cand GROUP BY l_returnflag, q, n
         |ORDER BY l_returnflag, q""".stripMargin)),
 
+    // Histogram-sketch merge, proven end-to-end (quantile counterpart of
+    // q_hll_merge): per-event-type (bin, cnt) states merged by SUM — no
+    // rescan — must yield the same quantile estimates as the direct
+    // global histogram; the oracle derives both paths.
+    QuerySpec("q_bin_quantile_merge", (s, dir) => {
+      Sketches.binQuantileMerge(Tables.events(s, dir), "event_type",
+          "value", binWidth = 5.0, qs = Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }, Some(
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(FLOOR(CAST(value AS DOUBLE) / CAST(5.0 AS DOUBLE))
+        |              AS BIGINT) AS bin
+        |  FROM events),
+        |pg AS (SELECT event_type, bin, COUNT(*) AS cnt
+        |       FROM b GROUP BY event_type, bin),
+        |mrg AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |        FROM pg GROUP BY bin),
+        |dct AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+        |qx AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |mc AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+        |              SUM(cnt) OVER () AS n FROM mrg),
+        |dc AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+        |              SUM(cnt) OVER () AS n FROM dct),
+        |mq AS (
+        |  SELECT q, CAST(n AS BIGINT) AS n,
+        |         ROUND(CAST(MIN(bin) + 1 AS DOUBLE) * CAST(5.0 AS DOUBLE), 8)
+        |           AS merged_est
+        |  FROM mc CROSS JOIN qx WHERE cum >= CEIL(q * n) GROUP BY q, n),
+        |dq AS (
+        |  SELECT q, CAST(n AS BIGINT) AS n,
+        |         ROUND(CAST(MIN(bin) + 1 AS DOUBLE) * CAST(5.0 AS DOUBLE), 8)
+        |           AS direct_est
+        |  FROM dc CROSS JOIN qx WHERE cum >= CEIL(q * n) GROUP BY q, n)
+        |SELECT mq.q, mq.n, mq.merged_est, dq.direct_est
+        |FROM mq JOIN dq ON mq.q = dq.q AND mq.n = dq.n
+        |ORDER BY mq.q""".stripMargin)),
+
     // Gram/covariance matrix of the embedding corpus (64×64 upper
     // triangle) via the native map-side-combining CovSums aggregate; the
     // oracle replays the identical fixed-point sums relationally.

@@ -408,6 +408,29 @@ object TextQueries {
         |WHERE substr(md5('wpps|' || CAST(doc_id AS VARCHAR)), 1, 8) < thr
         |ORDER BY doc_id""".stripMargin)),
 
+    // Out-of-vocabulary rate vs the corpus' frequency-thresholded vocab
+    // (count ≥ 5): tokenizer-coverage diagnostic; one vocab aggregation +
+    // a left join + per-doc exact-count rate.
+    QuerySpec("q_oov_rate", (s, dir) => {
+      TextAnalysis.oovRate(docs(s, dir), "doc_id", "text", minCount = 5L)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token FROM tk GROUP BY token HAVING COUNT(*) >= 5),
+        |j AS (
+        |  SELECT tk.doc_id, (v.token IS NULL) AS oov
+        |  FROM tk LEFT JOIN v USING (token))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Gopher quality rules (Rae et al. 2021): the composite map-only
     // document gate — word count, mean word length, symbol ratio,
     // alphabetic-word fraction, stop-word floor. Ratios are single IEEE

@@ -626,6 +626,20 @@ class GopherRulesSpec extends SparkSpec {
     assert(got(5L)._2 === false && got(5L)._3 === 0L) // no stopwords left
   }
 
+  test("oovRate counts tokens under the frequency-thresholded vocab") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),   // cat in vocab (3 ≥ 3); dog not (1)
+      (2L, "cat rare rare"),     // rare has count 2 < 3
+      (3L, "")) // zero tokens → absent
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.oovRate(docs, "doc_id", "text", minCount = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((4L, 1L, 0.25)),
+      2L -> ((3L, 2L, 2.0 / 3.0))))
+  }
+
   test("gopher ratios are exact integer-count divisions") {
     val got = graft.llm.TextAnalysis.gopherRules(
         Seq((9L, "ab# cdef 12 the")).toDF("doc_id", "text"), "doc_id", "text")

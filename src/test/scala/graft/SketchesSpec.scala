@@ -137,6 +137,25 @@ class SketchesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("binQuantileMerge: merged per-group histograms equal the direct sketch") {
+    // skewed groups: merge must be lossless (exact integer counts)
+    val vals = ((1 to 5000).map(i => ("a", i.toDouble)) ++
+      (1 to 200).map(i => ("b", (i * 31 % 500).toDouble)) ++
+      (1 to 7).map(i => ("c", 9999.0))).toDF("g", "v")
+    val out = Sketches.binQuantileMerge(vals, "g", "v", binWidth = 50.0,
+      qs = Seq(0.5, 0.9, 0.99)).orderBy("q").collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Double]("merged_est") === r.getAs[Double]("direct_est"),
+        s"q=${r.getAs[Double]("q")}")
+      assert(r.getAs[Long]("n") === 5207L)
+    }
+    // and invariant under partitioning
+    val again = Sketches.binQuantileMerge(vals.repartition(13), "g", "v",
+      50.0, Seq(0.5, 0.9, 0.99)).orderBy("q").collect()
+    assert(again.map(_.toString).toSeq === out.map(_.toString).toSeq)
+  }
+
   // ---- PCA ----
 
   test("pca: power iteration recovers a dominant planted direction") {
