@@ -400,10 +400,16 @@ object Stats {
     df.groupBy(col(groupCol), col(keyCol))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(groupCol))
-      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("c2"))
+      // Σc² in DECIMAL(38): c² as a long wraps past c ≈ 3·10⁹ rows per
+      // key and the long SUM past extreme skew; n² likewise computes as
+      // double·double (n itself fits a long, its square may not). Both
+      // engines then round the same exact integers once → bit-equal.
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("c2"))
       .select(col(groupCol), col("n"),
         (col("c2").cast("double") /
-          (col("n") * col("n")).cast("double")).as("hhi"))
+          (col("n").cast("double") * col("n").cast("double"))).as("hhi"))
 
   /** Per-group winsorization: clip `valueCol` to its group's exact
     * [lo, hi] percentiles — the outlier-TAMING twin of outlier flagging

@@ -179,8 +179,13 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       budget: Long, seed: String = "wpps"): DataFrame = {
     require(budget >= 0, s"budget=$budget")
-    val total = df.agg(sum(col(weightCol).cast("long")).as("__wtot"))
-    val rate = lit(budget).cast("double") * col(weightCol).cast("double") /
+    // INTEGER-weight contract (scale fractional scores to fixed point
+    // first, as temperatureMix does): the long cast is applied to BOTH
+    // the total and the per-row rate so a fractional weight column can't
+    // make the two sides disagree about what a weight is
+    val w = col(weightCol).cast("long")
+    val total = df.agg(sum(w).as("__wtot"))
+    val rate = lit(budget).cast("double") * w.cast("double") /
       col("__wtot").cast("double")
     val thr = when(rate >= 1.0, lit("g"))
       .otherwise(lower(lpad(hex(

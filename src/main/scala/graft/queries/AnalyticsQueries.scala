@@ -457,7 +457,7 @@ object AnalyticsQueries {
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n,
         |       CAST(SUM(c * c) AS DOUBLE)
-        |         / CAST(SUM(c) * SUM(c) AS DOUBLE) AS hhi
+        |         / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS hhi
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Wide→long reshape (pandas melt): Spark's unpivot plans ONE map-only
