@@ -231,10 +231,101 @@ object Multimodal {
     bb.array()
   }
 
+  /** Video container facts from an MP4/ISO-BMFF payload: major brand +
+    * movie-header timescale/duration. duration_ms is the exact integer
+    * floor of duration·1000/timescale. */
+  final case class VideoMeta(id: Long, brand: String, timescale: Long,
+      duration: Long, duration_ms: Long)
+
+  /** REAL video CONTAINER parse (MP4/ISO-BMFF — box walking is pure byte
+    * arithmetic, like the RIFF walk of [[decodeWav]]; only frame DECODING
+    * needs a codec and stays on [[decodeStub]]): walks the top-level box
+    * list big-endian, reads the `ftyp` major brand and the `moov/mvhd`
+    * movie header (version 0 and 1 layouts). Unknown boxes (free, mdat,
+    * …) are skipped via their declared size. */
+  def decodeMp4(r: MediaRecord): VideoMeta = {
+    val b = r.payload
+    val bb = java.nio.ByteBuffer.wrap(b) // ISO-BMFF is big-endian
+    var pos = 0
+    var brand: String = null
+    var timescale = 0L
+    var duration = -1L
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val size = bb.getInt(p).toLong & 0xffffffffL
+        val tpe = tag(b, p + 4)
+        require(size >= 8 && p + size <= to,
+          s"bad box '$tpe' (size=$size) in MP4 payload for id=${r.id}")
+        tpe match {
+          case "ftyp" if depth == 0 =>
+            require(size >= 12, s"short ftyp for id=${r.id}")
+            brand = tag(b, p + 8)
+          case "moov" if depth == 0 =>
+            walk(p + 8, (p + size).toInt, depth + 1)
+          case "mvhd" if depth == 1 =>
+            val v = b(p + 8) & 0xff
+            if (v == 0) {
+              timescale = bb.getInt(p + 20).toLong & 0xffffffffL
+              duration = bb.getInt(p + 24).toLong & 0xffffffffL
+            } else {
+              timescale = bb.getInt(p + 28).toLong & 0xffffffffL
+              duration = bb.getLong(p + 32)
+            }
+          case _ => () // free/mdat/trak/…: skip by declared size
+        }
+        p += size.toInt
+      }
+    }
+    require(b.length >= 8, s"not an MP4 payload for id=${r.id}")
+    walk(0, b.length, 0)
+    require(brand != null, s"MP4 payload without ftyp for id=${r.id}")
+    require(duration >= 0 && timescale > 0,
+      s"MP4 payload without moov/mvhd for id=${r.id}")
+    VideoMeta(r.id, brand, timescale, duration,
+      Math.floorDiv(duration * 1000L, timescale))
+  }
+
+  /** Batched per-partition MP4 container parse — same `mapPartitions`
+    * shape as [[imageFeatures]]/[[audioFeatures]]. */
+  def videoMeta(ds: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeMp4))
+  }
+
+  /** Deterministic MP4 generator (encode side of the box round-trip, used
+    * by tests and the oracle-checked q_video_meta): ftyp(isom) + an
+    * odd-sized free box + moov/mvhd(v0) whose header fields are pure
+    * functions of `id` —
+    *   timescale = 1000 + (id mod 5)·500,
+    *   duration  = 2000 + (id mod 977)·3
+    * — so brand, timescale, duration and duration_ms are SQL-expressible
+    * facts an oracle can recompute without parsing anything. */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    val timescale = (1000 + Math.floorMod(id, 5L) * 500).toInt
+    val duration = (2000 + Math.floorMod(id, 977L) * 3).toInt
+    val freeLen = 8 + Math.floorMod(id, 3L).toInt // exercise odd box sizes
+    val mvhdSize = 108
+    val moovSize = 8 + mvhdSize
+    val bb = java.nio.ByteBuffer.allocate(16 + freeLen + moovSize)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(freeLen).put("free".getBytes("US-ASCII"))
+      .put(new Array[Byte](freeLen - 8))
+    bb.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    bb.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)          // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(duration)
+    // rate/volume/reserved/matrix/predefined/next-track: zero tail
+    bb.array()
+  }
+
   /** STUB decode — deterministic fake features, used for the kinds this
-    * container genuinely cannot decode (video; images go through the real
-    * [[decodeImage]], WAV audio through [[decodeWav]]). Rolling-hash
-    * checksum + first-4-bytes "feature". */
+    * container genuinely cannot decode (video FRAMES; container metadata
+    * goes through the real [[decodeMp4]], images through [[decodeImage]],
+    * WAV audio through [[decodeWav]]). Rolling-hash checksum +
+    * first-4-bytes "feature". */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     var h = 0L
     var i = 0

@@ -388,6 +388,29 @@ object EventQueries {
         |       CAST(sum(a) AS DOUBLE) / n AS mean_abs,
         |       CAST(max(a) AS INT) AS peak
         |FROM samp GROUP BY doc_id, sample_rate, n
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // REAL video CONTAINER parse (MP4/ISO-BMFF box walk — pure byte
+    // arithmetic like the WAV RIFF walk; only frame decoding needs a
+    // codec and stays on the stub): ftyp brand + moov/mvhd
+    // timescale/duration, generated deterministically per doc_id and
+    // recomputed arithmetically by the oracle.
+    QuerySpec("q_video_meta", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "video/mp4",
+          Multimodal.syntheticMp4(id)))
+      Multimodal.videoMeta(recs).toDF()
+        .select(col("id").as("doc_id"), col("brand"), col("timescale"),
+          col("duration"), col("duration_ms"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, 'isom' AS brand,
+        |       CAST(1000 + (doc_id % 5) * 500 AS BIGINT) AS timescale,
+        |       CAST(2000 + (doc_id % 977) * 3 AS BIGINT) AS duration,
+        |       (CAST(2000 + (doc_id % 977) * 3 AS BIGINT) * 1000)
+        |         // CAST(1000 + (doc_id % 5) * 500 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -995,6 +995,42 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(13L).sample_rate === 10000 && metas(13L).n_samples === (16 + 13 % 17).toLong)
   }
 
+  test("mp4 parse: synthetic box round-trip recovers brand and mvhd fields") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 100000L)) {
+      val m = Multimodal.decodeMp4(
+        Multimodal.MediaRecord(id, "video/mp4", Multimodal.syntheticMp4(id)))
+      assert(m.brand === "isom", s"id=$id")
+      assert(m.timescale === 1000 + (id % 5) * 500, s"id=$id")
+      assert(m.duration === 2000 + (id % 977) * 3, s"id=$id")
+      assert(m.duration_ms === m.duration * 1000 / m.timescale, s"id=$id")
+    }
+  }
+
+  test("mp4 parse: mvhd version 1 layout, truncated boxes rejected") {
+    // hand-build ftyp + moov/mvhd(v1): 64-bit creation/modification/duration
+    val mvhdSize = 120
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + mvhdSize)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("mp42".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(8 + mvhdSize).put("moov".getBytes("US-ASCII"))
+    bb.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0x01000000)       // version 1
+      .putLong(0L).putLong(0L)  // creation, modification (64-bit)
+      .putInt(48000).putLong(96000L)
+    val m = Multimodal.decodeMp4(
+      Multimodal.MediaRecord(1L, "video/mp4", bb.array()))
+    assert(m.brand === "mp42" && m.timescale === 48000L)
+    assert(m.duration === 96000L && m.duration_ms === 2000L)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMp4(Multimodal.MediaRecord(2L, "video/mp4",
+        Multimodal.syntheticMp4(2L).take(40))) // truncated moov
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMp4(Multimodal.MediaRecord(3L, "video/mp4",
+        Array[Byte](1, 2, 3))) // not a box structure at all
+    }
+  }
+
   test("frame sampling stub keeps every stride-th byte") {
     assert(Multimodal.sampleFrames(Array[Byte](0, 1, 2, 3, 4, 5), 2).toSeq ===
       Seq[Byte](0, 2, 4))
