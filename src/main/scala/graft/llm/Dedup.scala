@@ -430,11 +430,20 @@ object Dedup {
     * candidate buckets (an 8-bit band has only 256 distinct values) —
     * past maxHamming ≈ 7 consider multi-probe over wider bands instead. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    wordBandNearDups(simhashFingerprints(docs, idCol, textCol), idCol, maxHamming)
+
+  /** Banded Hamming near-dup over ANY 64-bit fingerprint presented as
+    * 4×16-bit words (`w0..w3`) — the blocking/verification engine behind
+    * [[simhashNearDups]], shared by image perceptual hashes
+    * ([[Multimodal.imagePhash]]) and any other 64-bit sketch. Same
+    * completeness contract: `maxHamming + 1` contiguous bit-ranges,
+    * pigeonhole guarantees every qualifying pair shares a band word. */
+  def wordBandNearDups(fp: DataFrame, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
     val numBands = maxHamming + 1
-    val fp = simhashFingerprints(docs, idCol, textCol)
     // rebuild the 64-bit fingerprint from its 16-bit words, then slice it
     // into numBands contiguous ranges (widths differ by at most one bit)
     val h64 = (0 until 4).map(k => shiftleft(col(s"w$k"), k * 16))

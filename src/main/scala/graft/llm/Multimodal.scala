@@ -131,6 +131,98 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Perceptual-hash fingerprint of a decoded image, as 4×16-bit words
+    * (same representation as SimHash fingerprints, so the banded Hamming
+    * near-dup machinery applies unchanged). */
+  final case class ImagePhash(id: Long, w0: Long, w1: Long, w2: Long, w3: Long)
+
+  /** aHash (average hash) over a REAL image decode: 16×16 pixels →
+    * 8×8 grid of 2×2 block sums → bit j set iff block j's mean intensity
+    * exceeds the whole-image mean. All comparisons are exact integers
+    * (64·blockSum > totalSum — both sides exact, no float round), so the
+    * 64-bit fingerprint is deterministic under any partitioning and
+    * recomputable arithmetically by an oracle that knows the pixels.
+    * Near-duplicate IMAGES (re-encodes, small edits) land within a small
+    * Hamming distance — the image-side analog of SimHash for text, and
+    * the standard first pass of image dedup in a multimodal corpus.
+    *
+    * Decode requires a 16×16 image (the resize to hash geometry is the
+    * caller's decode-side concern; [[syntheticGradientPng]] emits hash
+    * geometry directly). Scale: map-only per-partition decode; the
+    * fingerprint is 4 longs/row — banding joins never see pixels. */
+  def imagePhash(ds: Dataset[MediaRecord]): Dataset[ImagePhash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for id=${r.id}")
+        require(img.getWidth == 16 && img.getHeight == 16,
+          s"aHash expects 16x16 input, got ${img.getWidth}x${img.getHeight}")
+        val v = Array.ofDim[Int](16, 16)
+        var tot = 0L
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            v(y)(x) = (img.getRGB(x, y) >> 16) & 0xff // gray = red channel
+            tot += v(y)(x)
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            val bs = v(2 * by)(2 * bx).toLong + v(2 * by)(2 * bx + 1) +
+              v(2 * by + 1)(2 * bx) + v(2 * by + 1)(2 * bx + 1)
+            if (64L * bs > tot) bits |= 1L << (by * 8 + bx)
+            bx += 1
+          }
+          by += 1
+        }
+        ImagePhash(r.id,
+          bits & 0xffffL, (bits >>> 16) & 0xffffL,
+          (bits >>> 32) & 0xffffL, (bits >>> 48) & 0xffffL)
+      }
+    }
+  }
+
+  /** Deterministic 16×16 grayscale gradient PNG whose pixel values are a
+    * pure function of `id` — unlike [[syntheticPng]] (solid fill, for
+    * channel-mean checks) this varies WITHIN the image, so its aHash is
+    * non-degenerate and an oracle can recompute every bit:
+    *   g = id div 7, o = id mod 7 (7 consecutive ids share a pattern,
+    *   differing by a +o intensity offset → near-identical hashes),
+    *   v(x, y) = (a·x + b·y + c·x·y + 37·g + o) mod 256 with
+    *   a = 1 + (7g mod 11), b = 1 + (5g mod 13), c = 3g mod 5.
+    * The x·y cross term de-linearizes the pattern per group (linear ramps
+    * collapse to a handful of aHash shapes). */
+  def syntheticGradientPng(id: Long): Array[Byte] = {
+    val g = Math.floorDiv(id, 7L)
+    val o = Math.floorMod(id, 7L)
+    val a = 1 + Math.floorMod(7 * g, 11L)
+    val b = 1 + Math.floorMod(5 * g, 13L)
+    val c = Math.floorMod(3 * g, 5L)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val v = Math.floorMod(a * x + b * y + c * x * y + 37 * g + o, 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Decoded audio facts from a WAV/PCM payload: format header fields +
     * exact-integer sample statistics (mean |amplitude|, peak). */
   final case class AudioMeta(id: Long, sample_rate: Int, channels: Int,

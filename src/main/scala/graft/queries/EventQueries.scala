@@ -336,6 +336,63 @@ object EventQueries {
         |       CAST(83 * doc_id % 256 AS DOUBLE) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Image PERCEPTUAL hash (aHash) through the REAL decode path: a
+    // deterministic 16×16 gradient PNG per doc_id is encoded, decoded
+    // back via javax.imageio, block-averaged to an 8×8 bit grid
+    // (64·blockSum > totalSum — exact integers), and emitted as 4×16-bit
+    // words. The oracle recomputes every bit arithmetically from the
+    // generator formula — any pixel the decode gets wrong flips bits.
+    QuerySpec("q_image_phash", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "image/png",
+          Multimodal.syntheticGradientPng(id)))
+      Multimodal.imagePhash(recs).toDF()
+        .select(col("id").as("doc_id"), col("w0"), col("w1"), col("w2"),
+          col("w3"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH $imagePhashCte
+         |SELECT doc_id, w0, w1, w2, w3 FROM fp ORDER BY doc_id""".stripMargin)),
+
+    // Near-duplicate IMAGES: pHash fingerprints → the same banded Hamming
+    // blocking as SimHash text dedup (maxHamming = 3 ⇒ the four 16-bit
+    // words ARE the bands) → exact bit_count(xor) verification. The
+    // generator plants near-pairs (7 consecutive ids share a pattern at
+    // small intensity offsets) plus incidental cross-pattern collisions —
+    // both kinds must match the oracle's arithmetic replay exactly.
+    QuerySpec("q_image_neardup", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "image/png",
+          Multimodal.syntheticGradientPng(id)))
+      val fp = Multimodal.imagePhash(recs).toDF()
+        .withColumnRenamed("id", "doc_id")
+      graft.llm.Dedup.wordBandNearDups(fp, "doc_id", maxHamming = 3)
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH $imagePhashCte,
+         |bands AS (
+         |  SELECT doc_id, band,
+         |         CASE band WHEN 0 THEN w0 WHEN 1 THEN w1
+         |                   WHEN 2 THEN w2 ELSE w3 END AS word
+         |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.word = b.word AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT id1, id2,
+         |         CAST(bit_count(xor(f1.w0, f2.w0)) + bit_count(xor(f1.w1, f2.w1)) +
+         |              bit_count(xor(f1.w2, f2.w2)) + bit_count(xor(f1.w3, f2.w3))
+         |              AS BIGINT) AS hamming
+         |  FROM cand
+         |  JOIN fp f1 ON cand.id1 = f1.doc_id
+         |  JOIN fp f2 ON cand.id2 = f2.doc_id)
+         |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin)),
+
     // Multimodal plumbing metadata: opaque binary payload + typed metadata.
     // (The mapPartitions decode-stub path is exercised in MultimodalSpec;
     // byte-level features aren't SQL-expressible over blobs.)
@@ -413,4 +470,37 @@ object EventQueries {
         |         // CAST(1000 + (doc_id % 5) * 500 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin))
   )
+
+  /** Shared oracle CTE chain recomputing the 16×16 gradient image's aHash
+    * arithmetically (no decode): pixel grid from the generator formula →
+    * exact-integer block/total sums → bit = 64·blockSum > totalSum →
+    * 4×16-bit words. Mirrors [[graft.llm.Multimodal.syntheticGradientPng]]
+    * + [[graft.llm.Multimodal.imagePhash]]. */
+  private[queries] val imagePhashCte: String =
+    """coef AS (
+      |  SELECT doc_id, doc_id // 7 AS g, doc_id % 7 AS o,
+      |         1 + (7 * (doc_id // 7)) % 11 AS a,
+      |         1 + (5 * (doc_id // 7)) % 13 AS b,
+      |         (3 * (doc_id // 7)) % 5 AS c
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, x, y,
+      |         (a * x + b * y + c * x * y + 37 * g + o) % 256 AS v
+      |  FROM coef
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS x)
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y)),
+      |tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
+      |        FROM px GROUP BY doc_id),
+      |blk AS (
+      |  SELECT doc_id, (y // 2) * 8 + (x // 2) AS j,
+      |         CAST(SUM(v) AS BIGINT) AS bs
+      |  FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)),
+      |fp AS (
+      |  SELECT b.doc_id AS doc_id,
+      |         CAST(SUM(CASE WHEN j // 16 = 0 AND 64 * bs > total THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
+      |         CAST(SUM(CASE WHEN j // 16 = 1 AND 64 * bs > total THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1,
+      |         CAST(SUM(CASE WHEN j // 16 = 2 AND 64 * bs > total THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w2,
+      |         CAST(SUM(CASE WHEN j // 16 = 3 AND 64 * bs > total THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS w3
+      |  FROM blk b JOIN tot t ON b.doc_id = t.doc_id
+      |  GROUP BY b.doc_id)""".stripMargin
 }

@@ -948,6 +948,54 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(13L).width === (8 + 13 % 5) && metas(13L).mean_g === (59 * 13 % 256).toDouble)
   }
 
+  test("imagePhash: decoded aHash equals the direct pixel-formula hash") {
+    // reference aHash computed straight from the generator formula,
+    // no decode involved — the Spark path must round-trip to this exactly
+    def refPhash(id: Long): (Long, Long, Long, Long) = {
+      val g = id / 7; val o = id % 7
+      val a = 1 + (7 * g) % 11; val b = 1 + (5 * g) % 13; val c = (3 * g) % 5
+      def v(x: Int, y: Int): Long = (a * x + b * y + c * x * y + 37 * g + o) % 256
+      val tot = (for (y <- 0 until 16; x <- 0 until 16) yield v(x, y)).sum
+      var bits = 0L
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val bs = v(2 * bx, 2 * by) + v(2 * bx + 1, 2 * by) +
+          v(2 * bx, 2 * by + 1) + v(2 * bx + 1, 2 * by + 1)
+        if (64L * bs > tot) bits |= 1L << (by * 8 + bx)
+      }
+      (bits & 0xffffL, (bits >>> 16) & 0xffffL,
+        (bits >>> 32) & 0xffffL, (bits >>> 48) & 0xffffL)
+    }
+    val got = Multimodal.imagePhash(
+        spark.range(0, 60).as[Long].repartition(4)
+          .map(id => Multimodal.MediaRecord(id, "image/png",
+            Multimodal.syntheticGradientPng(id))))
+      .collect().map(p => p.id -> (p.w0, p.w1, p.w2, p.w3)).toMap
+    assert(got.size === 60)
+    for (id <- 0L until 60L) assert(got(id) === refPhash(id), s"id=$id")
+    // the hash is non-degenerate: distinct patterns hash apart
+    assert(got.values.toSet.size > 5)
+  }
+
+  test("wordBandNearDups over pHash equals brute-force Hamming <= 3") {
+    val fp = Multimodal.imagePhash(
+        spark.range(0, 40).as[Long]
+          .map(id => Multimodal.MediaRecord(id, "image/png",
+            Multimodal.syntheticGradientPng(id))))
+      .toDF().withColumnRenamed("id", "doc_id")
+    val got = Dedup.wordBandNearDups(fp, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = fp.collect().map(r => r.getLong(0) ->
+      (r.getLong(1) | (r.getLong(2) << 16) | (r.getLong(3) << 32) |
+        (r.getLong(4) << 48))).toMap
+    val want = (for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+      h = java.lang.Long.bitCount(hs(i) ^ hs(j))
+      if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // the generator actually plants near pairs
+  }
+
   test("wav decode: synthetic RIFF/PCM round-trip recovers header + exact stats") {
     for (id <- Seq(0L, 1L, 7L, 123L, 100000L)) {
       val m = Multimodal.decodeWav(
