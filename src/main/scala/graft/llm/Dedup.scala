@@ -439,11 +439,17 @@ object Dedup {
     * ([[Multimodal.imagePhash]]) and any other 64-bit sketch. Same
     * completeness contract: `maxHamming + 1` contiguous bit-ranges,
     * pigeonhole guarantees every qualifying pair shares a band word. */
-  def wordBandNearDups(fp: DataFrame, idCol: String,
+  def wordBandNearDups(fpIn: DataFrame, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
     val numBands = maxHamming + 1
+    // The fingerprint frame feeds FOUR plan references (band self-join ×2,
+    // verification ×2) — materialize it once (it is 5 longs/row; the
+    // upstream can be an expensive scan: text kernel or image decode)
+    // instead of re-deriving it per reference. Same barrier contract as
+    // the iterative CC rounds (local default, reliable under conf).
+    val fp = graft.engine.Checkpoints.iterationBarrier(fpIn)
     // rebuild the 64-bit fingerprint from its 16-bit words, then slice it
     // into numBands contiguous ranges (widths differ by at most one bit)
     val h64 = (0 until 4).map(k => shiftleft(col(s"w$k"), k * 16))

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed stream caching — a temp file per
+  // encode/decode call, which dominates wall time for many small images.
+  // In-memory caching is strictly better for byte-array payloads. Object
+  // init runs once per JVM (driver and each executor) on first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRecord(id: Long, kind: String, payload: Array[Byte])
   final case class MediaFeatures(id: Long, kind: String, n_bytes: Long,
       checksum: Long, feature: Array[Double])
