@@ -378,16 +378,22 @@ object Stats {
       .agg(count(lit(1)).as("c"))
     val n = counts.groupBy(col(groupCol))
       .agg(sum(col("c")).as("n"), count(lit(1)).as("n_categories"))
+    // term = −ln(p)·c on the exact 1e-8 grid, accumulated in DECIMAL(38,8):
+    // a long grid-sum wraps near n ≈ 4·10⁹ rows in few categories
+    // (|ln(1/n)|·1e8·c ≈ 2^63) — same overflow class [[hhi]] guards with
+    // decimal Σc². DECIMAL(10,8) holds any |ln p| < ln(2^63) ≈ 43.7 and
+    // keeps the product width ≤ 38 under BOTH engines' decimal-multiply
+    // rules. Both engines sum the same exact decimals → bit-equal.
     val lnp = round(log(col("c").cast("double") / col("n").cast("double")), 8)
-      .cast("decimal(20,8)")
+      .cast("decimal(10,8)")
     counts.join(n, Seq(groupCol))
       .select(col(groupCol), col("n"), col("n_categories"),
-        ((lnp * lit(-100000000L)).cast("long") * col("c")).as("term"))
+        (-lnp * col("c").cast("decimal(19,0)")).cast("decimal(38,8)")
+          .as("term"))
       .groupBy(col(groupCol), col("n"), col("n_categories"))
       .agg(sum(col("term")).as("t"))
       .select(col(groupCol), col("n"), col("n_categories"),
-        (col("t").cast("double") / lit(100000000.0) /
-          col("n").cast("double")).as("entropy"))
+        (col("t").cast("double") / col("n").cast("double")).as("entropy"))
   }
 
   /** Herfindahl–Hirschman concentration index per group over a key's

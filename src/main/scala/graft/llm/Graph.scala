@@ -49,8 +49,12 @@ object Graph {
           col(dstCol).cast("long").as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
         .distinct())
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // barriered: `nodes` feeds the count, the initial ranks AND the left
+    // join of every iteration — unbarriered, each round would re-run the
+    // union+distinct shuffle.
+    val nodes = Checkpoints.iterationBarrier(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
     // |V| is a driver scalar (one count of an already-materialized edge
     // derivative) — O(1) result, the standard prologue of any PageRank.
     val n = nodes.count()

@@ -257,6 +257,11 @@ object Multimodal {
         s"truncated chunk '$id' in WAV payload for id=${r.id}")
       id match {
         case "fmt " =>
+          // PCM fmt is 16 bytes; a smaller declared size would make the
+          // field reads below spill into the NEXT chunk's bytes (silently
+          // wrong header values, or an uncontrolled buffer overrun when
+          // fmt is the last chunk).
+          require(size >= 16, s"short fmt chunk ($size) in WAV for id=${r.id}")
           require(bb.getShort(pos + 8) == 1,
             s"non-PCM WAV (format ${bb.getShort(pos + 8)}) for id=${r.id}")
           channels = bb.getShort(pos + 10)
@@ -351,24 +356,41 @@ object Multimodal {
     def walk(from: Int, to: Int, depth: Int): Unit = {
       var p = from
       while (p + 8 <= to) {
-        val size = bb.getInt(p).toLong & 0xffffffffL
+        val size32 = bb.getInt(p).toLong & 0xffffffffL
         val tpe = tag(b, p + 4)
-        require(size >= 8 && p + size <= to,
+        // ISO-BMFF size encodings: size==0 → box extends to the end of the
+        // enclosing scope; size==1 → 64-bit largesize follows the type
+        // (standard for >4 GiB mdat). `hdr` is where the box body starts.
+        val (size, hdr) =
+          if (size32 == 0L) ((to - p).toLong, 8)
+          else if (size32 == 1L) {
+            require(p + 16 <= to, s"truncated largesize box for id=${r.id}")
+            (bb.getLong(p + 8), 16)
+          } else (size32, 8)
+        require(size >= hdr && p + size <= to,
           s"bad box '$tpe' (size=$size) in MP4 payload for id=${r.id}")
         tpe match {
           case "ftyp" if depth == 0 =>
-            require(size >= 12, s"short ftyp for id=${r.id}")
-            brand = tag(b, p + 8)
+            require(size >= hdr + 4, s"short ftyp for id=${r.id}")
+            brand = tag(b, p + hdr)
           case "moov" if depth == 0 =>
-            walk(p + 8, (p + size).toInt, depth + 1)
+            walk(p + hdr, (p + size).toInt, depth + 1)
           case "mvhd" if depth == 1 =>
-            val v = b(p + 8) & 0xff
+            val q = p + hdr
+            require(size >= hdr + 4, s"short mvhd for id=${r.id}")
+            val v = b(q) & 0xff
+            // field reads must stay INSIDE the declared box: v0 needs
+            // 4 (ver/flags) + 4+4 (times) + 4 (timescale) + 4 (duration),
+            // v1 the 8-byte-time layout — else a short mvhd would hand
+            // back the NEXT box's bytes as timescale/duration.
             if (v == 0) {
-              timescale = bb.getInt(p + 20).toLong & 0xffffffffL
-              duration = bb.getInt(p + 24).toLong & 0xffffffffL
+              require(size >= hdr + 20, s"short mvhd v0 for id=${r.id}")
+              timescale = bb.getInt(q + 12).toLong & 0xffffffffL
+              duration = bb.getInt(q + 16).toLong & 0xffffffffL
             } else {
-              timescale = bb.getInt(p + 28).toLong & 0xffffffffL
-              duration = bb.getLong(p + 32)
+              require(size >= hdr + 32, s"short mvhd v1 for id=${r.id}")
+              timescale = bb.getInt(q + 20).toLong & 0xffffffffL
+              duration = bb.getLong(q + 24)
             }
           case _ => () // free/mdat/trak/…: skip by declared size
         }

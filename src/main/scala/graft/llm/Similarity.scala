@@ -173,7 +173,10 @@ object Similarity {
     DotProduct.register(emb.sparkSession)
     val withNorm = emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
-    val centroids = broadcast(withNorm.filter(col("id") < numCells)
+    // genuinely the numCells LOWEST ids (TakeOrdered — bounded heap, no
+    // full sort), not `id < numCells`: a non-zero-based or gapped id
+    // space would silently shrink or empty the centroid set otherwise.
+    val centroids = broadcast(withNorm.orderBy(col("id")).limit(numCells)
       .toDF("cid", "cv", "cn2"))
     val score = cosine(col("v"), col("n2"), col("cv"), col("cn2"))
     val wAssign = Window.partitionBy(col("id"))
@@ -405,14 +408,46 @@ object Similarity {
         floor(col("x").cast("double") * lit(scale)).cast("long").as("xi"))
   }
 
-  /** PQ codebook: entry `code` of subspace s is the s-th subvector of the
-    * vector with the `code`-th smallest id (deterministic, engine-portable
-    * — same convention as [[ivfPairs]] centroids; a production build would
-    * plug per-subspace k-means into the same plan). */
-  private def pqCodebook(vx: DataFrame, ksub: Int): DataFrame =
-    vx.filter(col("id") < ksub)
+  /** PQ codebook: the subvectors of the `ksub` LOWEST-id vectors, with
+    * `code` = that vector's id (deterministic, engine-portable — same
+    * convention as [[ivfCells]] centroids and the k-means seeds; a
+    * production build would plug per-subspace k-means into the same
+    * plan). Selected via TakeOrdered on the distinct ids, so gapped or
+    * non-zero-based id spaces still yield exactly `ksub` entries. */
+  private def pqCodebook(vx: DataFrame, ksub: Int): DataFrame = {
+    val ids = vx.select(col("id")).distinct().orderBy(col("id")).limit(ksub)
+    vx.join(broadcast(ids), "id")
       .select(col("id").cast("long").as("code"), col("s"), col("j"),
         col("xi").as("ci"))
+  }
+
+  /** Per-(vector, subspace) PQ code assignment — nearest codebook entry by
+    * exact fixed-point integer L2, ties to the smallest code; the shared
+    * argmin kernel of [[pqCodes]], [[pqAdcTopK]] and [[pqIvfTopK]].
+    * Output: id, s, code, d2. */
+  private def pqAssign(vx: DataFrame, cb: DataFrame): DataFrame = {
+    val diff = col("xi") - col("ci")
+    vx.join(cb, Seq("s", "j"))
+      .groupBy(col("id"), col("s"), col("code"))
+      .agg(sum(diff * diff).as("d2"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("id"), col("s"), col("b.code").as("code"),
+        col("b.d2").as("d2"))
+  }
+
+  /** Per-query ADC lookup table: exact integer L2 from each query
+    * subvector to every codebook entry (Q·m·ksub rows — broadcast-sized).
+    * Output: qid, s, code, ld2. */
+  private def pqLut(vx: DataFrame, cb: DataFrame,
+      queryIds: Seq[Long]): DataFrame = {
+    val diff = col("xi") - col("ci")
+    vx.filter(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("s"), col("j"), col("xi"))
+      .join(cb, Seq("s", "j"))
+      .groupBy(col("qid"), col("s"), col("code"))
+      .agg(sum(diff * diff).as("ld2"))
+  }
 
   /** Product quantization (PQ, Jégou et al. 2011): each vector splits into
     * `m` contiguous subvectors; each subvector is assigned the nearest of
@@ -433,14 +468,9 @@ object Similarity {
     require(ksub >= 1, s"ksub=$ksub")
     val vx = pqVx(emb, idCol, vecCol, m, scaleBits)
     val cb = broadcast(pqCodebook(vx, ksub))
-    val diff = col("xi") - col("ci")
-    vx.join(cb, Seq("s", "j"))
-      .groupBy(col("id"), col("s"), col("code"))
-      .agg(sum(diff * diff).as("d2"))
-      .groupBy(col("id"), col("s"))
-      .agg(min(struct(col("d2"), col("code"))).as("b"))
+    pqAssign(vx, cb)
       .select(col("id").as(idCol), col("s").as("subspace"),
-        col("b.code").as("code"), col("b.d2").as("d2"))
+        col("code"), col("d2"))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay full
@@ -464,19 +494,8 @@ object Similarity {
     TopK.register(emb.sparkSession)
     val vx = pqVx(emb, idCol, vecCol, m, scaleBits)
     val cb = broadcast(pqCodebook(vx, ksub))
-    val diff = col("xi") - col("ci")
-    val codes = vx.join(cb, Seq("s", "j"))
-      .groupBy(col("id"), col("s"), col("code"))
-      .agg(sum(diff * diff).as("d2"))
-      .groupBy(col("id"), col("s"))
-      .agg(min(struct(col("d2"), col("code"))).as("b"))
-      .select(col("id"), col("s"), col("b.code").as("code"))
-    val lut = broadcast(
-      vx.filter(col("id").isInCollection(queryIds))
-        .select(col("id").as("qid"), col("s"), col("j"), col("xi"))
-        .join(cb, Seq("s", "j"))
-        .groupBy(col("qid"), col("s"), col("code"))
-        .agg(sum(diff * diff).as("ld2")))
+    val codes = pqAssign(vx, cb).select(col("id"), col("s"), col("code"))
+    val lut = broadcast(pqLut(vx, cb, queryIds))
     codes.join(lut, Seq("s", "code"))
       .filter(col("id") =!= col("qid"))
       .groupBy(col("qid"), col("id"))
@@ -509,21 +528,10 @@ object Similarity {
       .select(col("id"), col("cell"))
     val vx = pqVx(emb, idCol, vecCol, m, scaleBits)
     val cb = broadcast(pqCodebook(vx, ksub))
-    val diff = col("xi") - col("ci")
-    val codes = vx.join(cb, Seq("s", "j"))
-      .groupBy(col("id"), col("s"), col("code"))
-      .agg(sum(diff * diff).as("d2"))
-      .groupBy(col("id"), col("s"))
-      .agg(min(struct(col("d2"), col("code"))).as("b"))
-      .select(col("id"), col("s"), col("b.code").as("code"))
+    val codes = pqAssign(vx, cb).select(col("id"), col("s"), col("code"))
     val qcells = broadcast(cells.filter(col("id").isInCollection(queryIds))
       .select(col("id").as("qid"), col("cell")))
-    val lut = broadcast(
-      vx.filter(col("id").isInCollection(queryIds))
-        .select(col("id").as("qid"), col("s"), col("j"), col("xi"))
-        .join(cb, Seq("s", "j"))
-        .groupBy(col("qid"), col("s"), col("code"))
-        .agg(sum(diff * diff).as("ld2")))
+    val lut = broadcast(pqLut(vx, cb, queryIds))
     codes.join(cells, Seq("id"))
       .join(qcells, Seq("cell"))
       .filter(col("id") =!= col("qid"))

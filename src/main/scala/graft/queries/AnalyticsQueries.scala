@@ -434,13 +434,12 @@ object AnalyticsQueries {
         |  FROM c GROUP BY user_id),
         |t AS (
         |  SELECT c.user_id, n.n, n.n_categories,
-        |         CAST(CAST(ROUND(ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)),
-        |                         8) AS DECIMAL(20,8)) * -100000000 AS BIGINT)
-        |           * c.c AS term
+        |         CAST(-CAST(ROUND(ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)),
+        |                          8) AS DECIMAL(10,8))
+        |              * CAST(c.c AS DECIMAL(19,0)) AS DECIMAL(38,8)) AS term
         |  FROM c JOIN n USING (user_id))
         |SELECT user_id, n, n_categories,
-        |       CAST(SUM(term) AS DOUBLE) / 100000000.0 / CAST(n AS DOUBLE)
-        |         AS entropy
+        |       CAST(SUM(term) AS DOUBLE) / CAST(n AS DOUBLE) AS entropy
         |FROM t GROUP BY user_id, n, n_categories
         |ORDER BY user_id""".stripMargin)),
 

@@ -163,7 +163,8 @@ object SimilarityQueries {
         .orderBy("id1", "id2")
     }, Some(
       s"""WITH $normCte,
-         |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+         |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+         |         WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT 16)),
          |assign AS (
          |  SELECT id, v, n2, cell FROM (
          |    SELECT n.vec_id AS id, n.v, n.n2, cent.cid AS cell,
@@ -355,7 +356,8 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }, Some(
       s"""WITH $normCte,
-        |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+        |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+         |         WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT 16)),
         |assign AS (
         |  SELECT id, cell FROM (
         |    SELECT n.vec_id AS id, cent.cid AS cell,
@@ -426,7 +428,8 @@ object SimilarityQueries {
         |              CAST((dim - 1) % 8 AS BIGINT) AS j,
         |              CAST(FLOOR(v[dim] * 1048576.0) AS BIGINT) AS xi
         |       FROM xd),
-        |cb AS (SELECT vec_id AS code, s, j, xi AS ci FROM vx WHERE vec_id < 16),
+        |cb AS (SELECT vec_id AS code, s, j, xi AS ci FROM vx
+        |       WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
         |d AS (SELECT vx.vec_id, vx.s, cb.code,
         |             CAST(SUM((vx.xi - cb.ci) * (vx.xi - cb.ci)) AS BIGINT) AS d2
         |      FROM vx JOIN cb ON vx.s = cb.s AND vx.j = cb.j
