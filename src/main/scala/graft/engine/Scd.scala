@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) merge — the versioned-history twin
+  * of the reference's overwrite/append loaders (`load.py` upserts replace
+  * attribute values in place; SCD2 keeps every historical version with a
+  * validity interval, the standard warehouse pattern for dimensions whose
+  * past values must stay queryable, e.g. a customer's segment at order
+  * time).
+  *
+  * Contract: `dim` carries `keyCols ++ attrCols ++ (valid_from,
+  * valid_to)`, with `valid_to IS NULL` marking the current version of each
+  * key; `updates` carries `keyCols ++ attrCols` (at most one row per key
+  * per batch). The merge:
+  *   - passes closed history rows through untouched (scan-only);
+  *   - keeps current rows whose key is absent from the batch, or whose
+  *     attributes are unchanged (null-safe comparison);
+  *   - closes current rows whose attributes changed (`valid_to` :=
+  *     `batchTs`) and opens a replacement version (`valid_from` :=
+  *     `batchTs`);
+  *   - opens first versions for keys new to the dimension.
+  *
+  * Scale shape: ONE full-outer shuffle join of the current slice against
+  * the batch on the key — history never joins (it unions scan-to-sink),
+  * and a small batch side broadcasts under AQE. The changed/kept/new split
+  * is a map-side projection over the joined row, so the whole merge is
+  * join + union, no window, no second shuffle.
+  */
+object Scd {
+
+  def scd2Apply(dim: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], batchTs: Column): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Apply: keyCols must be non-empty")
+    require(attrCols.nonEmpty, "scd2Apply: attrCols must be non-empty")
+    val validToType = dim.schema("valid_to").dataType
+    val outCols = (keyCols ++ attrCols).map(col) ++
+      Seq(col("valid_from"), col("valid_to"))
+
+    val history = dim.filter(col("valid_to").isNotNull).select(outCols: _*)
+    val cur = dim.filter(col("valid_to").isNull)
+
+    val curSel = cur.select(
+      keyCols.map(col) ++
+        attrCols.map(c => col(c).as(s"__cur_$c")) ++
+        Seq(col("valid_from").as("__cur_from"),
+          lit(true).as("__in_cur")): _*)
+    val updSel = updates.select(
+      keyCols.map(col) ++
+        attrCols.map(c => col(c).as(s"__upd_$c")) ++
+        Seq(lit(true).as("__in_upd")): _*)
+    val j = curSel.join(updSel, keyCols, "full_outer")
+
+    // null-safe: a NULL→value or value→NULL attribute transition counts
+    // as a change; NULL→NULL does not
+    val changed = attrCols
+      .map(c => !(col(s"__cur_$c") <=> col(s"__upd_$c")))
+      .reduce(_ || _)
+
+    val keptOrClosed = j.filter(col("__in_cur").isNotNull).select(
+      keyCols.map(col) ++
+        attrCols.map(c => col(s"__cur_$c").as(c)) ++
+        Seq(col("__cur_from").as("valid_from"),
+          when(col("__in_upd").isNotNull && changed, batchTs)
+            .as("valid_to")): _*)
+    val opened = j
+      .filter(col("__in_upd").isNotNull &&
+        (col("__in_cur").isNull || changed))
+      .select(
+        keyCols.map(col) ++
+          attrCols.map(c => col(s"__upd_$c").as(c)) ++
+          Seq(batchTs.as("valid_from"),
+            lit(null).cast(validToType).as("valid_to")): _*)
+
+    history.unionByName(keptOrClosed).unionByName(opened)
+  }
+}

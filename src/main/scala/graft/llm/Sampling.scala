@@ -22,7 +22,7 @@ object Sampling {
 
   /** Hex threshold on [0, 16^8) equivalent to `fraction`; md5 hex compares
     * lexicographically identically in any engine. */
-  private[llm] def hexThreshold(fraction: Double): String = {
+  private[graft] def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
     // 1.0 must keep EVERY row, including md5 prefixes of "ffffffff":
     // 'g' sorts after every hex char, so `hex < "g"` is always true
@@ -253,5 +253,18 @@ object Sampling {
           when(col("__h") < lit(hexThreshold(cumW)), lit(name)).otherwise(acc)
       }
     hashed.withColumn(outCol, assign).drop("__h")
+  }
+
+  /** Deterministic k-fold assignment for cross-validation: fold i is the
+    * hash-range slice [i/k, (i+1)/k) of the same md5-uniform key every
+    * split uses — stable under reruns, consistent across tables sharing
+    * the key, and map-only (a when-chain over one digest; no shuffle).
+    * Output: df's columns + `fold` (int, 0-based). */
+  def kfold(df: DataFrame, keyCol: String, k: Int,
+      seed: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"kfold: k=$k")
+    val even = (0 until k).map(i => i.toString -> (1.0 / k))
+    assignSplit(df, keyCol, even, seed, outCol = "fold")
+      .withColumn("fold", col("fold").cast("int"))
   }
 }

@@ -550,4 +550,64 @@ object TextAnalysis {
       round(stopRatio, 8).as("stopword_ratio"),
       qualityScore(text, col("__toks")).as("quality_score"))
   }
+
+  /** Sparse TF-IDF cosine pair similarity via an inverted index — the
+    * lexical complement of the embedding tier ([[Similarity]]): document
+    * pairs score by the cosine of their TF-IDF vectors, computed WITHOUT
+    * materializing vectors. Postings (doc, term, weight) join on the term
+    * — the inverted-index self-join — so a pair's dot product accumulates
+    * only over SHARED terms, with map-side partial sums.
+    *
+    * Scale shape: `maxDf` caps posting lists (terms in more than maxDf
+    * docs carry ~no IDF signal AND dominate the pair blowup — candidate
+    * volume is Σ_t df(t)² ≤ maxDf·Σ_t df(t), linear in corpus token count
+    * for fixed maxDf; the same df-cap contract as the winnowing
+    * candidates). Norms are computed over the SAME capped term space, so
+    * the score is the exact cosine of the pruned vectors. `n` sets the
+    * term unit (word n-grams via [[Shingles.wordShingles]]): unigrams for
+    * topical similarity where the vocabulary has a rare tail; 3-grams for
+    * near-duplicate detection on small-vocabulary corpora, where single
+    * words are all common but shared PHRASES are the signal.
+    *
+    * Determinism: weights land on the exact 1e-8 grid (8dp-rounded
+    * tf·ln(N/df), scaled to int64); dot products and norms are exact
+    * DECIMAL sums of int64 products; the only float steps are the final
+    * single-rounded double conversion, IEEE-exact sqrt, one division and
+    * an 8dp round — bit-equal on any engine and partitioning.
+    * Output: id1 < id2, cos (≥ minCos), 8dp. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, minCos: Double, n: Int = 1): DataFrame = {
+    Shingles.register(docs.sparkSession)
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(Shingles.wordShingles(col(textCol), n)).as("word"))
+      .groupBy("id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    // wi = round8(tf·ln(N/df)) on the integer 1e-8 grid (exact: the 8dp
+    // decimal scales to int64 without a float multiply)
+    val postings = tf.join(dfreq, "word").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("word"),
+        (round(col("tf") * log(col("n_docs").cast("double") /
+            col("df").cast("double")), 8).cast("decimal(20,8)") *
+          lit(100000000L)).cast("long").as("wi"))
+    val wiDec = col("wi").cast("decimal(19,0)")
+    val norms = postings.groupBy(col("id"))
+      .agg(sum(wiDec * wiDec).as("n2"))
+    val a = postings.toDF("id1", "word", "w1")
+    val b = postings.toDF("id2", "word", "w2")
+    val dots = a.join(b, Seq("word"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("w1").cast("decimal(19,0)") *
+        col("w2").cast("decimal(19,0)")).as("dot"))
+    val cosv = col("dot").cast("double") /
+      (sqrt(col("n21").cast("double")) * sqrt(col("n22").cast("double")))
+    dots
+      .join(norms.toDF("id1", "n21"), "id1")
+      .join(norms.toDF("id2", "n22"), "id2")
+      .select(col("id1"), col("id2"), round(cosv, 8).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 }

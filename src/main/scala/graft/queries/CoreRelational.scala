@@ -204,6 +204,67 @@ object CoreRelational {
         |UNION ALL SELECT * FROM inc
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // SCD type-2 merge: versioned dimension history (upsert's
+    // history-keeping twin — changed keys CLOSE their current row and open
+    // a new version instead of overwriting). The batch is derived from
+    // `customer` itself: mod-3 keys change (acctbal+100), a disjoint mod-7
+    // slice arrives unchanged (must stay open, un-duplicated), mod-5 keys
+    // reappear shifted as brand-new keys. The oracle replays the
+    // closed/kept/opened split directly.
+    QuerySpec("q_scd2", (s, dir) => {
+      val c = t(s, dir, "customer")
+      // mod-11 keys carry a CLOSED prior version (exercises the
+      // history passthrough — must survive the merge untouched)
+      val hist = c.filter(pmod(col("c_custkey"), lit(11)) === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") - 50).as("c_acctbal"), col("c_mktsegment"),
+          lit(java.sql.Date.valueOf("2023-01-01")).as("valid_from"),
+          lit(java.sql.Date.valueOf("2024-01-01")).cast("date").as("valid_to"))
+      val dim = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+        .unionByName(hist)
+      val changedU = c.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100).as("c_acctbal"), col("c_mktsegment"))
+      val sameU = c.filter(pmod(col("c_custkey"), lit(3)) =!= 0 &&
+          pmod(col("c_custkey"), lit(7)) === 1)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val newU = c.filter(pmod(col("c_custkey"), lit(5)) === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+      Scd.scd2Apply(dim, changedU.unionByName(sameU).unionByName(newU),
+          Seq("c_custkey"), Seq("c_name", "c_acctbal", "c_mktsegment"),
+          lit(java.sql.Date.valueOf("2024-06-01")))
+        // timestamp_ntz on the wire: DATE round-trips as a python object
+        // in the driver's pandas compare (dtype note), timestamps compare
+        // natively — values are unchanged midnights
+        .withColumn("valid_from", col("valid_from").cast("timestamp_ntz"))
+        .withColumn("valid_to", col("valid_to").cast("timestamp_ntz"))
+        .orderBy("c_custkey", "valid_from")
+    }, Some(
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |       CAST(DATE '2024-01-01' AS TIMESTAMP) AS valid_from,
+        |       CASE WHEN c_custkey % 3 = 0
+        |            THEN CAST(DATE '2024-06-01' AS TIMESTAMP)
+        |            END AS valid_to
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal - 50, c_mktsegment,
+        |       CAST(DATE '2023-01-01' AS TIMESTAMP),
+        |       CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |FROM customer WHERE c_custkey % 11 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal + 100, c_mktsegment,
+        |       CAST(DATE '2024-06-01' AS TIMESTAMP), NULL
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment,
+        |       CAST(DATE '2024-06-01' AS TIMESTAMP), NULL
+        |FROM customer WHERE c_custkey % 5 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin)),
+
     // Pivot: long→wide per-status counts over the five priority values
     // (explicit value list ⇒ no extra distinct-values job; renamed to
     // stable snake-case aliases on both engines).

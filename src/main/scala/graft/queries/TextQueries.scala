@@ -554,6 +554,80 @@ object TextQueries {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic 5-fold cross-validation assignment: equal hash-range
+    // slices of the same md5-uniform key the train/val/test split uses —
+    // map-only, stable under reruns, consistent across tables sharing the
+    // key. Thresholds below are the engine's own hexThreshold cut points.
+    QuerySpec("q_kfold", (s, dir) => {
+      graft.llm.Sampling.kfold(docs(s, dir).select("doc_id"), "doc_id", k = 5)
+        .orderBy("doc_id")
+    }, Some {
+      val cum = (1 to 4).scanLeft(0.0)((acc, _) => acc + 1.0 / 5).tail
+      val cuts = cum.map(graft.llm.Sampling.hexThreshold)
+      s"""SELECT doc_id,
+         |       CASE WHEN substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |                 < '${cuts(0)}' THEN 0
+         |            WHEN substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |                 < '${cuts(1)}' THEN 1
+         |            WHEN substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |                 < '${cuts(2)}' THEN 2
+         |            WHEN substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |                 < '${cuts(3)}' THEN 3
+         |            ELSE 4 END AS fold
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }),
+
+    // Sparse TF-IDF cosine pairs over an inverted index: dot products
+    // accumulate only over SHARED rare terms (df-capped posting lists —
+    // the same maxDf contract as the winnowing candidates), norms over the
+    // same pruned term space, all sums exact integers/decimals. Terms are
+    // word 3-GRAMS: this corpus' unigram vocabulary is ~31 words (every
+    // word df ≫ any sane cap), but shared PHRASES have the rare tail the
+    // inverted index needs — the lexical complement of the
+    // embedding-cosine tier.
+    QuerySpec("q_tfidf_cosine", (s, dir) => {
+      graft.llm.TextAnalysis.tfidfCosinePairs(docs(s, dir), "doc_id", "text",
+          maxDf = 20L, minCos = 0.15, n = 3)
+        .orderBy("id1", "id2")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 3
+        |                     THEN list_transform(range(1, len(t) - 1),
+        |                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+        |                     ELSE [] END) AS word
+        |  FROM toks),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, COUNT(*) AS df FROM tf
+        |          GROUP BY word HAVING COUNT(*) <= 20),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (SELECT doc_id, word,
+        |             CAST(CAST(ROUND(tf * ln(CAST(n_docs AS DOUBLE)
+        |                                     / CAST(df AS DOUBLE)), 8)
+        |                       AS DECIMAL(20,8)) * 100000000 AS BIGINT) AS wi
+        |      FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |nrm AS (SELECT doc_id,
+        |               SUM(CAST(wi AS DECIMAL(19,0)) * CAST(wi AS DECIMAL(19,0)))
+        |                 AS n2
+        |        FROM w GROUP BY doc_id),
+        |d AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |             SUM(CAST(a.wi AS DECIMAL(19,0)) * CAST(b.wi AS DECIMAL(19,0)))
+        |               AS dot
+        |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, cos FROM (
+        |  SELECT id1, id2,
+        |         ROUND(CAST(d.dot AS DOUBLE) /
+        |               (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))),
+        |               8) AS cos
+        |  FROM d JOIN nrm x ON x.doc_id = d.id1 JOIN nrm y ON y.doc_id = d.id2)
+        |WHERE cos >= 0.15 ORDER BY id1, id2""".stripMargin)),
+
     // Contiguous sequence packing (concat-and-cut loader shape): docs are
     // md5-shuffled into 4 hash shards, concatenated per shard, and cut at
     // 2048-length-unit boundaries (here n_chars as the length unit). Each

@@ -845,6 +845,30 @@ class TextAnalysisSpec extends SparkSpec {
     // fr: ranks 0, 0.5, 1.0 -> only the middle survives
     assert(got.filter(_ >= 100L) === Set(101L))
   }
+
+  test("tfidfCosinePairs: identical docs hit cos 1, df cap prunes, disjoint absent") {
+    val docs = Seq(
+      (1L, "zebra quokka lemur"),
+      (2L, "zebra quokka lemur"),          // identical to 1 → cos = 1
+      (3L, "zebra iguana puffin"),         // shares 'zebra' with 1, 2
+      (4L, "walrus narwhal dugong"),       // disjoint → no pair
+      (5L, "common common words"),
+      (6L, "common words here")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis
+      .tfidfCosinePairs(docs, "doc_id", "text", maxDf = 10L, minCos = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-8)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // df cap: with maxDf=2 the df-3 term 'zebra' drops, so (1,3) loses its
+    // only shared term while the identical pair still scores 1
+    val capped = TextAnalysis
+      .tfidfCosinePairs(docs, "doc_id", "text", maxDf = 2L, minCos = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((1L, 3L)))
+    assert(capped.contains((1L, 2L)))
+  }
 }
 
 class DsirSpec extends SparkSpec {

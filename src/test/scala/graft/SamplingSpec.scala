@@ -132,4 +132,24 @@ class SamplingSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(epoch1 !== once)                       // new seed, new order
   }
+
+  test("kfold: total, stable, near-even, and consistent with assignSplit") {
+    val folded = Sampling.kfold(keys, "id", k = 5)
+    val byFold = folded.groupBy("fold").count()
+      .as[(Int, Long)].collect().toMap
+    assert(byFold.keySet === Set(0, 1, 2, 3, 4))
+    assert(byFold.values.sum === 2000L)
+    byFold.values.foreach(n => assert(math.abs(n - 400) < 80, s"fold=$n"))
+    // same assignment under different partitioning (determinism)
+    val repart = Sampling.kfold(keys.repartition(7), "id", k = 5)
+      .as[(Long, Int)].collect().toMap
+    val once = folded.as[(Long, Int)].collect().toMap
+    assert(once === repart)
+    // kfold IS assignSplit with k equal slices, fold = name
+    val viaSplit = Sampling.assignSplit(keys, "id",
+        (0 until 5).map(i => i.toString -> 0.2), seed = "fold")
+      .selectExpr("id", "CAST(split AS INT) AS fold")
+      .as[(Long, Int)].collect().toMap
+    assert(once === viaSplit)
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Scd
+
+/** SCD type-2 merge semantics ([[graft.engine.Scd.scd2Apply]]): history
+  * passthrough, unchanged-kept, changed-closed+reopened, new-key-opened,
+  * and null-safe attribute comparison. */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d0 = java.sql.Date.valueOf("2024-01-01")
+  private val d1 = java.sql.Date.valueOf("2024-06-01")
+  private val dOld = java.sql.Date.valueOf("2023-01-01")
+
+  // key 1: closed history + current (update changes attr)
+  // key 2: current, update identical → kept open, no new version
+  // key 3: current, no update → kept open
+  // key 4: absent → opened by the batch
+  // key 5: current with NULL attr, update NULL → unchanged (null-safe)
+  // key 6: current with NULL attr, update non-NULL → changed
+  private lazy val dim = Seq(
+    (1L, Option("a-old"), dOld, Option(d0)),
+    (1L, Option("a"), d0, Option.empty[java.sql.Date]),
+    (2L, Option("b"), d0, Option.empty[java.sql.Date]),
+    (3L, Option("c"), d0, Option.empty[java.sql.Date]),
+    (5L, Option.empty[String], d0, Option.empty[java.sql.Date]),
+    (6L, Option.empty[String], d0, Option.empty[java.sql.Date])
+  ).toDF("k", "attr", "valid_from", "valid_to")
+
+  private lazy val updates = Seq(
+    (1L, Option("a2")),
+    (2L, Option("b")),
+    (4L, Option("d")),
+    (5L, Option.empty[String]),
+    (6L, Option("f"))
+  ).toDF("k", "attr")
+
+  test("scd2Apply: all five key paths produce the expected versions") {
+    val got = Scd.scd2Apply(dim, updates, Seq("k"), Seq("attr"), lit(d1))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2), Option(r.getDate(3))))
+      .toSet
+    val expected = Set(
+      (1L, Some("a-old"), dOld, Some(d0)),      // history untouched
+      (1L, Some("a"), d0, Some(d1)),            // closed
+      (1L, Some("a2"), d1, None),               // reopened
+      (2L, Some("b"), d0, None),                // unchanged update → kept
+      (3L, Some("c"), d0, None),                // untouched key → kept
+      (4L, Some("d"), d1, None),                // new key → opened
+      (5L, None, d0, None),                     // NULL == NULL → kept
+      (6L, None, d0, Some(d1)),                 // NULL → value closes
+      (6L, Some("f"), d1, None)
+    )
+    assert(got === expected)
+  }
+
+  test("scd2Apply: idempotent when re-applying the same batch") {
+    val once = Scd.scd2Apply(dim, updates, Seq("k"), Seq("attr"), lit(d1))
+    val twice = Scd.scd2Apply(once, updates, Seq("k"), Seq("attr"), lit(d1))
+    val a = once.collect().map(_.toSeq).toSet
+    val b = twice.collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}
