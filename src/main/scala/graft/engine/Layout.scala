@@ -45,4 +45,30 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite a fragmented table (the residue of
+    * incremental/streaming ingest — thousands of tiny files whose open
+    * and footer cost dominates the scan) into `nFiles` parquet files,
+    * 1-D-clustered on `sortCols` when given so footer min/max prune range
+    * predicates on the leading column ([[zorderWrite]] is the 2-D twin).
+    *
+    * `nFiles` is the caller's target (corpus bytes / desired file size —
+    * the same sizing arithmetic every table-maintenance job does); the
+    * optional `maxRecordsPerFile` caps stragglers when the range
+    * partitioning is skewed. One shuffle, no driver-side row handling. */
+  def compactWrite(df: DataFrame, path: String, nFiles: Int,
+      sortCols: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Unit = {
+    require(nFiles >= 1, s"compactWrite: nFiles=$nFiles")
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    val writer = arranged.write.mode("overwrite")
+    val capped =
+      if (maxRecordsPerFile > 0L)
+        writer.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer
+    capped.parquet(path)
+  }
 }

@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   *     `batchTs`);
   *   - opens first versions for keys new to the dimension.
   *
-  * Scale shape: ONE full-outer shuffle join of the current slice against
-  * the batch on the key — history never joins (it unions scan-to-sink),
-  * and a small batch side broadcasts under AQE. The changed/kept/new split
-  * is a map-side projection over the joined row, so the whole merge is
-  * join + union, no window, no second shuffle.
+  * Scale shape: the merge is declared as ONE logical full-outer join of
+  * the current slice against the batch, but each output branch filters on
+  * side-presence, so Catalyst's EliminateOuterJoin specializes it into a
+  * LeftOuter (kept/closed) and a RightOuter (opened) — and both then
+  * BROADCAST a small batch side instead of shuffling, a plan the full
+  * outer could never reach (plan-locked in PlanSpec). History never
+  * joins: it unions scan-to-sink. The changed/kept/new split is a
+  * map-side projection; no window, no extra shuffle.
   */
 object Scd {
 

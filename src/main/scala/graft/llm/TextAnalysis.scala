@@ -472,6 +472,33 @@ object TextAnalysis {
         round(col("max_token_freq").cast("double") / col("n_tokens"), 8)
           .as("repetition_ratio"))
 
+  /** Gopher-style duplicate n-gram fraction (Rae et al. 2021, A1.1 "rep"
+    * filters): the share of a document's n-gram OCCURRENCES that are
+    * repeats of an earlier occurrence — high values flag boilerplate
+    * loops and degenerate generations that the max-token metric
+    * ([[repetitionRatio]]) misses (a doc can repeat whole phrases while
+    * no single token dominates).
+    *
+    * Scale shape: same as [[repetitionRatio]] — one explode + two
+    * aggregations keyed by (doc, gram) then doc, both with map-side
+    * partials; per-doc state is its distinct-gram set, never the corpus.
+    * Docs with fewer than n tokens have no n-grams and are absent.
+    * Output: idCol, n_ngrams, n_dup, dup_ngram_frac (8dp). */
+  def dupNgramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"dupNgramFraction: n=$n")
+    Shingles.register(df.sparkSession)
+    df.select(col(idCol), explode(Shingles.wordShingles(col(textCol), n)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_ngrams"),
+        sum(col("__c") - 1).as("n_dup"))
+      .select(col(idCol), col("n_ngrams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_ngrams").cast("double"), 8)
+          .as("dup_ngram_frac"))
+  }
+
   /** Corpus-level length gate: keep docs whose character length falls in
     * the [lo, hi] percent-rank band WITHIN its language — per-language
     * outlier trimming with no global magic threshold. percent_rank is

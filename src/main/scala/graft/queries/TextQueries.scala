@@ -628,6 +628,34 @@ object TextQueries {
         |  FROM d JOIN nrm x ON x.doc_id = d.id1 JOIN nrm y ON y.doc_id = d.id2)
         |WHERE cos >= 0.15 ORDER BY id1, id2""".stripMargin)),
 
+    // Gopher duplicate-3-gram fraction: share of n-gram occurrences that
+    // repeat an earlier one within the same doc — catches phrase-level
+    // boilerplate the max-token repetition ratio misses. Map-side partial
+    // aggregations only; per-doc state is its distinct-gram set.
+    QuerySpec("q_dup_ngram_frac", (s, dir) => {
+      graft.llm.TextAnalysis.dupNgramFraction(docs(s, dir), "doc_id", "text",
+          n = 3)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 3
+        |                     THEN list_transform(range(1, len(t) - 1),
+        |                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+        |                     ELSE [] END) AS g
+        |  FROM toks),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM tok GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+        |       CAST(SUM(c - 1) AS BIGINT) AS n_dup,
+        |       ROUND(CAST(SUM(c - 1) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 8)
+        |         AS dup_ngram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Contiguous sequence packing (concat-and-cut loader shape): docs are
     // md5-shuffled into 4 hash shards, concatenated per shard, and cut at
     // 2048-length-unit boundaries (here n_chars as the length unit). Each

@@ -65,4 +65,41 @@ class LayoutSpec extends SparkSpec {
     // and the z-ordered table still holds exactly the input rows
     assert(spark.read.parquet(zPath).count() == 64L * 64)
   }
+
+  test("compactWrite rewrites a fragmented table into the target file " +
+      "count, clustered so range predicates prune files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    val fragPath = s"$dir/frag"
+    val compPath = s"$dir/comp"
+    // fragmented ingest residue: 200 partitions of 20 rows each
+    val rows = (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+    rows.repartition(200).write.parquet(fragPath)
+    val nFrag = new java.io.File(fragPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFrag >= 100, s"fixture not fragmented: $nFrag files")
+
+    Layout.compactWrite(spark.read.parquet(fragPath), compPath,
+      nFiles = 4, sortCols = Seq("k"))
+    val files = new java.io.File(compPath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size == 4, s"expected 4 compacted files, got ${files.size}")
+    // same rows back
+    assert(spark.read.parquet(compPath).as[(Long, String)].collect().toSet
+      === rows.as[(Long, String)].collect().toSet)
+    // clustering: a k-range predicate matches ONE file's min/max footer
+    val touched = files.count { f =>
+      val (lo, hi) = spark.read.parquet(f).agg(min("k"), max("k"))
+        .as[(Long, Long)].head()
+      lo <= 150L && hi >= 100L
+    }
+    assert(touched == 1, s"k in [100,150] should touch 1 of 4 files, got $touched")
+
+    // maxRecordsPerFile caps stragglers: 4000 rows / cap 500 → ≥ 8 files
+    val cappedPath = s"$dir/capped"
+    Layout.compactWrite(spark.read.parquet(fragPath), cappedPath,
+      nFiles = 2, sortCols = Seq("k"), maxRecordsPerFile = 500L)
+    val nCapped = new java.io.File(cappedPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nCapped >= 8, s"cap 500 over 4000 rows should split to ≥8, got $nCapped")
+  }
 }

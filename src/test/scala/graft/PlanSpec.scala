@@ -271,4 +271,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("partial_"), plan)
   }
+
+  test("tfidf cosine pre-reduces map-side; the only nested-loop join is " +
+      "the 1-row n_docs broadcast") {
+    val df = graft.llm.TextAnalysis.tfidfCosinePairs(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      maxDf = 20L, minCos = 0.15, n = 3)
+    val plan = planString(df)
+    // tf / df / dot / norm aggregations all pre-reduce before exchanges
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the scalar doc count rides a broadcast, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("scd2 merge is exactly one full-outer join; history unions " +
+      "scan-to-sink") {
+    val c = Tables.load(spark, dir, "customer")
+    val dim = c.select(col("c_custkey"), col("c_acctbal"),
+      lit(java.sql.Date.valueOf("2024-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val upd = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 1).as("c_acctbal"))
+    val plan = planString(graft.engine.Scd.scd2Apply(dim, upd,
+      Seq("c_custkey"), Seq("c_acctbal"),
+      lit(java.sql.Date.valueOf("2024-06-01"))))
+    // Catalyst specializes the logical full-outer through each branch's
+    // presence filter (EliminateOuterJoin): kept/closed becomes LeftOuter,
+    // opened becomes RightOuter — and BOTH then broadcast the small batch
+    // side instead of shuffling, the plan a full outer could never have
+    assert(plan.contains("LeftOuter"), plan)
+    assert(plan.contains("RightOuter"), plan)
+    assert(plan.linesIterator.count(_.contains("Join")) === 2, plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length === 2, plan)
+    assert(plan.contains("Union"), plan)
+  }
 }
