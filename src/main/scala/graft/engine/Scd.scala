@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `dim` carries `keyCols ++ attrCols ++ (valid_from,
   * valid_to)`, with `valid_to IS NULL` marking the current version of each
-  * key; `updates` carries `keyCols ++ attrCols` (at most one row per key
-  * per batch). The merge:
+  * key; `updates` carries `keyCols ++ attrCols`, at most one row per key
+  * per batch — more than one RAISES at runtime via an in-plan guard (a
+  * fanned-out merge would silently emit duplicate closed rows and
+  * multiple simultaneous open versions). The merge:
   *   - passes closed history rows through untouched (scan-only);
   *   - keeps current rows whose key is absent from the batch, or whose
   *     attributes are unchanged (null-safe comparison);
@@ -49,11 +51,27 @@ object Scd {
         attrCols.map(c => col(c).as(s"__cur_$c")) ++
         Seq(col("valid_from").as("__cur_from"),
           lit(true).as("__in_cur")): _*)
+    // per-key batch multiplicity: >1 update row per key would fan the
+    // current row out through the join and silently emit duplicate closed
+    // rows plus multiple simultaneous open versions — guard below turns
+    // that into a runtime error instead (window on the small batch side)
+    val updW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
     val updSel = updates.select(
       keyCols.map(col) ++
         attrCols.map(c => col(c).as(s"__upd_$c")) ++
         Seq(lit(true).as("__in_upd")): _*)
+      .withColumn("__ucnt", count(lit(1)).over(updW))
     val j = curSel.join(updSel, keyCols, "full_outer")
+    // in-plan guard, riding the always-evaluated valid_from of every
+    // output branch (no extra action, no collect): null __ucnt (no
+    // update) falls through to the payload
+    def guarded(payload: Column): Column =
+      when(col("__ucnt") > 1, raise_error(concat(
+        lit("scd2Apply: more than one update row for key ("),
+        concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+        lit(")"))))
+        .otherwise(payload)
 
     // null-safe: a NULL→value or value→NULL attribute transition counts
     // as a change; NULL→NULL does not
@@ -64,7 +82,7 @@ object Scd {
     val keptOrClosed = j.filter(col("__in_cur").isNotNull).select(
       keyCols.map(col) ++
         attrCols.map(c => col(s"__cur_$c").as(c)) ++
-        Seq(col("__cur_from").as("valid_from"),
+        Seq(guarded(col("__cur_from")).as("valid_from"),
           when(col("__in_upd").isNotNull && changed, batchTs)
             .as("valid_to")): _*)
     val opened = j
@@ -73,7 +91,7 @@ object Scd {
       .select(
         keyCols.map(col) ++
           attrCols.map(c => col(s"__upd_$c").as(c)) ++
-          Seq(batchTs.as("valid_from"),
+          Seq(guarded(batchTs).as("valid_from"),
             lit(null).cast(validToType).as("valid_to")): _*)
 
     history.unionByName(keptOrClosed).unionByName(opened)

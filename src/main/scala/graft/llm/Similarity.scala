@@ -412,10 +412,14 @@ object Similarity {
     * `code` = that vector's id (deterministic, engine-portable — same
     * convention as [[ivfCells]] centroids and the k-means seeds; a
     * production build would plug per-subspace k-means into the same
-    * plan). Selected via TakeOrdered on the distinct ids, so gapped or
-    * non-zero-based id spaces still yield exactly `ksub` entries. */
-  private def pqCodebook(vx: DataFrame, ksub: Int): DataFrame = {
-    val ids = vx.select(col("id")).distinct().orderBy(col("id")).limit(ksub)
+    * plan). Selected via TakeOrdered on the UNEXPLODED embedding ids (one
+    * column, no distinct over the m·dsub-times-larger subvector frame), so
+    * gapped or non-zero-based id spaces still yield exactly `ksub`
+    * entries. */
+  private def pqCodebook(emb: DataFrame, idCol: String, vx: DataFrame,
+      ksub: Int): DataFrame = {
+    val ids = emb.select(col(idCol).cast("long").as("id"))
+      .orderBy(col("id")).limit(ksub)
     vx.join(broadcast(ids), "id")
       .select(col("id").cast("long").as("code"), col("s"), col("j"),
         col("xi").as("ci"))
@@ -467,7 +471,7 @@ object Similarity {
       m: Int, ksub: Int, scaleBits: Int = 20): DataFrame = {
     require(ksub >= 1, s"ksub=$ksub")
     val vx = pqVx(emb, idCol, vecCol, m, scaleBits)
-    val cb = broadcast(pqCodebook(vx, ksub))
+    val cb = broadcast(pqCodebook(emb, idCol, vx, ksub))
     pqAssign(vx, cb)
       .select(col("id").as(idCol), col("s").as("subspace"),
         col("code"), col("d2"))
@@ -493,7 +497,7 @@ object Similarity {
     require(k >= 1 && queryIds.nonEmpty, s"pqAdcTopK: k=$k queries=$queryIds")
     TopK.register(emb.sparkSession)
     val vx = pqVx(emb, idCol, vecCol, m, scaleBits)
-    val cb = broadcast(pqCodebook(vx, ksub))
+    val cb = broadcast(pqCodebook(emb, idCol, vx, ksub))
     val codes = pqAssign(vx, cb).select(col("id"), col("s"), col("code"))
     val lut = broadcast(pqLut(vx, cb, queryIds))
     codes.join(lut, Seq("s", "code"))
@@ -527,7 +531,7 @@ object Similarity {
     val cells = ivfCells(emb, idCol, vecCol, numCells)
       .select(col("id"), col("cell"))
     val vx = pqVx(emb, idCol, vecCol, m, scaleBits)
-    val cb = broadcast(pqCodebook(vx, ksub))
+    val cb = broadcast(pqCodebook(emb, idCol, vx, ksub))
     val codes = pqAssign(vx, cb).select(col("id"), col("s"), col("code"))
     val qcells = broadcast(cells.filter(col("id").isInCollection(queryIds))
       .select(col("id").as("qid"), col("cell")))

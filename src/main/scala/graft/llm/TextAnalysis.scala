@@ -620,8 +620,12 @@ object TextAnalysis {
             col("df").cast("double")), 8).cast("decimal(20,8)") *
           lit(100000000L)).cast("long").as("wi"))
     val wiDec = col("wi").cast("decimal(19,0)")
+    // zero-norm docs (every surviving term at df == N ⇒ all weights 0)
+    // would make cos = 0/0 = NaN, and NaN compares GREATER than minCos in
+    // Spark — drop them: a doc with no weighted terms has no similarity
     val norms = postings.groupBy(col("id"))
       .agg(sum(wiDec * wiDec).as("n2"))
+      .filter(col("n2") > 0)
     val a = postings.toDF("id1", "word", "w1")
     val b = postings.toDF("id2", "word", "w2")
     val dots = a.join(b, Seq("word"))

@@ -614,7 +614,8 @@ object TextQueries {
         |nrm AS (SELECT doc_id,
         |               SUM(CAST(wi AS DECIMAL(19,0)) * CAST(wi AS DECIMAL(19,0)))
         |                 AS n2
-        |        FROM w GROUP BY doc_id),
+        |        FROM w GROUP BY doc_id
+        |        HAVING SUM(CAST(wi AS DECIMAL(19,0)) * CAST(wi AS DECIMAL(19,0))) > 0),
         |d AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
         |             SUM(CAST(a.wi AS DECIMAL(19,0)) * CAST(b.wi AS DECIMAL(19,0)))
         |               AS dot

@@ -57,6 +57,19 @@ class ScdSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("scd2Apply: duplicate update keys raise instead of silently fanning out") {
+    val dupUpd = updates.unionByName(
+      Seq((1L, Option("zz"))).toDF("k", "attr"))
+    val ex = intercept[Exception] {
+      Scd.scd2Apply(dim, dupUpd, Seq("k"), Seq("attr"), lit(d1)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("more than one update row")),
+      messages(ex).mkString(" | "))
+  }
+
   test("scd2Apply: idempotent when re-applying the same batch") {
     val once = Scd.scd2Apply(dim, updates, Seq("k"), Seq("attr"), lit(d1))
     val twice = Scd.scd2Apply(once, updates, Seq("k"), Seq("attr"), lit(d1))
