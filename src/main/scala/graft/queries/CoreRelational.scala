@@ -265,6 +265,37 @@ object CoreRelational {
         |FROM customer WHERE c_custkey % 5 = 0
         |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // CDC micro-batch compaction: several changes to one key inside a
+    // batch are legal change-data-capture — keep the LAST by sequence
+    // number via a struct-max aggregate (deterministic under any
+    // partitioning, unlike dropDuplicates; a window row_number would sort
+    // where the aggregate pre-reduces map-side). Feeds the SCD2 merge.
+    QuerySpec("q_cdc_compact", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val cdc = o.select(col("o_orderkey"), lit(1L).as("seq"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), lit(2L).as("seq"),
+            lit("X").as("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice")))
+      graft.streaming.EventStreams.lastWinsByKey(cdc, Seq("o_orderkey"),
+          "seq", Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """WITH cdc AS (
+        |  SELECT o_orderkey, 1 AS seq, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'X', o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |                            ORDER BY seq DESC) AS rn
+        |  FROM cdc)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)),
+
     // Pivot: long→wide per-status counts over the five priority values
     // (explicit value list ⇒ no extra distinct-values job; renamed to
     // stable snake-case aliases on both engines).

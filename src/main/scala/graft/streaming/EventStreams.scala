@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -171,6 +171,40 @@ object EventStreams {
     appendDocs(accepted)
     appendBands(graft.llm.Dedup.bandTable(accepted, idCol, textCol,
       n, bands, rowsPerBand))
+  }
+
+  /** Deterministic last-change-wins compaction of a CDC micro-batch: one
+    * surviving row per key — the one with the greatest `orderCol`, ties
+    * broken by the attribute tuple (a struct-max aggregate, so the choice
+    * is identical under any partitioning, unlike `dropDuplicates`). */
+  def lastWinsByKey(batch: DataFrame, keyCols: Seq[String],
+      orderCol: String, attrCols: Seq[String]): DataFrame =
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(col(orderCol) +: attrCols.map(col): _*)).as("__b"))
+      .select(keyCols.map(col) ++
+        attrCols.map(c => col(s"__b.$c").as(c)): _*)
+
+  /** Streaming CDC → versioned dimension: each micro-batch of attribute
+    * changes compacts to last-change-wins per key ([[lastWinsByKey]] —
+    * several changes to one key inside a micro-batch are legal CDC) and
+    * merges into the SCD2 dimension ([[graft.engine.Scd.scd2Apply]]:
+    * changed keys close their current version and open a new one).
+    *
+    * Replay safety: foreachBatch is at-least-once. `readDim`/`writeDim`
+    * abstract the state target; writing VERSIONED state (e.g. a
+    * `v<batchId>` dir keyed by the batch id, reading `v<batchId-1>`)
+    * makes a replayed batch rewrite the same version from the same
+    * predecessor — bit-identical, so retries cannot double-close or
+    * double-open versions. `batchTs` maps the batch id to the version
+    * timestamp (injectable clock, as in the batch loaders). */
+  def scd2ForeachBatch(
+      readDim: Long => DataFrame,
+      writeDim: (DataFrame, Long) => Unit,
+      keyCols: Seq[String], attrCols: Seq[String], orderCol: String,
+      batchTs: Long => Column): (DataFrame, Long) => Unit = { (batch, id) =>
+    val compacted = lastWinsByKey(batch, keyCols, orderCol, attrCols)
+    writeDim(graft.engine.Scd.scd2Apply(readDim(id), compacted,
+      keyCols, attrCols, batchTs(id)), id)
   }
 
   /** Batch sessionization: the gaps-and-islands window formulation — a

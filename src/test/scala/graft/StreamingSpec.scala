@@ -386,4 +386,55 @@ class StreamingSpec extends SparkSpec {
       assert(bandState.count() === 4 * 3)
     } finally q.stop()
   }
+
+  test("scd2ForeachBatch: CDC stream builds the versioned dimension; " +
+      "in-batch changes compact last-wins; replay rewrites the same version") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-02-01")
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k LONG, attr STRING, valid_from DATE, valid_to DATE"))
+    // versioned state: batch N reads v(N-1), writes vN — replays rewrite
+    val state = scala.collection.mutable.Map[Long, DataFrame]()
+    val sink = EventStreams.scd2ForeachBatch(
+      id => state.getOrElse(id - 1, empty),
+      (df, id) => state(id) = df.localCheckpoint(),
+      Seq("k"), Seq("attr"), "seq",
+      id => lit(java.sql.Date.valueOf(f"2024-${id + 1}%02d-01")))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("k", "attr", "seq")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      // batch 0: two changes to k=1 inside ONE batch -> last (seq 2) wins
+      mem.addData((1L, "a", 1L), (2L, "b", 1L), (1L, "a1", 2L))
+      q.processAllAvailable()
+      val v0 = state(0L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDate(2),
+          Option(r.getDate(3)))).toSet
+      assert(v0 === Set((1L, "a1", d1, None), (2L, "b", d1, None)))
+
+      // batch 1: k=1 changes again (close + reopen), k=2 silent, k=3 new
+      mem.addData((1L, "a2", 1L), (3L, "c", 1L))
+      q.processAllAvailable()
+      val v1rows = state(1L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDate(2),
+          Option(r.getDate(3)))).toSet
+      assert(v1rows === Set(
+        (1L, "a1", d1, Some(d2)), (1L, "a2", d2, None),
+        (2L, "b", d1, None), (3L, "c", d2, None)))
+
+      // at-least-once replay: re-running batch 1 reads v0 again and
+      // rewrites an IDENTICAL v1 (no double-close, no extra versions)
+      sink(Seq((1L, "a2", 1L), (3L, "c", 1L)).toDF("k", "attr", "seq"), 1L)
+      val v1again = state(1L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDate(2),
+          Option(r.getDate(3)))).toSet
+      assert(v1again === v1rows)
+    } finally q.stop()
+  }
 }
