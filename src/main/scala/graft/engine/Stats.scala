@@ -265,6 +265,39 @@ object Stats {
         round(diff * diff / eRaw, 8).as("contrib"))
   }
 
+  /** Mutual information between two categorical columns,
+    * I(X;Y) = Σ_ij (n_ij/N)·ln(N·n_ij / (n_i·n_j)) — the
+    * information-theoretic association measure over the SAME contingency
+    * grid as [[chiSquareCells]] (feature/label dependence screening;
+    * unlike χ², empty cells contribute exactly 0, so only observed
+    * combinations are scanned). Null categories are dropped, matching the
+    * χ² crosstab semantics.
+    *
+    * Determinism: marginal products go double BEFORE multiplying (long
+    * wraps past ~3e9 marginals — the χ² lesson), each ln rounds to 8dp
+    * (the libm-ulp pin), is weighted by the EXACT integer n_ij and summed
+    * in DECIMAL(38,8) (the [[categoryEntropy]] grid), with one division
+    * by N at the end. Output: one row — n (total), mi. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val obs = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("nij"))
+    val xT = obs.groupBy(col(xCol)).agg(sum(col("nij")).as("ni"))
+    val yT = obs.groupBy(col(yCol)).agg(sum(col("nij")).as("nj"))
+    val n = obs.agg(sum(col("nij")).as("n"))
+    val lnArg = (col("n").cast("double") * col("nij").cast("double")) /
+      (col("ni").cast("double") * col("nj").cast("double"))
+    val term = (round(log(lnArg), 8).cast("decimal(10,8)") *
+      col("nij").cast("decimal(19,0)")).cast("decimal(38,8)")
+    obs.join(xT, Seq(xCol)).join(yT, Seq(yCol)).crossJoin(broadcast(n))
+      .select(term.as("term"), col("n"))
+      .groupBy(col("n"))
+      .agg(sum(col("term")).as("t"))
+      .select(col("n"),
+        (col("t").cast("double") / col("n").cast("double")).as("mi"))
+  }
+
   /** χ² statistic + two-sided p over the collected cells (≤ r×c rows);
     * recomputes contributions from exact counts in a deterministic cell
     * order. Returns (chi2, dof, p). */

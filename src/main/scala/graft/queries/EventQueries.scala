@@ -193,6 +193,35 @@ object EventQueries {
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // Top-20 event-type trigrams: sequential pattern counting (the "what
+    // paths do users take" primitive behind funnel DISCOVERY, where
+    // q_funnel checks one known path). Per-user sequences via lead() over
+    // a high-cardinality user partition — no per-user collect; counts
+    // pre-reduce map-side; top-k is TakeOrdered with a trigram tie-break.
+    QuerySpec("q_event_trigrams", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("trigram"))
+        .limit(20)
+    }, Some(
+      """WITH seq AS (
+        |  SELECT event_type || '>' || LEAD(event_type, 1) OVER w
+        |           || '>' || LEAD(event_type, 2) OVER w AS trigram
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT trigram, COUNT(*) AS cnt FROM seq
+        |WHERE trigram IS NOT NULL
+        |GROUP BY trigram ORDER BY cnt DESC, trigram LIMIT 20""".stripMargin)),
+
     // Cohort retention: users grouped by their first-activity week, counted
     // per week offset — two aggregations and one join, all on user_id/week
     // keys (epoch-aligned integer weeks; timestamps are positive so int

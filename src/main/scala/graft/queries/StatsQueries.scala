@@ -376,6 +376,33 @@ object StatsQueries {
         |FROM cells
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Mutual information over the same contingency grid as χ² — the
+    // information-theoretic dependence screen. 8dp-ln terms weighted by
+    // exact counts, summed on the DECIMAL(38,8) grid, one division by N;
+    // marginal products in double BEFORE multiplying (the χ² long-wrap
+    // lesson). Empty cells contribute exactly 0, so only observed
+    // combinations are scanned.
+    QuerySpec("q_mutual_info", (s, dir) => {
+      Stats.mutualInfo(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+    }, Some(
+      """WITH obs AS (
+        |  SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS nij
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |xt AS (SELECT x, CAST(SUM(nij) AS BIGINT) AS ni FROM obs GROUP BY x),
+        |yt AS (SELECT y, CAST(SUM(nij) AS BIGINT) AS nj FROM obs GROUP BY y),
+        |nn AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM obs),
+        |t AS (
+        |  SELECT nn.n,
+        |         CAST(CAST(ROUND(ln((CAST(nn.n AS DOUBLE) * CAST(nij AS DOUBLE))
+        |                            / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))),
+        |                         8) AS DECIMAL(10,8))
+        |              * CAST(nij AS DECIMAL(19,0)) AS DECIMAL(38,8)) AS term
+        |  FROM obs JOIN xt USING (x) JOIN yt USING (y) CROSS JOIN nn)
+        |SELECT n, CAST(SUM(term) AS DOUBLE) / CAST(n AS DOUBLE) AS mi
+        |FROM t GROUP BY n""".stripMargin)),
+
     // Salted equi-join for the pathological single-hot-key case (both
     // sides too large to broadcast): fact salted by a row-unique column,
     // dim replicated per salt — value-transparent, so the oracle is the

@@ -17,8 +17,10 @@ class DeterminismSpec extends SparkSpec {
     "q_pq_codes", "q_ivf_pq", "q_weighted_sample", "q_dsir_weights",
     "q_winsorize", "q_group_mode", "q_category_entropy", "q_audio_meta",
     // round-2 session-4 ops: SCD2 null-safe change split, decimal-grid
-    // TF-IDF dots, hash-range folds, per-doc gram multisets
-    "q_scd2", "q_tfidf_cosine", "q_kfold", "q_dup_ngram_frac")
+    // TF-IDF dots, hash-range folds, per-doc gram multisets, CDC
+    // struct-max compaction, MI ln-grid, lead()-window sequence counts
+    "q_scd2", "q_tfidf_cosine", "q_kfold", "q_dup_ngram_frac",
+    "q_cdc_compact", "q_mutual_info", "q_event_trigrams")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
