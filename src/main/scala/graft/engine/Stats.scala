@@ -265,6 +265,43 @@ object Stats {
         round(diff * diff / eRaw, 8).as("contrib"))
   }
 
+  /** Pearson correlation matrix over `cols` from ONE aggregation pass:
+    * all p first moments and p·(p+1)/2 cross moments accumulate in a
+    * single job (exact DECIMAL sums — associative, partition-order-free),
+    * and every pairwise correlation is then a scalar formula over that
+    * one 1-row frame, exploded to (x_col, y_col, corr) pairs map-side.
+    * The p-column generalization of the q_corr_ols two-column moments:
+    * at 100 TB the corpus is scanned ONCE however many measures are
+    * screened, where naive `df.stat.corr` per pair scans p·(p-1)/2 times.
+    * Zero-variance columns yield null correlations (guarded division).
+    * `scale` is the DECIMAL scale the measures are cast to (exactness
+    * contract: inputs must carry ≤ `scale` fractional digits, as TPC-H
+    * monetary/rate columns do at 2).
+    * Output: x_col, y_col (column-order pairs, x before y), corr (8dp). */
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns, got $cols")
+    val p = cols.size
+    val xs = cols.map(c => col(c).cast(s"decimal(18,$scale)"))
+    val firsts = (0 until p).map(i => sum(xs(i)).as(s"__s$i"))
+    val crosses = for { i <- 0 until p; j <- i until p }
+      yield sum(xs(i) * xs(j)).as(s"__s${i}_$j")
+    val aggs = count(lit(1)).as("__n") +: (firsts ++ crosses)
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    def d(name: String) = col(name).cast("double")
+    val pairs = for { i <- 0 until p; j <- (i + 1) until p } yield {
+      val n = d("__n")
+      val num = n * d(s"__s${i}_$j") - d(s"__s$i") * d(s"__s$j")
+      val denx = n * d(s"__s${i}_$i") - d(s"__s$i") * d(s"__s$i")
+      val deny = n * d(s"__s${j}_$j") - d(s"__s$j") * d(s"__s$j")
+      struct(lit(cols(i)).as("x_col"), lit(cols(j)).as("y_col"),
+        when(denx > 0 && deny > 0,
+          round(num / sqrt(denx) / sqrt(deny), 8)).as("corr"))
+    }
+    row.select(explode(array(pairs: _*)).as("__p"))
+      .select(col("__p.x_col").as("x_col"), col("__p.y_col").as("y_col"),
+        col("__p.corr").as("corr"))
+  }
+
   /** Mutual information between two categorical columns,
     * I(X;Y) = Σ_ij (n_ij/N)·ln(N·n_ij / (n_i·n_j)) — the
     * information-theoretic association measure over the SAME contingency

@@ -376,6 +376,40 @@ object StatsQueries {
         |FROM cells
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Full Pearson correlation matrix from ONE aggregation pass: every
+    // first and cross moment accumulates in a single DECIMAL job, then
+    // each pair's correlation is a scalar formula exploded map-side —
+    // p measures screened at one corpus scan (df.stat.corr per pair
+    // would scan p·(p-1)/2 times).
+    QuerySpec("q_corr_matrix", (s, dir) => {
+      Stats.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("x_col", "y_col")
+    }, Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val firsts = cols.indices.map(i =>
+        s"SUM(CAST(${cols(i)} AS DECIMAL(18,2))) AS s$i")
+      val crosses = for { i <- cols.indices; j <- i until cols.size } yield
+        s"SUM(CAST(${cols(i)} AS DECIMAL(18,2)) * " +
+          s"CAST(${cols(j)} AS DECIMAL(18,2))) AS s${i}_$j"
+      val branches = for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield {
+          val num = s"(CAST(n AS DOUBLE) * CAST(s${i}_$j AS DOUBLE) - " +
+            s"CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE))"
+          val denx = s"(CAST(n AS DOUBLE) * CAST(s${i}_$i AS DOUBLE) - " +
+            s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE))"
+          val deny = s"(CAST(n AS DOUBLE) * CAST(s${j}_$j AS DOUBLE) - " +
+            s"CAST(s$j AS DOUBLE) * CAST(s$j AS DOUBLE))"
+          s"SELECT '${cols(i)}' AS x_col, '${cols(j)}' AS y_col, " +
+            s"CASE WHEN $denx > 0 AND $deny > 0 " +
+            s"THEN ROUND($num / sqrt($denx) / sqrt($deny), 8) END AS corr " +
+            "FROM m"
+        }
+      s"WITH m AS (SELECT COUNT(*) AS n, " +
+        (firsts ++ crosses).mkString(", ") + " FROM lineitem)\n" +
+        branches.mkString("\nUNION ALL\n") + "\nORDER BY x_col, y_col"
+    }),
+
     // Mutual information over the same contingency grid as χ² — the
     // information-theoretic dependence screen. 8dp-ln terms weighted by
     // exact counts, summed on the DECIMAL(38,8) grid, one division by N;

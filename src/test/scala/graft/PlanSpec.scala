@@ -272,6 +272,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("corr matrix accumulates ALL moments in one scan with map-side partials") {
+    val df = graft.engine.Stats.corrMatrix(
+      Tables.load(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val plan = planString(df)
+    assert("FileScan|Scan parquet".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("tfidf cosine pre-reduces map-side; the only nested-loop join is " +
       "the 1-row n_docs broadcast") {
     val df = graft.llm.TextAnalysis.tfidfCosinePairs(
