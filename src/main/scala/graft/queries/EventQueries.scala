@@ -193,6 +193,49 @@ object EventQueries {
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // Time-weighted average value per user (the TWAP shape): each reading
+    // holds until the user's next event, so it weighs by its interval —
+    // the irregular-sampling mean a plain AVG gets wrong. One lead()
+    // window over the user partition, then exact DECIMAL interval-weighted
+    // sums; the only float step is the final division, 8dp-rounded.
+    QuerySpec("q_twap", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .select(col("user_id"), (col("next_us") - col("us")).as("dt"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy("user_id")
+        .agg(sum(col("v") * col("dt").cast("decimal(19,0)")).as("wv"),
+          sum(col("dt")).as("span_us"))
+        .select(col("user_id"), col("span_us"),
+          when(col("span_us") > 0,
+            round(col("wv").cast("double") / col("span_us").cast("double"), 8))
+            .as("twap"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH s AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) AS us,
+        |         LEAD(epoch_us(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |         SUM(v * CAST(next_us - us AS DECIMAL(19,0))) AS wv,
+        |         CAST(SUM(next_us - us) AS BIGINT) AS span_us
+        |  FROM s WHERE next_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, span_us,
+        |       CASE WHEN span_us > 0
+        |            THEN ROUND(CAST(wv AS DOUBLE) / CAST(span_us AS DOUBLE), 8)
+        |            END AS twap
+        |FROM g ORDER BY user_id""".stripMargin)),
+
     // Top-20 event-type trigrams: sequential pattern counting (the "what
     // paths do users take" primitive behind funnel DISCOVERY, where
     // q_funnel checks one known path). Per-user sequences via lead() over
