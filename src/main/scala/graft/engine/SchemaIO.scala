@@ -46,6 +46,37 @@ object SchemaIO {
     mapper.writeValueAsString(node)
   }
 
+  /** Schema drift between two schemas (e.g. yesterday's persisted dtype
+    * JSON vs today's landed batch): added / removed / type-changed
+    * columns, name-keyed and order-insensitive. The pre-flight check an
+    * ingest pipeline runs BEFORE the coercing schema apply — silent
+    * upstream drift (a renamed column, an int that became a string)
+    * surfaces as an explicit diff instead of a column of nulls.
+    * Pure metadata — no jobs, no data read. */
+  final case class SchemaDiff(
+      added: Seq[(String, String)],
+      removed: Seq[(String, String)],
+      typeChanged: Seq[(String, String, String)]) {
+    def isEmpty: Boolean =
+      added.isEmpty && removed.isEmpty && typeChanged.isEmpty
+  }
+
+  def diffSchemas(before: StructType, after: StructType): SchemaDiff = {
+    val b = before.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val a = after.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    SchemaDiff(
+      added = after.fields.collect {
+        case f if !b.contains(f.name) => f.name -> f.dataType.simpleString
+      }.toSeq.sortBy(_._1),
+      removed = before.fields.collect {
+        case f if !a.contains(f.name) => f.name -> f.dataType.simpleString
+      }.toSeq.sortBy(_._1),
+      typeChanged = before.fields.collect {
+        case f if a.contains(f.name) && a(f.name) != f.dataType.simpleString =>
+          (f.name, f.dataType.simpleString, a(f.name))
+      }.toSeq.sortBy(_._1))
+  }
+
   def save(schema: StructType, path: String): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       schemaToDtypeJson(schema))

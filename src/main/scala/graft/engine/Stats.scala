@@ -265,6 +265,49 @@ object Stats {
         round(diff * diff / eRaw, 8).as("contrib"))
   }
 
+  /** Benford first-digit screen (Newcomb 1881 / Benford 1938): the
+    * distribution of leading significant digits of a naturally-occurring
+    * positive measure against the log law P(d) = log10(1 + 1/d) — the
+    * classic fabricated/synthetic-data detector (audit tooling runs
+    * exactly this over monetary columns).
+    *
+    * The leading digit is extracted from the DECIMAL's string form (first
+    * [1-9] character) — NOT via floor(log10): a log10 at a power-of-10
+    * boundary rounds differently per libm and flips the digit. Expected
+    * proportions are 8dp literals inlined identically in both engines.
+    * One map-side projection + one 9-group aggregation.
+    * Output: digit (1-9, observed digits only), observed, n, expected_p,
+    * observed_p (8dp), chi_contrib (8dp). */
+  def benfordDigits(df: DataFrame, valueCol: String,
+      scale: Int = 2): DataFrame = {
+    // log10(1+1/d) rounded to 8dp — the same literals go into oracle SQL
+    val expected = (1 to 9).map(d =>
+      d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val digit = regexp_extract(
+      col(valueCol).cast(s"decimal(18,$scale)").cast("string"), "[1-9]", 0)
+    val expectedP = (1 to 9).foldLeft(lit(null).cast("double")) {
+      case (acc, d) => when(col("digit") === d.toString, lit(expected(d)))
+        .otherwise(acc)
+    }
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(digit.as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("observed"))
+    val n = counts.agg(sum(col("observed")).as("n"))
+    val obsP = col("observed").cast("double") / col("n").cast("double")
+    val expN = col("expected_p") * col("n").cast("double")
+    counts.crossJoin(broadcast(n))
+      .withColumn("expected_p", expectedP)
+      .select(col("digit").cast("int").as("digit"), col("observed"), col("n"),
+        col("expected_p"),
+        round(obsP, 8).as("observed_p"),
+        round((col("observed") - expN) * (col("observed") - expN) / expN, 8)
+          .as("chi_contrib"))
+  }
+
   /** Pearson correlation matrix over `cols` from ONE aggregation pass:
     * all p first moments and p·(p+1)/2 cross moments accumulate in a
     * single job (exact DECIMAL sums — associative, partition-order-free),

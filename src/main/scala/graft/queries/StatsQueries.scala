@@ -376,6 +376,41 @@ object StatsQueries {
         |FROM cells
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Benford first-digit screen over a monetary column — the audit-tier
+    // fabricated-data detector. Leading digit via the DECIMAL's string
+    // form (floor(log10) flips digits at power-of-10 boundaries per
+    // libm); expected log-law proportions are 8dp literals inlined
+    // identically in both engines (CAST AS DOUBLE in SQL — DuckDB parses
+    // bare float literals as DECIMAL).
+    QuerySpec("q_benford", (s, dir) => {
+      Stats.benfordDigits(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("digit")
+    }, Some {
+      val exp = (1 to 9).map(d => d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      val caseExp = (1 to 9)
+        .map(d => s"WHEN digit = '$d' THEN CAST(${exp(d)} AS DOUBLE)")
+        .mkString(" ")
+      s"""WITH digits AS (
+         |  SELECT regexp_extract(
+         |           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+         |           '[1-9]') AS digit
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+         |c AS (SELECT digit, COUNT(*) AS observed FROM digits
+         |      WHERE digit <> '' GROUP BY digit),
+         |nn AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM c),
+         |e AS (SELECT digit, observed, nn.n,
+         |             CASE $caseExp END AS expected_p
+         |      FROM c CROSS JOIN nn)
+         |SELECT CAST(digit AS INT) AS digit, observed, n, expected_p,
+         |       ROUND(CAST(observed AS DOUBLE) / CAST(n AS DOUBLE), 8)
+         |         AS observed_p,
+         |       ROUND((observed - expected_p * n) * (observed - expected_p * n)
+         |             / (expected_p * n), 8) AS chi_contrib
+         |FROM e ORDER BY digit""".stripMargin
+    }),
+
     // Full Pearson correlation matrix from ONE aggregation pass: every
     // first and cross moment accumulates in a single DECIMAL job, then
     // each pair's correlation is a scalar formula exploded map-side —

@@ -79,6 +79,19 @@ class SchemaIOSpec extends SparkSpec {
       Seq(DoubleType, StringType, LongType, TimestampType))
     assert(SchemaIO.schemaFromDtypeJson(SchemaIO.schemaToDtypeJson(st)) === st)
   }
+  test("diffSchemas reports added, removed, and type-changed columns") {
+    val before = SchemaIO.schemaFromDtypeJson(
+      """{"a":"float64","b":"string","c":"int64"}""")
+    val after = SchemaIO.schemaFromDtypeJson(
+      """{"a":"float64","c":"string","d":"int64"}""")
+    val diff = SchemaIO.diffSchemas(before, after)
+    assert(diff.added === Seq("d" -> "bigint"))
+    assert(diff.removed === Seq("b" -> "string"))
+    assert(diff.typeChanged === Seq(("c", "bigint", "string")))
+    assert(!diff.isEmpty)
+    assert(SchemaIO.diffSchemas(before, before).isEmpty)
+  }
+
   test("reference 229-column silver schema round-trips through the codec") {
     // the real production dtype map (tests/ressources/schemas/
     // schema_silver_data.json): 105 float64 / 95 string / 23 int64 /
