@@ -472,6 +472,54 @@ object TextAnalysis {
         round(col("max_token_freq").cast("double") / col("n_tokens"), 8)
           .as("repetition_ratio"))
 
+  /** Jensen–Shannon divergence between two groups' token distributions
+    * (Lin 1991) — the corpus-drift / mixture-QA measure: how far does
+    * source A's language drift from source B's? (0 = identical, ln 2 =
+    * disjoint vocabularies; symmetric and always finite, unlike KL.)
+    * The dataset-comparison pass a training pipeline runs when a new
+    * crawl snapshot or source joins the mix.
+    *
+    * Scale shape: ONE token-keyed count aggregation with conditional
+    * per-group sums (no join of two count tables), one 2-scalar total,
+    * and a vocabulary-bounded term scan. Determinism: the per-token
+    * ln(p/m) ratios are computed double-BEFORE-multiply (integer products
+    * of corpus-scale counts wrap), rounded to 8dp (the libm pin),
+    * weighted by EXACT integer counts on the DECIMAL(38,8) grid, and
+    * divided by the totals once at the end — the [[graft.engine.Stats]]
+    * mutual-information discipline. p/m = 2·c1·n2/(c1·n2 + c2·n1), so
+    * |ln| < ln(2·n1·n2) ≈ 90 fits DECIMAL(10,8).
+    * Output: one row — n1, n2, vocab, jsd (nats, 8dp). */
+  def jsDivergence(docs: DataFrame, textCol: String, groupCol: String,
+      g1: String, g2: String): DataFrame = {
+    require(g1 != g2, s"jsDivergence: identical groups '$g1'")
+    val counts = docs
+      .filter(col(groupCol).isin(g1, g2))
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("g") === g1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === g2, 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      count(lit(1)).as("vocab"))
+    val (c1d, c2d) = (col("c1").cast("double"), col("c2").cast("double"))
+    val (n1d, n2d) = (col("n1").cast("double"), col("n2").cast("double"))
+    val denom = c1d * n2d + c2d * n1d
+    def term(cd: Column, nd: Column, c: Column): Column =
+      when(c > 0,
+        (round(log(lit(2.0) * cd * nd / denom), 8).cast("decimal(10,8)") *
+          c.cast("decimal(19,0)")).cast("decimal(38,8)"))
+        .otherwise(lit(0).cast("decimal(38,8)"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"), col("vocab"),
+        term(c1d, n2d, col("c1")).as("ta"),
+        term(c2d, n1d, col("c2")).as("tb"))
+      .groupBy(col("n1"), col("n2"), col("vocab"))
+      .agg(sum(col("ta")).as("a"), sum(col("tb")).as("b"))
+      .select(col("n1"), col("n2"), col("vocab"),
+        round((col("a").cast("double") / col("n1").cast("double") +
+          col("b").cast("double") / col("n2").cast("double")) / lit(2.0), 8)
+          .as("jsd"))
+  }
+
   /** Gopher-style duplicate n-gram fraction (Rae et al. 2021, A1.1 "rep"
     * filters): the share of a document's n-gram OCCURRENCES that are
     * repeats of an earlier occurrence — high values flag boilerplate

@@ -629,6 +629,52 @@ object TextQueries {
         |  FROM d JOIN nrm x ON x.doc_id = d.id1 JOIN nrm y ON y.doc_id = d.id2)
         |WHERE cos >= 0.15 ORDER BY id1, id2""".stripMargin)),
 
+    // Jensen–Shannon divergence between the en and fr token
+    // distributions — the corpus-drift / mixture-QA measure (0 =
+    // identical language, ln 2 = disjoint vocabularies; symmetric,
+    // always finite). One conditional-sum count aggregation, ln ratios
+    // double-before-multiply on the 8dp grid, exact-count weights in
+    // DECIMAL(38,8) — the mutual-information discipline.
+    QuerySpec("q_js_divergence", (s, dir) => {
+      graft.llm.TextAnalysis.jsDivergence(docs(s, dir), "text", "lang",
+        "en", "fr")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT lang AS g,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents WHERE lang IN ('en', 'fr')),
+        |c AS (SELECT token,
+        |             CAST(SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(SUM(CASE WHEN g = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM toks GROUP BY token),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) AS BIGINT) AS n2,
+        |             COUNT(*) AS vocab
+        |      FROM c),
+        |terms AS (
+        |  SELECT t.n1, t.n2, t.vocab,
+        |         CASE WHEN c1 > 0 THEN CAST(CAST(ROUND(ln(
+        |                  CAST(2.0 AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                  / (CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                     + CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))), 8)
+        |                AS DECIMAL(10,8)) * CAST(c1 AS DECIMAL(19,0))
+        |              AS DECIMAL(38,8))
+        |              ELSE CAST(0 AS DECIMAL(38,8)) END AS ta,
+        |         CASE WHEN c2 > 0 THEN CAST(CAST(ROUND(ln(
+        |                  CAST(2.0 AS DOUBLE) * CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |                  / (CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                     + CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))), 8)
+        |                AS DECIMAL(10,8)) * CAST(c2 AS DECIMAL(19,0))
+        |              AS DECIMAL(38,8))
+        |              ELSE CAST(0 AS DECIMAL(38,8)) END AS tb
+        |  FROM c CROSS JOIN t)
+        |SELECT n1, n2, vocab,
+        |       ROUND((CAST(SUM(ta) AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |              + CAST(SUM(tb) AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |             / CAST(2.0 AS DOUBLE), 8) AS jsd
+        |FROM terms GROUP BY n1, n2, vocab""".stripMargin)),
+
     // Gopher duplicate-3-gram fraction: share of n-gram occurrences that
     // repeat an earlier one within the same doc — catches phrase-level
     // boilerplate the max-token repetition ratio misses. Map-side partial

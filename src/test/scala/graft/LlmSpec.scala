@@ -846,6 +846,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.filter(_ >= 100L) === Set(101L))
   }
 
+  test("jsDivergence: analytic values — 0 for identical, ln 2 for disjoint") {
+    val same = Seq((1L, "alpha beta gamma", "a"), (2L, "alpha beta gamma", "b"))
+      .toDF("doc_id", "text", "src")
+    val r1 = TextAnalysis.jsDivergence(same, "text", "src", "a", "b")
+      .select("jsd").collect().head.getDouble(0)
+    assert(r1 === 0.0)
+    val disjoint = Seq((1L, "alpha beta", "a"), (2L, "gamma delta", "b"))
+      .toDF("doc_id", "text", "src")
+    val r2 = TextAnalysis.jsDivergence(disjoint, "text", "src", "a", "b")
+      .select("jsd").collect().head.getDouble(0)
+    assert(math.abs(r2 - math.log(2.0)) < 1e-7, s"jsd=$r2")
+  }
+
   test("tfidfCosinePairs: identical docs hit cos 1, df cap prunes, disjoint absent") {
     val docs = Seq(
       (1L, "zebra quokka lemur"),
