@@ -193,6 +193,63 @@ object EventQueries {
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // Lag-1 autocorrelation of each event type's value series (pairs
+    // formed WITHIN a user's own sequence): the time-series memory
+    // diagnostic — near 0 for i.i.d. readings, near 1 for sticky
+    // metrics. One lag() window over the (user, type) partition, then
+    // the exact DECIMAL moment formula of q_corr_ols over the pairs.
+    QuerySpec("q_autocorr", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value").cast("decimal(18,2)").as("y"))
+        .withColumn("x", lag(col("y"), 1).over(w))
+        .filter(col("x").isNotNull)
+      val m = pairs.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val (nd, sxd, syd) = (col("n").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"))
+      val num = nd * col("sxy").cast("double") - sxd * syd
+      val denx = nd * col("sxx").cast("double") - sxd * sxd
+      val deny = nd * col("syy").cast("double") - syd * syd
+      m.select(col("event_type"), col("n"),
+          when(denx > 0 && deny > 0,
+            round(num / sqrt(denx) / sqrt(deny), 8)).as("autocorr"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH p AS (
+        |  SELECT event_type,
+        |         LAG(CAST(value AS DECIMAL(18,2)), 1)
+        |           OVER (PARTITION BY user_id, event_type
+        |                 ORDER BY ts, event_id) AS x,
+        |         CAST(value AS DECIMAL(18,2)) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM p WHERE x IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n,
+        |       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |            THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                       / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                       / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+        |                       8)
+        |            END AS autocorr
+        |FROM m ORDER BY event_type""".stripMargin)),
+
     // Time-weighted average value per user (the TWAP shape): each reading
     // holds until the user's next event, so it weighs by its interval —
     // the irregular-sampling mean a plain AVG gets wrong. One lead()
