@@ -293,6 +293,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     // the scalar doc count rides a broadcast, not a shuffle
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the postings subtree feeds the norms AND both pair-join sides:
+    // exchange reuse must dedupe it at runtime (measured: an explicit
+    // materialization barrier adds nothing on top) — losing this reuse
+    // would re-run the tokenize+tf+df pipeline three times. AQE decides
+    // reuse during execution, so check the FINAL adaptive plan.
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.contains("ReusedQueryStage") ||
+      finalPlan.contains("TableCacheQueryStage"), finalPlan)
   }
 
   test("scd2 merge is exactly one full-outer join; history unions " +
