@@ -520,6 +520,63 @@ object TextAnalysis {
           .as("jsd"))
   }
 
+  /** Per-group drift ranking: [[jsDivergence]] of EVERY group against the
+    * rest of the corpus, in ONE plan — the "which source drifted?"
+    * leaderboard a mixture pipeline monitors, at one token-keyed
+    * aggregation + one join for ALL groups (a per-group loop would scan
+    * the corpus g times).
+    *
+    * The group-vs-rest split derives from two count tables: per-(group,
+    * token) counts cg and per-token totals ct (c1 = cg, c2 = ct − cg,
+    * n1 = n_g, n2 = N − n_g). Rows exist only where cg > 0, so the
+    * rest-side mass of tokens ABSENT from g is folded in analytically:
+    * for such tokens q/m = 2 exactly, so their contribution is
+    * round8(ln 2)·(n2 − Σ_{t∈g}(ct − cg)) — no missing-row
+    * materialization. Same determinism discipline as [[jsDivergence]].
+    * Output: one row per group — group, n_g, jsd (8dp), descending. */
+  def jsDriftByGroup(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val perGroup = docs
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("g"), col("token"))
+      .agg(count(lit(1)).as("cg"))
+    val perToken = perGroup.groupBy(col("token")).agg(sum(col("cg")).as("ct"))
+    val groupTot = perGroup.groupBy(col("g")).agg(sum(col("cg")).as("ng"))
+    val grandTot = groupTot.agg(sum(col("ng")).as("nn"))
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val joined = perGroup.join(perToken, "token")
+      .join(broadcast(groupTot), "g")
+      .crossJoin(broadcast(grandTot))
+      .withColumn("c2", col("ct") - col("cg"))
+      .withColumn("n2", col("nn") - col("ng"))
+    val (c1d, c2d) = (col("cg").cast("double"), col("c2").cast("double"))
+    val (n1d, n2d) = (col("ng").cast("double"), col("n2").cast("double"))
+    val denom = c1d * n2d + c2d * n1d
+    def term(cd: Column, nd: Column, c: Column): Column =
+      when(c > 0,
+        (round(log(lit(2.0) * cd * nd / denom), 8).cast("decimal(10,8)") *
+          c.cast("decimal(19,0)")).cast("decimal(38,8)"))
+        .otherwise(lit(0).cast("decimal(38,8)"))
+    joined
+      .groupBy(col("g"), col("ng"), col("n2"))
+      .agg(sum(term(c1d, n2d, col("cg"))).as("a"),
+        sum(term(c2d, n1d, col("c2"))).as("bSeen"),
+        sum(col("c2")).as("c2Seen"))
+      // tokens absent from g: q/m = 2 exactly, so their mass folds in as
+      // round8(ln 2)·(n2 − Σ(ct − cg)) — added in DOUBLE with the same
+      // operation order on both engines (a decimal add here would exceed
+      // DuckDB's width-38 addition rule)
+      .select(col("g").as(groupCol), col("ng").as("n_g"),
+        when(col("ng") > 0 && col("n2") > 0,
+          round((col("a").cast("double") / col("ng").cast("double") +
+            (col("bSeen").cast("double") + lit(ln2) *
+              (col("n2") - col("c2Seen")).cast("double")) /
+              col("n2").cast("double")) / lit(2.0), 8))
+          .as("jsd"))
+      .orderBy(col("jsd").desc, col(groupCol))
+  }
+
   /** Gopher-style duplicate n-gram fraction (Rae et al. 2021, A1.1 "rep"
     * filters): the share of a document's n-gram OCCURRENCES that are
     * repeats of an earlier occurrence — high values flag boilerplate

@@ -675,6 +675,54 @@ object TextQueries {
         |             / CAST(2.0 AS DOUBLE), 8) AS jsd
         |FROM terms GROUP BY n1, n2, vocab""".stripMargin)),
 
+    // Per-source drift leaderboard: JSD of every source against the rest
+    // of the corpus in ONE plan (a per-source loop would rescan the
+    // corpus per source). Tokens absent from a source fold in
+    // analytically (q/m = 2 exactly ⇒ round8(ln 2)·missing-mass), added
+    // in DOUBLE with identical operation order on both engines.
+    QuerySpec("q_js_drift", (s, dir) => {
+      graft.llm.TextAnalysis.jsDriftByGroup(docs(s, dir), "text", "source")
+    }, Some {
+      val ln2 = BigDecimal(math.log(2.0))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"""WITH toks AS (
+         |  SELECT source AS g,
+         |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                            x -> x <> '')) AS token
+         |  FROM documents),
+         |pg AS (SELECT g, token, COUNT(*) AS cg FROM toks GROUP BY g, token),
+         |pt AS (SELECT token, CAST(SUM(cg) AS BIGINT) AS ct FROM pg GROUP BY token),
+         |gt AS (SELECT g, CAST(SUM(cg) AS BIGINT) AS ng FROM pg GROUP BY g),
+         |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS nn FROM gt),
+         |j AS (SELECT pg.g, pg.cg, pt.ct - pg.cg AS c2, gt.ng,
+         |             tot.nn - gt.ng AS n2
+         |      FROM pg JOIN pt USING (token) JOIN gt USING (g) CROSS JOIN tot),
+         |sums AS (
+         |  SELECT g, ng, n2,
+         |         SUM(CASE WHEN cg > 0 THEN CAST(CAST(ROUND(ln(
+         |                CAST(2.0 AS DOUBLE) * CAST(cg AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |                / (CAST(cg AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |                   + CAST(c2 AS DOUBLE) * CAST(ng AS DOUBLE))), 8)
+         |              AS DECIMAL(10,8)) * CAST(cg AS DECIMAL(19,0))
+         |              AS DECIMAL(38,8)) ELSE CAST(0 AS DECIMAL(38,8)) END) AS a,
+         |         SUM(CASE WHEN c2 > 0 THEN CAST(CAST(ROUND(ln(
+         |                CAST(2.0 AS DOUBLE) * CAST(c2 AS DOUBLE) * CAST(ng AS DOUBLE)
+         |                / (CAST(cg AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |                   + CAST(c2 AS DOUBLE) * CAST(ng AS DOUBLE))), 8)
+         |              AS DECIMAL(10,8)) * CAST(c2 AS DECIMAL(19,0))
+         |              AS DECIMAL(38,8)) ELSE CAST(0 AS DECIMAL(38,8)) END) AS bseen,
+         |         CAST(SUM(c2) AS BIGINT) AS c2seen
+         |  FROM j GROUP BY g, ng, n2)
+         |SELECT g AS source, ng AS n_g,
+         |       CASE WHEN ng > 0 AND n2 > 0 THEN
+         |         ROUND((CAST(a AS DOUBLE) / CAST(ng AS DOUBLE)
+         |                + (CAST(bseen AS DOUBLE)
+         |                   + CAST($ln2 AS DOUBLE) * CAST(n2 - c2seen AS DOUBLE))
+         |                  / CAST(n2 AS DOUBLE)) / CAST(2.0 AS DOUBLE), 8)
+         |            END AS jsd
+         |FROM sums ORDER BY jsd DESC, source""".stripMargin
+    }),
+
     // Gopher duplicate-3-gram fraction: share of n-gram occurrences that
     // repeat an earlier one within the same doc — catches phrase-level
     // boilerplate the max-token repetition ratio misses. Map-side partial

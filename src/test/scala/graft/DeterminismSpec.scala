@@ -21,7 +21,8 @@ class DeterminismSpec extends SparkSpec {
     // struct-max compaction, MI ln-grid, lead()-window sequence counts
     "q_scd2", "q_tfidf_cosine", "q_kfold", "q_dup_ngram_frac",
     "q_cdc_compact", "q_mutual_info", "q_event_trigrams", "q_corr_matrix",
-    "q_twap", "q_benford", "q_js_divergence", "q_autocorr")
+    "q_twap", "q_benford", "q_js_divergence", "q_autocorr",
+    "q_js_drift")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
