@@ -34,7 +34,8 @@ object QueryRegistry {
       queries.AnalyticsQueries.specs ++
       queries.PipelineQueries.specs ++
       queries.SketchQueries.specs ++
-      queries.GraphQueries.specs
+      queries.GraphQueries.specs ++
+      queries.BpeQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }
