@@ -426,9 +426,14 @@ object EventQueries {
         |FROM events ORDER BY event_id""".stripMargin)),
 
     // Multimodal batched decode: binary payload → mapPartitions feature
-    // extraction (one decoder init per partition). Byte-level stub features
-    // aren't SQL-expressible over blobs — no oracle; the driver records a
-    // rows-only check and MultimodalSpec pins the values.
+    // extraction (one decoder init per partition). The opaque-kind decode
+    // is the documented deterministic stub (the container ships no lossy
+    // codecs — real decodes are the separately oracle-checked
+    // q_image_meta / q_image_phash / q_audio_meta / q_video_meta), but the
+    // stub's arithmetic (rolling-hash checksum, byte length, first-byte
+    // feature) IS SQL-expressible over this ASCII corpus, so the oracle
+    // recomputes it and the whole attach→mapPartitions→schema pipeline is
+    // hash-checked end-to-end, not rows-only.
     QuerySpec("q_media_features", (s, dir) => {
       import s.implicits._
       val recs = Multimodal.attachPayload(
@@ -438,7 +443,16 @@ object EventQueries {
         .select(col("id").as("doc_id"), col("kind"), col("n_bytes"),
           col("checksum"), col("feature")(0).as("f0"))
         .orderBy("doc_id")
-    }, None),
+    }, Some(
+      """SELECT doc_id, 'text' AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |                          c -> CAST(ascii(c) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+        |       CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / 255.0 AS f0
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // REAL image decode (javax.imageio, JDK-builtin): PNG bytes generated
     // deterministically per doc_id (solid fill, dims/color pure functions
