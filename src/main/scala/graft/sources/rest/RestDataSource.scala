@@ -21,15 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixture files — the S3/S4 sources as a LITERAL connector rather than a
   * modeled union of pre-fetched scans.
   *
-  * Contract: `path` points at a directory of page envelopes
-  * `page_<i>.json`, each `{"results": [ {flat object}... ], "next": <int
-  * or null>}` — the shape of a cursor-paginated API response. Page
-  * DISCOVERY is sequential link-following from `startPage` (default 0) on
-  * the driver, exactly like an API client walking `next` cursors; record
-  * PARSING is distributed, one `InputPartition` per discovered page.
-  * (A live-HTTP variant would swap the file read in [[RestPages.readPage]]
-  * for a GET — the planning/partitioning contract is unchanged; this
-  * environment is zero-egress, so pages come from fixtures.)
+  * Contract: `path` points at page envelopes `page_<i>.json` — a local
+  * fixture directory, or (LIVE mode) an `http(s)://` endpoint base — each
+  * `{"results": [ {flat object}... ], "next": <int or null>}`, the shape
+  * of a cursor-paginated API response. Page DISCOVERY is sequential
+  * link-following from `startPage` (default 0) on the driver, exactly
+  * like an API client walking `next` cursors; record PARSING is
+  * distributed, one `InputPartition` per discovered page. In live mode
+  * every fetch goes through [[RestHttp]] (bounded retry + per-JVM rate
+  * limiting — the reference client's politeness contract, S12); the
+  * planning/partitioning logic is transport-independent. Tests exercise
+  * live mode against an in-process localhost server (zero egress).
   *
   * Schema: user-provided (`.schema(...)`) or inferred from the first
   * page's records (string/long/double/boolean — the flat payloads the
@@ -42,11 +44,34 @@ final class RestDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    RestPages.inferSchema(RestPages.dir(options), RestPages.startPage(options))
+    RestPages.inferSchema(RestConf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new RestTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+/** Resolved reader options, serialized into every [[RestInputPartition]]
+  * so executors fetch with the same transport contract the driver planned
+  * with. `dir` is either a fixture directory or (live mode) an
+  * `http(s)://` endpoint base serving the same `page_<i>.json` layout.
+  * `rateLimit` (requests/second per JVM, 0 = unlimited), `maxRetries`,
+  * and `retryDelayMs` mirror the reference client's politeness knobs
+  * (`extract.py:44-71` limiter; `retries=3, retry_delay_seconds=10` task
+  * decorators) and apply only to the HTTP transport. */
+final case class RestConf(dir: String, startPage: Int, rateLimit: Int,
+    maxRetries: Int, retryDelayMs: Long)
+
+object RestConf {
+  def apply(options: CaseInsensitiveStringMap): RestConf = {
+    val d = options.get("path")
+    require(d != null, "graft-rest requires a 'path' option (page directory or http(s) endpoint)")
+    RestConf(d,
+      Option(options.get("startPage")).map(_.toInt).getOrElse(0),
+      Option(options.get("rateLimit")).map(_.toInt).getOrElse(0),
+      Option(options.get("maxRetries")).map(_.toInt).getOrElse(3),
+      Option(options.get("retryDelayMs")).map(_.toLong).getOrElse(10000L))
+  }
 }
 
 final class RestTable(schema: StructType, options: CaseInsensitiveStringMap)
@@ -78,44 +103,48 @@ final class RestScanBuilder(fullSchema: StructType,
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new RestScan(required,
-    RestPages.dir(options), RestPages.startPage(options), pushed)
+  override def build(): Scan = new RestScan(required, RestConf(options), pushed)
 }
 
-final class RestScan(schema: StructType, dir: String, startPage: Int,
+final class RestScan(schema: StructType, conf: RestConf,
     filters: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-rest dir=$dir start=$startPage cols=${schema.fieldNames.mkString(",")}" +
+    s"graft-rest dir=${conf.dir} start=${conf.startPage} cols=${schema.fieldNames.mkString(",")}" +
       s" PushedFilters: [${filters.mkString(", ")}]"
 
   /** Driver-side pagination walk: follow `next` cursors from `startPage`,
-    * emitting one partition per page (the distributed-parse handoff). */
-  override def planInputPartitions(): Array[InputPartition] =
-    RestPages.walk(dir, startPage)
-      .map(p => RestInputPartition(dir, p): InputPartition).toArray
+    * emitting one partition per page (the distributed-parse handoff).
+    * Lazily cached: Spark may ask for the partition list more than once
+    * per scan (planning and execution), and re-walking would re-GET every
+    * page in live-HTTP mode — one walk per scan is the API-client shape. */
+  private lazy val partitions: Array[InputPartition] =
+    RestPages.walk(conf)
+      .map(p => RestInputPartition(conf, p): InputPartition).toArray
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory(schema, filters)
 }
 
-final case class RestInputPartition(dir: String, page: Int)
+final case class RestInputPartition(conf: RestConf, page: Int)
     extends InputPartition
 
 final class RestReaderFactory(schema: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RestInputPartition]
-    new RestPartitionReader(schema, rp.dir, rp.page, filters)
+    new RestPartitionReader(schema, rp.conf, rp.page, filters)
   }
 }
 
-final class RestPartitionReader(schema: StructType, dir: String, page: Int,
+final class RestPartitionReader(schema: StructType, conf: RestConf, page: Int,
     filters: Array[Filter])
     extends PartitionReader[InternalRow] {
-  private val records = RestPages.readPage(dir, page)._1.iterator
+  private val records = RestPages.readPage(conf, page)._1.iterator
     .filter(r => filters.forall(RestFilters.eval(_, r)))
   private var current: InternalRow = _
 
@@ -149,37 +178,40 @@ final class RestPartitionReader(schema: StructType, dir: String, page: Int,
 object RestPages {
   private val mapper = new ObjectMapper()
 
-  def dir(options: CaseInsensitiveStringMap): String = {
-    val d = options.get("path")
-    require(d != null, "graft-rest requires a 'path' option (page directory)")
-    d
-  }
-
-  def startPage(options: CaseInsensitiveStringMap): Int =
-    Option(options.get("startPage")).map(_.toInt).getOrElse(0)
+  def dir(options: CaseInsensitiveStringMap): String = RestConf(options).dir
 
   def pageFile(dir: String, page: Int): java.nio.file.Path =
     java.nio.file.Paths.get(dir, s"page_$page.json")
 
+  /** Raw envelope bytes for one page: a GET in live-HTTP mode (retry +
+    * rate limit per [[RestHttp]]), a file read in fixture mode. Same
+    * layout (`<base>/page_<i>.json`) either way — the transport is the
+    * ONLY difference, so every planning/pruning/filter test on the
+    * fixture path exercises the live path's logic too. */
+  private def pageBytes(conf: RestConf, page: Int): Array[Byte] =
+    if (RestHttp.isHttp(conf.dir))
+      RestHttp.fetch(s"${conf.dir.stripSuffix("/")}/page_$page.json", conf)
+    else
+      java.nio.file.Files.readAllBytes(pageFile(conf.dir, page))
+
   /** Parse one page envelope → (records, next cursor). */
-  def readPage(dir: String, page: Int): (Seq[JsonNode], Option[Int]) = {
-    val root = mapper.readTree(
-      java.nio.file.Files.readAllBytes(pageFile(dir, page)))
+  def readPage(conf: RestConf, page: Int): (Seq[JsonNode], Option[Int]) = {
+    val root = mapper.readTree(pageBytes(conf, page))
     val results = Option(root.get("results"))
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val next = Option(root.get("next")).filterNot(_.isNull).map(_.asInt())
     (results, next)
   }
 
-  /** Follow `next` cursors from `start`; cycle-guarded so a malformed
+  /** Follow `next` cursors from `startPage`; cycle-guarded so a malformed
     * fixture can't hang planning. */
-  def walk(dir: String, start: Int): Seq[Int] = {
-    val seen = scala.collection.mutable.LinkedHashSet[Int](start)
-    var cursor = readPage(dir, start)._2
+  def walk(conf: RestConf): Seq[Int] = {
+    val seen = scala.collection.mutable.LinkedHashSet[Int](conf.startPage)
+    var cursor = readPage(conf, conf.startPage)._2
     while (cursor.exists(!seen.contains(_))) {
       val p = cursor.get
       seen += p
-      cursor = readPage(dir, p)._2
+      cursor = readPage(conf, p)._2
     }
     seen.toSeq
   }
@@ -189,11 +221,11 @@ object RestPages {
     * has nothing to infer from and needs a user schema), in first-seen
     * field order; a field that is integral in one record and fractional
     * in another widens to double, mixed otherwise → string. */
-  def inferSchema(dir: String, start: Int): StructType = {
-    val records = walk(dir, start).iterator
-      .map(readPage(dir, _)._1).find(_.nonEmpty).getOrElse(Seq.empty)
+  def inferSchema(conf: RestConf): StructType = {
+    val records = walk(conf).iterator
+      .map(readPage(conf, _)._1).find(_.nonEmpty).getOrElse(Seq.empty)
     require(records.nonEmpty,
-      s"graft-rest: all pages in $dir are empty — pass an explicit schema")
+      s"graft-rest: all pages in ${conf.dir} are empty — pass an explicit schema")
     val order = scala.collection.mutable.LinkedHashSet[String]()
     val types = scala.collection.mutable.HashMap[String, DataType]()
     def typeOf(v: JsonNode): DataType =

@@ -134,4 +134,112 @@ class RestSourceSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got(0).getLong(0) === 7L && got(0).isNullAt(1))
   }
+
+  // ---------------------------------------------------------------- live HTTP
+
+  /** In-process localhost server (zero egress) mapping `/page_<i>.json` to
+    * the fixture files under `dir`, with an optional per-request hook for
+    * fault injection. Returns (base URL, hit counter, stop). */
+  private def serve(dir: String)(
+      hook: (String, java.util.concurrent.atomic.AtomicInteger) => Option[Int] =
+        (_, _) => None)
+      : (String, java.util.concurrent.atomic.AtomicInteger, () => Unit) = {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      hits.incrementAndGet()
+      val name = exchange.getRequestURI.getPath.stripPrefix("/")
+      hook(name, hits) match {
+        case Some(status) =>
+          exchange.sendResponseHeaders(status, -1)
+        case None =>
+          val f = java.nio.file.Paths.get(dir, name)
+          if (java.nio.file.Files.exists(f)) {
+            val bytes = java.nio.file.Files.readAllBytes(f)
+            exchange.sendResponseHeaders(200, bytes.length)
+            exchange.getResponseBody.write(bytes)
+          } else exchange.sendResponseHeaders(404, -1)
+      }
+      exchange.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    (s"http://127.0.0.1:${server.getAddress.getPort}", hits,
+      () => server.stop(0))
+  }
+
+  test("live-HTTP mode: page walk + records identical to the fixture path") {
+    val dir = tmp()
+    val df = (1 to 25).map(i => (i.toLong, s"name_$i", i % 5)).toDF("id", "name", "grp")
+    RestFixtures.writePages(df, dir, pageSize = 10)
+    val (base, _, stop) = serve(dir)()
+    try {
+      val viaFile = spark.read.format("graft-rest").load(dir)
+      val viaHttp = spark.read.format("graft-rest")
+        .option("retryDelayMs", "10").load(base)
+      assert(viaHttp.schema === viaFile.schema)
+      assert(viaHttp.rdd.getNumPartitions === 3)
+      assert(viaHttp.orderBy("id").collect().map(_.toSeq).toSeq ===
+        viaFile.orderBy("id").collect().map(_.toSeq).toSeq)
+      // pruning + pushdown flow through the same scan logic
+      assert(spark.read.format("graft-rest").option("retryDelayMs", "10")
+        .load(base).filter(col("grp") === 2).select("id")
+        .as[Long].collect().sorted.toSeq ===
+        (1 to 25).filter(_ % 5 == 2).map(_.toLong))
+    } finally stop()
+  }
+
+  test("live-HTTP mode: transient 500s are retried, permanent failure raises") {
+    val dir = tmp()
+    RestFixtures.writePages(
+      (1 to 6).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir, pageSize = 3)
+    // page_1 fails twice, then recovers — within maxRetries=3
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    val (base, _, stop) = serve(dir) { (name, _) =>
+      if (name == "page_1.json" && flaky.incrementAndGet() <= 2) Some(500)
+      else None
+    }
+    try {
+      val got = spark.read.format("graft-rest")
+        .schema("id LONG, v STRING").option("retryDelayMs", "10").load(base)
+      assert(got.select("id").as[Long].collect().sorted.toSeq === (1L to 6L))
+    } finally stop()
+    // a page that never recovers exhausts maxRetries and fails loudly
+    val (base2, _, stop2) = serve(dir) { (name, _) =>
+      if (name == "page_1.json") Some(503) else None
+    }
+    try {
+      val ex = intercept[Exception] {
+        spark.read.format("graft-rest").schema("id LONG, v STRING")
+          .option("retryDelayMs", "10").option("maxRetries", "2")
+          .load(base2).collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .map(_.toString).toSeq
+      assert(chain(ex).exists(m => m.contains("3 attempts")), chain(ex).mkString(" | "))
+    } finally stop2()
+  }
+
+  test("live-HTTP mode: rate limiter bounds requests per 1-second window") {
+    val dir = tmp()
+    RestFixtures.writePages(
+      (1 to 9).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir, pageSize = 3)
+    val (base, hits, stop) = serve(dir)()
+    try {
+      val t0 = System.nanoTime()
+      // explicit schema → no inference fetches; 3 walk GETs (driver) +
+      // 3 partition GETs share one per-JVM limiter at 4 req/s, so the
+      // 6 GETs need at least one window turn: elapsed >= ~1 s
+      val got = spark.read.format("graft-rest")
+        .schema("id LONG, v STRING")
+        .option("rateLimit", "4").option("retryDelayMs", "10").load(base)
+      assert(got.select("id").as[Long].collect().sorted.toSeq === (1L to 9L))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(hits.get() === 6, s"expected 6 GETs, saw ${hits.get()}")
+      assert(elapsedMs >= 900,
+        s"6 GETs at 4 req/s finished in ${elapsedMs}ms — limiter not applied")
+    } finally stop()
+  }
 }
