@@ -716,7 +716,19 @@ object TextAnalysis {
       .groupBy("id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    // df-adaptive guard: a maxDf that empties the index (every term's df
+    // above the cap — e.g. a unigram index over a tiny vocabulary) would
+    // otherwise return silently-empty pairs. The check rides in the
+    // single-row broadcast the weights already need, so a misconfigured
+    // cap fails loudly at zero extra plan cost.
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      .crossJoin(dfreq.select(count(lit(1)).as("n_idx_terms")))
+      .select(
+        when(col("n_docs") > 0 && col("n_idx_terms") === 0, raise_error(lit(
+          s"tfidfCosinePairs: maxDf=$maxDf empties the $n-gram inverted " +
+            "index (every term's df exceeds the cap) — raise maxDf or " +
+            "change the term granularity n")))
+          .otherwise(col("n_docs")).as("n_docs"))
     // wi = round8(tf·ln(N/df)) on the integer 1e-8 grid (exact: the 8dp
     // decimal scales to int64 without a float multiply)
     val postings = tf.join(dfreq, "word").crossJoin(broadcast(nDocs))

@@ -882,6 +882,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!capped.contains((1L, 3L)))
     assert(capped.contains((1L, 2L)))
   }
+
+  test("tfidfCosinePairs: term granularity n switches unigram/trigram modes") {
+    // small-vocabulary corpus: every unigram is common (df = 3 of 4 docs),
+    // but shared PHRASES separate the near-duplicates — the registered
+    // query's trigram rationale, exercised in both modes
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the sleepy dog"),
+      (3L, "dog the over quick lazy fox brown jumps the"),
+      (4L, "zebra quokka lemur")
+    ).toDF("doc_id", "text")
+    // unigram mode: docs 1 and 3 are permutations — identical unigram
+    // vectors, cos = 1 even though the word ORDER totally differs
+    val uni = TextAnalysis
+      .tfidfCosinePairs(docs, "doc_id", "text", maxDf = 10L, minCos = 0.0, n = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(uni((1L, 3L)) - 1.0) < 1e-8, s"uni=$uni")
+    // trigram mode: permutation shares no 3-gram, but the one-word edit
+    // (1,2) keeps most phrases — order sensitivity is the point of n=3
+    val tri = TextAnalysis
+      .tfidfCosinePairs(docs, "doc_id", "text", maxDf = 10L, minCos = 0.0, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(!tri.contains((1L, 3L)), s"tri=$tri")
+    assert(tri((1L, 2L)) > 0.3, s"tri=$tri")
+  }
+
+  test("tfidfCosinePairs: an index-emptying df cap fails loudly, not silently") {
+    val docs = Seq(
+      (1L, "same words everywhere"), (2L, "same words everywhere"),
+      (3L, "same words everywhere")).toDF("doc_id", "text")
+    // every unigram has df = 3 > maxDf = 1 → capped index is EMPTY; the
+    // guard in the broadcast stats row must raise, not return zero pairs
+    val ex = intercept[Exception] {
+      TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+        maxDf = 1L, minCos = 0.0, n = 1).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(_.getMessage).toSeq
+    assert(chain(ex).exists(m => m != null && m.contains("empties")),
+      chain(ex).mkString(" | "))
+    // an empty CORPUS stays a clean empty result (nothing to warn about)
+    val none = TextAnalysis.tfidfCosinePairs(
+      docs.filter(col("doc_id") < 0), "doc_id", "text",
+      maxDf = 1L, minCos = 0.0, n = 1)
+    assert(none.count() === 0)
+  }
 }
 
 class DsirSpec extends SparkSpec {
