@@ -276,6 +276,19 @@ object Stats {
     * boundary rounds differently per libm and flips the digit. Expected
     * proportions are 8dp literals inlined identically in both engines.
     * One map-side projection + one 9-group aggregation.
+    *
+    * CONTRACT: values must carry their first significant digit within
+    * `scale` fractional digits — true for monetary/measure columns whose
+    * granularity IS the scale (cents at scale 2). Magnitudes below that
+    * lose first-digit semantics: at scale 2, positive values < 0.005
+    * round to 0.00 and silently leave the screen, and 0.005..0.0099
+    * round to 0.01 and report digit 1. Pass a larger `scale` for
+    * finer-grained data. (The digit is NOT read from the raw double's
+    * string on purpose: engines disagree on double formatting — Java
+    * prints the shortest round-tripping form, DuckDB the exact binary
+    * expansion — so 0.1-adjacent doubles would flip between '1' and '9'
+    * across engines; the DECIMAL round is what makes the screen
+    * deterministic.)
     * Output: digit (1-9, observed digits only), observed, n, expected_p,
     * observed_p (8dp), chi_contrib (8dp). */
   def benfordDigits(df: DataFrame, valueCol: String,
@@ -320,16 +333,25 @@ object Stats {
     * `scale` is the DECIMAL scale the measures are cast to (exactness
     * contract: inputs must carry ≤ `scale` fractional digits, as TPC-H
     * monetary/rate columns do at 2).
+    *
+    * NULL handling is LISTWISE DELETION (complete-case): rows where ANY
+    * screened column is null are excluded before the moment pass, so n
+    * and every sum come from the same row set. (The alternative —
+    * pairwise deletion — lets each pair use its own n but can produce
+    * correlations outside [-1, 1] and non-PSD matrices; with per-column
+    * null patterns, sum() skipping nulls while count() doesn't would
+    * silently mix row sets.)
     * Output: x_col, y_col (column-order pairs, x before y), corr (8dp). */
   def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
     require(cols.size >= 2, s"corrMatrix needs >= 2 columns, got $cols")
     val p = cols.size
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
     val xs = cols.map(c => col(c).cast(s"decimal(18,$scale)"))
     val firsts = (0 until p).map(i => sum(xs(i)).as(s"__s$i"))
     val crosses = for { i <- 0 until p; j <- i until p }
       yield sum(xs(i) * xs(j)).as(s"__s${i}_$j")
     val aggs = count(lit(1)).as("__n") +: (firsts ++ crosses)
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val row = complete.agg(aggs.head, aggs.tail: _*)
     def d(name: String) = col(name).cast("double")
     val pairs = for { i <- 0 until p; j <- (i + 1) until p } yield {
       val n = d("__n")

@@ -503,8 +503,12 @@ object TextAnalysis {
     val (c1d, c2d) = (col("c1").cast("double"), col("c2").cast("double"))
     val (n1d, n2d) = (col("n1").cast("double"), col("n2").cast("double"))
     val denom = c1d * n2d + c2d * n1d
+    // denom > 0 guards the ANSI division for the degenerate one-group
+    // case (the other group empty ⇒ denom = 0); with both groups
+    // populated it is implied by c > 0, so the conjunct never changes a
+    // defined value
     def term(cd: Column, nd: Column, c: Column): Column =
-      when(c > 0,
+      when(c > 0 && denom > 0,
         (round(log(lit(2.0) * cd * nd / denom), 8).cast("decimal(10,8)") *
           c.cast("decimal(19,0)")).cast("decimal(38,8)"))
         .otherwise(lit(0).cast("decimal(38,8)"))
@@ -515,8 +519,12 @@ object TextAnalysis {
       .groupBy(col("n1"), col("n2"), col("vocab"))
       .agg(sum(col("ta")).as("a"), sum(col("tb")).as("b"))
       .select(col("n1"), col("n2"), col("vocab"),
-        round((col("a").cast("double") / col("n1").cast("double") +
-          col("b").cast("double") / col("n2").cast("double")) / lit(2.0), 8)
+        // degenerate guard (the jsDriftByGroup convention): an empty or
+        // token-less group has no distribution to diverge from — return
+        // null, not the NaN a 0/0 division would smuggle through
+        when(col("n1") > 0 && col("n2") > 0,
+          round((col("a").cast("double") / col("n1").cast("double") +
+            col("b").cast("double") / col("n2").cast("double")) / lit(2.0), 8))
           .as("jsd"))
   }
 
@@ -553,8 +561,12 @@ object TextAnalysis {
     val (c1d, c2d) = (col("cg").cast("double"), col("c2").cast("double"))
     val (n1d, n2d) = (col("ng").cast("double"), col("n2").cast("double"))
     val denom = c1d * n2d + c2d * n1d
+    // denom > 0 guards the ANSI division for the degenerate one-group
+    // case (the other group empty ⇒ denom = 0); with both groups
+    // populated it is implied by c > 0, so the conjunct never changes a
+    // defined value
     def term(cd: Column, nd: Column, c: Column): Column =
-      when(c > 0,
+      when(c > 0 && denom > 0,
         (round(log(lit(2.0) * cd * nd / denom), 8).cast("decimal(10,8)") *
           c.cast("decimal(19,0)")).cast("decimal(38,8)"))
         .otherwise(lit(0).cast("decimal(38,8)"))

@@ -231,9 +231,16 @@ object CoreRelational {
       val sameU = c.filter(pmod(col("c_custkey"), lit(3)) =!= 0 &&
           pmod(col("c_custkey"), lit(7)) === 1)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      // brand-new keys are offset by max(c_custkey) + 1 — range-derived
+      // (keys may start at 0), so
+      // they can never collide with real keys at ANY scale factor (a
+      // fixed +1e6 shift collides from SF >= ~7, turning intended inserts
+      // into updates and tripping the duplicate-update guard)
+      val maxK = c.agg(max(col("c_custkey")).as("__maxk"))
       val newU = c.filter(pmod(col("c_custkey"), lit(5)) === 0)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
-          col("c_acctbal"), col("c_mktsegment"))
+        .crossJoin(broadcast(maxK))
+        .select((col("c_custkey") + col("__maxk") + 1).as("c_custkey"),
+          col("c_name"), col("c_acctbal"), col("c_mktsegment"))
       Scd.scd2Apply(dim, changedU.unionByName(sameU).unionByName(newU),
           Seq("c_custkey"), Seq("c_name", "c_acctbal", "c_mktsegment"),
           lit(java.sql.Date.valueOf("2024-06-01")))
@@ -260,7 +267,8 @@ object CoreRelational {
         |       CAST(DATE '2024-06-01' AS TIMESTAMP), NULL
         |FROM customer WHERE c_custkey % 3 = 0
         |UNION ALL
-        |SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment,
+        |SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) + 1,
+        |       c_name, c_acctbal, c_mktsegment,
         |       CAST(DATE '2024-06-01' AS TIMESTAMP), NULL
         |FROM customer WHERE c_custkey % 5 = 0
         |ORDER BY c_custkey, valid_from""".stripMargin)),

@@ -440,8 +440,12 @@ object StatsQueries {
             s"THEN ROUND($num / sqrt($denx) / sqrt($deny), 8) END AS corr " +
             "FROM m"
         }
+      // listwise deletion mirrored: all moments from the complete-case
+      // row set (lineitem measures are non-null, so this is an identity
+      // here — the point is semantic parity with corrMatrix)
       s"WITH m AS (SELECT COUNT(*) AS n, " +
-        (firsts ++ crosses).mkString(", ") + " FROM lineitem)\n" +
+        (firsts ++ crosses).mkString(", ") + " FROM lineitem WHERE " +
+        cols.map(c => s"$c IS NOT NULL").mkString(" AND ") + ")\n" +
         branches.mkString("\nUNION ALL\n") + "\nORDER BY x_col, y_col"
     }),
 

@@ -859,6 +859,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r2 - math.log(2.0)) < 1e-7, s"jsd=$r2")
   }
 
+  test("jsDivergence: an absent/token-less group yields null jsd, not NaN") {
+    // group 'b' never appears: n2 = 0 would make every denominator
+    // c1*n2 + c2*n1 = 0 -> 0/0 = NaN without the degenerate guard
+    val oneSided = Seq((1L, "alpha beta gamma", "a"))
+      .toDF("doc_id", "text", "src")
+    val row = TextAnalysis.jsDivergence(oneSided, "text", "src", "a", "b")
+      .collect().head
+    assert(row.getAs[Long]("n2") === 0L)
+    assert(row.isNullAt(row.fieldIndex("jsd")), s"jsd=${row}")
+  }
+
   test("tfidfCosinePairs: identical docs hit cos 1, df cap prunes, disjoint absent") {
     val docs = Seq(
       (1L, "zebra quokka lemur"),
