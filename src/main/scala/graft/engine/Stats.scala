@@ -416,7 +416,15 @@ object Stats {
     * exact signed-rank distribution (DP over rank sums) when n ≤ 50 with
     * untied integer ranks, else normal approximation with tie correction
     * and no continuity correction. Needs the tie profile, so it takes the
-    * per-group sorted |d| multiplicities. */
+    * per-group sorted |d| multiplicities.
+    *
+    * Convention cross-check (StatsSpec): the exact branch — cumulative
+    * P(W ≤ w) over the rank-sum lattice, doubled for two sides — straddles
+    * the published two-sided critical values w_crit(n, α) of the standard
+    * signed-rank tables (p(w_crit) ≤ α < p(w_crit+1)) for every n in
+    * 6..12 at α = .05 and 8..12 at α = .01; ANY tie (multiplicity > 1)
+    * leaves the integer lattice and switches to the normal branch
+    * regardless of n, exactly scipy's auto boundary. */
   def wilcoxonPValue(n: Long, wStat: Double, tieCounts: Seq[Long]): Double = {
     if (n < 1 || wStat == Sentinel) return Sentinel
     val hasTies = tieCounts.exists(_ > 1)
