@@ -93,6 +93,51 @@ class JdbcSpec extends SparkSpec {
     assert(Sources.jdbc(spark, url, "nation_t", props).count() === 2)
   }
 
+  test("Postgres dialect maps the 229-col silver dtype schema as declared") {
+    // no server needed: the DDL column list Spark would CREATE TABLE with
+    // is a pure function of (dialect, schema). Derby proves the JDBC
+    // logic end-to-end; this pins the PRODUCTION dialect's type mapping
+    // (reference load.py:128,172 targets Postgres) for every column of
+    // the silver dtype map.
+    import org.apache.spark.sql.types._
+    val json = new String(getClass.getResourceAsStream("/schema_silver_data.json")
+      .readAllBytes(), "UTF-8")
+    val schema = graft.engine.SchemaIO.schemaFromDtypeJson(json)
+    assert(schema.fields.length === 229)
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects
+      .get("jdbc:postgresql://dbhost/graft")
+    // the exact generator df.write.jdbc uses (public in bytecode; the
+    // enclosing package is sql-private at compile time → reflection)
+    val juCls = Class.forName(
+      "org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils$")
+    val ju = juCls.getField("MODULE$").get(null)
+    val ddl = juCls.getMethod("schemaString",
+        classOf[org.apache.spark.sql.jdbc.JdbcDialect], classOf[StructType],
+        classOf[Boolean], classOf[Option[String]])
+      .invoke(ju, dialect, schema, java.lang.Boolean.FALSE, None)
+      .asInstanceOf[String]
+    val colType = """"([^"]+)"\s+([A-Za-z0-9_()]+)""".r
+      .findAllMatchIn(ddl).map(m => m.group(1) -> m.group(2)).toMap
+    assert(colType.size === 229)
+    // declared dtype -> Postgres DDL type, column by column: float64 ->
+    // FLOAT8 / string -> TEXT (dialect overrides), int64 -> BIGINT /
+    // datetime64[ns] -> TIMESTAMP (common JDBC fallback — the dialect
+    // deliberately doesn't override them)
+    val expected = Map(
+      "float64" -> "FLOAT8", "string" -> "TEXT",
+      "int64" -> "BIGINT", "datetime64[ns]" -> "TIMESTAMP")
+    val dtypes = schema.fields
+      .map(f => f.name -> graft.engine.SchemaIO.toPandasDtype(f.dataType))
+    dtypes.foreach { case (name, dtype) =>
+      assert(colType(name) === expected(dtype),
+        s"$name: $dtype mapped to ${colType(name)}")
+    }
+    // and the dtype census matches FIXTURES.md's documented counts
+    val census = dtypes.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(census === Map("float64" -> 105, "string" -> 95,
+      "int64" -> 23, "datetime64[ns]" -> 6))
+  }
+
   test("upsert round-trip: JDBC-read state, upsert, write back") {
     ddl("""CREATE TABLE kv ("k" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
     Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
