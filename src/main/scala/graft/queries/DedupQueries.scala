@@ -143,6 +143,47 @@ object DedupQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // Exact repeated spans (Lee et al. 2021 substring dedup): maximal
+    // verbatim token runs shared between document pairs, from df-capped
+    // positional k-gram postings merged along match diagonals — WHERE the
+    // overlap is, where containment scores only how much. The oracle
+    // replays the identical postings-join + gaps-and-islands arithmetic.
+    QuerySpec("q_repeated_spans", (s, dir) => {
+      graft.llm.Spans.repeatedSpans(docs(s, dir), "doc_id", "text",
+          k = 8, maxDf = 10L, minTokens = 12)
+        .orderBy("id1", "id2", "start1", "start2")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks WHERE len(t) >= 8)),
+        |rare AS (
+        |  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df
+        |                    FROM grams GROUP BY gram)
+        |  WHERE df BETWEEN 2 AND 10),
+        |m AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1,
+        |         a.pos - b.pos AS diag
+        |  FROM grams a JOIN rare r ON a.gram = r.gram
+        |  JOIN grams b ON b.gram = a.gram AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT id1, id2, diag, pos1,
+        |         pos1 - ROW_NUMBER() OVER (PARTITION BY id1, id2, diag
+        |                                   ORDER BY pos1) AS island
+        |  FROM m)
+        |SELECT id1, id2, CAST(MIN(pos1) AS BIGINT) AS start1,
+        |       CAST(MIN(pos1) - diag AS BIGINT) AS start2,
+        |       CAST(MAX(pos1) - MIN(pos1) + 8 AS BIGINT) AS len_tokens
+        |FROM runs GROUP BY id1, id2, diag, island
+        |HAVING MAX(pos1) - MIN(pos1) + 8 >= 12
+        |ORDER BY id1, id2, start1, start2""".stripMargin)),
+
     // Exact dedup: hash-groupBy on md5(text). Duplicates are constructed by
     // self-union with offset ids (the raw table has none) so keeper/count
     // semantics are actually exercised.

@@ -385,6 +385,41 @@ class DedupSpec extends SparkSpec {
     val w0 = h1 & 0xffffL
     assert(viaExpr.getAs[Long]("w0") === w0)
   }
+
+  test("repeatedSpans: maximal shared runs at exact offsets; df cap prunes") {
+    // doc 1: tokens 0..19 = a0..a9 x0..x4 a0..a4 (span repeated inside)
+    // doc 2: y0 y1 a0..a9 z0..z4 — shares the 10-token run a0..a9 at
+    //        (start1=0, start2=2); the trailing a0..a4 of doc 1 is only 5
+    //        tokens, below minTokens
+    val run = (0 to 9).map(i => s"a$i").mkString(" ")
+    val d1 = run + " x0 x1 x2 x3 x4 " + (0 to 4).map(i => s"a$i").mkString(" ")
+    val d2 = "y0 y1 " + run + " z0 z1 z2 z3 z4"
+    val d3 = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"
+    val docs2 = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = graft.llm.Spans.repeatedSpans(docs2, "doc_id", "text",
+        k = 3, maxDf = 10L, minTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // ONE maximal span — not its sub-grams — at the exact offsets
+    assert(spans === Set((1L, 2L, 0L, 2L, 10L)), s"spans=$spans")
+    // the doc-1-internal repeat (a0..a4 vs its own prefix) is within-doc:
+    // cross-doc only by contract, and 5 < minTokens anyway — and the
+    // sub-minTokens shared tail (1,2) at start1=15 must not leak: check
+    // with a lower bar that it WOULD appear, proving the filter is live
+    val loose = graft.llm.Spans.repeatedSpans(docs2, "doc_id", "text",
+        k = 3, maxDf = 10L, minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(loose.contains((1L, 2L, 15L, 2L, 5L)), s"loose=$loose")
+    // df cap: with maxDf < 2 impossible (require), with the run planted in
+    // MANY docs the grams exceed maxDf=2 and the span disappears
+    val crowd = (10L to 14L).map(i => (i, run)).toDF("doc_id", "text")
+    val capped = graft.llm.Spans.repeatedSpans(
+        docs2.unionByName(crowd), "doc_id", "text",
+        k = 3, maxDf = 2L, minTokens = 6)
+      .collect()
+    assert(capped.isEmpty, s"capped=${capped.mkString(",")}")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
