@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.llm.{CovSums, DotProductExpr, MinHashSigsExpr, SimHash64Expr, TopKByScore, WinnowExpr, WordShinglesExpr}
+import graft.llm.{CovSums, DotProductExpr, JaroWinklerExpr, MinHashSigsExpr, SimHash64Expr, TopKByScore, WinnowExpr, WordShinglesExpr}
 
 /** The engine's custom Catalyst functions, packaged the two standard ways:
   *
@@ -68,6 +68,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         MinHashSigsExpr(exprs(0), literalK(exprs(1), "minhash_sigs"),
           literalK(exprs(2), "minhash_sigs"))),
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerExpr(exprs(0), exprs(1))),
     ("cov_sums",
       new ExpressionInfo(classOf[CovSums].getName, "cov_sums"),
       (exprs: Seq[Expression]) =>

@@ -35,7 +35,8 @@ object QueryRegistry {
       queries.PipelineQueries.specs ++
       queries.SketchQueries.specs ++
       queries.GraphQueries.specs ++
-      queries.BpeQueries.specs
+      queries.BpeQueries.specs ++
+      queries.LinkageQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.{Linkage, Tables}
+
+/** Fuzzy record-linkage tier over `part` names: blocked Jaro–Winkler
+  * scoring and sorted-neighborhood candidate generation — the approximate
+  * complement of the reference's exact-key address join
+  * (`extract.py:529-535`), where a one-typo key silently falls out of the
+  * inner join.
+  *
+  * Determinism: Jaro–Winkler is pinned to the textbook byte-level
+  * convention (see [[graft.llm.JaroWinkler]]) so Spark's native expression
+  * and DuckDB's `jaro_winkler_similarity` produce bit-identical doubles;
+  * Levenshtein distances are exact integers in both engines. */
+object LinkageQueries {
+
+  private def part(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Blocked fuzzy match: candidates only within a brand block, scored
+    // with the native codegen'd Jaro-Winkler expression, kept at >= 0.94.
+    // The 25-brand block key is deliberately the low-cardinality worst
+    // case (AQE skew split owns the big blocks); the score filter runs
+    // inside whole-stage codegen.
+    QuerySpec("q_jaro_linkage", (s, dir) => {
+      graft.llm.JaroWinkler.register(s)
+      Linkage.blockedJaroPairs(part(s, dir), "p_partkey", "p_name",
+          "p_brand", minSim = 0.94)
+        .orderBy("a_key", "b_key")
+    }, Some(
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |       jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        |FROM part a
+        |JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94
+        |ORDER BY a_key, b_key""".stripMargin)),
+
+    // Sorted-neighborhood: rank by name within a first-letter block, pair
+    // each record with its 5 successors, keep near-but-not-exact names
+    // (Levenshtein 1..4; exact duplicates belong to the exact-dedup tier).
+    // w*n comparisons total - the linear scale twin of blocking.
+    QuerySpec("q_snm_linkage", (s, dir) => {
+      Linkage.sortedNeighborhoodPairs(
+          part(s, dir).withColumn("__b", substring(col("p_name"), 1, 1)),
+          "p_partkey", "p_name", "__b", window = 5, minDist = 1, maxDist = 4)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("a_key", "b_key")
+    }, Some(
+      """WITH s AS (
+        |  SELECT p_partkey, p_name, substr(p_name, 1, 1) AS blk,
+        |         row_number() OVER (PARTITION BY substr(p_name, 1, 1)
+        |                            ORDER BY p_name, p_partkey) AS rn
+        |  FROM part)
+        |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 5
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+        |ORDER BY a_key, b_key""".stripMargin)))
+}
