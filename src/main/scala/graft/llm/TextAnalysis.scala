@@ -93,6 +93,55 @@ object TextAnalysis {
       .drop("__a")
   }
 
+  /** Per-document mean bigram log-probability under the corpus' own
+    * add-one-smoothed bigram LM — the context-aware tier of
+    * [[unigramLogProb]]'s perplexity-proxy score: `P(w2|w1) =
+    * (c(w1 w2)+1) / (h(w1)+V)` with `h(w1)` = bigram-start count and `V`
+    * the corpus unigram vocabulary. Word salad that sails through a
+    * unigram filter (common words, shuffled order) scores low here —
+    * the standard step up a quality pipeline takes before paying for a
+    * neural perplexity model.
+    *
+    * Scale shape: bigrams derive map-side from each doc's own token
+    * array (zip of the array with its tail — no positional self-join);
+    * the LM is ONE bigram-keyed count aggregation; history counts and
+    * the vocabulary size are two smaller aggregations; the score is a
+    * bigram→LM equi-join plus a doc-keyed aggregation. The LM side is
+    * NOT broadcast-hinted — a web-scale bigram table must stay a
+    * shuffle join (same convention as [[unigramLogProb]]).
+    *
+    * Determinism: identical to [[unigramLogProb]] — 8dp-rounded ln per
+    * bigram on the exact 1e-8 integer grid, integer half-away mean.
+    * Docs with fewer than two tokens have no bigrams and are absent.
+    * Output: idCol, n_bigrams, avg_logprob (8dp). */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val bigrams = toks
+      .select(col(idCol), explode(zip_with(
+        slice(col("__tk"), lit(1), greatest(size(col("__tk")) - 1, lit(0))),
+        slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val lm = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+    val hist = lm.groupBy(col("__w1")).agg(sum(col("cb")).as("ch"))
+    val vocab = toks
+      .select(explode(col("__tk")).as("token"))
+      .agg(countDistinct(col("token")).as("__vsz"))
+    val lp = round(
+      log((col("cb") + 1).cast("double") /
+        (col("ch") + col("__vsz")).cast("double")), 8)
+    val lpNegScaled = (lp.cast("decimal(20,8)") * lit(-100000000L)).cast("long")
+    bigrams
+      .join(lm.join(hist, Seq("__w1")).crossJoin(vocab), Seq("bigram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lpNegScaled).as("__a"))
+      .withColumn("avg_logprob",
+        -(expr("(2 * __a + n_bigrams) div (2 * n_bigrams)").cast("double") /
+          lit(100000000.0)))
+      .drop("__a")
+  }
+
   /** Out-of-vocabulary rate per document against the corpus' own
     * frequency-thresholded vocabulary (tokens with corpus count ≥
     * `minCount`): the tokenizer-coverage diagnostic a training pipeline

@@ -379,6 +379,47 @@ object TextQueries {
         |         / 100000000.0) AS avg_logprob
         |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // Context-aware tier of q_unigram_logprob: mean bigram logprob under
+    // the corpus' own add-one-smoothed bigram LM — word salad with common
+    // words passes a unigram filter but scores low here. Bigrams derive
+    // map-side from each doc's token array (zip with tail, no positional
+    // self-join); same 8dp-ln integer-grid determinism contract.
+    QuerySpec("q_bigram_lm", (s, dir) => {
+      TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(l)),
+        |                i -> l[i] || ' ' || l[i + 1])) AS bigram
+        |  FROM tk),
+        |lm AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram),
+        |hist AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(cb) AS BIGINT) AS ch
+        |  FROM lm GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT t) AS vsz
+        |      FROM (SELECT unnest(l) AS t FROM tk)),
+        |lp AS (
+        |  SELECT bigram,
+        |         CAST(CAST(ROUND(ln(CAST(cb + 1 AS DOUBLE)
+        |                            / CAST(ch + vsz AS DOUBLE)), 8)
+        |                   AS DECIMAL(20,8)) * -100000000 AS BIGINT) AS nlp
+        |  FROM lm JOIN hist ON split_part(lm.bigram, ' ', 1) = hist.w1
+        |  CROSS JOIN v),
+        |agg AS (
+        |  SELECT bg.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(nlp) AS BIGINT) AS a
+        |  FROM bg JOIN lp USING (bigram)
+        |  GROUP BY bg.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |       -(CAST((2 * a + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+        |         / 100000000.0) AS avg_logprob
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // Probability-proportional-to-size (Poisson/PPS) sampling: each doc
     // kept at rate budget·n_chars/Σn_chars — the quality-weighted
     // subsample step. Exact integer weight total, per-row IEEE rate and

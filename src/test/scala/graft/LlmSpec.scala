@@ -724,6 +724,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("bigramLogProb: analytic pin; word order matters; invariant") {
+    // One doc "a b a b": bigrams (a b)x2, (b a)x1; h(a)=2, h(b)=1, V=2.
+    // lp(a b) = round(ln 3/4, 8) = -0.28768207; lp(b a) = -0.40546511.
+    // grid mean: (2*28768207 + 40546511 -> a=98082925, n=3)
+    //   (2a+n) div 2n = 196165853 div 6 = 32694308 -> -0.32694308.
+    val one = TextAnalysis.bigramLogProb(
+        Seq((1L, "a b a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(one.toSeq === Seq((1L, 3L, -0.32694308)))
+    // Same unigram multiset, shuffled order: scores below the corpus'
+    // dominant phrasing — the signal a unigram LM cannot see.
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the"),
+      (5L, "x")).toDF("doc_id", "text") // single token: no bigrams, absent
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    assert(!out.contains(5L))
+    assert(out(4L) < out(1L))
+    val again = TextAnalysis
+      .bigramLogProb(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    assert(again === out)
+  }
+
   test("stripBoilerplate: frequent lines removed, order and dup lines kept") {
     val docs = Seq(
       (1L, "HEADER\nbody one\nbody one\nFOOTER"),   // dup body line preserved
