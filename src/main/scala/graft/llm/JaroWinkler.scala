@@ -46,40 +46,46 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 
 object JaroWinkler {
 
-  /** Called from both interpreted eval and generated code. */
+  /** Called from both interpreted eval and generated code. Reads bytes
+    * in place via `UTF8String.getByte` — no `getBytes` copy of either
+    * operand, so a blocked self-join scoring millions of pairs allocates
+    * nothing on the <= 64-byte fast path. */
   def similarity(a: UTF8String, b: UTF8String): Double = {
-    val s = a.getBytes
-    val t = b.getBytes
-    jaroWinklerBytes(s, t)
-  }
-
-  private[llm] def jaroWinklerBytes(s: Array[Byte], t: Array[Byte]): Double = {
-    val jaro = jaroBytes(s, t)
+    val jaro =
+      if (a.numBytes <= 64 && b.numBytes <= 64) jaroBits(a, b)
+      else jaroFlags(a, b)
     if (jaro > 0.7) {
-      val maxPrefix = math.min(4, math.min(s.length, t.length))
+      val maxPrefix = math.min(4, math.min(a.numBytes, b.numBytes))
       var p = 0
-      while (p < maxPrefix && s(p) == t(p)) p += 1
+      while (p < maxPrefix && a.getByte(p) == b.getByte(p)) p += 1
       jaro + p * 0.1 * (1.0 - jaro)
     } else jaro
   }
 
-  private[llm] def jaroBytes(s: Array[Byte], t: Array[Byte]): Double = {
-    val l1 = s.length
-    val l2 = t.length
+  /** Test/utility entry over raw byte arrays. */
+  private[llm] def jaroWinklerBytes(s: Array[Byte], t: Array[Byte]): Double =
+    similarity(UTF8String.fromBytes(s), UTF8String.fromBytes(t))
+
+  /** Allocation-free fast path for strings up to 64 bytes (names,
+    * addresses, titles — the linkage hot path): match flags live in two
+    * Long bitmasks instead of per-call boolean arrays. */
+  private[graft] def jaroBits(s: UTF8String, t: UTF8String): Double = {
+    val l1 = s.numBytes
+    val l2 = t.numBytes
     if (l1 == 0 || l2 == 0) return 0.0
     val window = math.max(math.max(l1, l2) / 2 - 1, 0)
-    val sMatch = new Array[Boolean](l1)
-    val tMatch = new Array[Boolean](l2)
+    var sMask = 0L
+    var tMask = 0L
     var m = 0
     var i = 0
     while (i < l1) {
-      val lo = math.max(0, i - window)
+      val si = s.getByte(i)
       val hi = math.min(l2 - 1, i + window)
-      var j = lo
+      var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!tMatch(j) && s(i) == t(j)) {
-          sMatch(i) = true; tMatch(j) = true; m += 1; found = true
+        if ((tMask & (1L << j)) == 0L && si == t.getByte(j)) {
+          sMask |= 1L << i; tMask |= 1L << j; m += 1; found = true
         }
         j += 1
       }
@@ -91,9 +97,50 @@ object JaroWinkler {
     var si = 0
     var tj = 0
     while (si < l1) {
+      if ((sMask & (1L << si)) != 0L) {
+        while ((tMask & (1L << tj)) == 0L) tj += 1
+        if (s.getByte(si) != t.getByte(tj)) diffs += 1
+        tj += 1
+      }
+      si += 1
+    }
+    val trans = diffs / 2 // integer floor, the strcmp95/rapidfuzz convention
+    val md = m.toDouble
+    (md / l1 + md / l2 + (md - trans) / md) / 3.0
+  }
+
+  /** General path (strings beyond 64 bytes): identical algorithm with
+    * heap flag arrays. */
+  private[graft] def jaroFlags(s: UTF8String, t: UTF8String): Double = {
+    val l1 = s.numBytes
+    val l2 = t.numBytes
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val sMatch = new Array[Boolean](l1)
+    val tMatch = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val si = s.getByte(i)
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && si == t.getByte(j)) {
+          sMatch(i) = true; tMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var diffs = 0
+    var si = 0
+    var tj = 0
+    while (si < l1) {
       if (sMatch(si)) {
         while (!tMatch(tj)) tj += 1
-        if (s(si) != t(tj)) diffs += 1
+        if (s.getByte(si) != t.getByte(tj)) diffs += 1
         tj += 1
       }
       si += 1

@@ -34,6 +34,20 @@ class LinkageSpec extends SparkSpec {
     assert(jw("", "") == 0.0)
     assert(jw("ab", "ba") == 0.0)
     assert(jw("same", "same") == 1.0)
+    // beyond the 64-byte bitmask fast path: heap-flag path, same oracle pin
+    val la = "the quick brown fox jumps over the lazy dog and keeps on running far"
+    val lb = "the quick brown fox jumped over the lazy dog and kept on running far"
+    assert(la.length == 68 && jw(la, lb) == 0.9518716577540107)
+    // bitmask fast path and heap-flag general path are the same function
+    // on their shared domain (both sides <= 64 bytes)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val x = UTF8String.fromBytes(
+        Array.fill(rnd.nextInt(64) + 1)(('a' + rnd.nextInt(4)).toByte))
+      val y = UTF8String.fromBytes(
+        Array.fill(rnd.nextInt(64) + 1)(('a' + rnd.nextInt(4)).toByte))
+      assert(JaroWinkler.jaroBits(x, y) == JaroWinkler.jaroFlags(x, y))
+    }
   }
 
   test("jaro_winkler SQL function evaluates through codegen") {
