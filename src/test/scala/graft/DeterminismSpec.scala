@@ -22,7 +22,12 @@ class DeterminismSpec extends SparkSpec {
     "q_scd2", "q_tfidf_cosine", "q_kfold", "q_dup_ngram_frac",
     "q_cdc_compact", "q_mutual_info", "q_event_trigrams", "q_corr_matrix",
     "q_twap", "q_benford", "q_js_divergence", "q_autocorr",
-    "q_js_drift")
+    "q_js_drift",
+    // round-3 ops: BPE per-round argmax ties, repeated-span islands,
+    // byte-level Jaro-Winkler doubles, per-block SNM rank ties, bigram
+    // 8dp-ln grid means
+    "q_bpe_merges", "q_repeated_spans", "q_jaro_linkage", "q_snm_linkage",
+    "q_bigram_lm")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

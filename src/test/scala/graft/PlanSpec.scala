@@ -326,4 +326,36 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).length === 2, plan)
     assert(plan.contains("Union"), plan)
   }
+
+  test("blocked jaro linkage: hash join on the block key, no nested loop; " +
+      "the kernel stays inside whole-stage codegen") {
+    graft.llm.JaroWinkler.register(spark)
+    val df = QueryRegistry.byName("q_jaro_linkage").run(spark, dir)
+    val plan = planString(df)
+    // candidates come from an equi-join on __blk — never a cross product
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("jaro_winkler"), plan)
+    // the scoring join sits under WholeStageCodegen, so the kernel call is
+    // a compiled static invoke, not interpreted expression dispatch. AQE
+    // inserts codegen stages as query stages materialize, so check the
+    // FINAL adaptive plan (initialPlan never carries WSCG markers).
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // "*(n) BroadcastHashJoin" = the join runs inside codegen stage n
+    assert(finalPlan.linesIterator
+      .exists(l => l.contains("*(") && l.contains("BroadcastHashJoin")),
+      finalPlan)
+  }
+
+  test("sorted-neighborhood linkage: rank windows per block (no global " +
+      "single-partition sort); neighbor pairing is an equi-join") {
+    val plan = planString(QueryRegistry.byName("q_snm_linkage")
+      .run(spark, dir))
+    // row_number partitions on the block column — a global orderBy window
+    // would show an empty partition spec and serialize one task at scale
+    assert(plan.contains("windowspecdefinition(__blk"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
