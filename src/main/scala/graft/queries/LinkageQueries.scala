@@ -61,5 +61,47 @@ object LinkageQueries {
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM s a JOIN s b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 5
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
-        |ORDER BY a_key, b_key""".stripMargin)))
+        |ORDER BY a_key, b_key""".stripMargin)),
+
+    // The production composition the reference's loader implies: its
+    // idempotent append drops rows whose EXACT key already exists
+    // (left_anti, load.py:143-158); the fuzzy tier then scores what the
+    // exact key missed. Batch = keys =0 mod 10 with a deterministic
+    // truncation "typo" (last character dropped — the data-entry damage
+    // an exact key cannot see); existing = the rest, verbatim. Residue =
+    // batch anti-joined on exact name (the reference's J3 shape), then
+    // blocked Jaro-Winkler >= 0.95 recovers the match the exact join lost.
+    QuerySpec("q_linkage_residue", (s, dir) => {
+      graft.llm.JaroWinkler.register(s)
+      val p = part(s, dir)
+      val batch = p.filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"),
+          substr(col("p_name"), lit(1), length(col("p_name")) - 1)
+            .as("p_name"), col("p_brand"))
+      val existing = p.filter(col("p_partkey") % 10 =!= 0)
+      val residue = batch.join(
+        existing.select(col("p_name")).distinct(), Seq("p_name"), "left_anti")
+      residue.select(col("p_partkey").as("batch_key"),
+          col("p_name").as("__bn"), col("p_brand"))
+        .join(existing.select(col("p_partkey").as("match_key"),
+          col("p_name").as("__en"), col("p_brand")), Seq("p_brand"))
+        .withColumn("sim",
+          graft.llm.JaroWinkler.jaroWinkler(col("__bn"), col("__en")))
+        .filter(col("sim") >= 0.95)
+        .select("batch_key", "match_key", "sim")
+        .orderBy("batch_key", "match_key")
+    }, Some(
+      """WITH batch AS (
+        |  SELECT p_partkey, substr(p_name, 1, length(p_name) - 1) AS p_name,
+        |         p_brand
+        |  FROM part WHERE p_partkey % 10 = 0),
+        |existing AS (SELECT * FROM part WHERE p_partkey % 10 <> 0),
+        |residue AS (
+        |  SELECT * FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.p_name = b.p_name))
+        |SELECT r.p_partkey AS batch_key, e.p_partkey AS match_key,
+        |       jaro_winkler_similarity(r.p_name, e.p_name) AS sim
+        |FROM residue r JOIN existing e ON r.p_brand = e.p_brand
+        |WHERE jaro_winkler_similarity(r.p_name, e.p_name) >= 0.95
+        |ORDER BY batch_key, match_key""".stripMargin)))
 }
