@@ -23,10 +23,13 @@ import graft.llm.{CovSums, DotProductExpr, JaroWinklerExpr, MinHashSigsExpr, Sim
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftFunctions._
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // `jaro_winkler(a,b) >= t` fuses into the cutoff kernel in pure SQL
+    ext.injectOptimizerRule(_ => graft.llm.FuseJaroThreshold)
+  }
 }
 
 object GraftFunctions {

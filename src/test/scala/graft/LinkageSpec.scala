@@ -63,6 +63,38 @@ class LinkageSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("atLeast is boolean-identical to full-score compare (incl. bound)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 500) {
+      val x = UTF8String.fromString(
+        List.fill(rnd.nextInt(40))(('a' + rnd.nextInt(5)).toChar).mkString)
+      val y = UTF8String.fromString(
+        List.fill(rnd.nextInt(40))(('a' + rnd.nextInt(5)).toChar).mkString)
+      for (t <- Seq(0.0, 0.5, 0.7, 0.9, 0.94, 0.99, 1.0)) {
+        assert(JaroWinkler.atLeast(x, y, t) ==
+          (JaroWinkler.similarity(x, y) >= t),
+          s"x=$x y=$y t=$t")
+      }
+    }
+  }
+
+  test("FuseJaroThreshold rewrites the thresholded predicate to the " +
+      "cutoff kernel; results unchanged") {
+    JaroWinkler.register(spark)
+    val df = graft.engine.Linkage.blockedJaroPairs(
+      Seq((1L, "jonathan smith", "b"), (2L, "jonathon smith", "b"),
+        (3L, "zz", "b")).toDF("id", "name", "blk"),
+      "id", "name", "blk", 0.9)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("jaro_winkler_gte"), optimized)
+    // the projected sim column still carries the full score
+    val rows = df.orderBy("a_key", "b_key").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(rows.head.getDouble(2) ==
+      JaroWinkler.similarity(UTF8String.fromString("jonathan smith"),
+        UTF8String.fromString("jonathon smith")))
+  }
+
   test("blockedJaroPairs pairs within blocks only, each pair once") {
     JaroWinkler.register(spark)
     val df = Seq(
