@@ -36,7 +36,8 @@ object QueryRegistry {
       queries.SketchQueries.specs ++
       queries.GraphQueries.specs ++
       queries.BpeQueries.specs ++
-      queries.LinkageQueries.specs
+      queries.LinkageQueries.specs ++
+      queries.GeoQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.{Geo, Tables}
+
+/** Spatial tier over md5-derived synthetic coordinates (the testdata has
+  * no lat/lon; the derivation is deterministic and replayed verbatim by
+  * the oracle — a real deployment swaps in its geocoded columns, which is
+  * exactly the reference's BAN output, `extract.py:167-171`).
+  *
+  * Determinism: every libm call in the haversine is pinned to 8dp (the
+  * engine's ln/exp-grid convention); everything else is identical-tree
+  * IEEE double arithmetic, so distances and nearest-station choices
+  * hash-match across engines. */
+object GeoQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Oracle fragment: the md5-uniform coordinate, same tree as
+    * [[Geo.md5Uniform]]. */
+  private def uSql(prefix: String, key: String): String =
+    s"CAST(CAST(concat('0x', substr(md5('$prefix' || CAST($key AS VARCHAR)), " +
+      s"1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0"
+
+  private def custCte =
+    s"""cust AS (
+       |  SELECT c_custkey,
+       |         41.0 + ${uSql("glat|", "c_custkey")} * 10.0 AS lat,
+       |         -5.0 + ${uSql("glon|", "c_custkey")} * 13.0 AS lon
+       |  FROM customer)""".stripMargin
+
+  private def suppCte =
+    s"""supp AS (
+       |  SELECT s_suppkey,
+       |         41.0 + ${uSql("slat|", "s_suppkey")} * 10.0 AS lat,
+       |         -5.0 + ${uSql("slon|", "s_suppkey")} * 13.0 AS lon
+       |  FROM supplier)""".stripMargin
+
+  /** Oracle fragment: 8dp-pinned haversine km, same tree as
+    * [[Geo.haversineKm]]. */
+  private def havSql(lat1: String, lon1: String, lat2: String,
+      lon2: String): String = {
+    val r = "0.017453292519943295"
+    val s1 = s"ROUND(sin(($lat2 - $lat1) * $r / 2.0), 8)"
+    val s2 = s"ROUND(sin(($lon2 - $lon1) * $r / 2.0), 8)"
+    val c1 = s"ROUND(cos($lat1 * $r), 8)"
+    val c2 = s"ROUND(cos($lat2 * $r), 8)"
+    s"ROUND(asin(sqrt($s1 * $s1 + $c1 * $c2 * $s2 * $s2)), 8) * 12742.0"
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Cell occupancy: point counts per 0.5-degree grid cell — the
+    // density histogram a spatial pipeline builds first, and the
+    // standalone gate on the coordinate derivation + cell math.
+    QuerySpec("q_geo_cells", (s, dir) => {
+      Geo.withDerivedCoords(t(s, dir, "customer"), "c_custkey",
+          "glat|", "glon|")
+        .groupBy(floor(col("lat") / lit(0.5)).cast("long").as("cell_y"),
+          floor(col("lon") / lit(0.5)).cast("long").as("cell_x"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy("cell_y", "cell_x")
+    }, Some(
+      s"""WITH $custCte
+         |SELECT CAST(FLOOR(lat / 0.5) AS BIGINT) AS cell_y,
+         |       CAST(FLOOR(lon / 0.5) AS BIGINT) AS cell_x,
+         |       COUNT(*) AS n_points
+         |FROM cust GROUP BY 1, 2 ORDER BY cell_y, cell_x""".stripMargin)),
+
+    // Grid-bucketed nearest station: each customer probes its 3x3 cell
+    // neighborhood of suppliers, scores candidates with the pinned
+    // haversine, keeps the minimum via struct-min (ties to the smallest
+    // station key). Customers with no supplier within the neighborhood
+    // are absent - the coverage-radius contract of cell blocking.
+    QuerySpec("q_geo_nearest", (s, dir) => {
+      val cust = Geo.withDerivedCoords(t(s, dir, "customer"), "c_custkey",
+        "glat|", "glon|")
+      val supp = Geo.withDerivedCoords(t(s, dir, "supplier"), "s_suppkey",
+        "slat|", "slon|")
+      Geo.gridNearest(cust, "c_custkey", supp, "s_suppkey", cellDeg = 0.5)
+        .orderBy("c_custkey")
+    }, Some(
+      s"""WITH $custCte,
+         |$suppCte,
+         |probes AS (
+         |  SELECT c.c_custkey, c.lat AS plat, c.lon AS plon,
+         |         CAST(FLOOR(c.lat / 0.5) AS BIGINT) + dy.v AS cy,
+         |         CAST(FLOOR(c.lon / 0.5) AS BIGINT) + dx.v AS cx
+         |  FROM cust c
+         |  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)),
+         |cand AS (
+         |  SELECT p.c_custkey, s.s_suppkey,
+         |         ${havSql("p.plat", "p.plon", "s.lat", "s.lon")} AS d
+         |  FROM probes p
+         |  JOIN supp s
+         |    ON CAST(FLOOR(s.lat / 0.5) AS BIGINT) = p.cy
+         |   AND CAST(FLOOR(s.lon / 0.5) AS BIGINT) = p.cx),
+         |ranked AS (
+         |  SELECT c_custkey, s_suppkey, d,
+         |         ROW_NUMBER() OVER (PARTITION BY c_custkey
+         |                            ORDER BY d, s_suppkey) AS rn
+         |  FROM cand)
+         |SELECT c_custkey, s_suppkey, d AS dist_km
+         |FROM ranked WHERE rn = 1 ORDER BY c_custkey""".stripMargin)))
+}

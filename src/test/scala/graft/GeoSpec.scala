@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Geo
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("haversineKm: known city distance within the 8dp-pin tolerance") {
+    // Paris -> Lyon great-circle distance is ~391.5 km
+    val d = Seq((48.8566, 2.3522, 45.7640, 4.8357))
+      .toDF("lat1", "lon1", "lat2", "lon2")
+      .select(Geo.haversineKm(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2")).as("d"))
+      .as[Double].head()
+    assert(math.abs(d - 391.5) < 1.0, d)
+    // zero distance, antipodal sanity (half circumference ~ 20015 km)
+    val z = Seq((10.0, 10.0, 10.0, 10.0)).toDF("a", "b", "c", "d")
+      .select(Geo.haversineKm(col("a"), col("b"), col("c"), col("d")))
+      .as[Double].head()
+    assert(z == 0.0)
+    val anti = Seq((0.0, 0.0, 0.0, 180.0)).toDF("a", "b", "c", "d")
+      .select(Geo.haversineKm(col("a"), col("b"), col("c"), col("d")))
+      .as[Double].head()
+    assert(math.abs(anti - 20015.0) < 5.0, anti)
+  }
+
+  test("gridNearest: picks the true nearest across a cell border; " +
+      "uncovered points absent; ties break to smallest key") {
+    val pts = Seq((1L, 45.01, 3.01), (2L, 48.0, -20.0)).toDF("id", "lat", "lon")
+    val sts = Seq(
+      (10L, 44.99, 2.99), // neighbor cell, ~2.6 km away: the true nearest
+      (11L, 45.30, 3.30), // same cell as point 1 but farther (~37 km)
+      (12L, 44.99, 2.99)  // same spot as 10: tie -> smaller key wins
+    ).toDF("id", "lat", "lon")
+    val got = Geo.gridNearest(pts, "id", sts, "id", cellDeg = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L))) // point 2 has no station in 3x3 -> absent
+  }
+}
