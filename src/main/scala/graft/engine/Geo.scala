@@ -66,6 +66,39 @@ object Geo {
   def gridNearest(points: DataFrame, pointKey: String, stations: DataFrame,
       stationKey: String, cellDeg: Double): DataFrame = {
     require(cellDeg > 0, s"cellDeg=$cellDeg")
+    candidates(points, pointKey, stations, stationKey, cellDeg)
+      .groupBy(col("__pk"))
+      .agg(min(struct(col("__d"), col("__sk"))).as("__best"))
+      .select(col("__pk").as(pointKey),
+        col("__best.__sk").as(stationKey),
+        col("__best.__d").as("dist_km"))
+  }
+
+  /** Spatial range join: every (point, station) pair within `radiusKm`,
+    * over the same 3×3 cell-blocked candidate generation as
+    * [[gridNearest]]. COMPLETE only while the neighborhood covers the
+    * radius: one cell spans at least `cellDeg·111.32·cos(maxLat)` km of
+    * longitude, so the caller must keep `radiusKm` below that (enforced
+    * here for the engine's 41..51° synthetic band — the guard a real
+    * deployment re-derives from its own latitude range).
+    * Output: pointKey, stationKey, dist_km — one row per pair in range. */
+  def gridWithin(points: DataFrame, pointKey: String, stations: DataFrame,
+      stationKey: String, cellDeg: Double, radiusKm: Double): DataFrame = {
+    require(cellDeg > 0, s"cellDeg=$cellDeg")
+    val minKmPerCell = cellDeg * 111.32 * math.cos(51.0 * DegToRad)
+    require(radiusKm > 0 && radiusKm <= minKmPerCell,
+      s"radiusKm=$radiusKm exceeds the $minKmPerCell km the 3x3 " +
+        s"neighborhood guarantees at cellDeg=$cellDeg")
+    candidates(points, pointKey, stations, stationKey, cellDeg)
+      .filter(col("__d") <= lit(radiusKm))
+      .select(col("__pk").as(pointKey), col("__sk").as(stationKey),
+        col("__d").as("dist_km"))
+  }
+
+  /** Shared 3×3 cell-blocked candidate scoring: map-side 9-way explode on
+    * the point side, equi-join on the cell id, pinned haversine. */
+  private def candidates(points: DataFrame, pointKey: String,
+      stations: DataFrame, stationKey: String, cellDeg: Double): DataFrame = {
     val cy = floor(col("lat") / lit(cellDeg)).cast("long")
     val cx = floor(col("lon") / lit(cellDeg)).cast("long")
     val st = stations.select(col(stationKey).as("__sk"),
@@ -82,10 +115,5 @@ object Geo {
     probes.join(st, Seq("__cy", "__cx"))
       .withColumn("__d", haversineKm(col("__plat"), col("__plon"),
         col("__slat"), col("__slon")))
-      .groupBy(col("__pk"))
-      .agg(min(struct(col("__d"), col("__sk"))).as("__best"))
-      .select(col("__pk").as(pointKey),
-        col("__best.__sk").as(stationKey),
-        col("__best.__d").as("dist_km"))
   }
 }

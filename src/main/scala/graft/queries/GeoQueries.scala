@@ -106,5 +106,39 @@ object GeoQueries {
          |                            ORDER BY d, s_suppkey) AS rn
          |  FROM cand)
          |SELECT c_custkey, s_suppkey, d AS dist_km
-         |FROM ranked WHERE rn = 1 ORDER BY c_custkey""".stripMargin)))
+         |FROM ranked WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
+
+    // Spatial range join: every customer-supplier pair within 30 km -
+    // the "all stations serving this address" query. Same cell-blocked
+    // candidates as q_geo_nearest; 30 km stays under the ~35 km of
+    // longitude one half-degree cell guarantees at 51 deg, so the 3x3
+    // neighborhood is complete for the radius.
+    QuerySpec("q_geo_within", (s, dir) => {
+      val cust = Geo.withDerivedCoords(t(s, dir, "customer"), "c_custkey",
+        "glat|", "glon|")
+      val supp = Geo.withDerivedCoords(t(s, dir, "supplier"), "s_suppkey",
+        "slat|", "slon|")
+      Geo.gridWithin(cust, "c_custkey", supp, "s_suppkey",
+          cellDeg = 0.5, radiusKm = 30.0)
+        .orderBy("c_custkey", "s_suppkey")
+    }, Some(
+      s"""WITH $custCte,
+         |$suppCte,
+         |probes AS (
+         |  SELECT c.c_custkey, c.lat AS plat, c.lon AS plon,
+         |         CAST(FLOOR(c.lat / 0.5) AS BIGINT) + dy.v AS cy,
+         |         CAST(FLOOR(c.lon / 0.5) AS BIGINT) + dx.v AS cx
+         |  FROM cust c
+         |  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)),
+         |cand AS (
+         |  SELECT p.c_custkey, s.s_suppkey,
+         |         ${havSql("p.plat", "p.plon", "s.lat", "s.lon")} AS d
+         |  FROM probes p
+         |  JOIN supp s
+         |    ON CAST(FLOOR(s.lat / 0.5) AS BIGINT) = p.cy
+         |   AND CAST(FLOOR(s.lon / 0.5) AS BIGINT) = p.cx)
+         |SELECT c_custkey, s_suppkey, d AS dist_km
+         |FROM cand WHERE d <= 30.0
+         |ORDER BY c_custkey, s_suppkey""".stripMargin)))
 }
