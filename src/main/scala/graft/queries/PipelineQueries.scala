@@ -43,6 +43,39 @@ object PipelineQueries {
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // LITERAL S12/S13: the per-key rate-limited lookup fan-out
+    // (extract.py:157-196, 222-315) as RestLookup.lookupJoin — distinct
+    // keys fetched once (the lru_cache intent, corpus-wide), fan-out
+    // width = the reference's pool size, payload left-joined back. The
+    // fixture transport shares every code path with live HTTP except the
+    // GET itself (RestSourceSpec drives the live variant); the oracle is
+    // the equivalent relational join the fan-out materializes.
+    QuerySpec("q_rest_lookup", (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types._
+      val fixtureDir = java.nio.file.Files
+        .createTempDirectory("graft-rest-lookup").toString
+      graft.sources.rest.RestFixtures.writeKeyFiles(
+        Tables.load(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey"),
+        fixtureDir, "n_nationkey")
+      graft.sources.rest.RestLookup.lookupJoin(
+          Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey").cast("long")
+              .as("c_nationkey")),
+          "c_nationkey", fixtureDir,
+          StructType(Seq(StructField("n_name", StringType),
+            StructField("n_regionkey", LongType))),
+          parallelism = 10)
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       n_name, n_regionkey
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin)),
+
     // Pretraining-corpus cleaning: quality ≥ 0.45 AND lang = en first, then
     // MinHash-LSH near-dup clusters resolved AMONG the survivors with the
     // canonical (min-id) doc kept per cluster.

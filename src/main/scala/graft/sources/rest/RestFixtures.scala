@@ -48,4 +48,37 @@ object RestFixtures {
     }
     pages.size
   }
+
+  /** Write one `key_<urlencoded>.json` envelope per row of `df` (the
+    * point-lookup fixture layout [[RestLookup]] consumes): key = the
+    * row's `keyCol` rendered as a string, payload = the remaining
+    * columns as the single entry of `results`. Returns the key count. */
+  def writeKeyFiles(df: DataFrame, dir: String, keyCol: String): Int = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val rows = df.collect()
+    rows.foreach { row =>
+      val root = mapper.createObjectNode()
+      val o: ObjectNode = root.putArray("results").addObject()
+      schema.fields.zipWithIndex.foreach { case (f, j) =>
+        if (j != keyIdx) {
+          if (row.isNullAt(j)) o.putNull(f.name)
+          else row.get(j) match {
+            case v: Long => o.put(f.name, v)
+            case v: Int => o.put(f.name, v)
+            case v: Double => o.put(f.name, v)
+            case v: Boolean => o.put(f.name, v)
+            case v => o.put(f.name, v.toString)
+          }
+        }
+      }
+      root.putNull("next")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir,
+          RestLookup.keyFileName(String.valueOf(row.get(keyIdx)))),
+        mapper.writeValueAsBytes(root))
+    }
+    rows.length
+  }
 }

@@ -70,7 +70,15 @@ object RestHttp {
   /** GET `url` with the page contract's retry + rate-limit semantics.
     * Every attempt (including retries) pays a limiter acquire — a
     * retrying client must not exceed the endpoint's budget. */
-  def fetch(url: String, conf: RestConf): Array[Byte] = {
+  def fetch(url: String, conf: RestConf): Array[Byte] =
+    fetchOpt(url, conf).getOrElse(throw new java.io.IOException(
+      s"graft-rest: GET $url returned 404"))
+
+  /** Like [[fetch]], but a 404 is a definitive no-match (`None`, no
+    * retry) — the per-key lookup contract, where an unknown key is data,
+    * not an outage. Transient statuses and IO failures still retry and
+    * ultimately raise. */
+  def fetchOpt(url: String, conf: RestConf): Option[Array[Byte]] = {
     val limiter =
       if (conf.rateLimit > 0)
         limiters.computeIfAbsent((conf.dir, conf.rateLimit),
@@ -86,7 +94,8 @@ object RestHttp {
           HttpRequest.newBuilder(URI.create(url)).GET()
             .timeout(Duration.ofSeconds(90)).build(),
           HttpResponse.BodyHandlers.ofByteArray())
-        if (resp.statusCode() == 200) return resp.body()
+        if (resp.statusCode() == 200) return Some(resp.body())
+        if (resp.statusCode() == 404) return None
         lastErr = s"status ${resp.statusCode()}"
       } catch {
         case e: java.io.IOException => lastErr = e.toString

@@ -242,4 +242,52 @@ class RestSourceSpec extends SparkSpec {
         s"6 GETs at 4 req/s finished in ${elapsedMs}ms — limiter not applied")
     } finally stop()
   }
+
+  // ------------------------------------------------------- per-key lookup
+
+  test("lookup join (live): payload attached, unknown key null, each " +
+      "distinct key fetched exactly once") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    RestFixtures.writeKeyFiles(
+      Seq((1L, "alpha", 10.5), (2L, "beta", 20.5)).toDF("k", "name", "score"),
+      dir, "k")
+    val (base, hits, stop) = serve(dir)()
+    try {
+      // key 1 appears in THREE rows, key 9 has no fixture (404 → nulls)
+      val df = Seq(101L -> 1L, 102L -> 1L, 103L -> 1L, 104L -> 2L,
+        105L -> 9L).toDF("row_id", "k")
+      val got = graft.sources.rest.RestLookup.lookupJoin(df, "k", base,
+          StructType(Seq(StructField("name", StringType),
+            StructField("score", DoubleType))),
+          parallelism = 2, maxRetries = 1, retryDelayMs = 10)
+        .orderBy("row_id").collect()
+      // join on the key puts it first: columns are (k, row_id, name, score)
+      assert(got.map(r => (r.getLong(0), r.getString(2))).toSeq ===
+        Seq((1L, "alpha"), (1L, "alpha"), (1L, "alpha"), (2L, "beta"),
+          (9L, null)))
+      assert(got.last.isNullAt(3)) // score null for the unknown key
+      // 3 distinct keys → exactly 3 GETs, however many rows share a key
+      // (the lru_cache contract done corpus-wide; 404 is NOT retried)
+      assert(hits.get() === 3, s"expected 3 GETs, saw ${hits.get()}")
+    } finally stop()
+  }
+
+  test("lookup join (live): transient 500 on a key is retried") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    RestFixtures.writeKeyFiles(Seq((7L, "ok")).toDF("k", "v"), dir, "k")
+    val (base, hits, stop) = serve(dir) { (name, h) =>
+      if (name.contains("key_7") && h.get() == 1) Some(500) else None
+    }
+    try {
+      val got = graft.sources.rest.RestLookup.lookupJoin(
+          Seq(1L -> 7L).toDF("row_id", "k"), "k", base,
+          StructType(Seq(StructField("v", StringType))),
+          parallelism = 1, maxRetries = 2, retryDelayMs = 10)
+        .collect()
+      assert(got.head.getString(2) === "ok")
+      assert(hits.get() === 2) // one 500, one success
+    } finally stop()
+  }
 }
