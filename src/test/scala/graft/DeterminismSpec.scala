@@ -27,7 +27,8 @@ class DeterminismSpec extends SparkSpec {
     // byte-level Jaro-Winkler doubles, per-block SNM rank ties, bigram
     // 8dp-ln grid means
     "q_bpe_merges", "q_repeated_spans", "q_jaro_linkage", "q_snm_linkage",
-    "q_bigram_lm", "q_geo_nearest", "q_linkage_residue")
+    "q_bigram_lm", "q_geo_nearest", "q_geo_within", "q_linkage_residue",
+    "q_rest_lookup")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
