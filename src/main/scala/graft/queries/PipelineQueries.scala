@@ -177,6 +177,63 @@ object PipelineQueries {
          |SELECT g.doc_id, g.lang_pred, g.quality_score
          |FROM gated g
          |WHERE NOT EXISTS (SELECT 1 FROM losers x WHERE x.id = g.doc_id)
-         |ORDER BY g.doc_id""".stripMargin), headline = true)
+         |ORDER BY g.doc_id""".stripMargin), headline = true),
+
+    // Deequ-style declarative data-quality suite (the production
+    // extension of the reference's E1 pre-flight assert): six column
+    // constraints verified in ONE aggregation pass - completeness,
+    // uniqueness (deliberately failing: l_orderkey repeats per line),
+    // bounds, accepted values, and an anchored pattern. Metrics are
+    // exact-count ratios / extremes, so verdicts are bit-stable.
+    QuerySpec("q_dq_report", (s, dir) => {
+      import graft.engine.Quality
+      import graft.engine.Quality.Check
+      Quality.verify(Tables.load(s, dir, "lineitem"), Seq(
+        Check("01_key_complete", "l_orderkey",
+          Quality.completeness("l_orderkey"), 1.0, 1.0),
+        Check("02_key_unique", "l_orderkey",
+          Quality.uniqueness("l_orderkey"), 0.99, 1.0),
+        Check("03_qty_min", "l_quantity", Quality.minOf("l_quantity"),
+          1.0, 1e18),
+        Check("04_discount_max", "l_discount", Quality.maxOf("l_discount"),
+          0.0, 0.1),
+        Check("05_flag_values", "l_returnflag",
+          Quality.acceptedValues("l_returnflag", Seq("A", "N", "R")),
+          1.0, 1.0),
+        Check("06_status_pattern", "l_linestatus",
+          Quality.patternRate("l_linestatus", "^[OF]$"), 1.0, 1.0)))
+    }, Some(
+      """WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS c01,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS c02,
+        |    CAST(MIN(l_quantity) AS DOUBLE) AS c03,
+        |    CAST(MAX(l_discount) AS DOUBLE) AS c04,
+        |    CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS c05,
+        |    CAST(SUM(CASE WHEN regexp_matches(CAST(l_linestatus AS VARCHAR), '^[OF]$') THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN l_linestatus IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS c06
+        |  FROM lineitem)
+        |SELECT check_name, column_name, metric_value, passed FROM (
+        |  SELECT '01_key_complete' AS check_name, 'l_orderkey' AS column_name,
+        |         c01 AS metric_value, c01 >= 1.0 AND c01 <= 1.0 AS passed FROM m
+        |  UNION ALL
+        |  SELECT '02_key_unique', 'l_orderkey', c02,
+        |         c02 >= 0.99 AND c02 <= 1.0 FROM m
+        |  UNION ALL
+        |  SELECT '03_qty_min', 'l_quantity', c03,
+        |         c03 >= 1.0 AND c03 <= 1e18 FROM m
+        |  UNION ALL
+        |  SELECT '04_discount_max', 'l_discount', c04,
+        |         c04 >= 0.0 AND c04 <= 0.1 FROM m
+        |  UNION ALL
+        |  SELECT '05_flag_values', 'l_returnflag', c05,
+        |         c05 >= 1.0 AND c05 <= 1.0 FROM m
+        |  UNION ALL
+        |  SELECT '06_status_pattern', 'l_linestatus', c06,
+        |         c06 >= 1.0 AND c06 <= 1.0 FROM m)
+        |ORDER BY check_name""".stripMargin))
   )
 }
