@@ -204,6 +204,56 @@ object CoreRelational {
         |UNION ALL SELECT * FROM inc
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Snapshot reconciliation (the loader's audit complement): one
+    // full-outer join classifies every key as added / removed / changed
+    // (with the differing column names), unchanged rows omitted - the
+    // report sizes with the churn. The new snapshot derives from orders
+    // deterministically: mod-97 keys vanish, mod-31 prices double,
+    // mod-53 keys reappear shifted as brand-new rows.
+    QuerySpec("q_snapshot_diff", (s, dir) => {
+      val old = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val nw = old.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(31)) === 0,
+            col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(old.filter(pmod(col("o_orderkey"), lit(53)) === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+      graft.engine.Reconcile.snapshotDiff(old, nw, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey", "change_type")
+    }, Some(
+      """WITH old AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |new AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM old WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  FROM old WHERE o_orderkey % 53 = 0),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |         o.o_orderkey IS NOT NULL AS in_old,
+        |         n.o_orderkey IS NOT NULL AS in_new,
+        |         o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS d_status,
+        |         o.o_totalprice IS DISTINCT FROM n.o_totalprice AS d_price
+        |  FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |       CASE WHEN NOT in_old THEN 'added'
+        |            WHEN NOT in_new THEN 'removed'
+        |            WHEN d_status OR d_price THEN 'changed' END AS change_type,
+        |       CASE WHEN in_old AND in_new AND (d_status OR d_price)
+        |            THEN concat_ws(',',
+        |                   CASE WHEN d_status THEN 'o_orderstatus' END,
+        |                   CASE WHEN d_price THEN 'o_totalprice' END)
+        |       END AS changed_cols
+        |FROM j
+        |WHERE (NOT in_old) OR (NOT in_new) OR d_status OR d_price
+        |ORDER BY o_orderkey, change_type""".stripMargin)),
+
     // SCD type-2 merge: versioned dimension history (upsert's
     // history-keeping twin — changed keys CLOSE their current row and open
     // a new version instead of overwriting). The batch is derived from
