@@ -113,6 +113,21 @@ object EventStreams {
     append(fresh)
   }
 
+  /** Streaming data-quality monitoring: run the declarative check suite
+    * ([[graft.engine.Quality]]) over every micro-batch and append the
+    * verdict rows — stamped with the batch id — to a metrics sink. The
+    * streaming dual of `q_dq_report`: a pipeline gates ingest on the
+    * report (alert/stop on failed verdicts) instead of discovering bad
+    * batches downstream. One aggregation pass per batch, whatever the
+    * suite width; replaying a batch id rewrites the same verdicts
+    * (idempotent metrics under at-least-once foreachBatch). */
+  def qualityForeachBatch(
+      checks: Seq[graft.engine.Quality.Check],
+      append: DataFrame => Unit): (DataFrame, Long) => Unit = { (batch, id) =>
+    append(graft.engine.Quality.verify(batch, checks)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(id)))
+  }
+
   /** Streaming corpus ingest with near-dup rejection: each micro-batch is
     * deduped against the persisted corpus STATE — its kept documents and
     * their MinHash band table — via the incremental LSH path

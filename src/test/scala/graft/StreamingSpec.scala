@@ -267,6 +267,36 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("foreachBatch quality monitor: per-batch verdicts, batch-stamped") {
+    import graft.engine.Quality
+    implicit val sqlCtx = spark.sqlContext
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Double, Boolean)]
+    val mem = MemoryStream[Event]
+    val q = mem.toDF()
+      .writeStream
+      .foreachBatch(EventStreams.qualityForeachBatch(
+        Seq(
+          Quality.Check("v_min", "value", Quality.minOf("value"), 0.0, 1e9),
+          Quality.Check("type_ok", "event_type",
+            Quality.acceptedValues("event_type", Seq("a", "b")), 1.0, 1.0)),
+        rep => sink ++= rep
+          .select("batch_id", "check_name", "metric_value", "passed")
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getDouble(2), r.getBoolean(3)))))
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts(1), 10, "a", 1.0), Event(2, ts(2), 11, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(3), 12, "zzz", -5.0)) // both checks fail
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = sink.groupBy(_._1).view.mapValues(
+      _.map(v => v._2 -> v._4).toMap).toMap
+    assert(byBatch(0L) === Map("v_min" -> true, "type_ok" -> true))
+    assert(byBatch(1L) === Map("v_min" -> false, "type_ok" -> false))
+  }
+
   test("batch sessionization (gaps-and-islands) agrees with streaming state") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
