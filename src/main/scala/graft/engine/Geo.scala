@@ -95,6 +95,57 @@ object Geo {
         col("__d").as("dist_km"))
   }
 
+  /** Grid DBSCAN (Ester et al. 1996) over the cell-blocked radius pairs:
+    * core points have `minPts` neighbors (self included) within `epsKm`;
+    * clusters are connected components of core–core proximity
+    * (min-core-id labels via [[graft.llm.Dedup.dupClusters]]' label
+    * propagation); non-core points within `epsKm` of a core join that
+    * core's cluster (ties to the smallest cluster label — pinned, where
+    * the paper leaves border assignment arbitrary); the rest is noise.
+    *
+    * Scale shape: ONE radius self-join (the [[gridWithin]] cost bound)
+    * feeds neighbor counts, core flags, core edges, and border
+    * assignment; the only iteration is the CC label propagation, rounds
+    * ∝ cluster diameter. Output: keyCol, role ∈ core|border|noise,
+    * cluster_id (smallest member core id; null for noise). */
+  def dbscan(points: DataFrame, keyCol: String, cellDeg: Double,
+      epsKm: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts=$minPts")
+    val nb = points.select(col(keyCol).as("__nb"), col("lat"), col("lon"))
+    // The radius self-join feeds FOUR consumers (neighbor counts, two
+    // core-edge semi-joins, border assignment) and the CC loop beyond —
+    // barrier it once or every consumer re-runs the blocked join.
+    val pairs = Checkpoints.iterationBarrier(
+      gridWithin(points, keyCol, nb, "__nb", cellDeg, epsKm)
+        .filter(col(keyCol) =!= col("__nb")))
+    val counts = pairs.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val coreIds = Checkpoints.iterationBarrier(points.select(col(keyCol))
+      .join(counts, Seq(keyCol), "left")
+      .filter(coalesce(col("__n"), lit(0L)) + 1 >= minPts)
+      .select(col(keyCol)))
+    val coreEdges = pairs
+      .join(coreIds, Seq(keyCol), "left_semi")
+      .join(coreIds.withColumnRenamed(keyCol, "__nb"), Seq("__nb"), "left_semi")
+      .select(col(keyCol).as("id1"), col("__nb").as("id2"))
+    val coreClusters = coreIds
+      .join(graft.llm.Dedup.dupClusters(coreEdges)
+        .withColumnRenamed("id", keyCol), Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("canonical_id"), col(keyCol)).as("cluster_id"))
+    val border = pairs
+      .join(coreClusters.withColumnRenamed(keyCol, "__nb"), Seq("__nb"))
+      .join(coreIds, Seq(keyCol), "left_anti")
+      .groupBy(col(keyCol))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    val assigned = coreClusters.withColumn("role", lit("core"))
+      .unionByName(border.withColumn("role", lit("border")))
+    points.select(col(keyCol))
+      .join(assigned, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("role"), lit("noise")).as("role"),
+        col("cluster_id"))
+  }
+
   /** Shared 3×3 cell-blocked candidate scoring: map-side 9-way explode on
     * the point side, equi-join on the cell id, pinned haversine. */
   private def candidates(points: DataFrame, pointKey: String,

@@ -140,5 +140,67 @@ object GeoQueries {
          |   AND CAST(FLOOR(s.lon / 0.5) AS BIGINT) = p.cx)
          |SELECT c_custkey, s_suppkey, d AS dist_km
          |FROM cand WHERE d <= 30.0
-         |ORDER BY c_custkey, s_suppkey""".stripMargin)))
+         |ORDER BY c_custkey, s_suppkey""".stripMargin)),
+
+    // Grid DBSCAN over customer points (eps 8 km, minPts 4): cores by
+    // neighborhood count, clusters = min-core-id connected components of
+    // core-core proximity, borders attach to their smallest in-range
+    // cluster label, rest is noise. eps/minPts chosen so components stay
+    // bounded at every scale factor (the recursive-CC oracle replays the
+    // same label propagation; a supercritical eps would square it).
+    QuerySpec("q_geo_dbscan", (s, dir) => {
+      Geo.dbscan(
+          Geo.withDerivedCoords(t(s, dir, "customer"), "c_custkey",
+            "glat|", "glon|"),
+          "c_custkey", cellDeg = 0.12, epsKm = 8.0, minPts = 4)
+        .orderBy("c_custkey")
+    }, Some(
+      s"""WITH $custCte,
+         |probes AS (
+         |  SELECT c.c_custkey, c.lat AS plat, c.lon AS plon,
+         |         CAST(FLOOR(c.lat / 0.12) AS BIGINT) + dy.v AS cy,
+         |         CAST(FLOOR(c.lon / 0.12) AS BIGINT) + dx.v AS cx
+         |  FROM cust c
+         |  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)),
+         |pairs AS (
+         |  SELECT p.c_custkey AS ak, s.c_custkey AS bk
+         |  FROM probes p
+         |  JOIN cust s
+         |    ON CAST(FLOOR(s.lat / 0.12) AS BIGINT) = p.cy
+         |   AND CAST(FLOOR(s.lon / 0.12) AS BIGINT) = p.cx
+         |   AND p.c_custkey <> s.c_custkey
+         |  WHERE ${havSql("p.plat", "p.plon", "s.lat", "s.lon")} <= 8.0),
+         |nc AS (SELECT ak, COUNT(*) AS n FROM pairs GROUP BY ak),
+         |core AS (
+         |  SELECT c.c_custkey AS k FROM cust c LEFT JOIN nc ON nc.ak = c.c_custkey
+         |  WHERE COALESCE(nc.n, 0) + 1 >= 4),
+         |ce AS (
+         |  SELECT p.ak AS id1, p.bk AS id2 FROM pairs p
+         |  JOIN core c1 ON p.ak = c1.k JOIN core c2 ON p.bk = c2.k),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM ce
+         |  UNION SELECT id2, id1 FROM ce),
+         |reach AS (
+         |  WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
+         |  SELECT * FROM r),
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |corecl AS (
+         |  SELECT c.k, COALESCE(cl.cluster_id, c.k) AS cluster_id
+         |  FROM core c LEFT JOIN cl ON cl.id = c.k),
+         |border AS (
+         |  SELECT p.ak AS k, MIN(cc.cluster_id) AS cluster_id
+         |  FROM pairs p JOIN corecl cc ON p.bk = cc.k
+         |  WHERE p.ak NOT IN (SELECT k FROM core)
+         |  GROUP BY p.ak)
+         |SELECT c.c_custkey, COALESCE(a.role, 'noise') AS role, a.cluster_id
+         |FROM cust c
+         |LEFT JOIN (
+         |  SELECT k, 'core' AS role, cluster_id FROM corecl
+         |  UNION ALL
+         |  SELECT k, 'border', cluster_id FROM border) a ON a.k = c.c_custkey
+         |ORDER BY c.c_custkey""".stripMargin)))
 }

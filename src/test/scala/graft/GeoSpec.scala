@@ -26,6 +26,26 @@ class GeoSpec extends SparkSpec {
     assert(math.abs(anti - 20015.0) < 5.0, anti)
   }
 
+  test("dbscan: core blob, border attachment, noise; labels are min core id") {
+    // 4-point blob within ~3 km pairwise (minPts=4 -> all core), one
+    // point ~7 km out reaching only one blob member (border), one far
+    // point (noise). eps 10 km, cell 0.15 deg (>= 10.4 km of lon at 51N).
+    val pts = Seq(
+      (10L, 45.000, 3.000), (11L, 45.010, 3.010), (12L, 45.020, 3.000),
+      (13L, 45.010, 2.990),
+      (20L, 45.105, 3.000), // reaches only 12 (~9.5 km); others > 10 km
+      (30L, 48.000, -2.000)
+    ).toDF("id", "lat", "lon")
+    val got = graft.engine.Geo
+      .dbscan(pts, "id", cellDeg = 0.15, epsKm = 10.0, minPts = 4)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got === Seq(
+      (10L, "core", 10L), (11L, "core", 10L), (12L, "core", 10L),
+      (13L, "core", 10L), (20L, "border", 10L), (30L, "noise", -1L)))
+  }
+
   test("gridNearest: picks the true nearest across a cell border; " +
       "uncovered points absent; ties break to smallest key") {
     val pts = Seq((1L, 45.01, 3.01), (2L, 48.0, -20.0)).toDF("id", "lat", "lon")
