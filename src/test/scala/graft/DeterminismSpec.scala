@@ -28,7 +28,7 @@ class DeterminismSpec extends SparkSpec {
     // 8dp-ln grid means
     "q_bpe_merges", "q_repeated_spans", "q_jaro_linkage", "q_snm_linkage",
     "q_bigram_lm", "q_geo_nearest", "q_geo_within", "q_linkage_residue",
-    "q_rest_lookup")
+    "q_rest_lookup", "q_geo_dbscan", "q_dq_report", "q_snapshot_diff")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
