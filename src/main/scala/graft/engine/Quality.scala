@@ -64,15 +64,35 @@ object Quality {
       "check names must be unique")
     val aggd = df.agg(checks.head.metric.as(checks.head.name),
       checks.tail.map(c => c.metric.as(c.name)): _*)
+    explodeReport(aggd, checks, Nil)
+  }
+
+  /** The suite per group — one verdict row per (group, check), still ONE
+    * aggregation pass (now keyed): the per-source / per-partition monitor
+    * that localizes which slice of an ingest went bad. */
+  def verifyByGroup(df: DataFrame, groupCols: Seq[String],
+      checks: Seq[Check]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(checks.nonEmpty, "empty check suite")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be unique")
+    val aggd = df.groupBy(groupCols.map(col): _*)
+      .agg(checks.head.metric.as(checks.head.name),
+        checks.tail.map(c => c.metric.as(c.name)): _*)
+    explodeReport(aggd, checks, groupCols)
+  }
+
+  private def explodeReport(aggd: DataFrame, checks: Seq[Check],
+      groupCols: Seq[String]): DataFrame = {
     val reports = checks.map { c =>
       struct(lit(c.name).as("check_name"), lit(c.column).as("column_name"),
         col(c.name).as("metric_value"),
         coalesce(col(c.name) >= lit(c.lo) && col(c.name) <= lit(c.hi),
           lit(false)).as("passed"))
     }
-    aggd.select(explode(array(reports: _*)).as("r"))
-      .select(col("r.check_name"), col("r.column_name"),
-        col("r.metric_value"), col("r.passed"))
-      .orderBy("check_name")
+    aggd.select(groupCols.map(col) :+ explode(array(reports: _*)).as("r"): _*)
+      .select(groupCols.map(col) ++ Seq(col("r.check_name"),
+        col("r.column_name"), col("r.metric_value"), col("r.passed")): _*)
+      .orderBy(groupCols.map(col) :+ col("check_name"): _*)
   }
 }

@@ -234,6 +234,43 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT '06_status_pattern', 'l_linestatus', c06,
         |         c06 >= 1.0 AND c06 <= 1.0 FROM m)
-        |ORDER BY check_name""".stripMargin))
+        |ORDER BY check_name""".stripMargin)),
+
+    // The quality suite per SOURCE (one keyed aggregation pass): the
+    // monitor that localizes WHICH slice of an ingest went bad instead
+    // of one corpus-wide verdict.
+    QuerySpec("q_dq_by_source", (s, dir) => {
+      import graft.engine.Quality
+      import graft.engine.Quality.Check
+      Quality.verifyByGroup(Tables.load(s, dir, "documents"),
+        Seq("source"), Seq(
+          Check("01_text_complete", "text", Quality.completeness("text"),
+            1.0, 1.0),
+          Check("02_chars_min", "n_chars", Quality.minOf("n_chars"),
+            1.0, 1e18),
+          Check("03_lang_values", "lang",
+            Quality.acceptedValues("lang",
+              Seq("en", "fr", "de", "es", "it")), 1.0, 1.0)))
+    }, Some(
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS c01,
+        |    CAST(MIN(n_chars) AS DOUBLE) AS c02,
+        |    CAST(SUM(CASE WHEN lang IN ('en','fr','de','es','it')
+        |              THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS c03
+        |  FROM documents GROUP BY source)
+        |SELECT source, check_name, column_name, metric_value, passed FROM (
+        |  SELECT source, '01_text_complete' AS check_name,
+        |         'text' AS column_name, c01 AS metric_value,
+        |         c01 >= 1.0 AND c01 <= 1.0 AS passed FROM m
+        |  UNION ALL
+        |  SELECT source, '02_chars_min', 'n_chars', c02,
+        |         c02 >= 1.0 AND c02 <= 1e18 FROM m
+        |  UNION ALL
+        |  SELECT source, '03_lang_values', 'lang', c03,
+        |         c03 >= 1.0 AND c03 <= 1.0 FROM m)
+        |ORDER BY source, check_name""".stripMargin))
   )
 }
