@@ -219,6 +219,32 @@ object DedupQueries {
          |WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5
          |ORDER BY id1, id2""".stripMargin)),
 
+    // Prefix-filter EXACT similarity join (AllPairs/PPJoin) — the
+    // scalable exact tier between q_ngram_jaccard (quadratic reference)
+    // and q_minhash_lsh (probabilistic): candidates come only from each
+    // set's globally-RAREST tokens (df-ascending prefixes) + a size
+    // filter, then exact verification — lossless by the prefix-filtering
+    // principle. The oracle is the brute-force quadratic join: equality
+    // proves the pruning drops nothing. θ=0.4 exercises non-half-integer
+    // ceil(θ·sz) pruning arithmetic (done in exact integers).
+    QuerySpec("q_setsim_join", (s, dir) => {
+      graft.llm.SetSimJoin.jaccardJoin(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.4)
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH $shingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id1, id2,
+         |       ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON id1 = s1.doc_id
+         |JOIN sizes s2 ON id2 = s2.doc_id
+         |WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.4
+         |ORDER BY id1, id2""".stripMargin)),
+
     // MinHash-LSH (9 perms = 3 bands × 3 rows) candidates, verified with
     // exact Jaccard ≥ 0.5 — the 100 TB near-dup path. Permutation mins are
     // lexicographic MIN over 16-hex-char halves of md5(seed|shingle) —
