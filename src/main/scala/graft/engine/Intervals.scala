@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Interval-overlap analytics over event streams: the classic
+  * sweep-line / +1−1 prefix-sum formulation of "how many intervals are
+  * live at once" (max sessions in flight, peak connection counts, room
+  * occupancy — the capacity question every operational dashboard asks).
+  */
+object Intervals {
+
+  /** Peak concurrency per group over half-open intervals [start, end):
+    * each interval contributes +1 at its start and −1 at its end, both
+    * deltas at one boundary instant are NETTED before the running sum
+    * (so the state is only observed BETWEEN instants — no intra-instant
+    * ordering ambiguity, and end-meets-start at the same microsecond
+    * does not double-count), and the peak is the max prefix sum.
+    *
+    * Scale shape: one map-side unpivot (2 rows per interval), one
+    * (group, t) pre-aggregation that collapses the running-sum input to
+    * DISTINCT boundary instants, then a window partitioned by GROUP —
+    * the sort is per-group over boundary counts, not raw events. A
+    * single global timeline would be a one-partition sort; callers
+    * partition by a real dimension (tenant, type, day-with-overlap) as
+    * this signature forces.
+    *
+    * Inverted inputs (end < start, e.g. negative durations) contribute
+    * −1 before +1 and can drive the prefix sum negative; they are
+    * rejected in-plan as malformed rather than silently skewing peaks.
+    *
+    * Output: groupCol, peak (max concurrent), peak_at (first boundary
+    * instant, in the units of `startCol`/`endCol`, at which the peak is
+    * reached). */
+  def maxConcurrency(df: DataFrame, groupCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val guarded = df.withColumn("__s",
+      when(col(endCol) < col(startCol),
+        raise_error(concat(lit("intervals: end < start for group "),
+          col(groupCol).cast("string")))).otherwise(col(startCol)))
+    val deltas = guarded.select(col(groupCol), col("__s").as("t"), lit(1L).as("d"))
+      .unionByName(guarded.select(col(groupCol), col(endCol).as("t"),
+        lit(-1L).as("d")))
+    val net = deltas.groupBy(col(groupCol), col("t"))
+      .agg(sum(col("d")).as("net"))
+    val cum = sum(col("net")).over(
+      Window.partitionBy(col(groupCol)).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val peak = max(col("cum")).over(Window.partitionBy(col(groupCol)))
+    net.withColumn("cum", cum)
+      .withColumn("peak", peak)
+      .where(col("cum") === col("peak"))
+      .groupBy(col(groupCol))
+      .agg(max(col("peak")).as("peak"), min(col("t")).as("peak_at"))
+  }
+}

@@ -104,4 +104,55 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     perNode
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, Phys. Rev. E
+    * 76) — community detection over an undirected graph, the
+    * frequency-based complement of the connected-components clustering in
+    * [[Dedup.dupClusters]]: CC says "reachable", LPA says "densely
+    * attached", which separates chained borderline pairs from tight
+    * duplicate communities.
+    *
+    * Deterministic variant (the published algorithm is randomized; a
+    * cross-engine-checkable one cannot be): synchronous rounds, initial
+    * label = node id, and
+    *   label_{t+1}(v) = argmax over neighbor-label frequencies,
+    *                    ties broken by SMALLEST label.
+    * Every node in a symmetrized edge list has ≥ 1 neighbor, so there is
+    * no keep-own-label branch. Synchronous LPA can 2-cycle on bipartite
+    * structure — callers pick `iters`, and equal-round results are
+    * bit-identical on any engine (the oracle unrolls the same rounds).
+    *
+    * Scale: per round, ONE join of the symmetric edge table against the
+    * |V|-sized label vector and one (node, label) count — |E|-shaped like
+    * a PageRank round, with [[Checkpoints.iterationBarrier]] keeping
+    * lineage flat. The argmax is a per-node row_number window partitioned
+    * by node — high-cardinality, never a global sort.
+    * Output: node, community (the converged/final label). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    // symmetric closure, self-loops dropped (a self-loop votes for the
+    // node's own stale label and slows mixing without changing limits)
+    val und = edges.select(s.as("a"), d.as("b"))
+      .unionByName(edges.select(d.as("a"), s.as("b")))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val e = Checkpoints.iterationBarrier(und.repartition(col("b")))
+    var labels = Checkpoints.iterationBarrier(
+      e.select(col("a").as("node"), col("a").as("lbl")).distinct())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("n").desc, col("lbl").asc)
+    for (_ <- 1 to iters) {
+      labels = Checkpoints.iterationBarrier(
+        e.join(labels.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("a").as("node"), col("lbl")))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

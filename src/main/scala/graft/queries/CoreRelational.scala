@@ -323,6 +323,42 @@ object CoreRelational {
         |FROM customer WHERE c_custkey % 5 = 0
         |ORDER BY c_custkey, valid_from""".stripMargin)),
 
+    // Incremental view maintenance: the maintained per-flag aggregate
+    // absorbs a CDC delta (−1 deletes for %13 orderkeys, +1 doubled-qty
+    // inserts for %17) WITHOUT rescanning the base — delta cost ∝ batch,
+    // merge cost ∝ groups. The oracle recomputes the post-delta multiset
+    // from scratch: maintained == recomputed is the IVM contract, exact
+    // because sums accumulate in DECIMAL on both paths.
+    QuerySpec("q_ivm_agg", (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val keys = Seq("l_returnflag")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      val baseAgg = Ivm.fullAgg(l, keys, ms)
+      val deletes = l.filter(pmod(col("l_orderkey"), lit(13)) === 0)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), lit(-1).as("mult"))
+      val inserts = l.filter(pmod(col("l_orderkey"), lit(17)) === 0)
+        .select(col("l_returnflag"), (col("l_quantity") * 2).as("l_quantity"),
+          col("l_extendedprice"), lit(1).as("mult"))
+      val delta = Ivm.deltaAgg(deletes.unionByName(inserts), keys, "mult", ms)
+      Ivm.applyDelta(baseAgg, delta, keys, ms)
+        .select(col("l_returnflag"), col("n"),
+          col("sum_l_quantity").cast("double").as("sum_qty"),
+          col("sum_l_extendedprice").cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH mod AS (
+        |  SELECT l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity * 2, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 17 = 0)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM mod GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
     // CDC micro-batch compaction: several changes to one key inside a
     // batch are legal change-data-capture — keep the LAST by sequence
     // number via a struct-max aggregate (deterministic under any

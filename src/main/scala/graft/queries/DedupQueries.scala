@@ -227,6 +227,11 @@ object DedupQueries {
     // principle. The oracle is the brute-force quadratic join: equality
     // proves the pruning drops nothing. θ=0.4 exercises non-half-integer
     // ceil(θ·sz) pruning arithmetic (done in exact integers).
+    // Fixture caveat: the synthetic corpus is template-generated
+    // (max shingle df = 25), so the quadratic join is df²-BOUNDED here
+    // and runs comparably; prefix filtering's order-of-magnitude win is
+    // on Zipfian real-text df distributions, where the quadratic join
+    // explodes on hot shingles that never enter a prefix.
     QuerySpec("q_setsim_join", (s, dir) => {
       graft.llm.SetSimJoin.jaccardJoin(docs(s, dir), "doc_id", "text",
           n = 3, threshold = 0.4)

@@ -611,7 +611,44 @@ object EventQueries {
         |       CAST(2000 + (doc_id % 977) * 3 AS BIGINT) AS duration,
         |       (CAST(2000 + (doc_id % 977) * 3 AS BIGINT) * 1000)
         |         // CAST(1000 + (doc_id % 5) * 500 AS BIGINT) AS duration_ms
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Peak concurrency per event type (sweep-line +1/−1 prefix sum over
+    // half-open [start, start+value·1s) intervals): the capacity question
+    // — "how many were in flight at once, and when did the peak first
+    // happen". Deltas are NETTED per boundary instant before the running
+    // sum, so no intra-instant ordering exists to disagree on; the window
+    // partitions by event_type (per-group timeline sort, never global).
+    QuerySpec("q_concurrency", (s, dir) => {
+      val iv = events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 1e6).cast("long")).as("e_us"))
+      graft.engine.Intervals.maxConcurrency(iv, "event_type", "s_us", "e_us")
+        .select(col("event_type"), col("peak"),
+          col("peak_at").as("peak_at_us"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e_us
+        |  FROM events),
+        |deltas AS (
+        |  SELECT event_type, s_us AS t, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e_us AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+        |net AS (SELECT event_type, t, SUM(d) AS net FROM deltas GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, t,
+        |         SUM(net) OVER (PARTITION BY event_type ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM net),
+        |mx AS (SELECT event_type, MAX(c) AS peak FROM cum GROUP BY 1)
+        |SELECT c.event_type, CAST(m.peak AS BIGINT) AS peak,
+        |       MIN(c.t) AS peak_at_us
+        |FROM cum c JOIN mx m ON c.event_type = m.event_type AND c.c = m.peak
+        |GROUP BY c.event_type, m.peak
+        |ORDER BY c.event_type""".stripMargin))
   )
 
   /** Shared oracle CTE chain recomputing the 16×16 gradient image's aHash

@@ -95,6 +95,39 @@ object GraphQueries {
          |  JOIN und bc ON bc.a = ab.b AND bc.b = ac.b),
          |tn AS (SELECT unnest([a, b, c]) AS node FROM tri)
          |SELECT node, COUNT(*) AS triangles
-         |FROM tn GROUP BY node ORDER BY node""".stripMargin))
+         |FROM tn GROUP BY node ORDER BY node""".stripMargin)),
+
+    // Label propagation (3 synchronous rounds, deterministic min-tie
+    // argmax) over the near-dup pair graph: frequency-based communities
+    // beside q_dup_clusters' reachability components — a chain of
+    // borderline pairs is ONE component but splits into several
+    // communities. Per round: one |E| join + one (node,label) count —
+    // the PageRank cost shape; the oracle unrolls identical rounds.
+    QuerySpec("q_label_prop", (s, dir) => {
+      val pairs = Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+          n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
+        .select("id1", "id2")
+      Graph.labelPropagation(pairs, "id1", "id2", iters = 3)
+        .orderBy("node")
+    }, Some {
+      val rounds = (1 to 3).map { k =>
+        s"""l$k AS (
+           |  SELECT node, lbl FROM (
+           |    SELECT node, lbl,
+           |           ROW_NUMBER() OVER (PARTITION BY node
+           |                              ORDER BY n DESC, lbl) AS rn
+           |    FROM (SELECT u.a AS node, p.lbl AS lbl, COUNT(*) AS n
+           |          FROM und u JOIN l${k - 1} p ON p.node = u.b
+           |          GROUP BY u.a, p.lbl))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupQueries.shingleCte},
+         |${DedupQueries.minhashPairsCte},
+         |und AS (SELECT id1 AS a, id2 AS b FROM mh_pairs
+         |        UNION SELECT id2, id1 FROM mh_pairs),
+         |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
+         |$rounds
+         |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin
+    })
   )
 }

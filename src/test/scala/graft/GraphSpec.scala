@@ -69,4 +69,29 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").as[(Long, Long)].collect()
     assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: a triangle converges to the min-id community") {
+    assert(lpa(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 3) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("labelPropagation: bridged triangles split into two communities") {
+    // triangles {1,2,3} and {4,5,6} joined by the 3-4 bridge — one
+    // connected COMPONENT, two LPA communities (hand-traced rounds)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+    assert(lpa(e, 3) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: synchronous 2-cycle on an edge is deterministic") {
+    // a single edge oscillates under synchronous updates — pinned, not
+    // hidden: round parity decides which side of the swap you observe
+    assert(lpa(Seq((1L, 2L)), 3) === Map(1L -> 2L, 2L -> 1L))
+    assert(lpa(Seq((1L, 2L)), 2) === Map(1L -> 1L, 2L -> 2L))
+  }
 }
