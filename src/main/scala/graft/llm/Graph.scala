@@ -155,4 +155,43 @@ object Graph {
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
+
+  /** k-core peeling (Seidman 1983, "Network structure and minimum
+    * degree"): iteratively remove nodes of degree < k and the edges they
+    * carry; what survives is the subgraph where everyone has ≥ k
+    * neighbors who also survived — the density screen that separates
+    * tight near-dup communities from tendrils and chains (a k-core is
+    * the standard "trusted dense region" cut in graph curation).
+    *
+    * `iters` bounds the peel rounds (each is one degree count + two
+    * semi-joins — |E|-shaped, barriered); the fixpoint is reached when a
+    * round removes nothing, which callers assert where they need the
+    * true core (peeling is monotone, so extra rounds past the fixpoint
+    * are free no-ops in result terms).
+    *
+    * Output: node, deg — nodes incident to a surviving edge, with their
+    * degree in the induced subgraph. (An "alive" node whose neighbors
+    * all died carries no surviving edge: it would be peeled next round,
+    * and it is already absent here.) */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k=$k iters=$iters")
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    var cur = Checkpoints.iterationBarrier(
+      edges.select(s.as("a"), d.as("b"))
+        .unionByName(edges.select(d.as("a"), s.as("b")))
+        .where(col("a").isNotNull && col("b").isNotNull &&
+          col("a") =!= col("b"))
+        .distinct())
+    for (_ <- 1 to iters) {
+      val alive = cur.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("a"))
+      cur = Checkpoints.iterationBarrier(
+        cur.join(alive, Seq("a"), "left_semi")
+          .join(alive.toDF("b"), Seq("b"), "left_semi"))
+    }
+    cur.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .select(col("a").as("node"), col("deg"))
+  }
 }

@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset mining, pair tier (Agrawal & Srikant 1994, Apriori;
+  * the SON/"Savasere et al." partition trick is what Spark's shuffle
+  * gives for free): which items co-occur in the same basket more often
+  * than chance — the co-occurrence screen behind related-products,
+  * query-term affinity, and topic-lexicon discovery.
+  *
+  * Scale design:
+  *  - the Apriori property prunes FIRST: a pair can only be frequent if
+  *    BOTH items are, so baskets are filtered to frequent items before
+  *    any pair is generated — on Zipf-tailed item catalogs this deletes
+  *    almost the whole long tail before the quadratic step;
+  *  - pair generation self-joins the (basket, frequent-item) table on
+  *    basket: cost Σ f_b² over baskets, where f_b counts only FREQUENT
+  *    items in basket b. That bound is the knob: minSupport directly
+  *    caps the blowup (same df-cap contract as the winnowing dedup);
+  *  - support counting is one map-side-combinable aggregation; lift
+  *    divides by item supports carried through the join — no second
+  *    pass over the data.
+  */
+object Itemsets {
+
+  /** Frequent co-occurring pairs with support and lift over exploded
+    * (basket, item) rows (duplicates collapse — set semantics).
+    * Output: item1 < item2, support (co-occurrence count), lift
+    * (support·n / (c1·c2), 8dp; > 1 means above-chance association). */
+  def frequentPairs(items: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport=$minSupport")
+    val it = items.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct().localCheckpoint()
+    // total baskets as a broadcast 1-row frame — stays in-plan
+    val nb = it.select(col("b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val freq = it.groupBy(col("i")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= minSupport)
+    val fit = it.join(freq, "i")
+    val pairs = fit.select(col("b"), col("i").as("item1"), col("c").as("c1"))
+      .join(fit.select(col("b"), col("i").as("item2"), col("c").as("c2")),
+        Seq("b"))
+      .where(col("item1") < col("item2"))
+      .groupBy(col("item1"), col("item2"), col("c1"), col("c2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    pairs.crossJoin(broadcast(nb))
+      .select(col("item1"), col("item2"), col("support"),
+        round(col("support").cast("double") * col("n_baskets") /
+          (col("c1") * col("c2")).cast("double"), 8).as("lift"))
+  }
+}

@@ -128,6 +128,34 @@ object GraphQueries {
          |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
          |$rounds
          |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin
+    }),
+
+    // 2-core of the near-dup graph (3 peel rounds — GraphSpec asserts
+    // the fixpoint lands within them on this corpus): chains and
+    // tendrils of borderline pairs peel away, near-clique duplicate
+    // communities survive — the density screen on top of reachability
+    // (q_dup_clusters) and frequency (q_label_prop). Each round is one
+    // degree count + two semi-joins, |E|-shaped.
+    QuerySpec("q_kcore", (s, dir) => {
+      val pairs = Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+          n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
+        .select("id1", "id2")
+      Graph.kCore(pairs, "id1", "id2", k = 2, iters = 3)
+        .orderBy("node")
+    }, Some {
+      val rounds = (1 to 3).map { k =>
+        s"""a$k AS (SELECT a FROM e${k - 1} GROUP BY a HAVING COUNT(*) >= 2),
+           |e$k AS (SELECT e.a, e.b FROM e${k - 1} e
+           |        JOIN a$k x ON e.a = x.a JOIN a$k y ON e.b = y.a)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupQueries.shingleCte},
+         |${DedupQueries.minhashPairsCte},
+         |e0 AS (SELECT id1 AS a, id2 AS b FROM mh_pairs
+         |       UNION SELECT id2, id1 FROM mh_pairs),
+         |$rounds
+         |SELECT a AS node, COUNT(*) AS deg FROM e3
+         |GROUP BY a ORDER BY node""".stripMargin
     })
   )
 }

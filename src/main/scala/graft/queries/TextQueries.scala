@@ -940,6 +940,82 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars, len_pr FROM pr
         |WHERE len_pr >= 0.05 AND len_pr <= 0.95
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Linear-classifier inference over hashed features (the fastText/
+    // CCNet quality-filter scoring sweep): dim-row weight table
+    // broadcast, margin accumulated in INTEGER 2⁻¹⁶ units — exact, no
+    // float dot-product drift, no transcendentals (sigmoid is monotone,
+    // so the margin threshold IS the decision). Weights here are the
+    // md5-derived fixture vector; production swaps in a trained vector
+    // through the same (bucket, w_unit) contract.
+    QuerySpec("q_linear_score", (s, dir) => {
+      val feats = TextAnalysis.featureHash(docs(s, dir), "doc_id", "text",
+        dim = 64)
+      graft.llm.LinearModel.score(feats,
+          graft.llm.LinearModel.fixtureWeights(s, 64), "doc_id")
+        .orderBy("doc_id")
+    }, Some {
+      def hx(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> x <> '')) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id,
+         |         ((instr('0123456789abcdef', substr(md5('fh|' || token), 1, 1)) - 1) * 16
+         |          + (instr('0123456789abcdef', substr(md5('fh|' || token), 2, 1)) - 1))
+         |           % 64 AS bucket,
+         |         COUNT(*) AS tf
+         |  FROM tk GROUP BY doc_id, bucket),
+         |wh AS (SELECT i AS bucket, md5('lw|' || i) AS h FROM range(64) t(i)),
+         |w AS (SELECT bucket,
+         |             ${hx(1)} * 4096 + ${hx(2)} * 256
+         |             + ${hx(3)} * 16 + ${hx(4)} - 32768 AS w_unit
+         |      FROM wh),
+         |m AS (SELECT doc_id, SUM(tf * w_unit) AS mu
+         |      FROM tf JOIN w USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, CAST(mu AS DOUBLE) / 65536.0 AS margin,
+         |       CASE WHEN mu > 0 THEN 1 ELSE 0 END AS label
+         |FROM m ORDER BY doc_id""".stripMargin
+    }),
+
+    // Market-basket frequent pairs with lift (Apriori pair tier) over
+    // per-document token sets: items survive to pair generation only if
+    // individually frequent — minSupport (integer-exact 5% of docs)
+    // directly caps the quadratic step's Σ f_b² bound. Lift > 1 flags
+    // above-chance co-occurrence (collocation discovery beside
+    // q_bigram_pmi's adjacency-based variant — THIS one sees non-adjacent
+    // affinity).
+    QuerySpec("q_freq_pairs", (s, dir) => {
+      val d = docs(s, dir)
+      val minSup = (d.count() * 5 + 99) / 100
+      val items = d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      graft.llm.Itemsets.frequentPairs(items, "doc_id", "token", minSup)
+        .orderBy("item1", "item2")
+    }, Some(
+      """WITH ms AS (SELECT (COUNT(*) * 5 + 99) // 100 AS v FROM documents),
+        |it AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS i
+        |  FROM documents),
+        |nb AS (SELECT COUNT(DISTINCT doc_id) AS n FROM it),
+        |freq AS (
+        |  SELECT i, COUNT(*) AS c FROM it GROUP BY i
+        |  HAVING COUNT(*) >= (SELECT v FROM ms)),
+        |fit AS (SELECT t.doc_id, t.i, f.c FROM it t JOIN freq f USING (i)),
+        |pairs AS (
+        |  SELECT a.i AS item1, b.i AS item2, a.c AS c1, b.c AS c2,
+        |         COUNT(*) AS support
+        |  FROM fit a JOIN fit b ON a.doc_id = b.doc_id AND a.i < b.i
+        |  GROUP BY a.i, b.i, a.c, b.c
+        |  HAVING COUNT(*) >= (SELECT v FROM ms))
+        |SELECT item1, item2, support,
+        |       ROUND(CAST(support AS DOUBLE) * nb.n / CAST(c1 * c2 AS DOUBLE), 8) AS lift
+        |FROM pairs CROSS JOIN nb
+        |ORDER BY item1, item2""".stripMargin))
   )
 }

@@ -88,6 +88,36 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("kCore: a triangle with a pendant chain peels to the triangle") {
+    // 1-2-3 triangle, chain 3-4-5: k=2 kills 5, then 4; triangle stays
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(e, "src", "dst", k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: rounds past the fixpoint change nothing") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r3 = Graph.kCore(e, "src", "dst", 2, 3).as[(Long, Long)].collect().toMap
+    val r5 = Graph.kCore(e, "src", "dst", 2, 5).as[(Long, Long)].collect().toMap
+    assert(r3 === r5)
+  }
+
+  test("kCore fixpoint is reached within the registered rounds on the corpus") {
+    // the q_kcore contract: 3 peels == the true 2-core on real testdata
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.llm.Dedup.minhashNearDups(docs, "doc_id", "text",
+      3, 3, 3, 0.5).select("id1", "id2")
+    val r3 = Graph.kCore(pairs, "id1", "id2", 2, 3)
+      .as[(Long, Long)].collect().toMap
+    val r4 = Graph.kCore(pairs, "id1", "id2", 2, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 === r4)
+  }
+
   test("labelPropagation: synchronous 2-cycle on an edge is deterministic") {
     // a single edge oscillates under synchronous updates — pinned, not
     // hidden: round parity decides which side of the swap you observe
