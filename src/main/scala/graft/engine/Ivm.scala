@@ -38,7 +38,8 @@ object Ivm {
       .otherwise(raise_error(concat(lit(s"ivm: $multCol must be +1/-1, got "),
         col(multCol).cast("string")))).cast("long")
     val aggs = sum(m).as("dn") +: measureCols.map(c =>
-      sum(m * col(c).cast(s"decimal(18,$scale)")).as(s"dsum_$c"))
+      sum(m * col(c).cast(s"decimal(18,$scale)"))
+        .cast(s"decimal(38,$scale)").as(s"dsum_$c"))
     delta.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -49,11 +50,16 @@ object Ivm {
     * than silently clamped. One full-outer join on the key; both sides
     * are group-cardinality. */
   def applyDelta(baseAgg: DataFrame, deltaAggDf: DataFrame,
-      keyCols: Seq[String], measureCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], measureCols: Seq[String],
+      scale: Int = 2): DataFrame = {
     val n2 = coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))
+    // result sums normalized to DECIMAL(38,scale): still exact, and the
+    // view's schema is STABLE across maintenance rounds (unnormalized,
+    // Spark widens decimal precision per addition and a long-lived
+    // maintained view would drift schemas batch over batch)
     val outSums = measureCols.map { c =>
       (coalesce(col(s"sum_$c"), lit(0)) + coalesce(col(s"dsum_$c"), lit(0)))
-        .as(s"sum_$c")
+        .cast(s"decimal(38,$scale)").as(s"sum_$c")
     }
     baseAgg.join(deltaAggDf, keyCols, "full_outer")
       .withColumn("__n2",
@@ -71,7 +77,8 @@ object Ivm {
       measureCols: Seq[String], scale: Int = 2): DataFrame = {
     val aggs = count(lit(1)).cast("long").as("n") +:
       measureCols.map(c =>
-        sum(col(c).cast(s"decimal(18,$scale)")).as(s"sum_$c"))
+        sum(col(c).cast(s"decimal(18,$scale)"))
+          .cast(s"decimal(38,$scale)").as(s"sum_$c"))
     base.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

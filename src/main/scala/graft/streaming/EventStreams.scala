@@ -222,6 +222,24 @@ object EventStreams {
       keyCols, attrCols, batchTs(id)), id)
   }
 
+  /** Streaming incremental view maintenance: each micro-batch of CDC
+    * rows (`multCol` = +1 insert / −1 delete) folds into the maintained
+    * keyed aggregate via [[graft.engine.Ivm.applyDelta]] — per batch,
+    * one delta aggregation (∝ batch) plus one group-cardinality merge;
+    * the 100 TB base is NEVER rescanned. Same versioned-state replay
+    * contract as [[scd2ForeachBatch]]: batch N reads v(N−1) and writes
+    * vN, so an at-least-once redelivery rewrites the same version from
+    * the same predecessor — bit-identical, no double-application. */
+  def ivmForeachBatch(
+      readView: Long => DataFrame,
+      writeView: (DataFrame, Long) => Unit,
+      keyCols: Seq[String], multCol: String,
+      measureCols: Seq[String]): (DataFrame, Long) => Unit = { (batch, id) =>
+    writeView(graft.engine.Ivm.applyDelta(readView(id),
+      graft.engine.Ivm.deltaAgg(batch, keyCols, multCol, measureCols),
+      keyCols, measureCols), id)
+  }
+
   /** Batch sessionization: the gaps-and-islands window formulation — a
     * session break is a gap > gapMs from the previous event of the same
     * user; session id = running count of breaks. Relational dual of
