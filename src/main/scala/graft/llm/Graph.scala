@@ -156,6 +156,49 @@ object Graph {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Multi-source BFS hop distance over an UNDIRECTED graph (frontier
+    * relaxation — the reachability primitive under contamination blast-
+    * radius audits and link-distance features; Malewicz et al. 2010's
+    * Pregel presents exactly this as the canonical vertex program).
+    *
+    * Per round: ONE join of the |E|-sized symmetric edge table against
+    * the current frontier plus a min-aggregation over |V| — cost follows
+    * the frontier's incident edges, never |V|², and the min-combine is
+    * map-side partial. Rounds are [[Checkpoints.iterationBarrier]]ed like
+    * the PageRank loop. Distances are exact small integers, so a DuckDB
+    * oracle replays the solve by unrolling rounds as CTEs.
+    *
+    * Semantics: `dist` = fewest edges from any source node (0 for the
+    * sources themselves); nodes beyond `maxHops` are absent. The
+    * union+min formulation makes each round idempotent past convergence
+    * (extra rounds are no-ops), mirroring [[kCore]]'s contract.
+    * Output: node, dist. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops=$maxHops")
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    val und = edges.select(s.as("a"), d.as("b"))
+      .unionByName(edges.select(d.as("a"), s.as("b")))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val e = Checkpoints.iterationBarrier(und.repartition(col("a")))
+    var dist = Checkpoints.iterationBarrier(
+      sources.select(col(sourceCol).cast("long").as("node")).distinct()
+        .select(col("node"), lit(0).as("dist")))
+    for (k <- 1 to maxHops) {
+      val next = e
+        .join(dist.where(col("dist") === k - 1)
+          .withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"), lit(k).as("dist"))
+      dist = Checkpoints.iterationBarrier(
+        dist.unionByName(next)
+          .groupBy("node").agg(min(col("dist")).as("dist")))
+    }
+    dist
+  }
+
   /** k-core peeling (Seidman 1983, "Network structure and minimum
     * degree"): iteratively remove nodes of degree < k and the edges they
     * carry; what survives is the subgraph where everyone has ≥ k

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial naive Bayes over token counts (McCallum & Nigam 1998,
+  * "A Comparison of Event Models for Naive Bayes Text Classification")
+  * — the classic distributed-trainable document classifier a curation
+  * pipeline uses to route/verify provenance labels (fastText's linear
+  * baseline tier; [[LinearModel.score]] is the inference-only dual with
+  * externally trained weights — THIS trains from the corpus itself).
+  *
+  * Train and score in one plan:
+  *  - model = two aggregations of the exploded token table: per-label
+  *    token counts c(t,l) and per-label totals c(l); plus doc priors
+  *    n(l)/N and the vocabulary size V — all |vocab|·|labels|-sized,
+  *    never corpus-sized;
+  *  - score(d,l) = ln(n(l)/N) + Σ_t tf(d,t)·ln((c(t,l)+1)/(c(l)+V))
+  *    (Laplace add-one), evaluated by crossing each doc's tf rows with
+  *    the label set (|labels| is small — documented contract) and
+  *    left-joining the model so unseen (t,l) fall back to the ln(1/
+  *    (c(l)+V)) floor;
+  *  - argmax per doc, ties to the lexicographically SMALLEST label.
+  *
+  * Determinism: counts are exact integers; each per-token ln rounds to
+  * the 8dp integer grid (the [[TextAnalysis.bigramLogProb]] contract) so
+  * per-doc-per-label totals are exact longs and the argmax compares
+  * integers — bit-identical on any engine. Scale: the cross-with-labels
+  * multiplies the token table by |labels| before one doc-keyed shuffle;
+  * the model side is a broadcast-sized dimension at any corpus size
+  * (vocab·labels rows), left unhinted so AQE decides (the
+  * [[TextAnalysis.oovRate]] convention).
+  */
+object NaiveBayes {
+
+  /** Self-train on `labelCol` and score every document under the learned
+    * model. Output: idCol, labelCol (actual), predicted,
+    * neg_logprob (total score magnitude, double, 8dp-grid-exact). */
+  def trainScore(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), col(labelCol).as("__lbl"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    // per-doc term frequencies (the one corpus-sized aggregation)
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // model: per-(token,label) and per-label counts, vocab size, priors
+    val ctl = toks.groupBy(col("token"), col("__lbl"))
+      .agg(count(lit(1)).as("ctl"))
+    val cl = ctl.groupBy(col("__lbl")).agg(sum(col("ctl")).as("cl"))
+    val vsz = tf.agg(countDistinct(col("token")).as("__vsz"))
+    val nDocs = docs.groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("nl"))
+    val nTot = docs.agg(count(lit(1)).as("__n"))
+    // 8dp-ln integer grid: nlp = -1e8 * round(ln p, 8), positive long
+    def grid(p: org.apache.spark.sql.Column) =
+      (round(log(p), 8).cast("decimal(20,8)") * lit(-100000000L)).cast("long")
+    val priors = nDocs.crossJoin(nTot)
+      .select(col("__lbl"),
+        grid(col("nl").cast("double") / col("__n").cast("double"))
+          .as("__prior"))
+    // label dimension carrying everything per-label scoring needs
+    val labelDim = cl.join(priors, Seq("__lbl")).crossJoin(vsz)
+    val scored = tf.crossJoin(labelDim)
+      .join(ctl, Seq("token", "__lbl"), "left")
+      .select(col(idCol), col("__lbl"), col("__prior"),
+        (col("tf") *
+          grid((coalesce(col("ctl"), lit(0L)) + 1).cast("double") /
+            (col("cl") + col("__vsz")).cast("double"))).as("__c"))
+      .groupBy(col(idCol), col("__lbl"), col("__prior"))
+      .agg(sum(col("__c")).as("__s"))
+      .select(col(idCol), col("__lbl"),
+        (col("__prior") + col("__s")).as("__cost"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cost").asc, col("__lbl").asc)
+    val best = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("__lbl").as("predicted"),
+        (col("__cost").cast("double") / lit(100000000.0)).as("neg_logprob"))
+    docs.select(col(idCol), col(labelCol)).join(best, Seq(idCol))
+  }
+}

@@ -142,6 +142,61 @@ object TextAnalysis {
       .drop("__a")
   }
 
+  /** Mean bigram log-probability under an interpolated Kneser–Ney LM
+    * (Kneser & Ney 1995; Chen & Goodman 1998's interpolated form with
+    * fixed discount D = 0.75) — the smoothing family behind the KenLM
+    * perplexity filter CCNet-style pipelines rank web text with.
+    * Absolute discounting redistributes mass to a CONTINUATION
+    * unigram ("how many contexts does w appear after"), so frequent-but-
+    * context-bound words (the "Francisco" effect) stop inflating scores
+    * the way add-one smoothing lets them:
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1·) + D·N1+(w1·)/c(w1·) · N1+(·w2)/B
+    *
+    * with N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * left contexts of w2, B = distinct bigram types. Scoring the corpus
+    * under its own LM keeps every bigram observed (c ≥ 1 > D, so p > 0).
+    *
+    * Scale shape: the bigram LM and both continuation-type tables are
+    * aggregations of the ONE bigram count table (|bigram types|-sized,
+    * not corpus-sized); scoring is an equi-join of doc bigrams against
+    * the model. Determinism: all model counts are exact integers, the
+    * probability is ONE pinned double expression tree on both engines,
+    * per-bigram ln rounds to the 8dp integer grid and per-doc sums are
+    * exact (the [[bigramLogProb]] contract).
+    * Output: idCol, n_bigrams, avg_logprob. */
+  def knBigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val bigrams = toks
+      .select(col(idCol), explode(zip_with(
+        slice(col("__tk"), lit(1), greatest(size(col("__tk")) - 1, lit(0))),
+        slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val lm = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("__w2", substring_index(col("bigram"), " ", -1))
+    val hist = lm.groupBy(col("__w1"))
+      .agg(sum(col("cb")).as("ch"), count(lit(1)).as("n1f"))
+    val cont = lm.groupBy(col("__w2")).agg(count(lit(1)).as("n1b"))
+    val btot = lm.agg(count(lit(1)).as("__b"))
+    val p = (col("cb").cast("double") - lit(0.75)) / col("ch").cast("double") +
+      (lit(0.75) * col("n1f").cast("double") / col("ch").cast("double")) *
+        (col("n1b").cast("double") / col("__b").cast("double"))
+    val lpNegScaled =
+      (round(log(p), 8).cast("decimal(20,8)") * lit(-100000000L)).cast("long")
+    bigrams
+      .join(lm.join(hist, Seq("__w1")).join(cont, Seq("__w2"))
+        .crossJoin(btot), Seq("bigram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lpNegScaled).as("__a"))
+      .withColumn("avg_logprob",
+        -(expr("(2 * __a + n_bigrams) div (2 * n_bigrams)").cast("double") /
+          lit(100000000.0)))
+      .drop("__a")
+  }
+
   /** Out-of-vocabulary rate per document against the corpus' own
     * frequency-thresholded vocabulary (tokens with corpus count ≥
     * `minCount`): the tokenizer-coverage diagnostic a training pipeline

@@ -130,6 +130,38 @@ object GraphQueries {
          |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin
     }),
 
+    // Multi-source BFS hop distances (4 frontier rounds) from one
+    // nation's customers through the UNDIRECTED customer~supplier
+    // purchase graph — the blast-radius / link-distance audit shape.
+    // Per round one frontier⋈edges join + a map-side-combinable min
+    // aggregation; the oracle unrolls identical union+min rounds.
+    QuerySpec("q_bfs_hops", (s, dir) => {
+      val sources = Tables.load(s, dir, "customer")
+        .where(col("c_nationkey") === 1)
+      Graph.bfsHops(purchaseEdges(s, dir), "src", "dst",
+          sources, "c_custkey", maxHops = 4)
+        .orderBy("node")
+    }, Some {
+      val rounds = (1 to 4).map { k =>
+        s"""d$k AS (
+           |  SELECT node, MIN(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.b AS node, $k AS dist
+           |    FROM e JOIN d${k - 1} p ON p.node = e.a AND p.dist = ${k - 1})
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT src AS a, dst AS b FROM e0
+         |      UNION SELECT dst, src FROM e0),
+         |d0 AS (SELECT DISTINCT c_custkey AS node, 0 AS dist
+         |       FROM customer WHERE c_nationkey = 1),
+         |$rounds
+         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+    }),
+
     // 2-core of the near-dup graph (3 peel rounds — GraphSpec asserts
     // the fixpoint lands within them on this corpus): chains and
     // tendrils of borderline pairs peel away, near-clique duplicate

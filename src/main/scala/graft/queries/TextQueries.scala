@@ -420,6 +420,51 @@ object TextQueries {
         |         / 100000000.0) AS avg_logprob
         |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // Kneser-Ney tier of q_bigram_lm: interpolated absolute discounting
+    // (D = 0.75) with continuation-unigram backoff — the KenLM smoothing
+    // family behind CCNet-style perplexity ranking. Same one-bigram-
+    // count-table model cost and 8dp-ln integer-grid determinism; the
+    // probability is one pinned double expression tree on both engines.
+    QuerySpec("q_kn_bigram", (s, dir) => {
+      TextAnalysis.knBigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(l)),
+        |                i -> l[i] || ' ' || l[i + 1])) AS bigram
+        |  FROM tk),
+        |lm AS (
+        |  SELECT bigram, COUNT(*) AS cb,
+        |         split_part(bigram, ' ', 1) AS w1,
+        |         split_part(bigram, ' ', 2) AS w2
+        |  FROM bg GROUP BY bigram),
+        |hist AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS ch, COUNT(*) AS n1f
+        |         FROM lm GROUP BY w1),
+        |cont AS (SELECT w2, COUNT(*) AS n1b FROM lm GROUP BY w2),
+        |bt AS (SELECT COUNT(*) AS b FROM lm),
+        |lp AS (
+        |  SELECT bigram,
+        |         CAST(CAST(ROUND(ln(
+        |                 (CAST(cb AS DOUBLE) - 0.75) / CAST(ch AS DOUBLE)
+        |                 + (0.75 * CAST(n1f AS DOUBLE) / CAST(ch AS DOUBLE))
+        |                   * (CAST(n1b AS DOUBLE) / CAST(b AS DOUBLE))), 8)
+        |              AS DECIMAL(20,8)) * -100000000 AS BIGINT) AS nlp
+        |  FROM lm JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN bt),
+        |agg AS (
+        |  SELECT bg.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(nlp) AS BIGINT) AS a
+        |  FROM bg JOIN lp USING (bigram)
+        |  GROUP BY bg.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |       -(CAST((2 * a + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+        |         / 100000000.0) AS avg_logprob
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // Probability-proportional-to-size (Poisson/PPS) sampling: each doc
     // kept at rate budget·n_chars/Σn_chars — the quality-weighted
     // subsample step. Exact integer weight total, per-row IEEE rate and
@@ -980,6 +1025,54 @@ object TextQueries {
          |       CASE WHEN mu > 0 THEN 1 ELSE 0 END AS label
          |FROM m ORDER BY doc_id""".stripMargin
     }),
+
+    // Trained-from-the-corpus dual of q_linear_score: multinomial naive
+    // Bayes (Laplace add-one) self-trained on the source label, scoring
+    // every doc — provenance verification by content. Model = two
+    // vocab-sized aggregations; scoring crosses doc tf rows with the
+    // small label set; per-token 8dp-ln grid keeps the argmax integer-
+    // exact on both engines.
+    QuerySpec("q_naive_bayes", (s, dir) => {
+      graft.llm.NaiveBayes.trainScore(docs(s, dir), "doc_id", "text",
+          "source")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tk AS (
+        |  SELECT doc_id, source AS lbl,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token),
+        |ctl AS (SELECT token, lbl, COUNT(*) AS ctl FROM tk GROUP BY token, lbl),
+        |cl AS (SELECT lbl, CAST(SUM(ctl) AS BIGINT) AS cl FROM ctl GROUP BY lbl),
+        |v AS (SELECT COUNT(DISTINCT token) AS vsz FROM tf),
+        |nd AS (SELECT source AS lbl, COUNT(*) AS nl FROM documents GROUP BY source),
+        |nt AS (SELECT COUNT(*) AS n FROM documents),
+        |pri AS (
+        |  SELECT lbl,
+        |         CAST(CAST(ROUND(ln(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)), 8)
+        |              AS DECIMAL(20,8)) * -100000000 AS BIGINT) AS prior
+        |  FROM nd CROSS JOIN nt),
+        |dim AS (SELECT cl.lbl, cl.cl, pri.prior, v.vsz
+        |        FROM cl JOIN pri USING (lbl) CROSS JOIN v),
+        |sc AS (
+        |  SELECT tf.doc_id, dim.lbl, dim.prior,
+        |         CAST(SUM(tf.tf *
+        |           CAST(CAST(ROUND(ln(CAST(COALESCE(ctl.ctl, 0) + 1 AS DOUBLE)
+        |                              / CAST(dim.cl + dim.vsz AS DOUBLE)), 8)
+        |                AS DECIMAL(20,8)) * -100000000 AS BIGINT)) AS BIGINT) AS s
+        |  FROM tf CROSS JOIN dim
+        |  LEFT JOIN ctl ON ctl.token = tf.token AND ctl.lbl = dim.lbl
+        |  GROUP BY tf.doc_id, dim.lbl, dim.prior),
+        |best AS (
+        |  SELECT doc_id, lbl AS predicted, prior + s AS cost,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY prior + s, lbl) AS rn
+        |  FROM sc)
+        |SELECT d.doc_id, d.source, b.predicted,
+        |       CAST(b.cost AS DOUBLE) / 100000000.0 AS neg_logprob
+        |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        |ORDER BY d.doc_id""".stripMargin)),
 
     // Market-basket frequent pairs with lift (Apriori pair tier) over
     // per-document token sets: items survive to pair generation only if

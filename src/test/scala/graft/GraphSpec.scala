@@ -124,4 +124,33 @@ class GraphSpec extends SparkSpec {
     assert(lpa(Seq((1L, 2L)), 3) === Map(1L -> 2L, 2L -> 1L))
     assert(lpa(Seq((1L, 2L)), 2) === Map(1L -> 1L, 2L -> 2L))
   }
+
+  private def bfs(edges: Seq[(Long, Long)], srcs: Seq[Long],
+      hops: Int): Map[Long, Int] =
+    Graph.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        srcs.toDF("s"), "s", hops)
+      .as[(Long, Int)].collect().toMap
+
+  test("bfsHops: hop distance on a path, undirected, capped by maxHops") {
+    // path 1-2-3-4-5, source {1}: edges are traversed both ways
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfs(e, Seq(1L), 2) === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(bfs(e, Seq(1L), 4) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("bfsHops: multi-source takes the minimum over sources") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfs(e, Seq(1L, 5L), 2) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+  }
+
+  test("bfsHops: rounds past convergence are no-ops; isolated sources keep dist 0") {
+    val e = Seq((1L, 2L), (2L, 3L))
+    // node 9 is a source absent from the edge set — reported at dist 0
+    val r3 = bfs(e, Seq(1L, 9L), 3)
+    val r5 = bfs(e, Seq(1L, 9L), 5)
+    assert(r3 === Map(1L -> 0, 2L -> 1, 3L -> 2, 9L -> 0))
+    assert(r3 === r5)
+  }
 }

@@ -751,6 +751,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("knBigramLogProb: analytic pin; discount favors open contexts; invariant") {
+    // One doc "a b a b": lm {(a b):2, (b a):1}; ch(a)=2 n1f(a)=1,
+    // ch(b)=1 n1f(b)=1; n1b(a)=n1b(b)=1; B=2.
+    // p(a b) = (2-.75)/2 + (.75·1/2)·(1/2) = 0.8125 → ln = -0.20763936
+    // p(b a) = (1-.75)/1 + (.75·1/1)·(1/2) = 0.625  → ln = -0.47000363
+    // grid: a = 2·20763936 + 47000363 = 88528235, n = 3 →
+    //   (2a+n) div 2n = 177056473 div 6 = 29509412 → -0.29509412.
+    val one = TextAnalysis.knBigramLogProb(
+        Seq((1L, "a b a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(one.toSeq === Seq((1L, 3L, -0.29509412)))
+    // same ordering signal as bigramLogProb, same invariance contract
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the"),
+      (4L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    assert(!out.contains(4L))
+    assert(out(3L) < out(1L))
+    val again = TextAnalysis
+      .knBigramLogProb(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    assert(again === out)
+  }
+
+  test("NaiveBayes.trainScore recovers separable labels; ties break to smallest label") {
+    val docs = Seq(
+      (1L, "buy spam buy offer", "s"),
+      (2L, "spam offer now buy", "s"),
+      (3L, "meeting agenda notes", "h"),
+      (4L, "notes meeting review", "h")).toDF("doc_id", "text", "source")
+    val got = graft.llm.NaiveBayes
+      .trainScore(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === Map(1L -> "s", 2L -> "s", 3L -> "h", 4L -> "h"))
+    // perfectly symmetric corpus: every (token,label) count identical →
+    // equal scores, prediction = lexicographically smallest label
+    val sym = Seq(
+      (1L, "tok", "a"), (2L, "tok", "b")).toDF("doc_id", "text", "source")
+    val tied = graft.llm.NaiveBayes
+      .trainScore(sym, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(tied === Map(1L -> "a", 2L -> "a"))
+    // partition invariance (integer-grid argmax)
+    val again = graft.llm.NaiveBayes
+      .trainScore(docs.repartition(5), "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again === got)
+  }
+
   test("stripBoilerplate: frequent lines removed, order and dup lines kept") {
     val docs = Seq(
       (1L, "HEADER\nbody one\nbody one\nFOOTER"),   // dup body line preserved
