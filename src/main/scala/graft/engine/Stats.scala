@@ -580,6 +580,95 @@ object Stats {
       .drop("__x", "__lo", "__hi")
   }
 
+  /** Per-group two-predictor OLS (y ~ 1 + x1 + x2) via the normal
+    * equations solved in closed form (Cramer's rule on the 3×3 moment
+    * matrix) — the multi-feature extension of the slope/intercept fit in
+    * `corrOls`, still ONE aggregation pass: nine exact DECIMAL moments
+    * (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y, Σy²) reduce
+    * map-side, and the solve is a scalar double formula over the group
+    * rows — no iterative optimizer, no per-group collect, the same
+    * "moments in DECIMAL, algebra in double, round 8dp" contract every
+    * stats query here pins (a gradient-descent fit could not be oracle-
+    * checked; the closed form is bit-reproducible on any engine).
+    * Singular design matrices (constant predictor, collinear x1/x2)
+    * yield NULL coefficients via the det≠0 guard instead of an ANSI
+    * divide-by-zero. Output: groupCol, n, b0, b1, b2, r2. */
+  def olsMulti(df: DataFrame, groupCol: String, yCol: String,
+      x1Col: String, x2Col: String): DataFrame = {
+    val x1 = col(x1Col).cast("decimal(12,2)")
+    val x2 = col(x2Col).cast("decimal(12,2)")
+    val y = col(yCol).cast("decimal(12,2)")
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+      sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"),
+      sum(x2 * x2).as("s22"),
+      sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"), sum(y * y).as("syy"))
+    val nd = col("n").cast("double")
+    val Seq(s1, s2, sy, s11, s12, s22, s1y, s2y, syy) =
+      Seq("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+        .map(c => col(c).cast("double"))
+    val det = nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val sse = syy - (det0 * sy + det1 * s1y + det2 * s2y) / det
+    val sst = syy - sy * sy / nd
+    m.select(col(groupCol), col("n"),
+      when(det =!= 0.0, round(det0 / det, 8)).as("b0"),
+      when(det =!= 0.0, round(det1 / det, 8)).as("b1"),
+      when(det =!= 0.0, round(det2 / det, 8)).as("b2"),
+      when(det =!= 0.0 && sst > 0.0, round(lit(1.0) - sse / sst, 8)).as("r2"))
+  }
+
+  /** One-sided CUSUM drift screen per group (Page 1954, "Continuous
+    * inspection schemes"): the sequential changepoint statistic
+    * C_i = max(0, C_{i-1} + (x_i − μ)), reported as its in-sequence peak
+    * and peak location — the standard "did this metric's level shift,
+    * and when" monitor over an ordered measurement stream.
+    *
+    * The recursive max-fold is NOT a window function, but its closed
+    * form is: C_i = cumsum_i − min_{j≤i}(cumsum_j) of the centered
+    * series — two window passes over ONE (group)-partitioned sort.
+    *
+    * Exactness: centering by μ = S/n would be a per-row IEEE division,
+    * so the whole series is scaled by n instead — y_i = n·x_i − S in
+    * DECIMAL (exact integers on the cent grid), CUSUM runs on y, and
+    * the single division by n happens once at the END on the peak
+    * (8dp-rounded): bit-identical on any engine, any partitioning.
+    *
+    * Scale shape: one aggregation for (n, S) joined back (broadcast-
+    * sized: one row per group), then two same-partition windows — the
+    * one sort-bound step, keyed by the group column (high-cardinality
+    * in production; a single global series would need range-repartition
+    * + boundary carry like sessionization).
+    * Output: groupCol, n, peak_ts-at-orderCol, max_drift (mean units). */
+  def cusumDrift(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(orderCol), col(tieCol),
+      col(valueCol).cast("decimal(18,2)").as("__v"))
+    val tot = base.groupBy(col(groupCol))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("n"))
+    val wRun = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col(orderCol), col(tieCol))
+    base.join(broadcast(tot), Seq(groupCol))
+      .withColumn("__y", col("__v") * col("n").cast("decimal(19,0)") - col("__s"))
+      .withColumn("__cum", sum(col("__y")).over(wRun))
+      .withColumn("__c", col("__cum") - min(col("__cum")).over(wRun))
+      .withColumn("__rn", row_number().over(wPick))
+      .where(col("__rn") === 1)
+      .select(col(groupCol), col("n"), col(orderCol).as("peak_at"),
+        round(col("__c").cast("double") / col("n").cast("double"), 8)
+          .as("max_drift"))
+  }
+
   def madOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {
     val base = df.select(col(groupCol), col(valueCol).cast("double").as("x"))

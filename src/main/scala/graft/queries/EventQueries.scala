@@ -293,6 +293,45 @@ object EventQueries {
         |            END AS twap
         |FROM g ORDER BY user_id""".stripMargin)),
 
+    // One-sided CUSUM changepoint screen per event type (Page 1954):
+    // peak drift of the centered cumulative sum and WHERE it peaks — the
+    // "did this metric's level shift, and when" monitor. The recursive
+    // CUSUM fold collapses to cumsum − running-min (two windows, one
+    // type-partitioned sort); the series is scaled by n so everything
+    // stays on the exact DECIMAL cent grid until one final division.
+    QuerySpec("q_cusum", (s, dir) => {
+      graft.engine.Stats.cusumDrift(events(s, dir),
+          "event_type", "ts", "event_id", "value")
+        .withColumn("peak_at", col("peak_at").cast("timestamp_ntz"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |t AS (SELECT event_type, SUM(v) AS s, COUNT(*) AS n
+        |      FROM b GROUP BY event_type),
+        |c AS (
+        |  SELECT b.event_type, b.ts, b.event_id, t.n,
+        |         SUM(b.v * CAST(t.n AS DECIMAL(19,0)) - t.s)
+        |           OVER (PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b JOIN t USING (event_type)),
+        |d AS (
+        |  SELECT event_type, ts, event_id, n,
+        |         cum - MIN(cum) OVER (PARTITION BY event_type
+        |                              ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM c),
+        |p AS (
+        |  SELECT event_type, n, ts AS peak_at, c,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY c DESC, ts, event_id) AS rn
+        |  FROM d)
+        |SELECT event_type, n, peak_at,
+        |       ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 8) AS max_drift
+        |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     // Top-20 event-type trigrams: sequential pattern counting (the "what
     // paths do users take" primitive behind funnel DISCOVERY, where
     // q_funnel checks one known path). Per-user sequences via lead() over

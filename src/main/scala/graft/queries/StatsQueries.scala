@@ -345,6 +345,64 @@ object StatsQueries {
         |            THEN ROUND((syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd, 8) END AS intercept
         |FROM d ORDER BY l_returnflag""".stripMargin)),
 
+    // Two-predictor OLS per group (extendedprice ~ quantity + discount),
+    // the multi-feature tier above q_corr_ols: nine exact DECIMAL
+    // moments in ONE aggregation pass, then Cramer's rule on the 3×3
+    // normal equations as a pinned scalar double formula — closed-form
+    // regression that stays oracle-checkable (an iterative fit would
+    // not). det≠0 guards singular designs.
+    QuerySpec("q_ols_multi", (s, dir) => {
+      graft.engine.Stats.olsMulti(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", "l_quantity", "l_discount")
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s1,
+        |         SUM(CAST(l_discount AS DECIMAL(12,2))) AS s2,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_quantity AS DECIMAL(12,2))) AS s11,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_discount AS DECIMAL(12,2))) AS s12,
+        |         SUM(CAST(l_discount AS DECIMAL(12,2))
+        |             * CAST(l_discount AS DECIMAL(12,2))) AS s22,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS s1y,
+        |         SUM(CAST(l_discount AS DECIMAL(12,2))
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS s2y,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+        |         CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+        |         CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+        |         CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+        |         CAST(syy AS DOUBLE) AS syy
+        |  FROM m),
+        |k AS (
+        |  SELECT l_returnflag, n, sy, s1y, s2y, syy, nd,
+        |         nd * (s11*s22 - s12*s12) - s1 * (s1*s22 - s12*s2)
+        |           + s2 * (s1*s12 - s11*s2) AS det,
+        |         sy * (s11*s22 - s12*s12) - s1 * (s1y*s22 - s12*s2y)
+        |           + s2 * (s1y*s12 - s11*s2y) AS det0,
+        |         nd * (s1y*s22 - s12*s2y) - sy * (s1*s22 - s12*s2)
+        |           + s2 * (s1*s2y - s1y*s2) AS det1,
+        |         nd * (s11*s2y - s1y*s12) - s1 * (s1*s2y - s1y*s2)
+        |           + sy * (s1*s12 - s11*s2) AS det2
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |       CASE WHEN det <> 0.0 THEN ROUND(det0 / det, 8) END AS b0,
+        |       CASE WHEN det <> 0.0 THEN ROUND(det1 / det, 8) END AS b1,
+        |       CASE WHEN det <> 0.0 THEN ROUND(det2 / det, 8) END AS b2,
+        |       CASE WHEN det <> 0.0 AND syy - sy * sy / nd > 0.0
+        |            THEN ROUND(1.0 - (syy - (det0 * sy + det1 * s1y
+        |                                     + det2 * s2y) / det)
+        |                             / (syy - sy * sy / nd), 8) END AS r2
+        |FROM k ORDER BY l_returnflag""".stripMargin)),
+
     // Chi-square contingency cells (returnflag × linestatus): observed,
     // expected, and per-cell contribution from exact integer totals —
     // no float SUM in the plan, so bit-deterministic; the folded χ²/p
