@@ -135,6 +135,56 @@ object Sketches {
     merged.crossJoin(direct).crossJoin(exact)
   }
 
+  /** Pairwise audience overlap between groups by HLL SET ALGEBRA: for
+    * every unordered group pair, estimate |A|, |B|, |A∪B| (bucket-max
+    * merge of the two sketches — the only set operation HLL supports
+    * natively) and derive |A∩B| by inclusion–exclusion — the standard
+    * overlap estimator (Flajolet et al. 2007 §5 discussion; error grows
+    * with the symmetric difference, which is why exact_intersect rides
+    * along at test scale).
+    *
+    * Scale shape: everything after [[hllBuckets]] operates on m-bucket
+    * STATES (|G|·64 rows), so the pair expansion is |G|²·64 sketch rows
+    * — independent of data volume; the one corpus-sized pass is the
+    * bucket build. The exact intersection is a distinct-pair join kept
+    * only for the error column (drop at 100 TB, like exact_distinct).
+    * Inclusion–exclusion can go negative for near-disjoint sets — that
+    * is the estimator's documented behavior, reported as-is.
+    * Output: g1, g2, est_a, est_b, est_union, est_intersect,
+    * exact_intersect. */
+  def hllIntersect(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val states = hllBuckets(df, groupCol, valueCol)
+      .select(col(groupCol).as("g"), col("bucket"), col("rmax"))
+    val singles = estimateFrom(states, Seq("g"))
+      .select(col("g"), col("hll_estimate"))
+    val gs = states.select(col("g")).distinct()
+    val pairs = gs.toDF("g1").crossJoin(gs.toDF("g2"))
+      .where(col("g1") < col("g2"))
+    val pairStates = pairs
+      .join(states.toDF("g1", "bucket", "rmax"), Seq("g1"))
+      .select(col("g1"), col("g2"), col("bucket"), col("rmax"))
+      .unionByName(pairs
+        .join(states.toDF("g2", "bucket", "rmax"), Seq("g2"))
+        .select(col("g1"), col("g2"), col("bucket"), col("rmax")))
+      .groupBy(col("g1"), col("g2"), col("bucket"))
+      .agg(max(col("rmax")).as("rmax"))
+    val unions = estimateFrom(pairStates, Seq("g1", "g2"))
+      .select(col("g1"), col("g2"), col("hll_estimate").as("est_union"))
+    val dv = df.select(col(groupCol).as("g"), col(valueCol).as("v")).distinct()
+    val exact = dv.toDF("g1", "v").join(dv.toDF("g2", "v"), Seq("v"))
+      .where(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("exact_intersect"))
+    unions
+      .join(singles.toDF("g1", "est_a"), Seq("g1"))
+      .join(singles.toDF("g2", "est_b"), Seq("g2"))
+      .join(exact, Seq("g1", "g2"), "left")
+      .select(col("g1"), col("g2"), col("est_a"), col("est_b"),
+        col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 8)
+          .as("est_intersect"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+  }
+
   /** Count-Min sketch (d hash rows × w counters) over a value column,
     * probed back for every distinct value: estimate = min_r counter[r][c_r].
     *

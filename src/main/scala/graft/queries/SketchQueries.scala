@@ -77,6 +77,89 @@ object SketchQueries {
          |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
     }),
 
+    // HLL SET ALGEBRA: pairwise audience overlap between event types —
+    // |A|, |B|, bucket-max |A∪B|, and |A∩B| by inclusion–exclusion, all
+    // from the same per-type sketch states (|G|²·64 sketch rows, data-
+    // independent after the one bucket-build pass). exact_intersect
+    // rides along for the error column at test scale.
+    QuerySpec("q_hll_intersect", (s, dir) => {
+      Sketches.hllIntersect(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy("g1", "g2")
+    }, Some {
+      val bMd5 = "md5('hllb|' || v)"
+      val estCase = (rawCol: String, usedCol: String) =>
+        s"""CASE WHEN $rawCol <= CAST(160.0 AS DOUBLE) AND $usedCol < 64
+           |     THEN ROUND(CAST(64.0 AS DOUBLE)
+           |                * ln(CAST(64.0 AS DOUBLE)
+           |                     / CAST(64 - $usedCol AS DOUBLE)), 8)
+           |     ELSE ROUND($rawCol, 8) END""".stripMargin
+      s"""WITH v AS (
+         |  SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
+         |hb AS (
+         |  SELECT event_type,
+         |         ${sqlHexByte(bMd5, 1)} % 64 AS bucket,
+         |         ltrim(substr(md5('hllr|' || v), 1, 16), '0') AS stripped
+         |  FROM v),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |         LEAST(CASE WHEN stripped = '' THEN 65
+         |                    ELSE (16 - length(stripped)) * 4
+         |                         + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+         |                                WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+         |                                WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 1
+         |                                ELSE 0 END + 1 END, 48) AS rho
+         |  FROM hb),
+         |pb AS (SELECT event_type AS g, bucket, MAX(rho) AS rmax
+         |       FROM r GROUP BY event_type, bucket),
+         |sk1 AS (
+         |  SELECT g,
+         |         CAST(SUM(CAST(1 AS BIGINT) << (48 - rmax)) AS BIGINT)
+         |           + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 48) AS s48,
+         |         COUNT(*) AS used
+         |  FROM pb GROUP BY g),
+         |e1 AS (
+         |  SELECT g, ${estCase(
+        "(CAST(0.709 AS DOUBLE) * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)" +
+          " * CAST(281474976710656.0 AS DOUBLE) / CAST(s48 AS DOUBLE))", "used")}
+         |           AS e
+         |  FROM sk1),
+         |gs AS (SELECT DISTINCT g FROM pb),
+         |pairs AS (SELECT a.g AS g1, b.g AS g2 FROM gs a JOIN gs b ON a.g < b.g),
+         |ps AS (
+         |  SELECT g1, g2, bucket, MAX(rmax) AS rmax FROM (
+         |    SELECT p.g1, p.g2, s.bucket, s.rmax
+         |    FROM pairs p JOIN pb s ON s.g = p.g1
+         |    UNION ALL
+         |    SELECT p.g1, p.g2, s.bucket, s.rmax
+         |    FROM pairs p JOIN pb s ON s.g = p.g2)
+         |  GROUP BY g1, g2, bucket),
+         |sku AS (
+         |  SELECT g1, g2,
+         |         CAST(SUM(CAST(1 AS BIGINT) << (48 - rmax)) AS BIGINT)
+         |           + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 48) AS s48,
+         |         COUNT(*) AS used
+         |  FROM ps GROUP BY g1, g2),
+         |eu AS (
+         |  SELECT g1, g2, ${estCase(
+        "(CAST(0.709 AS DOUBLE) * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)" +
+          " * CAST(281474976710656.0 AS DOUBLE) / CAST(s48 AS DOUBLE))", "used")}
+         |           AS est_union
+         |  FROM sku),
+         |dv AS (SELECT DISTINCT event_type AS g, user_id FROM events),
+         |ex AS (
+         |  SELECT a.g AS g1, b.g AS g2, COUNT(*) AS exact_intersect
+         |  FROM dv a JOIN dv b ON a.user_id = b.user_id AND a.g < b.g
+         |  GROUP BY a.g, b.g)
+         |SELECT eu.g1, eu.g2, ea.e AS est_a, eb.e AS est_b, eu.est_union,
+         |       ROUND(ea.e + eb.e - eu.est_union, 8) AS est_intersect,
+         |       COALESCE(ex.exact_intersect, 0) AS exact_intersect
+         |FROM eu
+         |JOIN e1 ea ON ea.g = eu.g1
+         |JOIN e1 eb ON eb.g = eu.g2
+         |LEFT JOIN ex ON ex.g1 = eu.g1 AND ex.g2 = eu.g2
+         |ORDER BY eu.g1, eu.g2""".stripMargin
+    }),
+
     // Sketch MERGEABILITY, proven end-to-end: the global distinct-user
     // estimate computed by merging the five per-event-type sketches
     // (max per bucket — sketches only, no rescan) must equal the direct

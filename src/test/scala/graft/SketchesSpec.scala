@@ -56,6 +56,37 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 1400.0) / 1400.0 < 0.52, s"est=$est")
   }
 
+  test("hllIntersect: identical groups give est_intersect == est_a == est_b") {
+    val df = ((1L to 500L).map(v => ("a", v)) ++
+      (1L to 500L).map(v => ("b", v))).toDF("g", "v")
+    val r = Sketches.hllIntersect(df, "g", "v").head()
+    val (ea, eb, eu, ei) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"), r.getAs[Double]("est_intersect"))
+    assert(ea === eb && ea === eu)             // same value set → same sketch
+    assert(math.abs(ei - ea) < 1e-6)           // A = B → |A∩B| = |A|
+    assert(r.getAs[Long]("exact_intersect") === 500L)
+  }
+
+  test("hllIntersect: overlap estimate tracks the true overlap; all pairs emitted") {
+    val df = ((1L to 900L).map(v => ("a", v)) ++
+      (601L to 1500L).map(v => ("b", v)) ++
+      (2000L to 2050L).map(v => ("c", v))).toDF("g", "v")
+    val rows = Sketches.hllIntersect(df, "g", "v")
+      .orderBy("g1", "g2").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = rows(0)
+    assert(ab.getAs[Long]("exact_intersect") === 300L)
+    // inclusion–exclusion error compounds three ±~13% sketches (m=64);
+    // the estimate must still land in the right order of magnitude
+    assert(math.abs(ab.getAs[Double]("est_intersect") - 300.0) < 300.0)
+    // disjoint pair: small estimate (possibly negative — documented),
+    // exact 0 via the left-join coalesce
+    val ac = rows(1)
+    assert(ac.getAs[Long]("exact_intersect") === 0L)
+    assert(math.abs(ac.getAs[Double]("est_intersect")) < 250.0)
+  }
+
   // ---- Count-Min ----
 
   test("cms: overestimation-only guarantee and error bound") {
