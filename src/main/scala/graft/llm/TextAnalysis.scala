@@ -197,6 +197,48 @@ object TextAnalysis {
       .drop("__a")
   }
 
+  /** Zipf-law fit per group (Zipf 1949; Piantadosi 2014 review): OLS
+    * slope of ln(frequency) against ln(rank) over each group's top
+    * `topN` tokens — the corpus-health screen that flags synthetic or
+    * template-heavy text (natural language sits near slope −1; boiler-
+    * plate floods flatten the head, gibberish steepens it).
+    *
+    * Scale shape: one (group, token) count aggregation, a top-N-per-
+    * group rank window (rank ≤ topN keeps the window output bounded),
+    * then a |groups|-row closed-form fit. Determinism: ranks are exact
+    * integers (count desc, token asc total order), each ln rounds to the
+    * 8dp DECIMAL grid before the EXACT decimal moment sums, and the
+    * slope/intercept algebra is one pinned double formula — the same
+    * contract as [[graft.engine.Stats.olsMulti]].
+    * Output: groupCol, n_ranks, zipf_slope, intercept. */
+  def zipfFit(docs: DataFrame, textCol: String, groupCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 2, s"topN=$topN")
+    val counts = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("token").asc)
+    val ranked = counts.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topN)
+      .select(col(groupCol),
+        round(log(col("rnk").cast("double")), 8).cast("decimal(12,8)").as("x"),
+        round(log(col("cnt").cast("double")), 8).cast("decimal(12,8)").as("y"))
+    val m = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_ranks"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val (nd, sxd, syd, sxyd, sxxd) = (col("n_ranks").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val den = nd * sxxd - sxd * sxd
+    m.select(col(groupCol), col("n_ranks"),
+      when(den > 0.0, round((nd * sxyd - sxd * syd) / den, 8)).as("zipf_slope"),
+      when(den > 0.0,
+        round((syd - (nd * sxyd - sxd * syd) / den * sxd) / nd, 8))
+        .as("intercept"))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus' own
     * frequency-thresholded vocabulary (tokens with corpus count ≥
     * `minCount`): the tokenizer-coverage diagnostic a training pipeline

@@ -304,6 +304,37 @@ object DedupQueries {
       Dedup.dupClusters(pairs).orderBy("id")
     }, Some(dupClustersExactOracle)),
 
+    // Leakage-safe train/val/test split: the md5 split key is the
+    // near-dup CLUSTER representative, not the doc id, so every member
+    // of a duplicate cluster lands in the SAME split — the eval-leakage
+    // guard q_train_split alone cannot give (a near-dup of a test doc in
+    // train IS contamination; Lee et al. 2022 measure exactly this).
+    // Cost on top of clustering: one left join + a map-only hash assign.
+    QuerySpec("q_leakage_split", (s, dir) => {
+      val withRep = docs(s, dir).select("doc_id")
+        .join(Dedup.dupClusters(lshPairs(s, dir))
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("canonical_id"), col("doc_id")))
+        .select("doc_id", "cluster_id")
+      graft.llm.Sampling.assignSplit(withRep, "cluster_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }, Some(
+      s"""$dupClustersLshCtes,
+         |clusters AS (
+         |  SELECT id, MIN(lbl) AS canonical_id FROM reach GROUP BY id),
+         |assign AS (
+         |  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 8)
+         |                 < 'cccccccd' THEN 'train'
+         |            WHEN substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 8)
+         |                 < 'e6666666' THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM assign ORDER BY doc_id""".stripMargin)),
+
     // Retention policy on top of the cluster labels: each near-dup cluster
     // keeps its longest member (ties to the smallest id); singletons keep
     // themselves. The corpus-dedup step that actually DROPS documents —

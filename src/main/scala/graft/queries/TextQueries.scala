@@ -1026,6 +1026,51 @@ object TextQueries {
          |FROM m ORDER BY doc_id""".stripMargin
     }),
 
+    // Zipf-law fit per source: OLS slope of ln(freq) vs ln(rank) over
+    // each source's top-100 tokens — the corpus-health screen (natural
+    // text sits near slope -1; template floods flatten the head). One
+    // (source, token) count, a bounded rank window, then a closed-form
+    // fit on the 8dp-ln decimal grid.
+    QuerySpec("q_zipf_fit", (s, dir) => {
+      TextAnalysis.zipfFit(docs(s, dir), "text", "source", topN = 100)
+        .orderBy("source")
+    }, Some(
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, COUNT(*) AS cnt
+        |      FROM tk GROUP BY source, token),
+        |r AS (
+        |  SELECT source, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY cnt DESC, token) AS rnk
+        |  FROM c),
+        |g AS (
+        |  SELECT source,
+        |         CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(12,8)) AS x,
+        |         CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 8) AS DECIMAL(12,8)) AS y
+        |  FROM r WHERE rnk <= 100),
+        |m AS (
+        |  SELECT source, COUNT(*) AS n_ranks, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM g GROUP BY source),
+        |d AS (
+        |  SELECT source, n_ranks, CAST(n_ranks AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd
+        |  FROM m)
+        |SELECT source, n_ranks,
+        |       CASE WHEN nd*sxxd - sxd*sxd > 0.0
+        |            THEN ROUND((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd), 8)
+        |            END AS zipf_slope,
+        |       CASE WHEN nd*sxxd - sxd*sxd > 0.0
+        |            THEN ROUND((syd - (nd*sxyd - sxd*syd)
+        |                              / (nd*sxxd - sxd*sxd) * sxd) / nd, 8)
+        |            END AS intercept
+        |FROM d ORDER BY source""".stripMargin)),
+
     // Trained-from-the-corpus dual of q_linear_score: multinomial naive
     // Bayes (Laplace add-one) self-trained on the source label, scoring
     // every doc — provenance verification by content. Model = two

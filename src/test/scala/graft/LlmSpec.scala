@@ -778,6 +778,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("leakage-safe split: near-dup cluster members land in the same split") {
+    // clusters {1,2,3} (chained) and {10,11}; 20 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (100L to 119L)).toDF("doc_id")
+    val withRep = docs
+      .join(graft.llm.Dedup.dupClusters(pairs)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("canonical_id"), col("doc_id")))
+      .select("doc_id", "cluster_id")
+    val got = graft.llm.Sampling.assignSplit(withRep, "cluster_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "cluster_id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster(1L).map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(byCluster(10L).map(_._1).toSet === Set(10L, 11L))
+    // the leakage guarantee: one split per cluster
+    byCluster.values.foreach(ms => assert(ms.map(_._3).distinct.length === 1))
+    // and the split key is the cluster rep, so member split == rep split
+    val repSplit = got.filter(r => r._1 == r._2).map(r => r._2 -> r._3).toMap
+    got.foreach { case (_, c, s) => assert(repSplit(c) === s) }
+  }
+
+  test("zipfFit: exact power law recovers slope -1; topN caps the ranks") {
+    // counts 12/6/4/3 = 12/rank for ranks 1..4 → ln y = ln 12 − ln rank:
+    // slope exactly −1, intercept ln 12, up to the 8dp grid
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val one = TextAnalysis.zipfFit(
+        Seq(("g", text)).toDF("src", "text"), "text", "src", topN = 100)
+      .collect().head
+    assert(one.getAs[Long]("n_ranks") === 4L)
+    assert(math.abs(one.getAs[Double]("zipf_slope") + 1.0) < 1e-6)
+    assert(math.abs(one.getAs[Double]("intercept") - math.log(12.0)) < 1e-6)
+    // topN = 2 fits only the head
+    val capped = TextAnalysis.zipfFit(
+        Seq(("g", text)).toDF("src", "text"), "text", "src", topN = 2)
+      .collect().head
+    assert(capped.getAs[Long]("n_ranks") === 2L)
+    // a single-rank group cannot be fit: den = 0 → NULL slope
+    val flat = TextAnalysis.zipfFit(
+        Seq(("g", "xx xx xx")).toDF("src", "text"), "text", "src", 100)
+      .collect().head
+    assert(flat.getAs[Long]("n_ranks") === 1L)
+    assert(flat.isNullAt(flat.fieldIndex("zipf_slope")))
+  }
+
   test("NaiveBayes.trainScore recovers separable labels; ties break to smallest label") {
     val docs = Seq(
       (1L, "buy spam buy offer", "s"),
