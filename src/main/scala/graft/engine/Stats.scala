@@ -580,6 +580,40 @@ object Stats {
       .drop("__x", "__lo", "__hi")
   }
 
+  /** Per-group trimmed mean (Tukey's robust location estimate): rows
+    * outside the exact [lo, hi] percentile band are EXCLUDED (unlike
+    * `winsorize`, which clamps them in) and the surviving values average
+    * on the exact DECIMAL grid — the robust mean for monetary metrics
+    * where a handful of fat-finger rows move a plain AVG.
+    *
+    * Two passes like the other exact-percentile operators (cuts, then
+    * the filtered aggregate) with the per-group cut rows broadcast; the
+    * approximate tier for wider pipelines is the histogram-sketch
+    * quantile family. Output: groupCol, n_kept, n_trimmed, trimmed_mean. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"lo=$lo hi=$hi")
+    val base = df.select(col(groupCol),
+      col(valueCol).cast("double").as("__x"),
+      col(valueCol).cast("decimal(12,2)").as("__xd"))
+    val cuts = base.groupBy(col(groupCol))
+      .agg(percentile(col("__x"), lit(lo)).as("__lo"),
+        percentile(col("__x"), lit(hi)).as("__hi"))
+    base.join(broadcast(cuts), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col("__x") >= col("__lo") && col("__x") <= col("__hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("__x") < col("__lo") || col("__x") > col("__hi"), 1L)
+          .otherwise(0L)).as("n_trimmed"),
+        sum(when(col("__x") >= col("__lo") && col("__x") <= col("__hi"),
+          col("__xd"))).as("__s"))
+      .select(col(groupCol), col("n_kept"), col("n_trimmed"),
+        when(col("n_kept") > 0,
+          round(col("__s").cast("double") / col("n_kept").cast("double"), 8))
+          .as("trimmed_mean"))
+  }
+
   /** Per-group two-predictor OLS (y ~ 1 + x1 + x2) via the normal
     * equations solved in closed form (Cramer's rule on the 3×3 moment
     * matrix) — the multi-feature extension of the slope/intercept fit in

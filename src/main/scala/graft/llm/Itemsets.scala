@@ -51,4 +51,49 @@ object Itemsets {
         round(col("support").cast("double") * col("n_baskets") /
           (col("c1") * col("c2")).cast("double"), 8).as("lift"))
   }
+
+  /** Directed association rules from the frequent-pair lattice (Agrawal
+    * & Srikant 1994's rule-generation step): each surviving unordered
+    * pair emits up to two rules a→b and b→a, kept when
+    * confidence = support(ab)/support(a) ≥ `minConf`. Confidence is the
+    * routing signal lift cannot give (lift is symmetric; confidence is
+    * not — "buyers of a also buy b" ≠ "buyers of b also buy a").
+    *
+    * Scale: identical cost to [[frequentPairs]] (the rule expansion is
+    * 2 rows per surviving pair — output-sized); the quadratic candidate
+    * step stays bounded by the same minSupport cap on Σ f_b². All
+    * measures are exact-count ratios rounded at 8dp.
+    * Output: antecedent, consequent, support, confidence, lift. */
+  def associationRules(items: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, minConf: Double): DataFrame = {
+    require(minConf > 0.0 && minConf <= 1.0, s"minConf=$minConf")
+    val it = items.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct().localCheckpoint()
+    val nb = it.select(col("b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val freq = it.groupBy(col("i")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= minSupport)
+    val fit = it.join(freq, "i")
+    val pairs = fit.select(col("b"), col("i").as("item1"), col("c").as("c1"))
+      .join(fit.select(col("b"), col("i").as("item2"), col("c").as("c2")),
+        Seq("b"))
+      .where(col("item1") < col("item2"))
+      .groupBy(col("item1"), col("item2"), col("c1"), col("c2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    val directed = pairs.select(col("item1").as("antecedent"),
+        col("item2").as("consequent"), col("c1").as("ca"), col("c2").as("cc"),
+        col("support"))
+      .unionByName(pairs.select(col("item2").as("antecedent"),
+        col("item1").as("consequent"), col("c2").as("ca"), col("c1").as("cc"),
+        col("support")))
+    directed.crossJoin(broadcast(nb))
+      .withColumn("confidence",
+        round(col("support").cast("double") / col("ca").cast("double"), 8))
+      .where(col("confidence") >= minConf)
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("confidence"),
+        round(col("support").cast("double") * col("n_baskets") /
+          (col("ca") * col("cc")).cast("double"), 8).as("lift"))
+  }
 }

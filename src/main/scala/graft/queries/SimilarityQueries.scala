@@ -346,6 +346,94 @@ object SimilarityQueries {
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
 
+    // Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the exact
+    // cosine ranking and the PQ-ADC approximate ranking for the same
+    // queries — the standard ensemble step of hybrid retrieval, and the
+    // recall audit for the compressed tier (an ADC-only neighbor
+    // surfacing high in the fusion = quantization disagreement worth
+    // inspecting). Rank lists are output-sized (|queries|·k), so fusion
+    // is a full-outer join + one bounded window — free after the two
+    // retrievers.
+    QuerySpec("q_rrf_fusion", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qids = Seq(20L, 21L, 22L)
+      val e = emb(s, dir)
+      val exact = Similarity.topKNeighbors(e, "vec_id", "embedding", k = 5)
+        .where(col("id").isin(qids: _*))
+        .select(col("id").as("query_id"), col("neighbor_id"),
+          col("rank").as("r1"))
+      val adc = Similarity.pqAdcTopK(e, "vec_id", "embedding", m = 8,
+          ksub = 16, queryIds = qids, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("r2"))
+      val rrf = round(
+        coalesce(lit(1.0) / (col("r1") + lit(60)).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (col("r2") + lit(60)).cast("double"), lit(0.0)),
+        8)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("neighbor_id").asc)
+      exact.join(adc, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("rrf", rrf)
+        .withColumn("fused_rank", row_number().over(w).cast("int"))
+        .where(col("fused_rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("fused_rank"),
+          col("rrf"), col("r1"), col("r2"))
+        .orderBy("query_id", "fused_rank")
+    }, Some(
+      s"""WITH $normCte,
+        |$pqCte,
+        |q AS (
+        |  SELECT vec_id AS qid, s, j, xi FROM vx WHERE vec_id IN (20, 21, 22)),
+        |lut AS (
+        |  SELECT q.qid, q.s, cb.code,
+        |         CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS ld2
+        |  FROM q JOIN cb ON q.s = cb.s AND q.j = cb.j
+        |  GROUP BY q.qid, q.s, cb.code),
+        |adc AS (
+        |  SELECT l.qid, a.vec_id, CAST(SUM(l.ld2) AS BIGINT) AS d2
+        |  FROM a JOIN lut l ON a.s = l.s AND a.code = l.code
+        |  WHERE a.vec_id <> l.qid
+        |  GROUP BY l.qid, a.vec_id),
+        |adcr AS (
+        |  SELECT qid AS query_id, vec_id AS neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY d2, vec_id) AS r2
+        |  FROM adc),
+        |a1 AS (SELECT query_id, neighbor_id, r2 FROM adcr WHERE r2 <= 5),
+        |cosp AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         ${dotSql("a.v", "b.v")} / SQRT(a.n2 * b.n2) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (20, 21, 22)),
+        |cosr AS (
+        |  SELECT query_id, neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id) AS r1
+        |  FROM cosp),
+        |e1 AS (SELECT query_id, neighbor_id, r1 FROM cosr WHERE r1 <= 5),
+        |f AS (
+        |  SELECT COALESCE(e1.query_id, a1.query_id) AS query_id,
+        |         COALESCE(e1.neighbor_id, a1.neighbor_id) AS neighbor_id,
+        |         e1.r1, a1.r2
+        |  FROM e1 FULL OUTER JOIN a1
+        |    ON e1.query_id = a1.query_id AND e1.neighbor_id = a1.neighbor_id),
+        |g AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(r1 AS INT) AS r1, CAST(r2 AS INT) AS r2,
+        |         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + r1 AS DOUBLE),
+        |                        CAST(0.0 AS DOUBLE))
+        |               + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + r2 AS DOUBLE),
+        |                          CAST(0.0 AS DOUBLE)), 8) AS rrf
+        |  FROM f),
+        |h AS (
+        |  SELECT query_id, neighbor_id, rrf, r1, r2,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY rrf DESC, neighbor_id) AS fused_rank
+        |  FROM g)
+        |SELECT query_id, neighbor_id, CAST(fused_rank AS INT) AS fused_rank,
+        |       rrf, r1, r2
+        |FROM h WHERE fused_rank <= 5
+        |ORDER BY query_id, fused_rank""".stripMargin)),
+
     // IVF-PQ (FAISS IVFADC layout): route to the cosine-nearest IVF cell,
     // rank the cell's candidates by PQ asymmetric distance — cell prunes
     // the scan, codes shrink the rest ~32×. The oracle chains the IVF

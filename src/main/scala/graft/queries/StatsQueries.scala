@@ -345,6 +345,43 @@ object StatsQueries {
         |            THEN ROUND((syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd, 8) END AS intercept
         |FROM d ORDER BY l_returnflag""".stripMargin)),
 
+    // Trimmed mean per group (5%..95% band, exact percentile cuts):
+    // the robust-location complement of q_winsorize — outliers are
+    // EXCLUDED, not clamped; survivors average on the DECIMAL grid.
+    // Two passes with broadcast cut rows, like every exact-percentile
+    // operator here.
+    QuerySpec("q_trimmed_mean", (s, dir) => {
+      graft.engine.Stats.trimmedMean(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", lo = 0.05, hi = 0.95)
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |       CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) >= c.lo
+        |                      AND CAST(l_extendedprice AS DOUBLE) <= c.hi
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < c.lo
+        |                       OR CAST(l_extendedprice AS DOUBLE) > c.hi
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed,
+        |       CASE WHEN SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) >= c.lo
+        |                           AND CAST(l_extendedprice AS DOUBLE) <= c.hi
+        |                          THEN 1 ELSE 0 END) > 0
+        |            THEN ROUND(CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) >= c.lo
+        |                                      AND CAST(l_extendedprice AS DOUBLE) <= c.hi
+        |                                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) END)
+        |                            AS DOUBLE)
+        |                       / CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) >= c.lo
+        |                                        AND CAST(l_extendedprice AS DOUBLE) <= c.hi
+        |                                       THEN 1 ELSE 0 END) AS DOUBLE), 8)
+        |            END AS trimmed_mean
+        |FROM lineitem l JOIN c ON l.l_returnflag = c.l_returnflag
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin)),
+
     // Two-predictor OLS per group (extendedprice ~ quantity + discount),
     // the multi-feature tier above q_corr_ols: nine exact DECIMAL
     // moments in ONE aggregation pass, then Cramer's rule on the 3×3

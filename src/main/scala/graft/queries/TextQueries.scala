@@ -1154,6 +1154,53 @@ object TextQueries {
         |SELECT item1, item2, support,
         |       ROUND(CAST(support AS DOUBLE) * nb.n / CAST(c1 * c2 AS DOUBLE), 8) AS lift
         |FROM pairs CROSS JOIN nb
-        |ORDER BY item1, item2""".stripMargin))
+        |ORDER BY item1, item2""".stripMargin)),
+
+    // Directed association rules on top of the frequent-pair lattice:
+    // confidence = support(ab)/support(a) is the ASYMMETRIC routing
+    // signal lift can't give. Same bounded candidate cost as
+    // q_freq_pairs; the rule expansion is two rows per surviving pair.
+    QuerySpec("q_assoc_rules", (s, dir) => {
+      val d = docs(s, dir)
+      val minSup = (d.count() * 5 + 99) / 100
+      val items = d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      graft.llm.Itemsets.associationRules(items, "doc_id", "token",
+          minSup, minConf = 0.6)
+        .orderBy("antecedent", "consequent")
+    }, Some(
+      """WITH ms AS (SELECT (COUNT(*) * 5 + 99) // 100 AS v FROM documents),
+        |it AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS i
+        |  FROM documents),
+        |nb AS (SELECT COUNT(DISTINCT doc_id) AS n FROM it),
+        |freq AS (
+        |  SELECT i, COUNT(*) AS c FROM it GROUP BY i
+        |  HAVING COUNT(*) >= (SELECT v FROM ms)),
+        |fit AS (SELECT t.doc_id, t.i, f.c FROM it t JOIN freq f USING (i)),
+        |pairs AS (
+        |  SELECT a.i AS item1, b.i AS item2, a.c AS c1, b.c AS c2,
+        |         COUNT(*) AS support
+        |  FROM fit a JOIN fit b ON a.doc_id = b.doc_id AND a.i < b.i
+        |  GROUP BY a.i, b.i, a.c, b.c
+        |  HAVING COUNT(*) >= (SELECT v FROM ms)),
+        |directed AS (
+        |  SELECT item1 AS antecedent, item2 AS consequent,
+        |         c1 AS ca, c2 AS cc, support FROM pairs
+        |  UNION ALL
+        |  SELECT item2, item1, c2, c1, support FROM pairs),
+        |conf AS (
+        |  SELECT antecedent, consequent, support, ca, cc,
+        |         ROUND(CAST(support AS DOUBLE) / CAST(ca AS DOUBLE), 8)
+        |           AS confidence
+        |  FROM directed)
+        |SELECT antecedent, consequent, support, confidence,
+        |       ROUND(CAST(support AS DOUBLE) * nb.n
+        |             / CAST(ca * cc AS DOUBLE), 8) AS lift
+        |FROM conf CROSS JOIN nb
+        |WHERE confidence >= 0.6
+        |ORDER BY antecedent, consequent""".stripMargin))
   )
 }

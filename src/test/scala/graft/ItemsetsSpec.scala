@@ -39,4 +39,23 @@ class ItemsetsSpec extends SparkSpec {
     val got = mine(rows, 2)
     assert(got(("x", "y"))._1 === 2L)
   }
+
+  test("associationRules: confidence is directional; minConf prunes one side") {
+    // x in baskets {1,2,3}; y in {1,2}; pair {x,y} in {1,2}:
+    //   y→x conf = 2/2 = 1.0 (kept), x→y conf = 2/3 = 0.66666667
+    val rows = Seq(1L -> "x", 1L -> "y", 2L -> "x", 2L -> "y", 3L -> "x")
+    val df = rows.toDF("b", "i")
+    val all = graft.llm.Itemsets
+      .associationRules(df, "b", "i", minSupport = 2L, minConf = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(all(("y", "x")) === ((2L, 1.0, 1.0)))          // lift = 2*3/(2*3)
+    assert(all(("x", "y"))._2 === 0.66666667)
+    // a tighter minConf keeps only the strong direction
+    val strict = graft.llm.Itemsets
+      .associationRules(df, "b", "i", minSupport = 2L, minConf = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(strict.toSeq === Seq(("y", "x")))
+  }
 }
