@@ -358,4 +358,54 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("cusum: both running windows share ONE sort+exchange; the peak " +
+      "argmax pre-prunes via WindowGroupLimit and reuses the partitioning") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L, 1.0), ("a", 2L, 2L, 2.0))
+      .toDF("g", "pos", "id", "v")
+    val plan = planString(
+      graft.engine.Stats.cusumDrift(df, "g", "pos", "id", "v"))
+    // exactly 2 hash exchanges total: the (n, S) aggregation and the one
+    // window partitioning — a second window exchange would double the
+    // sort-bound cost at scale
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 2, plan)
+    // per-group cut rows ride a broadcast, and the top-1 peak pick is
+    // rank-limit-pruned map-side before its shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("olsMulti: all nine moments reduce in one aggregation pass with " +
+      "map-side partials") {
+    val plan = planString(graft.engine.Stats.olsMulti(
+      Tables.load(spark, dir, "lineitem"), "l_returnflag",
+      "l_extendedprice", "l_quantity", "l_discount"))
+    assert(plan.contains("partial_sum"), plan)
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("trimmedMean: percentile cuts broadcast back; survivor sums " +
+      "pre-reduce map-side") {
+    val plan = planString(graft.engine.Stats.trimmedMean(
+      Tables.load(spark, dir, "lineitem"), "l_returnflag",
+      "l_extendedprice", 0.05, 0.95))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_percentile"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("naive Bayes: per-doc argmax pre-prunes map-side (WindowGroupLimit " +
+      "Partial); the label cross never plans a CartesianProduct") {
+    val plan = planString(QueryRegistry.byName("q_naive_bayes")
+      .run(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("row_number"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
