@@ -28,7 +28,14 @@ class DeterminismSpec extends SparkSpec {
     // 8dp-ln grid means
     "q_bpe_merges", "q_repeated_spans", "q_jaro_linkage", "q_snm_linkage",
     "q_bigram_lm", "q_geo_nearest", "q_geo_within", "q_linkage_residue",
-    "q_rest_lookup", "q_geo_dbscan", "q_dq_report", "q_snapshot_diff")
+    "q_rest_lookup", "q_geo_dbscan", "q_dq_report", "q_snapshot_diff",
+    // round-3 second-wave ops: BFS min-frontier ties, KN/NB/zipf 8dp-ln
+    // grids + integer argmax, CUSUM decimal cumsums + peak ties, Cramer
+    // double algebra, sketch-state pair merges, cluster-keyed md5 split,
+    // directed-rule confidence cuts, RRF full-outer rank ties
+    "q_bfs_hops", "q_kn_bigram", "q_naive_bayes", "q_zipf_fit",
+    "q_cusum", "q_ols_multi", "q_trimmed_mean", "q_hll_intersect",
+    "q_leakage_split", "q_assoc_rules", "q_rrf_fusion")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
