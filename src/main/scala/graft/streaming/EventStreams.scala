@@ -240,6 +240,78 @@ object EventStreams {
       keyCols, measureCols), id)
   }
 
+  /** Streaming CUSUM drift monitor against a FIXED reference mean `mu0`
+    * (the SPC setup — batch [[graft.engine.Stats.cusumDrift]] centers by
+    * the observed global mean, which is not incrementally maintainable;
+    * monitoring against a target level is, and is the standard online
+    * form of Page 1954). Per group the carried state is four scalars —
+    * (cum, runmin, peak, peak_at) plus a row count — so state size is
+    * |groups|, never data-proportional:
+    *
+    *   cum_i    = cum_{i-1} + (x_i − mu0)          (exact DECIMAL)
+    *   runmin_i = min(runmin_{i-1}, cum_i)
+    *   C_i      = cum_i − runmin_i ; peak = running max C_i (earliest)
+    *
+    * Each micro-batch: one state join + the same two windows as the
+    * batch operator over batch rows only. Versioned-state replay
+    * contract as in [[scd2ForeachBatch]]: batch N reads v(N−1), writes
+    * vN — at-least-once redelivery rewrites vN bit-identically.
+    * State/output schema: groupCol, cum (decimal), runmin (decimal),
+    * peak (decimal), peak_at, n. */
+  def cusumForeachBatch(
+      readState: Long => DataFrame,
+      writeState: (DataFrame, Long) => Unit,
+      groupCol: String, orderCol: String, tieCol: String, valueCol: String,
+      mu0: Column): (DataFrame, Long) => Unit = { (batch, id) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol)
+    val wRun = Window.partitionBy(g).orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = readState(id).select(g, col("cum").as("__c0"),
+      col("runmin").as("__m0"), col("peak").as("__p0"),
+      col("peak_at").as("__pat0"), col("n").as("__n0"))
+    val rows = batch
+      .select(g, col(orderCol), col(tieCol),
+        (col(valueCol).cast("decimal(18,2)") - mu0.cast("decimal(18,2)"))
+          .as("__y"))
+      .join(st, Seq(groupCol), "left")
+      .withColumn("__cum", coalesce(col("__c0"), lit(0).cast("decimal(18,2)"))
+        + sum(col("__y")).over(wRun))
+      // least() ignores nulls: a new group's history min is the batch min
+      .withColumn("__rm", least(col("__m0"), min(col("__cum")).over(wRun)))
+      .withColumn("__c", col("__cum") - col("__rm"))
+    // batch-local peak (earliest occurrence), then merge with history
+    val wPick = Window.partitionBy(g)
+      .orderBy(col("__c").desc, col(orderCol), col(tieCol))
+    val summary = rows.withColumn("__rn", row_number().over(wPick))
+      .withColumn("__last",
+        row_number().over(Window.partitionBy(g)
+          .orderBy(col(orderCol).desc, col(tieCol).desc)))
+      .groupBy(g, col("__p0"), col("__pat0"), col("__n0"))
+      .agg(
+        max(when(col("__last") === 1, col("__cum"))).as("__cumN"),
+        max(when(col("__last") === 1, col("__rm"))).as("__rmN"),
+        max(when(col("__rn") === 1, col("__c"))).as("__pc"),
+        max(when(col("__rn") === 1, col(orderCol))).as("__pcat"),
+        count(lit(1)).as("__bn"))
+    // state decimals pinned at (28,2) so every version has one schema
+    val updated = summary.select(g,
+      col("__cumN").cast("decimal(28,2)").as("cum"),
+      col("__rmN").cast("decimal(28,2)").as("runmin"),
+      when(col("__p0").isNull || col("__pc") > col("__p0"), col("__pc"))
+        .otherwise(col("__p0")).cast("decimal(28,2)").as("peak"),
+      when(col("__p0").isNull || col("__pc") > col("__p0"), col("__pcat"))
+        .otherwise(col("__pat0")).as("peak_at"),
+      (coalesce(col("__n0"), lit(0L)) + col("__bn")).as("n"))
+    // groups silent this batch carry state forward unchanged
+    val silent = st.join(batch.select(g).distinct(), Seq(groupCol), "left_anti")
+      .select(g, col("__c0").cast("decimal(28,2)").as("cum"),
+        col("__m0").cast("decimal(28,2)").as("runmin"),
+        col("__p0").cast("decimal(28,2)").as("peak"),
+        col("__pat0").as("peak_at"), col("__n0").as("n"))
+    writeState(updated.unionByName(silent), id)
+  }
+
   /** Batch sessionization: the gaps-and-islands window formulation — a
     * session break is a gap > gapMs from the previous event of the same
     * user; session id = running count of breaks. Relational dual of

@@ -517,4 +517,56 @@ class StreamingSpec extends SparkSpec {
       assert(view(1L) === v1)
     } finally q.stop()
   }
+
+  test("cusumForeachBatch: constant per-group state tracks the exact peak " +
+      "across batches; silent groups carry; replay rewrites the version") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "g STRING, cum DECIMAL(28,2), runmin DECIMAL(28,2), " +
+          "peak DECIMAL(28,2), peak_at BIGINT, n BIGINT"))
+    val state = scala.collection.mutable.Map[Long, DataFrame]()
+    val sink = EventStreams.cusumForeachBatch(
+      id => state.getOrElse(id - 1, empty),
+      (df, id) => state(id) = df.localCheckpoint(),
+      "g", "pos", "id", "v", mu0 = lit(10.0))
+    def snap(id: Long) = state(id).collect()
+      .map(r => (r.getString(0), r.getDecimal(0 + 1).doubleValue(),
+        r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue(),
+        r.getLong(4), r.getLong(5))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long, Double)]
+    val q = mem.toDF().toDF("g", "pos", "id", "v")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      // a: y = +2, −2 → cum 2,0; runmin 2,0; C 0,0 → peak 0 at pos 1
+      // b: single +10 → cum 10, runmin 10, C 0
+      mem.addData(("a", 1L, 1L, 12.0), ("a", 2L, 2L, 8.0),
+        ("b", 1L, 1L, 20.0))
+      q.processAllAvailable()
+      assert(snap(0L) === Set(("a", 0.0, 0.0, 0.0, 1L, 2L),
+        ("b", 10.0, 10.0, 0.0, 1L, 1L)))
+
+      // batch 1: a gets +5 → cum 5, runmin min(0,5)=0, C 5 → new peak 5
+      // at pos 3; b is silent and must carry
+      mem.addData(("a", 3L, 3L, 15.0))
+      q.processAllAvailable()
+      val v1 = snap(1L)
+      assert(v1 === Set(("a", 5.0, 0.0, 5.0, 3L, 3L),
+        ("b", 10.0, 10.0, 0.0, 1L, 1L)))
+
+      // batch 2: a falls back (−5): cum 0, C 0 → peak STAYS 5 at pos 3
+      mem.addData(("a", 4L, 4L, 5.0))
+      q.processAllAvailable()
+      assert(snap(2L) === Set(("a", 0.0, 0.0, 5.0, 3L, 4L),
+        ("b", 10.0, 10.0, 0.0, 1L, 1L)))
+
+      // at-least-once replay of batch 1 reads v0 and rewrites v1 exactly
+      sink(Seq(("a", 3L, 3L, 15.0)).toDF("g", "pos", "id", "v"), 1L)
+      assert(snap(1L) === v1)
+    } finally q.stop()
+  }
 }
