@@ -580,6 +580,88 @@ object Stats {
       .drop("__x", "__lo", "__hi")
   }
 
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over
+    * right-censored durations — the retention/churn curve done right:
+    * users still active at the observation cutoff are CENSORED, not
+    * counted as churned (the naive "mean lifetime" over-counts exactly
+    * those).
+    *
+    * Input: one row per subject with `durCol` (integer duration) and
+    * `eventCol` (true = the terminal event was observed, false =
+    * censored). S(t) = Π_{d ≤ t, deaths_d > 0} (1 − deaths_d/at-risk_d).
+    *
+    * Shape: subjects aggregate to ONE row per distinct duration
+    * (deaths, censored), so the survival recursion runs over a
+    * duration-grid-sized table — the windows after that aggregation are
+    * single-partition by design and bounded by the duration grid, never
+    * by subjects (the q_ks_test convention). at-risk_d = n − (subjects
+    * ended strictly before d) via a cumulative window. Determinism: all
+    * counts exact; each factor's ln rounds to the 8dp grid, the product
+    * is exp of the exact grid sum rounded again (the KS-test exp
+    * contract); an all-die step forces S = 0 downstream via a windowed
+    * zero flag instead of ln(0).
+    * Output: duration, at_risk, deaths, censored, survival. */
+  def kaplanMeier(spans: DataFrame, durCol: String,
+      eventCol: String): DataFrame = {
+    val perDur = spans.groupBy(col(durCol).cast("long").as("duration"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("deaths"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("censored"))
+    val wc = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = perDur
+      .withColumn("__ended", sum(col("deaths") + col("censored")).over(wc))
+      .withColumn("__tot", sum(col("deaths") + col("censored"))
+        .over(Window.partitionBy()))
+      .withColumn("at_risk",
+        col("__tot") - col("__ended") + col("deaths") + col("censored"))
+    // grid-ln of each step factor; all-die steps flag zero instead
+    val lnf = when(col("deaths") === 0, lit(0.0))
+      .otherwise(round(log(lit(1.0) -
+        col("deaths").cast("double") / col("at_risk").cast("double")), 8))
+    val z = when(col("deaths") === col("at_risk"), 1L).otherwise(0L)
+    withRisk
+      .withColumn("__lnf",
+        when(col("deaths") === col("at_risk"), lit(0.0)).otherwise(lnf)
+          .cast("decimal(20,8)"))
+      .withColumn("__z", z)
+      .withColumn("__lns", sum(col("__lnf")).over(wc))
+      .withColumn("__zs", sum(col("__z")).over(wc))
+      .select(col("duration"), col("at_risk"), col("deaths"), col("censored"),
+        when(col("__zs") > 0, lit(0.0))
+          .otherwise(round(exp(col("__lns").cast("double")), 8))
+          .as("survival"))
+  }
+
+  /** Per-group Gini coefficient over a non-negative measure (Gini 1912,
+    * via the rank formulation: G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) with
+    * x₍ᵢ₎ ascending) — the value-concentration screen beside the HHI's
+    * share-concentration: "how unequal are order values inside this
+    * segment". Ties in x are harmless: permuting equal values leaves
+    * Σ i·x₍ᵢ₎ unchanged, so the window's tie order cannot leak in.
+    *
+    * One rank window per group (the sort-bound step, group-keyed) and
+    * one aggregation; products stay on the exact DECIMAL grid (rank ×
+    * cent-grid value), the single division is the last step, 8dp.
+    * Degenerate groups (Σx = 0) yield NULL via the guard.
+    * Output: groupCol, n, gini. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__x").cast("double").asc)
+    val ranked = df
+      .select(col(groupCol), col(valueCol).cast("decimal(12,2)").as("__x"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+    val m = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__x") * col("__i").cast("decimal(19,0)")).as("__six"))
+    m.select(col(groupCol), col("n"),
+      when(col("__sx").cast("double") > 0.0,
+        round((lit(2.0) * col("__six").cast("double") -
+          (col("n") + 1).cast("double") * col("__sx").cast("double")) /
+          (col("n").cast("double") * col("__sx").cast("double")), 8))
+        .as("gini"))
+  }
+
   /** Per-group trimmed mean (Tukey's robust location estimate): rows
     * outside the exact [lo, hi] percentile band are EXCLUDED (unlike
     * `winsorize`, which clamps them in) and the surviving values average

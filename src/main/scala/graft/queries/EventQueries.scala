@@ -293,6 +293,66 @@ object EventQueries {
         |            END AS twap
         |FROM g ORDER BY user_id""".stripMargin)),
 
+    // Kaplan-Meier retention curve over right-censored user lifetimes:
+    // users last active inside the final 7 days are CENSORED, not
+    // churned — the estimator the naive mean-lifetime gets wrong. The
+    // corpus reduces to one row per distinct lifetime-day first, so the
+    // survival recursion's windows run over the bounded duration grid
+    // (the q_ks_test single-partition convention), never over users.
+    QuerySpec("q_kaplan_meier", (s, dir) => {
+      val spans = events(s, dir)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+      val cut = spans.agg((max(col("mx")) - lit(604800000000L)).as("cut"))
+      val sp = spans.crossJoin(cut)
+        .select(expr("(mx - mn) div 86400000000").as("dur"),
+          (col("mx") <= col("cut")).as("ev"))
+      graft.engine.Stats.kaplanMeier(sp, "dur", "ev")
+        .orderBy("duration")
+    }, Some(
+      """WITH s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT MAX(mx) - 604800000000 AS cut FROM s),
+        |sp AS (
+        |  SELECT (mx - mn) // 86400000000 AS duration,
+        |         mx <= c.cut AS ev
+        |  FROM s CROSS JOIN c),
+        |pd AS (
+        |  SELECT duration,
+        |         CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS deaths,
+        |         CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS censored
+        |  FROM sp GROUP BY duration),
+        |wr AS (
+        |  SELECT duration, deaths, censored,
+        |         SUM(deaths + censored)
+        |           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS ended,
+        |         SUM(deaths + censored) OVER () AS tot
+        |  FROM pd),
+        |ar AS (
+        |  SELECT duration, deaths, censored,
+        |         CAST(tot - ended + deaths + censored AS BIGINT) AS at_risk
+        |  FROM wr),
+        |lf AS (
+        |  SELECT duration, at_risk, deaths, censored,
+        |         CAST(CASE WHEN deaths = 0 OR deaths = at_risk
+        |                   THEN CAST(0.0 AS DOUBLE)
+        |                   ELSE ROUND(ln(1.0 - CAST(deaths AS DOUBLE)
+        |                                       / CAST(at_risk AS DOUBLE)), 8)
+        |              END AS DECIMAL(20,8)) AS lnf,
+        |         CASE WHEN deaths = at_risk THEN 1 ELSE 0 END AS z
+        |  FROM ar),
+        |fin AS (
+        |  SELECT duration, at_risk, deaths, censored,
+        |         SUM(lnf) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS lns,
+        |         SUM(z) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS zs
+        |  FROM lf)
+        |SELECT duration, at_risk, deaths, censored,
+        |       CASE WHEN zs > 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE ROUND(exp(CAST(lns AS DOUBLE)), 8) END AS survival
+        |FROM fin ORDER BY duration""".stripMargin)),
+
     // One-sided CUSUM changepoint screen per event type (Page 1954):
     // peak drift of the centered cumulative sum and WHERE it peaks — the
     // "did this metric's level shift, and when" monitor. The recursive

@@ -345,6 +345,33 @@ object StatsQueries {
         |            THEN ROUND((syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd, 8) END AS intercept
         |FROM d ORDER BY l_returnflag""".stripMargin)),
 
+    // Gini coefficient per group (rank formulation, tie-order-invariant):
+    // value-concentration beside q_hhi's market-share concentration. One
+    // group-keyed rank window + one aggregation on the DECIMAL grid.
+    QuerySpec("q_gini", (s, dir) => {
+      graft.engine.Stats.gini(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice")
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) AS x,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY CAST(l_extendedprice AS DOUBLE))
+        |           AS i
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx,
+        |         SUM(x * CAST(i AS DECIMAL(19,0))) AS six
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       CASE WHEN CAST(sx AS DOUBLE) > 0.0
+        |            THEN ROUND((2.0 * CAST(six AS DOUBLE)
+        |                        - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                       / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+        |            END AS gini
+        |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // Trimmed mean per group (5%..95% band, exact percentile cuts):
     // the robust-location complement of q_winsorize — outliers are
     // EXCLUDED, not clamped; survivors average on the DECIMAL grid.
