@@ -33,6 +33,47 @@ object Intervals {
     * Output: groupCol, peak (max concurrent), peak_at (first boundary
     * instant, in the units of `startCol`/`endCol`, at which the peak is
     * reached). */
+  /** Merge overlapping/touching intervals per group into islands
+    * (gaps-and-islands with a running-max boundary) and report coverage:
+    * the "how much wall-clock was this tenant actually busy" question a
+    * plain SUM of durations double-counts whenever intervals overlap.
+    *
+    * An island breaks where the next start exceeds the running max of
+    * all previous ends (NOT the previous row's end — an early long
+    * interval can span many later short ones). Touching intervals
+    * (s == prev max e) merge, matching the half-open [s, e) reading.
+    *
+    * Scale shape: one group-partitioned sort (the one sort-bound step),
+    * island ids by prefix sum, two keyed aggregations. Inverted inputs
+    * are rejected in-plan like [[maxConcurrency]].
+    * Output: groupCol, n_intervals, n_islands, covered (Σ island
+    * lengths), longest (max island length) — in the input units. */
+  def mergeCoverage(df: DataFrame, groupCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val guarded = df.withColumn("__s",
+      when(col(endCol) < col(startCol),
+        raise_error(concat(lit("intervals: end < start for group "),
+          col(groupCol).cast("string")))).otherwise(col(startCol)))
+      .select(col(groupCol), col("__s"), col(endCol).as("__e"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__s"), col("__e"))
+    val prevMax = max(col("__e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L)
+    guarded
+      .withColumn("__brk", brk)
+      .withColumn("__isl", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(groupCol), col("__isl"))
+      .agg(count(lit(1)).as("__n"), min(col("__s")).as("__is"),
+        max(col("__e")).as("__ie"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered"),
+        max(col("__ie") - col("__is")).as("longest"))
+  }
+
   def maxConcurrency(df: DataFrame, groupCol: String, startCol: String,
       endCol: String): DataFrame = {
     val guarded = df.withColumn("__s",

@@ -293,6 +293,51 @@ object EventQueries {
         |            END AS twap
         |FROM g ORDER BY user_id""".stripMargin)),
 
+    // Interval-union coverage per event type (gaps-and-islands with a
+    // running-max boundary): actual busy wall-clock vs the double-
+    // counting duration SUM — the merge dual of q_peak's concurrency
+    // sweep over the same synthesized [ts, ts + value·1s) intervals.
+    QuerySpec("q_interval_merge", (s, dir) => {
+      val iv = events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 1e6).cast("long")).as("e_us"))
+      graft.engine.Intervals.mergeCoverage(iv, "event_type", "s_us", "e_us")
+        .orderBy("event_type")
+    }, Some(
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e_us
+        |  FROM events),
+        |pm AS (
+        |  SELECT event_type, s_us, e_us,
+        |         MAX(e_us) OVER (PARTITION BY event_type
+        |                         ORDER BY s_us, e_us
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING
+        |                              AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |br AS (
+        |  SELECT event_type, s_us, e_us,
+        |         CASE WHEN prev_max IS NULL OR s_us > prev_max
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM pm),
+        |isl AS (
+        |  SELECT event_type, s_us, e_us,
+        |         SUM(brk) OVER (PARTITION BY event_type
+        |                        ORDER BY s_us, e_us
+        |                        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM br),
+        |gi AS (
+        |  SELECT event_type, island, COUNT(*) AS n,
+        |         MIN(s_us) AS i_s, MAX(e_us) AS i_e
+        |  FROM isl GROUP BY event_type, island)
+        |SELECT event_type,
+        |       CAST(SUM(n) AS BIGINT) AS n_intervals,
+        |       COUNT(*) AS n_islands,
+        |       CAST(SUM(i_e - i_s) AS BIGINT) AS covered,
+        |       CAST(MAX(i_e - i_s) AS BIGINT) AS longest
+        |FROM gi GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Kaplan-Meier retention curve over right-censored user lifetimes:
     // users last active inside the final 7 days are CENSORED, not
     // churned — the estimator the naive mean-lifetime gets wrong. The

@@ -40,4 +40,26 @@ class IntervalsSpec extends SparkSpec {
     val ex = intercept[Exception] { peaks(Seq(("x", 10L, 0L))) }
     assert(ex.getMessage.contains("end < start"))
   }
+
+  private def coverage(rows: Seq[(String, Long, Long)]) =
+    Intervals.mergeCoverage(rows.toDF("g", "s", "e"), "g", "s", "e")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("mergeCoverage: early long interval spans later short ones (running max)") {
+    // [0,10) swallows [2,3) and [4,5); [12,14) is its own island
+    val got = coverage(Seq(("a", 0L, 10L), ("a", 2L, 3L), ("a", 4L, 5L),
+      ("a", 12L, 14L)))
+    assert(got("a") === ((4L, 2L, 12L, 10L)))
+  }
+
+  test("mergeCoverage: touching intervals merge (half-open [s,e))") {
+    val got = coverage(Seq(("t", 0L, 5L), ("t", 5L, 8L), ("t", 9L, 10L)))
+    assert(got("t") === ((3L, 2L, 9L, 8L)))
+  }
+
+  test("mergeCoverage: groups are independent; identical intervals count") {
+    val got = coverage(Seq(("x", 0L, 2L), ("x", 0L, 2L), ("y", 1L, 4L)))
+    assert(got === Map("x" -> ((2L, 1L, 2L, 2L)), "y" -> ((1L, 1L, 3L, 3L))))
+  }
 }
