@@ -293,6 +293,68 @@ object EventQueries {
         |            END AS twap
         |FROM g ORDER BY user_id""".stripMargin)),
 
+    // Linear-interpolation resample (pandas resample().interpolate()):
+    // empty hourly buckets take the straight line between surrounding
+    // observed points instead of the staircase hold of q_resample_ffill.
+    // Same spine shape; the fill is two running windows over one sort.
+    QuerySpec("q_resample_interp", (s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .where(col("event_type") === "purchase")
+      graft.engine.Resample.resampleInterp(ev, Seq("user_id"), "us",
+          "event_id", "value", stepUs = 3600000000L)
+        .select(col("user_id"),
+          timestamp_micros(col("bucket_us")).cast("timestamp_ntz").as("hour"),
+          col("value_interp"))
+        .orderBy("user_id", "hour")
+    }, Some(
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |pts AS (
+        |  SELECT user_id, us - us % 3600000000 AS hr, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, us - us % 3600000000
+        |                            ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM base),
+        |p AS (SELECT user_id, hr, value FROM pts WHERE rn = 1),
+        |b AS (SELECT user_id, MIN(us - us % 3600000000) AS lo,
+        |             MAX(us - us % 3600000000) AS hi
+        |      FROM base GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, unnest(range(lo, hi + 3600000000, 3600000000)) AS hr
+        |  FROM b),
+        |j AS (SELECT s.user_id, s.hr, p.value
+        |      FROM spine s LEFT JOIN p USING (user_id, hr)),
+        |w AS (
+        |  SELECT user_id, hr, value,
+        |         LAST_VALUE(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY hr
+        |                 ROWS UNBOUNDED PRECEDING) AS pv,
+        |         LAST_VALUE(CASE WHEN value IS NOT NULL THEN hr END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY hr
+        |                 ROWS UNBOUNDED PRECEDING) AS pb,
+        |         FIRST_VALUE(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                     IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY hr
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |         FIRST_VALUE(CASE WHEN value IS NOT NULL THEN hr END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY hr
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j),
+        |g AS (
+        |  SELECT user_id, hr, value,
+        |         (hr - pb) // 3600000000 AS h,
+        |         (nb - pb) // 3600000000 AS bigh, pv, nv
+        |  FROM w)
+        |SELECT user_id, make_timestamp(hr) AS hour,
+        |       CASE WHEN value IS NOT NULL THEN value
+        |            ELSE CAST((2 * (pv * (bigh - h) + nv * h) * 100000000
+        |                       + 100 * bigh) // (200 * bigh) AS DOUBLE)
+        |                 / 100000000.0
+        |            END AS value_interp
+        |FROM g ORDER BY user_id, hour""".stripMargin)),
+
     // Interval-union coverage per event type (gaps-and-islands with a
     // running-max boundary): actual busy wall-clock vs the double-
     // counting duration SUM — the merge dual of q_peak's concurrency

@@ -319,6 +319,30 @@ class ResampleSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out.head.getDouble(2) === 5.0) // id 9 wins the tie
   }
+
+  test("resample+interp: gaps take the straight line, observed rows pass exact") {
+    val h = 3600000000L
+    // observed 10.0 at hour 0 and 40.0 at hour 3 -> gaps lerp 20, 30
+    val df = Seq((1L, 0L, 1L, 10.0), (1L, 3 * h, 2L, 40.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val out = Resample.resampleInterp(df, Seq("user_id"), "us", "event_id",
+        "value", stepUs = h)
+      .collect().map(r => r.getLong(1) / h -> r.getDouble(2)).toMap
+    assert(out === Map(0L -> 10.0, 1L -> 20.0, 2L -> 30.0, 3L -> 40.0))
+    // non-midpoint fraction lands on the floor-div half-up grid:
+    // 10 -> 20 over 3 hops: hour 1 = 13.33333333
+    val df3 = Seq((1L, 0L, 1L, 10.0), (1L, 3 * h, 2L, 20.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val out3 = Resample.resampleInterp(df3, Seq("user_id"), "us", "event_id",
+        "value", stepUs = h)
+      .collect().map(r => r.getLong(1) / h -> r.getDouble(2)).toMap
+    assert(out3(1L) === 13.33333333 && out3(2L) === 16.66666667)
+    // partition invariance
+    val again = Resample.resampleInterp(df3.repartition(5), Seq("user_id"),
+        "us", "event_id", "value", stepUs = h)
+      .collect().map(r => r.getLong(1) / h -> r.getDouble(2)).toMap
+    assert(again === out3)
+  }
 }
 
 class LoadDedupSpec extends SparkSpec {
