@@ -580,6 +580,41 @@ object Stats {
       .drop("__x", "__lo", "__hi")
   }
 
+  /** One-way ANOVA F statistic across groups (Fisher 1925): does the
+    * group mean differ more between groups than within them — the k>2
+    * generalization of the two-sample t-test this engine already runs
+    * (`q_paired_ttest`/`q_mannwhitney` are its 2-group/rank-based kin).
+    *
+    *   SSB = Σ_g S_g²/n_g − S²/N,  SSW = Σ_g SS_g − Σ_g S_g²/n_g,
+    *   F = (SSB/(k−1)) / (SSW/(N−k))
+    *
+    * One aggregation pass for the per-group DECIMAL moments (n, Σx,
+    * Σx²), then a k-row reduction. The cross-group sum of S_g²/n_g is
+    * an IEEE hazard (group order is engine-dependent), so each group's
+    * term rounds to the 8dp grid and sums exactly in DECIMAL — same
+    * contract as every multi-term float reduction here. Output (one
+    * row): k, n, f_stat (NULL when SSW=0 or degenerate dfs). */
+  def anovaOneWay(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(12,2)")
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("ng"), sum(x).as("sg"), sum(x * x).as("ssg"))
+    val term = round(col("sg").cast("double") * col("sg").cast("double") /
+      col("ng").cast("double"), 8).cast("decimal(28,8)")
+    val m = g.agg(
+      count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"), sum(col("ssg")).as("ss"),
+      sum(term).as("t"))
+    val (kd, nd, sd, ssd, td) = (col("k").cast("double"),
+      col("n").cast("double"), col("s").cast("double"),
+      col("ss").cast("double"), col("t").cast("double"))
+    val ssb = td - sd * sd / nd
+    val ssw = ssd - td
+    m.select(col("k"), col("n"),
+      when(col("k") > 1 && col("n") > col("k") && ssw > 0.0,
+        round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 8)).as("f_stat"))
+  }
+
   /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over
     * right-censored durations — the retention/churn curve done right:
     * users still active at the observation cutoff are CENSORED, not

@@ -345,6 +345,39 @@ object StatsQueries {
         |            THEN ROUND((syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd, 8) END AS intercept
         |FROM d ORDER BY l_returnflag""".stripMargin)),
 
+    // One-way ANOVA F across return-flag groups: the k>2 companion of
+    // the paired t-test tier. Per-group DECIMAL moments in one pass;
+    // the cross-group Σ S²/n reduction rides the 8dp grid (group order
+    // is engine-dependent — an IEEE sum there would not be portable).
+    QuerySpec("q_anova", (s, dir) => {
+      graft.engine.Stats.anovaOneWay(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice")
+    }, Some(
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS ng,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sg,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS ssg
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |         SUM(sg) AS s, SUM(ssg) AS ss,
+        |         SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |                        / CAST(ng AS DOUBLE), 8)
+        |                  AS DECIMAL(28,8))) AS t
+        |  FROM g),
+        |d AS (
+        |  SELECT k, n, CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd,
+        |         CAST(s AS DOUBLE) AS sd, CAST(ss AS DOUBLE) AS ssd,
+        |         CAST(t AS DOUBLE) AS td
+        |  FROM m)
+        |SELECT k, n,
+        |       CASE WHEN k > 1 AND n > k AND ssd - td > 0.0
+        |            THEN ROUND(((td - sd * sd / nd) / (kd - 1.0))
+        |                       / ((ssd - td) / (nd - kd)), 8)
+        |            END AS f_stat
+        |FROM d""".stripMargin)),
+
     // Gini coefficient per group (rank formulation, tie-order-invariant):
     // value-concentration beside q_hhi's market-share concentration. One
     // group-keyed rank window + one aggregation on the DECIMAL grid.
