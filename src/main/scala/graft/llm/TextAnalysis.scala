@@ -197,6 +197,43 @@ object TextAnalysis {
       .drop("__a")
   }
 
+  /** Flesch–Kincaid grade level (Kincaid et al. 1975) — the classic
+    * readability screen curation pipelines use as a cheap quality
+    * feature (too-low grade = fragment soup, too-high = OCR garbage or
+    * legalese):
+    *
+    *   grade = 0.39·(words/sentences) + 11.8·(syllables/word) − 15.59
+    *
+    * with the standard heuristics: sentences = runs of [.!?] (min 1),
+    * syllables(word) = vowel-group count (min 1) — both deterministic
+    * regex counts, no dictionary. Map-only per doc: one
+    * `regexp_extract_all` over the raw text plus a fold over the token
+    * array; the grade is one pinned double formula, 8dp.
+    * Output: idCol, n_sentences, n_words, n_syllables, fk_grade
+    * (NULL for token-less docs). */
+  def readability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    // tokens materialize as a projection column first — HOF lambdas
+    // re-evaluate non-attribute argument subtrees per element
+    val syllables = aggregate(col("__tk"), lit(0L),
+      (acc, t) => acc + greatest(lit(1L),
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long")))
+    docs.select(col(idCol), sentences.as("n_sentences"),
+        tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("n_sentences"),
+        size(col("__tk")).cast("long").as("n_words"),
+        syllables.as("n_syllables"))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0,
+          round(lit(0.39) *
+            (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+            lit(11.8) *
+              (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+            lit(15.59), 8)))
+  }
+
   /** Zipf-law fit per group (Zipf 1949; Piantadosi 2014 review): OLS
     * slope of ln(frequency) against ln(rank) over each group's top
     * `topN` tokens — the corpus-health screen that flags synthetic or

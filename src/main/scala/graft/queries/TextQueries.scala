@@ -1026,6 +1026,37 @@ object TextQueries {
          |FROM m ORDER BY doc_id""".stripMargin
     }),
 
+    // Flesch-Kincaid grade per doc: the classic readability screen as a
+    // cheap curation feature — fragment soup scores too low, OCR
+    // garbage/legalese too high. Deterministic regex heuristics
+    // (sentence = [.!?]+ runs, syllable = vowel groups), map-only.
+    QuerySpec("q_readability", (s, dir) => {
+      TextAnalysis.readability(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+        |           AS n_sentences,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |         CAST(len(tk) AS BIGINT) AS n_words,
+        |         CAST(list_reduce(list_prepend(0, list_transform(tk,
+        |                t -> GREATEST(1, len(regexp_extract_all(t, '[aeiouy]+'))))),
+        |              (a, x) -> a + x) AS BIGINT) AS n_syllables
+        |  FROM b)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |       CASE WHEN n_words > 0
+        |            THEN ROUND(0.39 * (CAST(n_words AS DOUBLE)
+        |                               / CAST(n_sentences AS DOUBLE))
+        |                       + 11.8 * (CAST(n_syllables AS DOUBLE)
+        |                                 / CAST(n_words AS DOUBLE))
+        |                       - 15.59, 8) END AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Zipf-law fit per source: OLS slope of ln(freq) vs ln(rank) over
     // each source's top-100 tokens — the corpus-health screen (natural
     // text sits near slope -1; template floods flatten the head). One

@@ -778,6 +778,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("readability: analytic FK grade; punctuation-less text counts one sentence") {
+    // "the cat sat. the dog ran." -> 2 sentences, 6 words, 6 syllables
+    // grade = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran."),
+      (2L, "incomprehensibilities everywhere"), // no [.!?] -> 1 sentence
+      (3L, "...")).toDF("doc_id", "text")      // punctuation only: no words
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) === ((2L, 6L, 6L, Some(-2.62))))
+    // incomprehensibilities: vowel groups i,o,e,e,i,i,i,ie = 8;
+    // everywhere: e,e,y,e,e = 5 (y is a vowel here) → 13 total
+    assert(got(2L) === ((1L, 2L, 13L, Some(0.39 * 2 + 11.8 * 6.5 - 15.59))))
+    assert(got(3L)._4.isEmpty) // word-less doc: NULL grade, no ANSI error
+  }
+
   test("leakage-safe split: near-dup cluster members land in the same split") {
     // clusters {1,2,3} (chained) and {10,11}; 20 singletons
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
