@@ -293,6 +293,95 @@ object EventQueries {
         |            END AS twap
         |FROM g ORDER BY user_id""".stripMargin)),
 
+    // RFM segmentation (recency/frequency/monetary quintile scores over
+    // purchase events): scores come from broadcast exact-percentile
+    // cuts + map-side comparisons — NOT a global ntile window, which
+    // would single-partition-sort all users at scale. Score 5 = best
+    // (most recent / most frequent / highest spend).
+    QuerySpec("q_rfm", (s, dir) => {
+      val p = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val base = p.groupBy("user_id")
+        .agg(max(col("us")).as("last_us"), count(lit(1)).as("frequency"),
+          sum(col("v")).as("__mon"))
+      val gmax = p.agg(max(col("us")).as("__gmax"))
+      val withRec = base.crossJoin(broadcast(gmax))
+        .withColumn("recency_days",
+          expr("(__gmax - last_us) div 86400000000"))
+        .withColumn("monetary", col("__mon").cast("double"))
+      val cuts = withRec.agg(
+        percentile(col("recency_days"), lit(0.2)).as("r20"),
+        percentile(col("recency_days"), lit(0.4)).as("r40"),
+        percentile(col("recency_days"), lit(0.6)).as("r60"),
+        percentile(col("recency_days"), lit(0.8)).as("r80"),
+        percentile(col("frequency"), lit(0.2)).as("f20"),
+        percentile(col("frequency"), lit(0.4)).as("f40"),
+        percentile(col("frequency"), lit(0.6)).as("f60"),
+        percentile(col("frequency"), lit(0.8)).as("f80"),
+        percentile(col("monetary"), lit(0.2)).as("m20"),
+        percentile(col("monetary"), lit(0.4)).as("m40"),
+        percentile(col("monetary"), lit(0.6)).as("m60"),
+        percentile(col("monetary"), lit(0.8)).as("m80"))
+      def up(c: String, q: Seq[String]) =
+        q.map(t => when(col(c).cast("double") > col(t), 1L).otherwise(0L))
+          .reduce(_ + _) + 1L
+      def down(c: String, q: Seq[String]) =
+        q.map(t => when(col(c).cast("double") <= col(t), 1L).otherwise(0L))
+          .reduce(_ + _) + 1L
+      withRec.crossJoin(broadcast(cuts))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          down("recency_days", Seq("r20", "r40", "r60", "r80")).as("r_score"),
+          up("frequency", Seq("f20", "f40", "f60", "f80")).as("f_score"),
+          up("monetary", Seq("m20", "m40", "m60", "m80")).as("m_score"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT user_id, MAX(us) AS last_us, COUNT(*) AS frequency,
+        |         SUM(v) AS mon
+        |  FROM p GROUP BY user_id),
+        |g AS (SELECT MAX(us) AS gmax FROM p),
+        |wr AS (
+        |  SELECT user_id, (gmax - last_us) // 86400000000 AS recency_days,
+        |         frequency, CAST(mon AS DOUBLE) AS monetary
+        |  FROM b CROSS JOIN g),
+        |c AS (
+        |  SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.2) AS r20,
+        |         quantile_cont(CAST(recency_days AS DOUBLE), 0.4) AS r40,
+        |         quantile_cont(CAST(recency_days AS DOUBLE), 0.6) AS r60,
+        |         quantile_cont(CAST(recency_days AS DOUBLE), 0.8) AS r80,
+        |         quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS f20,
+        |         quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS f40,
+        |         quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS f60,
+        |         quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS f80,
+        |         quantile_cont(monetary, 0.2) AS m20,
+        |         quantile_cont(monetary, 0.4) AS m40,
+        |         quantile_cont(monetary, 0.6) AS m60,
+        |         quantile_cont(monetary, 0.8) AS m80
+        |  FROM wr)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |       CAST(CASE WHEN CAST(recency_days AS DOUBLE) <= r20 THEN 1 ELSE 0 END
+        |            + CASE WHEN CAST(recency_days AS DOUBLE) <= r40 THEN 1 ELSE 0 END
+        |            + CASE WHEN CAST(recency_days AS DOUBLE) <= r60 THEN 1 ELSE 0 END
+        |            + CASE WHEN CAST(recency_days AS DOUBLE) <= r80 THEN 1 ELSE 0 END
+        |            + 1 AS BIGINT) AS r_score,
+        |       CAST(CASE WHEN CAST(frequency AS DOUBLE) > f20 THEN 1 ELSE 0 END
+        |            + CASE WHEN CAST(frequency AS DOUBLE) > f40 THEN 1 ELSE 0 END
+        |            + CASE WHEN CAST(frequency AS DOUBLE) > f60 THEN 1 ELSE 0 END
+        |            + CASE WHEN CAST(frequency AS DOUBLE) > f80 THEN 1 ELSE 0 END
+        |            + 1 AS BIGINT) AS f_score,
+        |       CAST(CASE WHEN monetary > m20 THEN 1 ELSE 0 END
+        |            + CASE WHEN monetary > m40 THEN 1 ELSE 0 END
+        |            + CASE WHEN monetary > m60 THEN 1 ELSE 0 END
+        |            + CASE WHEN monetary > m80 THEN 1 ELSE 0 END
+        |            + 1 AS BIGINT) AS m_score
+        |FROM wr CROSS JOIN c
+        |ORDER BY user_id""".stripMargin)),
+
     // Linear-interpolation resample (pandas resample().interpolate()):
     // empty hourly buckets take the straight line between surrounding
     // observed points instead of the staircase hold of q_resample_ffill.
