@@ -224,6 +224,46 @@ object Sketches {
       .agg(min("cnt").as("cms_est"))
   }
 
+  /** Equi-join size estimation by CMS inner product (Alon, Matias &
+    * Szegedy 1999's F₂/join-size line; Cormode & Muthukrishnan 2005 §4.2
+    * give exactly this estimator): |A ⋈ B| on a key equals the inner
+    * product of the two key-frequency vectors, and the minimum over
+    * hash rows of Σ_c cmsA[r][c]·cmsB[r][c] overestimates it by at most
+    * ε·|A|·|B| w.h.p. — the cardinality estimate a cost-based planner
+    * wants BEFORE paying for the join.
+    *
+    * Scale: each side reduces to a d×w integer sketch (map-side
+    * combinable counts — d·w cells regardless of rows); the estimate
+    * touches sketches only. Exact integer arithmetic end to end, so the
+    * oracle replays it bit-for-bit. The true join size rides along at
+    * test scale (it is the thing the sketch replaces).
+    * Output (one row): est (min-row inner product), exact, d, w. */
+  def cmsJoinSize(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      d: Int = 4, w: Int = 128): DataFrame = {
+    require(d >= 1 && w >= 1 && w <= 256 && 256 % w == 0,
+      s"cmsJoinSize: w must divide 256 (got d=$d, w=$w)")
+    val rows = explode(array((0 until d).map(lit): _*)).as("r")
+    def cellOf(value: Column): Column = pmod(
+      hexByte(md5(concat(lit("cms"), col("r").cast("string"), lit("|"), value)), 1),
+      lit(w))
+    def sketch(df: DataFrame, key: String, cntName: String): DataFrame =
+      df.select(col(key).cast("string").as("value"), rows)
+        .withColumn("cell", cellOf(col("value")))
+        .groupBy("r", "cell").agg(count(lit(1)).as(cntName))
+    val inner = sketch(left, leftKey, "ca")
+      .join(sketch(right, rightKey, "cb"), Seq("r", "cell"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+    val exact = left.select(col(leftKey).cast("string").as("value"))
+      .groupBy("value").agg(count(lit(1)).as("na"))
+      .join(right.select(col(rightKey).cast("string").as("value"))
+        .groupBy("value").agg(count(lit(1)).as("nb")), Seq("value"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact"))
+    inner.crossJoin(exact)
+      .select(col("est"), col("exact"), lit(d).as("d"), lit(w).as("w"))
+  }
+
   // ---- scalar HLL (the same sketch, one value at a time) ----
   // Used by the STREAMING twin (EventStreams.hllDistinctWindows), whose
   // per-window state is the 64-byte rho-max array updated row-by-row.

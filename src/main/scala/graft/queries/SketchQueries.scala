@@ -77,6 +77,45 @@ object SketchQueries {
          |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
     }),
 
+    // Join-size estimation by CMS inner product (AMS/Cormode-
+    // Muthukrishnan): |orders ⋈ lineitem| on orderkey from two d×w
+    // integer sketches — the cardinality estimate a cost-based planner
+    // wants BEFORE paying for the join. Exact integer arithmetic end to
+    // end; the true size rides along at test scale.
+    QuerySpec("q_join_size_est", (s, dir) => {
+      Sketches.cmsJoinSize(
+        Tables.load(s, dir, "orders"), "o_orderkey",
+        Tables.load(s, dir, "lineitem"), "l_orderkey")
+    }, Some {
+      def cellSql(vExpr: String) =
+        sqlHexByte(s"md5('cms' || CAST(r AS VARCHAR) || '|' || $vExpr)", 1) +
+          " % 128"
+      s"""WITH ra AS (
+         |  SELECT CAST(o_orderkey AS VARCHAR) AS value, unnest(range(4)) AS r
+         |  FROM orders),
+         |sa AS (
+         |  SELECT r, ${cellSql("value")} AS cell, COUNT(*) AS ca
+         |  FROM ra GROUP BY 1, 2),
+         |rb AS (
+         |  SELECT CAST(l_orderkey AS VARCHAR) AS value, unnest(range(4)) AS r
+         |  FROM lineitem),
+         |sb AS (
+         |  SELECT r, ${cellSql("value")} AS cell, COUNT(*) AS cb
+         |  FROM rb GROUP BY 1, 2),
+         |ip AS (
+         |  SELECT sa.r, CAST(SUM(sa.ca * sb.cb) AS BIGINT) AS ip
+         |  FROM sa JOIN sb ON sa.r = sb.r AND sa.cell = sb.cell
+         |  GROUP BY sa.r),
+         |e AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM ip),
+         |xa AS (SELECT CAST(o_orderkey AS VARCHAR) AS value, COUNT(*) AS na
+         |       FROM orders GROUP BY 1),
+         |xb AS (SELECT CAST(l_orderkey AS VARCHAR) AS value, COUNT(*) AS nb
+         |       FROM lineitem GROUP BY 1),
+         |x AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS exact
+         |      FROM xa JOIN xb USING (value))
+         |SELECT est, exact, 4 AS d, 128 AS w FROM e CROSS JOIN x""".stripMargin
+    }),
+
     // HLL SET ALGEBRA: pairwise audience overlap between event types —
     // |A|, |B|, bucket-max |A∪B|, and |A∩B| by inclusion–exclusion, all
     // from the same per-type sketch states (|G|²·64 sketch rows, data-

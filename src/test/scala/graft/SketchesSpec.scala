@@ -87,6 +87,23 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(ac.getAs[Double]("est_intersect")) < 250.0)
   }
 
+  test("cmsJoinSize: overestimation-only; exact column is the true join size") {
+    // left keys 1..100 once; right: key k appears k%5+1 times
+    val l = (1L to 100L).map(("l", _)).toDF("t", "k")
+    val r = (1L to 100L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(("r", k)))
+      .toDF("t", "k")
+    val row = Sketches.cmsJoinSize(l, "k", r, "k").head()
+    val (est, exact) = (row.getLong(0), row.getLong(1))
+    assert(exact === (1L to 100L).map(k => k % 5 + 1).sum)
+    assert(est >= exact)                     // CM inner product never under
+    assert(est <= exact + 4L * 100L * 300L / 128L) // eps*|A|*|B| slack
+    // disjoint key spaces: exact 0 (est may carry collision mass)
+    val d = Sketches.cmsJoinSize(l, "k",
+      (1001L to 1100L).map(("r", _)).toDF("t", "k"), "k").head()
+    assert(d.getLong(1) === 0L)
+    assert(d.getLong(0) >= 0L)
+  }
+
   // ---- Count-Min ----
 
   test("cms: overestimation-only guarantee and error bound") {
