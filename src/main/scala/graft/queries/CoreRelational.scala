@@ -261,6 +261,45 @@ object CoreRelational {
     // slice arrives unchanged (must stay open, un-duplicated), mod-5 keys
     // reappear shifted as brand-new keys. The oracle replays the
     // closed/kept/opened split directly.
+    // Point-in-time join: every order joined to the dimension VERSION
+    // valid at its order date (the reproducible-feature rule — "the
+    // balance as it was then", never the current row: training-serving
+    // skew in a feature store is exactly this join done wrong). The
+    // version timeline tiles [1990, 1998) ∪ [1998, ∞) per key, so the
+    // backward as-of window (ONE shuffle, no range join) is exact;
+    // the oracle replays it as the textbook validity-interval join.
+    QuerySpec("q_pit_join", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val dim = c.select(col("c_custkey").as("k"),
+          (col("c_acctbal") - 50).as("bal"),
+          lit(631152000000000L).as("us")) // 1990-01-01T00:00Z
+        .unionByName(c.select(col("c_custkey").as("k"),
+          col("c_acctbal").as("bal"),
+          lit(883612800000000L).as("us"))) // 1998-01-01T00:00Z
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      graft.engine.TimeJoins.asofJoinBackward(o, dim, Seq("k"), "us",
+          Seq("bal"))
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("o_orderdate"),
+          col("matched_bal").as("acctbal_at_order"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """WITH dim AS (
+        |  SELECT c_custkey AS k, c_acctbal - 50 AS bal,
+        |         TIMESTAMP '1990-01-01' AS vf, TIMESTAMP '1998-01-01' AS vt
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, TIMESTAMP '1998-01-01', NULL
+        |  FROM customer)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+        |       d.bal AS acctbal_at_order
+        |FROM orders o JOIN dim d ON d.k = o.o_custkey
+        |  AND d.vf <= o.o_orderdate
+        |  AND (d.vt IS NULL OR o.o_orderdate < d.vt)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     QuerySpec("q_scd2", (s, dir) => {
       val c = t(s, dir, "customer")
       // mod-11 keys carry a CLOSED prior version (exercises the
