@@ -580,6 +580,36 @@ object Stats {
       .drop("__x", "__lo", "__hi")
   }
 
+  /** Per-group weighted median (lower weighted median: the smallest
+    * value whose cumulative weight reaches half the total — Edgeworth
+    * 1888's weighted-median problem): "the price at which half the
+    * VOLUME trades", which an unweighted median mis-states whenever
+    * row count and weight diverge.
+    *
+    * One group-keyed sort (cumulative-weight window + a per-group total
+    * window over the same partitioning — one shuffle), then a min over
+    * the qualifying suffix: since cumweight is monotone in the sort
+    * order, min(x) over rows with 2·cum ≥ total IS the crossing row.
+    * Weights stay exact DECIMAL so the threshold compare has no float
+    * ambiguity. Zero/negative total weight yields no row for the group
+    * (weights are assumed non-negative; an all-zero group has no
+    * median). Output: groupCol, total_weight, weighted_median. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, tieCols: Seq[String]): DataFrame = {
+    val ord = (col("__x").asc +: tieCols.map(col(_).asc))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol) +: col(valueCol).cast("double").as("__x") +:
+        col(weightCol).cast("decimal(18,2)").as("__w") +: tieCols.map(col): _*)
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+      .where(col("__tot") > 0 && col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__tot")).cast("double").as("total_weight"),
+        min(col("__x")).as("weighted_median"))
+  }
+
   /** One-way ANOVA F statistic across groups (Fisher 1925): does the
     * group mean differ more between groups than within them — the k>2
     * generalization of the two-sample t-test this engine already runs

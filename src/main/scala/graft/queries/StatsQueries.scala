@@ -345,6 +345,33 @@ object StatsQueries {
         |            THEN ROUND((syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd, 8) END AS intercept
         |FROM d ORDER BY l_returnflag""".stripMargin)),
 
+    // Weighted median per group: the price at which half the QUANTITY
+    // trades (lower weighted median, exact DECIMAL cumulative weights).
+    // One group-keyed sort; the crossing row falls out as min(x) over
+    // the monotone qualifying suffix.
+    QuerySpec("q_weighted_median", (s, dir) => {
+      graft.engine.Stats.weightedMedian(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity",
+          tieCols = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS w,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, x,
+        |         SUM(w) OVER (PARTITION BY l_returnflag
+        |                      ORDER BY x, l_orderkey, l_linenumber
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM b)
+        |SELECT l_returnflag, CAST(MAX(tot) AS DOUBLE) AS total_weight,
+        |       MIN(x) AS weighted_median
+        |FROM c WHERE tot > 0 AND cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // One-way ANOVA F across return-flag groups: the k>2 companion of
     // the paired t-test tier. Per-group DECIMAL moments in one pass;
     // the cross-group Σ S²/n reduction rides the 8dp grid (group order
