@@ -35,7 +35,14 @@ class DeterminismSpec extends SparkSpec {
     // directed-rule confidence cuts, RRF full-outer rank ties
     "q_bfs_hops", "q_kn_bigram", "q_naive_bayes", "q_zipf_fit",
     "q_cusum", "q_ols_multi", "q_trimmed_mean", "q_hll_intersect",
-    "q_leakage_split", "q_assoc_rules", "q_rrf_fusion")
+    "q_leakage_split", "q_assoc_rules", "q_rrf_fusion",
+    // round-3 third-wave ops: grid-summed ANOVA terms, decimal
+    // cumulative-weight medians, island merges, cent×hop lerp grid,
+    // KM duration-grid products, Gini rank sums, sketch inner products,
+    // as-of PIT payload carry, RFM percentile-cut scores
+    "q_anova", "q_weighted_median", "q_gini", "q_kaplan_meier",
+    "q_interval_merge", "q_resample_interp", "q_readability", "q_rfm",
+    "q_join_size_est", "q_pit_join")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
