@@ -77,9 +77,15 @@ object Resample {
     * engines (binary-exact midpoints at the 8th digit DID diverge —
     * 9 rows at sf0.01), so the line is evaluated on the integer
     * cent × bucket-hop grid instead: numer = pv·(H−h) + nv·h in cents,
-    * result = (2·numer·1e8 + 100H) div (2·100H) / 1e8 — the same
-    * floor-div rounding trick as the 8dp-ln means, bit-identical on any
-    * engine. Observed values pass through exact (raw double). */
+    * result = floor((2·numer·1e8 + 100H) / (200H)) / 1e8 — round-half-
+    * toward-+inf for ANY sign. The scaled numerator rides DECIMAL (a
+    * Long would overflow past |cents|·hops ≈ 4.6e10 — review-found),
+    * and the floor uses the portable `(x − pmod(x,w)) div w` form
+    * because Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors — they differ on negative values (review-found; the house
+    * floor-div rule). Observed values pass through exact (raw double).
+    * Bound: |value|·1e2 · gap-hops must fit a Long (≲9e18) — ~$9e12
+    * across a 10k-bucket gap; beyond that widen __vc to DECIMAL. */
   def resampleInterp(df: DataFrame, keys: Seq[String], usCol: String,
       idCol: String, valueCol: String, stepUs: Long): DataFrame = {
     require(stepUs > 0, s"stepUs=$stepUs")
@@ -113,10 +119,14 @@ object Resample {
       .withColumn("__hops", expr(s"(__nb - __pb) div $stepUs"))
       .withColumn("__numer",
         col("__pv") * (col("__hops") - col("__hop")) + col("__nv") * col("__hop"))
+      .withColumn("__num2",
+        col("__numer").cast("decimal(26,0)") *
+          lit(200000000L).cast("decimal(9,0)") + lit(100) * col("__hops"))
+      .withColumn("__den2", lit(200) * col("__hops"))
       .withColumn(s"${valueCol}_interp",
         when(v.isNotNull, v)
           .otherwise(
-            expr("(2 * __numer * 100000000 + 100 * __hops) div (200 * __hops)")
+            expr("(__num2 - pmod(__num2, __den2)) div __den2")
               .cast("double") / lit(100000000.0)))
       .select(keys.map(col) ++ Seq(col("__bucket").as("bucket_us"),
         col(s"${valueCol}_interp")): _*)

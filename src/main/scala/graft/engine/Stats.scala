@@ -842,7 +842,12 @@ object Stats {
     base.join(broadcast(tot), Seq(groupCol))
       .withColumn("__y", col("__v") * col("n").cast("decimal(19,0)") - col("__s"))
       .withColumn("__cum", sum(col("__y")).over(wRun))
-      .withColumn("__c", col("__cum") - min(col("__cum")).over(wRun))
+      // the running min must include the IMPLICIT empty-prefix baseline
+      // cum_0 = 0 — without it a series that drifts upward from its very
+      // first row reports zero drift (the recursion starts at C_0 = 0)
+      .withColumn("__c",
+        col("__cum") - least(lit(0).cast("decimal(18,2)"),
+          min(col("__cum")).over(wRun)))
       .withColumn("__rn", row_number().over(wPick))
       .where(col("__rn") === 1)
       .select(col(groupCol), col("n"), col(orderCol).as("peak_at"),

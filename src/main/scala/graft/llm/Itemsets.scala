@@ -28,8 +28,13 @@ object Itemsets {
     * (basket, item) rows (duplicates collapse — set semantics).
     * Output: item1 < item2, support (co-occurrence count), lift
     * (support·n / (c1·c2), 8dp; > 1 means above-chance association). */
-  def frequentPairs(items: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long): DataFrame = {
+  /** Shared Apriori pair lattice: distinct (basket, item), frequent-item
+    * prune, basket self-join, support cut. Returns the surviving pairs
+    * (item1 < item2, c1, c2, support) with the basket total riding along
+    * (n_baskets — identical on every row). Both public entry points
+    * consume this so the pruning/checkpoint strategy lives once. */
+  private def pairLattice(items: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport=$minSupport")
     val it = items.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .distinct().localCheckpoint()
@@ -39,18 +44,22 @@ object Itemsets {
     val freq = it.groupBy(col("i")).agg(count(lit(1)).as("c"))
       .where(col("c") >= minSupport)
     val fit = it.join(freq, "i")
-    val pairs = fit.select(col("b"), col("i").as("item1"), col("c").as("c1"))
+    fit.select(col("b"), col("i").as("item1"), col("c").as("c1"))
       .join(fit.select(col("b"), col("i").as("item2"), col("c").as("c2")),
         Seq("b"))
       .where(col("item1") < col("item2"))
       .groupBy(col("item1"), col("item2"), col("c1"), col("c2"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
-    pairs.crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nb))
+  }
+
+  def frequentPairs(items: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame =
+    pairLattice(items, basketCol, itemCol, minSupport)
       .select(col("item1"), col("item2"), col("support"),
         round(col("support").cast("double") * col("n_baskets") /
           (col("c1") * col("c2")).cast("double"), 8).as("lift"))
-  }
 
   /** Directed association rules from the frequent-pair lattice (Agrawal
     * & Srikant 1994's rule-generation step): each surviving unordered
@@ -67,27 +76,14 @@ object Itemsets {
   def associationRules(items: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, minConf: Double): DataFrame = {
     require(minConf > 0.0 && minConf <= 1.0, s"minConf=$minConf")
-    val it = items.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct().localCheckpoint()
-    val nb = it.select(col("b")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val freq = it.groupBy(col("i")).agg(count(lit(1)).as("c"))
-      .where(col("c") >= minSupport)
-    val fit = it.join(freq, "i")
-    val pairs = fit.select(col("b"), col("i").as("item1"), col("c").as("c1"))
-      .join(fit.select(col("b"), col("i").as("item2"), col("c").as("c2")),
-        Seq("b"))
-      .where(col("item1") < col("item2"))
-      .groupBy(col("item1"), col("item2"), col("c1"), col("c2"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= minSupport)
+    val pairs = pairLattice(items, basketCol, itemCol, minSupport)
     val directed = pairs.select(col("item1").as("antecedent"),
         col("item2").as("consequent"), col("c1").as("ca"), col("c2").as("cc"),
-        col("support"))
+        col("support"), col("n_baskets"))
       .unionByName(pairs.select(col("item2").as("antecedent"),
         col("item1").as("consequent"), col("c2").as("ca"), col("c1").as("cc"),
-        col("support")))
-    directed.crossJoin(broadcast(nb))
+        col("support"), col("n_baskets")))
+    directed
       .withColumn("confidence",
         round(col("support").cast("double") / col("ca").cast("double"), 8))
       .where(col("confidence") >= minConf)

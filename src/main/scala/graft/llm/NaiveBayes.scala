@@ -77,6 +77,19 @@ object NaiveBayes {
       .where(col("__rn") === 1)
       .select(col(idCol), col("__lbl").as("predicted"),
         (col("__cost").cast("double") / lit(100000000.0)).as("neg_logprob"))
-    docs.select(col(idCol), col(labelCol)).join(best, Seq(idCol))
+    // token-less docs have no tf rows and thus no scored row; they take
+    // the prior argmax (every per-token term is absent, so the score IS
+    // the prior) instead of silently vanishing from the output
+    // (review-found: the inner join dropped them)
+    val fallback = priors.orderBy(col("__prior").asc, col("__lbl").asc)
+      .limit(1)
+      .select(col("__lbl").as("__fbl"),
+        (col("__prior").cast("double") / lit(100000000.0)).as("__fbc"))
+    docs.select(col(idCol), col(labelCol))
+      .join(best, Seq(idCol), "left")
+      .crossJoin(broadcast(fallback))
+      .select(col(idCol), col(labelCol),
+        coalesce(col("predicted"), col("__fbl")).as("predicted"),
+        coalesce(col("neg_logprob"), col("__fbc")).as("neg_logprob"))
   }
 }

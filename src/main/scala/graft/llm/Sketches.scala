@@ -251,10 +251,18 @@ object Sketches {
       df.select(col(key).cast("string").as("value"), rows)
         .withColumn("cell", cellOf(col("value")))
         .groupBy("r", "cell").agg(count(lit(1)).as(cntName))
-    val inner = sketch(left, leftKey, "ca")
-      .join(sketch(right, rightKey, "cb"), Seq("r", "cell"))
-      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("est"))
+    // every hash row contributes to the min — a row whose populated
+    // cells happen not to collide has TRUE inner product 0 and must
+    // yield est = 0, not vanish from the reduction (review-found: the
+    // plain inner-join min inflated the estimate and could return NULL)
+    val rowIds = left.sparkSession.range(d)
+      .select(col("id").cast("int").as("r"))
+    val inner = rowIds
+      .join(sketch(left, leftKey, "ca")
+        .join(sketch(right, rightKey, "cb"), Seq("r", "cell"))
+        .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip")),
+        Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est"))
     val exact = left.select(col(leftKey).cast("string").as("value"))
       .groupBy("value").agg(count(lit(1)).as("na"))
       .join(right.select(col(rightKey).cast("string").as("value"))

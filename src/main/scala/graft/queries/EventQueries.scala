@@ -438,7 +438,8 @@ object EventQueries {
         |  FROM w)
         |SELECT user_id, make_timestamp(hr) AS hour,
         |       CASE WHEN value IS NOT NULL THEN value
-        |            ELSE CAST((2 * (pv * (bigh - h) + nv * h) * 100000000
+        |            ELSE CAST((2 * CAST(pv * (bigh - h) + nv * h AS HUGEINT)
+        |                         * 100000000
         |                       + 100 * bigh) // (200 * bigh) AS DOUBLE)
         |                 / 100000000.0
         |            END AS value_interp
@@ -575,9 +576,10 @@ object EventQueries {
         |  FROM b JOIN t USING (event_type)),
         |d AS (
         |  SELECT event_type, ts, event_id, n,
-        |         cum - MIN(cum) OVER (PARTITION BY event_type
-        |                              ORDER BY ts, event_id
-        |                              ROWS UNBOUNDED PRECEDING) AS c
+        |         cum - LEAST(CAST(0 AS DECIMAL(18,2)),
+        |                     MIN(cum) OVER (PARTITION BY event_type
+        |                                    ORDER BY ts, event_id
+        |                                    ROWS UNBOUNDED PRECEDING)) AS c
         |  FROM c),
         |p AS (
         |  SELECT event_type, n, ts AS peak_at, c,

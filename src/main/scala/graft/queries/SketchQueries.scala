@@ -106,7 +106,9 @@ object SketchQueries {
          |  SELECT sa.r, CAST(SUM(sa.ca * sb.cb) AS BIGINT) AS ip
          |  FROM sa JOIN sb ON sa.r = sb.r AND sa.cell = sb.cell
          |  GROUP BY sa.r),
-         |e AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM ip),
+         |rid AS (SELECT unnest(range(4)) AS r),
+         |e AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
+         |      FROM rid LEFT JOIN ip ON ip.r = rid.r),
          |xa AS (SELECT CAST(o_orderkey AS VARCHAR) AS value, COUNT(*) AS na
          |       FROM orders GROUP BY 1),
          |xb AS (SELECT CAST(l_orderkey AS VARCHAR) AS value, COUNT(*) AS nb

@@ -1144,10 +1144,17 @@ object TextQueries {
         |  SELECT doc_id, lbl AS predicted, prior + s AS cost,
         |         ROW_NUMBER() OVER (PARTITION BY doc_id
         |                            ORDER BY prior + s, lbl) AS rn
-        |  FROM sc)
-        |SELECT d.doc_id, d.source, b.predicted,
-        |       CAST(b.cost AS DOUBLE) / 100000000.0 AS neg_logprob
-        |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        |  FROM sc),
+        |fb AS (SELECT lbl AS fbl,
+        |              CAST(prior AS DOUBLE) / 100000000.0 AS fbc
+        |       FROM pri ORDER BY prior, lbl LIMIT 1)
+        |SELECT d.doc_id, d.source,
+        |       COALESCE(b.predicted, fb.fbl) AS predicted,
+        |       COALESCE(CAST(b.cost AS DOUBLE) / 100000000.0, fb.fbc)
+        |         AS neg_logprob
+        |FROM documents d
+        |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        |CROSS JOIN fb
         |ORDER BY d.doc_id""".stripMargin)),
 
     // Market-basket frequent pairs with lift (Apriori pair tier) over

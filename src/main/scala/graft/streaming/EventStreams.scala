@@ -277,8 +277,12 @@ object EventStreams {
       .join(st, Seq(groupCol), "left")
       .withColumn("__cum", coalesce(col("__c0"), lit(0).cast("decimal(18,2)"))
         + sum(col("__y")).over(wRun))
-      // least() ignores nulls: a new group's history min is the batch min
-      .withColumn("__rm", least(col("__m0"), min(col("__cum")).over(wRun)))
+      // the history min seeds with the IMPLICIT cum_0 = 0 baseline (the
+      // recursion starts at C_0 = 0) — without it a stream running above
+      // target from its first row reports zero drift forever
+      .withColumn("__rm",
+        least(coalesce(col("__m0"), lit(0).cast("decimal(28,2)")),
+          min(col("__cum")).over(wRun)))
       .withColumn("__c", col("__cum") - col("__rm"))
     // batch-local peak (earliest occurrence), then merge with history
     val wPick = Window.partitionBy(g)

@@ -342,6 +342,14 @@ class ResampleSpec extends SparkSpec {
         "us", "event_id", "value", stepUs = h)
       .collect().map(r => r.getLong(1) / h -> r.getDouble(2)).toMap
     assert(again === out3)
+    // negative values: the portable floor (not truncate-toward-zero)
+    // keeps the grid consistent with DuckDB's // — review-found case
+    val dfn = Seq((1L, 0L, 1L, -10.0), (1L, 3 * h, 2L, -20.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val outn = Resample.resampleInterp(dfn, Seq("user_id"), "us", "event_id",
+        "value", stepUs = h)
+      .collect().map(r => r.getLong(1) / h -> r.getDouble(2)).toMap
+    assert(outn(1L) === -13.33333333 && outn(2L) === -16.66666667)
   }
 }
 

@@ -867,6 +867,16 @@ class TextAnalysisSpec extends SparkSpec {
       .trainScore(docs.repartition(5), "doc_id", "text", "source")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(again === got)
+    // token-less docs are NOT dropped: they take the prior argmax
+    // (review-found contract violation — the inner join lost them)
+    val withEmpty = docs.unionByName(
+      Seq((5L, "...", "h")).toDF("doc_id", "text", "source"))
+    val e = graft.llm.NaiveBayes
+      .trainScore(withEmpty, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(e.contains(5L))
+    // priors: h has 3 docs of 5, s has 2 → argmax prior = "h"
+    assert(e(5L) === "h")
   }
 
   test("stripBoilerplate: frequent lines removed, order and dup lines kept") {

@@ -542,13 +542,16 @@ class StreamingSpec extends SparkSpec {
     val q = mem.toDF().toDF("g", "pos", "id", "v")
       .writeStream.foreachBatch(sink).start()
     try {
-      // a: y = +2, −2 → cum 2,0; runmin 2,0; C 0,0 → peak 0 at pos 1
-      // b: single +10 → cum 10, runmin 10, C 0
+      // a: y = +2, −2 → cum 2,0; runmin (incl. the cum_0 = 0 baseline)
+      // 0,0; C 2,0 → peak 2 at pos 1
+      // b: single +10 above target → cum 10, runmin 0, C 10 → peak 10
+      // (the whole point of the baseline: above-target-from-the-start
+      // drift is VISIBLE — the review-found bug reported 0 here)
       mem.addData(("a", 1L, 1L, 12.0), ("a", 2L, 2L, 8.0),
         ("b", 1L, 1L, 20.0))
       q.processAllAvailable()
-      assert(snap(0L) === Set(("a", 0.0, 0.0, 0.0, 1L, 2L),
-        ("b", 10.0, 10.0, 0.0, 1L, 1L)))
+      assert(snap(0L) === Set(("a", 0.0, 0.0, 2.0, 1L, 2L),
+        ("b", 10.0, 0.0, 10.0, 1L, 1L)))
 
       // batch 1: a gets +5 → cum 5, runmin min(0,5)=0, C 5 → new peak 5
       // at pos 3; b is silent and must carry
@@ -556,13 +559,13 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val v1 = snap(1L)
       assert(v1 === Set(("a", 5.0, 0.0, 5.0, 3L, 3L),
-        ("b", 10.0, 10.0, 0.0, 1L, 1L)))
+        ("b", 10.0, 0.0, 10.0, 1L, 1L)))
 
       // batch 2: a falls back (−5): cum 0, C 0 → peak STAYS 5 at pos 3
       mem.addData(("a", 4L, 4L, 5.0))
       q.processAllAvailable()
       assert(snap(2L) === Set(("a", 0.0, 0.0, 5.0, 3L, 4L),
-        ("b", 10.0, 10.0, 0.0, 1L, 1L)))
+        ("b", 10.0, 0.0, 10.0, 1L, 1L)))
 
       // at-least-once replay of batch 1 reads v0 and rewrites v1 exactly
       sink(Seq(("a", 3L, 3L, 15.0)).toDF("g", "pos", "id", "v"), 1L)
