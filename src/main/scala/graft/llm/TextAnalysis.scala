@@ -197,6 +197,45 @@ object TextAnalysis {
       .drop("__a")
   }
 
+  /** Vocabulary coverage curve: the smallest frequency-ranked vocabulary
+    * prefix covering p% of all token OCCURRENCES, for each requested
+    * percentage — the tokenizer-design question ("how big must the vocab
+    * be for 99% coverage") and the OOV-budget planning input
+    * ([[oovRate]] measures a chosen vocab; THIS chooses one).
+    *
+    * Exactness: coverage crossings compare `100·cumcount ≥ p·total` in
+    * exact integers — no float share ever computed. The rank window runs
+    * over the VOCABULARY (not the corpus); a web-scale vocab makes that
+    * a range-partitioned global sort, the standard top-k-vocabulary
+    * shape. Ties: count desc, token asc — deterministic.
+    * Output: threshold_pct, vocab_size (min prefix length), total vocab
+    * and token counts for context. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
+      s"thresholds=$thresholds")
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    val wCum = win.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ranked = vocab
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+    val tot = vocab.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("total_vocab"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("threshold_pct", explode(array(thresholds.map(lit): _*)))
+      .where(col("cum") * 100 >= col("threshold_pct") * col("total_tokens"))
+      .groupBy(col("threshold_pct"))
+      .agg(min(col("rnk")).as("vocab_size"),
+        max(col("total_vocab")).as("total_vocab"),
+        max(col("total_tokens")).as("total_tokens"))
+  }
+
   /** Flesch–Kincaid grade level (Kincaid et al. 1975) — the classic
     * readability screen curation pipelines use as a cheap quality
     * feature (too-low grade = fragment soup, too-high = OCR garbage or

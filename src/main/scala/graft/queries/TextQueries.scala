@@ -1026,6 +1026,37 @@ object TextQueries {
          |FROM m ORDER BY doc_id""".stripMargin
     }),
 
+    // Vocabulary coverage curve: smallest frequency-ranked vocab prefix
+    // covering 50/90/95/99% of token occurrences — the "how big must
+    // the tokenizer vocab be" planning input (q_oov_rate measures a
+    // chosen vocab; this chooses one). Integer-exact crossings.
+    QuerySpec("q_vocab_coverage", (s, dir) => {
+      TextAnalysis.vocabCoverage(docs(s, dir), "text",
+          thresholds = Seq(50, 90, 95, 99))
+        .orderBy("threshold_pct")
+    }, Some(
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+        |r AS (
+        |  SELECT token, cnt,
+        |         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk,
+        |         SUM(cnt) OVER (ORDER BY cnt DESC, token
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM v),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        |             COUNT(*) AS total_vocab FROM v),
+        |th AS (SELECT unnest([50, 90, 95, 99]) AS threshold_pct)
+        |SELECT th.threshold_pct, CAST(MIN(r.rnk) AS BIGINT) AS vocab_size,
+        |       MAX(t.total_vocab) AS total_vocab,
+        |       MAX(t.total_tokens) AS total_tokens
+        |FROM r CROSS JOIN t CROSS JOIN th
+        |WHERE cum * 100 >= th.threshold_pct * t.total_tokens
+        |GROUP BY th.threshold_pct
+        |ORDER BY th.threshold_pct""".stripMargin)),
+
     // Flesch-Kincaid grade per doc: the classic readability screen as a
     // cheap curation feature — fragment soup scores too low, OCR
     // garbage/legalese too high. Deterministic regex heuristics

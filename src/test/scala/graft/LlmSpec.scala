@@ -778,6 +778,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("vocabCoverage: integer-exact crossings on a known distribution") {
+    // counts: aa=6, bb=3, cc=1 (total 10). Prefix shares: 60%, 90%, 100%.
+    val docs = Seq((1L, (Seq.fill(6)("aa") ++ Seq.fill(3)("bb") :+ "cc")
+      .mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", Seq(50, 60, 90, 91, 100))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 50% needs aa (60 >= 50); 60% exactly met by aa; 90% by aa+bb;
+    // 91% forces the full vocab; 100% likewise
+    assert(got === Map(50 -> 1L, 60 -> 1L, 90 -> 2L, 91 -> 3L, 100 -> 3L))
+  }
+
   test("readability: analytic FK grade; punctuation-less text counts one sentence") {
     // "the cat sat. the dog ran." -> 2 sentences, 6 words, 6 syllables
     // grade = 0.39*3 + 11.8*1 - 15.59 = -2.62
