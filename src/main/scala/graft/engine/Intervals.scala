@@ -50,10 +50,8 @@ object Intervals {
     * lengths), longest (max island length) — in the input units. */
   def mergeCoverage(df: DataFrame, groupCol: String, startCol: String,
       endCol: String): DataFrame = {
-    val guarded = df.withColumn("__s",
-      when(col(endCol) < col(startCol),
-        raise_error(concat(lit("intervals: end < start for group "),
-          col(groupCol).cast("string")))).otherwise(col(startCol)))
+    val guarded = df.withColumn("__s", boundaryGuard(df, groupCol,
+        startCol, endCol))
       .select(col(groupCol), col("__s"), col(endCol).as("__e"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__s"), col("__e"))
@@ -74,12 +72,26 @@ object Intervals {
         max(col("__ie") - col("__is")).as("longest"))
   }
 
+  /** Shared malformed-interval guard: inverted (end < start) AND null
+    * boundaries raise in-plan. Nulls matter because the sweep's running
+    * window sorts them NULLS FIRST in Spark but NULLS LAST in the SQL
+    * oracle — a null row would silently deflate the prefix sums on one
+    * engine and inflate them on the other (review-found), while the
+    * contract here is "rejected, never silently skewed". */
+  private def boundaryGuard(df: DataFrame, groupCol: String,
+      startCol: String, endCol: String): org.apache.spark.sql.Column =
+    when(col(startCol).isNull || col(endCol).isNull,
+      raise_error(concat(lit("intervals: null boundary for group "),
+        col(groupCol).cast("string"))))
+      .when(col(endCol) < col(startCol),
+        raise_error(concat(lit("intervals: end < start for group "),
+          col(groupCol).cast("string"))))
+      .otherwise(col(startCol))
+
   def maxConcurrency(df: DataFrame, groupCol: String, startCol: String,
       endCol: String): DataFrame = {
-    val guarded = df.withColumn("__s",
-      when(col(endCol) < col(startCol),
-        raise_error(concat(lit("intervals: end < start for group "),
-          col(groupCol).cast("string")))).otherwise(col(startCol)))
+    val guarded = df.withColumn("__s", boundaryGuard(df, groupCol,
+      startCol, endCol))
     val deltas = guarded.select(col(groupCol), col("__s").as("t"), lit(1L).as("d"))
       .unionByName(guarded.select(col(groupCol), col(endCol).as("t"),
         lit(-1L).as("d")))

@@ -45,29 +45,51 @@ object Ivm {
 
   /** Merge a delta aggregate (from [[deltaAgg]]) into the maintained
     * aggregate (keys, `n`, `sum_<m>`). Groups whose count reaches 0 are
-    * dropped (fully-deleted group); a count going NEGATIVE — deletes for
-    * rows the base never had — is a data error raised in-plan rather
-    * than silently clamped. One full-outer join on the key; both sides
-    * are group-cardinality. */
+    * dropped (fully-deleted group) — but only after checking the merged
+    * sums also netted to 0: a zero count with residual sum means an
+    * over-delete was masked by a same-batch insert, and silently
+    * swallowing it would lose that insert (review-found). A count going
+    * NEGATIVE — deletes for rows the base never had — raises likewise.
+    * The key join is NULL-SAFE (`<=>`): `fullAgg` itself emits null-key
+    * groups, and a plain equi-join would orphan their deltas into
+    * spurious negative-count errors or duplicate group rows
+    * (review-found). One full-outer join; both sides group-cardinality. */
   def applyDelta(baseAgg: DataFrame, deltaAggDf: DataFrame,
       keyCols: Seq[String], measureCols: Seq[String],
       scale: Int = 2): DataFrame = {
+    val b = baseAgg.select(
+      keyCols.map(k => col(k).as(s"__bk_$k")) ++
+        (col("n") +: measureCols.map(c => col(s"sum_$c"))): _*)
+    val d = deltaAggDf.select(
+      keyCols.map(k => col(k).as(s"__dk_$k")) ++
+        (col("dn") +: measureCols.map(c => col(s"dsum_$c"))): _*)
+    val cond = keyCols.map(k => col(s"__bk_$k") <=> col(s"__dk_$k"))
+      .reduce(_ && _)
+    val keyOut = keyCols.map(k =>
+      coalesce(col(s"__bk_$k"), col(s"__dk_$k")).as(k))
+    val keyStr = concat_ws("|", keyCols.map(k =>
+      coalesce(col(s"__bk_$k"), col(s"__dk_$k")).cast("string")): _*)
     val n2 = coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))
-    // result sums normalized to DECIMAL(38,scale): still exact, and the
+    // merged sums normalized to DECIMAL(38,scale): still exact, and the
     // view's schema is STABLE across maintenance rounds (unnormalized,
     // Spark widens decimal precision per addition and a long-lived
     // maintained view would drift schemas batch over batch)
-    val outSums = measureCols.map { c =>
+    val merged = measureCols.map { c =>
       (coalesce(col(s"sum_$c"), lit(0)) + coalesce(col(s"dsum_$c"), lit(0)))
-        .cast(s"decimal(38,$scale)").as(s"sum_$c")
+        .cast(s"decimal(38,$scale)")
     }
-    baseAgg.join(deltaAggDf, keyCols, "full_outer")
+    val residual = merged.map(_ =!= lit(0)).reduce(_ || _)
+    val outSums = merged.zip(measureCols).map { case (m, c) => m.as(s"sum_$c") }
+    b.join(d, cond, "full_outer")
       .withColumn("__n2",
-        when(n2 < 0, raise_error(concat(lit("ivm: negative count for key "),
-          concat_ws("|", keyCols.map(k => col(k).cast("string")): _*))))
+        when(n2 < 0, raise_error(concat(
+          lit("ivm: negative count for key "), keyStr)))
+          .when(n2 === 0 && residual, raise_error(concat(
+            lit("ivm: zero count with nonzero residual sum for key "),
+            keyStr)))
           .otherwise(n2))
       .where(col("__n2") > 0)
-      .select(keyCols.map(col) ++ (col("__n2").as("n") +: outSums): _*)
+      .select(keyOut ++ (col("__n2").as("n") +: outSums): _*)
   }
 
   /** Full-recompute aggregate of a base table — the shape `applyDelta`

@@ -38,6 +38,22 @@ object Graph {
 
   private val Scale = 1L << 30
 
+  /** Symmetric closure of a directed/duplicated edge list as (a, b)
+    * rows: both orientations, null endpoints and self-loops dropped,
+    * deduplicated — the shared undirected-graph normalization of
+    * [[labelPropagation]], [[kCore]] and [[bfsHops]] (one definition so
+    * the null/self-loop policy cannot silently diverge between them). */
+  private def symmetrize(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    edges.select(s.as("a"), d.as("b"))
+      .unionByName(edges.select(d.as("a"), s.as("b")))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+  }
+
   /** PageRank after `iters` damped rounds (d = 0.85) over the distinct
     * directed edges `(srcCol, dstCol)`.
     * Output: node, rank (double, 8dp, fixed-point-exact underneath). */
@@ -131,16 +147,10 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val s = col(srcCol).cast("long")
-    val d = col(dstCol).cast("long")
     // symmetric closure, self-loops dropped (a self-loop votes for the
     // node's own stale label and slows mixing without changing limits)
-    val und = edges.select(s.as("a"), d.as("b"))
-      .unionByName(edges.select(d.as("a"), s.as("b")))
-      .where(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
-      .distinct()
-    val e = Checkpoints.iterationBarrier(und.repartition(col("b")))
+    val e = Checkpoints.iterationBarrier(
+      symmetrize(edges, srcCol, dstCol).repartition(col("b")))
     var labels = Checkpoints.iterationBarrier(
       e.select(col("a").as("node"), col("a").as("lbl")).distinct())
     val w = org.apache.spark.sql.expressions.Window
@@ -176,14 +186,8 @@ object Graph {
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops=$maxHops")
-    val s = col(srcCol).cast("long")
-    val d = col(dstCol).cast("long")
-    val und = edges.select(s.as("a"), d.as("b"))
-      .unionByName(edges.select(d.as("a"), s.as("b")))
-      .where(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
-      .distinct()
-    val e = Checkpoints.iterationBarrier(und.repartition(col("a")))
+    val e = Checkpoints.iterationBarrier(
+      symmetrize(edges, srcCol, dstCol).repartition(col("a")))
     var dist = Checkpoints.iterationBarrier(
       sources.select(col(sourceCol).cast("long").as("node")).distinct()
         .select(col("node"), lit(0).as("dist")))
@@ -219,14 +223,7 @@ object Graph {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"k=$k iters=$iters")
-    val s = col(srcCol).cast("long")
-    val d = col(dstCol).cast("long")
-    var cur = Checkpoints.iterationBarrier(
-      edges.select(s.as("a"), d.as("b"))
-        .unionByName(edges.select(d.as("a"), s.as("b")))
-        .where(col("a").isNotNull && col("b").isNotNull &&
-          col("a") =!= col("b"))
-        .distinct())
+    var cur = Checkpoints.iterationBarrier(symmetrize(edges, srcCol, dstCol))
     for (_ <- 1 to iters) {
       val alive = cur.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("a"))

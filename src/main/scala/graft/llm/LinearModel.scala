@@ -37,16 +37,19 @@ object LinearModel {
   /** Score hashed features (from [[TextAnalysis.featureHash]]:
     * idCol, bucket, tf) against a weight table (bucket, w_unit).
     * Output: idCol, margin (exact multiple of 2⁻¹⁶, as double),
-    * label (1 when margin > 0). Documents whose every token hashed to
-    * zero-weight... have margin 0 and label 0; docs absent from
-    * `features` (no tokens) emit no row — score what was featurized. */
+    * label (1 when margin > 0). The weight join is LEFT with a zero
+    * fallback: a sparse production vector omits zero-weight buckets, and
+    * an inner join would silently DROP any document whose every bucket
+    * is absent (review-found) instead of scoring it margin 0 / label 0.
+    * Docs absent from `features` (no tokens) emit no row — score what
+    * was featurized. */
   def score(features: DataFrame, weights: DataFrame,
       idCol: String): DataFrame = {
     val unit = 65536.0 // margin·2¹⁶ stays well under 2⁵³: division exact
     features
-      .join(broadcast(weights), "bucket")
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("tf") * col("w_unit")).as("m_unit"))
+      .agg(sum(col("tf") * coalesce(col("w_unit"), lit(0L))).as("m_unit"))
       .select(col(idCol),
         (col("m_unit").cast("double") / lit(unit)).as("margin"),
         when(col("m_unit") > 0, lit(1)).otherwise(lit(0)).as("label"))

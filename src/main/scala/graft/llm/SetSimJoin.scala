@@ -66,13 +66,6 @@ object SetSimJoin {
     val sh = Dedup.shingleSets(docs, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // one sorted array per doc — the verification side. Sorted so the
-    // row is deterministic; array_intersect itself is order-free. Doc
-    // size bounds row width: shingle sets are doc-length-bounded (a
-    // chunking pass upstream caps pathological documents).
-    val docSets = sh.groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("shingle"))).as("set"))
-
     // Per-set global-order position; window partitioned by id (scales).
     val pos = row_number().over(
       Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("shingle").asc))
@@ -118,6 +111,23 @@ object SetSimJoin {
       .filter(lit(1) + least(col("sz1") - col("p1"), col("sz2") - col("p2"))
         >= minOverlap)
       .select("id1", "id2", "sz1", "sz2")
+      // materialized once: the pair set feeds the candidate-id prune AND
+      // both verification joins below
+      .localCheckpoint()
+
+    // one sorted array per CANDIDATE doc — the verification side, built
+    // only after pruning: a corpus-wide set aggregation would shuffle
+    // and array-build every document when only candidate-pair docs are
+    // ever verified (review-found; the Dedup.verifiedJaccard semi-join
+    // rule). Sorted so the row is deterministic; array_intersect itself
+    // is order-free. Doc size bounds row width: shingle sets are
+    // doc-length-bounded (a chunking pass upstream caps pathological
+    // documents).
+    val candIds = cands.select(col("id1").as(idCol))
+      .unionByName(cands.select(col("id2").as(idCol))).distinct()
+    val docSets = sh.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("shingle"))).as("set"))
 
     // Exact verification, candidate-bounded: join each pair to its two
     // doc arrays and count the intersection with the codegen'd

@@ -60,6 +60,36 @@ class IvmSpec extends SparkSpec {
     assert(ex.getMessage.contains("+1/-1"))
   }
 
+  test("null-key groups maintain correctly (null-safe key join)") {
+    // fullAgg emits a null-key group; a plain equi-join would orphan its
+    // delta into a spurious negative-count error — review-found
+    val base = Seq((Option.empty[String], 1.0), (None, 2.0), (Some("a"), 5.0))
+      .toDF("k", "v")
+    val d = Seq((Option.empty[String], 1.0, -1)).toDF("k", "v", "mult")
+    val out = Ivm.applyDelta(Ivm.fullAgg(base, keys, ms),
+        Ivm.deltaAgg(d, keys, "mult", ms), keys, ms)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSet
+    assert(out === Set((None, 1L, 2.0), (Some("a"), 1L, 5.0)))
+  }
+
+  test("zero count with residual sum raises (netted over-delete)") {
+    // n nets to 0 but sums don't: the over-delete masked a real insert —
+    // silently dropping the group would lose that insert (review-found)
+    val base = rows("x" -> 1.0)
+    val d = Seq(("x", 5.0, -1), ("x", 6.0, -1), ("x", 2.0, 1))
+      .toDF("k", "v", "mult")
+    val ex = intercept[Exception] {
+      Ivm.applyDelta(Ivm.fullAgg(base, keys, ms),
+        Ivm.deltaAgg(d, keys, "mult", ms), keys, ms).collect()
+    }
+    assert(ex.getMessage.contains("residual"))
+    // a CLEAN full deletion (sums also net to zero) still just drops
+    val clean = Seq(("x", 1.0, -1)).toDF("k", "v", "mult")
+    assert(Ivm.applyDelta(Ivm.fullAgg(base, keys, ms),
+      Ivm.deltaAgg(clean, keys, "mult", ms), keys, ms).count() === 0L)
+  }
+
   test("delta application is associative: two batches == one combined") {
     val base = rows("a" -> 1.0, "a" -> 3.0, "b" -> 2.0)
     val d1 = Seq(("a", 1.0, -1), ("c", 4.0, 1)).toDF("k", "v", "mult")

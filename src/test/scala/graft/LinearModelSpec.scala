@@ -38,6 +38,17 @@ class LinearModelSpec extends SparkSpec {
     assert(w === again)
   }
 
+  test("sparse weight table: docs with only unlisted buckets score 0, not vanish") {
+    // a production vector omits zero-weight buckets — the inner join
+    // dropped such docs entirely (review-found)
+    val feats = Seq((1L, 1, 3L), (2L, 0, 2L)).toDF("doc_id", "bucket", "tf")
+    val w = Seq((0, 5L)).toDF("bucket", "w_unit") // bucket 1 absent
+    val got = LinearModel.score(feats, w, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(got(1L) === ((0.0, 0)))          // unlisted bucket → margin 0
+    assert(got(2L) === ((10.0 / 65536, 1))) // listed bucket scores
+  }
+
   test("end-to-end over real docs: every margin is a multiple of 2^-16") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
