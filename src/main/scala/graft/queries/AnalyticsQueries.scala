@@ -38,6 +38,102 @@ object AnalyticsQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // Join-key skew report: the pre-flight shuffle-health profile of a
+    // key's row distribution (cardinality, max/avg, p99, top-key share,
+    // Gini of the counts) — the numbers that decide salting vs AQE skew
+    // handling BEFORE a 100 TB join is launched. One count aggregation;
+    // every statistic derives from the key-cardinality-sized table.
+    QuerySpec("q_skew_report", (s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val g = graft.engine.Stats.gini(
+          counts.withColumn("g", lit(1)), "g", "cnt")
+        .select(col("gini").as("count_gini"))
+      counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("total_rows"),
+          max(col("cnt")).as("max_rows"),
+          percentile(col("cnt").cast("double"), lit(0.99)).as("p99_rows"))
+        .crossJoin(broadcast(g))
+        .select(col("n_keys"), col("total_rows"), col("max_rows"),
+          round(col("total_rows").cast("double") /
+            col("n_keys").cast("double"), 8).as("avg_rows"),
+          col("p99_rows"),
+          round(col("max_rows").cast("double") /
+            col("total_rows").cast("double"), 8).as("top1_share"),
+          col("count_gini"))
+    }, Some(
+      """WITH c AS (
+        |  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+        |  GROUP BY l_orderkey),
+        |r AS (
+        |  SELECT CAST(cnt AS DECIMAL(12,2)) AS x,
+        |         ROW_NUMBER() OVER (ORDER BY CAST(cnt AS DOUBLE)) AS i
+        |  FROM c),
+        |gm AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx,
+        |         SUM(x * CAST(i AS DECIMAL(19,0))) AS six
+        |  FROM r),
+        |g AS (
+        |  SELECT CASE WHEN CAST(sx AS DOUBLE) > 0.0
+        |              THEN ROUND((2.0 * CAST(six AS DOUBLE)
+        |                          - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+        |              END AS count_gini
+        |  FROM gm),
+        |s AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |         CAST(MAX(cnt) AS BIGINT) AS max_rows,
+        |         quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99_rows
+        |  FROM c)
+        |SELECT n_keys, total_rows, max_rows,
+        |       ROUND(CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 8)
+        |         AS avg_rows,
+        |       p99_rows,
+        |       ROUND(CAST(max_rows AS DOUBLE) / CAST(total_rows AS DOUBLE), 8)
+        |         AS top1_share,
+        |       count_gini
+        |FROM s CROSS JOIN g""".stripMargin)),
+
+    // ABC / Pareto classification of parts by revenue: items are A until
+    // the 80% cumulative-revenue crossing, B until 95%, C after — the
+    // inventory-priority cut. Class boundaries compare 100·prev_cum
+    // against p·total in EXACT DECIMAL (an item is A when it STARTS
+    // before the 80% line). The rank window runs over the part
+    // dimension (vocabulary-sized, range-partitionable at scale).
+    QuerySpec("q_abc_class", (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("__cum", sum(col("rev")).over(wCum))
+        .crossJoin(broadcast(rev.agg(sum(col("rev")).as("__tot"))))
+        .withColumn("abc_class",
+          when((col("__cum") - col("rev")) * 100 < col("__tot") * 80, "A")
+            .when((col("__cum") - col("rev")) * 100 < col("__tot") * 95, "B")
+            .otherwise("C"))
+        .select(col("l_partkey"), col("rev").cast("double").as("revenue"),
+          col("abc_class"))
+        .orderBy("l_partkey")
+    }, Some(
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |c AS (
+        |  SELECT l_partkey, rev,
+        |         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(rev) OVER () AS tot
+        |  FROM rev)
+        |SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+        |       CASE WHEN (cum - rev) * 100 < tot * 80 THEN 'A'
+        |            WHEN (cum - rev) * 100 < tot * 95 THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM c ORDER BY l_partkey""".stripMargin)),
+
     // Z-order (Morton) clustering key over part: bit-interleave of
     // partkey and floor(retailprice) — the layout key that makes parquet
     // min/max stats tight on BOTH dimensions (see Layout.zorderWrite and

@@ -193,6 +193,43 @@ object EventQueries {
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // Time-bounded funnel: the q_funnel path with a CONVERSION WINDOW —
+    // each stage must fire within 1 hour of the previous one, the
+    // attribution rule real funnels use (an unbounded funnel credits a
+    // purchase weeks after the click). Same earliest-qualifying-event
+    // shape, one extra integer bound per stage.
+    QuerySpec("q_funnel_window", (s, dir) => {
+      val win = 3600000000L
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id")
+        .where(col("us") > col("t1") && col("us") <= col("t1") + win)
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .where(col("us") > col("t2") && col("us") <= col("t2") + win)
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM base
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT b.user_id, MIN(us) AS t2 FROM base b JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > t1
+        |        AND us <= t1 + 3600000000 GROUP BY b.user_id),
+        |p AS (SELECT b.user_id, MIN(us) AS t3 FROM base b JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > t2
+        |        AND us <= t2 + 3600000000 GROUP BY b.user_id)
+        |SELECT user_id, t1, t2, t3
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin)),
+
     // Lag-1 autocorrelation of each event type's value series (pairs
     // formed WITHIN a user's own sequence): the time-series memory
     // diagnostic — near 0 for i.i.d. readings, near 1 for sticky
@@ -292,6 +329,53 @@ object EventQueries {
         |            THEN ROUND(CAST(wv AS DOUBLE) / CAST(span_us AS DOUBLE), 8)
         |            END AS twap
         |FROM g ORDER BY user_id""".stripMargin)),
+
+    // Longest consecutive-day activity streak per user (gaps-and-islands
+    // over DISTINCT activity days): the engagement metric behind "N-day
+    // streak" features. Day indices are exact integer epoch-day floor
+    // divisions; one user-keyed sort, islands by prefix sum.
+    QuerySpec("q_streaks", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val brk = when(lag(col("day"), 1).over(w).isNull ||
+        col("day") - lag(col("day"), 1).over(w) > 1, 1L).otherwise(0L)
+      days
+        .withColumn("__isl", sum(brk).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__isl"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, day,
+        |         CASE WHEN LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+        |                   IS NULL
+        |                OR day - LAG(day) OVER (PARTITION BY user_id
+        |                                        ORDER BY day) > 1
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM days),
+        |i AS (
+        |  SELECT user_id, day,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY day
+        |                        ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM b),
+        |st AS (SELECT user_id, isl, COUNT(*) AS len
+        |       FROM i GROUP BY user_id, isl)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |       CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |       COUNT(*) AS n_streaks
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // RFM segmentation (recency/frequency/monetary quintile scores over
     // purchase events): scores come from broadcast exact-percentile

@@ -42,7 +42,9 @@ class DeterminismSpec extends SparkSpec {
     // as-of PIT payload carry, RFM percentile-cut scores
     "q_anova", "q_weighted_median", "q_gini", "q_kaplan_meier",
     "q_interval_merge", "q_resample_interp", "q_readability", "q_rfm",
-    "q_join_size_est", "q_pit_join")
+    "q_join_size_est", "q_pit_join",
+    "q_vocab_coverage", "q_streaks", "q_abc_class", "q_funnel_window",
+    "q_skew_report")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
