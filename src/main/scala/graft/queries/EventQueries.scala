@@ -193,6 +193,46 @@ object EventQueries {
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // First-order Markov transition matrix over event-type sequences
+    // (per-user lead() pairs — the q_event_trigrams machinery at order
+    // 1, normalized to probabilities): the behavioral fingerprint whose
+    // drift q_js_drift monitors at the token level. Exact pair counts,
+    // one division at the end.
+    QuerySpec("q_markov_trans", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("__tot"))
+      pairs.join(totals, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("__tot").cast("double"), 8)
+            .as("p"))
+        .orderBy("from_type", "to_type")
+    }, Some(
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |p AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |      FROM p GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, p.n,
+        |       ROUND(CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 8) AS p
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin)),
+
     // Time-bounded funnel: the q_funnel path with a CONVERSION WINDOW —
     // each stage must fire within 1 hour of the previous one, the
     // attribution rule real funnels use (an unbounded funnel credits a

@@ -558,6 +558,57 @@ object StatsQueries {
         |FROM cells
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Effect size for the chi-square screen: Cramér's V = sqrt(χ²/(N·
+    // (min(r,c)−1))) — the association STRENGTH a significance test
+    // alone can't give (at 100 TB everything is "significant"; V says
+    // whether it matters). χ² sums the 8dp-grid cell contributions in
+    // exact DECIMAL — a double sum over engine-ordered cells would not
+    // be portable (the q_anova rule).
+    QuerySpec("q_cramers_v", (s, dir) => {
+      val cells = Stats.chiSquareCells(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus")
+      cells.agg(
+          sum(col("contrib").cast("decimal(20,8)")).as("__chi2"),
+          sum(col("observed")).as("n"),
+          countDistinct(col("l_returnflag")).as("__r"),
+          countDistinct(col("l_linestatus")).as("__c"))
+        .select(
+          col("__chi2").cast("double").as("chi2"),
+          ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+          col("n"),
+          round(sqrt(col("__chi2").cast("double") / col("n").cast("double") /
+            (least(col("__r"), col("__c")) - 1).cast("double")), 8)
+            .as("cramers_v"))
+    }, Some(
+      """WITH obs AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS observed
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |rt AS (SELECT l_returnflag, CAST(SUM(observed) AS BIGINT) AS row_total
+        |       FROM obs GROUP BY l_returnflag),
+        |ct AS (SELECT l_linestatus, CAST(SUM(observed) AS BIGINT) AS col_total
+        |       FROM obs GROUP BY l_linestatus),
+        |nt AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM obs),
+        |grid AS (SELECT * FROM rt CROSS JOIN ct),
+        |cells AS (
+        |  SELECT g.l_returnflag, g.l_linestatus,
+        |         COALESCE(o.observed, 0) AS observed,
+        |         CAST(g.row_total AS DOUBLE) * CAST(g.col_total AS DOUBLE)
+        |           / CAST(n_total AS DOUBLE) AS e
+        |  FROM grid g LEFT JOIN obs o USING (l_returnflag, l_linestatus)
+        |  CROSS JOIN nt),
+        |m AS (
+        |  SELECT SUM(CAST(ROUND((observed - e) * (observed - e) / e, 8)
+        |                  AS DECIMAL(20,8))) AS chi2d,
+        |         CAST(SUM(observed) AS BIGINT) AS n,
+        |         COUNT(DISTINCT l_returnflag) AS r,
+        |         COUNT(DISTINCT l_linestatus) AS c
+        |  FROM cells)
+        |SELECT CAST(chi2d AS DOUBLE) AS chi2,
+        |       (r - 1) * (c - 1) AS dof, n,
+        |       ROUND(sqrt(CAST(chi2d AS DOUBLE) / CAST(n AS DOUBLE)
+        |                  / CAST(LEAST(r, c) - 1 AS DOUBLE)), 8) AS cramers_v
+        |FROM m""".stripMargin)),
+
     // Benford first-digit screen over a monetary column — the audit-tier
     // fabricated-data detector. Leading digit via the DECIMAL's string
     // form (floor(log10) flips digits at power-of-10 boundaries per
