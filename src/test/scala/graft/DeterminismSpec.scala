@@ -44,7 +44,7 @@ class DeterminismSpec extends SparkSpec {
     "q_interval_merge", "q_resample_interp", "q_readability", "q_rfm",
     "q_join_size_est", "q_pit_join",
     "q_vocab_coverage", "q_streaks", "q_abc_class", "q_funnel_window",
-    "q_skew_report")
+    "q_skew_report", "q_cramers_v", "q_markov_trans")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
