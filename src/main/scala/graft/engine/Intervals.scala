@@ -11,28 +11,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object Intervals {
 
-  /** Peak concurrency per group over half-open intervals [start, end):
-    * each interval contributes +1 at its start and −1 at its end, both
-    * deltas at one boundary instant are NETTED before the running sum
-    * (so the state is only observed BETWEEN instants — no intra-instant
-    * ordering ambiguity, and end-meets-start at the same microsecond
-    * does not double-count), and the peak is the max prefix sum.
-    *
-    * Scale shape: one map-side unpivot (2 rows per interval), one
-    * (group, t) pre-aggregation that collapses the running-sum input to
-    * DISTINCT boundary instants, then a window partitioned by GROUP —
-    * the sort is per-group over boundary counts, not raw events. A
-    * single global timeline would be a one-partition sort; callers
-    * partition by a real dimension (tenant, type, day-with-overlap) as
-    * this signature forces.
-    *
-    * Inverted inputs (end < start, e.g. negative durations) contribute
-    * −1 before +1 and can drive the prefix sum negative; they are
-    * rejected in-plan as malformed rather than silently skewing peaks.
-    *
-    * Output: groupCol, peak (max concurrent), peak_at (first boundary
-    * instant, in the units of `startCol`/`endCol`, at which the peak is
-    * reached). */
   /** Merge overlapping/touching intervals per group into islands
     * (gaps-and-islands with a running-max boundary) and report coverage:
     * the "how much wall-clock was this tenant actually busy" question a
@@ -50,8 +28,7 @@ object Intervals {
     * lengths), longest (max island length) — in the input units. */
   def mergeCoverage(df: DataFrame, groupCol: String, startCol: String,
       endCol: String): DataFrame = {
-    val guarded = df.withColumn("__s", boundaryGuard(df, groupCol,
-        startCol, endCol))
+    val guarded = df.withColumn("__s", boundaryGuard(groupCol, startCol, endCol))
       .select(col(groupCol), col("__s"), col(endCol).as("__e"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__s"), col("__e"))
@@ -78,7 +55,7 @@ object Intervals {
     * oracle — a null row would silently deflate the prefix sums on one
     * engine and inflate them on the other (review-found), while the
     * contract here is "rejected, never silently skewed". */
-  private def boundaryGuard(df: DataFrame, groupCol: String,
+  private def boundaryGuard(groupCol: String,
       startCol: String, endCol: String): org.apache.spark.sql.Column =
     when(col(startCol).isNull || col(endCol).isNull,
       raise_error(concat(lit("intervals: null boundary for group "),
@@ -88,10 +65,30 @@ object Intervals {
           col(groupCol).cast("string"))))
       .otherwise(col(startCol))
 
+  /** Peak concurrency per group over half-open intervals [start, end):
+    * each interval contributes +1 at its start and −1 at its end, both
+    * deltas at one boundary instant are NETTED before the running sum
+    * (so the state is only observed BETWEEN instants — no intra-instant
+    * ordering ambiguity, and end-meets-start at the same microsecond
+    * does not double-count), and the peak is the max prefix sum.
+    *
+    * Scale shape: one map-side unpivot (2 rows per interval), one
+    * (group, t) pre-aggregation that collapses the running-sum input to
+    * DISTINCT boundary instants, then a window partitioned by GROUP —
+    * the sort is per-group over boundary counts, not raw events. A
+    * single global timeline would be a one-partition sort; callers
+    * partition by a real dimension (tenant, type, day-with-overlap) as
+    * this signature forces.
+    *
+    * Malformed inputs (inverted or null boundaries) are rejected by
+    * [[boundaryGuard]] rather than silently skewing peaks.
+    *
+    * Output: groupCol, peak (max concurrent), peak_at (first boundary
+    * instant, in the units of `startCol`/`endCol`, at which the peak is
+    * reached). */
   def maxConcurrency(df: DataFrame, groupCol: String, startCol: String,
       endCol: String): DataFrame = {
-    val guarded = df.withColumn("__s", boundaryGuard(df, groupCol,
-      startCol, endCol))
+    val guarded = df.withColumn("__s", boundaryGuard(groupCol, startCol, endCol))
     val deltas = guarded.select(col(groupCol), col("__s").as("t"), lit(1L).as("d"))
       .unionByName(guarded.select(col(groupCol), col(endCol).as("t"),
         lit(-1L).as("d")))

@@ -84,8 +84,12 @@ object Resample {
     * because Spark's `div` truncates toward zero while DuckDB's `//`
     * floors — they differ on negative values (review-found; the house
     * floor-div rule). Observed values pass through exact (raw double).
-    * Bound: |value|·1e2 · gap-hops must fit a Long (≲9e18) — ~$9e12
-    * across a 10k-bucket gap; beyond that widen __vc to DECIMAL. */
+    * Bound: |value| < 1e16 (the DECIMAL(18,2) cent cast), and
+    * |cents|·gap-hops must fit a Long (≲9e18); under ANSI mode an
+    * overflowing cast raises rather than nulling. Both neighbor fields
+    * (__pv AND __pb) key on the same __vc nullability so a non-ANSI
+    * overflow can never pair one point's value with another's bucket
+    * (review-found desync hazard). */
   def resampleInterp(df: DataFrame, keys: Seq[String], usCol: String,
       idCol: String, valueCol: String, stepUs: Long): DataFrame = {
     require(stepUs > 0, s"stepUs=$stepUs")
@@ -110,10 +114,12 @@ object Resample {
     spine.join(points, keys :+ "__bucket", "left")
       .withColumn("__pv", last(col("__vc"), ignoreNulls = true).over(wPrev))
       .withColumn("__pb",
-        last(when(v.isNotNull, col("__bucket")), ignoreNulls = true).over(wPrev))
+        last(when(col("__vc").isNotNull, col("__bucket")), ignoreNulls = true)
+          .over(wPrev))
       .withColumn("__nv", first(col("__vc"), ignoreNulls = true).over(wNext))
       .withColumn("__nb",
-        first(when(v.isNotNull, col("__bucket")), ignoreNulls = true).over(wNext))
+        first(when(col("__vc").isNotNull, col("__bucket")), ignoreNulls = true)
+          .over(wNext))
       // hop counts on the bucket grid: h in [0, H], H ≥ 1 on gap rows
       .withColumn("__hop", expr(s"(__bucket - __pb) div $stepUs"))
       .withColumn("__hops", expr(s"(__nb - __pb) div $stepUs"))

@@ -600,7 +600,12 @@ object Stats {
     val wCum = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(col(groupCol))
-    df.select(col(groupCol) +: col(valueCol).cast("double").as("__x") +:
+    // null value or weight rows are excluded BEFORE the cumulative sort:
+    // Spark would sort a null value FIRST (its weight entering the
+    // cumulative sum before every real value) while SQL engines sort it
+    // LAST — engine-divergent crossings (the gini/corrMatrix null rule)
+    df.where(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(groupCol) +: col(valueCol).cast("double").as("__x") +:
         col(weightCol).cast("decimal(18,2)").as("__w") +: tieCols.map(col): _*)
       .withColumn("__cum", sum(col("__w")).over(wCum))
       .withColumn("__tot", sum(col("__w")).over(wTot))
@@ -627,7 +632,9 @@ object Stats {
   def anovaOneWay(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val x = col(valueCol).cast("decimal(12,2)")
-    val g = df.groupBy(col(groupCol)).agg(
+    // listwise null exclusion: counting a null row that the sums skip
+    // would deflate S_g²/n_g and silently skew F (the corrMatrix rule)
+    val g = df.where(col(valueCol).isNotNull).groupBy(col(groupCol)).agg(
       count(lit(1)).as("ng"), sum(x).as("sg"), sum(x * x).as("ssg"))
     val term = round(col("sg").cast("double") * col("sg").cast("double") /
       col("ng").cast("double"), 8).cast("decimal(28,8)")
@@ -712,7 +719,12 @@ object Stats {
   def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__x").cast("double").asc)
+    // NULL values are excluded BEFORE ranking (listwise, the corrMatrix
+    // rule): ranked-but-unsummed nulls would shift every real rank and
+    // inflate n — and Spark ranks nulls FIRST where SQL engines rank
+    // them LAST, so the skew would also be engine-dependent
     val ranked = df
+      .where(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast("decimal(12,2)").as("__x"))
       .withColumn("__i", row_number().over(w).cast("long"))
     val m = ranked.groupBy(col(groupCol)).agg(

@@ -359,7 +359,8 @@ object StatsQueries {
         |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x,
         |         CAST(l_quantity AS DECIMAL(18,2)) AS w,
         |         l_orderkey, l_linenumber
-        |  FROM lineitem),
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
         |c AS (
         |  SELECT l_returnflag, x,
         |         SUM(w) OVER (PARTITION BY l_returnflag
@@ -385,7 +386,8 @@ object StatsQueries {
         |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sg,
         |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |             * CAST(l_extendedprice AS DECIMAL(12,2))) AS ssg
-        |  FROM lineitem GROUP BY l_returnflag),
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag),
         |m AS (
         |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
         |         SUM(sg) AS s, SUM(ssg) AS ss,
@@ -419,7 +421,7 @@ object StatsQueries {
         |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
         |                            ORDER BY CAST(l_extendedprice AS DOUBLE))
         |           AS i
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
         |m AS (
         |  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx,
         |         SUM(x * CAST(i AS DECIMAL(19,0))) AS six
