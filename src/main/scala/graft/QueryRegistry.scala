@@ -37,7 +37,8 @@ object QueryRegistry {
       queries.GraphQueries.specs ++
       queries.BpeQueries.specs ++
       queries.LinkageQueries.specs ++
-      queries.GeoQueries.specs
+      queries.GeoQueries.specs ++
+      queries.RankStatsQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

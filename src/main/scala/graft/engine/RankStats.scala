@@ -1,0 +1,245 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based and robust statistics beyond the reference's paired tests
+  * (reference `transform.py:314-376` motivates the family; these are the
+  * standard nonparametric complements a production screen runs beside
+  * them): Spearman rank correlation, Kruskal–Wallis one-way rank ANOVA,
+  * Brown–Forsythe (median-centered Levene) variance-homogeneity test,
+  * Mann–Kendall trend screen and the Theil–Sen slope estimator.
+  *
+  * Shared scale discipline (the `ksStat`/`mannWhitneyStat` convention):
+  * ties pre-aggregate into ONE row per distinct value map-side before any
+  * rank window, so the cumulative windows sort value-DOMAIN-sized tables,
+  * never row-sized ones; mid-ranks are carried as the exact INTEGER
+  * `2·midrank = 2·cum_prev + c + 1`; every moment accumulates in DECIMAL
+  * (exact, associative, partition-order-independent); cross-group float
+  * reductions round each term to the 8dp grid first (the `q_anova` rule);
+  * only the final scalar formula runs in floating point, written as the
+  * same expression tree the DuckDB oracle evaluates.
+  */
+object RankStats {
+
+  /** Spearman rank correlation per group: Pearson over tie-averaged ranks.
+    *
+    * Ranks are built value-level — `groupBy(g, v).count` then ONE
+    * cumulative window over the distinct-value table per variable — and
+    * equi-joined back to the rows, so no window ever sorts the full data
+    * by a low-cardinality group key. The doubled midranks are integers;
+    * all five moments (n, Σrx, Σry, Σrx², Σry², Σrx·ry) are exact
+    * DECIMAL sums of integer products (≤ 4n³ — DECIMAL(38,0) holds to
+    * n ≈ 1e11 rows per group), so rho is bit-stable under any
+    * partitioning. Output: group, n, rho (8dp, NULL when a variable is
+    * constant). */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.na.drop(Seq(xCol, yCol))
+      .select(col(groupCol).as("g"),
+        col(xCol).cast("decimal(18,2)").as("x"),
+        col(yCol).cast("decimal(18,2)").as("y"))
+
+    def rank2(valCol: String, out: String): DataFrame = {
+      val ties = base.groupBy(col("g"), col(valCol).as(valCol))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("g")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ties.select(col("g"), col(valCol),
+        (coalesce(sum(col("c")).over(wCum), lit(0L)) * 2 + col("c") + 1)
+          .as(out))
+    }
+
+    val ranked = base
+      .join(rank2("x", "rx2"), Seq("g", "x"))
+      .join(rank2("y", "ry2"), Seq("g", "y"))
+      .select(col("g"), col("rx2"), col("ry2"))
+
+    // cast to DECIMAL BEFORE multiplying — a LongType rank product wraps
+    // past rank ≈ 3e9 (the mannWhitneyStat rule)
+    val d19 = "decimal(19,0)"
+    val m = ranked.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("rx2").cast(d19)).as("sx"),
+      sum(col("ry2").cast(d19)).as("sy"),
+      sum(col("rx2").cast(d19) * col("rx2").cast(d19)).as("sxx"),
+      sum(col("ry2").cast(d19) * col("ry2").cast(d19)).as("syy"),
+      sum(col("rx2").cast(d19) * col("ry2").cast(d19)).as("sxy"))
+    val (nd, sxd, syd) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"))
+    val vx = nd * col("sxx").cast("double") - sxd * sxd
+    val vy = nd * col("syy").cast("double") - syd * syd
+    val cov = nd * col("sxy").cast("double") - sxd * syd
+    m.select(col("g").as(groupCol), col("n"),
+      when(vx > 0.0 && vy > 0.0,
+        round(cov / (sqrt(vx) * sqrt(vy)), 8)).as("rho"))
+  }
+
+  /** Kruskal–Wallis one-way ANOVA on ranks across the `factorCol`
+    * populations (the k-group generalization of Mann–Whitney), with the
+    * standard tie correction.
+    *
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),   H_c = H / C,
+    *   C = 1 − Σ_t (t³−t) / (N³−N)
+    *
+    * Counts aggregate per (factor, value) and per value — the global
+    * midrank window runs over the DISTINCT-value table only (single
+    * partition by design, bounded by the value domain, the `ksStat`
+    * convention) and rank sums R_g come from `Σ c_gv · 2·midrank_v`
+    * without ever touching row-level data again. Σ R_g²/n_g rounds each
+    * group's term to the 8dp grid and sums in DECIMAL (engine-ordered
+    * float reduction would not be portable). Output (one row): k, n,
+    * h (uncorrected, 8dp), h_corrected (8dp, NULL when all values tie). */
+  def kruskalWallis(df: DataFrame, factorCol: String,
+      valueCol: String): DataFrame = {
+    val fv = df.where(col(valueCol).isNotNull)
+      .groupBy(col(factorCol).as("f"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+      .agg(count(lit(1)).as("cfv"))
+    val perV = fv.groupBy(col("v")).agg(sum(col("cfv")).as("c"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = perV.select(col("v"),
+      (coalesce(sum(col("c")).over(wCum), lit(0L)) * 2 + col("c") + 1)
+        .as("mr2"),
+      col("c"))
+
+    val perF = fv.join(ranks, "v")
+      .groupBy(col("f"))
+      .agg(sum(col("cfv")).as("ng"),
+        sum((col("cfv") * col("mr2")).cast("decimal(38,0)")).as("r2g"))
+    // R_g = r2g/2; term_g = R_g²/n_g rounded to the grid, summed exactly
+    val term = round(col("r2g").cast("double") * col("r2g").cast("double") /
+      (lit(4.0) * col("ng").cast("double")), 8).cast("decimal(28,8)")
+    val gAgg = perF.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(term).as("rterm"))
+    // tie term Σ(t³−t) — doubles BEFORE multiplying (LongType t³ wraps
+    // past t ≈ 2e6 duplicates of one value)
+    val cd = col("c").cast("double")
+    val tAgg = ranks.agg(
+      coalesce(sum(when(col("c") > 1, cd * cd * cd - cd)), lit(0.0))
+        .as("ties"))
+
+    val nd = col("n").cast("double")
+    val h = lit(12.0) / (nd * (nd + 1.0)) * col("rterm").cast("double") -
+      lit(3.0) * (nd + 1.0)
+    val corr = lit(1.0) - col("ties") / (nd * nd * nd - nd)
+    gAgg.crossJoin(tAgg).select(col("k"), col("n"),
+      when(col("k") > 1 && col("n") > col("k"), round(h, 8)).as("h"),
+      when(col("k") > 1 && col("n") > col("k") && corr > 0.0,
+        round(h / corr, 8)).as("h_corrected"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (Levene with MEDIAN
+    * centers — robust to the heavy tails that break the mean-centered
+    * original): a one-way ANOVA F over per-group absolute deviations
+    * from the group median.
+    *
+    * Exactness: values move to the integer MILLI grid (×1000 — the
+    * half-cent interpolated medians land on multiples of 5, exactly
+    * representable doubles), so `|x − med|` is exact integer arithmetic
+    * and the F statistic — scale-invariant by definition — is computed
+    * on a grid both engines agree on bit-for-bit. Two passes: exact
+    * percentile medians (k rows, broadcast back), then the `anovaOneWay`
+    * DECIMAL moment formula. Output (one row): k, n, f_stat (8dp). */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val xm = (col(valueCol).cast("decimal(18,2)") * 1000)
+      .cast("long").as("xm")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), xm)
+    val med = base.groupBy(col("g"))
+      .agg(percentile(col("xm"), lit(0.5)).as("med"))
+    val dev = base.join(broadcast(med), "g")
+      .select(col("g"),
+        abs(col("xm").cast("double") - col("med")).as("dev"))
+    // anovaOneWay's moment formula inline, on the exact integer grid
+    // (dev is integer-or-half-integer-valued — DECIMAL(28,1) is exact)
+    val d = col("dev").cast("decimal(28,1)")
+    val g = dev.groupBy(col("g")).agg(
+      count(lit(1)).as("ng"), sum(d).as("sg"), sum(d * d).as("ssg"))
+    val term = round(col("sg").cast("double") * col("sg").cast("double") /
+      col("ng").cast("double"), 8).cast("decimal(28,8)")
+    val m = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"), sum(col("ssg")).as("ss"),
+      sum(term).as("t"))
+    val (kd, nd, sd, ssd, td) = (col("k").cast("double"),
+      col("n").cast("double"), col("s").cast("double"),
+      col("ss").cast("double"), col("t").cast("double"))
+    val ssb = td - sd * sd / nd
+    val ssw = ssd - td
+    m.select(col("k"), col("n"),
+      when(col("k") > 1 && col("n") > col("k") && ssw > 0.0,
+        round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 8)).as("f_stat"))
+  }
+
+  /** Mann–Kendall trend test per group over an ordered series
+    * (`tCol` integer time index, `vCol` exact DECIMAL value):
+    * S = Σ_{i<j} sign(v_j − v_i), tie-corrected variance, and the
+    * continuity-corrected normal Z.
+    *
+    * The O(n²) pair generation is bounded by the TIME GRID, not the
+    * row count — callers pre-aggregate to a calendar spine first (the
+    * registered query sums per day: ~2.4k days regardless of SF, so
+    * ~3M pairs per group at ANY scale; the quadratic cost is a
+    * constant of the calendar). sign() on DECIMAL differences is
+    * exact; the variance products cast double BEFORE multiplying
+    * (n(n−1)(2n+5) wraps LongType past n ≈ 1e6).
+    * Output: group, n, s, z (8dp, NULL when var = 0). */
+  def mannKendall(series: DataFrame, groupCol: String, tCol: String,
+      vCol: String): DataFrame = {
+    val a = series.select(col(groupCol).as("g"), col(tCol).as("t1"),
+      col(vCol).as("v1"))
+    val b = series.select(col(groupCol).as("g"), col(tCol).as("t2"),
+      col(vCol).as("v2"))
+    val pairs = a.join(b, Seq("g")).where(col("t1") < col("t2"))
+    val sAgg = pairs.groupBy(col("g")).agg(
+      sum(signum((col("v2") - col("v1")).cast("double")).cast("long"))
+        .as("s"),
+      count(lit(1)).as("n_pairs"))
+    val cd = count(lit(1)).cast("double")
+    val ties = series.groupBy(col(groupCol).as("g"), col(vCol).as("v"))
+      .agg(cd.as("t"))
+      .groupBy(col("g"))
+      .agg(coalesce(sum(when(col("t") > 1,
+          col("t") * (col("t") - 1) * (lit(2.0) * col("t") + 5))),
+        lit(0.0)).as("tie_term"),
+        sum(col("t")).cast("long").as("n"))
+    val nd = col("n").cast("double")
+    val variance = (nd * (nd - 1.0) * (lit(2.0) * nd + 5.0) -
+      col("tie_term")) / 18.0
+    val sd = col("s").cast("double")
+    sAgg.join(ties, "g").select(col("g").as(groupCol), col("n"), col("s"),
+      when(variance > 0.0, round(
+        when(col("s") > 0, (sd - 1.0) / sqrt(variance))
+          .when(col("s") < 0, (sd + 1.0) / sqrt(variance))
+          .otherwise(lit(0.0)), 8)).as("z"))
+  }
+
+  /** Theil–Sen slope per group: the median of all pairwise slopes
+    * (v_j − v_i)/(t_j − t_i), i < j — the robust regression slope
+    * (breakdown point 29%) beside `corrOls`'s least-squares one.
+    *
+    * Same calendar-bounded pair generation as [[mannKendall]] (callers
+    * pre-aggregate to the time grid). Slopes are DECIMAL-difference /
+    * integer-difference doubles — the identical IEEE division both
+    * engines evaluate — and the median is the exact interpolated
+    * percentile over that double multiset (the `quantile_cont`
+    * contract). Output: group, n_pairs, sen_slope (8dp). */
+  def theilSen(series: DataFrame, groupCol: String, tCol: String,
+      vCol: String): DataFrame = {
+    val a = series.select(col(groupCol).as("g"), col(tCol).as("t1"),
+      col(vCol).as("v1"))
+    val b = series.select(col(groupCol).as("g"), col(tCol).as("t2"),
+      col(vCol).as("v2"))
+    val slopes = a.join(b, Seq("g")).where(col("t1") < col("t2"))
+      .select(col("g"),
+        ((col("v2") - col("v1")).cast("double") /
+          (col("t2") - col("t1")).cast("double")).as("slope"))
+    slopes.groupBy(col("g")).agg(
+        count(lit(1)).as("n_pairs"),
+        round(percentile(col("slope"), lit(0.5)), 8).as("sen_slope"))
+      .select(col("g").as(groupCol), col("n_pairs"), col("sen_slope"))
+  }
+}

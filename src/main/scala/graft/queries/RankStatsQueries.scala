@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.{RankStats, Tables}
+
+/** Rank-based and robust statistics (the nonparametric companions of
+  * q_anova / q_mannwhitney / q_corr_ols): Spearman, Kruskal–Wallis,
+  * Brown–Forsythe, and the calendar-grid trend screens (Mann–Kendall,
+  * Theil–Sen). Reference `transform.py:314-376` motivates the family;
+  * everything here follows the RankStats scale discipline (value-domain
+  * rank windows, DECIMAL moments, 8dp-grid cross-group reductions).
+  */
+object RankStatsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Per-returnflag daily quantity series — the calendar spine that
+    * bounds the trend screens' pairwise stage by ~2.4k days at ANY SF. */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("v"))
+
+  private val dailySql =
+    """SELECT l_returnflag,
+      |       CAST(datediff('day', DATE '1992-01-01',
+      |                     CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+      |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS v
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Spearman rank correlation per group — Pearson over tie-averaged
+    // ranks; monotone-not-linear association beside q_corr_ols's Pearson.
+    QuerySpec("q_spearman", (s, dir) => {
+      RankStats.spearman(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |rx AS (
+        |  SELECT g, x,
+        |         2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + c + 1 AS rx2
+        |  FROM (SELECT g, x, COUNT(*) AS c FROM base GROUP BY g, x)),
+        |ry AS (
+        |  SELECT g, y,
+        |         2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + c + 1 AS ry2
+        |  FROM (SELECT g, y, COUNT(*) AS c FROM base GROUP BY g, y)),
+        |r AS (SELECT base.g AS g, rx2, ry2
+        |      FROM base JOIN rx USING (g, x) JOIN ry USING (g, y)),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n,
+        |         SUM(CAST(rx2 AS DECIMAL(19,0))) AS sx,
+        |         SUM(CAST(ry2 AS DECIMAL(19,0))) AS sy,
+        |         SUM(CAST(rx2 AS DECIMAL(19,0))
+        |             * CAST(rx2 AS DECIMAL(19,0))) AS sxx,
+        |         SUM(CAST(ry2 AS DECIMAL(19,0))
+        |             * CAST(ry2 AS DECIMAL(19,0))) AS syy,
+        |         SUM(CAST(rx2 AS DECIMAL(19,0))
+        |             * CAST(ry2 AS DECIMAL(19,0))) AS sxy
+        |  FROM r GROUP BY g),
+        |d AS (
+        |  SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |         CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m)
+        |SELECT g AS l_returnflag, n,
+        |       CASE WHEN nd * sxxd - sxd * sxd > 0.0
+        |             AND nd * syyd - syd * syd > 0.0
+        |            THEN ROUND((nd * sxyd - sxd * syd)
+        |                       / (SQRT(nd * sxxd - sxd * sxd)
+        |                          * SQRT(nd * syyd - syd * syd)), 8)
+        |       END AS rho
+        |FROM d ORDER BY l_returnflag""".stripMargin)),
+
+    // Kruskal–Wallis one-way rank ANOVA across returnflag populations,
+    // tie-corrected — the k-group generalization of q_mannwhitney.
+    QuerySpec("q_kruskal_wallis", (s, dir) => {
+      RankStats.kruskalWallis(t(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity")
+    }, Some(
+      """WITH fv AS (
+        |  SELECT l_returnflag AS f,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS v,
+        |         COUNT(*) AS cfv
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |pv AS (SELECT v, CAST(SUM(cfv) AS BIGINT) AS c FROM fv GROUP BY v),
+        |ranks AS (
+        |  SELECT v,
+        |         2 * COALESCE(SUM(c) OVER (ORDER BY v
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + c + 1 AS mr2,
+        |         c
+        |  FROM pv),
+        |pf AS (
+        |  SELECT f, CAST(SUM(cfv) AS BIGINT) AS ng,
+        |         SUM(CAST(cfv AS DECIMAL(19,0))
+        |             * CAST(mr2 AS DECIMAL(19,0))) AS r2g
+        |  FROM fv JOIN ranks USING (v) GROUP BY f),
+        |gagg AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |         SUM(CAST(ROUND(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+        |                        / (4.0 * CAST(ng AS DOUBLE)), 8)
+        |                  AS DECIMAL(28,8))) AS rterm
+        |  FROM pf),
+        |tagg AS (
+        |  SELECT COALESCE(SUM(CASE WHEN c > 1
+        |           THEN CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+        |                * CAST(c AS DOUBLE) - CAST(c AS DOUBLE) END), 0.0)
+        |           AS ties
+        |  FROM ranks),
+        |d AS (
+        |  SELECT k, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(rterm AS DOUBLE) AS rt, ties
+        |  FROM gagg CROSS JOIN tagg)
+        |SELECT k, n,
+        |       CASE WHEN k > 1 AND n > k
+        |            THEN ROUND(12.0 / (nd * (nd + 1.0)) * rt
+        |                       - 3.0 * (nd + 1.0), 8) END AS h,
+        |       CASE WHEN k > 1 AND n > k
+        |             AND 1.0 - ties / (nd * nd * nd - nd) > 0.0
+        |            THEN ROUND((12.0 / (nd * (nd + 1.0)) * rt
+        |                        - 3.0 * (nd + 1.0))
+        |                       / (1.0 - ties / (nd * nd * nd - nd)), 8)
+        |       END AS h_corrected
+        |FROM d""".stripMargin)),
+
+    // Brown–Forsythe variance-homogeneity (median-centered Levene):
+    // ANOVA F over |x − group median| on the exact integer milli grid.
+    QuerySpec("q_levene_bf", (s, dir) => {
+      RankStats.brownForsythe(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice")
+    }, Some(
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000
+        |              AS BIGINT) AS xm
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |med AS (SELECT g, quantile_cont(xm, 0.5) AS med
+        |        FROM base GROUP BY g),
+        |dev AS (
+        |  SELECT base.g AS g,
+        |         CAST(ABS(CAST(xm AS DOUBLE) - med) AS DECIMAL(28,1)) AS d
+        |  FROM base JOIN med USING (g)),
+        |gm AS (
+        |  SELECT g, COUNT(*) AS ng, SUM(d) AS sg, SUM(d * d) AS ssg
+        |  FROM dev GROUP BY g),
+        |m AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |         SUM(sg) AS s, SUM(ssg) AS ss,
+        |         SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |                        / CAST(ng AS DOUBLE), 8)
+        |                  AS DECIMAL(28,8))) AS t
+        |  FROM gm),
+        |d AS (
+        |  SELECT k, n, CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd,
+        |         CAST(s AS DOUBLE) AS sd, CAST(ss AS DOUBLE) AS ssd,
+        |         CAST(t AS DOUBLE) AS td
+        |  FROM m)
+        |SELECT k, n,
+        |       CASE WHEN k > 1 AND n > k AND ssd - td > 0.0
+        |            THEN ROUND(((td - sd * sd / nd) / (kd - 1.0))
+        |                       / ((ssd - td) / (nd - kd)), 8)
+        |       END AS f_stat
+        |FROM d""".stripMargin)),
+
+    // Mann–Kendall trend screen over the per-returnflag daily quantity
+    // series — monotone-trend detection with tie-corrected variance and
+    // continuity-corrected Z. The pairwise stage is calendar-bounded.
+    QuerySpec("q_mann_kendall", (s, dir) => {
+      RankStats.mannKendall(dailySeries(s, dir), "l_returnflag",
+          "day", "v")
+        .orderBy("l_returnflag")
+    }, Some(
+      s"""WITH daily AS ($dailySql),
+        |pairs AS (
+        |  SELECT a.l_returnflag AS g,
+        |         CAST(SIGN(CAST(b.v - a.v AS DOUBLE)) AS BIGINT) AS sg
+        |  FROM daily a JOIN daily b
+        |    ON a.l_returnflag = b.l_returnflag AND a.day < b.day),
+        |sa AS (SELECT g, CAST(SUM(sg) AS BIGINT) AS s FROM pairs GROUP BY g),
+        |tv AS (SELECT l_returnflag AS g, v, CAST(COUNT(*) AS DOUBLE) AS t
+        |       FROM daily GROUP BY 1, 2),
+        |ta AS (
+        |  SELECT g,
+        |         COALESCE(SUM(CASE WHEN t > 1
+        |           THEN t * (t - 1) * (2.0 * t + 5) END), 0.0) AS tie_term,
+        |         CAST(SUM(t) AS BIGINT) AS n
+        |  FROM tv GROUP BY g),
+        |d AS (
+        |  SELECT sa.g AS g, n, s, CAST(n AS DOUBLE) AS nd,
+        |         CAST(s AS DOUBLE) AS sd, tie_term
+        |  FROM sa JOIN ta USING (g))
+        |SELECT g AS l_returnflag, n, s,
+        |       CASE WHEN (nd * (nd - 1.0) * (2.0 * nd + 5.0) - tie_term)
+        |                 / 18.0 > 0.0
+        |            THEN ROUND(CASE WHEN s > 0 THEN (sd - 1.0)
+        |                   / SQRT((nd * (nd - 1.0) * (2.0 * nd + 5.0)
+        |                           - tie_term) / 18.0)
+        |                 WHEN s < 0 THEN (sd + 1.0)
+        |                   / SQRT((nd * (nd - 1.0) * (2.0 * nd + 5.0)
+        |                           - tie_term) / 18.0)
+        |                 ELSE 0.0 END, 8)
+        |       END AS z
+        |FROM d ORDER BY l_returnflag""".stripMargin)),
+
+    // Theil–Sen robust slope over the same daily series — the median of
+    // all pairwise slopes (breakdown point 29%) beside q_corr_ols's OLS.
+    QuerySpec("q_theil_sen", (s, dir) => {
+      RankStats.theilSen(dailySeries(s, dir), "l_returnflag", "day", "v")
+        .orderBy("l_returnflag")
+    }, Some(
+      s"""WITH daily AS ($dailySql),
+        |slopes AS (
+        |  SELECT a.l_returnflag AS g,
+        |         CAST(b.v - a.v AS DOUBLE)
+        |           / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.l_returnflag = b.l_returnflag AND a.day < b.day)
+        |SELECT g AS l_returnflag, COUNT(*) AS n_pairs,
+        |       ROUND(quantile_cont(slope, 0.5), 8) AS sen_slope
+        |FROM slopes GROUP BY g ORDER BY g""".stripMargin))
+  )
+}

@@ -44,7 +44,12 @@ class DeterminismSpec extends SparkSpec {
     "q_interval_merge", "q_resample_interp", "q_readability", "q_rfm",
     "q_join_size_est", "q_pit_join",
     "q_vocab_coverage", "q_streaks", "q_abc_class", "q_funnel_window",
-    "q_skew_report", "q_cramers_v", "q_markov_trans")
+    "q_skew_report", "q_cramers_v", "q_markov_trans",
+    // rank-stats tier: value-domain midrank windows, grid-summed
+    // R²/n terms, milli-grid deviations, calendar-pair sign sums,
+    // pairwise-slope medians
+    "q_spearman", "q_kruskal_wallis", "q_levene_bf", "q_mann_kendall",
+    "q_theil_sen")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
