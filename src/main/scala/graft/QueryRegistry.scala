@@ -38,7 +38,8 @@ object QueryRegistry {
       queries.BpeQueries.specs ++
       queries.LinkageQueries.specs ++
       queries.GeoQueries.specs ++
-      queries.RankStatsQueries.specs
+      queries.RankStatsQueries.specs ++
+      queries.RetrievalQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

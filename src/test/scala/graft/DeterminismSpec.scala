@@ -49,7 +49,10 @@ class DeterminismSpec extends SparkSpec {
     // R²/n terms, milli-grid deviations, calendar-pair sign sums,
     // pairwise-slope medians
     "q_spearman", "q_kruskal_wallis", "q_levene_bf", "q_mann_kendall",
-    "q_theil_sen")
+    "q_theil_sen",
+    // retrieval tier: 8dp idf grids + decimal doc sums, deg/freq score
+    // joins, nano-grid greedy MMR over collected candidate matrices
+    "q_bm25", "q_rake_keywords", "q_mmr_rerank")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
