@@ -234,4 +234,110 @@ object Graph {
     cur.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .select(col("a").as("node"), col("deg"))
   }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) over the
+    * undirected graph: for every NON-adjacent pair (u, v) with at least
+    * one common neighbor,
+    *
+    *   AA(u, v) = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))
+    *
+    * — shared rare neighbors count more than shared hubs. On the
+    * near-dup pair graph this ranks the transitive links LSH banding
+    * missed (the "should these clusters merge?" screen).
+    *
+    * Shape: pairs generate WEDGE-locally — one self-join of the
+    * adjacency on the shared neighbor w, cost Σ_w deg(w)², the same
+    * bucket-local bound as the winnowing pair stage; `maxDeg` caps the
+    * wedge degree (the winnowing maxDf contract: hubs shared by
+    * everyone carry ≈ no AA signal — 1/ln(deg) → 0 — but dominate the
+    * quadratic cost, so excluding them is the documented recall trade
+    * that keeps the stage linear); existing edges drop via one
+    * anti-join. A common neighbor has deg ≥ 2 by construction, so
+    * 1/ln(deg) is finite; each weight rounds to the 8dp grid at birth
+    * and pair scores sum in DECIMAL. Output: top-k
+    * (u, v, common, score) by (score DESC, u, v). */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 20, maxDeg: Int = Int.MaxValue): DataFrame = {
+    val und = Checkpoints.iterationBarrier(symmetrize(edges, srcCol, dstCol))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    // only deg ≥ 2 nodes can BE a common neighbor — filtering first also
+    // keeps ANSI from evaluating 1/ln(1) on rows the wedge join would
+    // drop anyway
+    val w8 = und.join(deg.where(col("deg") >= 2 && col("deg") <= maxDeg), "a")
+      .select(col("a").as("w"), col("b").as("n"),
+        round(lit(1.0) / round(log(col("deg").cast("double")), 8), 8)
+          .cast("decimal(28,8)").as("w8"))
+    val u = w8.select(col("w"), col("n").as("u"), col("w8"))
+    val v = w8.select(col("w"), col("n").as("v"))
+    val scored = u.join(v, "w")
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"), sum(col("w8")).as("s"))
+    scored
+      .join(und.where(col("a") < col("b"))
+          .select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("common"),
+        round(col("s").cast("double"), 8).as("score"))
+      .orderBy(col("score").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) after `iters` rounds over
+    * the distinct directed edges, in EXACT integer fixed point: scores
+    * live in 1e-8 units, and each round renormalizes by floor division
+    *
+    *   a(v) = (Σ_{u→v} h(u)) · 1e8 // Σ_v raw_a,
+    *   h(u) = (Σ_{u→v} a(v)) · 1e8 // Σ_u raw_h
+    *
+    * so every intermediate is an exact DECIMAL integer (raw sums reach
+    * |V|·1e8 ≈ 1e19 at a billion nodes — past BIGINT, inside
+    * DECIMAL(38,0)/HUGEINT) and results are bit-identical across
+    * engines and partitionings — the pageRank fixed-point discipline,
+    * with per-round renormalization instead of damping because HITS
+    * scores otherwise grow by a degree factor per round.
+    *
+    * Per-round cost: one join of edges against each score vector + two
+    * aggregations — |E|-shaped, like pageRank. Output: (side ∈
+    * {hub, auth}, node, score_e8) — score_e8/1e8 is the L1-normalized
+    * score. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    val e = Checkpoints.iterationBarrier(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
+    val d38 = "decimal(38,0)"
+    // exact floor division for non-negative decimals (the portable
+    // (x − x mod s)/s form — Spark div and DuckDB // only agree on
+    // non-negatives, which scores are)
+    def fdiv(x: Column, s: Column): Column =
+      ((x - pmod(x, s)) / s).cast(d38)
+
+    val unit = lit(100000000L).cast(d38)
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("h", unit)
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val rawA = e.join(h, e("src") === h("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+      val sumA = rawA.agg(sum(col("raw")).as("t"))
+      a = rawA.crossJoin(sumA)
+        .select(col("dst").as("node"),
+          fdiv(col("raw") * unit, col("t")).as("a"))
+      a = Checkpoints.iterationBarrier(a)
+      val rawH = e.join(a, e("dst") === a("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+      val sumH = rawH.agg(sum(col("raw")).as("t"))
+      h = Checkpoints.iterationBarrier(rawH.crossJoin(sumH)
+        .select(col("src").as("node"),
+          fdiv(col("raw") * unit, col("t")).as("h")))
+    }
+    h.select(lit("hub").as("side"), col("node"),
+        col("h").cast("long").as("score_e8"))
+      .unionByName(a.select(lit("auth").as("side"), col("node"),
+        col("a").cast("long").as("score_e8")))
+  }
 }

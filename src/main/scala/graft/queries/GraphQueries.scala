@@ -188,6 +188,78 @@ object GraphQueries {
          |$rounds
          |SELECT a AS node, COUNT(*) AS deg FROM e3
          |GROUP BY a ORDER BY node""".stripMargin
+    }),
+
+    // Adamic–Adar link prediction over the part–supplier co-supply
+    // graph (supplier ids offset into their own key space): ranks
+    // supplier pairs by shared RARE parts — wedge-local pair generation
+    // (Σ deg² like the winnowing stage) with maxDeg = 100 excluding the
+    // supplier-side hubs (deg ≈ 600: near-zero 1/ln signal, quadratic
+    // cost — the documented maxDf-style cap), 8dp 1/ln weights, DECIMAL
+    // pair sums.
+    QuerySpec("q_adamic_adar", (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select((col("l_suppkey") + 1000000L).as("src"),
+          col("l_partkey").as("dst"))
+      Graph.adamicAdar(li, "src", "dst", topK = 20, maxDeg = 100)
+    }, Some(
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_suppkey + 1000000 AS a, l_partkey AS b
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey, l_suppkey + 1000000 FROM lineitem),
+         |deg AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY a),
+         |w8 AS (
+         |  SELECT e.a AS w, e.b AS n,
+         |         CAST(ROUND(CAST(1.0 AS DOUBLE)
+         |                    / ROUND(LN(CAST(deg AS DOUBLE)), 8), 8)
+         |              AS DECIMAL(28,8)) AS w8
+         |  FROM e JOIN deg ON deg.a = e.a
+         |  WHERE deg >= 2 AND deg <= 100),
+         |p AS (
+         |  SELECT u.n AS u, v.n AS v, COUNT(*) AS common, SUM(u.w8) AS s
+         |  FROM w8 u JOIN w8 v ON u.w = v.w AND u.n < v.n
+         |  GROUP BY 1, 2),
+         |np AS (
+         |  SELECT p.u, p.v, p.common, p.s
+         |  FROM p LEFT JOIN e ON e.a = p.u AND e.b = p.v
+         |  WHERE e.a IS NULL)
+         |SELECT u, v, common, ROUND(CAST(s AS DOUBLE), 8) AS score
+         |FROM np ORDER BY score DESC, u, v LIMIT 20""".stripMargin)),
+
+    // HITS hubs & authorities over the purchase graph (hubs = customers,
+    // authorities = suppliers) — exact integer e8 fixed point with
+    // per-round L1 renormalization; the oracle unrolls the rounds on
+    // HUGEINT floor division.
+    QuerySpec("q_hits", (s, dir) => {
+      Graph.hits(purchaseEdges(s, dir), "src", "dst", iters = 3)
+        .orderBy("side", "node")
+    }, Some {
+      val rounds = (1 to 3).map { k =>
+        s"""ra$k AS (
+           |  SELECT e.dst AS node, CAST(SUM(h.h) AS HUGEINT) AS raw
+           |  FROM e JOIN h${k - 1} h ON h.node = e.src GROUP BY e.dst),
+           |ta$k AS (SELECT SUM(raw) AS t FROM ra$k),
+           |a$k AS (SELECT node, (raw * 100000000) // t AS a
+           |        FROM ra$k CROSS JOIN ta$k),
+           |rh$k AS (
+           |  SELECT e.src AS node, CAST(SUM(a.a) AS HUGEINT) AS raw
+           |  FROM e JOIN a$k a ON a.node = e.dst GROUP BY e.src),
+           |th$k AS (SELECT SUM(raw) AS t FROM rh$k),
+           |h$k AS (SELECT node, (raw * 100000000) // t AS h
+           |        FROM rh$k CROSS JOIN th$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS src,
+         |         l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT DISTINCT src AS node,
+         |              CAST(100000000 AS HUGEINT) AS h FROM e),
+         |$rounds
+         |SELECT 'hub' AS side, node, CAST(h AS BIGINT) AS score_e8 FROM h3
+         |UNION ALL
+         |SELECT 'auth', node, CAST(a AS BIGINT) FROM a3
+         |ORDER BY side, node""".stripMargin
     })
   )
 }

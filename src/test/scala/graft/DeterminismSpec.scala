@@ -52,7 +52,9 @@ class DeterminismSpec extends SparkSpec {
     "q_theil_sen",
     // retrieval tier: 8dp idf grids + decimal doc sums, deg/freq score
     // joins, nano-grid greedy MMR over collected candidate matrices
-    "q_bm25", "q_rake_keywords", "q_mmr_rerank")
+    "q_bm25", "q_rake_keywords", "q_mmr_rerank",
+    // graph additions: wedge-local AA sums, e8 floor-div renorm rounds
+    "q_adamic_adar", "q_hits")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

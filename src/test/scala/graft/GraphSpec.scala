@@ -158,4 +158,60 @@ class GraphSpec extends SparkSpec {
     assert(r3 === Map(1L -> 0, 2L -> 1, 3L -> 2, 9L -> 0))
     assert(r3 === r5)
   }
+
+  private def grid8(x: Double): Double =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("adamicAdar: path a-b-c predicts (a,c) with weight 1/ln(deg b)") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.adamicAdar(e, "src", "dst").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getAs[Long]("u"), row.getAs[Long]("v")) === ((1L, 3L)))
+    assert(row.getAs[Long]("common") === 1L)
+    assert(row.getAs[Double]("score") ===
+      grid8(1.0 / grid8(math.log(2.0))))
+  }
+
+  test("adamicAdar: star center yields all leaf pairs; maxDeg excludes it") {
+    val e = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    val r = Graph.adamicAdar(e, "src", "dst").collect()
+    val w = grid8(1.0 / grid8(math.log(3.0)))
+    assert(r.map(x => (x.getAs[Long]("u"), x.getAs[Long]("v"),
+      x.getAs[Double]("score"))).toSet ===
+      Set((1L, 2L, w), (1L, 3L, w), (2L, 3L, w)))
+    assert(Graph.adamicAdar(e, "src", "dst", maxDeg = 2).count() === 0L)
+  }
+
+  test("adamicAdar: adjacent pairs are excluded") {
+    // triangle: every pair is already an edge → nothing to predict
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.adamicAdar(e, "src", "dst").count() === 0L)
+  }
+
+  test("hits: one round matches hand-run integer renormalization") {
+    // u1 → {v1, v2}, u2 → {v1}
+    val e = Seq((1L, 11L), (1L, 12L), (2L, 11L)).toDF("src", "dst")
+    val got = Graph.hits(e, "src", "dst", iters = 1).collect()
+      .map(r => (r.getAs[String]("side"), r.getAs[Long]("node")) ->
+        r.getAs[Long]("score_e8")).toMap
+    val unit = BigInt(100000000L)
+    val rawA = Map(11L -> 2 * unit, 12L -> unit)
+    val ta = rawA.values.sum
+    val a = rawA.map { case (k, v) => k -> v * unit / ta }
+    val rawH = Map(1L -> (a(11L) + a(12L)), 2L -> a(11L))
+    val th = rawH.values.sum
+    val h = rawH.map { case (k, v) => k -> v * unit / th }
+    assert(got === (a.map { case (k, v) => ("auth", k) -> v.toLong } ++
+      h.map { case (k, v) => ("hub", k) -> v.toLong }))
+  }
+
+  test("hits: symmetric hubs tie exactly") {
+    val e = Seq((1L, 11L), (2L, 12L)).toDF("src", "dst")
+    val got = Graph.hits(e, "src", "dst", iters = 3).collect()
+      .map(r => (r.getAs[String]("side"), r.getAs[Long]("node")) ->
+        r.getAs[Long]("score_e8")).toMap
+    assert(got(("hub", 1L)) === got(("hub", 2L)))
+    assert(got(("auth", 11L)) === got(("auth", 12L)))
+  }
 }
