@@ -39,7 +39,8 @@ object QueryRegistry {
       queries.LinkageQueries.specs ++
       queries.GeoQueries.specs ++
       queries.RankStatsQueries.specs ++
-      queries.RetrievalQueries.specs
+      queries.RetrievalQueries.specs ++
+      queries.GovernanceQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

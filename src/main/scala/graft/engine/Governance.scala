@@ -1,0 +1,96 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-governance audits: k-anonymity (privacy), functional-dependency
+  * conformance (quality), and inclusion-dependency discovery (foreign-key
+  * candidates) — the pre-flight screens a curation pipeline runs before
+  * publishing a dataset, complementing the row-level [[Quality]] checks
+  * with dataset-level structural ones.
+  *
+  * All three reduce to aggregations over key groups: map-side combinable,
+  * one shuffle per audit, output sized by the audit (levels / candidate
+  * pairs), never by rows.
+  */
+object Governance {
+
+  /** k-anonymity generalization ladder over the quasi-identifier columns
+    * (Sweeney 2002): level 0 groups by ALL of `qis`, each next level
+    * drops the most specific (last) attribute — exactly `rollup(qis)`,
+    * so the whole ladder is ONE pass with partial aggregation (the
+    * grouping-sets Expand shape PlanSpec already locks elsewhere).
+    *
+    * Per level: distinct QI groups, the minimum group size (the
+    * dataset's k at that generalization), rows in groups below `k`
+    * (what a suppression release would drop), and the anonymous
+    * fraction. Output: (level, n_groups, min_group, rows_below_k,
+    * anon_frac) — level = the grouping_id bitmask (0 = full QI set;
+    * each set bit = that attribute generalized away; rollup emits the
+    * prefix ladder 0, 1, 3, 7, …). */
+  def kAnonymity(df: DataFrame, qis: Seq[String], k: Int): DataFrame = {
+    require(qis.nonEmpty && k >= 2, s"qis=$qis k=$k")
+    val groups = df.rollup(qis.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        grouping_id().as("level"))
+    groups.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("cnt")).as("min_group"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(lit(0L)))
+          .as("rows_below_k"),
+        sum(col("cnt")).as("n_rows"))
+      .select(col("level"), col("n_groups"), col("min_group"),
+        col("rows_below_k"),
+        round(lit(1.0) - col("rows_below_k").cast("double") /
+          col("n_rows").cast("double"), 8).as("anon_frac"))
+      .orderBy(col("level"))
+  }
+
+  /** Functional-dependency audit lhs → rhs: does every `lhs` value map
+    * to ONE `rhs` value, and if not, how far off is the data? Reports
+    * the standard g3 measure (Kivinen & Mannila 1995): the minimum
+    * number of rows to delete so the FD holds = Σ_key (rows_key −
+    * max_single_rhs_count_key), as a fraction of all rows.
+    *
+    * Two key-group aggregations (lhs×rhs counts roll up to lhs), both
+    * map-side combinable. NULL keys/values are excluded (SQL FD
+    * semantics — NULL matches nothing). Output one row: lhs, rhs,
+    * n_keys, violating_keys, g3_rows, g3. */
+  def fdAudit(df: DataFrame, lhs: String, rhs: String): DataFrame = {
+    val pair = df.where(col(lhs).isNotNull && col(rhs).isNotNull)
+      .groupBy(col(lhs).as("a"), col(rhs).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    pair.groupBy(col("a"))
+      .agg(count(lit(1)).as("n_rhs"), sum(col("cnt")).as("rows"),
+        max(col("cnt")).as("max_cnt"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("violating_keys"),
+        sum(col("rows") - col("max_cnt")).as("g3_rows"),
+        sum(col("rows")).as("n_rows"))
+      .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"), col("n_keys"),
+        col("violating_keys"), col("g3_rows"),
+        round(col("g3_rows").cast("double") / col("n_rows").cast("double"),
+          8).as("g3"))
+  }
+
+  /** Inclusion-dependency coverage a ⊆ b: the fraction of DISTINCT
+    * `colA` values (in `dfA`) present among `colB`'s values (in `dfB`)
+    * — the foreign-key discovery screen (coverage 1.0 = FK candidate).
+    *
+    * Distinct both sides first (map-side partial distinct), then one
+    * left-semi-shaped join on the shrunken key sets. Output one row:
+    * a, b, n_a, n_matched, coverage. */
+  def inclusionDep(dfA: DataFrame, colA: String, dfB: DataFrame,
+      colB: String, labelA: String, labelB: String): DataFrame = {
+    val a = dfA.where(col(colA).isNotNull)
+      .select(col(colA).cast("long").as("k")).distinct()
+    val b = dfB.where(col(colB).isNotNull)
+      .select(col(colB).cast("long").as("k")).distinct()
+    a.join(b.withColumn("m", lit(1L)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_a"), sum(col("m")).as("matched"))
+      .select(lit(labelA).as("a"), lit(labelB).as("b"), col("n_a"),
+        coalesce(col("matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("matched"), lit(0L)).cast("double") /
+          col("n_a").cast("double"), 8).as("coverage"))
+  }
+}

@@ -54,7 +54,9 @@ class DeterminismSpec extends SparkSpec {
     // joins, nano-grid greedy MMR over collected candidate matrices
     "q_bm25", "q_rake_keywords", "q_mmr_rerank",
     // graph additions: wedge-local AA sums, e8 floor-div renorm rounds
-    "q_adamic_adar", "q_hits")
+    "q_adamic_adar", "q_hits",
+    // governance audits: rollup ladders, g3 repairs, FK coverage joins
+    "q_k_anonymity", "q_fd_violations", "q_inclusion_dep")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

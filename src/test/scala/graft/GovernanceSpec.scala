@@ -1,0 +1,58 @@
+package graft
+
+import graft.engine.Governance
+
+/** Hand-checkable pins for the governance audits. */
+class GovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kAnonymity: ladder levels, min group, suppression rows") {
+    // QI (a,b): groups (x,1)×4, (x,2)×1, (y,1)×6 → level 0: min 1,
+    // rows_below_k(5) = 4+1 = 5; level 1 (drop b): x×5, y×6 → min 5,
+    // below-k 0; level 3 (all): 11 rows, one group
+    val df = (Seq.fill(4)(("x", 1)) ++ Seq(("x", 2)) ++
+      Seq.fill(6)(("y", 1))).toDF("a", "b")
+    val r = Governance.kAnonymity(df, Seq("a", "b"), k = 5).collect()
+      .map(x => x.getAs[Long]("level") ->
+        (x.getAs[Long]("n_groups"), x.getAs[Long]("min_group"),
+          x.getAs[Long]("rows_below_k"))).toMap
+    assert(r(0L) === ((3L, 1L, 5L)))
+    assert(r(1L) === ((2L, 5L, 0L)))
+    assert(r(3L) === ((1L, 11L, 0L)))
+  }
+
+  test("fdAudit: holding FD has zero g3, violating FD counts repairs") {
+    val holds = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    val h = Governance.fdAudit(holds, "k", "v").head()
+    assert(h.getAs[Long]("violating_keys") === 0L)
+    assert(h.getAs[Long]("g3_rows") === 0L)
+
+    // key 1 → {a, a, b}: delete 1 row to repair; key 2 clean
+    val viol = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val v = Governance.fdAudit(viol, "k", "v").head()
+    assert(v.getAs[Long]("n_keys") === 2L)
+    assert(v.getAs[Long]("violating_keys") === 1L)
+    assert(v.getAs[Long]("g3_rows") === 1L)
+    assert(v.getAs[Double]("g3") === 0.25)
+  }
+
+  test("fdAudit: null keys and values are excluded") {
+    val df = Seq((Some(1), Some("a")), (Some(1), None),
+      (None, Some("b"))).toDF("k", "v")
+    val r = Governance.fdAudit(df, "k", "v").head()
+    assert(r.getAs[Long]("n_keys") === 1L)
+    assert(r.getAs[Long]("violating_keys") === 0L)
+  }
+
+  test("inclusionDep: partial coverage and exact subset") {
+    val a = Seq(1L, 2L, 3L).toDF("x")
+    val b = Seq(2L, 3L, 4L).toDF("y")
+    val r = Governance.inclusionDep(a, "x", b, "y", "A.x", "B.y").head()
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_matched") === 2L)
+    assert(math.abs(r.getAs[Double]("coverage") - 2.0 / 3) < 1e-8)
+
+    val full = Governance.inclusionDep(b, "y", b, "y", "B.y", "B.y").head()
+    assert(full.getAs[Double]("coverage") === 1.0)
+  }
+}
