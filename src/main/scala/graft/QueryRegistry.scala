@@ -40,7 +40,8 @@ object QueryRegistry {
       queries.GeoQueries.specs ++
       queries.RankStatsQueries.specs ++
       queries.RetrievalQueries.specs ++
-      queries.GovernanceQueries.specs
+      queries.GovernanceQueries.specs ++
+      queries.TimeSeriesQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -20,14 +20,14 @@ object RankStatsQueries {
 
   /** Per-returnflag daily quantity series — the calendar spine that
     * bounds the trend screens' pairwise stage by ~2.4k days at ANY SF. */
-  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+  private[queries] def dailySeries(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"),
         datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
           .cast("long").as("day"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("v"))
 
-  private val dailySql =
+  private[queries] val dailySql =
     """SELECT l_returnflag,
       |       CAST(datediff('day', DATE '1992-01-01',
       |                     CAST(l_shipdate AS DATE)) AS BIGINT) AS day,

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.{Bootstrap, Tables, TimeSeries}
+
+/** Time-series monitoring over the calendar-spine daily series (ACF
+  * grid, Bollinger bands, rolling correlation, seasonality index) plus
+  * the Poisson-bootstrap CI — the uncertainty layer over the point
+  * statistics the stats tier reports. */
+object TimeSeriesQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Two-metric daily series (quantity + revenue sums per returnflag). */
+  private def dailyXY(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("x"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("y"))
+
+  private val dailyXYSql =
+    """SELECT l_returnflag,
+      |       CAST(datediff('day', DATE '1992-01-01',
+      |                     CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+      |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS x,
+      |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS y
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** The shared Pearson-from-moments SQL tail (the q_corr_ols formula):
+    * expects columns n, sx, sy, sxx, syy, sxy in scope. */
+  private def pearsonSql(outName: String, extraCond: String = "") =
+    s"""CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       |      $extraCond
+       |     THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |                / SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                / SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 8)
+       |END AS $outName""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ACF at lags 1..5 over the daily quantity series, one window pass —
+    // the memory-structure diagnostic generalizing q_autocorr's lag-1.
+    QuerySpec("q_acf_grid", (s, dir) => {
+      TimeSeries.acfGrid(RankStatsQueries.dailySeries(s, dir),
+          "l_returnflag", "day", "v", maxLag = 5)
+        .orderBy("l_returnflag", "lag")
+    }, Some {
+      val lagCols = (1 to 5).map(k =>
+        s"LAG(v, $k) OVER (PARTITION BY l_returnflag ORDER BY day) AS x$k")
+        .mkString(",\n|         ")
+      val branches = (1 to 5).map(k =>
+        s"SELECT l_returnflag, $k AS lag, x$k AS x, v AS y FROM lagged")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH daily AS (${RankStatsQueries.dailySql}),
+         |lagged AS (
+         |  SELECT l_returnflag, v,
+         |         $lagCols
+         |  FROM daily),
+         |pairs AS (
+         |  $branches),
+         |m AS (
+         |  SELECT l_returnflag, lag, COUNT(*) AS n,
+         |         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+         |         SUM(y * y) AS syy, SUM(x * y) AS sxy
+         |  FROM pairs WHERE x IS NOT NULL
+         |  GROUP BY 1, 2)
+         |SELECT l_returnflag, lag, n,
+         |       ${pearsonSql("acf")}
+         |FROM m ORDER BY l_returnflag, lag""".stripMargin
+    }),
+
+    // Bollinger bands (7-day, ±2σ) over daily quantity with breach
+    // flags — bands from exact DECIMAL window sums, the breach compare
+    // on the shared unrounded doubles.
+    QuerySpec("q_bollinger", (s, dir) => {
+      TimeSeries.bollinger(RankStatsQueries.dailySeries(s, dir),
+          "l_returnflag", "day", "v", window = 7, k = 2.0)
+        .orderBy("l_returnflag", "day")
+    }, Some(
+      s"""WITH daily AS (${RankStatsQueries.dailySql}),
+         |w AS (
+         |  SELECT l_returnflag, day, v,
+         |         COUNT(*) OVER fr AS n, SUM(v) OVER fr AS s,
+         |         SUM(v * v) OVER fr AS ss
+         |  FROM daily
+         |  WINDOW fr AS (PARTITION BY l_returnflag ORDER BY day
+         |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         |b AS (
+         |  SELECT l_returnflag, day, v, n,
+         |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |         SQRT((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+         |               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         |              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         |           AS sd
+         |  FROM w)
+         |SELECT l_returnflag, day, CAST(v AS DOUBLE) AS v,
+         |       CASE WHEN n = 7 THEN ROUND(mean, 8) END AS mean,
+         |       CASE WHEN n = 7
+         |            THEN ROUND(mean - CAST(2.0 AS DOUBLE) * sd, 8)
+         |       END AS lower,
+         |       CASE WHEN n = 7
+         |            THEN ROUND(mean + CAST(2.0 AS DOUBLE) * sd, 8)
+         |       END AS upper,
+         |       CASE WHEN n = 7
+         |            THEN CAST(v AS DOUBLE)
+         |                   > mean + CAST(2.0 AS DOUBLE) * sd
+         |                 OR CAST(v AS DOUBLE)
+         |                   < mean - CAST(2.0 AS DOUBLE) * sd
+         |       END AS breach
+         |FROM b ORDER BY l_returnflag, day""".stripMargin)),
+
+    // Rolling 14-day quantity↔revenue correlation per returnflag —
+    // the co-movement monitor (five DECIMAL window sums, one pass).
+    QuerySpec("q_rolling_corr", (s, dir) => {
+      TimeSeries.rollingCorr(dailyXY(s, dir), "l_returnflag", "day",
+          "x", "y", window = 14)
+        .orderBy("l_returnflag", "day")
+    }, Some(
+      s"""WITH daily AS ($dailyXYSql),
+         |w AS (
+         |  SELECT l_returnflag, day,
+         |         COUNT(*) OVER fr AS n,
+         |         SUM(x) OVER fr AS sx, SUM(y) OVER fr AS sy,
+         |         SUM(x * x) OVER fr AS sxx, SUM(y * y) OVER fr AS syy,
+         |         SUM(x * y) OVER fr AS sxy
+         |  FROM daily
+         |  WINDOW fr AS (PARTITION BY l_returnflag ORDER BY day
+         |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT l_returnflag, day, n,
+         |       ${pearsonSql("corr", "AND n = 14")}
+         |FROM w ORDER BY l_returnflag, day""".stripMargin)),
+
+    // Day-of-week seasonality index of event values per event type
+    // (DuckDB's Sunday = 0 convention, the q_date_parts rule).
+    QuerySpec("q_seasonal_profile", (s, dir) => {
+      TimeSeries.seasonalProfile(t(s, dir, "events"), "event_type",
+          (dayofweek(col("ts")) - 1).cast("long"), "value")
+        .orderBy("event_type", "season")
+    }, Some(
+      """WITH per AS (
+        |  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS season,
+        |         COUNT(*) AS n,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS s
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn, SUM(s) AS ts
+        |  FROM per GROUP BY event_type)
+        |SELECT per.event_type, season, n,
+        |       ROUND(CAST(per.s AS DOUBLE) / CAST(per.n AS DOUBLE), 8)
+        |         AS season_mean,
+        |       CASE WHEN CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE)
+        |                 > 0.0
+        |            THEN ROUND((CAST(per.s AS DOUBLE)
+        |                        / CAST(per.n AS DOUBLE))
+        |                       / (CAST(tot.ts AS DOUBLE)
+        |                          / CAST(tot.tn AS DOUBLE)), 8)
+        |       END AS season_index
+        |FROM per JOIN tot USING (event_type)
+        |ORDER BY event_type, season""".stripMargin)),
+
+    // Poisson-bootstrap 95% CI for the per-returnflag mean quantity:
+    // 50 replicates of md5-drawn Poisson(1) weights (hex-threshold
+    // draw — no floating point), exact percentile over replicate means.
+    QuerySpec("q_bootstrap_ci", (s, dir) => {
+      Bootstrap.meanCi(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity",
+          concat(col("l_orderkey").cast("string"), lit("|"),
+            col("l_linenumber").cast("string")),
+          b = 50)
+        .orderBy("l_returnflag")
+    }, Some {
+      val wCase = Bootstrap.poissonCaseSql(
+        "SUBSTR(md5('boot|' || k || '|' || CAST(rep AS VARCHAR)), 1, 8)")
+      s"""WITH base AS (
+         |  SELECT l_returnflag AS g,
+         |         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+         |         CAST(l_orderkey AS VARCHAR) || '|'
+         |           || CAST(l_linenumber AS VARCHAR) AS k
+         |  FROM lineitem WHERE l_quantity IS NOT NULL),
+         |reps AS (
+         |  SELECT g, rep,
+         |         $wCase AS w, x
+         |  FROM base CROSS JOIN
+         |       (SELECT unnest(range(1, 51)) AS rep)),
+         |rm AS (
+         |  SELECT g, rep,
+         |         CASE WHEN SUM(w) > 0
+         |              THEN CAST(SUM(CAST(w AS DECIMAL(28,0)) * x)
+         |                        AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+         |         END AS rep_mean
+         |  FROM reps GROUP BY 1, 2),
+         |ci AS (
+         |  SELECT g, ROUND(quantile_cont(rep_mean, 0.025), 8) AS ci_lo,
+         |         ROUND(quantile_cont(rep_mean, 0.975), 8) AS ci_hi
+         |  FROM rm WHERE rep_mean IS NOT NULL GROUP BY g),
+         |pt AS (
+         |  SELECT g, COUNT(*) AS n,
+         |         ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 8) AS mean
+         |  FROM base GROUP BY g)
+         |SELECT pt.g AS l_returnflag, n, mean, ci_lo, ci_hi
+         |FROM pt JOIN ci USING (g) ORDER BY l_returnflag""".stripMargin
+    })
+  )
+}

@@ -56,7 +56,11 @@ class DeterminismSpec extends SparkSpec {
     // graph additions: wedge-local AA sums, e8 floor-div renorm rounds
     "q_adamic_adar", "q_hits",
     // governance audits: rollup ladders, g3 repairs, FK coverage joins
-    "q_k_anonymity", "q_fd_violations", "q_inclusion_dep")
+    "q_k_anonymity", "q_fd_violations", "q_inclusion_dep",
+    // time-series tier: one-pass lag grids, decimal window sums,
+    // hex-threshold Poisson draws + replicate percentiles
+    "q_acf_grid", "q_bollinger", "q_rolling_corr", "q_seasonal_profile",
+    "q_bootstrap_ci")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

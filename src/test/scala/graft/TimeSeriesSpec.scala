@@ -1,0 +1,91 @@
+package graft
+
+import graft.engine.{Bootstrap, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Analytic pins for the time-series tier and the Poisson bootstrap. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("acfGrid: alternating series has acf(1) = -1, acf(2) = 1") {
+    val s = (1L to 8L).map(i => ("g", i,
+      BigDecimal(if (i % 2 == 0) 1 else -1))).toDF("lbl", "t", "v")
+    val r = TimeSeries.acfGrid(s, "lbl", "t", "v", maxLag = 2).collect()
+      .map(x => x.getAs[Int]("lag") -> x.getAs[Double]("acf")).toMap
+    assert(r(1) === -1.0)
+    assert(r(2) === 1.0)
+  }
+
+  test("acfGrid: lag pairs stay within their own group") {
+    // two groups, each too short for lag 2 pairs beyond 1
+    val s = Seq(("a", 1L, BigDecimal(1)), ("a", 2L, BigDecimal(2)),
+      ("b", 1L, BigDecimal(5)), ("b", 2L, BigDecimal(6)))
+      .toDF("lbl", "t", "v")
+    val r = TimeSeries.acfGrid(s, "lbl", "t", "v", maxLag = 2)
+    // lag-1 yields exactly 1 pair per group (constant-variance → NULL
+    // acf but the n column proves the pairing); lag-2 yields none
+    val n = r.collect().map(x => (x.getAs[String]("lbl"),
+      x.getAs[Int]("lag")) -> x.getAs[Long]("n")).toMap
+    assert(n === Map(("a", 1) -> 1L, ("b", 1) -> 1L))
+  }
+
+  test("bollinger: constant series pins bands to the mean, no breach") {
+    val s = (1L to 5L).map(i => ("g", i, BigDecimal(10))).toDF("lbl", "t", "v")
+    val r = TimeSeries.bollinger(s, "lbl", "t", "v", window = 3)
+      .orderBy("t").collect()
+    assert(r.take(2).forall(_.isNullAt(3))) // no full window yet
+    val full = r.drop(2)
+    assert(full.forall(x => x.getAs[Double]("mean") === 10.0 &&
+      x.getAs[Double]("lower") === 10.0 &&
+      x.getAs[Double]("upper") === 10.0 &&
+      !x.getAs[Boolean]("breach")))
+  }
+
+  test("bollinger: an outlier spike breaches the upper band") {
+    val s = (Seq(1L -> 10, 2L -> 11, 3L -> 10, 4L -> 11, 5L -> 10,
+      6L -> 11, 7L -> 10, 8L -> 50))
+      .map { case (t, v) => ("g", t, BigDecimal(v)) }.toDF("lbl", "t", "v")
+    val r = TimeSeries.bollinger(s, "lbl", "t", "v", window = 7)
+      .orderBy("t").collect()
+    assert(!r(6).getAs[Boolean]("breach"))
+    assert(r(7).getAs[Boolean]("breach"))
+  }
+
+  test("rollingCorr: exact linear relation gives corr 1 on full windows") {
+    val s = (1L to 6L).map(i => ("g", i, BigDecimal(i), BigDecimal(2 * i)))
+      .toDF("lbl", "t", "x", "y")
+    val r = TimeSeries.rollingCorr(s, "lbl", "t", "x", "y", window = 3)
+      .orderBy("t").collect()
+    assert(r.take(2).forall(_.isNullAt(3)))
+    assert(r.drop(2).forall(_.getAs[Double]("corr") === 1.0))
+  }
+
+  test("seasonalProfile: balanced two-season split gives 0.5 / 1.5 index") {
+    val df = (Seq.fill(4)(("e", 0, 10.0)) ++ Seq.fill(4)(("e", 1, 30.0)))
+      .toDF("typ", "season_src", "value")
+    val r = TimeSeries.seasonalProfile(df, "typ", col("season_src"),
+        "value").collect()
+      .map(x => x.getAs[Int]("season") ->
+        x.getAs[Double]("season_index")).toMap
+    assert(r(0) === 0.5)
+    assert(r(1) === 1.5)
+  }
+
+  test("bootstrap meanCi: constant values collapse the CI onto the mean") {
+    val df = (1 to 40).map(i => ("g", i.toLong, 7.0)).toDF("lbl", "id", "v")
+    val r = Bootstrap.meanCi(df, "lbl", "v", col("id"), b = 20).head()
+    assert(r.getAs[Double]("mean") === 7.0)
+    assert(r.getAs[Double]("ci_lo") === 7.0)
+    assert(r.getAs[Double]("ci_hi") === 7.0)
+  }
+
+  test("bootstrap meanCi: CI brackets the sample mean on spread data") {
+    val df = (1 to 200).map(i => ("g", i.toLong, (i % 10).toDouble))
+      .toDF("lbl", "id", "v")
+    val r = Bootstrap.meanCi(df, "lbl", "v", col("id"), b = 50).head()
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    val mean = r.getAs[Double]("mean")
+    assert(lo < mean && mean < hi)
+    assert(hi - lo < 2.0) // sane width for sd≈2.87, n=200
+  }
+}
