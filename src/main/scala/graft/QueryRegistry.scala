@@ -41,7 +41,9 @@ object QueryRegistry {
       queries.RankStatsQueries.specs ++
       queries.RetrievalQueries.specs ++
       queries.GovernanceQueries.specs ++
-      queries.TimeSeriesQueries.specs
+      queries.TimeSeriesQueries.specs ++
+      queries.RecommenderQueries.specs ++
+      queries.GlmQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

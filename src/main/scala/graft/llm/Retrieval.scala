@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sparse lexical retrieval over the document corpus: BM25 ranking for a
@@ -119,6 +120,57 @@ object Retrieval {
         .as("score"))
       .orderBy(col("score").desc, col("phrase"))
       .limit(topN)
+  }
+
+  /** NDCG@k (Järvelin & Kekäläinen 2002) of a ranking against graded
+    * relevance labels — the retrieval-quality metric closing the loop on
+    * [[bm25]]/MMR output:
+    *
+    *   DCG@k = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1),   NDCG = DCG/IDCG
+    *
+    * with IDCG from the ideal (relevance-sorted) top-k over ALL judged
+    * docs. Gains are exact integers (shiftleft, not pow); each rank's
+    * log2 discount rounds to the 8dp grid, per-rank contributions round
+    * again, and both DCG sums accumulate in DECIMAL. The ideal top-k
+    * comes from orderBy+limit (TakeOrdered — map-side bounded); the
+    * position windows then run over ≤ k rows. Output one row:
+    * k, dcg, idcg, ndcg. */
+  def ndcgAtK(ranking: DataFrame, docCol: String, scoreCol: String,
+      rels: DataFrame, relDocCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val r = rels.select(col(relDocCol).as("doc"),
+      col(relCol).cast("int").as("rel"))
+
+    def dcgOf(df: DataFrame, order: Seq[Column], label: String) = {
+      val w = Window.orderBy(order: _*)
+      // integer 2^rel via shiftleft (expr form — the DSL helper takes a
+      // literal shift only); exact for any graded relevance
+      val gain = (expr("shiftleft(1L, rel)") - 1).cast("double")
+      val disc8 = round(log2(col("rnk").cast("double") + 1.0), 8)
+      df.limit(k)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .agg(coalesce(sum(round(gain / disc8, 8).cast("decimal(28,8)")),
+          lit(0).cast("decimal(28,8)")).as(label))
+    }
+
+    val got = ranking
+      .select(col(docCol).as("doc"), col(scoreCol).as("score"))
+      .join(r, Seq("doc"), "left")
+      .select(col("doc"), col("score"),
+        coalesce(col("rel"), lit(0)).as("rel"))
+      .orderBy(col("score").desc, col("doc"))
+    val ideal = r.orderBy(col("rel").desc, col("doc"))
+
+    val dcg = dcgOf(got, Seq(col("score").desc, col("doc")), "dcg")
+    val idcg = dcgOf(ideal, Seq(col("rel").desc, col("doc")), "idcg")
+    dcg.crossJoin(idcg).select(lit(k.toLong).as("k"),
+      round(col("dcg").cast("double"), 8).as("dcg"),
+      round(col("idcg").cast("double"), 8).as("idcg"),
+      when(col("idcg") > 0,
+        round(col("dcg").cast("double") / col("idcg").cast("double"), 8))
+        .as("ndcg"))
   }
 
   /** Greedy Maximal Marginal Relevance re-ranking (Carbonell & Goldstein

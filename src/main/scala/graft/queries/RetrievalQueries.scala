@@ -22,18 +22,10 @@ object RetrievalQueries {
       s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), " +
       s"(acc, x) -> acc + x)"
 
-  def specs: Seq[QuerySpec] = Seq(
-
-    // BM25 top-20 for the query {dup, hash, window} — "dup" is the
-    // corpus's rare high-idf discriminator, the other two mid-frequency.
-    // Postings filter to the 3 query terms BEFORE the shuffle; ln idf
-    // and per-term contributions live on the 8dp grid, doc sums in
-    // DECIMAL.
-    QuerySpec("q_bm25", (s, dir) => {
-      Retrieval.bm25(docs(s, dir), "doc_id", "text",
-        Seq("dup", "hash", "window"))
-    }, Some(
-      """WITH base AS (
+  /** The BM25 oracle body (top-20 for {dup, hash, window}) — shared by
+    * q_bm25 and the q_ndcg evaluation that re-ranks it. */
+  private[queries] val bm25OracleSql =
+    """WITH base AS (
         |  SELECT doc_id AS doc,
         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |                     x -> x <> '') AS ts
@@ -64,7 +56,71 @@ object RetrievalQueries {
         |  FROM tf JOIN dfq USING (t) CROSS JOIN scalar)
         |SELECT doc, ROUND(CAST(SUM(contrib) AS DOUBLE), 8) AS score,
         |       COUNT(*) AS n_terms
-        |FROM j GROUP BY doc ORDER BY score DESC, doc LIMIT 20""".stripMargin)),
+        |FROM j GROUP BY doc ORDER BY score DESC, doc LIMIT 20""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // BM25 top-20 for the query {dup, hash, window} — "dup" is the
+    // corpus's rare high-idf discriminator, the other two mid-frequency.
+    // Postings filter to the 3 query terms BEFORE the shuffle; ln idf
+    // and per-term contributions live on the 8dp grid, doc sums in
+    // DECIMAL.
+    QuerySpec("q_bm25", (s, dir) => {
+      Retrieval.bm25(docs(s, dir), "doc_id", "text",
+        Seq("dup", "hash", "window"))
+    }, Some(bm25OracleSql)),
+
+    // NDCG@10 of the BM25 ranking against graded relevance
+    // rel = min(3, tf of "dup") — the retrieval-quality metric closing
+    // the loop on the ranker (integer shiftleft gains, 8dp log2
+    // discounts, DECIMAL DCG sums; ideal top-k via TakeOrdered).
+    QuerySpec("q_ndcg", (s, dir) => {
+      val d = docs(s, dir)
+      val ranking = Retrieval.bm25(d, "doc_id", "text",
+        Seq("dup", "hash", "window"))
+      val rels = d.select(col("doc_id").as("doc"),
+        least(size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t === lit("dup"))), lit(3)).as("rel"))
+      Retrieval.ndcgAtK(ranking, "doc", "score", rels, "doc", "rel",
+        k = 10)
+    }, Some {
+      val contribSql = (relExpr: String, rnk: String) =>
+        s"CAST(ROUND(CAST((1 << $relExpr) - 1 AS DOUBLE) / " +
+          s"ROUND(LOG2(CAST($rnk AS DOUBLE) + CAST(1.0 AS DOUBLE)), 8), 8)" +
+          " AS DECIMAL(28,8))"
+      s"""WITH bm AS ($bm25OracleSql),
+         |rel AS (
+         |  SELECT doc_id AS doc,
+         |         LEAST(len(list_filter(
+         |           list_filter(string_split_regex(lower(text),
+         |                                          '[^a-z0-9]+'),
+         |                       x -> x <> ''),
+         |           t -> t = 'dup')), 3) AS rel
+         |  FROM documents),
+         |got AS (
+         |  SELECT bm.doc AS doc, COALESCE(rel.rel, 0) AS rel,
+         |         ROW_NUMBER() OVER (ORDER BY score DESC, bm.doc) AS rnk
+         |  FROM bm LEFT JOIN rel ON rel.doc = bm.doc),
+         |dcg AS (
+         |  SELECT COALESCE(SUM(${contribSql("rel", "rnk")}),
+         |                  CAST(0 AS DECIMAL(28,8))) AS dcg
+         |  FROM got WHERE rnk <= 10),
+         |ideal AS (
+         |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc) AS rnk
+         |  FROM rel ORDER BY rel DESC, doc LIMIT 10),
+         |idcg AS (
+         |  SELECT COALESCE(SUM(${contribSql("rel", "rnk")}),
+         |                  CAST(0 AS DECIMAL(28,8))) AS idcg
+         |  FROM ideal WHERE rnk <= 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |       ROUND(CAST(dcg AS DOUBLE), 8) AS dcg,
+         |       ROUND(CAST(idcg AS DOUBLE), 8) AS idcg,
+         |       CASE WHEN idcg > 0
+         |            THEN ROUND(CAST(dcg AS DOUBLE)
+         |                       / CAST(idcg AS DOUBLE), 8)
+         |       END AS ndcg
+         |FROM dcg CROSS JOIN idcg""".stripMargin
+    }),
 
     // RAKE keywords: stopword-free phrase runs, deg/freq word scores,
     // phrase score = Σ word scores. The corpus's stopwords are {a, the};

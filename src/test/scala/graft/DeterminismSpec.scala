@@ -60,7 +60,10 @@ class DeterminismSpec extends SparkSpec {
     // time-series tier: one-pass lag grids, decimal window sums,
     // hex-threshold Poisson draws + replicate percentiles
     "q_acf_grid", "q_bollinger", "q_rolling_corr", "q_seasonal_profile",
-    "q_bootstrap_ci")
+    "q_bootstrap_ci",
+    // recommender/monitoring/GLM/eval: basket-local cosine ranks,
+    // decile-cut PSI grids, 6dp-sigmoid IRLS rounds, log2-grid NDCG
+    "q_item_cf", "q_psi_drift", "q_logreg_irls", "q_ndcg")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
