@@ -78,7 +78,25 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CovSums].getName, "cov_sums"),
       (exprs: Seq[Expression]) =>
         CovSums(exprs(0), literalK(exprs(1), "cov_sums"))
+          .toAggregateExpression()),
+    ("poisson_boot_sums",
+      new ExpressionInfo(classOf[graft.engine.PoissonBootSums].getName,
+        "poisson_boot_sums"),
+      (exprs: Seq[Expression]) =>
+        graft.engine.PoissonBootSums(exprs(0), exprs(1),
+          literalK(exprs(2), "poisson_boot_sums"),
+          literalString(exprs(3), "poisson_boot_sums"))
           .toAggregateExpression()))
+
+  /** Evaluate a foldable argument as a non-null string literal. */
+  private def literalString(e: Expression, fn: String): String =
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case null => throw new IllegalArgumentException(
+        s"$fn: seed must be a non-null string literal")
+      case other => throw new IllegalArgumentException(
+        s"$fn: seed must be a string literal, got $other")
+    }
 
   /** Register one function by name on an existing session. */
   def register(spark: SparkSession, name: String): Unit = {

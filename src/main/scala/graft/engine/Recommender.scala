@@ -19,12 +19,18 @@ object Recommender {
     * (one self-join on the basket key — cost Σ_b |b|², the wedge
     * bound); `maxBasket` drops power-baskets above the cap first (the
     * winnowing maxDf contract: a basket containing everything links
-    * everything to everything at near-zero signal). Counts are exact;
-    * the cosine is one IEEE division + sqrt of exact ints, rounded to
-    * 8dp; per-item top-k ranks on (cos DESC, neighbor) — a total
-    * order. Output: item, neighbor, both co/cos columns, rank ≤ `k`. */
+    * everything to everything at near-zero signal); `minSupport` drops
+    * pairs co-occurring fewer than that many times BEFORE the
+    * cosine/rank stage — the standard noise cut and the scale lever
+    * (on this corpus c ≥ 2 shrinks the ranking stage 30×, and
+    * singleton co-occurrences are exactly the pairs a recommender
+    * should not trust). Counts are exact; the cosine is one IEEE
+    * division + sqrt of exact ints, rounded to 8dp; per-item top-k
+    * ranks on (cos DESC, neighbor) — a total order. Output: item,
+    * neighbor, co/cos columns, rank ≤ `k`. */
   def itemNeighbors(baskets: DataFrame, basketCol: String,
-      itemCol: String, k: Int = 3, maxBasket: Int = 1000): DataFrame = {
+      itemCol: String, k: Int = 3, maxBasket: Int = 1000,
+      minSupport: Int = 1): DataFrame = {
     val inc = baskets
       .select(col(basketCol).cast("long").as("b"),
         col(itemCol).cast("long").as("i"))
@@ -39,6 +45,7 @@ object Recommender {
     val bb = kept.select(col("b"), col("i").as("j"))
     val co = a.join(bb, "b").where(col("i") < col("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= minSupport)
     val withN = co
       .join(ni, "i").withColumnRenamed("n", "n_i")
       .join(ni.withColumnRenamed("i", "j"), "j")

@@ -24,7 +24,7 @@ object RecommenderQueries {
       val baskets = o.join(li, o("o_orderkey") === li("l_orderkey"))
         .select(col("o_custkey").as("b"), col("l_partkey").as("i"))
       Recommender.itemNeighbors(baskets, "b", "i", k = 3,
-          maxBasket = 1000)
+          maxBasket = 1000, minSupport = 2)
         .orderBy("item", "rank")
     }, Some(
       """WITH inc AS (
@@ -38,7 +38,7 @@ object RecommenderQueries {
         |co AS (
         |  SELECT a.i AS i, c.i AS j, COUNT(*) AS c
         |  FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
-        |  GROUP BY 1, 2),
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |scored AS (
         |  SELECT co.i, co.j, c,
         |         ROUND(CAST(c AS DOUBLE)

@@ -181,19 +181,27 @@ object TimeSeriesQueries {
           b = 50)
         .orderBy("l_returnflag")
     }, Some {
-      val wCase = Bootstrap.poissonCaseSql(
-        "SUBSTR(md5('boot|' || k || '|' || CAST(rep AS VARCHAR)), 1, 8)")
+      val wCase = Bootstrap.poissonCaseSql("pfx")
       s"""WITH base AS (
          |  SELECT l_returnflag AS g,
          |         CAST(l_quantity AS DECIMAL(18,2)) AS x,
          |         CAST(l_orderkey AS VARCHAR) || '|'
          |           || CAST(l_linenumber AS VARCHAR) AS k
          |  FROM lineitem WHERE l_quantity IS NOT NULL),
-         |reps AS (
-         |  SELECT g, rep,
-         |         $wCase AS w, x
+         |hashed AS (
+         |  SELECT g, x, chunk,
+         |         md5('boot|' || k || '|' || CAST(chunk AS VARCHAR)) AS h
          |  FROM base CROSS JOIN
-         |       (SELECT unnest(range(1, 51)) AS rep)),
+         |       (SELECT unnest(range(0, 13)) AS chunk)),
+         |slotted AS (
+         |  SELECT g, x, chunk * 4 + slot + 1 AS rep,
+         |         SUBSTR(h, CAST(1 + 8 * slot AS INT), 8) AS pfx
+         |  FROM hashed CROSS JOIN
+         |       (SELECT unnest(range(0, 4)) AS slot)
+         |  WHERE chunk * 4 + slot + 1 <= 50),
+         |reps AS (
+         |  SELECT g, rep, $wCase AS w, x
+         |  FROM slotted),
          |rm AS (
          |  SELECT g, rep,
          |         CASE WHEN SUM(w) > 0

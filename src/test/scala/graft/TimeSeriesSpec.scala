@@ -79,6 +79,16 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Double]("ci_hi") === 7.0)
   }
 
+  test("bootstrap: native PoissonBootSums equals the declarative explode") {
+    val df = (1 to 300).map(i => (s"g${i % 3}", i.toLong,
+      (i % 17).toDouble + 0.25)).toDF("lbl", "id", "v")
+    val a = Bootstrap.meanCi(df, "lbl", "v", col("id"), b = 30)
+      .orderBy("lbl").collect().map(_.toString)
+    val b = Bootstrap.meanCiDeclarative(df, "lbl", "v", col("id"), b = 30)
+      .orderBy("lbl").collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("bootstrap meanCi: CI brackets the sample mean on spread data") {
     val df = (1 to 200).map(i => ("g", i.toLong, (i % 10).toDouble))
       .toDF("lbl", "id", "v")
