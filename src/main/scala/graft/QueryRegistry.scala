@@ -43,7 +43,8 @@ object QueryRegistry {
       queries.GovernanceQueries.specs ++
       queries.TimeSeriesQueries.specs ++
       queries.RecommenderQueries.specs ++
-      queries.GlmQueries.specs
+      queries.GlmQueries.specs ++
+      queries.EvalQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.{Eval, Glm, Tables}
+
+/** Model-evaluation tier: kNN classification, classifier P/R/F1,
+  * probability calibration, and the A/B two-proportion z-test. */
+object EvalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Leave-one-out 5-NN over the embedding corpus, majority label vote
+    // (exact-cosine candidate tier; integer struct-max vote).
+    QuerySpec("q_knn_classify", (s, dir) => {
+      Eval.knnClassify(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", k = 5)
+        .orderBy("id")
+    }, Some(
+      s"""WITH ${SimilarityQueries.normCte},
+         |p AS (
+         |  SELECT a.vec_id AS id, b.vec_id AS nid,
+         |         ${SimilarityQueries.dotSql("a.v", "b.v")}
+         |           / SQRT(a.n2 * b.n2) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |top AS (
+         |  SELECT id, nid FROM (
+         |    SELECT id, nid,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY cos DESC, nid) AS rnk
+         |    FROM p)
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT top.id, CAST(e.label AS BIGINT) AS nlbl,
+         |         COUNT(*) AS cnt
+         |  FROM top JOIN embeddings e ON e.vec_id = top.nid
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT id, nlbl AS predicted FROM (
+         |    SELECT id, nlbl,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY cnt DESC, nlbl) AS rn
+         |    FROM votes)
+         |  WHERE rn = 1)
+         |SELECT e.vec_id AS id, CAST(e.label AS BIGINT) AS actual,
+         |       predicted, CAST(e.label AS BIGINT) = predicted AS correct
+         |FROM embeddings e JOIN pred ON pred.id = e.vec_id
+         |ORDER BY id""".stripMargin)),
+
+    // Per-class precision/recall/F1 of the self-trained Naive Bayes
+    // source classifier — the quality readout over q_naive_bayes.
+    QuerySpec("q_confusion_eval", (s, dir) => {
+      val preds = graft.llm.NaiveBayes.trainScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source")
+      Eval.confusionReport(preds, "source", "predicted")
+    }, Some {
+      val nbSql = TextQueries.specs.find(_.name == "q_naive_bayes")
+        .get.oracle.get
+      s"""WITH nb AS ($nbSql),
+         |cells AS (
+         |  SELECT CAST(source AS VARCHAR) AS a,
+         |         CAST(predicted AS VARCHAR) AS p, COUNT(*) AS n
+         |  FROM nb GROUP BY 1, 2),
+         |classes AS (SELECT DISTINCT a AS cls FROM cells
+         |            UNION SELECT DISTINCT p FROM cells),
+         |tp AS (SELECT a AS cls, n AS tp FROM cells WHERE a = p),
+         |act AS (SELECT a AS cls, CAST(SUM(n) AS BIGINT) AS support
+         |        FROM cells GROUP BY a),
+         |prd AS (SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+         |        FROM cells GROUP BY p),
+         |j AS (
+         |  SELECT classes.cls AS cls, COALESCE(tp.tp, 0) AS tp,
+         |         COALESCE(act.support, 0) AS support,
+         |         COALESCE(prd.n_pred, 0) AS n_pred
+         |  FROM classes
+         |  LEFT JOIN tp ON tp.cls = classes.cls
+         |  LEFT JOIN act ON act.cls = classes.cls
+         |  LEFT JOIN prd ON prd.cls = classes.cls)
+         |SELECT cls, support, tp, n_pred - tp AS fp,
+         |       support - tp AS fn,
+         |       CASE WHEN n_pred > 0
+         |            THEN ROUND(CAST(tp AS DOUBLE)
+         |                       / CAST(n_pred AS DOUBLE), 8) END
+         |         AS precision,
+         |       CASE WHEN support > 0
+         |            THEN ROUND(CAST(tp AS DOUBLE)
+         |                       / CAST(support AS DOUBLE), 8) END
+         |         AS recall,
+         |       CASE WHEN n_pred > 0 AND support > 0
+         |             AND CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+         |                 + CAST(tp AS DOUBLE) / CAST(support AS DOUBLE)
+         |                 > 0.0
+         |            THEN ROUND(CAST(2.0 AS DOUBLE)
+         |                   * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+         |                   * (CAST(tp AS DOUBLE) / CAST(support AS DOUBLE))
+         |                   / (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+         |                      + CAST(tp AS DOUBLE)
+         |                        / CAST(support AS DOUBLE)), 8) END
+         |         AS f1
+         |FROM j ORDER BY cls""".stripMargin
+    }),
+
+    // Reliability bins for the fitted logistic scores: fit (3 IRLS
+    // rounds) then score and bin in one more pass — predicted
+    // probability vs observed rate per decile of p.
+    QuerySpec("q_calibration", (s, dir) => {
+      val base = GlmQueries.logregBase(s, dir)
+      val beta = Glm.logisticIrls(t(s, dir, "lineitem"),
+        (col("l_returnflag") === "R").cast("int"),
+        col("l_extendedprice").cast("decimal(18,2)").cast("double") /
+          lit(100000.0),
+        iters = 3)
+      val eta = col("b0") + col("b1") * col("x")
+      val scored = base.crossJoin(broadcast(beta))
+        .select(round(lit(1.0) / (lit(1.0) + exp(-eta)), 6).as("p"),
+          col("y"))
+      Eval.calibrationBins(scored, "p", "y", bins = 10)
+    }, Some(
+      s"""WITH ${GlmQueries.irlsOracleCtes},
+         |scored AS (
+         |  SELECT ROUND(CAST(1.0 AS DOUBLE)
+         |               / (CAST(1.0 AS DOUBLE)
+         |                  + EXP(-(b0 + b1 * x))), 6) AS p,
+         |         y
+         |  FROM base CROSS JOIN beta3),
+         |cuts AS (SELECT ${(1 to 9).map(i =>
+             s"quantile_cont(p, 0.$i) AS c$i").mkString(", ")}
+         |         FROM scored),
+         |binned AS (
+         |  SELECT CAST(${(1 to 9).map(i =>
+             s"(CASE WHEN p > c$i THEN 1 ELSE 0 END)").mkString(" + ")}
+         |         AS BIGINT) AS bin,
+         |         CAST(ROUND(p * 1000000) AS BIGINT) AS p6u,
+         |         CAST(y AS BIGINT) AS y
+         |  FROM scored CROSS JOIN cuts)
+         |SELECT bin, COUNT(*) AS n,
+         |       ROUND(CAST(SUM(p6u) AS DOUBLE) / 1000000.0
+         |             / CAST(COUNT(*) AS DOUBLE), 8) AS avg_pred,
+         |       ROUND(CAST(SUM(y) AS DOUBLE)
+         |             / CAST(COUNT(*) AS DOUBLE), 8) AS obs_rate,
+         |       ROUND(CAST(SUM(p6u) AS DOUBLE) / 1000000.0
+         |             / CAST(COUNT(*) AS DOUBLE)
+         |             - CAST(SUM(y) AS DOUBLE)
+         |               / CAST(COUNT(*) AS DOUBLE), 8) AS gap
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // A/B two-proportion z-test: variant = user_id parity, success =
+    // heavy purchaser (count > 13 — the corpus median).
+    QuerySpec("q_ab_test", (s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("pc"))
+      Eval.abTest(users, pmod(col("user_id"), lit(2)),
+        col("pc") > 13)
+    }, Some(
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS pc
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND pc > 13
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND pc > 13
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u),
+        |d AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |         (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+        |           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        |  FROM m)
+        |SELECT n_a, conv_a, ROUND(pa, 8) AS rate_a,
+        |       n_b, conv_b, ROUND(pb, 8) AS rate_b,
+        |       CASE WHEN pb > 0.0 THEN ROUND(pa / pb - 1.0, 8) END
+        |         AS lift,
+        |       CASE WHEN SQRT(pp * (CAST(1.0 AS DOUBLE) - pp)
+        |                      * (CAST(1.0 AS DOUBLE)
+        |                         / CAST(n_a AS DOUBLE)
+        |                         + CAST(1.0 AS DOUBLE)
+        |                         / CAST(n_b AS DOUBLE))) > 0.0
+        |            THEN ROUND((pa - pb)
+        |                   / SQRT(pp * (CAST(1.0 AS DOUBLE) - pp)
+        |                          * (CAST(1.0 AS DOUBLE)
+        |                             / CAST(n_a AS DOUBLE)
+        |                             + CAST(1.0 AS DOUBLE)
+        |                             / CAST(n_b AS DOUBLE))), 8) END
+        |         AS z
+        |FROM d""".stripMargin))
+  )
+}

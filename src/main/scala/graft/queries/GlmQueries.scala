@@ -13,6 +13,15 @@ object GlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The shared (y, x) construction of the logistic fit: y = 1 iff
+    * returnflag 'R', x = extended price scaled to ~[0, 1]. */
+  private[queries] def logregBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      (col("l_returnflag") === "R").cast("int").cast("double").as("y"),
+      (col("l_extendedprice").cast("decimal(18,2)").cast("double") /
+        lit(100000.0)).as("x"))
+      .where(col("y").isNotNull && col("x").isNotNull)
+
   def specs: Seq[QuerySpec] = Seq(
 
     // P(returnflag = 'R') as a logistic function of order value —
@@ -24,7 +33,14 @@ object GlmQueries {
         col("l_extendedprice").cast("decimal(18,2)").cast("double") /
           lit(100000.0),
         iters = 3)
-    }, Some {
+    }, Some(
+      s"""WITH $irlsOracleCtes
+         |SELECT n, b0, b1 FROM beta3""".stripMargin))
+  )
+
+  /** Everything up to `beta3` — the 3-round IRLS replay as a WITH-list
+    * fragment, shared with the calibration oracle. */
+  private[queries] val irlsOracleCtes: String = {
       val eps = "CAST(0.000001 AS DOUBLE)"
       val one = "CAST(1.0 AS DOUBLE)"
       def roundCte(k: Int): String = {
@@ -66,7 +82,7 @@ object GlmQueries {
            |  FROM t$k)""".stripMargin
       }
       val rounds = (1 to 3).map(roundCte).mkString(",\n")
-      s"""WITH base AS (
+      s"""base AS (
          |  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
          |              AS DOUBLE) AS y,
          |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
@@ -75,8 +91,6 @@ object GlmQueries {
          |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
          |beta0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
          |                 CAST(0.0 AS DOUBLE) AS b1),
-         |$rounds
-         |SELECT n, b0, b1 FROM beta3""".stripMargin
-    })
-  )
+         |$rounds""".stripMargin
+  }
 }

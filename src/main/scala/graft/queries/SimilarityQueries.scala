@@ -19,12 +19,12 @@ object SimilarityQueries {
     Tables.load(s, dir, "embeddings")
 
   /** Oracle fragment: sequential-fold dot product of doc lists a.v · b.v. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), " +
       s"(acc, x) -> acc + x)"
 
-  private val normCte =
+  private[queries] val normCte =
     s"""n AS (
        |  SELECT vec_id, v, ${dotSql("v", "v")} AS n2
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))""".stripMargin

@@ -63,7 +63,10 @@ class DeterminismSpec extends SparkSpec {
     "q_bootstrap_ci",
     // recommender/monitoring/GLM/eval: basket-local cosine ranks,
     // decile-cut PSI grids, 6dp-sigmoid IRLS rounds, log2-grid NDCG
-    "q_item_cf", "q_psi_drift", "q_logreg_irls", "q_ndcg")
+    "q_item_cf", "q_psi_drift", "q_logreg_irls", "q_ndcg",
+    // eval tier: heap-topk votes, count-ratio metrics, quantile-cut
+    // calibration bins, pooled z
+    "q_knn_classify", "q_confusion_eval", "q_calibration", "q_ab_test")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

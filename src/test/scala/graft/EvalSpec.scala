@@ -1,0 +1,90 @@
+package graft
+
+import graft.engine.Eval
+import org.apache.spark.sql.functions._
+
+/** Hand-checkable pins for the evaluation tier. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("confusionReport: textbook 2-class cells") {
+    // actual a: 3 rows (2 predicted a, 1 b); actual b: 2 rows (both b)
+    val preds = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b")).toDF("actual", "pred")
+    val r = Eval.confusionReport(preds, "actual", "pred").collect()
+      .map(x => x.getAs[String]("cls") -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Long]("tp") === 2L && a.getAs[Long]("fp") === 0L &&
+      a.getAs[Long]("fn") === 1L)
+    assert(a.getAs[Double]("precision") === 1.0)
+    assert(math.abs(a.getAs[Double]("recall") - 2.0 / 3) < 1e-8)
+    val b = r("b")
+    assert(b.getAs[Long]("tp") === 2L && b.getAs[Long]("fp") === 1L)
+    assert(b.getAs[Double]("recall") === 1.0)
+  }
+
+  test("confusionReport: hallucinated class gets precision 0, no recall") {
+    val preds = Seq(("a", "a"), ("a", "ghost")).toDF("actual", "pred")
+    val r = Eval.confusionReport(preds, "actual", "pred").collect()
+      .map(x => x.getAs[String]("cls") -> x).toMap
+    val g = r("ghost")
+    assert(g.getAs[Long]("support") === 0L)
+    assert(g.getAs[Double]("precision") === 0.0)
+    assert(g.isNullAt(g.fieldIndex("recall")))
+  }
+
+  test("knnClassify: separable clusters classify perfectly") {
+    // two tight clusters in 2D, labels 0/1
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.01f), 0),
+      (3L, Array(0.98f, 0.02f), 0),
+      (4L, Array(0.0f, 1.0f), 1), (5L, Array(0.01f, 0.99f), 1),
+      (6L, Array(0.02f, 0.98f), 1)).toDF("vec_id", "embedding", "label")
+    val r = Eval.knnClassify(emb, "vec_id", "embedding", "label", k = 2)
+      .collect()
+    assert(r.length === 6)
+    assert(r.forall(_.getAs[Boolean]("correct")))
+  }
+
+  test("knnClassify: majority vote with tie toward the smaller label") {
+    // target 1 has neighbors labeled 5 and 3 (one each at k=2) → tie →
+    // predict 3
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 9),
+      (2L, Array(0.99f, 0.01f), 5),
+      (3L, Array(0.98f, 0.02f), 3),
+      (4L, Array(-1.0f, 0.0f), 7)).toDF("vec_id", "embedding", "label")
+    val r = Eval.knnClassify(emb, "vec_id", "embedding", "label", k = 2)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("predicted"))
+      .toMap
+    assert(r(1L) === 3L)
+  }
+
+  test("calibrationBins: perfectly calibrated synthetic scores gap ≈ 0") {
+    // p = 0.25 for 8 rows with 2 positives; p = 0.75 for 8 with 6
+    val rows = Seq.fill(6)((0.25, 0L)) ++ Seq.fill(2)((0.25, 1L)) ++
+      Seq.fill(2)((0.75, 0L)) ++ Seq.fill(6)((0.75, 1L))
+    val df = rows.toDF("p", "y")
+    val r = Eval.calibrationBins(df, "p", "y", bins = 2).collect()
+    assert(r.length === 2)
+    r.foreach { x =>
+      assert(x.getAs[Double]("gap") === 0.0)
+      assert(x.getAs[Double]("avg_pred") === x.getAs[Double]("obs_rate"))
+    }
+  }
+
+  test("abTest: equal rates give z = 0; a real gap moves z") {
+    // success = i%4 < 2: 50% in both parities
+    val df = (1 to 200).map(i => (i.toLong, i % 4 < 2)).toDF("id", "s")
+    val r = Eval.abTest(df, pmod(col("id"), lit(2)), col("s")).head()
+    assert(r.getAs[Double]("z") === 0.0 ||
+      math.abs(r.getAs[Double]("z")) < 1e-8)
+
+    // variant 0 converts 80%, variant 1 converts 20%
+    val gap = (1 to 200).map(i =>
+      (i.toLong, if (i % 2 == 0) i % 10 < 8 else i % 10 >= 8))
+      .toDF("id", "s")
+    val g = Eval.abTest(gap, pmod(col("id"), lit(2)), col("s")).head()
+    assert(g.getAs[Double]("z") > 5.0)
+  }
+}
