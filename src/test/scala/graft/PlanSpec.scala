@@ -408,4 +408,61 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("row_number"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("bm25: term-df join broadcasts; tf aggregation pre-reduces " +
+      "map-side; no cartesian outside broadcast scalars") {
+    val plan = planString(QueryRegistry.byName("q_bm25").run(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("acfGrid: all five lags share ONE window pass") {
+    val daily = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")),
+          lit("1992-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("v"))
+    val plan = planString(graft.engine.TimeSeries.acfGrid(
+      daily, "l_returnflag", "day", "v", maxLag = 5))
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows === 1, plan)
+  }
+
+  test("native bootstrap: poisson_boot_sums pre-reduces map-side " +
+      "(partial aggregate below the exchange), no row explosion") {
+    val plan = planString(graft.engine.Bootstrap.meanCi(
+      Tables.load(spark, dir, "lineitem"), "l_returnflag",
+      "l_quantity",
+      concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))))
+    assert(plan.contains("partial_poisson_boot_sums"), plan)
+    // the declarative path's B-fold amplification is gone: no Generate
+    // (explode) on the bootstrap aggregation's INPUT side — the plan
+    // prints top-down, so input nodes are the lines AFTER the first
+    // poisson_boot_sums aggregate (the output-side B-row explode of the
+    // result array is expected and tiny)
+    val genBelowAgg = plan.linesIterator
+      .dropWhile(!_.contains("poisson_boot_sums"))
+      .exists(_.contains("Generate explode"))
+    assert(!genBelowAgg, plan)
+  }
+
+  test("item-CF: basket self-join is an equi-join (never cartesian); " +
+      "co-occurrence counts pre-reduce map-side") {
+    val plan = planString(QueryRegistry.byName("q_item_cf")
+      .run(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("spearman: rank joins are equi-joins on (group, value); " +
+      "moment sums pre-reduce map-side") {
+    val plan = planString(graft.engine.RankStats.spearman(
+      Tables.load(spark, dir, "lineitem"), "l_returnflag",
+      "l_quantity", "l_extendedprice"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
 }
