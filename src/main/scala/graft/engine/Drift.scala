@@ -58,4 +58,36 @@ object Drift {
         round(p, 8).as("p"), round(q, 8).as("q"),
         round((p - q) * round(log(p / q), 8), 8).as("contrib"))
   }
+
+  /** PSI of a batch against FIXED reference bins — the streaming form:
+    * `edges` (ascending cuts) and `refProps` (per-bin reference
+    * proportions, edges.length + 1 of them) are computed ONCE from the
+    * reference population and reused per batch, so each micro-batch
+    * costs one aggregation over its own rows. Same eps-clip and
+    * 8dp-ln-grid contributions as [[psiBins]]. An EMPTY batch returns
+    * zero rows (nothing to monitor — the caller's alert logic decides).
+    * Output: bin, n_cur, p, q, contrib. */
+  def psiAgainstReference(batch: DataFrame, valueCol: String,
+      edges: Seq[Double], refProps: Seq[Double],
+      eps: Double = 1e-4): DataFrame = {
+    require(refProps.length == edges.length + 1,
+      s"need ${edges.length + 1} reference proportions")
+    val x = col(valueCol).cast("double")
+    val binExpr = edges.zipWithIndex
+      .map { case (e, _) => when(x > e, 1L).otherwise(0L) }
+      .reduce(_ + _)
+    val counts = batch.where(col(valueCol).isNotNull)
+      .select(binExpr.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+    val tot = counts.agg(sum(col("n_cur")).as("tc"))
+    val propMap = map(refProps.zipWithIndex.flatMap { case (pr, i) =>
+      Seq(lit(i.toLong), lit(pr)) }: _*)
+    val p = greatest(element_at(propMap, col("bin")), lit(eps))
+    val q = greatest(col("n_cur").cast("double") / col("tc").cast("double"),
+      lit(eps))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_cur"),
+        round(p, 8).as("p"), round(q, 8).as("q"),
+        round((p - q) * round(log(p / q), 8), 8).as("contrib"))
+  }
 }

@@ -123,6 +123,37 @@ object TimeSeries {
         round(num / sqrt(denx) / sqrt(deny), 8)).as("corr"))
   }
 
+  /** Exponentially time-decayed top-k: items ranked by
+    * Σ value · 2^(−days_ago), the trending-items scoring with a
+    * ONE-DAY half-life on the day grid. The decay is EXACT integer
+    * arithmetic: weights are 2^(maxExp − days_ago) units (zero beyond
+    * `maxExp` days — 2^-50 is far below any ranking-relevant mass), so
+    * the weighted sums are exact DECIMAL integers and the final score
+    * divides by 2^maxExp once, in double. One scalar max-day row
+    * broadcasts; one aggregation; TakeOrdered top-k. Output: item,
+    * decayed (8dp), by (decayed DESC, item). */
+  def decayedTopK(df: DataFrame, itemCol: String, dayCol: Column,
+      valueCents: Column, topK: Int = 20, maxExp: Int = 50): DataFrame = {
+    require(maxExp >= 1 && maxExp <= 60, s"maxExp=$maxExp")
+    val base = df.select(col(itemCol).as("item"), dayCol.as("day"),
+      valueCents.cast("decimal(18,0)").as("cents"))
+    val maxDay = base.agg(max(col("day")).as("max_day"))
+    base.crossJoin(broadcast(maxDay))
+      .withColumn("__ago", (col("max_day") - col("day")).cast("int"))
+      .select(col("item"),
+        when(col("__ago") >= 0 && col("__ago") <= maxExp,
+          col("cents") *
+            expr(s"shiftleft(1L, $maxExp - __ago)").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)")).as("w"))
+      .groupBy(col("item"))
+      .agg(sum(col("w")).as("s"))
+      .select(col("item"),
+        round(col("s").cast("double") / math.pow(2.0, maxExp), 8)
+          .as("decayed"))
+      .orderBy(col("decayed").desc, col("item"))
+      .limit(topK)
+  }
+
   /** Seasonal profile: mean value per (group, season bucket) as an
     * INDEX against the group's overall mean (1.0 = no seasonality).
     * Means are exact-DECIMAL-sum / count doubles; the index is their
@@ -143,5 +174,92 @@ object TimeSeries {
         round(seasonMean, 8).as("season_mean"),
         when(totalMean > 0.0, round(seasonMean / totalMean, 8))
           .as("season_index"))
+  }
+
+  /** Last-touch attribution: each conversion event credits the most
+    * recent preceding touch event (by the total order ts, id) within
+    * `windowDays` days — the standard marketing-attribution join,
+    * expressed as ONE running-last window over the user's own ordered
+    * stream (the asofJoinBackward shape: union-free because touches
+    * and conversions share the event table). Touch payload travels as
+    * one struct (never per-column last() — the multi-column stitch
+    * hazard). Output per touch type (or '(none)'): n_conversions,
+    * total_value (exact DECIMAL cents → double). */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, valueCol: String,
+      touchTypes: Seq[String], conversionType: String,
+      windowDays: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isInCollection(touchTypes),
+      struct(col(tsCol).as("ts"), col(idCol).as("id"),
+        col(typeCol).as("typ")))
+    val attributed = events
+      .withColumn("__last_touch", last(touch, ignoreNulls = true).over(w))
+      .where(col(typeCol) === conversionType)
+      .select(col(valueCol).cast("decimal(18,2)").as("v"),
+        when(col("__last_touch").isNotNull &&
+            col("__last_touch.ts") >=
+              col(tsCol) - expr(s"INTERVAL $windowDays DAYS"),
+          col("__last_touch.typ")).otherwise(lit("(none)"))
+          .as("touch_type"))
+    attributed.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("v")).cast("double"), 8).as("total_value"))
+  }
+
+  /** Seasonal anomaly screen: per (group, season) cell mean/SD from
+    * exact DECIMAL sums, and the count of observations outside
+    * mean ± k·SD — the "unusual for a Tuesday" detector (a global
+    * z-score would miss in-season outliers and flag normal weekend
+    * peaks). Two passes over the data (cell moments, then the flag
+    * count), both map-side combinable; the threshold compare runs on
+    * the shared unrounded doubles. Output: group, season, n, mean, sd,
+    * n_anomalies. */
+  def seasonalAnomalies(df: DataFrame, groupCol: String,
+      seasonCol: Column, valueCol: String, k: Double = 3.0): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,2)")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), seasonCol.as("season"), x.as("v"))
+    val cells = base.groupBy(col("g"), col("season"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    val nd = col("n").cast("double")
+    val mean = col("s").cast("double") / nd
+    val sd = sqrt((nd * col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double")) /
+      (nd * (nd - 1.0)))
+    val withStats = cells.select(col("g"), col("season"), col("n"),
+      when(col("n") > 1, mean).as("mean"),
+      when(col("n") > 1, sd).as("sd"))
+    base.join(withStats, Seq("g", "season"))
+      .groupBy(col("g"), col("season"), col("n"), col("mean"), col("sd"))
+      .agg(sum(when(col("sd").isNotNull && col("sd") > 0.0 &&
+        abs(col("v").cast("double") - col("mean")) >
+          lit(k) * col("sd"), 1L).otherwise(0L)).as("n_anomalies"))
+      .select(col("g").as(groupCol), col("season"), col("n"),
+        round(col("mean"), 8).as("mean"), round(col("sd"), 8).as("sd"),
+        col("n_anomalies"))
+  }
+
+  /** Calendar-gap detection: days in [min, max] of the observed day
+    * range with NO data for a group — the "silent feed" screen a
+    * freshness monitor runs. The spine is one scalar (min, max) row
+    * exploded to the day grid and crossed with the distinct groups
+    * (grid × groups rows, calendar-bounded), anti-joined against the
+    * observed (group, day) pairs. Output: group, day — missing pairs
+    * only. */
+  def missingDays(df: DataFrame, groupCol: String, dayCol: Column)
+      : DataFrame = {
+    val base = df.select(col(groupCol).as("g"), dayCol.as("day"))
+      .where(col("g").isNotNull && col("day").isNotNull)
+    val range = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = range
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val groups = base.select(col("g")).distinct()
+    groups.crossJoin(spine)
+      .join(base.distinct(), Seq("g", "day"), "left_anti")
+      .select(col("g").as(groupCol), col("day"))
   }
 }

@@ -219,6 +219,129 @@ object TimeSeriesQueries {
          |  FROM base GROUP BY g)
          |SELECT pt.g AS l_returnflag, n, mean, ci_lo, ci_hi
          |FROM pt JOIN ci USING (g) ORDER BY l_returnflag""".stripMargin
-    })
+    }),
+
+    // Time-decayed top-20 parts by revenue (1-day half-life on the day
+    // grid) — trending-items ranking in exact power-of-two integer
+    // arithmetic (weights 2^(50−days_ago) units, zero beyond 50 days).
+    QuerySpec("q_decayed_topk", (s, dir) => {
+      TimeSeries.decayedTopK(t(s, dir, "lineitem"), "l_partkey",
+        datediff(to_date(col("l_shipdate")),
+          lit("1992-01-01").cast("date")).cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100))
+    }, Some(
+      """WITH base AS (
+        |  SELECT l_partkey AS item,
+        |         CAST(datediff('day', DATE '1992-01-01',
+        |                       CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS DECIMAL(18,0)) AS cents
+        |  FROM lineitem),
+        |mx AS (SELECT MAX(day) AS max_day FROM base),
+        |w AS (
+        |  SELECT item,
+        |         CASE WHEN max_day - day BETWEEN 0 AND 50
+        |              THEN cents * CAST(CAST(1 AS BIGINT)
+        |                     << CAST(50 - (max_day - day) AS INTEGER)
+        |                     AS DECIMAL(38,0))
+        |              ELSE CAST(0 AS DECIMAL(38,0)) END AS w
+        |  FROM base CROSS JOIN mx),
+        |s AS (SELECT item, SUM(w) AS s FROM w GROUP BY item)
+        |SELECT item,
+        |       ROUND(CAST(s AS DOUBLE)
+        |             / CAST(1125899906842624.0 AS DOUBLE), 8) AS decayed
+        |FROM s ORDER BY decayed DESC, item LIMIT 20""".stripMargin)),
+
+    // Last-touch attribution: purchases credit the user's most recent
+    // click/view within 7 days (running-last struct window — the
+    // asofJoinBackward shape on a single stream).
+    QuerySpec("q_attribution", (s, dir) => {
+      TimeSeries.lastTouchAttribution(t(s, dir, "events"), "user_id",
+          "ts", "event_id", "event_type", "value",
+          Seq("click", "view"), "purchase", windowDays = 7)
+        .orderBy("touch_type")
+    }, Some(
+      // the window carries only the touch's UNIQUE event_id (DuckDB's
+      // last_value over a CASE'd STRUCT returns inconsistent fields —
+      // ts from the current row, typ from the touch); the touch row
+      // joins back by id, which is stitch-safe by uniqueness
+      """WITH lt AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS lt_id
+        |  FROM events),
+        |tj AS (
+        |  SELECT lt.ts, lt.event_type, lt.value,
+        |         t.ts AS lts, t.event_type AS ltyp
+        |  FROM lt LEFT JOIN events t ON t.event_id = lt.lt_id),
+        |conv AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |         CASE WHEN lts IS NOT NULL
+        |                AND lts >= ts - INTERVAL 7 DAY
+        |              THEN ltyp ELSE '(none)' END AS touch_type
+        |  FROM tj WHERE event_type = 'purchase')
+        |SELECT touch_type, COUNT(*) AS n_conversions,
+        |       ROUND(CAST(SUM(v) AS DOUBLE), 8) AS total_value
+        |FROM conv GROUP BY touch_type ORDER BY touch_type""".stripMargin)),
+
+    // "Unusual for a Tuesday": per (event_type, dow) cell mean/SD and
+    // the count of ±3σ outliers within the cell.
+    QuerySpec("q_seasonal_anomaly", (s, dir) => {
+      TimeSeries.seasonalAnomalies(t(s, dir, "events"), "event_type",
+          (dayofweek(col("ts")) - 1).cast("long"), "value", k = 3.0)
+        .orderBy("event_type", "season")
+    }, Some(
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(dayofweek(ts) AS BIGINT) AS season,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (
+        |  SELECT g, season, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+        |  FROM base GROUP BY 1, 2),
+        |st AS (
+        |  SELECT g, season, n,
+        |         CASE WHEN n > 1 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |         END AS mean,
+        |         CASE WHEN n > 1 THEN
+        |           SQRT((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |         END AS sd
+        |  FROM cells)
+        |SELECT st.g AS event_type, st.season, st.n,
+        |       ROUND(mean, 8) AS mean, ROUND(sd, 8) AS sd,
+        |       CAST(SUM(CASE WHEN sd IS NOT NULL AND sd > 0.0
+        |                      AND ABS(CAST(v AS DOUBLE) - mean)
+        |                          > CAST(3.0 AS DOUBLE) * sd
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM base JOIN st ON base.g = st.g AND base.season = st.season
+        |GROUP BY st.g, st.season, st.n, mean, sd
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Calendar-gap screen: (priority, day) pairs with no orders inside
+    // the observed day range — the silent-feed freshness check.
+    QuerySpec("q_missing_days", (s, dir) => {
+      TimeSeries.missingDays(t(s, dir, "orders"), "o_orderpriority",
+          datediff(to_date(col("o_orderdate")),
+            lit("1992-01-01").cast("date")).cast("long"))
+        .orderBy("o_orderpriority", "day")
+    }, Some(
+      """WITH base AS (
+        |  SELECT DISTINCT o_orderpriority AS g,
+        |         CAST(datediff('day', DATE '1992-01-01',
+        |                       CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL),
+        |r AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM r),
+        |groups AS (SELECT DISTINCT g FROM base)
+        |SELECT groups.g AS o_orderpriority, spine.day AS day
+        |FROM groups CROSS JOIN spine
+        |LEFT JOIN base ON base.g = groups.g AND base.day = spine.day
+        |WHERE base.g IS NULL
+        |ORDER BY o_orderpriority, day""".stripMargin))
   )
 }

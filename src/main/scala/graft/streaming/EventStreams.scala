@@ -496,4 +496,24 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Streaming distribution-drift monitoring: per micro-batch PSI of
+    * `valueCol` against FIXED reference bins
+    * ([[graft.engine.Drift.psiAgainstReference]] — edges and reference
+    * proportions computed once from the training/baseline population
+    * and closed over, so each batch costs one aggregation over its own
+    * rows; no state, no reference re-scan). The streaming dual of
+    * `q_psi_drift`: a pipeline alerts when a batch's Σ contrib crosses
+    * the 0.1/0.25 thresholds instead of discovering skewed serving
+    * data offline. Verdict rows append stamped with the batch id —
+    * replaying a batch id rewrites the same rows (idempotent metrics
+    * under at-least-once foreachBatch, the qualityForeachBatch
+    * contract). */
+  def driftForeachBatch(valueCol: String, edges: Seq[Double],
+      refProps: Seq[Double], append: DataFrame => Unit)
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    append(graft.engine.Drift
+      .psiAgainstReference(batch, valueCol, edges, refProps)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(id)))
+  }
 }

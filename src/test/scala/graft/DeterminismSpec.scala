@@ -66,7 +66,11 @@ class DeterminismSpec extends SparkSpec {
     "q_item_cf", "q_psi_drift", "q_logreg_irls", "q_ndcg",
     // eval tier: heap-topk votes, count-ratio metrics, quantile-cut
     // calibration bins, pooled z
-    "q_knn_classify", "q_confusion_eval", "q_calibration", "q_ab_test")
+    "q_knn_classify", "q_confusion_eval", "q_calibration", "q_ab_test",
+    // temporal ops: power-of-two decay units, running-last struct
+    // attribution, cell-moment anomaly flags, spine anti-joins
+    "q_decayed_topk", "q_attribution", "q_seasonal_anomaly",
+    "q_missing_days")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -572,4 +572,43 @@ class StreamingSpec extends SparkSpec {
       assert(snap(1L) === v1)
     } finally q.stop()
   }
+
+  test("foreachBatch drift monitor: in-distribution batch ≈ 0 PSI, " +
+      "shifted batch alerts; replay rewrites identical rows") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: uniform over [0, 100) in 4 quartile bins
+    val edges = Seq(25.0, 50.0, 75.0)
+    val refProps = Seq(0.25, 0.25, 0.25, 0.25)
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)] // (batch_id, bin, contrib)
+    val fn = EventStreams.driftForeachBatch("value", edges, refProps,
+      rep => sink ++= rep.select("batch_id", "bin", "contrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().writeStream.foreachBatch(fn)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 0: one value per quartile — matches the reference exactly
+      mem.addData(Event(1, ts(1), 1, "a", 10.0),
+        Event(2, ts(2), 1, "a", 30.0), Event(3, ts(3), 1, "a", 60.0),
+        Event(4, ts(4), 1, "a", 90.0))
+      q.processAllAvailable()
+      val b0 = sink.filter(_._1 == 0L)
+      assert(b0.map(_._3).sum === 0.0)
+
+      // batch 1: everything lands in the top quartile → large PSI
+      mem.addData(Event(5, ts(5), 1, "a", 80.0),
+        Event(6, ts(6), 1, "a", 85.0), Event(7, ts(7), 1, "a", 95.0))
+      q.processAllAvailable()
+      val b1 = sink.filter(_._1 == 1L)
+      assert(b1.map(_._3).sum > 0.25, b1) // "major shift" threshold
+    } finally q.stop()
+
+    // at-least-once replay: the same batch produces identical rows
+    val before = sink.filter(_._1 == 1L).toSet
+    import spark.implicits._
+    fn(Seq(80.0, 85.0, 95.0).toDF("value"), 1L)
+    val after = sink.filter(_._1 == 1L).toSet
+    assert(after === before)
+  }
 }

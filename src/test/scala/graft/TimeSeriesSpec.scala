@@ -71,6 +71,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r(1) === 1.5)
   }
 
+  test("decayedTopK: one-day half-life halves yesterday's weight exactly") {
+    // item 1: 100 cents today; item 2: 100 cents yesterday + 100 two
+    // days ago → 50 + 25 = 75; item 3: beyond the 50-day horizon → 0
+    val df = Seq((1L, 10L, 100L), (2L, 9L, 100L), (2L, 8L, 100L),
+      (3L, -100L, 100L))
+      .toDF("item", "day", "cents")
+    val r = TimeSeries.decayedTopK(df, "item", col("day"), col("cents"),
+      topK = 5).collect()
+      .map(x => x.getAs[Long]("item") -> x.getAs[Double]("decayed")).toMap
+    assert(r(1L) === 100.0)
+    assert(r(2L) === 75.0)
+    assert(r(3L) === 0.0)
+  }
+
+  test("missingDays: gaps inside the observed range, per group") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 5L), ("b", 3L))
+      .toDF("g", "day")
+    val r = TimeSeries.missingDays(df, "g", col("day")).collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[Long]("day"))).toSet
+    // range 1..5: a misses {3,4}; b misses {1,2,4,5}
+    assert(r === Set(("a", 3L), ("a", 4L),
+      ("b", 1L), ("b", 2L), ("b", 4L), ("b", 5L)))
+  }
+
+  test("lastTouchAttribution: window cutoff and (none) fallback") {
+    import java.sql.Timestamp
+    def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val e = Seq(
+      (1L, ts(1), 7L, "click", 0.0),   // touch, 9 days before purchase
+      (2L, ts(10), 7L, "purchase", 5.0), // beyond 7d → (none)
+      (3L, ts(11), 7L, "view", 0.0),
+      (4L, ts(12), 7L, "purchase", 7.0), // within 7d of the view
+      (5L, ts(13), 8L, "purchase", 9.0)) // user with no touches at all
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = TimeSeries.lastTouchAttribution(e, "user_id", "ts",
+        "event_id", "event_type", "value", Seq("click", "view"),
+        "purchase", windowDays = 7)
+      .collect().map(x => x.getAs[String]("touch_type") ->
+        (x.getAs[Long]("n_conversions"), x.getAs[Double]("total_value")))
+      .toMap
+    assert(r("(none)") === ((2L, 14.0)))
+    assert(r("view") === ((1L, 7.0)))
+    assert(!r.contains("click"))
+  }
+
   test("bootstrap meanCi: constant values collapse the CI onto the mean") {
     val df = (1 to 40).map(i => ("g", i.toLong, 7.0)).toDF("lbl", "id", "v")
     val r = Bootstrap.meanCi(df, "lbl", "v", col("id"), b = 20).head()
