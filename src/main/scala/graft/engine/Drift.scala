@@ -76,16 +76,27 @@ object Drift {
     val binExpr = edges.zipWithIndex
       .map { case (e, _) => when(x > e, 1L).otherwise(0L) }
       .reduce(_ + _)
-    val counts = batch.where(col(valueCol).isNotNull)
+    val observed = batch.where(col(valueCol).isNotNull)
       .select(binExpr.as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_obs"))
+    // EVERY reference bin reports — a bin the batch never hits carries
+    // the LARGEST drift penalty ((p−eps)·ln(p/eps)); emitting only
+    // observed bins would under-report exactly the severe shifts
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val allBins = refProps.zipWithIndex
+      .map { case (pr, i) => (i.toLong, pr) }.toDF("bin", "p_ref")
+    val counts = allBins.join(observed, Seq("bin"), "left")
+      .select(col("bin"), col("p_ref"),
+        coalesce(col("n_obs"), lit(0L)).as("n_cur"))
     val tot = counts.agg(sum(col("n_cur")).as("tc"))
-    val propMap = map(refProps.zipWithIndex.flatMap { case (pr, i) =>
-      Seq(lit(i.toLong), lit(pr)) }: _*)
-    val p = greatest(element_at(propMap, col("bin")), lit(eps))
-    val q = greatest(col("n_cur").cast("double") / col("tc").cast("double"),
-      lit(eps))
+    val p = greatest(col("p_ref"), lit(eps))
+    val q = greatest(
+      when(col("tc") > 0,
+        col("n_cur").cast("double") / col("tc").cast("double"))
+        .otherwise(lit(0.0)), lit(eps))
     counts.crossJoin(broadcast(tot))
+      .where(col("tc") > 0) // empty batch → zero rows, not eps noise
       .select(col("bin"), col("n_cur"),
         round(p, 8).as("p"), round(q, 8).as("q"),
         round((p - q) * round(log(p / q), 8), 8).as("contrib"))

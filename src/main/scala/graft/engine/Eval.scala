@@ -97,7 +97,11 @@ object Eval {
       bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bins=$bins")
     val p = col(probCol).cast("double")
-    val base = scored.select(p.as("p"), col(yCol).cast("long").as("y"))
+    // unscored rows (null p) and unlabeled rows drop — they would land
+    // in bin 0 / inflate n while the micro-unit sum skips them
+    val base = scored
+      .where(col(probCol).isNotNull && col(yCol).isNotNull)
+      .select(p.as("p"), col(yCol).cast("long").as("y"))
     val probs = (1 until bins).map(_.toDouble / bins)
     val cuts = base.agg(percentile(col("p"), typedlit(probs)).as("cuts"))
     val binned = base.crossJoin(broadcast(cuts))

@@ -82,10 +82,13 @@ object Governance {
     * a, b, n_a, n_matched, coverage. */
   def inclusionDep(dfA: DataFrame, colA: String, dfB: DataFrame,
       colB: String, labelA: String, labelB: String): DataFrame = {
+    // STRING key space: injective for integer/string keys of any width,
+    // where a numeric cast silently nulls out non-numeric FK columns
+    // (country codes etc.) and reports a bogus coverage 0
     val a = dfA.where(col(colA).isNotNull)
-      .select(col(colA).cast("long").as("k")).distinct()
+      .select(col(colA).cast("string").as("k")).distinct()
     val b = dfB.where(col(colB).isNotNull)
-      .select(col(colB).cast("long").as("k")).distinct()
+      .select(col(colB).cast("string").as("k")).distinct()
     a.join(b.withColumn("m", lit(1L)), Seq("k"), "left")
       .agg(count(lit(1)).as("n_a"), sum(col("m")).as("matched"))
       .select(lit(labelA).as("a"), lit(labelB).as("b"), col("n_a"),

@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -78,7 +78,10 @@ case class PoissonBootSums(
       var chunk = 0
       while (chunk < chunks) {
         digest.reset()
-        digest.update((seed + "|" + key + "|" + chunk).getBytes(US_ASCII))
+        // UTF-8, not ASCII: Catalyst md5 and DuckDB hash UTF-8 bytes —
+        // an ASCII encode would silently break draw parity on any
+        // non-ASCII key
+        digest.update((seed + "|" + key + "|" + chunk).getBytes(UTF_8))
         val d = digest.digest()
         var slot = 0
         while (slot < 4) {

@@ -108,7 +108,10 @@ object RankStats {
     val perF = fv.join(ranks, "v")
       .groupBy(col("f"))
       .agg(sum(col("cfv")).as("ng"),
-        sum((col("cfv") * col("mr2")).cast("decimal(38,0)")).as("r2g"))
+        // cast BEFORE multiplying (the spearman rule): cfv·mr2 in
+        // LongType wraps once tie-count × 2N passes 2^63
+        sum(col("cfv").cast("decimal(19,0)") *
+          col("mr2").cast("decimal(19,0)")).as("r2g"))
     // R_g = r2g/2; term_g = R_g²/n_g rounded to the grid, summed exactly
     val term = round(col("r2g").cast("double") * col("r2g").cast("double") /
       (lit(4.0) * col("ng").cast("double")), 8).cast("decimal(28,8)")
@@ -189,9 +192,13 @@ object RankStats {
     * Output: group, n, s, z (8dp, NULL when var = 0). */
   def mannKendall(series: DataFrame, groupCol: String, tCol: String,
       vCol: String): DataFrame = {
-    val a = series.select(col(groupCol).as("g"), col(tCol).as("t1"),
+    // null observations drop ENTIRELY (listwise): counting them in n
+    // and the tie term while their pairs vanish from S would make the
+    // variance inconsistent with the statistic (the corrMatrix rule)
+    val clean = series.where(col(vCol).isNotNull)
+    val a = clean.select(col(groupCol).as("g"), col(tCol).as("t1"),
       col(vCol).as("v1"))
-    val b = series.select(col(groupCol).as("g"), col(tCol).as("t2"),
+    val b = clean.select(col(groupCol).as("g"), col(tCol).as("t2"),
       col(vCol).as("v2"))
     val pairs = a.join(b, Seq("g")).where(col("t1") < col("t2"))
     val sAgg = pairs.groupBy(col("g")).agg(
@@ -199,7 +206,7 @@ object RankStats {
         .as("s"),
       count(lit(1)).as("n_pairs"))
     val cd = count(lit(1)).cast("double")
-    val ties = series.groupBy(col(groupCol).as("g"), col(vCol).as("v"))
+    val ties = clean.groupBy(col(groupCol).as("g"), col(vCol).as("v"))
       .agg(cd.as("t"))
       .groupBy(col("g"))
       .agg(coalesce(sum(when(col("t") > 1,
@@ -229,9 +236,12 @@ object RankStats {
     * contract). Output: group, n_pairs, sen_slope (8dp). */
   def theilSen(series: DataFrame, groupCol: String, tCol: String,
       vCol: String): DataFrame = {
-    val a = series.select(col(groupCol).as("g"), col(tCol).as("t1"),
+    // listwise null exclusion: a null observation would silently count
+    // in n_pairs while its slope vanishes from the median multiset
+    val clean = series.where(col(vCol).isNotNull)
+    val a = clean.select(col(groupCol).as("g"), col(tCol).as("t1"),
       col(vCol).as("v1"))
-    val b = series.select(col(groupCol).as("g"), col(tCol).as("t2"),
+    val b = clean.select(col(groupCol).as("g"), col(tCol).as("t2"),
       col(vCol).as("v2"))
     val slopes = a.join(b, Seq("g")).where(col("t1") < col("t2"))
       .select(col("g"),

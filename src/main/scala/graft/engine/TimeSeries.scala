@@ -29,7 +29,11 @@ object TimeSeries {
     require(maxLag >= 1, s"maxLag=$maxLag")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
     val y = col(valueCol).cast("decimal(18,2)")
-    val lagged = series.select(
+    // null observations drop BEFORE the lag windows (the series is its
+    // observed points): a null y would count in n while vanishing from
+    // the sums, corrupting the moments instead of excluding the pair
+    val clean = series.where(col(valueCol).isNotNull)
+    val lagged = clean.select(
       (col(groupCol).as("g") +: y.as("y") +:
         (1 to maxLag).map(k => lag(y, k).over(w).as(s"x$k"))): _*)
     val pairs = lagged.select(col("g"), col("y"),
@@ -68,7 +72,10 @@ object TimeSeries {
     val w = Window.partitionBy(col("g")).orderBy(col("o"))
       .rowsBetween(-(window - 1), 0)
     val x = col(valueCol).cast("decimal(18,2)")
-    val withSums = series.select(col(groupCol).as("g"),
+    // null rows drop entirely (they would count toward the full-window
+    // n while the sums skip them, shifting the bands)
+    val withSums = series.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
         col(orderCol).as("o"), x.as("v"))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s", sum(col("v")).over(w))
@@ -102,7 +109,10 @@ object TimeSeries {
       .rowsBetween(-(window - 1), 0)
     val x = col(xCol).cast("decimal(18,2)")
     val y = col(yCol).cast("decimal(18,2)")
-    val withSums = series.select(col(groupCol).as("g"),
+    // listwise null exclusion (the bollinger rule, on both series)
+    val withSums = series
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("g"),
         col(orderCol).as("o"), x.as("x"), y.as("y"))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("sx", sum(col("x")).over(w))

@@ -189,14 +189,15 @@ object RankStatsQueries {
         .orderBy("l_returnflag")
     }, Some(
       s"""WITH daily AS ($dailySql),
+        |d2 AS (SELECT * FROM daily WHERE v IS NOT NULL),
         |pairs AS (
         |  SELECT a.l_returnflag AS g,
         |         CAST(SIGN(CAST(b.v - a.v AS DOUBLE)) AS BIGINT) AS sg
-        |  FROM daily a JOIN daily b
+        |  FROM d2 a JOIN d2 b
         |    ON a.l_returnflag = b.l_returnflag AND a.day < b.day),
         |sa AS (SELECT g, CAST(SUM(sg) AS BIGINT) AS s FROM pairs GROUP BY g),
         |tv AS (SELECT l_returnflag AS g, v, CAST(COUNT(*) AS DOUBLE) AS t
-        |       FROM daily GROUP BY 1, 2),
+        |       FROM d2 GROUP BY 1, 2),
         |ta AS (
         |  SELECT g,
         |         COALESCE(SUM(CASE WHEN t > 1
@@ -227,11 +228,12 @@ object RankStatsQueries {
         .orderBy("l_returnflag")
     }, Some(
       s"""WITH daily AS ($dailySql),
+        |d2 AS (SELECT * FROM daily WHERE v IS NOT NULL),
         |slopes AS (
         |  SELECT a.l_returnflag AS g,
         |         CAST(b.v - a.v AS DOUBLE)
         |           / CAST(b.day - a.day AS DOUBLE) AS slope
-        |  FROM daily a JOIN daily b
+        |  FROM d2 a JOIN d2 b
         |    ON a.l_returnflag = b.l_returnflag AND a.day < b.day)
         |SELECT g AS l_returnflag, COUNT(*) AS n_pairs,
         |       ROUND(quantile_cont(slope, 0.5), 8) AS sen_slope

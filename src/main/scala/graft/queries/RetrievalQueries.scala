@@ -15,12 +15,11 @@ object RetrievalQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Oracle fragment: sequential-fold dot product (SimilarityQueries'
-    * convention — the fold order matches Spark's `aggregate`). */
+  /** Oracle fragment: SimilarityQueries' sequential-fold dot product —
+    * ONE definition so the fold order can't silently diverge between
+    * the similarity and retrieval oracles. */
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), " +
-      s"(acc, x) -> acc + x)"
+    SimilarityQueries.dotSql(a, b)
 
   /** The BM25 oracle body (top-20 for {dup, hash, window}) — shared by
     * q_bm25 and the q_ndcg evaluation that re-ranks it. */
@@ -174,13 +173,10 @@ object RetrievalQueries {
       Retrieval.mmrRerank(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 0L, candK = 20, selectK = 10)
     }, Some {
-      val dotVV = dotSql("v", "v")
       val dotQ = dotSql("v", "qv")
       val dotAB = dotSql("a.v", "b.v")
       s"""WITH RECURSIVE
-        |n AS (SELECT vec_id, v, $dotVV AS n2
-        |      FROM (SELECT vec_id, embedding::DOUBLE[] AS v
-        |            FROM embeddings)),
+        |${SimilarityQueries.normCte},
         |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
         |cand AS (
         |  SELECT vec_id, v, n2,

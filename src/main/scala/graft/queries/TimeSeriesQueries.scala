@@ -67,7 +67,7 @@ object TimeSeriesQueries {
          |lagged AS (
          |  SELECT l_returnflag, v,
          |         $lagCols
-         |  FROM daily),
+         |  FROM daily WHERE v IS NOT NULL),
          |pairs AS (
          |  $branches),
          |m AS (
@@ -94,7 +94,7 @@ object TimeSeriesQueries {
          |  SELECT l_returnflag, day, v,
          |         COUNT(*) OVER fr AS n, SUM(v) OVER fr AS s,
          |         SUM(v * v) OVER fr AS ss
-         |  FROM daily
+         |  FROM daily WHERE v IS NOT NULL
          |  WINDOW fr AS (PARTITION BY l_returnflag ORDER BY day
          |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
          |b AS (
@@ -135,7 +135,7 @@ object TimeSeriesQueries {
          |         SUM(x) OVER fr AS sx, SUM(y) OVER fr AS sy,
          |         SUM(x * x) OVER fr AS sxx, SUM(y * y) OVER fr AS syy,
          |         SUM(x * y) OVER fr AS sxy
-         |  FROM daily
+         |  FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
          |  WINDOW fr AS (PARTITION BY l_returnflag ORDER BY day
          |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
          |SELECT l_returnflag, day, n,

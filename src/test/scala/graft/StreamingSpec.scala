@@ -602,6 +602,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val b1 = sink.filter(_._1 == 1L)
       assert(b1.map(_._3).sum > 0.25, b1) // "major shift" threshold
+      // ALL reference bins report — the three the batch never hit carry
+      // the (p−eps)·ln(p/eps) collapse penalty (≈ 1.95 each), which is
+      // most of the drift signal in a severe shift
+      assert(b1.length === 4, b1)
+      assert(b1.filter(_._2 < 3L).forall(_._3 > 1.0), b1)
     } finally q.stop()
 
     // at-least-once replay: the same batch produces identical rows
