@@ -36,7 +36,8 @@ class ExtensionsSpec extends SparkSpec {
     val builders = GraftFunctions.all.map(f => f._1 -> f._3).toMap
     assert(builders.keySet ===
       Set("simhash64", "dot_seq", "topk_by_score", "word_shingles",
-        "winnow_fps", "minhash_sigs", "cov_sums", "jaro_winkler"))
+        "winnow_fps", "minhash_sigs", "cov_sums", "jaro_winkler",
+        "poisson_boot_sums"))
     assert(builders("jaro_winkler")(Seq(Literal("ab"), Literal("ba")))
       .isInstanceOf[graft.llm.JaroWinklerExpr])
     assert(builders("minhash_sigs")(
