@@ -44,7 +44,8 @@ object QueryRegistry {
       queries.TimeSeriesQueries.specs ++
       queries.RecommenderQueries.specs ++
       queries.GlmQueries.specs ++
-      queries.EvalQueries.specs
+      queries.EvalQueries.specs ++
+      queries.FrontierQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -253,6 +253,69 @@ object TimeSeries {
         col("n_anomalies"))
   }
 
+  /** Burstiness of inter-event gaps (Goh & Barabási 2008): per group,
+    * the coefficient of variation of inter-arrival times and the
+    * bounded burstiness score B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 periodic,
+    * 0 Poisson, → 1 bursty) — the temporal texture of an event stream.
+    * Gaps form per (sequence key) with one lag window (exact integer
+    * epoch-micros differences), then aggregate per group with DECIMAL
+    * moment sums (gap² ≤ 1e24 — DECIMAL(38,0)). Output: group,
+    * n_gaps, mean_gap_s (8dp), cv (8dp), burstiness (8dp; NULL when
+    * degenerate). */
+  def burstiness(events: DataFrame, seqCols: Seq[String],
+      groupCol: String, tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(seqCols.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .where(col("__gap").isNotNull)
+      .select(col(groupCol).as("g"), col("__gap").as("gap"))
+    val m = gaps.groupBy(col("g")).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("gap").cast("decimal(38,0)")).as("s"),
+      sum(col("gap").cast("decimal(19,0)") *
+        col("gap").cast("decimal(19,0)")).as("ss"))
+    val nd = col("n_gaps").cast("double")
+    val mean = col("s").cast("double") / nd
+    val variance = (nd * col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double")) /
+      (nd * (nd - 1.0))
+    val sd = sqrt(variance)
+    m.select(col("g").as(groupCol), col("n_gaps"),
+      round(mean / 1000000.0, 8).as("mean_gap_s"),
+      when(col("n_gaps") > 1 && mean > 0.0 && variance > 0.0,
+        round(sd / mean, 8)).as("cv"),
+      when(col("n_gaps") > 1 && variance > 0.0 && (sd + mean) > 0.0,
+        round((sd - mean) / (sd + mean), 8)).as("burstiness"))
+  }
+
+  /** Local-maximum peak detection over an ordered per-group series:
+    * points strictly above both neighbors AND above `factor`× the
+    * group mean (the prominence floor that keeps noise wiggles out) —
+    * the alerting primitive over daily volumes. One lag/lead window +
+    * a broadcast per-group mean; neighbor compares are exact DECIMAL,
+    * the prominence compare is the shared double expression. Output:
+    * group, order, v, peak rows only. */
+  def peaks(series: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, factor: Double = 1.2): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("o"))
+    val base = series.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(orderCol).as("o"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+    val means = base.groupBy(col("g"))
+      .agg((sum(col("v")).cast("double") / count(lit(1))).as("gmean"))
+    base
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("next", lead(col("v"), 1).over(w))
+      .join(broadcast(means), "g")
+      .where(col("prev").isNotNull && col("next").isNotNull &&
+        col("v") > col("prev") && col("v") > col("next") &&
+        col("v").cast("double") > lit(factor) * col("gmean"))
+      .select(col("g").as(groupCol), col("o").as(orderCol),
+        col("v").cast("double").as("v"))
+  }
+
   /** Calendar-gap detection: days in [min, max] of the observed day
     * range with NO data for a group — the "silent feed" screen a
     * freshness monitor runs. The spine is one scalar (min, max) row

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.{Skyline, Tables, TimeSeries}
+
+/** Window-shaped analytics: Pareto frontier, burstiness, peak
+  * detection — staircase/texture/alerting primitives over the same
+  * value-domain window discipline as the rank-stats tier. */
+object FrontierQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Pareto frontier of parts on (min retail price, max size) — the
+    // 2-D skyline as a running-max staircase over the distinct-price
+    // domain, never a quadratic dominance join.
+    QuerySpec("q_skyline", (s, dir) => {
+      Skyline.frontier2d(t(s, dir, "part"), "p_partkey",
+        "p_retailprice", "p_size")
+    }, Some(
+      """WITH base AS (
+        |  SELECT p_partkey AS id,
+        |         CAST(p_retailprice AS DECIMAL(18,2)) AS cost,
+        |         CAST(p_size AS BIGINT) AS gain
+        |  FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |pc AS (SELECT cost, MAX(gain) AS best FROM base GROUP BY cost),
+        |kept AS (
+        |  SELECT cost, best FROM (
+        |    SELECT cost, best,
+        |           MAX(best) OVER (ORDER BY cost
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             AS prev_best
+        |    FROM pc)
+        |  WHERE prev_best IS NULL OR best > prev_best)
+        |SELECT id, CAST(base.cost AS DOUBLE) AS cost, gain
+        |FROM base JOIN kept
+        |  ON base.cost = kept.cost AND base.gain = kept.best
+        |ORDER BY cost, id""".stripMargin)),
+
+    // Inter-event burstiness per event type (gaps within each user's
+    // own stream): CV and the Goh–Barabási B score.
+    QuerySpec("q_burstiness", (s, dir) => {
+      TimeSeries.burstiness(t(s, dir, "events"),
+          Seq("user_id", "event_type"), "event_type", "ts", "event_id")
+        .orderBy("event_type")
+    }, Some(
+      """WITH gaps AS (
+        |  SELECT event_type AS g,
+        |         CAST(epoch_us(ts) AS BIGINT)
+        |           - lag(CAST(epoch_us(ts) AS BIGINT), 1)
+        |               OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n_gaps,
+        |         SUM(CAST(gap AS DECIMAL(38,0))) AS s,
+        |         SUM(CAST(gap AS DECIMAL(19,0))
+        |             * CAST(gap AS DECIMAL(19,0))) AS ss
+        |  FROM gaps WHERE gap IS NOT NULL GROUP BY g),
+        |d AS (
+        |  SELECT g, n_gaps, CAST(n_gaps AS DOUBLE) AS nd,
+        |         CAST(s AS DOUBLE) AS sd_, CAST(ss AS DOUBLE) AS ssd
+        |  FROM m),
+        |f AS (
+        |  SELECT g, n_gaps, sd_ / nd AS mean,
+        |         SQRT((nd * ssd - sd_ * sd_) / (nd * (nd - 1.0))) AS sd
+        |  FROM d)
+        |SELECT g AS event_type, n_gaps,
+        |       ROUND(mean / 1000000.0, 8) AS mean_gap_s,
+        |       CASE WHEN n_gaps > 1 AND mean > 0.0
+        |                 AND sd * sd > 0.0
+        |            THEN ROUND(sd / mean, 8) END AS cv,
+        |       CASE WHEN n_gaps > 1 AND sd * sd > 0.0
+        |                 AND sd + mean > 0.0
+        |            THEN ROUND((sd - mean) / (sd + mean), 8)
+        |       END AS burstiness
+        |FROM f ORDER BY event_type""".stripMargin)),
+
+    // Daily-volume peaks per returnflag: strict local maxima at least
+    // 1.2× the series mean — the alerting primitive.
+    QuerySpec("q_peak_detect", (s, dir) => {
+      TimeSeries.peaks(RankStatsQueries.dailySeries(s, dir),
+          "l_returnflag", "day", "v", factor = 1.2)
+        .orderBy("l_returnflag", "day")
+    }, Some(
+      s"""WITH daily AS (${RankStatsQueries.dailySql}),
+         |base AS (SELECT l_returnflag AS g, day, v FROM daily
+         |         WHERE v IS NOT NULL),
+         |means AS (
+         |  SELECT g, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS gmean
+         |  FROM base GROUP BY g),
+         |wins AS (
+         |  SELECT g, day, v,
+         |         lag(v, 1) OVER (PARTITION BY g ORDER BY day) AS prev,
+         |         lead(v, 1) OVER (PARTITION BY g ORDER BY day) AS next
+         |  FROM base)
+         |SELECT wins.g AS l_returnflag, day, CAST(v AS DOUBLE) AS v
+         |FROM wins JOIN means ON means.g = wins.g
+         |WHERE prev IS NOT NULL AND next IS NOT NULL
+         |  AND v > prev AND v > next
+         |  AND CAST(v AS DOUBLE) > CAST(1.2 AS DOUBLE) * gmean
+         |ORDER BY l_returnflag, day""".stripMargin))
+  )
+}

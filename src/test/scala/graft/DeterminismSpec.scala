@@ -70,7 +70,10 @@ class DeterminismSpec extends SparkSpec {
     // temporal ops: power-of-two decay units, running-last struct
     // attribution, cell-moment anomaly flags, spine anti-joins
     "q_decayed_topk", "q_attribution", "q_seasonal_anomaly",
-    "q_missing_days")
+    "q_missing_days",
+    // frontier trio: distinct-cost staircase, integer gap moments,
+    // lag/lead peak compares
+    "q_skyline", "q_burstiness", "q_peak_detect")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
