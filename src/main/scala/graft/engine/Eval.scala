@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.Similarity
@@ -125,6 +126,84 @@ object Eval {
           col("sy").cast("double") / col("n").cast("double"), 8)
           .as("gap"))
       .orderBy("bin")
+  }
+
+  /** Rank-based AUC (area under the ROC curve) of a score against a
+    * binary label — exactly the Mann–Whitney U statistic normalized by
+    * n⁺·n⁻, computed tie-aware on midranks:
+    *
+    *   AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)
+    *
+    * AUC is invariant under monotone transforms, so scoring a raw
+    * feature here equals scoring any calibrated monotone model of it.
+    * The rank window runs over the DISTINCT-score table (the ksStat
+    * value-domain convention); doubled midranks are integers; the rank
+    * sum accumulates in DECIMAL. Output one row: n_pos, n_neg,
+    * auc (8dp; NULL when either class is empty). */
+  def aucRank(df: DataFrame, scoreCol: String, labelCol: Column)
+      : DataFrame = {
+    val base = df.where(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("decimal(18,2)").as("s"),
+        labelCol.cast("long").as("y"))
+      .where(col("y").isNotNull)
+    val ties = base.groupBy(col("s"))
+      .agg(sum(col("y")).as("cp"), sum(lit(1L) - col("y")).as("cn"),
+        count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = ties.withColumn("mr2",
+      coalesce(sum(col("c")).over(wCum), lit(0L)) * 2 + col("c") + 1)
+    val agg = ranked.agg(
+      sum(col("cp")).as("n_pos"), sum(col("cn")).as("n_neg"),
+      sum(col("cp").cast("decimal(19,0)") *
+        col("mr2").cast("decimal(19,0)")).as("r2p"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    val rPos = col("r2p").cast("double") / 2.0
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((rPos - np * (np + 1.0) / 2.0) / (np * nn), 8)).as("auc"))
+  }
+
+  /** Cumulative-gains table: rows bin into `bins` equal-count score
+    * bands (percentile cuts of the score, highest band first) and each
+    * band reports its positives, the CUMULATIVE capture rate walking
+    * down from the best band, and the band's lift over the base rate —
+    * the scorecard targeting readout beside [[calibrationBins]]'s
+    * honesty readout. Counts exact; capture/lift are int ratios
+    * rounded 8dp; the cumulative walk is a window over ≤ `bins` rows.
+    * Output: band (0 = best), n, n_pos, capture, lift. */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins=$bins")
+    val base = df.where(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        labelCol.cast("long").as("y"))
+      .where(col("y").isNotNull)
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val cuts = base.agg(percentile(col("s"), typedlit(probs)).as("cuts"))
+    // band 0 = TOP scores: count of cuts the score does NOT exceed
+    val binned = base.crossJoin(broadcast(cuts))
+      .select((lit(bins - 1) - aggregate(col("cuts"), lit(0L),
+          (acc, e) => acc + when(col("s") > e, 1L).otherwise(0L)))
+          .as("band"),
+        col("y"))
+    val perBand = binned.groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val tot = perBand.agg(sum(col("n")).as("tn"),
+      sum(col("n_pos")).as("tp"))
+    val wCum = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBand.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("band"), col("n"), col("n_pos"),
+        when(col("tp") > 0, round(col("cum_pos").cast("double") /
+          col("tp").cast("double"), 8)).as("capture"),
+        when(col("tp") > 0 && col("n") > 0, round(
+          (col("n_pos").cast("double") / col("n").cast("double")) /
+            (col("tp").cast("double") / col("tn").cast("double")), 8))
+          .as("lift"))
+      .orderBy("band")
   }
 
   /** Two-proportion z-test (pooled variance) between variants `a` and

@@ -149,6 +149,90 @@ object EvalQueries {
          |               / CAST(COUNT(*) AS DOUBLE), 8) AS gap
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // Rank-based AUC of order value as a discriminator for 'R' returns
+    // — tie-aware midranks over the distinct-score domain (AUC is
+    // monotone-invariant, so this equals any fitted monotone model's).
+    QuerySpec("q_auc", (s, dir) => {
+      Eval.aucRank(t(s, dir, "lineitem"), "l_extendedprice",
+        (col("l_returnflag") === "R").cast("int"))
+    }, Some(
+      """WITH base AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS s,
+        |         CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |              AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |t AS (
+        |  SELECT s, CAST(SUM(y) AS BIGINT) AS cp,
+        |         CAST(SUM(1 - y) AS BIGINT) AS cn, COUNT(*) AS c
+        |  FROM base GROUP BY s),
+        |r AS (
+        |  SELECT cp, cn,
+        |         2 * COALESCE(SUM(c) OVER (ORDER BY s
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + c + 1 AS mr2
+        |  FROM t),
+        |m AS (
+        |  SELECT CAST(SUM(cp) AS BIGINT) AS np,
+        |         CAST(SUM(cn) AS BIGINT) AS nn,
+        |         SUM(CAST(cp AS DECIMAL(19,0))
+        |             * CAST(mr2 AS DECIMAL(19,0))) AS r2p
+        |  FROM r)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |       CASE WHEN np > 0 AND nn > 0
+        |            THEN ROUND((CAST(r2p AS DOUBLE) / 2.0
+        |                        - CAST(np AS DOUBLE)
+        |                          * (CAST(np AS DOUBLE) + 1.0) / 2.0)
+        |                       / (CAST(np AS DOUBLE)
+        |                          * CAST(nn AS DOUBLE)), 8)
+        |       END AS auc
+        |FROM m""".stripMargin)),
+
+    // Cumulative-gains / lift table by order-value decile (band 0 =
+    // highest scores) — the scorecard targeting readout.
+    QuerySpec("q_gains_table", (s, dir) => {
+      Eval.gainsTable(t(s, dir, "lineitem"), "l_extendedprice",
+        (col("l_returnflag") === "R").cast("int"), bins = 10)
+    }, Some {
+      val cutCols = (1 to 9).map(i =>
+        s"quantile_cont(s, 0.$i) AS c$i").mkString(", ")
+      val binExpr = (1 to 9).map(i =>
+        s"(CASE WHEN s > c$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+         |         CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+         |              AS BIGINT) AS y
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL
+         |    AND l_returnflag IS NOT NULL),
+         |cuts AS (SELECT $cutCols FROM base),
+         |binned AS (
+         |  SELECT CAST(9 - ($binExpr) AS BIGINT) AS band, y
+         |  FROM base CROSS JOIN cuts),
+         |pb AS (SELECT band, COUNT(*) AS n,
+         |              CAST(SUM(y) AS BIGINT) AS n_pos
+         |       FROM binned GROUP BY band),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+         |               CAST(SUM(n_pos) AS BIGINT) AS tp FROM pb),
+         |w AS (
+         |  SELECT band, n, n_pos,
+         |         SUM(n_pos) OVER (ORDER BY band
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum_pos,
+         |         tn, tp
+         |  FROM pb CROSS JOIN tot)
+         |SELECT band, n, n_pos,
+         |       CASE WHEN tp > 0
+         |            THEN ROUND(CAST(cum_pos AS DOUBLE)
+         |                       / CAST(tp AS DOUBLE), 8) END AS capture,
+         |       CASE WHEN tp > 0 AND n > 0
+         |            THEN ROUND((CAST(n_pos AS DOUBLE)
+         |                        / CAST(n AS DOUBLE))
+         |                       / (CAST(tp AS DOUBLE)
+         |                          / CAST(tn AS DOUBLE)), 8) END AS lift
+         |FROM w ORDER BY band""".stripMargin
+    }),
+
     // A/B two-proportion z-test: variant = user_id parity, success =
     // heavy purchaser (count > 13 — the corpus median).
     QuerySpec("q_ab_test", (s, dir) => {

@@ -82,6 +82,45 @@ object FrontierQueries {
         |       END AS burstiness
         |FROM f ORDER BY event_type""".stripMargin)),
 
+    // Dunning G² keyness of every (source, term): which words
+    // characterize each source against the rest of the corpus.
+    QuerySpec("q_keyness", (s, dir) => {
+      graft.llm.Keyness.keyness(t(s, dir, "documents"), "source", "text")
+        .orderBy("source", "term")
+    }, Some(
+      """WITH tk AS (
+        |  SELECT source AS g,
+        |         unnest(list_filter(string_split_regex(lower(text),
+        |                                               '[^a-z0-9]+'),
+        |                x -> x <> '')) AS w
+        |  FROM documents),
+        |gt AS (SELECT g, w, COUNT(*) AS a FROM tk GROUP BY 1, 2),
+        |tt AS (SELECT w, CAST(SUM(a) AS BIGINT) AS t FROM gt GROUP BY w),
+        |gtot AS (SELECT g, CAST(SUM(a) AS BIGINT) AS n1
+        |         FROM gt GROUP BY g),
+        |nt AS (SELECT CAST(SUM(n1) AS BIGINT) AS nn FROM gtot),
+        |j AS (
+        |  SELECT gt.g, gt.w, gt.a,
+        |         CAST(gt.a AS DOUBLE) AS ad,
+        |         CAST(tt.t - gt.a AS DOUBLE) AS bd,
+        |         CAST(gtot.n1 AS DOUBLE) AS n1d,
+        |         CAST(nt.nn - gtot.n1 AS DOUBLE) AS n2d,
+        |         CAST(tt.t AS DOUBLE) AS td, CAST(nt.nn AS DOUBLE) AS nd
+        |  FROM gt JOIN tt USING (w) JOIN gtot USING (g) CROSS JOIN nt)
+        |SELECT g AS source, w AS term, a,
+        |       ROUND(n1d * td / nd, 8) AS expected_a,
+        |       ROUND(CAST(2.0 AS DOUBLE) * (
+        |         (CASE WHEN ad > 0
+        |               THEN ROUND(ad * ROUND(LN(ad / (n1d * td / nd)),
+        |                                     8), 8)
+        |               ELSE 0.0 END)
+        |         + (CASE WHEN bd > 0
+        |                 THEN ROUND(bd * ROUND(LN(bd / (n2d * td / nd)),
+        |                                       8), 8)
+        |                 ELSE 0.0 END)), 8) AS g2,
+        |       ad / n1d > bd / n2d AS over_used
+        |FROM j ORDER BY source, term""".stripMargin)),
+
     // Daily-volume peaks per returnflag: strict local maxima at least
     // 1.2× the series mean — the alerting primitive.
     QuerySpec("q_peak_detect", (s, dir) => {

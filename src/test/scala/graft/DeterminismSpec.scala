@@ -73,7 +73,9 @@ class DeterminismSpec extends SparkSpec {
     "q_missing_days",
     // frontier trio: distinct-cost staircase, integer gap moments,
     // lag/lead peak compares
-    "q_skyline", "q_burstiness", "q_peak_detect")
+    "q_skyline", "q_burstiness", "q_peak_detect",
+    // eval/keyness: midrank AUC, decile gains walk, 8dp-ln G² parts
+    "q_auc", "q_gains_table", "q_keyness")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -73,6 +73,42 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("aucRank: perfect separation = 1, reversed = 0, random-ish = 0.5") {
+    val perfect = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1))
+      .toDF("s", "y")
+    assert(Eval.aucRank(perfect, "s", col("y")).head()
+      .getAs[Double]("auc") === 1.0)
+    val reversed = Seq((1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0))
+      .toDF("s", "y")
+    assert(Eval.aucRank(reversed, "s", col("y")).head()
+      .getAs[Double]("auc") === 0.0)
+    // all scores tied → midranks equal → AUC exactly 0.5
+    val tied = Seq((5.0, 1), (5.0, 0), (5.0, 1), (5.0, 0)).toDF("s", "y")
+    assert(Eval.aucRank(tied, "s", col("y")).head()
+      .getAs[Double]("auc") === 0.5)
+  }
+
+  test("aucRank: textbook tie case matches the midrank formula") {
+    // scores 1,2,2,3 with y = 0,0,1,1: ranks 1, 2.5, 2.5, 4 →
+    // R+ = 2.5 + 4 = 6.5 → AUC = (6.5 − 3)/(2·2) = 0.875
+    val df = Seq((1.0, 0), (2.0, 0), (2.0, 1), (3.0, 1)).toDF("s", "y")
+    assert(Eval.aucRank(df, "s", col("y")).head()
+      .getAs[Double]("auc") === 0.875)
+  }
+
+  test("gainsTable: top band captures all positives when score separates") {
+    // 20 rows, top half positive: band 0..4 hold all positives
+    val df = (1 to 20).map(i => (i.toDouble, if (i > 10) 1 else 0))
+      .toDF("s", "y")
+    val r = Eval.gainsTable(df, "s", col("y"), bins = 10).collect()
+    val byBand = r.map(x => x.getAs[Long]("band") ->
+      (x.getAs[Long]("n_pos"), x.getAs[Double]("capture"))).toMap
+    assert(byBand(0L)._1 === 2L)
+    assert(byBand(4L)._2 === 1.0) // all positives captured by band 4
+    assert(byBand(9L)._2 === 1.0)
+    assert(r.map(_.getAs[Long]("n")).sum === 20L)
+  }
+
   test("abTest: equal rates give z = 0; a real gap moves z") {
     // success = i%4 < 2: 50% in both parities
     val df = (1 to 200).map(i => (i.toLong, i % 4 < 2)).toDF("id", "s")
