@@ -237,6 +237,128 @@ object RankStatsQueries {
         |    ON a.l_returnflag = b.l_returnflag AND a.day < b.day)
         |SELECT g AS l_returnflag, COUNT(*) AS n_pairs,
         |       ROUND(quantile_cont(slope, 0.5), 8) AS sen_slope
-        |FROM slopes GROUP BY g ORDER BY g""".stripMargin))
+        |FROM slopes GROUP BY g ORDER BY g""".stripMargin)),
+
+    // Cohen's d / Hedges' g between open and finished lines per
+    // returnflag — effect size beside q_mannwhitney's test.
+    QuerySpec("q_cohens_d", (s, dir) => {
+      graft.engine.EffectSize.cohensD(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_linestatus", "O", "F")
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH base AS (
+        |  SELECT l_returnflag AS lbl, l_linestatus = 'O' AS is_a,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND l_linestatus IN ('O', 'F')),
+        |m AS (
+        |  SELECT lbl,
+        |         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n1,
+        |         SUM(CASE WHEN is_a THEN x END) AS s1,
+        |         SUM(CASE WHEN is_a THEN x * x END) AS ss1,
+        |         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS n2,
+        |         SUM(CASE WHEN NOT is_a THEN x END) AS s2,
+        |         SUM(CASE WHEN NOT is_a THEN x * x END) AS ss2
+        |  FROM base GROUP BY lbl),
+        |d AS (
+        |  SELECT lbl, n1, n2,
+        |         CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |         CAST(ss1 AS DOUBLE) AS ss1d, CAST(ss2 AS DOUBLE) AS ss2d
+        |  FROM m),
+        |f AS (
+        |  SELECT lbl, n1, n2, n1d, n2d,
+        |         s1d / n1d - s2d / n2d AS delta,
+        |         ((n1d - 1.0) * ((n1d * ss1d - s1d * s1d)
+        |                         / (n1d * (n1d - 1.0)))
+        |          + (n2d - 1.0) * ((n2d * ss2d - s2d * s2d)
+        |                           / (n2d * (n2d - 1.0))))
+        |           / (n1d + n2d - 2.0) AS pooled
+        |  FROM d)
+        |SELECT lbl AS l_returnflag, n1, n2,
+        |       CASE WHEN n1 > 1 AND n2 > 1 AND pooled > 0.0
+        |            THEN ROUND(delta / SQRT(pooled), 8) END AS d,
+        |       CASE WHEN n1 > 1 AND n2 > 1 AND pooled > 0.0
+        |            THEN ROUND(delta / SQRT(pooled)
+        |                       * (CAST(1.0 AS DOUBLE)
+        |                          - CAST(3.0 AS DOUBLE)
+        |                            / (CAST(4.0 AS DOUBLE)
+        |                               * (n1d + n2d) - 9.0)), 8)
+        |       END AS g
+        |FROM f ORDER BY l_returnflag""".stripMargin)),
+
+    // Wilson score interval for the "large event" rate per event type
+    // — the binomial CI that behaves at extreme rates.
+    QuerySpec("q_wilson_ci", (s, dir) => {
+      graft.engine.EffectSize.wilsonCi(t(s, dir, "events"),
+          "event_type", (col("value") > 50.0).cast("int"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH m AS (
+        |  SELECT event_type AS g, COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS k
+        |  FROM events WHERE value IS NOT NULL GROUP BY g),
+        |d AS (
+        |  SELECT g, n, k, CAST(n AS DOUBLE) AS nd,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2,
+        |         CAST(1.96 AS DOUBLE) AS z
+        |  FROM m),
+        |f AS (
+        |  SELECT g, n, k, p,
+        |         (p + z2 / (nd * 2.0)) / (1.0 + z2 / nd) AS center,
+        |         z * SQRT(p * (CAST(1.0 AS DOUBLE) - p) / nd
+        |                  + z2 / (CAST(4.0 AS DOUBLE) * nd * nd))
+        |           / (CAST(1.0 AS DOUBLE) + z2 / nd) AS half
+        |  FROM d)
+        |SELECT g AS event_type, n, k AS successes,
+        |       ROUND(p, 8) AS rate,
+        |       CASE WHEN n > 0 THEN ROUND(center - half, 8) END AS ci_lo,
+        |       CASE WHEN n > 0 THEN ROUND(center + half, 8) END AS ci_hi
+        |FROM f ORDER BY event_type""".stripMargin)),
+
+    // Tukey-style pairwise standardized differences after q_anova:
+    // which returnflag pairs drive the F. Pair stage is k²-bounded.
+    QuerySpec("q_tukey_diffs", (s, dir) => {
+      graft.engine.EffectSize.tukeyPairs(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity")
+    }, Some(
+      """WITH g AS (
+        |  SELECT l_returnflag AS g, COUNT(*) AS ng,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sg,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS ssg
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |         SUM(ssg) AS ss,
+        |         SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |                        / CAST(ng AS DOUBLE), 8)
+        |                  AS DECIMAL(28,8))) AS t
+        |  FROM g),
+        |mw AS (
+        |  SELECT (CAST(ss AS DOUBLE) - CAST(t AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw
+        |  FROM tot),
+        |p AS (
+        |  SELECT a.g AS g1, b.g AS g2, a.ng AS n1, b.ng AS n2,
+        |         CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+        |           - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE) AS diff,
+        |         msw
+        |  FROM g a JOIN g b ON a.g < b.g CROSS JOIN mw)
+        |SELECT g1, g2, n1, n2, ROUND(diff, 8) AS diff,
+        |       CASE WHEN msw > 0.0
+        |            THEN ROUND(ABS(diff)
+        |                       / SQRT(msw / 2.0
+        |                              * (CAST(1.0 AS DOUBLE)
+        |                                 / CAST(n1 AS DOUBLE)
+        |                                 + CAST(1.0 AS DOUBLE)
+        |                                 / CAST(n2 AS DOUBLE))), 8)
+        |       END AS q_stat
+        |FROM p ORDER BY g1, g2""".stripMargin))
   )
 }

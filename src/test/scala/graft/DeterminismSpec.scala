@@ -75,7 +75,10 @@ class DeterminismSpec extends SparkSpec {
     // lag/lead peak compares
     "q_skyline", "q_burstiness", "q_peak_detect",
     // eval/keyness: midrank AUC, decile gains walk, 8dp-ln G² parts
-    "q_auc", "q_gains_table", "q_keyness")
+    "q_auc", "q_gains_table", "q_keyness",
+    // effect-size tier: pooled-variance algebra, Wilson intervals,
+    // k²-bounded pair grids
+    "q_cohens_d", "q_wilson_ci", "q_tukey_diffs")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -1,6 +1,7 @@
 package graft
 
 import graft.engine.RankStats
+import org.apache.spark.sql.functions.col
 
 /** Analytic pins for the rank/robust-stats tier — every constant below is
   * derivable by hand (exact rank algebra on tiny inputs), so the tests
@@ -90,6 +91,42 @@ class RankStatsSpec extends SparkSpec {
     val r = RankStats.theilSen(df, "lbl", "t", "v").head()
     assert(r.getAs[Long]("n_pairs") === 15L)
     assert(r.getAs[Double]("sen_slope") === 3.0)
+  }
+
+  test("cohensD: unit-separated equal-variance groups pin d") {
+    // a = {1,2,3}, b = {3,4,5}: means 2/4, each var 1 → pooled 1 →
+    // d = -2; J = 1 − 3/(4·6−9) = 0.8 → g = -1.6
+    val df = (Seq(1, 2, 3).map(v => ("g", "A", v.toDouble)) ++
+      Seq(3, 4, 5).map(v => ("g", "B", v.toDouble)))
+      .toDF("lbl", "smp", "v")
+    val r = graft.engine.EffectSize.cohensD(df, "lbl", "v", "smp",
+      "A", "B").head()
+    assert(r.getAs[Double]("d") === -2.0)
+    assert(r.getAs[Double]("g") === -1.6)
+  }
+
+  test("wilsonCi: brackets the rate and stays inside [0,1] at extremes") {
+    val df = ((1 to 9).map(i => ("g", 1)) :+ (("g", 0)))
+      .toDF("lbl", "s")
+    val r = graft.engine.EffectSize.wilsonCi(df, "lbl", col("s")).head()
+    assert(r.getAs[Double]("rate") === 0.9)
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < 0.9 && 0.9 < hi && hi < 1.0 && lo > 0.0)
+  }
+
+  test("tukeyPairs: symmetric three-group layout gives symmetric q") {
+    val df = (Seq(1, 2, 3).map(v => ("A", v.toDouble)) ++
+      Seq(4, 5, 6).map(v => ("B", v.toDouble)) ++
+      Seq(7, 8, 9).map(v => ("C", v.toDouble))).toDF("g", "v")
+    val r = graft.engine.EffectSize.tukeyPairs(df, "g", "v").collect()
+      .map(x => (x.getAs[String]("g1"), x.getAs[String]("g2")) ->
+        (x.getAs[Double]("diff"), x.getAs[Double]("q_stat"))).toMap
+    assert(r(("A", "B"))._1 === -3.0)
+    assert(r(("B", "C"))._1 === -3.0)
+    assert(r(("A", "B"))._2 === r(("B", "C"))._2)
+    // each q rounds to 8dp independently — doubling a rounded value
+    // can differ in the last digit
+    assert(math.abs(r(("A", "C"))._2 - 2.0 * r(("A", "B"))._2) < 2e-8)
   }
 
   test("theil-sen: one outlier does not move the median slope") {
