@@ -41,8 +41,11 @@ object Glm {
     // (×1e8 lands within an ulp of the integer, the outer round snaps
     // it) lets the sums run in LongType — measured ~2 s/round cheaper
     // than DECIMAL(28,8) sums at sf0.1, with identical totals
-    // (Σ kᵢ·1e-8 = (Σ kᵢ)/1e8 exactly). Capacity: int64 wraps past
-    // ~3e11 rows per fit — shard and merge beyond (the CovSums note).
+    // (Σ kᵢ·1e-8 = (Σ kᵢ)/1e8 exactly, converted back through
+    // BigDecimal so the double is the correctly-rounded value at ANY
+    // magnitude — a bare toDouble/1e8 double-rounds past 2^53 units).
+    // Capacity: int64 wraps past ~3e11 rows per fit — shard and merge
+    // beyond (the CovSums note).
     def e8(c: Column): Column =
       round(round(c, 8) * 100000000L).cast("long")
 
@@ -72,22 +75,41 @@ object Glm {
         sum(e8(col("w") * col("z"))).as("swz"),
         sum(e8(col("w") * col("x") * col("z"))).as("swxz")).head()
       n = row.getAs[Long]("n")
-      // unit sums → values: double(Σk)/1e8 is the correctly-rounded
-      // Σk·1e-8, bit-equal to the oracle's DECIMAL(28,8)→DOUBLE cast
-      def v(name: String): Double = row.getAs[Long](name).toDouble / 1e8
+      // empty input: the sums come back NULL (getAs would unbox to 0
+      // and the solve would NaN-crash the driver) — return the
+      // degenerate row, matching the lazy formulation's NULL betas
+      if (n == 0L || row.isNullAt(row.fieldIndex("sw"))) {
+        return Seq((n, Option.empty[Double], Option.empty[Double]))
+          .toDF("n", "b0", "b1")
+      }
+      // unit sums → values via BigDecimal(unscaled, 8): the correctly-
+      // rounded Σk·1e-8, bit-equal to the oracle's DECIMAL(28,8)→DOUBLE
+      // cast at any magnitude
+      def v(name: String): Double =
+        new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(row.getAs[Long](name)), 8)
+          .doubleValue()
       val sw = v("sw")
       val swx = v("swx")
       val swxx = v("swxx")
       val swz = v("swz")
       val swxz = v("swxz")
       val det = sw * swxx - swx * swx
+      val b1Raw = (sw * swxz - swx * swz) / det
+      // degenerate design (constant x → det 0, or zero weight mass):
+      // NULL betas, never a driver NaN crash (BigDecimal(NaN) throws)
+      if (!java.lang.Double.isFinite(b1Raw) || sw == 0.0) {
+        return Seq((n, Option.empty[Double], Option.empty[Double]))
+          .toDF("n", "b0", "b1")
+      }
       // b1 rounds to the grid FIRST and the rounded value feeds b0 —
       // one unambiguous association order for the oracle to mirror
-      b1 = BigDecimal((sw * swxz - swx * swz) / det)
+      b1 = BigDecimal(b1Raw)
         .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
       b0 = BigDecimal((swz - b1 * swx) / sw)
         .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    Seq((n, b0, b1)).toDF("n", "b0", "b1")
+    // Option-wrapped so both exits share one nullable schema
+    Seq((n, Option(b0), Option(b1))).toDF("n", "b0", "b1")
   }
 }

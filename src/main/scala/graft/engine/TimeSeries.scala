@@ -278,6 +278,11 @@ object TimeSeries {
         col("gap").cast("decimal(19,0)")).as("ss"))
     val nd = col("n_gaps").cast("double")
     val mean = col("s").cast("double") / nd
+    // gap² sums exceed 2^53 (epoch-micros squares), so the double
+    // moment difference carries rounding noise of EITHER sign for
+    // near-constant gaps — sqrt stays INSIDE the variance>0 guard on
+    // both engines (an eager SQRT(negative) would NaN here and ERROR
+    // in DuckDB), and both guards test the same variance expression
     val variance = (nd * col("ss").cast("double") -
       col("s").cast("double") * col("s").cast("double")) /
       (nd * (nd - 1.0))
@@ -286,7 +291,7 @@ object TimeSeries {
       round(mean / 1000000.0, 8).as("mean_gap_s"),
       when(col("n_gaps") > 1 && mean > 0.0 && variance > 0.0,
         round(sd / mean, 8)).as("cv"),
-      when(col("n_gaps") > 1 && variance > 0.0 && (sd + mean) > 0.0,
+      when(col("n_gaps") > 1 && variance > 0.0 && mean > 0.0,
         round((sd - mean) / (sd + mean), 8)).as("burstiness"))
   }
 

@@ -69,16 +69,17 @@ object FrontierQueries {
         |  FROM m),
         |f AS (
         |  SELECT g, n_gaps, sd_ / nd AS mean,
-        |         SQRT((nd * ssd - sd_ * sd_) / (nd * (nd - 1.0))) AS sd
+        |         (nd * ssd - sd_ * sd_) / (nd * (nd - 1.0)) AS var
         |  FROM d)
+        |-- SQRT stays INSIDE the var > 0 guard: gap² sums pass 2^53, so
+        |-- near-constant gaps leave rounding noise of either sign and an
+        |-- eager SQRT(negative) would abort the query
         |SELECT g AS event_type, n_gaps,
         |       ROUND(mean / 1000000.0, 8) AS mean_gap_s,
-        |       CASE WHEN n_gaps > 1 AND mean > 0.0
-        |                 AND sd * sd > 0.0
-        |            THEN ROUND(sd / mean, 8) END AS cv,
-        |       CASE WHEN n_gaps > 1 AND sd * sd > 0.0
-        |                 AND sd + mean > 0.0
-        |            THEN ROUND((sd - mean) / (sd + mean), 8)
+        |       CASE WHEN n_gaps > 1 AND mean > 0.0 AND var > 0.0
+        |            THEN ROUND(SQRT(var) / mean, 8) END AS cv,
+        |       CASE WHEN n_gaps > 1 AND var > 0.0 AND mean > 0.0
+        |            THEN ROUND((SQRT(var) - mean) / (SQRT(var) + mean), 8)
         |       END AS burstiness
         |FROM f ORDER BY event_type""".stripMargin)),
 
