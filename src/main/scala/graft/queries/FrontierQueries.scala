@@ -83,6 +83,72 @@ object FrontierQueries {
         |       END AS burstiness
         |FROM f ORDER BY event_type""".stripMargin)),
 
+    // Lorenz-curve points per returnflag: cumulative revenue share at
+    // each value decile — the curve q_gini summarizes; per-group decile
+    // cuts broadcast back (the RFM convention), cumulative walk over
+    // ≤ 10 rows per group.
+    QuerySpec("q_lorenz", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull)
+        .select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("decimal(18,2)").as("x"))
+      val probs = (1 until 10).map(_.toDouble / 10)
+      val cuts = li.groupBy(col("g"))
+        .agg(percentile(col("x").cast("double"), typedlit(probs))
+          .as("cuts"))
+      val binned = li.join(broadcast(cuts), "g")
+        .select(col("g"),
+          aggregate(col("cuts"), lit(0L), (acc, e) =>
+            acc + when(col("x").cast("double") > e, 1L).otherwise(0L))
+            .as("decile"),
+          col("x"))
+      val perBin = binned.groupBy(col("g"), col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("v"))
+      val tot = perBin.groupBy(col("g"))
+        .agg(sum(col("v")).as("tv"))
+      val wCum = Window.partitionBy(col("g")).orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      perBin.join(broadcast(tot), "g")
+        .withColumn("cum_v", sum(col("v")).over(wCum))
+        .select(col("g").as("l_returnflag"), col("decile"), col("n"),
+          round(col("v").cast("double") / col("tv").cast("double"), 8)
+            .as("value_share"),
+          round(col("cum_v").cast("double") / col("tv").cast("double"),
+            8).as("cum_share"))
+        .orderBy("l_returnflag", "decile")
+    }, Some {
+      val cutCols = (1 to 9).map(i =>
+        s"quantile_cont(CAST(x AS DOUBLE), 0.$i) AS c$i").mkString(", ")
+      val binExpr = (1 to 9).map(i =>
+        s"(CASE WHEN CAST(x AS DOUBLE) > c$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH li AS (
+         |  SELECT l_returnflag AS g,
+         |         CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |cuts AS (SELECT g, $cutCols FROM li GROUP BY g),
+         |binned AS (
+         |  SELECT li.g, CAST($binExpr AS BIGINT) AS decile, x
+         |  FROM li JOIN cuts ON cuts.g = li.g),
+         |pb AS (
+         |  SELECT g, decile, COUNT(*) AS n, SUM(x) AS v
+         |  FROM binned GROUP BY 1, 2),
+         |tot AS (SELECT g, SUM(v) AS tv FROM pb GROUP BY g),
+         |w AS (
+         |  SELECT pb.g, decile, n, v, tv,
+         |         SUM(v) OVER (PARTITION BY pb.g ORDER BY decile
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum_v
+         |  FROM pb JOIN tot ON tot.g = pb.g)
+         |SELECT g AS l_returnflag, decile, n,
+         |       ROUND(CAST(v AS DOUBLE) / CAST(tv AS DOUBLE), 8)
+         |         AS value_share,
+         |       ROUND(CAST(cum_v AS DOUBLE) / CAST(tv AS DOUBLE), 8)
+         |         AS cum_share
+         |FROM w ORDER BY l_returnflag, decile""".stripMargin
+    }),
+
     // Dunning G² keyness of every (source, term): which words
     // characterize each source against the rest of the corpus.
     QuerySpec("q_keyness", (s, dir) => {

@@ -78,7 +78,7 @@ class DeterminismSpec extends SparkSpec {
     "q_auc", "q_gains_table", "q_keyness",
     // effect-size tier: pooled-variance algebra, Wilson intervals,
     // k²-bounded pair grids
-    "q_cohens_d", "q_wilson_ci", "q_tukey_diffs")
+    "q_cohens_d", "q_wilson_ci", "q_tukey_diffs", "q_lorenz")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

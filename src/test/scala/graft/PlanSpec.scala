@@ -465,4 +465,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("partial_sum"), plan)
   }
+
+  test("skyline: one staircase window, equi-join back — never a " +
+      "quadratic dominance join") {
+    val plan = planString(graft.engine.Skyline.frontier2d(
+      Tables.load(spark, dir, "part"), "p_partkey",
+      "p_retailprice", "p_size"))
+    assert("Window \\[".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("aucRank: ranks build on the distinct-score table with " +
+      "map-side tie pre-aggregation") {
+    val plan = planString(graft.engine.Eval.aucRank(
+      Tables.load(spark, dir, "lineitem"), "l_extendedprice",
+      col("l_returnflag") === "R"))
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Join"), plan) // two stacked aggs + window only
+  }
+
+  test("keyness: term/group totals broadcast back; one token-explode " +
+      "scan feeds everything") {
+    val plan = planString(graft.llm.Keyness.keyness(
+      Tables.load(spark, dir, "documents"), "source", "text"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
