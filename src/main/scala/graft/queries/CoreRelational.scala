@@ -181,9 +181,14 @@ object CoreRelational {
         .filter(pmod(col("o_orderkey"), lit(10)) === 3)
         .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
           (col("o_totalprice") * 2).as("o_totalprice"))
+      // synthetic insert keys offset by max(o_orderkey)+1 — range-derived
+      // (like q_scd2), so intended inserts can never collide with real
+      // keys at ANY scale factor (a fixed +1e8 shift collides at SF ≳ 16)
+      val maxK = t(s, dir, "orders").agg(max(col("o_orderkey")).as("__maxk"))
       val inserts = t(s, dir, "orders")
         .filter(pmod(col("o_orderkey"), lit(10)) === 7)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        .crossJoin(broadcast(maxK))
+        .select((col("o_orderkey") + col("__maxk") + 1).as("o_orderkey"),
           lit("N").as("o_orderstatus"), col("o_totalprice"))
       graft.engine.LoadDedup.upsert(existing,
           updates.unionByName(inserts),
@@ -197,7 +202,8 @@ object CoreRelational {
         |         o_totalprice * 2 AS o_totalprice
         |  FROM orders WHERE o_orderkey % 10 = 3
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders) + 1,
+        |         'N', o_totalprice
         |  FROM orders WHERE o_orderkey % 10 = 7)
         |SELECT e.* FROM existing e
         |WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = e.o_orderkey)
@@ -213,12 +219,16 @@ object CoreRelational {
     QuerySpec("q_snapshot_diff", (s, dir) => {
       val old = t(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // reappearing keys offset by max(o_orderkey)+1 — range-derived so
+      // the synthetic "brand-new" rows stay disjoint at any scale factor
+      val maxK = old.agg(max(col("o_orderkey")).as("__maxk"))
       val nw = old.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
         .withColumn("o_totalprice",
           when(pmod(col("o_orderkey"), lit(31)) === 0,
             col("o_totalprice") * 2).otherwise(col("o_totalprice")))
         .unionByName(old.filter(pmod(col("o_orderkey"), lit(53)) === 0)
-          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          .crossJoin(broadcast(maxK))
+          .select((col("o_orderkey") + col("__maxk") + 1).as("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice")))
       graft.engine.Reconcile.snapshotDiff(old, nw, Seq("o_orderkey"),
           Seq("o_orderstatus", "o_totalprice"))
@@ -232,7 +242,8 @@ object CoreRelational {
         |              ELSE o_totalprice END AS o_totalprice
         |  FROM old WHERE o_orderkey % 97 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM old) + 1,
+        |         o_orderstatus, o_totalprice
         |  FROM old WHERE o_orderkey % 53 = 0),
         |j AS (
         |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,

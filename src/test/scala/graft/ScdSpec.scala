@@ -77,4 +77,39 @@ class ScdSpec extends SparkSpec {
     val b = twice.collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("synthetic insert keys derived from max(key)+1 stay disjoint past the old 1e8 boundary") {
+    // The registry's upsert/snapshot/scd2 queries derive their synthetic
+    // "brand-new" keys as key + max(key) + 1 instead of a fixed +1e8
+    // offset (which silently collides once real keys reach 1e8, at
+    // SF >= ~16 for o_orderkey, turning intended inserts into updates).
+    // Drill the boundary: existing keys straddle 1e8; the derived offset
+    // must classify every synthetic row as an INSERT, never an update.
+    val existing = Seq(
+      (99999999L, "E"), (100000000L, "E"), (100000007L, "E"))
+      .toDF("k", "status")
+    val maxK = existing.agg(max(col("k")).as("__maxk"))
+    val incoming = existing.crossJoin(broadcast(maxK))
+      .select((col("k") + col("__maxk") + 1).as("k"), lit("N").as("status"))
+    // fixed offset would alias 99999999 + 1e8 = 199999999 vs derived
+    // 99999999 + 100000007 + 1 = 200000007 — all three derived keys are
+    // strictly above max(existing), hence disjoint
+    val merged = graft.engine.LoadDedup.upsert(
+      existing, incoming, Seq("k"), Seq("status"))
+    assert(merged.count() === 6L)
+    assert(merged.filter(col("status") === "E").count() === 3L)
+    assert(merged.filter(col("status") === "N").count() === 3L)
+    val minNew = merged.filter(col("status") === "N")
+      .agg(min(col("k"))).head().getLong(0)
+    assert(minNew > 100000007L)
+    // and the same derived-key construction through the SCD2 merge opens
+    // three NEW versions (inserts), leaving the existing rows untouched
+    val dim2 = existing.select(col("k"), col("status").as("attr"),
+      lit(d0).as("valid_from"), lit(null).cast("date").as("valid_to"))
+    val out = Scd.scd2Apply(dim2, incoming.select(col("k"),
+      col("status").as("attr")), Seq("k"), Seq("attr"), lit(d1))
+    assert(out.count() === 6L)
+    assert(out.filter(col("valid_from") === lit(d0)).count() === 3L)
+    assert(out.filter(col("valid_to").isNotNull).count() === 0L)
+  }
 }
