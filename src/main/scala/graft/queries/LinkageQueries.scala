@@ -41,6 +41,30 @@ object LinkageQueries {
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94
         |ORDER BY a_key, b_key""".stripMargin)),
 
+    // The PRODUCTION block key for the same code path: a high-cardinality
+    // composite (brand × first name token — the postcode+phonetic shape),
+    // ~2,300 blocks vs q_jaro_linkage's 25, so Σ(block²) stays ≈ linear
+    // in n as data grows (mean block size n/2300 vs n/25: per-row work is
+    // ~90× smaller and the blocks stay broadcast/AQE-friendly at 100×
+    // scale). q_jaro_linkage remains the labeled low-cardinality skew
+    // drill; this is the key a production pass would register.
+    QuerySpec("q_jaro_linkage_composite", (s, dir) => {
+      graft.llm.JaroWinkler.register(s)
+      val blocked = part(s, dir).withColumn("__cb",
+        concat_ws("|", col("p_brand"), split_part(col("p_name"), lit(" "), lit(1))))
+      Linkage.blockedJaroPairs(blocked, "p_partkey", "p_name",
+          "__cb", minSim = 0.94)
+        .orderBy("a_key", "b_key")
+    }, Some(
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |       jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        |FROM part a
+        |JOIN part b ON a.p_brand = b.p_brand
+        | AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        | AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94
+        |ORDER BY a_key, b_key""".stripMargin)),
+
     // Sorted-neighborhood: rank by name within a first-letter block, pair
     // each record with its 5 successors, keep near-but-not-exact names
     // (Levenshtein 1..4; exact duplicates belong to the exact-dedup tier).

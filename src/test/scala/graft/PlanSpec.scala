@@ -348,6 +348,22 @@ class PlanSpec extends SparkSpec {
       finalPlan)
   }
 
+  test("composite-block jaro linkage: equi-join on the high-cardinality " +
+      "composite key, no nested loop, kernel in codegen") {
+    graft.llm.JaroWinkler.register(spark)
+    val df = QueryRegistry.byName("q_jaro_linkage_composite").run(spark, dir)
+    val plan = planString(df)
+    // pairs form ONLY via the __cb equi-join (brand|first-token) — the
+    // production-cardinality block — never a cross product or theta join
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("jaro_winkler"), plan)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.linesIterator
+      .exists(l => l.contains("*(") && l.contains("HashJoin")), finalPlan)
+  }
+
   test("sorted-neighborhood linkage: rank windows per block (no global " +
       "single-partition sort); neighbor pairing is an equi-join") {
     val plan = planString(QueryRegistry.byName("q_snm_linkage")
