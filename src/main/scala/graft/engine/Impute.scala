@@ -25,12 +25,18 @@ object Impute {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
-  /** Compute per-column fill decisions (which strategy, which value). */
+  /** Compute per-column fill decisions (which strategy, which value).
+    * `approx = true` — or the session-wide
+    * `spark.graft.percentile.approx` flag ([[Percentiles]]) — swaps the
+    * exact quantiles for the bounded-memory GK sketch; plan shape is
+    * unchanged. */
   def decisions(df: DataFrame, cols: Seq[String],
       approx: Boolean = false): Seq[FillDecision] = {
     require(cols.nonEmpty, "no columns to impute")
+    val useApprox = approx || Percentiles.approxEnabled(df.sparkSession)
     def pct(c: String, p: Double): Column =
-      if (approx) percentile_approx(col(c), lit(p), lit(10000))
+      if (useApprox) percentile_approx(col(c), lit(p),
+        lit(Percentiles.accuracy(df.sparkSession)))
       else percentile(col(c), lit(p))
 
     val qAggs = cols.flatMap { c => Seq(

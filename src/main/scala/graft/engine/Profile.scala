@@ -67,7 +67,9 @@ object Profile {
     require(!df.columns.contains(outCol),
       s"input already has a '$outCol' column — pass a different outCol")
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val cuts = df.agg(percentile(col(valueCol),
+    // exact cuts by default; spark.graft.percentile.approx swaps in the
+    // bounded-memory sketch (Percentiles) with the identical plan shape
+    val cuts = df.agg(Percentiles.pct(df.sparkSession, col(valueCol),
       lit(qs.toArray)).as("__cuts"))
     val assign = (1 until buckets).reverse
       .foldLeft(lit(buckets).cast("long")) { (acc, b) =>

@@ -94,9 +94,11 @@ object FrontierQueries {
         .select(col("l_returnflag").as("g"),
           col("l_extendedprice").cast("decimal(18,2)").as("x"))
       val probs = (1 until 10).map(_.toDouble / 10)
+      // decile cuts honor spark.graft.percentile.approx (Percentiles):
+      // exact by default for oracle parity, GK sketch at 100 TB scale
       val cuts = li.groupBy(col("g"))
-        .agg(percentile(col("x").cast("double"), typedlit(probs))
-          .as("cuts"))
+        .agg(graft.engine.Percentiles.pct(s, col("x").cast("double"),
+          typedlit(probs)).as("cuts"))
       val binned = li.join(broadcast(cuts), "g")
         .select(col("g"),
           aggregate(col("cuts"), lit(0L), (acc, e) =>

@@ -70,4 +70,59 @@ class FrontierSpec extends SparkSpec {
     assert(TimeSeries.peaks(s, "lbl", "t", "v", factor = 0.0)
       .count() === 0L)
   }
+
+  test("percentile.approx flag: the sketch swaps in with the same plan " +
+      "shape; lorenz bins shift by at most the interpolation convention; " +
+      "ties-heavy impute/bucket cuts are bit-identical") {
+    // spark.graft.percentile.approx swaps exact `percentile` (linear
+    // interpolation) for the bounded-memory GK sketch, which returns an
+    // ACTUAL data value. At fixture scale the sketch is rank-exact
+    // (n << accuracy), so the only possible divergence is the
+    // interpolation convention at a cut that falls between two adjacent
+    // distinct values: the boundary row can move one bin. Pin exactly
+    // that contract — never silently more — plus bit-identity on the
+    // ties-heavy integer paths where every cut IS a data value.
+    import graft.engine.Percentiles
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val spec = QueryRegistry.byName("q_lorenz")
+    def lorenz() = spec.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = lorenz()
+    assert(spark.conf.getOption(Percentiles.ApproxConf).isEmpty)
+    spark.conf.set(Percentiles.ApproxConf, "true")
+    try {
+      val approx = lorenz()
+      // same bins, every bin count within one boundary row of exact,
+      // group totals conserved
+      assert(approx.keySet === exact.keySet)
+      approx.foreach { case (k, n) =>
+        assert(math.abs(n - exact(k)) <= 1L, s"bin $k: $n vs ${exact(k)}") }
+      exact.keys.map(_._1).toSeq.distinct.foreach { g =>
+        assert(approx.filter(_._1._1 == g).values.sum ===
+          exact.filter(_._1._1 == g).values.sum) }
+      // the flag is live: the aggregate in the plan is the sketch
+      val plan = spec.run(spark, dir).queryExecution.optimizedPlan.toString
+      assert(plan.contains("percentile_approx"), plan)
+      // impute decisions bit-identical under the flag (integer-valued
+      // l_quantity: heavy ties, every quantile lands on a data value)
+      val li = graft.engine.Tables.load(spark, dir, "lineitem")
+        .select(when(col("l_linenumber") >= 4, lit(null))
+          .otherwise(col("l_quantity")).as("x1"))
+      val dFlag = graft.engine.Impute.decisions(li, Seq("x1"))
+      spark.conf.unset(Percentiles.ApproxConf)
+      val dExact = graft.engine.Impute.decisions(li, Seq("x1"))
+      assert(dFlag === dExact)
+      // and quantileBuckets assignment is value-identical there too
+      spark.conf.set(Percentiles.ApproxConf, "true")
+      def buckets() = graft.engine.Profile.quantileBuckets(li, "x1", 4)
+        .groupBy("bucket").count().collect()
+        .map(r => (Option(r.get(0)), r.getLong(1))).toMap
+      val bFlag = buckets()
+      spark.conf.unset(Percentiles.ApproxConf)
+      val bExact = buckets()
+      assert(bFlag === bExact)
+    } finally spark.conf.unset(Percentiles.ApproxConf)
+  }
 }
