@@ -95,7 +95,20 @@ object Bench {
     // total over successful runs only; -1 markers stay visible per-query
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-persist the full line: the driver's stdout capture has
+    // truncated the per-query tail before (BENCH_r03.json carried ~68 of
+    // 253 timings), which hides per-query regressions from the
+    // round-over-round diff. The file is the complete record; stdout
+    // stays the driver contract. Env knob for an alternate path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
