@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * dimensions + per-channel means. AUDIO decode is REAL for WAV/PCM:
   * [[decodeWav]] walks the RIFF chunk layout (fmt/data) with pure byte
   * arithmetic — no codec involved — into rate/channels/bit-depth/sample
-  * stats. Only VIDEO decode remains a clearly-marked STUB ([[decodeStub]]
-  * — the container ships no video codecs); swapping in a real codec
-  * changes only that function.
+  * stats, and [[decodeMp3]] walks MPEG-1 Layer III frame headers
+  * (bitrate/rate/frames/duration) the same way. Only true codec decode —
+  * video FRAMES and lossy-audio SPECTRA — remains a clearly-marked STUB
+  * ([[decodeStub]] — the container ships no codecs); swapping in a real
+  * codec changes only that function.
   */
 object Multimodal {
 
@@ -441,9 +443,132 @@ object Multimodal {
     bb.array()
   }
 
+  /** Lossy-audio stream facts from an MP3 payload: MPEG version/layer,
+    * bitrate, sample rate, frame count and the exact integer duration
+    * (frames·1152·1000 / rate, floored). */
+  final case class Mp3Meta(id: Long, version: String, layer: Int,
+      bitrate_kbps: Int, sample_rate: Int, frames: Long, duration_ms: Long)
+
+  /** MPEG-1 Layer III bitrate table (kbps), indexed by the 4-bit header
+    * field (index 0 = "free" and 15 = "bad" are rejected). Published in
+    * ISO/IEC 11172-3 Table B.1. */
+  private val Mp3Bitrates =
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  /** MPEG-1 sample-rate table (Hz), indexed by the 2-bit header field. */
+  private val Mp3Rates = Array(44100, 48000, 32000, -1)
+
+  /** REAL lossy-audio HEADER walk (MP3/MPEG-1 Layer III — frame headers
+    * are pure byte arithmetic, exactly like the RIFF and ISO-BMFF walks;
+    * only the spectral FRAME DECODE needs a codec and stays on
+    * [[decodeStub]]): skips a leading ID3v2 tag (syncsafe size, footer
+    * flag honored) and a trailing ID3v1 'TAG' block, then walks the CBR
+    * frame chain — each 4-byte header yields the next frame's exact byte
+    * length (144·bitrate/rate + padding), so the walk either lands
+    * exactly on every header or fails loudly. */
+  def decodeMp3(r: MediaRecord): Mp3Meta = {
+    val b = r.payload
+    var pos = 0
+    // ID3v2 prefix: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag
+    // (bit 4 of flags) appends another 10 bytes after the body
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      pos = 10 + size + footer
+      require(pos <= b.length, s"truncated ID3v2 tag for id=${r.id}")
+    }
+    // ID3v1 suffix: fixed 128 bytes starting "TAG"
+    var end = b.length
+    if (end - pos >= 128 && b(end - 128) == 'T' && b(end - 127) == 'A' &&
+        b(end - 126) == 'G') end -= 128
+    var frames = 0L
+    var kbps = -1; var rate = -1
+    while (pos < end) {
+      require(pos + 4 <= end && (b(pos) & 0xff) == 0xff &&
+        (b(pos + 1) & 0xe0) == 0xe0,
+        s"lost frame sync at byte $pos for id=${r.id}")
+      val b1 = b(pos + 1) & 0xff; val b2 = b(pos + 2) & 0xff
+      require((b1 >> 3 & 3) == 3, s"not MPEG-1 for id=${r.id}")
+      require((b1 >> 1 & 3) == 1, s"not Layer III for id=${r.id}")
+      val bi = b2 >> 4 & 15; val si = b2 >> 2 & 3
+      require(Mp3Bitrates(bi) > 0, s"bad bitrate index $bi for id=${r.id}")
+      require(Mp3Rates(si) > 0, s"bad sample-rate index $si for id=${r.id}")
+      // CBR contract: the reported scalars must describe every frame
+      require(kbps < 0 || (kbps == Mp3Bitrates(bi) && rate == Mp3Rates(si)),
+        s"VBR stream (frame $frames changes bitrate/rate) for id=${r.id}")
+      kbps = Mp3Bitrates(bi); rate = Mp3Rates(si)
+      val pad = b2 >> 1 & 1
+      val frameLen = 144 * (kbps * 1000) / rate + pad
+      require(frameLen > 4 && pos + frameLen <= end,
+        s"truncated frame $frames for id=${r.id}")
+      pos += frameLen
+      frames += 1
+    }
+    require(frames > 0, s"MP3 payload without frames for id=${r.id}")
+    Mp3Meta(r.id, "MPEG1", 3, kbps, rate, frames,
+      Math.floorDiv(frames * 1152L * 1000L, rate))
+  }
+
+  /** Batched per-partition MP3 header walk — same `mapPartitions` shape
+    * as [[imageFeatures]]/[[audioFeatures]]/[[videoMeta]]. */
+  def mp3Meta(ds: Dataset[MediaRecord]): Dataset[Mp3Meta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeMp3))
+  }
+
+  /** Deterministic MP3 generator (encode side of the frame round-trip,
+    * used by tests and the oracle-checked q_mp3_meta): CBR MPEG-1
+    * Layer III whose header fields are pure functions of `id` —
+    *   bitrate index = 1 + id mod 14  (the full 32..320 kbps table),
+    *   rate index    = id mod 3       (44100 / 48000 / 32000),
+    *   frames        = 4 + id mod 7,
+    *   per-frame padding bit = (id + frame) mod 2
+    * — wrapped in an ID3v2 tag of body size 7·(id mod 4) for even ids
+    * and a trailing ID3v1 'TAG' block when id mod 5 = 0, so the skip
+    * paths are exercised. bitrate, rate, frames, duration_ms are
+    * SQL-expressible facts an oracle can recompute without decoding. */
+  def syntheticMp3(id: Long): Array[Byte] = {
+    val bi = 1 + Math.floorMod(id, 14L).toInt
+    val si = Math.floorMod(id, 3L).toInt
+    val kbps = Mp3Bitrates(bi); val rate = Mp3Rates(si)
+    val nFrames = (4 + Math.floorMod(id, 7L)).toInt
+    val id3Body = if (id % 2 == 0) 7 * Math.floorMod(id, 4L).toInt else -1
+    val frameLens = (0 until nFrames).map { f =>
+      val pad = Math.floorMod(id + f, 2L).toInt
+      144 * (kbps * 1000) / rate + pad
+    }
+    val id3Len = if (id3Body >= 0) 10 + id3Body else 0
+    val tagLen = if (id % 5 == 0) 128 else 0
+    val bb = java.nio.ByteBuffer.allocate(id3Len + frameLens.sum + tagLen)
+    if (id3Body >= 0) {
+      bb.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte)
+        .put(0.toByte) // flags: no footer
+        .put((id3Body >> 21 & 0x7f).toByte).put((id3Body >> 14 & 0x7f).toByte)
+        .put((id3Body >> 7 & 0x7f).toByte).put((id3Body & 0x7f).toByte)
+      bb.put(new Array[Byte](id3Body))
+    }
+    frameLens.zipWithIndex.foreach { case (len, f) =>
+      val pad = Math.floorMod(id + f, 2L).toInt
+      bb.put(0xff.toByte).put(0xfb.toByte) // sync + MPEG1 + Layer III
+        .put(((bi << 4) | (si << 2) | (pad << 1)).toByte)
+        .put(0xc0.toByte) // mono
+      var j = 4
+      while (j < len) {
+        bb.put((Math.floorMod(id * 131 + f * 17 + j, 251L)).toByte)
+        j += 1
+      }
+    }
+    if (tagLen > 0) {
+      bb.put("TAG".getBytes("US-ASCII"))
+      bb.put(new Array[Byte](125))
+    }
+    bb.array()
+  }
+
   /** STUB decode — deterministic fake features, used for the kinds this
-    * container genuinely cannot decode (video FRAMES; container metadata
-    * goes through the real [[decodeMp4]], images through [[decodeImage]],
+    * container genuinely cannot decode (video FRAMES and lossy-audio
+    * SPECTRA; container/stream metadata goes through the real
+    * [[decodeMp4]]/[[decodeMp3]], images through [[decodeImage]],
     * WAV audio through [[decodeWav]]). Rolling-hash checksum +
     * first-4-bytes "feature". */
   private def decodeStub(r: MediaRecord): MediaFeatures = {

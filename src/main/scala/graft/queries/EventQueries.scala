@@ -1034,6 +1034,41 @@ object EventQueries {
         |         // CAST(1000 + (doc_id % 5) * 500 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL lossy-audio HEADER walk (MP3/MPEG-1 Layer III — frame headers
+    // are pure byte arithmetic like the RIFF/ISO-BMFF walks; only the
+    // spectral frame decode needs a codec and stays on the stub): CBR
+    // MP3 bytes generated deterministically per doc_id (with ID3v2/ID3v1
+    // wrappers on id subsets to exercise the skip paths), walked back
+    // into bitrate/rate/frame-count/duration. The oracle recomputes
+    // every fact arithmetically — the byte walk is wrong unless each
+    // frame length lands exactly on the next header.
+    QuerySpec("q_mp3_meta", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "audio/mpeg",
+          Multimodal.syntheticMp3(id)))
+      Multimodal.mp3Meta(recs).toDF()
+        .select(col("id").as("doc_id"), col("version"), col("layer"),
+          col("bitrate_kbps"), col("sample_rate"), col("frames"),
+          col("duration_ms"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |                      CAST(1 + doc_id % 14 AS INT)) AS bitrate_kbps,
+        |         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |              ELSE 32000 END AS sample_rate,
+        |         4 + doc_id % 7 AS frames
+        |  FROM documents)
+        |SELECT doc_id, 'MPEG1' AS version, CAST(3 AS INT) AS layer,
+        |       CAST(bitrate_kbps AS INT) AS bitrate_kbps,
+        |       CAST(sample_rate AS INT) AS sample_rate,
+        |       CAST(frames AS BIGINT) AS frames,
+        |       CAST(frames AS BIGINT) * 1152 * 1000 // sample_rate AS duration_ms
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
     // Peak concurrency per event type (sweep-line +1/−1 prefix sum over
     // half-open [start, start+value·1s) intervals): the capacity question
     // — "how many were in flight at once, and when did the peak first

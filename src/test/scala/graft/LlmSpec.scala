@@ -1375,6 +1375,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mp3 walk: synthetic CBR round-trip recovers bitrate/rate/frames/duration") {
+    val bitrates = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val rates = Array(44100, 48000, 32000)
+    // ids chosen to hit: ID3v2 present/absent, ID3v1 present/absent,
+    // padding-bit both phases, all three sample rates
+    for (id <- Seq(0L, 1L, 5L, 7L, 10L, 123L, 100000L)) {
+      val m = Multimodal.decodeMp3(
+        Multimodal.MediaRecord(id, "audio/mpeg", Multimodal.syntheticMp3(id)))
+      assert(m.version === "MPEG1" && m.layer === 3, s"id=$id")
+      assert(m.bitrate_kbps === bitrates((id % 14).toInt), s"id=$id")
+      assert(m.sample_rate === rates((id % 3).toInt), s"id=$id")
+      assert(m.frames === 4 + id % 7, s"id=$id")
+      assert(m.duration_ms ===
+        math.floorDiv(m.frames * 1152L * 1000L, m.sample_rate), s"id=$id")
+    }
+  }
+
+  test("mp3 walk: ID3v2 footer honored; VBR, lost sync and truncation rejected") {
+    // footer flag doubles the tag trailer: body 0 + footer 10
+    val frames = Multimodal.syntheticMp3(1L) // odd id → no ID3v2, no ID3v1
+    val withFooter = java.nio.ByteBuffer.allocate(20 + frames.length)
+    withFooter.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte)
+      .put(0x10.toByte) // footer present
+      .put(new Array[Byte](4)) // syncsafe size 0
+      .put(new Array[Byte](10)) // the footer itself
+      .put(frames)
+    val m = Multimodal.decodeMp3(
+      Multimodal.MediaRecord(1L, "audio/mpeg", withFooter.array()))
+    assert(m.frames === 4 + 1 % 7)
+    // VBR: flip the second frame's bitrate index → rejected (CBR contract)
+    val vbr = Multimodal.syntheticMp3(1L).clone()
+    // frame 0 starts at 0 (no ID3); its length = 144*40000/48000 + 1 (pad: id+0 odd)
+    val f0len = 144 * 40000 / 48000 + 1
+    vbr(f0len + 2) = ((3 << 4) | (1 << 2)).toByte // bitrate idx 2→3
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMp3(Multimodal.MediaRecord(1L, "audio/mpeg", vbr))
+    }
+    intercept[IllegalArgumentException] { // garbage: no sync at byte 0
+      Multimodal.decodeMp3(Multimodal.MediaRecord(2L, "audio/mpeg",
+        Array.fill[Byte](64)(7)))
+    }
+    intercept[IllegalArgumentException] { // truncated final frame
+      Multimodal.decodeMp3(Multimodal.MediaRecord(3L, "audio/mpeg",
+        Multimodal.syntheticMp3(1L).dropRight(5)))
+    }
+  }
+
+  test("mp3Meta decodes a Dataset distributively") {
+    val metas = Multimodal.mp3Meta(
+        spark.range(0, 50).as[Long].repartition(4)
+          .map(id => Multimodal.MediaRecord(id, "audio/mpeg",
+            Multimodal.syntheticMp3(id))))
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size === 50)
+    assert(metas(13L).sample_rate === 48000 && metas(13L).frames === 4 + 13 % 7)
+  }
+
   test("frame sampling stub keeps every stride-th byte") {
     assert(Multimodal.sampleFrames(Array[Byte](0, 1, 2, 3, 4, 5), 2).toSeq ===
       Seq[Byte](0, 2, 4))
