@@ -32,7 +32,11 @@ object Drift {
       bins: Int = 10, eps: Double = 1e-4): DataFrame = {
     require(bins >= 2 && bins <= 100, s"bins=$bins")
     val x = col(valueCol).cast("double")
-    val base = df.where(col(valueCol).isNotNull)
+    // listwise-null discipline on the PREDICATE too: a NULL isRef row
+    // belongs to neither population (when(!is_ref) would silently count
+    // it as ref=0 AND cur=0 here while a SQL CASE ELSE counts it as
+    // current — the exact engine/oracle divergence ADVICE r3 flagged)
+    val base = df.where(col(valueCol).isNotNull && isRef.isNotNull)
       .select(x.as("x"), isRef.as("is_ref"))
     val probs = (1 until bins).map(_.toDouble / bins)
     val cuts = base.where(col("is_ref"))

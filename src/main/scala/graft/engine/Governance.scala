@@ -79,7 +79,20 @@ object Governance {
     *
     * Distinct both sides first (map-side partial distinct), then one
     * left-semi-shaped join on the shrunken key sets. Output one row:
-    * a, b, n_a, n_matched, coverage. */
+    * a, b, n_a, n_matched, coverage.
+    *
+    * EQUALITY CONTRACT: keys compare by their canonical STRING form
+    * (both sides `cast('string')`), not by native-type coercion. For
+    * same-typed or string/integer columns the two notions coincide; for
+    * MIXED-typed pairs they deliberately do not — an INT 7 does NOT
+    * match a zero-padded VARCHAR '007' here (string '7' ≠ '007'),
+    * whereas a native-coercion join would first cast '007' to 7 and
+    * report them equal. Screening FK candidates across types is exactly
+    * when silent coercion lies (it also nulls out non-numeric codes);
+    * callers wanting coercion semantics should cast the columns
+    * EXPLICITLY before the call. Any SQL oracle must mirror with
+    * CAST(... AS VARCHAR) on both keys to stay definitionally
+    * identical. */
   def inclusionDep(dfA: DataFrame, colA: String, dfB: DataFrame,
       colB: String, labelA: String, labelB: String): DataFrame = {
     // STRING key space: injective for integer/string keys of any width,

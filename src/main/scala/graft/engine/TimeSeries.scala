@@ -205,7 +205,11 @@ object TimeSeries {
     val touch = when(col(typeCol).isInCollection(touchTypes),
       struct(col(tsCol).as("ts"), col(idCol).as("id"),
         col(typeCol).as("typ")))
+    // a NULL ts cannot participate in "most recent preceding" (and the
+    // two engines would order it differently: Spark NULLS FIRST vs
+    // DuckDB NULLS LAST) — listwise-drop it before the running window
     val attributed = events
+      .where(col(tsCol).isNotNull)
       .withColumn("__last_touch", last(touch, ignoreNulls = true).over(w))
       .where(col(typeCol) === conversionType)
       .select(col(valueCol).cast("decimal(18,2)").as("v"),
@@ -266,7 +270,12 @@ object TimeSeries {
       groupCol: String, tsCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(seqCols.map(col): _*)
       .orderBy(col(tsCol), col(idCol))
+    // listwise-null on the ORDER key: a NULL ts has no place in a gap
+    // sequence, and engines disagree on where it sorts (Spark ASC =
+    // NULLS FIRST, DuckDB = NULLS LAST), which would silently change the
+    // neighbor structure — drop it before the window on both sides
     val gaps = events
+      .where(col(tsCol).isNotNull)
       .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
       .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
       .where(col("__gap").isNotNull)

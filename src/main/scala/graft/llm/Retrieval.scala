@@ -189,8 +189,13 @@ object Retrieval {
     * doubles, bounded by the CONSTANT re-rank window, never by the
     * corpus (the localUnionFind/BPE-argmax documented-collect class).
     * All compared quantities (rel, sim, mmr) live on the 8dp grid with
-    * id tiebreaks, so selection is total-order deterministic.
-    * Output: (rank, vec_id, rel, mmr_score). */
+    * id tiebreaks, so selection is total-order deterministic. λ must be
+    * a decimal with ≤ 4 fractional digits in (0, 1] — it is read as the
+    * EXACT rational p/10^s (BigDecimal of the shortest double repr), so
+    * the MMR combination runs in exact integer units of 1e-8/10^s and
+    * no cross-engine half-grid rounding can creep in; the default 0.7
+    * is 7/10 and lands on the 1e-9 grid the `mmr_e9` column is named
+    * for. Output: (rank, vec_id, rel, mmr_e9). */
   def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, candK: Int = 20, selectK: Int = 10,
       lambda: Double = 0.7): DataFrame = {
@@ -230,15 +235,23 @@ object Retrieval {
     val sim = sims.as[(Long, Long, Double)].collect()
       .map { case (i, j, s) => (i, j) -> s }.toMap
 
-    // MMR combination on the EXACT integer nano grid: λ = 0.7 is the
-    // rational 7/10, and rel/sim are 8dp-grid values, so
-    // 7·rel_e8 − 3·pen_e8 is exact integer arithmetic in 1e-9 units —
-    // 0.7·(8dp value) in double lands on exact 9th-digit half-grid
-    // points, where cross-engine ROUND diverges (the resample_interp
-    // lesson). λ is pinned to 0.7 by this grid choice.
-    require(lambda == 0.7, "mmrRerank's exact nano grid pins lambda = 0.7")
+    // MMR combination on an EXACT integer grid: λ is read as the exact
+    // rational p/10^s via BigDecimal of the double's shortest repr
+    // (0.7 → 7/10, 0.25 → 25/100), and rel/sim are 8dp-grid values, so
+    // p·rel_e8 − (10^s−p)·pen_e8 is exact integer arithmetic in
+    // 1e-8/10^s units — λ·(8dp value) in double would land on half-grid
+    // points where cross-engine ROUND diverges (the resample_interp
+    // lesson). Scale is capped at 4 digits so p·1e8 stays far from
+    // Long overflow; any finer λ request is rejected loudly instead of
+    // silently rounded.
+    val lambdaBd = java.math.BigDecimal.valueOf(lambda).stripTrailingZeros
+    require(lambda > 0.0 && lambda <= 1.0 && lambdaBd.scale <= 4,
+      s"lambda must be a decimal with <= 4 fractional digits in (0, 1], got $lambda")
+    val den = math.pow(10, math.max(lambdaBd.scale, 0)).toLong
+    val num = lambdaBd.movePointRight(math.max(lambdaBd.scale, 0))
+      .longValueExact
     def e8(x: Double): Long = math.round(x * 1e8)
-    var selected = Vector.empty[(Long, Long)] // (id, mmr nano-units)
+    var selected = Vector.empty[(Long, Long)] // (id, mmr grid units)
     var remaining = rel.keySet
     while (selected.size < math.min(selectK, rel.size)) {
       val scored = remaining.toSeq.map { c =>
@@ -246,7 +259,7 @@ object Retrieval {
           if (selected.isEmpty) 0L
           else selected.map { case (s, _) =>
             e8(sim.getOrElse((c, s), 0.0)) }.max
-        (c, 7L * e8(rel(c)) - 3L * pen)
+        (c, num * e8(rel(c)) - (den - num) * pen)
       }
       val (best, mmr) = scored.minBy { case (c, m) => (-m, c) }
       selected :+= ((best, mmr))

@@ -56,7 +56,7 @@ object FrontierQueries {
         |           - lag(CAST(epoch_us(ts) AS BIGINT), 1)
         |               OVER (PARTITION BY user_id, event_type
         |                     ORDER BY ts, event_id) AS gap
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |m AS (
         |  SELECT g, COUNT(*) AS n_gaps,
         |         SUM(CAST(gap AS DECIMAL(38,0))) AS s,

@@ -98,8 +98,10 @@ object GovernanceQueries {
            |             / CAST((SELECT COUNT(DISTINCT $ca) FROM $ta
            |                     WHERE $ca IS NOT NULL) AS DOUBLE), 8)
            |         AS coverage
-           |FROM (SELECT DISTINCT $ca AS k FROM $ta WHERE $ca IS NOT NULL) x
-           |WHERE k IN (SELECT $cb FROM $tb WHERE $cb IS NOT NULL)"""
+           |FROM (SELECT DISTINCT CAST($ca AS VARCHAR) AS k FROM $ta
+           |      WHERE $ca IS NOT NULL) x
+           |WHERE k IN (SELECT CAST($cb AS VARCHAR) FROM $tb
+           |            WHERE $cb IS NOT NULL)"""
           .stripMargin
       Seq(one("lineitem", "l_partkey", "part", "p_partkey"),
         one("orders", "o_custkey", "customer", "c_custkey"),

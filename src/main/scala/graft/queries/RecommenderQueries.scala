@@ -72,7 +72,9 @@ object RecommenderQueries {
       s"""WITH base AS (
          |  SELECT CAST(o_totalprice AS DOUBLE) AS x,
          |         o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
-         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL
+         |    AND (o_orderdate < TIMESTAMP '1998-01-01') IS NOT NULL),
          |cuts AS (SELECT $cutCols FROM base WHERE is_ref),
          |binned AS (
          |  SELECT is_ref, CAST($binExpr AS BIGINT) AS bin

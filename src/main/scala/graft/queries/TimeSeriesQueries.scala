@@ -272,7 +272,7 @@ object TimeSeriesQueries {
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING
         |                          AND 1 PRECEDING) AS lt_id
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |tj AS (
         |  SELECT lt.ts, lt.event_type, lt.value,
         |         t.ts AS lts, t.event_type AS ltyp

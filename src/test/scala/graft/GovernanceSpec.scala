@@ -55,4 +55,16 @@ class GovernanceSpec extends SparkSpec {
     val full = Governance.inclusionDep(b, "y", b, "y", "B.y", "B.y").head()
     assert(full.getAs[Double]("coverage") === 1.0)
   }
+
+  test("inclusionDep: keys compare by canonical string form, never silent coercion") {
+    // INT 7 vs zero-padded VARCHAR '007': native coercion would call
+    // them equal (and report bogus coverage); the string contract says
+    // they differ — '7' matches only '7'
+    val a = Seq(7, 8, 9).toDF("k")
+    val b = Seq("007", "7", "x").toDF("k")
+    val r = graft.engine.Governance.inclusionDep(a, "k", b, "k", "a.k", "b.k")
+      .head()
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_matched") === 1L) // only 7 ↔ '7'
+  }
 }

@@ -43,6 +43,23 @@ class RecommenderSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("contrib") === 0.0))
   }
 
+  test("psiBins: rows with a NULL isRef predicate join neither population") {
+    // ADVICE r3: when(!is_ref) counted NULL-predicate rows in neither
+    // side while a SQL CASE ELSE counts them as current; the contract is
+    // now listwise exclusion on both engines. Identical ref/cur plus 50
+    // NULL-predicate rows must reproduce the zero-drift counts exactly.
+    val vals = (1 to 100).map(_.toDouble)
+    val df = (vals.map(v => (v, Option(true))) ++
+      vals.map(v => (v, Option(false))) ++
+      (1 to 50).map(v => (v.toDouble, Option.empty[Boolean])))
+      .toDF("v", "ref")
+    val r = Drift.psiBins(df, "v", col("ref"), bins = 4).collect()
+    assert(r.length === 4)
+    assert(r.map(_.getAs[Long]("n_ref")).sum === 100L)
+    assert(r.map(_.getAs[Long]("n_cur")).sum === 100L)
+    assert(r.forall(_.getAs[Double]("contrib") === 0.0))
+  }
+
   test("psiBins: a shifted current population yields positive PSI") {
     val ref = (1 to 100).map(v => (v.toDouble, true))
     val cur = (51 to 150).map(v => (v.toDouble, false))

@@ -101,4 +101,30 @@ class RetrievalSpec extends SparkSpec {
     assert(r.head.getAs[Double]("rel") === 1.0)
     assert(r.head.getAs[Long]("mmr_e9") === 7L * 100000000L)
   }
+
+  test("mmr: lambda is honored as an exact decimal rational, rejected when too fine") {
+    // λ = 1.0 → pure relevance: the near-duplicate of the first pick
+    // (rel ≈ 0.79996) outranks the diverse-but-less-relevant vector 3
+    // (rel ≈ 0.759) — the opposite of the default-λ diversified order
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.01f)),
+      (3L, Array(0.7f, -0.6f, 0.0f))).toDF("vec_id", "embedding")
+    val pure = Retrieval.mmrRerank(emb, "vec_id", "embedding",
+      queryId = 0L, candK = 3, selectK = 3, lambda = 1.0).collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id"))
+    assert(pure.toSeq === Seq(1L, 2L, 3L))
+    // λ = 0.5 → 5/10 grid: rank-1 mmr is 5·rel_e8 exactly
+    val half = Retrieval.mmrRerank(emb, "vec_id", "embedding",
+      queryId = 0L, candK = 3, selectK = 1, lambda = 0.5).collect()
+    assert(half.head.getAs[Long]("mmr_e9") ===
+      5L * half.head.getAs[Double]("rel").*(1e8).round)
+    // a λ that is not a <= 4-digit decimal fails loudly, never silently
+    // rounded onto a different grid
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(emb, "vec_id", "embedding",
+        queryId = 0L, candK = 3, selectK = 1, lambda = 1.0 / 3.0)
+    }
+  }
 }
