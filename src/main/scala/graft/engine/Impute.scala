@@ -33,11 +33,8 @@ object Impute {
   def decisions(df: DataFrame, cols: Seq[String],
       approx: Boolean = false): Seq[FillDecision] = {
     require(cols.nonEmpty, "no columns to impute")
-    val useApprox = approx || Percentiles.approxEnabled(df.sparkSession)
     def pct(c: String, p: Double): Column =
-      if (useApprox) percentile_approx(col(c), lit(p),
-        lit(Percentiles.accuracy(df.sparkSession)))
-      else percentile(col(c), lit(p))
+      Percentiles.pct(df.sparkSession, col(c), lit(p), force = approx)
 
     val qAggs = cols.flatMap { c => Seq(
       pct(c, 0.25).as(s"${c}__q1"),

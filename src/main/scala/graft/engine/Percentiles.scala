@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   * structure, so the scale argument for each query is unchanged.
   *
   * Contract note: `percentile_approx` returns an actual data value
-  * (no interpolation), so even a rank-exact sketch can move ONE boundary
-  * row per cut when the interpolated cut falls between adjacent distinct
-  * values; on ties-heavy columns whose cuts are data values the two
-  * paths are bit-identical. FrontierSpec pins exactly that contract at
-  * fixture scale; at 100 TB the additional ≤ n/accuracy rank error is
-  * the accepted trade.
+  * (no interpolation), so even a rank-exact sketch moves BOUNDARY rows
+  * between bins when an interpolated cut falls between adjacent
+  * distinct values — up to one distinct-value group per adjacent cut
+  * (so a bin bounded by two cuts can shift by the rows tied at each);
+  * on ties-heavy columns whose cuts are data values the two paths are
+  * bit-identical. FrontierSpec pins exactly that contract at fixture
+  * scale; at 100 TB the additional ≤ n/accuracy rank error is the
+  * accepted trade.
   */
 object Percentiles {
 
@@ -41,9 +43,18 @@ object Percentiles {
     spark.conf.getOption(AccuracyConf).map(_.trim.toInt).getOrElse(10000)
 
   /** Session-flagged percentile: exact by default, GK sketch when
-    * `spark.graft.percentile.approx=true`. `p` may be a scalar fraction
-    * or an array literal of fractions (both built-ins accept either). */
-  def pct(spark: SparkSession, c: Column, p: Column): Column =
-    if (approxEnabled(spark)) percentile_approx(c, p, lit(accuracy(spark)))
+    * `spark.graft.percentile.approx=true` (or `force = true` for callers
+    * with their own opt-in parameter). `p` may be a scalar fraction or
+    * an array literal of fractions (both built-ins accept either).
+    *
+    * The approx input is cast to double FIRST: exact `percentile`
+    * always returns DoubleType, while `percentile_approx` returns the
+    * child column's type — without the cast, flipping the flag would
+    * change the result type under every caller that reads doubles
+    * (getAs[Double] on an int/decimal column ⇒ ClassCastException). */
+  def pct(spark: SparkSession, c: Column, p: Column,
+      force: Boolean = false): Column =
+    if (force || approxEnabled(spark))
+      percentile_approx(c.cast("double"), p, lit(accuracy(spark)))
     else percentile(c, p)
 }

@@ -192,10 +192,12 @@ object Retrieval {
     * id tiebreaks, so selection is total-order deterministic. λ must be
     * a decimal with ≤ 4 fractional digits in (0, 1] — it is read as the
     * EXACT rational p/10^s (BigDecimal of the shortest double repr), so
-    * the MMR combination runs in exact integer units of 1e-8/10^s and
-    * no cross-engine half-grid rounding can creep in; the default 0.7
-    * is 7/10 and lands on the 1e-9 grid the `mmr_e9` column is named
-    * for. Output: (rank, vec_id, rel, mmr_e9). */
+    * the MMR combination runs in exact integer arithmetic and no
+    * cross-engine half-grid rounding can creep in. The reported score
+    * is normalized onto the FIXED 1e-12 grid (`mmr_e12`) so values are
+    * comparable across λ choices of different scale — 10^(4−s) is an
+    * exact integer factor for every admissible λ. Output: (rank,
+    * vec_id, rel, mmr_e12). */
   def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, candK: Int = 20, selectK: Int = 10,
       lambda: Double = 0.7): DataFrame = {
@@ -265,8 +267,12 @@ object Retrieval {
       selected :+= ((best, mmr))
       remaining -= best
     }
+    // normalize the per-λ grid (units 1e-8/den) onto the fixed 1e-12
+    // grid: den | 10^4 by construction, so the factor is an exact
+    // integer and scores from different λ scales stay comparable
+    val toE12 = 10000L / den
     selected.zipWithIndex
-      .map { case ((id, mmr), r) => (r + 1L, id, rel(id), mmr) }
-      .toDF("rank", "vec_id", "rel", "mmr_e9")
+      .map { case ((id, mmr), r) => (r + 1L, id, rel(id), mmr * toE12) }
+      .toDF("rank", "vec_id", "rel", "mmr_e12")
   }
 }

@@ -165,10 +165,11 @@ object RetrievalQueries {
         |ORDER BY score DESC, phrase LIMIT 20""".stripMargin)),
 
     // Greedy MMR re-rank (λ = 0.7) of the exact-cosine top-20 for query
-    // vector 0 — selection runs on the exact integer nano grid
-    // (7·rel_e8 − 3·pen_e8), so the argmax order is engine-portable by
-    // integer comparison; the oracle replays the greedy recursion as a
-    // recursive CTE carrying the picked set.
+    // vector 0 — selection runs on the exact integer grid
+    // (7·rel_e8 − 3·pen_e8, reported ×1000 on the fixed 1e-12 grid so
+    // scores are comparable across λ scales), so the argmax order is
+    // engine-portable by integer comparison; the oracle replays the
+    // greedy recursion as a recursive CTE carrying the picked set.
     QuerySpec("q_mmr_rerank", (s, dir) => {
       Retrieval.mmrRerank(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 0L, candK = 20, selectK = 10)
@@ -190,12 +191,12 @@ object RetrievalQueries {
         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
         |r AS (SELECT vec_id, rel,
         |             CAST(ROUND(rel * 1e8) AS BIGINT) AS rel8 FROM cand),
-        |sel(rank, vec_id, rel, mmr_e9, picked) AS (
-        |  (SELECT CAST(1 AS BIGINT), vec_id, rel, 7 * rel8, [vec_id]
+        |sel(rank, vec_id, rel, mmr_e12, picked) AS (
+        |  (SELECT CAST(1 AS BIGINT), vec_id, rel, 7000 * rel8, [vec_id]
         |   FROM r ORDER BY 7 * rel8 DESC, vec_id LIMIT 1)
         |  UNION ALL
         |  (SELECT s.rank + 1, c.vec_id, c.rel,
-        |          7 * c.rel8 - 3 * (SELECT MAX(p.sim8) FROM pairs p
+        |          7000 * c.rel8 - 3000 * (SELECT MAX(p.sim8) FROM pairs p
         |                            WHERE p.i = c.vec_id
         |                              AND list_contains(s.picked, p.j)),
         |          list_append(s.picked, c.vec_id)
@@ -207,7 +208,7 @@ object RetrievalQueries {
         |              DESC,
         |            c.vec_id
         |   LIMIT 1))
-        |SELECT rank, vec_id, rel, mmr_e9 FROM sel ORDER BY rank""".stripMargin
+        |SELECT rank, vec_id, rel, mmr_e12 FROM sel ORDER BY rank""".stripMargin
     })
   )
 }

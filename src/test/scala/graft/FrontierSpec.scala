@@ -94,11 +94,15 @@ class FrontierSpec extends SparkSpec {
     spark.conf.set(Percentiles.ApproxConf, "true")
     try {
       val approx = lorenz()
-      // same bins, every bin count within one boundary row of exact,
-      // group totals conserved
+      // same bins, group totals conserved, and only BOUNDARY rows move:
+      // a bin is bounded by two cuts and each cut can snap to the
+      // adjacent data value on either side (the interpolation-convention
+      // shift), so the mechanism bounds the per-bin delta by the tied
+      // rows at each of its two cut values — ≤ 2 on this fixture, where
+      // prices at the decile cuts are untied
       assert(approx.keySet === exact.keySet)
       approx.foreach { case (k, n) =>
-        assert(math.abs(n - exact(k)) <= 1L, s"bin $k: $n vs ${exact(k)}") }
+        assert(math.abs(n - exact(k)) <= 2L, s"bin $k: $n vs ${exact(k)}") }
       exact.keys.map(_._1).toSeq.distinct.foreach { g =>
         assert(approx.filter(_._1._1 == g).values.sum ===
           exact.filter(_._1._1 == g).values.sum) }
@@ -123,6 +127,17 @@ class FrontierSpec extends SparkSpec {
       spark.conf.unset(Percentiles.ApproxConf)
       val bExact = buckets()
       assert(bFlag === bExact)
+      // non-double NUMERIC columns must survive the flag: exact
+      // `percentile` returns DoubleType but percentile_approx returns
+      // the CHILD's type, so without the double cast inside
+      // Percentiles.pct the flag would flip Impute's getAs[Double]
+      // reads into ClassCastExceptions on int/long/decimal columns
+      spark.conf.set(Percentiles.ApproxConf, "true")
+      val longCol = spark.range(0, 100).toDF("v")
+        .select(when(col("v") % 4 === 0, lit(null))
+          .otherwise(col("v")).cast("long").as("x1"))
+      val dLong = graft.engine.Impute.decisions(longCol, Seq("x1"))
+      assert(dLong.nonEmpty && dLong.head.strategy.nonEmpty)
     } finally spark.conf.unset(Percentiles.ApproxConf)
   }
 }

@@ -89,7 +89,7 @@ class RetrievalSpec extends SparkSpec {
     assert(order(2) === 2L)
   }
 
-  test("mmr: rank 1 carries mmr = 7·rel_e8 nano-units") {
+  test("mmr: rank 1 carries mmr = 7000·rel_e8 on the fixed 1e-12 grid") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
       (1L, Array(1.0f, 0.0f)),
@@ -99,7 +99,7 @@ class RetrievalSpec extends SparkSpec {
       .sortBy(_.getAs[Long]("rank"))
     assert(r.head.getAs[Long]("vec_id") === 1L)
     assert(r.head.getAs[Double]("rel") === 1.0)
-    assert(r.head.getAs[Long]("mmr_e9") === 7L * 100000000L)
+    assert(r.head.getAs[Long]("mmr_e12") === 7000L * 100000000L)
   }
 
   test("mmr: lambda is honored as an exact decimal rational, rejected when too fine") {
@@ -115,11 +115,12 @@ class RetrievalSpec extends SparkSpec {
       queryId = 0L, candK = 3, selectK = 3, lambda = 1.0).collect()
       .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id"))
     assert(pure.toSeq === Seq(1L, 2L, 3L))
-    // λ = 0.5 → 5/10 grid: rank-1 mmr is 5·rel_e8 exactly
+    // λ = 0.5 → 5/10 grid, reported ×1000 on the fixed 1e-12 grid:
+    // rank-1 mmr is 5000·rel_e8 exactly
     val half = Retrieval.mmrRerank(emb, "vec_id", "embedding",
       queryId = 0L, candK = 3, selectK = 1, lambda = 0.5).collect()
-    assert(half.head.getAs[Long]("mmr_e9") ===
-      5L * half.head.getAs[Double]("rel").*(1e8).round)
+    assert(half.head.getAs[Long]("mmr_e12") ===
+      5000L * half.head.getAs[Double]("rel").*(1e8).round)
     // a λ that is not a <= 4-digit decimal fails loudly, never silently
     // rounded onto a different grid
     intercept[IllegalArgumentException] {
