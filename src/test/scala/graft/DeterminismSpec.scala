@@ -78,7 +78,11 @@ class DeterminismSpec extends SparkSpec {
     "q_auc", "q_gains_table", "q_keyness",
     // effect-size tier: pooled-variance algebra, Wilson intervals,
     // k²-bounded pair grids
-    "q_cohens_d", "q_wilson_ci", "q_tukey_diffs", "q_lorenz")
+    "q_cohens_d", "q_wilson_ci", "q_tukey_diffs", "q_lorenz",
+    // round-4 ops: composite-block JW doubles, MP3 frame-length byte
+    // walk, max-derived synthetic keys, collected p-value rows
+    "q_jaro_linkage_composite", "q_mp3_meta", "q_upsert",
+    "q_dpe_statistics")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
