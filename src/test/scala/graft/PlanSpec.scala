@@ -327,6 +327,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Union"), plan)
   }
 
+  test("derived synthetic-key upsert: the max-key scan is pruned to the " +
+      "key column and broadcasts as a 1-row side, no cartesian") {
+    val plan = planString(QueryRegistry.byName("q_upsert").run(spark, dir))
+    // the max(o_orderkey) derivation must not widen any scan: at least
+    // one orders scan reads ONLY the key column
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint>"), plan)
+    // the 1-row max joins via broadcast (scalar-broadcast shape), and
+    // nothing in the plan degenerates to an unbounded cross product
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("blocked jaro linkage: hash join on the block key, no nested loop; " +
       "the kernel stays inside whole-stage codegen") {
     graft.llm.JaroWinkler.register(spark)
