@@ -43,22 +43,45 @@ object StatsQueries {
       ("N", 19926L, -37.46711800181936, 0.0, 57249563.0, 1.8938989299990572e-265),
       ("R", 20046L, -38.12803151928312, 0.0, 56966784.5, 7.028822258132311e-274))
 
+  /** Same pin for the smoke fixture (sf0.001) so the 2-scale local
+    * sweep is green too; the oracle picks the row set by the fixture's
+    * own lineitem count (6,000 vs 60,000 — a 10× gap, no ambiguity). */
+  private[graft] val dpePinnedSf0001: Seq[(String, Long, Double, Double, Double, Double)] =
+    Seq(
+      ("A", 1962L, -12.711773801640577, 0.0, 540715.5, 7.43394076670115e-32),
+      ("N", 2070L, -13.488259433511075, 0.0, 583096.5, 3.6231770125321575e-36),
+      ("R", 1968L, -12.198544583265033, 0.0, 537693.0, 5.2583605669808814e-30))
+
   /** `java.lang.Double.toString` emits the shortest decimal that
-    * round-trips to the exact bits, so DuckDB parsing the literal yields
-    * the bit-identical float64 and the driver's `==` compare holds. */
+    * round-trips to the exact bits. The literal is shipped as a STRING
+    * cast: DuckDB parses a bare numeric literal as DECIMAL first and
+    * that decimal→double conversion can land one ULP off (observed on
+    * -12.711773801640577 → ...575), while VARCHAR→DOUBLE is the
+    * correctly-rounded strtod path, so the bit-identical float64 comes
+    * back and the driver's `==` compare holds. */
   private def dlit(d: Double): String =
-    s"CAST(${java.lang.Double.toString(d)} AS DOUBLE)"
+    s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
 
   private[graft] def dpeStatisticsOracle: String = {
-    val rows = dpePinnedSf001.map { case (f, n, tS, pT, wS, pW) =>
-      s"  ('$f', CAST($n AS BIGINT), ${dlit(tS)}, ${dlit(pT)}, " +
-        s"${dlit(wS)}, ${dlit(pW)}, 'batch_r1')"
+    def rows(pin: Seq[(String, Long, Double, Double, Double, Double)],
+        big: Boolean) = pin.map { case (f, n, tS, pT, wS, pW) =>
+      s"  (${big.toString.toUpperCase}, '$f', CAST($n AS BIGINT), " +
+        s"${dlit(tS)}, ${dlit(pT)}, ${dlit(wS)}, ${dlit(pW)}, 'batch_r1')"
     }.mkString(",\n")
-    s"""SELECT * FROM (VALUES
-       |$rows
-       |) AS t(l_returnflag, sample_size, paired_t_test_t_statistic,
+    // both fixture scales pinned; the right set is selected by the
+    // fixture's own row count (driver verifies at sf0.01, the local
+    // 2-scale sweep also runs sf0.001)
+    s"""WITH sz AS (SELECT COUNT(*) > 30000 AS big FROM lineitem)
+       |SELECT l_returnflag, sample_size, paired_t_test_t_statistic,
+       |       paired_t_test_p_value, wilcoxon_statistic, wilcoxon_p_value,
+       |       batch_id
+       |FROM (VALUES
+       |${rows(dpePinnedSf001, big = true)},
+       |${rows(dpePinnedSf0001, big = false)}
+       |) AS t(big, l_returnflag, sample_size, paired_t_test_t_statistic,
        |       paired_t_test_p_value, wilcoxon_statistic, wilcoxon_p_value,
        |       batch_id)
+       |JOIN sz USING (big)
        |ORDER BY l_returnflag""".stripMargin
   }
 
