@@ -298,6 +298,34 @@ object TextQueries {
         |  FROM h)
         |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
 
+    // Per-host document cap (the RefinedWeb/CCNet URL-dedup shape: a
+    // handful of hosts must not dominate the corpus): deterministic URL
+    // per doc (synthetic-payload convention — host facts stay
+    // SQL-recomputable), REAL host extraction via Spark's parse_url,
+    // then the exactly-k-per-host md5-ordered cap. One shuffle on the
+    // host key; the window is per-host, never global.
+    QuerySpec("q_url_host_cap", (s, dir) => {
+      val withHost = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/doc-"), col("doc_id")))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+      graft.llm.Sampling.samplePerGroup(
+          withHost.select("doc_id", "host"), "doc_id", "host", k = 10)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH u AS (
+        |  SELECT doc_id, source || '.example.com' AS host FROM documents),
+        |h AS (
+        |  SELECT doc_id, host,
+        |         substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, host,
+        |         ROW_NUMBER() OVER (PARTITION BY host ORDER BY hx, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, host FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
+
     // Training-mixture assembly: exact per-language document counts
     // (smallest-md5 picks), absent languages contribute nothing, and the
     // zh target (200) exceeds its sf0.001 population — exercising the
