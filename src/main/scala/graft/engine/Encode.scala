@@ -1,0 +1,76 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Categorical feature encoding — the feature-prep step between the
+  * cleaned silver tables and a trainer (the reference stops at typed
+  * entities; a production consumer of the same tables encodes before
+  * fitting anything).
+  *
+  * Both encoders follow the engine's determinism discipline: orders are
+  * total (count desc, value asc — never hash order), aggregations run in
+  * exact DECIMAL, and the tiny per-category tables broadcast back so the
+  * fact side never shuffles.
+  */
+object Encode {
+
+  /** Frequency-ordered dense index for a categorical column (the
+    * classic StringIndexer shape): index 0 = most frequent, ties broken
+    * by value ascending — a TOTAL order, so the mapping is identical on
+    * any partitioning/engine. NULL categories get a NULL index (the
+    * caller's imputation tier owns missing values).
+    *
+    * Scale shape: one count aggregation with map-side partials, then a
+    * rank window over the DISTINCT domain (domain-sized, like the
+    * skyline/value-domain windows — never row-sized), then a broadcast
+    * join back; the fact side stays in place. A domain too large to
+    * window on one task is past the point where dense indexing is
+    * meaningful (use hashing features instead). */
+  def indexEncode(df: DataFrame, catCol: String,
+      outCol: String = "idx"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a different outCol")
+    val counts = df.where(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col("__cnt").desc, col(catCol).asc)
+    val mapping = counts
+      .withColumn(outCol, (row_number().over(w) - 1).cast("long"))
+      .drop("__cnt")
+    df.join(broadcast(mapping), Seq(catCol), "left")
+  }
+
+  /** Smoothed target (mean) encoding of a categorical column against a
+    * numeric target: enc = (Σy_cat + m·ȳ_global) / (n_cat + m) — the
+    * additive-smoothing estimate that shrinks rare categories toward
+    * the global mean instead of memorizing them (the classic
+    * high-cardinality-categorical leakage defense; m = the pseudo-count
+    * weight of the prior).
+    *
+    * Exactness: both the per-category and the global moments accumulate
+    * in DECIMAL, and the final formula is one double expression written
+    * identically in the oracle, rounded to the shared 8dp grid. Rows
+    * with a NULL category or NULL target are listwise-dropped from the
+    * moments (and NULL-category rows get a NULL encoding back).
+    * Scale shape: two narrow aggregations (category-keyed, 1-row
+    * global) + a broadcast join back — the fact table never shuffles. */
+  def targetEncode(df: DataFrame, catCol: String, yCol: String,
+      smoothing: Double, outCol: String = "enc"): DataFrame = {
+    require(smoothing >= 0.0, s"smoothing=$smoothing")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a different outCol")
+    val y = col(yCol).cast("decimal(18,2)")
+    val base = df.where(col(catCol).isNotNull && col(yCol).isNotNull)
+    val per = base.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__n"), sum(y).as("__sy"))
+    val glob = base.agg(count(lit(1)).as("__gn"), sum(y).as("__gsy"))
+    val gMean = col("__gsy").cast("double") / col("__gn").cast("double")
+    val enc = round(
+      (col("__sy").cast("double") + lit(smoothing) * gMean) /
+        (col("__n").cast("double") + lit(smoothing)), 8)
+    val mapping = per.crossJoin(broadcast(glob))
+      .select(col(catCol), col("__n").as("n_cat"), enc.as(outCol))
+    df.join(broadcast(mapping), Seq(catCol), "left")
+  }
+}

@@ -392,6 +392,60 @@ object AnalyticsQueries {
          |ORDER BY o_orderkey""".stripMargin
     }),
 
+    // Frequency-ordered dense index encoding (StringIndexer shape):
+    // index 0 = most frequent part type, ties by value — a total order,
+    // so the mapping is engine-portable; domain-sized rank window +
+    // broadcast map-back, the fact side never shuffles.
+    QuerySpec("q_index_encode", (s, dir) => {
+      graft.engine.Encode.indexEncode(
+          t(s, dir, "part").select("p_partkey", "p_type"),
+          "p_type", outCol = "type_idx")
+        .select("p_partkey", "p_type", "type_idx")
+        .orderBy("p_partkey")
+    }, Some(
+      """WITH c AS (
+        |  SELECT p_type, COUNT(*) AS cnt FROM part
+        |  WHERE p_type IS NOT NULL GROUP BY p_type),
+        |m AS (
+        |  SELECT p_type,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, p_type)
+        |              - 1 AS BIGINT) AS type_idx
+        |  FROM c)
+        |SELECT p_partkey, p.p_type, type_idx
+        |FROM part p LEFT JOIN m USING (p_type)
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // Smoothed target encoding: order priority → shrunk mean of
+    // o_totalprice (enc = (Σy + m·ȳ)/(n + m), m = 50) — the
+    // high-cardinality-categorical leakage defense; exact decimal
+    // moments, broadcast map-back.
+    QuerySpec("q_target_encode", (s, dir) => {
+      graft.engine.Encode.targetEncode(
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority",
+            "o_totalprice"),
+          "o_orderpriority", "o_totalprice", smoothing = 50.0)
+        .select("o_orderkey", "o_orderpriority", "n_cat", "enc")
+        .orderBy("o_orderkey")
+    }, Some(
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |per AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n, SUM(y) AS sy
+        |  FROM b GROUP BY o_orderpriority),
+        |g AS (SELECT COUNT(*) AS gn, SUM(y) AS gsy FROM b),
+        |m AS (
+        |  SELECT o_orderpriority, n AS n_cat,
+        |         ROUND((CAST(sy AS DOUBLE)
+        |                 + 50.0 * (CAST(gsy AS DOUBLE) / CAST(gn AS DOUBLE)))
+        |               / (CAST(n AS DOUBLE) + 50.0), 8) AS enc
+        |  FROM per CROSS JOIN g)
+        |SELECT o_orderkey, o.o_orderpriority, n_cat, enc
+        |FROM orders o LEFT JOIN m USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Per-group z-score normalization from exact decimal moments (the
     // q_corr_ols discipline: built-in stddev in doubles is partition-
     // order-dependent); zero-variance groups yield null, never an ANSI

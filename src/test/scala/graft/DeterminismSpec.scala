@@ -82,7 +82,9 @@ class DeterminismSpec extends SparkSpec {
     // round-4 ops: composite-block JW doubles, MP3 frame-length byte
     // walk, max-derived synthetic keys, collected p-value rows
     "q_jaro_linkage_composite", "q_mp3_meta", "q_upsert",
-    "q_dpe_statistics", "q_url_host_cap")
+    "q_dpe_statistics", "q_url_host_cap",
+    // feature-prep encoders: domain-rank index map, shrunk target means
+    "q_index_encode", "q_target_encode")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

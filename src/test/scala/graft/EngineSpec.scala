@@ -415,3 +415,43 @@ class LoadDedupSpec extends SparkSpec {
     assert(got.toSeq === Seq(11, 13))
   }
 }
+
+/** Categorical encoders ([[graft.engine.Encode]]): total-order index
+  * mapping, null passthrough, and the smoothing shrinkage contract. */
+class EncodeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.engine.Encode
+
+  test("indexEncode: frequency order, value tiebreak, null category -> null index") {
+    val df = Seq(Option("b"), Option("b"), Option("a"), Option("a"),
+      Option("c"), Option.empty[String]).toDF("cat")
+    val m = Encode.indexEncode(df, "cat").collect()
+      .map(r => Option(r.getString(0)) -> Option(r.get(1))).toMap
+    // a and b tie at 2 -> value order puts a first; c (1) last
+    assert(m(Some("a")) === Some(0L))
+    assert(m(Some("b")) === Some(1L))
+    assert(m(Some("c")) === Some(2L))
+    assert(m(None) === None)
+  }
+
+  test("targetEncode: shrinks rare categories toward the global mean") {
+    // global mean 10; 'big' (100 rows at 20) barely moves, 'rare'
+    // (1 row at 0) lands near the prior with m = 50
+    val rows = Seq.fill(100)(("big", 20.0)) ++ Seq.fill(100)(("mid", 0.0)) ++
+      Seq(("rare", 0.0))
+    val enc = Encode.targetEncode(rows.toDF("cat", "y"), "cat", "y",
+        smoothing = 50.0).select("cat", "enc").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gMean = 2000.0 / 201.0
+    assert(math.abs(enc("big") - (2000.0 + 50 * gMean) / 150.0) < 1e-8)
+    assert(math.abs(enc("rare") - (0.0 + 50 * gMean) / 51.0) < 1e-8)
+    // shrinkage direction: rare sits between its own mean (0) and gMean
+    assert(enc("rare") > 0.0 && enc("rare") < gMean)
+    // m = 0 degenerates to the plain category mean
+    val raw = Encode.targetEncode(rows.toDF("cat", "y"), "cat", "y",
+        smoothing = 0.0).select("cat", "enc").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(raw("big") === 20.0 && raw("rare") === 0.0)
+  }
+}
+
