@@ -41,6 +41,29 @@ object Encode {
     df.join(broadcast(mapping), Seq(catCol), "left")
   }
 
+  /** Feature hashing (the hashing trick — Weinberger et al. 2009): maps
+    * a categorical value to a bucket in [0, dim) plus a ±1 sign, with NO
+    * vocabulary pass at all — the scale path [[indexEncode]]'s scaladoc
+    * points to when the domain outgrows a dense index. Collisions are
+    * the accepted trade (the sign hash unbiases the inner product in
+    * expectation).
+    *
+    * Determinism/portability: bucket and sign derive from md5 of the
+    * value (the engine's md5-randomness convention), not from a
+    * JVM-specific hash, so any engine with md5 reproduces the exact
+    * features: bucket = first 8 hex digits mod dim, sign from the 9th
+    * hex digit's parity. Map-only — zero shuffle, scales with the scan. */
+  def hashEncode(df: DataFrame, catCol: String, dim: Int,
+      bucketCol: String = "bucket", signCol: String = "sign"): DataFrame = {
+    require(dim > 0, s"dim=$dim")
+    val hx = md5(concat(lit("feat|"), col(catCol).cast("string")))
+    val bucket = pmod(conv(substring(hx, 1, 8), 16, 10).cast("long"), lit(dim))
+    val sign = when(pmod(conv(substring(hx, 9, 1), 16, 10).cast("long"),
+      lit(2)) === 0, 1L).otherwise(-1L)
+    df.withColumn(bucketCol, when(col(catCol).isNotNull, bucket))
+      .withColumn(signCol, when(col(catCol).isNotNull, sign))
+  }
+
   /** Smoothed target (mean) encoding of a categorical column against a
     * numeric target: enc = (Σy_cat + m·ȳ_global) / (n_cat + m) — the
     * additive-smoothing estimate that shrinks rare categories toward

@@ -415,6 +415,28 @@ object AnalyticsQueries {
         |FROM part p LEFT JOIN m USING (p_type)
         |ORDER BY p_partkey""".stripMargin)),
 
+    // Feature hashing (hashing trick): vocabulary-free bucket+sign from
+    // md5 (engine-portable, map-only, zero shuffle) — the scale path
+    // when a categorical domain outgrows a dense index.
+    QuerySpec("q_hash_encode", (s, dir) => {
+      graft.engine.Encode.hashEncode(
+          t(s, dir, "part").select("p_partkey", "p_type"),
+          "p_type", dim = 64)
+        .select("p_partkey", "p_type", "bucket", "sign")
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey, p_type,
+        |       CASE WHEN p_type IS NOT NULL THEN
+        |         CAST(CAST(concat('0x', substr(md5('feat|' || p_type), 1, 8))
+        |              AS UBIGINT) % 64 AS BIGINT) END AS bucket,
+        |       CASE WHEN p_type IS NOT NULL THEN
+        |         CASE WHEN CAST(concat('0x', substr(md5('feat|' || p_type),
+        |                                            9, 1)) AS UBIGINT)
+        |                   % 2 = 0
+        |              THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(-1 AS BIGINT) END END AS sign
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // Smoothed target encoding: order priority → shrunk mean of
     // o_totalprice (enc = (Σy + m·ȳ)/(n + m), m = 50) — the
     // high-cardinality-categorical leakage defense; exact decimal

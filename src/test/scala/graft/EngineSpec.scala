@@ -434,6 +434,27 @@ class EncodeSpec extends SparkSpec {
     assert(m(None) === None)
   }
 
+  test("hashEncode: bucket in [0,dim), sign is +/-1, null passthrough, no vocabulary") {
+    val df = Seq(Option("a"), Option("b"), Option("zz"), Option.empty[String])
+      .toDF("cat")
+    val r = graft.engine.Encode.hashEncode(df, "cat", dim = 8).collect()
+      .map(x => Option(x.getString(0)) ->
+        (Option(x.get(1)), Option(x.get(2)))).toMap
+    r.foreach { case (k, (b, sg)) =>
+      if (k.isEmpty) assert(b.isEmpty && sg.isEmpty)
+      else {
+        assert(b.exists(v => v.asInstanceOf[Long] >= 0 &&
+          v.asInstanceOf[Long] < 8), s"$k -> $b")
+        assert(sg.exists(v => v == 1L || v == -1L), s"$k -> $sg")
+      }
+    }
+    // same value always hashes the same (vocabulary-free determinism)
+    val again = graft.engine.Encode.hashEncode(df, "cat", dim = 8).collect()
+      .map(x => Option(x.getString(0)) ->
+        (Option(x.get(1)), Option(x.get(2)))).toMap
+    assert(again === r)
+  }
+
   test("targetEncode: shrinks rare categories toward the global mean") {
     // global mean 10; 'big' (100 rows at 20) barely moves, 'rare'
     // (1 row at 0) lands near the prior with m = 50
