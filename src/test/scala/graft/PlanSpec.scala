@@ -339,6 +339,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("categorical encoders: the mapping side broadcasts back; the fact " +
+      "side never shuffles for the join") {
+    val idx = planString(QueryRegistry.byName("q_index_encode")
+      .run(spark, dir))
+    // dense-index map-back: a broadcast hash join, not a shuffled one —
+    // the fact table stays in place (the output ORDER BY is the only
+    // fact-side exchange in the plan)
+    assert(idx.contains("BroadcastHashJoin"), idx)
+    assert(!idx.contains("SortMergeJoin"), idx)
+    val te = planString(QueryRegistry.byName("q_target_encode")
+      .run(spark, dir))
+    assert(te.contains("BroadcastHashJoin"), te)
+    assert(!te.contains("SortMergeJoin"), te)
+    // feature hashing is pure map-only: a single stage, no join and no
+    // aggregation anywhere in the plan
+    val he = planString(QueryRegistry.byName("q_hash_encode")
+      .run(spark, dir))
+    assert(!he.contains("Join"), he)
+    assert(!he.contains("Aggregate"), he)
+  }
+
   test("blocked jaro linkage: hash join on the block key, no nested loop; " +
       "the kernel stays inside whole-stage codegen") {
     graft.llm.JaroWinkler.register(spark)
