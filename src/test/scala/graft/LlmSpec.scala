@@ -30,6 +30,62 @@ class LlmProps extends Properties("llm.kernels") {
     }
 }
 
+/** Fuzz properties for the hand-written byte parsers (the RIFF, ISO-BMFF
+  * and MPEG frame walks): generator→parser round-trip for ANY id, and
+  * fail-closed behavior under arbitrary truncation — a parser bounds bug
+  * surfaces here as an index/buffer exception instead of the contractual
+  * IllegalArgumentException. Pure JVM, no Spark session. */
+class MultimodalProps extends Properties("llm.multimodal") {
+  import graft.llm.Multimodal
+  import Multimodal.MediaRecord
+
+  private val anyId = Gen.choose(-1000000L, 1000000000L)
+
+  property("wav/mp4/mp3 generators round-trip through their parsers") =
+    Prop.forAll(anyId) { id =>
+      val wav = Multimodal.decodeWav(
+        MediaRecord(id, "audio/wav", Multimodal.syntheticWav(id)))
+      val mp4 = Multimodal.decodeMp4(
+        MediaRecord(id, "video/mp4", Multimodal.syntheticMp4(id)))
+      val mp3 = Multimodal.decodeMp3(
+        MediaRecord(id, "audio/mpeg", Multimodal.syntheticMp3(id)))
+      wav.n_samples == 16 + Math.floorMod(id, 17L) &&
+        wav.sample_rate == 8000 + Math.floorMod(id, 4L) * 2000 &&
+        mp4.duration == 2000 + Math.floorMod(id, 977L) * 3 &&
+        mp4.timescale == 1000 + Math.floorMod(id, 5L) * 500 &&
+        mp3.frames == 4 + Math.floorMod(id, 7L) &&
+        mp3.duration_ms ==
+          Math.floorDiv(mp3.frames * 1152L * 1000L, mp3.sample_rate)
+    }
+
+  property("parsers fail closed on truncation: IAE or a valid prefix, never index errors") =
+    Prop.forAll(anyId, Gen.choose(0, 1000)) { (id, permille) =>
+      def cut(b: Array[Byte]): Array[Byte] =
+        b.take(b.length.toLong.*(permille)./(1000L).toInt)
+      def ok(f: => Any): Boolean =
+        try { f; true }
+        catch {
+          case _: IllegalArgumentException => true // the contract
+          case _: Throwable => false               // bounds bug
+        }
+      ok(Multimodal.decodeWav(
+          MediaRecord(id, "w", cut(Multimodal.syntheticWav(id))))) &&
+        ok(Multimodal.decodeMp4(
+          MediaRecord(id, "v", cut(Multimodal.syntheticMp4(id))))) && {
+          // mp3: a cut exactly on a frame boundary IS a valid shorter
+          // stream — additionally require the parse to stay consistent
+          try {
+            val m = Multimodal.decodeMp3(
+              MediaRecord(id, "a", cut(Multimodal.syntheticMp3(id))))
+            m.frames >= 1 && m.frames <= 4 + Math.floorMod(id, 7L)
+          } catch {
+            case _: IllegalArgumentException => true
+            case _: Throwable => false
+          }
+        }
+    }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
