@@ -188,6 +188,56 @@ object EventStreams {
       n, bands, rowsPerBand))
   }
 
+  /** Per-host admission cap at INGEST time — the streaming dual of
+    * `q_url_host_cap` (the RefinedWeb host-dominance guard run where it
+    * belongs in production: while the corpus is being built, not as an
+    * after-the-fact filter). Each micro-batch admits a host's documents
+    * only while the host's persisted admitted-count stays under `cap`;
+    * within a batch the winners are the md5-smallest ids (the
+    * [[graft.llm.Sampling.samplePerGroup]] order, so admission is
+    * deterministic under replay and any partitioning).
+    *
+    * State: the admitted-ids table (needed for the at-least-once replay
+    * guard, exactly as [[idempotentForeachBatch]]) plus a (host,
+    * n_admitted) counts table — HOST-cardinality-sized, so the per-batch
+    * budget join broadcasts; per-batch cost ∝ batch + hosts, never ∝
+    * corpus. `writeHostCounts` receives the full merged counts
+    * (host-sized overwrite — the IVM applyDelta shape). */
+  def hostCapIngestForeachBatch(
+      readAdmittedIds: () => DataFrame,
+      readHostCounts: () => DataFrame,
+      appendDocs: DataFrame => Unit,
+      writeHostCounts: DataFrame => Unit,
+      idCol: String, hostCol: String, cap: Int,
+      seed: String = "sample"): (DataFrame, Long) => Unit = { (batch0, _) =>
+    require(cap > 0, s"cap=$cap")
+    // replay guard: at-least-once delivery — already-admitted ids must
+    // not be re-admitted (they would double both the docs AND the counts)
+    val batch = batch0.dropDuplicates(idCol)
+      .join(readAdmittedIds().select(col(idCol)), Seq(idCol), "left_anti")
+    val counts = readHostCounts() // host, n_admitted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol))
+      .orderBy(graft.llm.Sampling.uniformHex(seed, col(idCol)).asc,
+        col(idCol).asc)
+    val accepted = batch.withColumn("__rn", row_number().over(w))
+      .join(broadcast(counts), Seq(hostCol), "left")
+      .withColumn("__n0", coalesce(col("n_admitted"), lit(0L)))
+      .filter(col("__rn") <= lit(cap.toLong) - col("__n0"))
+      .drop("__rn", "n_admitted", "__n0")
+      // one materialization: accepted feeds the append AND the count
+      // delta; without it the admission plan runs twice
+      .localCheckpoint()
+    appendDocs(accepted)
+    val merged = accepted.groupBy(col(hostCol))
+      .agg(count(lit(1)).as("__add"))
+      .join(counts, Seq(hostCol), "full_outer")
+      .select(col(hostCol),
+        (coalesce(col("__add"), lit(0L)) +
+          coalesce(col("n_admitted"), lit(0L))).as("n_admitted"))
+    writeHostCounts(merged)
+  }
+
   /** Deterministic last-change-wins compaction of a CDC micro-batch: one
     * surviving row per key — the one with the greatest `orderCol`, ties
     * broken by the attribute tuple (a struct-max aggregate, so the choice

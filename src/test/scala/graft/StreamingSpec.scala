@@ -417,6 +417,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-host cap: admission stops at cap across batches; " +
+      "replay is a no-op; winners are the md5-smallest ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+
+    val emptyIds = Seq.empty[Long].toDF("doc_id")
+    val emptyCounts = Seq.empty[(String, Long)].toDF("host", "n_admitted")
+    var admitted: DataFrame = emptyIds.localCheckpoint()
+    var countsState: DataFrame = emptyCounts.localCheckpoint()
+
+    val sink = EventStreams.hostCapIngestForeachBatch(
+      () => admitted, () => countsState,
+      docs => admitted = admitted
+        .unionByName(docs.select("doc_id")).localCheckpoint(),
+      c => countsState = c.localCheckpoint(),
+      "doc_id", "host", cap = 3)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "host")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      // batch 1: 4 docs on host a (one over cap), 1 on host b
+      mem.addData((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"))
+      q.processAllAvailable()
+      val after1 = admitted.as[Long].collect().sorted.toSeq
+      assert(after1.length === 4) // 3 of a + 1 of b
+      assert(after1.contains(10L))
+      val aAfter1 = after1.filter(_ != 10L)
+      // the admitted 3 are the md5-smallest of {1,2,3,4} — pin by replay
+      // of the samplePerGroup order
+      val expect3 = graft.llm.Sampling.samplePerGroup(
+        Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a")).toDF("doc_id", "host"),
+        "doc_id", "host", k = 3).select("doc_id").as[Long].collect().sorted
+      assert(aAfter1 === expect3.toSeq)
+      assert(countsState.as[(String, Long)].collect().toMap ===
+        Map("a" -> 3L, "b" -> 1L))
+
+      // batch 2: host a is FULL (everything rejected), host b admits 2
+      // more then stops
+      mem.addData((20L, "a"), (21L, "b"), (22L, "b"), (23L, "b"))
+      q.processAllAvailable()
+      assert(countsState.as[(String, Long)].collect().toMap ===
+        Map("a" -> 3L, "b" -> 3L))
+      assert(admitted.count() === 6L)
+      assert(!admitted.as[Long].collect().contains(20L))
+
+      // replay: re-delivering batch 1 must change nothing (at-least-once)
+      sink(Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"))
+        .toDF("doc_id", "host"), 99L)
+      assert(admitted.count() === 6L)
+      assert(countsState.as[(String, Long)].collect().toMap ===
+        Map("a" -> 3L, "b" -> 3L))
+    } finally q.stop()
+  }
+
   test("scd2ForeachBatch: CDC stream builds the versioned dimension; " +
       "in-batch changes compact last-wins; replay rewrites the same version") {
     import org.apache.spark.sql.DataFrame
