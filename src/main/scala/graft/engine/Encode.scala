@@ -56,6 +56,8 @@ object Encode {
   def hashEncode(df: DataFrame, catCol: String, dim: Int,
       bucketCol: String = "bucket", signCol: String = "sign"): DataFrame = {
     require(dim > 0, s"dim=$dim")
+    Seq(bucketCol, signCol).foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — pass a different bucketCol/signCol"))
     val hx = md5(concat(lit("feat|"), col(catCol).cast("string")))
     val bucket = pmod(conv(substring(hx, 1, 8), 16, 10).cast("long"), lit(dim))
     val sign = when(pmod(conv(substring(hx, 9, 1), 16, 10).cast("long"),
@@ -81,8 +83,9 @@ object Encode {
   def targetEncode(df: DataFrame, catCol: String, yCol: String,
       smoothing: Double, outCol: String = "enc"): DataFrame = {
     require(smoothing >= 0.0, s"smoothing=$smoothing")
-    require(!df.columns.contains(outCol),
-      s"input already has a '$outCol' column — pass a different outCol")
+    // n_cat rides along in the output mapping, so it collides like outCol
+    Seq(outCol, "n_cat").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — rename it before encoding"))
     val y = col(yCol).cast("decimal(18,2)")
     val base = df.where(col(catCol).isNotNull && col(yCol).isNotNull)
     val per = base.groupBy(col(catCol))

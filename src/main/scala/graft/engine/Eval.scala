@@ -104,7 +104,12 @@ object Eval {
       .where(col(probCol).isNotNull && col(yCol).isNotNull)
       .select(p.as("p"), col(yCol).cast("long").as("y"))
     val probs = (1 until bins).map(_.toDouble / bins)
-    val cuts = base.agg(percentile(col("p"), typedlit(probs)).as("cuts"))
+    // Percentiles.pct honors spark.graft.percentile.approx: the 100 TB
+    // path swaps the exact value-multiset cut for the GK sketch with the
+    // SAME plan shape (FrontierSpec's boundary-rows-only contract); the
+    // default stays exact `percentile`, which is what the oracle pins.
+    val cuts = base.agg(Percentiles.pct(scored.sparkSession,
+      col("p"), typedlit(probs)).as("cuts"))
     val binned = base.crossJoin(broadcast(cuts))
       .select(
         aggregate(col("cuts"), lit(0L),
@@ -181,7 +186,9 @@ object Eval {
         labelCol.cast("long").as("y"))
       .where(col("y").isNotNull)
     val probs = (1 until bins).map(_.toDouble / bins)
-    val cuts = base.agg(percentile(col("s"), typedlit(probs)).as("cuts"))
+    // same session-flagged exact→approx switch as [[calibrationBins]]
+    val cuts = base.agg(Percentiles.pct(df.sparkSession,
+      col("s"), typedlit(probs)).as("cuts"))
     // band 0 = TOP scores: count of cuts the score does NOT exceed
     val binned = base.crossJoin(broadcast(cuts))
       .select((lit(bins - 1) - aggregate(col("cuts"), lit(0L),

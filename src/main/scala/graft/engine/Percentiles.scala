@@ -40,7 +40,14 @@ object Percentiles {
     spark.conf.getOption(ApproxConf).exists(_.trim.equalsIgnoreCase("true"))
 
   def accuracy(spark: SparkSession): Int =
-    spark.conf.getOption(AccuracyConf).map(_.trim.toInt).getOrElse(10000)
+    spark.conf.getOption(AccuracyConf).map { raw =>
+      val v = try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$AccuracyConf must be a positive integer, got '$raw'")
+      }
+      require(v > 0, s"$AccuracyConf must be a positive integer, got '$raw'")
+      v
+    }.getOrElse(10000)
 
   /** Session-flagged percentile: exact by default, GK sketch when
     * `spark.graft.percentile.approx=true` (or `force = true` for callers

@@ -140,4 +140,51 @@ class FrontierSpec extends SparkSpec {
       assert(dLong.nonEmpty && dLong.head.strategy.nonEmpty)
     } finally spark.conf.unset(Percentiles.ApproxConf)
   }
+
+  test("percentile.approx flag reaches the Eval decile family: gains " +
+      "bands and calibration bins shift boundary rows only; accuracy " +
+      "conf misuse fails loudly naming the key") {
+    // Same contract as the lorenz/impute pin above, for the two
+    // remaining exact-`percentile` consumers (Eval.gainsTable,
+    // Eval.calibrationBins): under the flag the GK sketch (rank-exact at
+    // fixture scale) can snap each interpolated cut to an adjacent data
+    // value, so a band bounded by two cuts moves at most the rows tied
+    // at each cut — ≤ 2 here (cent-distinct prices / 6dp-distinct
+    // probabilities) — and group totals are conserved.
+    import graft.engine.Percentiles
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    def bands(q: String) = QueryRegistry.byName(q).run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spark.conf.getOption(Percentiles.ApproxConf).isEmpty)
+    val exactG = bands("q_gains_table")
+    val exactC = bands("q_calibration")
+    spark.conf.set(Percentiles.ApproxConf, "true")
+    try {
+      for ((q, exact) <- Seq("q_gains_table" -> exactG,
+          "q_calibration" -> exactC)) {
+        val approx = bands(q)
+        assert(approx.keySet === exact.keySet, q)
+        approx.foreach { case (b, n) =>
+          assert(math.abs(n - exact(b)) <= 2L, s"$q band $b: $n vs ${exact(b)}") }
+        assert(approx.values.sum === exact.values.sum, q)
+        val plan = QueryRegistry.byName(q).run(spark, dir)
+          .queryExecution.optimizedPlan.toString
+        assert(plan.contains("percentile_approx"), s"$q flag not live:\n$plan")
+      }
+      // conf validation: non-numeric and non-positive accuracy both fail
+      // loudly, naming the conf key (never a bare NumberFormatException
+      // or an opaque downstream analysis error)
+      for (bad <- Seq("abc", "0", "-5")) {
+        spark.conf.set(Percentiles.AccuracyConf, bad)
+        val e = intercept[IllegalArgumentException] {
+          Percentiles.accuracy(spark) }
+        assert(e.getMessage.contains(Percentiles.AccuracyConf), e.getMessage)
+        spark.conf.unset(Percentiles.AccuracyConf)
+      }
+    } finally {
+      spark.conf.unset(Percentiles.ApproxConf)
+      spark.conf.unset(Percentiles.AccuracyConf)
+    }
+  }
 }
