@@ -48,11 +48,12 @@ object LoadDedup {
     * exact path too (anti-join keeps null-keyed rows; the filter can't
     * represent them).
     *
-    * The membership probe is a Scala UDF (no public Catalyst expression
-    * wraps `BloomFilter.mightContain`) — acceptable here because it gates
-    * a shuffle, not a hot aggregation loop. Like the reference's
-    * read-before-load (`load.py:128`), the filter build is EAGER: one job
-    * over existing keys before the plan is returned.
+    * The membership probe is the native [[BloomMightContain]] expression
+    * (codegen'd — the probe stays inside the whole-stage loop over the
+    * incoming scan; it was the engine's last non-codegen kernel on this
+    * path). Like the reference's read-before-load (`load.py:128`), the
+    * filter build is EAGER: one job over existing keys before the plan
+    * is returned.
     */
   def antiJoinBloomPruned(incoming: DataFrame, existing: DataFrame,
       keys: Seq[String], expectedKeys: Long, fpp: Double = 0.03): DataFrame = {
@@ -64,13 +65,12 @@ object LoadDedup {
     val bloom = existingKeys.stat
       .bloomFilter(keyOf(existingKeys), expectedKeys, fpp)
     // broadcast lifetime: like a broadcast-join table, the block is
-    // released by ContextCleaner once the returned plan (whose UDF closure
-    // holds the only reference) is dropped and a driver GC runs — batch
-    // loops don't accumulate filters beyond the plans they keep alive
+    // released by ContextCleaner once the returned plan (whose expression
+    // tree holds the only reference) is dropped and a driver GC runs —
+    // batch loops don't accumulate filters beyond the plans they keep alive
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
-    val mightExist = udf((k: String) => bc.value.mightContain(k))
-    val maybe = anyKeyNull || mightExist(keyOf(incoming))
+    val maybe = anyKeyNull || BloomProbe.mightContain(bc, keyOf(incoming))
     incoming.where(!maybe)
       .unionByName(antiJoinOnKeys(incoming.where(maybe), existing, keys))
   }

@@ -512,11 +512,12 @@ object Dedup {
     *
     * Correctness never depends on the filter: Bloom filters have no false
     * negatives, so the output is IDENTICAL to [[contaminatedDocs]] — false
-    * positives are discarded by the exact join. The probe is a Scala UDF
-    * (no public Catalyst expression wraps `BloomFilter.mightContain`),
-    * acceptable because it gates a shuffle, not a hot aggregation loop;
-    * the filter build is EAGER (one job over eval shingles, mirroring the
-    * eager filter build of `LoadDedup.antiJoinBloomPruned`).
+    * positives are discarded by the exact join. The probe is the native
+    * [[graft.engine.BloomMightContain]] expression (codegen'd — the probe
+    * runs inside the whole-stage loop over the exploded shingle stream,
+    * the hottest row rate in the engine); the filter build is EAGER (one
+    * job over eval shingles, mirroring the eager filter build of
+    * `LoadDedup.antiJoinBloomPruned`).
     * Output: idCol, n_shared — bit-identical to [[contaminatedDocs]]. */
   def contaminatedDocsBloom(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int, expectedShingles: Long,
@@ -525,9 +526,9 @@ object Dedup {
       .select("shingle").distinct()
     val bloom = evalSh.stat.bloomFilter("shingle", expectedShingles, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
-    val mightMatch = udf((s: String) => s != null && bc.value.mightContain(s))
+    // null-safe: <=> TRUE keeps the old udf's null→false routing
     rawShingles(train, idCol, textCol, n)
-      .where(mightMatch(col("shingle")))
+      .where(graft.engine.BloomProbe.mightContain(bc, col("shingle")) <=> lit(true))
       .join(evalSh, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("shingle")).as("n_shared"))

@@ -205,7 +205,9 @@ class PlanSpec extends SparkSpec {
 
   test("bloom-pruned anti-join: only the probable-hit branch joins") {
     import spark.implicits._
-    val incoming = (1L to 100L).toDF("pk")
+    // range (a real scan node), not a local Seq: ConvertToLocalRelation
+    // would pre-evaluate the probe driver-side and hide it from the plan
+    val incoming = spark.range(1, 101).toDF("pk")
     val existing = (1L to 10L).toDF("pk")
     val df = graft.engine.LoadDedup.antiJoinBloomPruned(
       incoming, existing, Seq("pk"), expectedKeys = 10L)
@@ -215,6 +217,22 @@ class PlanSpec extends SparkSpec {
     val antis = "LeftAnti".r.findAllIn(plan).length
     assert(antis === 1, plan)
     assert(plan.contains("Union"), plan)
+    // the membership probe is the NATIVE bloom_might_contain expression —
+    // no ScalaUDF node anywhere (a udf would break whole-stage codegen on
+    // the incoming scan, the last such break the engine had)
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("bloom-prefiltered contamination probe is codegen-native too") {
+    import spark.implicits._
+    val train = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"))
+      .toDF("doc_id", "text")
+    val eval = Seq((10L, "aa bb cc zz")).toDF("doc_id", "text")
+    val plan = planString(graft.llm.Dedup.contaminatedDocsBloom(
+      train, eval, "doc_id", "text", n = 3, expectedShingles = 10L))
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
   test("hll sketch pre-reduces map-side (partial max per bucket)") {
