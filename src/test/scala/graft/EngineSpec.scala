@@ -474,5 +474,103 @@ class EncodeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(raw("big") === 20.0 && raw("rare") === 0.0)
   }
+
+  test("hashEncode/targetEncode fail loudly on output-column collisions") {
+    val df = Seq(("a", 1.0)).toDF("cat", "y")
+    intercept[IllegalArgumentException] {
+      Encode.hashEncode(df.withColumnRenamed("y", "bucket"), "cat", 8) }
+    intercept[IllegalArgumentException] {
+      Encode.hashEncode(df.withColumnRenamed("y", "sign"), "cat", 8) }
+    intercept[IllegalArgumentException] {
+      Encode.targetEncode(df.withColumn("n_cat", col("y")), "cat", "y", 1.0) }
+    intercept[IllegalArgumentException] {
+      Encode.targetEncode(df.withColumnRenamed("y", "enc"), "cat", "cat", 1.0) }
+  }
+}
+
+/** ScalaCheck drills for the determinism claims the encoders' scaladocs
+  * make (the NamesProps/WilcoxonProps pattern): each property checks the
+  * engine against an INDEPENDENT plain-Scala reimplementation, so a
+  * hash-order leak, an md5 derivation drift, or a shrinkage-formula edit
+  * fails here without any oracle involved. */
+class EncodeProps extends Properties("engine.encode") {
+  import org.scalacheck.Gen
+  import graft.engine.Encode
+
+  // Spark-backed properties are ~1s/case: keep the case count small but
+  // real (the generators hit ties, empties and null categories quickly)
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val cats: Gen[List[Option[String]]] =
+    Gen.listOf(Gen.frequency(
+      9 -> Gen.oneOf("a", "b", "c", "d", "e", "ba").map(Option(_)),
+      1 -> Gen.const(Option.empty[String])))
+
+  property("indexEncode == total-order reference under any partitioning") =
+    Prop.forAll(cats, Gen.choose(1, 7)) { (xs, parts) =>
+      import spark.implicits._
+      val df = xs.toDF("cat").repartition(parts)
+      val got = Encode.indexEncode(df, "cat").collect()
+        .map(r => Option(r.getString(0)) ->
+          Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      // independent reference: count desc, value asc, dense 0-based
+      val ref = xs.flatten.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (v, n) => (-n, v) }.map(_._1).zipWithIndex.toMap
+      xs.distinct.forall {
+        case None    => got.get(None).forall(_.isEmpty)
+        case Some(v) => got(Some(v)).contains(ref(v).toLong)
+      }
+    }
+
+  property("hashEncode == independent md5 bucket/sign derivation") =
+    Prop.forAll(Gen.listOf(Gen.frequency(
+        8 -> Gen.alphaNumStr, 2 -> Gen.oneOf("é è ç", "日本語", "x|y", ""))),
+        Gen.choose(1, 64)) { (vs, dim) =>
+      import spark.implicits._
+      val distinctVs = vs.distinct
+      val got = Encode.hashEncode(distinctVs.toDF("cat"), "cat", dim)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      distinctVs.forall { v =>
+        val hex = md.digest(("feat|" + v).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val bucket = java.lang.Long.parseLong(hex.substring(0, 8), 16) % dim
+        val sign = if (Character.digit(hex.charAt(8), 16) % 2 == 0) 1L else -1L
+        got(v) == (bucket, sign)
+      }
+    }
+
+  property("targetEncode shrinkage is monotone in m (toward global mean)") =
+    Prop.forAll(
+        Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c"),
+          Gen.choose(-10000, 10000).map(_ / 100.0))),
+        Gen.choose(0, 50), Gen.choose(1, 200)) { (rows, m1, dm) =>
+      import spark.implicits._
+      val df = rows.toDF("cat", "y")
+      def enc(m: Double) = Encode.targetEncode(df, "cat", "y", m)
+        .select("cat", "enc").distinct().collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val (e1, e2) = (enc(m1.toDouble), enc(m1.toDouble + dm))
+      val g = {
+        val ys = rows.map(r => BigDecimal(r._2).setScale(2))
+        (ys.sum / ys.size).toDouble
+      }
+      // larger m pulls every category at least as close to the global
+      // mean (ties when the category mean IS the global mean); the 8dp
+      // output grid allows a one-ulp-of-grid slack
+      rows.map(_._1).distinct.forall { c =>
+        math.abs(e2(c) - g) <= math.abs(e1(c) - g) + 2e-8
+      }
+    }
 }
 
