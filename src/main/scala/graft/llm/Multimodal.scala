@@ -444,10 +444,13 @@ object Multimodal {
   }
 
   /** Lossy-audio stream facts from an MP3 payload: MPEG version/layer,
-    * bitrate, sample rate, frame count and the exact integer duration
-    * (frames·1152·1000 / rate, floored). */
+    * bitrate (the constant rate for CBR, the exact floored average for
+    * VBR), sample rate, audio frame count, the exact integer duration
+    * (frames·1152·1000 / rate, floored), and whether the stream carried
+    * a Xing/Info/VBRI metadata frame. */
   final case class Mp3Meta(id: Long, version: String, layer: Int,
-      bitrate_kbps: Int, sample_rate: Int, frames: Long, duration_ms: Long)
+      bitrate_kbps: Int, sample_rate: Int, frames: Long, duration_ms: Long,
+      vbr: Boolean)
 
   /** MPEG-1 Layer III bitrate table (kbps), indexed by the 4-bit header
     * field (index 0 = "free" and 15 = "bad" are rejected). Published in
@@ -461,10 +464,22 @@ object Multimodal {
     * are pure byte arithmetic, exactly like the RIFF and ISO-BMFF walks;
     * only the spectral FRAME DECODE needs a codec and stays on
     * [[decodeStub]]): skips a leading ID3v2 tag (syncsafe size, footer
-    * flag honored) and a trailing ID3v1 'TAG' block, then walks the CBR
+    * flag honored) and a trailing ID3v1 'TAG' block, then walks the
     * frame chain — each 4-byte header yields the next frame's exact byte
     * length (144·bitrate/rate + padding), so the walk either lands
-    * exactly on every header or fails loudly. */
+    * exactly on every header or fails loudly.
+    *
+    * VBR: when the FIRST frame carries a Xing/Info (at the MPEG-1 side-
+    * info offset: 4+17 mono, 4+32 stereo) or VBRI (fixed 4+32) metadata
+    * header, that frame is metadata, not audio — it is skipped, later
+    * frames may change bitrate (the sample rate must stay fixed; a
+    * mid-stream rate change is a broken file), and the walked audio
+    * frame count is REQUIRED to equal the header's frame-count field
+    * (the fail-loud cross-check the header exists for).
+    * `bitrate_kbps` then reports the exact floored average
+    * ⌊audio_bytes·8·rate / (frames·1152·1000)⌋. A stream that changes
+    * bitrate WITHOUT such a header still fails loudly (the pre-r5 CBR
+    * contract — reporting one bitrate for it would be wrong). */
   def decodeMp3(r: MediaRecord): Mp3Meta = {
     val b = r.payload
     var pos = 0
@@ -483,6 +498,8 @@ object Multimodal {
         b(end - 126) == 'G') end -= 128
     var frames = 0L
     var kbps = -1; var rate = -1
+    var vbr = false; var vbrFrames = -1L; var audioBytes = 0L
+    var first = true
     while (pos < end) {
       require(pos + 4 <= end && (b(pos) & 0xff) == 0xff &&
         (b(pos + 1) & 0xe0) == 0xe0,
@@ -493,20 +510,62 @@ object Multimodal {
       val bi = b2 >> 4 & 15; val si = b2 >> 2 & 3
       require(Mp3Bitrates(bi) > 0, s"bad bitrate index $bi for id=${r.id}")
       require(Mp3Rates(si) > 0, s"bad sample-rate index $si for id=${r.id}")
-      // CBR contract: the reported scalars must describe every frame
-      require(kbps < 0 || (kbps == Mp3Bitrates(bi) && rate == Mp3Rates(si)),
-        s"VBR stream (frame $frames changes bitrate/rate) for id=${r.id}")
-      kbps = Mp3Bitrates(bi); rate = Mp3Rates(si)
+      require(rate < 0 || rate == Mp3Rates(si),
+        s"sample rate changes at frame $frames for id=${r.id}")
+      rate = Mp3Rates(si)
+      val curKbps = Mp3Bitrates(bi)
       val pad = b2 >> 1 & 1
-      val frameLen = 144 * (kbps * 1000) / rate + pad
+      val frameLen = 144 * (curKbps * 1000) / rate + pad
       require(frameLen > 4 && pos + frameLen <= end,
         s"truncated frame $frames for id=${r.id}")
+      var isMeta = false
+      if (first) {
+        first = false
+        // probe the first frame for a Xing/Info/VBRI metadata header;
+        // a frame too short to hold one simply has none (CBR path)
+        def tagAt(off: Int, t: String): Boolean =
+          off + t.length <= pos + frameLen &&
+            (0 until t.length).forall(i => b(off + i) == t.charAt(i).toByte)
+        def be32(off: Int): Long =
+          ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+            ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+        val mono = (b(pos + 3) >> 6 & 3) == 3
+        val xo = pos + 4 + (if (mono) 17 else 32)
+        val vo = pos + 4 + 32
+        if (tagAt(xo, "Xing") || tagAt(xo, "Info")) {
+          require(xo + 12 <= pos + frameLen,
+            s"truncated Xing header for id=${r.id}")
+          require((be32(xo + 4) & 1L) != 0,
+            s"Xing header without a frame-count field for id=${r.id}")
+          vbrFrames = be32(xo + 8)
+          vbr = true; isMeta = true
+        } else if (tagAt(vo, "VBRI")) {
+          require(vo + 18 <= pos + frameLen,
+            s"truncated VBRI header for id=${r.id}")
+          vbrFrames = be32(vo + 14)
+          vbr = true; isMeta = true
+        }
+      }
+      if (!isMeta) {
+        // without a VBR header the stream must be CBR — one bitrate
+        // describes every frame, or the report would be wrong
+        require(vbr || kbps < 0 || kbps == curKbps,
+          s"VBR stream without Xing/VBRI header (frame $frames changes " +
+            s"bitrate) for id=${r.id}")
+        kbps = curKbps
+        audioBytes += frameLen
+        frames += 1
+      }
       pos += frameLen
-      frames += 1
     }
     require(frames > 0, s"MP3 payload without frames for id=${r.id}")
+    if (vbr) {
+      require(vbrFrames == frames,
+        s"Xing/VBRI frame count $vbrFrames != walked $frames for id=${r.id}")
+      kbps = (audioBytes * 8L * rate / (frames * 1152L * 1000L)).toInt
+    }
     Mp3Meta(r.id, "MPEG1", 3, kbps, rate, frames,
-      Math.floorDiv(frames * 1152L * 1000L, rate))
+      Math.floorDiv(frames * 1152L * 1000L, rate), vbr)
   }
 
   /** Batched per-partition MP3 header walk — same `mapPartitions` shape
@@ -561,6 +620,61 @@ object Multimodal {
     if (tagLen > 0) {
       bb.put("TAG".getBytes("US-ASCII"))
       bb.put(new Array[Byte](125))
+    }
+    bb.array()
+  }
+
+  /** Deterministic VBR MP3 generator (encode side of the Xing/VBRI
+    * round-trip, used by tests and the oracle-checked q_mp3_vbr): a
+    * 32 kbps mono metadata frame carrying a Xing header (even ids, at
+    * the mono side-info offset 4+17) or a VBRI header (odd ids, at the
+    * fixed offset 4+32) whose frame-count field is the audio frame
+    * count, followed by audio frames whose bitrate VARIES per frame —
+    *   rate index      = id mod 3        (stream-constant),
+    *   frames          = 4 + id mod 7,
+    *   bitrate index f = 1 + (id+f) mod 14,
+    *   padding bit f   = (id+f) mod 2
+    * — so frames, total audio bytes, the floored average bitrate and
+    * duration_ms are all SQL-expressible facts an oracle can recompute
+    * without parsing anything. */
+  def syntheticMp3Vbr(id: Long): Array[Byte] = {
+    val si = Math.floorMod(id, 3L).toInt
+    val rate = Mp3Rates(si)
+    val nFrames = (4 + Math.floorMod(id, 7L)).toInt
+    val useVbri = Math.floorMod(id, 2L) == 1
+    val hdrLen = 144 * 32000 / rate // bitrate index 1, no padding
+    val audioLens = (0 until nFrames).map { f =>
+      val bi = 1 + Math.floorMod(id + f, 14L).toInt
+      144 * (Mp3Bitrates(bi) * 1000) / rate + Math.floorMod(id + f, 2L).toInt
+    }
+    val bb = java.nio.ByteBuffer.allocate(hdrLen + audioLens.sum)
+    // metadata frame header: sync + MPEG1 + Layer III, bi=1, mono
+    bb.put(0xff.toByte).put(0xfb.toByte)
+      .put(((1 << 4) | (si << 2)).toByte).put(0xc0.toByte)
+    if (useVbri) {
+      bb.put(new Array[Byte](32)) // VBRI sits 32 bytes after the header
+      bb.put("VBRI".getBytes("US-ASCII"))
+        .putShort(1).putShort(0).putShort(0) // version, delay, quality
+        .putInt(audioLens.sum).putInt(nFrames)
+      bb.put(new Array[Byte](hdrLen - 36 - 18))
+    } else {
+      bb.put(new Array[Byte](17)) // mono MPEG-1 side info
+      bb.put("Xing".getBytes("US-ASCII"))
+        .putInt(1) // flags: frame count present
+        .putInt(nFrames)
+      bb.put(new Array[Byte](hdrLen - 21 - 12))
+    }
+    audioLens.zipWithIndex.foreach { case (len, f) =>
+      val bi = 1 + Math.floorMod(id + f, 14L).toInt
+      val pad = Math.floorMod(id + f, 2L).toInt
+      bb.put(0xff.toByte).put(0xfb.toByte)
+        .put(((bi << 4) | (si << 2) | (pad << 1)).toByte)
+        .put(0xc0.toByte)
+      var j = 4
+      while (j < len) {
+        bb.put((Math.floorMod(id * 137 + f * 19 + j, 251L)).toByte)
+        j += 1
+      }
     }
     bb.array()
   }

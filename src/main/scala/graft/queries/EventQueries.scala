@@ -1051,7 +1051,7 @@ object EventQueries {
       Multimodal.mp3Meta(recs).toDF()
         .select(col("id").as("doc_id"), col("version"), col("layer"),
           col("bitrate_kbps"), col("sample_rate"), col("frames"),
-          col("duration_ms"))
+          col("duration_ms"), col("vbr"))
         .orderBy("doc_id")
     }, Some(
       """WITH f AS (
@@ -1066,8 +1066,58 @@ object EventQueries {
         |       CAST(bitrate_kbps AS INT) AS bitrate_kbps,
         |       CAST(sample_rate AS INT) AS sample_rate,
         |       CAST(frames AS BIGINT) AS frames,
-        |       CAST(frames AS BIGINT) * 1152 * 1000 // sample_rate AS duration_ms
+        |       CAST(frames AS BIGINT) * 1152 * 1000 // sample_rate AS duration_ms,
+        |       FALSE AS vbr
         |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // VBR twin of q_mp3_meta: the first frame is a Xing (even ids) or
+    // VBRI (odd ids) metadata frame, audio frames change bitrate every
+    // frame, and the walk must (a) skip the metadata frame, (b) land
+    // exactly on every variable-length header, (c) cross-check the
+    // walked frame count against the header's frame-count field, and
+    // (d) report the exact floored AVERAGE bitrate — every fact
+    // recomputed arithmetically by the oracle (per-frame lengths via
+    // generate_series).
+    QuerySpec("q_mp3_vbr", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "audio/mpeg",
+          Multimodal.syntheticMp3Vbr(id)))
+      Multimodal.mp3Meta(recs).toDF()
+        .select(col("id").as("doc_id"), col("version"), col("layer"),
+          col("bitrate_kbps"), col("sample_rate"), col("frames"),
+          col("duration_ms"), col("vbr"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |              ELSE 32000 END AS rate,
+        |         4 + doc_id % 7 AS frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, rate, frames,
+        |         unnest(generate_series(0, CAST(frames - 1 AS BIGINT))) AS g
+        |  FROM p),
+        |fl AS (
+        |  SELECT doc_id, rate, frames,
+        |         144 * 1000 * list_extract(
+        |             [32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |             CAST(1 + (doc_id + g) % 14 AS INT)) // rate
+        |           + (doc_id + g) % 2 AS flen
+        |  FROM f),
+        |a AS (SELECT doc_id, MIN(rate) AS rate, MIN(frames) AS frames,
+        |             SUM(flen) AS audio_bytes
+        |      FROM fl GROUP BY doc_id)
+        |SELECT doc_id, 'MPEG1' AS version, CAST(3 AS INT) AS layer,
+        |       CAST(audio_bytes * 8 * rate // (frames * 1152 * 1000) AS INT)
+        |         AS bitrate_kbps,
+        |       CAST(rate AS INT) AS sample_rate,
+        |       CAST(frames AS BIGINT) AS frames,
+        |       CAST(frames AS BIGINT) * 1152 * 1000 // rate AS duration_ms,
+        |       TRUE AS vbr
+        |FROM a ORDER BY doc_id""".stripMargin)),
 
     // Peak concurrency per event type (sweep-line +1/−1 prefix sum over
     // half-open [start, start+value·1s) intervals): the capacity question

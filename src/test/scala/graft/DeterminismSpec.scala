@@ -84,7 +84,9 @@ class DeterminismSpec extends SparkSpec {
     "q_jaro_linkage_composite", "q_mp3_meta", "q_upsert",
     "q_dpe_statistics", "q_url_host_cap",
     // feature-prep encoders: domain-rank index map, shrunk target means
-    "q_index_encode", "q_target_encode", "q_hash_encode")
+    "q_index_encode", "q_target_encode", "q_hash_encode",
+    // round-5: Xing/VBRI average-bitrate byte walk
+    "q_mp3_vbr")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -49,13 +49,17 @@ class MultimodalProps extends Properties("llm.multimodal") {
         MediaRecord(id, "video/mp4", Multimodal.syntheticMp4(id)))
       val mp3 = Multimodal.decodeMp3(
         MediaRecord(id, "audio/mpeg", Multimodal.syntheticMp3(id)))
+      val vbr = Multimodal.decodeMp3(
+        MediaRecord(id, "audio/mpeg", Multimodal.syntheticMp3Vbr(id)))
       wav.n_samples == 16 + Math.floorMod(id, 17L) &&
         wav.sample_rate == 8000 + Math.floorMod(id, 4L) * 2000 &&
         mp4.duration == 2000 + Math.floorMod(id, 977L) * 3 &&
         mp4.timescale == 1000 + Math.floorMod(id, 5L) * 500 &&
-        mp3.frames == 4 + Math.floorMod(id, 7L) &&
+        mp3.frames == 4 + Math.floorMod(id, 7L) && !mp3.vbr &&
         mp3.duration_ms ==
-          Math.floorDiv(mp3.frames * 1152L * 1000L, mp3.sample_rate)
+          Math.floorDiv(mp3.frames * 1152L * 1000L, mp3.sample_rate) &&
+        vbr.vbr && vbr.frames == mp3.frames &&
+        vbr.sample_rate == mp3.sample_rate
     }
 
   property("parsers fail closed on truncation: IAE or a valid prefix, never index errors") =
@@ -78,6 +82,17 @@ class MultimodalProps extends Properties("llm.multimodal") {
             val m = Multimodal.decodeMp3(
               MediaRecord(id, "a", cut(Multimodal.syntheticMp3(id))))
             m.frames >= 1 && m.frames <= 4 + Math.floorMod(id, 7L)
+          } catch {
+            case _: IllegalArgumentException => true
+            case _: Throwable => false
+          }
+        } && {
+          // VBR: the frame-count cross-check makes truncation strict —
+          // any cut either fails (IAE) or is the COMPLETE stream
+          try {
+            val m = Multimodal.decodeMp3(
+              MediaRecord(id, "a", cut(Multimodal.syntheticMp3Vbr(id))))
+            m.vbr && m.frames == 4 + Math.floorMod(id, 7L)
           } catch {
             case _: IllegalArgumentException => true
             case _: Throwable => false
@@ -1476,6 +1491,41 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeMp3(Multimodal.MediaRecord(3L, "audio/mpeg",
         Multimodal.syntheticMp3(1L).dropRight(5)))
     }
+  }
+
+  test("mp3 walk: Xing/VBRI streams skip the metadata frame, allow " +
+      "per-frame bitrate, cross-check the header frame count") {
+    val bitrates = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val rates = Array(44100, 48000, 32000)
+    // even ids → Xing at the mono side-info offset, odd ids → VBRI
+    for (id <- (0L to 8L) ++ Seq(100L, 999L)) {
+      val m = Multimodal.decodeMp3(
+        Multimodal.MediaRecord(id, "audio/mpeg", Multimodal.syntheticMp3Vbr(id)))
+      val rate = rates((id % 3).toInt)
+      val n = 4 + id % 7
+      assert(m.vbr && m.frames === n && m.sample_rate === rate, s"id=$id")
+      // exact floored average over the independent per-frame lengths
+      val bytes = (0L until n).map { f =>
+        144L * (bitrates(((id + f) % 14).toInt) * 1000) / rate + (id + f) % 2
+      }.sum
+      assert(m.bitrate_kbps === (bytes * 8 * rate / (n * 1152L * 1000L)).toInt,
+        s"id=$id")
+      assert(m.duration_ms === math.floorDiv(n * 1152L * 1000L, rate), s"id=$id")
+    }
+    // CBR streams still report vbr = false
+    assert(!Multimodal.decodeMp3(Multimodal.MediaRecord(1L, "audio/mpeg",
+      Multimodal.syntheticMp3(1L))).vbr)
+    // a wrong frame-count field is rejected (the cross-check the header
+    // exists for). Xing frames field sits at 21+8 (id 0: no ID3)
+    val bad = Multimodal.syntheticMp3Vbr(0L).clone()
+    bad(21 + 11) = (bad(21 + 11) + 1).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMp3(Multimodal.MediaRecord(0L, "audio/mpeg", bad)) }
+    // a Xing header whose flags omit the frame count is rejected too
+    val noFrames = Multimodal.syntheticMp3Vbr(0L).clone()
+    noFrames(21 + 7) = 0 // flags low byte: clear the frames bit
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMp3(Multimodal.MediaRecord(0L, "audio/mpeg", noFrames)) }
   }
 
   test("mp3Meta decodes a Dataset distributively") {
