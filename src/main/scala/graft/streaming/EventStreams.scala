@@ -197,45 +197,79 @@ object EventStreams {
     * [[graft.llm.Sampling.samplePerGroup]] order, so admission is
     * deterministic under replay and any partitioning).
     *
-    * State: the admitted-ids table (needed for the at-least-once replay
-    * guard, exactly as [[idempotentForeachBatch]]) plus a (host,
-    * n_admitted) counts table — HOST-cardinality-sized, so the per-batch
-    * budget join broadcasts; per-batch cost ∝ batch + hosts, never ∝
-    * corpus. `writeHostCounts` receives the full merged counts
-    * (host-sized overwrite — the IVM applyDelta shape). */
+    * State: the admitted-docs table, stamped with the admitting BATCH id
+    * (`appendDocs(accepted, batchId)` — append to a per-batch partition
+    * so the stamp is free and `readBatchAdmitted` is a ∝-batch read),
+    * plus a VERSIONED (host, n_admitted) counts table: batch N reads
+    * version N−1 (`readHostCounts(N)`) and writes version N — the
+    * [[scd2ForeachBatch]]/[[ivmForeachBatch]] versioned-state replay
+    * contract. Both per-batch joins broadcast (host-cardinality);
+    * per-batch cost ∝ batch + hosts, never ∝ corpus.
+    *
+    * Crash-window guarantee (the two state writes are not atomic, so
+    * replay must repair, not re-increment): version N is RECOMPUTED as
+    * v(N−1) + every row the docs store holds stamped N + every row
+    * freshly accepted this attempt — never read-modify-write of the
+    * latest counts. A crash before `appendDocs` leaves no state (clean
+    * replay); a crash BETWEEN the writes leaves docs stamped N whose
+    * count delta the replay rebuilds from `readBatchAdmitted(N)` (and
+    * whose ids the admitted-set anti-join keeps out of double
+    * admission); a crash after `writeHostCounts` makes the replay
+    * rewrite the identical vN from the identical inputs. The replayed
+    * rows also charge the admission BUDGET (`cap − v(N−1) − replayed`),
+    * so a replay can never over-admit a host past `cap` — under any
+    * crash/replay pattern the per-host admitted count stays ≤ cap and
+    * no id is admitted twice; the only at-least-once surface left is
+    * `appendDocs` itself (make it per-batch idempotent — overwrite the
+    * `batch=<id>` partition — for exactly-once end to end). */
   def hostCapIngestForeachBatch(
       readAdmittedIds: () => DataFrame,
-      readHostCounts: () => DataFrame,
-      appendDocs: DataFrame => Unit,
-      writeHostCounts: DataFrame => Unit,
+      readBatchAdmitted: Long => DataFrame,
+      readHostCounts: Long => DataFrame,
+      appendDocs: (DataFrame, Long) => Unit,
+      writeHostCounts: (DataFrame, Long) => Unit,
       idCol: String, hostCol: String, cap: Int,
-      seed: String = "sample"): (DataFrame, Long) => Unit = { (batch0, _) =>
+      seed: String = "sample"): (DataFrame, Long) => Unit = { (batch0, batchId) =>
     require(cap > 0, s"cap=$cap")
+    // rows a CRASHED earlier attempt of THIS batch already admitted:
+    // in the docs store stamped batchId, but in no counts version yet
+    val replayed = readBatchAdmitted(batchId)
+      .select(col(idCol), col(hostCol)).localCheckpoint()
+    val replayCounts = replayed.groupBy(col(hostCol))
+      .agg(count(lit(1)).as("__replayed"))
     // replay guard: at-least-once delivery — already-admitted ids must
     // not be re-admitted (they would double both the docs AND the counts)
     val batch = batch0.dropDuplicates(idCol)
       .join(readAdmittedIds().select(col(idCol)), Seq(idCol), "left_anti")
-    val counts = readHostCounts() // host, n_admitted
+    val counts = readHostCounts(batchId) // version batchId-1
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(hostCol))
       .orderBy(graft.llm.Sampling.uniformHex(seed, col(idCol)).asc,
         col(idCol).asc)
     val accepted = batch.withColumn("__rn", row_number().over(w))
       .join(broadcast(counts), Seq(hostCol), "left")
-      .withColumn("__n0", coalesce(col("n_admitted"), lit(0L)))
+      .join(broadcast(replayCounts), Seq(hostCol), "left")
+      // budget charges BOTH the committed count and the crashed-attempt
+      // rows — a replay can never push a host past cap
+      .withColumn("__n0", coalesce(col("n_admitted"), lit(0L)) +
+        coalesce(col("__replayed"), lit(0L)))
       .filter(col("__rn") <= lit(cap.toLong) - col("__n0"))
-      .drop("__rn", "n_admitted", "__n0")
+      .drop("__rn", "n_admitted", "__replayed", "__n0")
       // one materialization: accepted feeds the append AND the count
       // delta; without it the admission plan runs twice
       .localCheckpoint()
-    appendDocs(accepted)
-    val merged = accepted.groupBy(col(hostCol))
-      .agg(count(lit(1)).as("__add"))
+    appendDocs(accepted, batchId)
+    // version batchId = version (batchId-1) + everything THIS batch
+    // admitted (fresh + crashed-attempt rows): pure recomputation, so
+    // any crash/replay pattern rewrites the same vN
+    val merged = accepted.select(col(hostCol))
+      .unionByName(replayed.select(col(hostCol)))
+      .groupBy(col(hostCol)).agg(count(lit(1)).as("__add"))
       .join(counts, Seq(hostCol), "full_outer")
       .select(col(hostCol),
         (coalesce(col("__add"), lit(0L)) +
           coalesce(col("n_admitted"), lit(0L))).as("n_admitted"))
-    writeHostCounts(merged)
+    writeHostCounts(merged, batchId)
   }
 
   /** Deterministic last-change-wins compaction of a CDC micro-batch: one

@@ -421,17 +421,25 @@ class StreamingSpec extends SparkSpec {
       "replay is a no-op; winners are the md5-smallest ids") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, lit}
 
-    val emptyIds = Seq.empty[Long].toDF("doc_id")
+    // docs store stamped with the admitting batch; VERSIONED counts
+    // (batch N reads v(N-1), writes vN — the replay-repairable contract)
+    val emptyDocs = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "host", "batch_id")
     val emptyCounts = Seq.empty[(String, Long)].toDF("host", "n_admitted")
-    var admitted: DataFrame = emptyIds.localCheckpoint()
-    var countsState: DataFrame = emptyCounts.localCheckpoint()
+    var admitted: DataFrame = emptyDocs.localCheckpoint()
+    val versions = scala.collection.mutable.Map[Long, DataFrame]()
+    def countsState: DataFrame =
+      if (versions.isEmpty) emptyCounts else versions(versions.keys.max)
 
     val sink = EventStreams.hostCapIngestForeachBatch(
-      () => admitted, () => countsState,
-      docs => admitted = admitted
-        .unionByName(docs.select("doc_id")).localCheckpoint(),
-      c => countsState = c.localCheckpoint(),
+      () => admitted.select("doc_id"),
+      id => admitted.where(col("batch_id") === id).select("doc_id", "host"),
+      id => versions.getOrElse(id - 1, emptyCounts),
+      (docs, id) => admitted = admitted.unionByName(
+        docs.withColumn("batch_id", lit(id))).localCheckpoint(),
+      (c, id) => versions(id) = c.localCheckpoint(),
       "doc_id", "host", cap = 3)
 
     val mem = MemoryStream[(Long, String)]
@@ -441,7 +449,7 @@ class StreamingSpec extends SparkSpec {
       // batch 1: 4 docs on host a (one over cap), 1 on host b
       mem.addData((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"))
       q.processAllAvailable()
-      val after1 = admitted.as[Long].collect().sorted.toSeq
+      val after1 = admitted.select("doc_id").as[Long].collect().sorted.toSeq
       assert(after1.length === 4) // 3 of a + 1 of b
       assert(after1.contains(10L))
       val aAfter1 = after1.filter(_ != 10L)
@@ -461,15 +469,70 @@ class StreamingSpec extends SparkSpec {
       assert(countsState.as[(String, Long)].collect().toMap ===
         Map("a" -> 3L, "b" -> 3L))
       assert(admitted.count() === 6L)
-      assert(!admitted.as[Long].collect().contains(20L))
+      assert(!admitted.select("doc_id").as[Long].collect().contains(20L))
 
-      // replay: re-delivering batch 1 must change nothing (at-least-once)
+      // replay: re-delivering batch 0's data UNDER ITS OWN batch id must
+      // change nothing except rewriting the identical v0 (at-least-once)
       sink(Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"))
-        .toDF("doc_id", "host"), 99L)
+        .toDF("doc_id", "host"), 0L)
       assert(admitted.count() === 6L)
+      assert(versions(0L).as[(String, Long)].collect().toMap ===
+        Map("a" -> 3L, "b" -> 1L))
       assert(countsState.as[(String, Long)].collect().toMap ===
         Map("a" -> 3L, "b" -> 3L))
     } finally q.stop()
+  }
+
+  test("host-cap crash window: a count write lost after the doc append " +
+      "is rebuilt on replay — cap never exceeded, ids never doubled") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, lit}
+
+    val emptyDocs = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "host", "batch_id")
+    val emptyCounts = Seq.empty[(String, Long)].toDF("host", "n_admitted")
+    var admitted: DataFrame = emptyDocs.localCheckpoint()
+    val versions = scala.collection.mutable.Map[Long, DataFrame]()
+    var crashCountsWrite = false
+    val sink = EventStreams.hostCapIngestForeachBatch(
+      () => admitted.select("doc_id"),
+      id => admitted.where(col("batch_id") === id).select("doc_id", "host"),
+      id => versions.getOrElse(id - 1, emptyCounts),
+      (docs, id) => admitted = admitted.unionByName(
+        docs.withColumn("batch_id", lit(id))).localCheckpoint(),
+      (c, id) => {
+        if (crashCountsWrite) throw new RuntimeException("simulated crash")
+        versions(id) = c.localCheckpoint()
+      },
+      "doc_id", "host", cap = 3)
+
+    // batch 0 crashes in the non-atomic window: docs appended, counts
+    // version never written — the exact hazard from the round-4 advice
+    val b0 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (10L, "b"))
+      .toDF("doc_id", "host")
+    crashCountsWrite = true
+    intercept[RuntimeException] { sink(b0, 0L) }
+    assert(admitted.count() === 4L) // 3 of a + 1 of b persisted
+    assert(versions.isEmpty)        // the count delta is lost
+
+    // replay of batch 0: the crashed rows are charged to the budget (so
+    // doc 4 of host 'a' is NOT admitted even though no counts version
+    // exists yet) and v0 is rebuilt from the docs store
+    crashCountsWrite = false
+    sink(b0, 0L)
+    assert(admitted.count() === 4L) // nothing doubled, nothing extra
+    assert(versions(0L).as[(String, Long)].collect().toMap ===
+      Map("a" -> 3L, "b" -> 1L))
+
+    // next batch sees the repaired counts: host a is full
+    sink(Seq((30L, "a"), (31L, "b")).toDF("doc_id", "host"), 1L)
+    assert(versions(1L).as[(String, Long)].collect().toMap ===
+      Map("a" -> 3L, "b" -> 2L))
+    val ids = admitted.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(31L) && !ids.contains(30L))
+    // per-host invariant held through the crash: never above cap
+    assert(admitted.groupBy("host").count()
+      .collect().forall(_.getLong(1) <= 3L))
   }
 
   test("scd2ForeachBatch: CDC stream builds the versioned dimension; " +
