@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scaler for the round-5 scale-stress pass: reads
+  * a driver testdata dir (TESTDATA.md schema) and writes a `factor`×
+  * larger fixture with the SAME schema and FK structure, so the full
+  * oracle sweep + bench can run at an sf1-equivalent (10× sf0.1) scale
+  * and turn the 100 TB plan-shape arguments into measured scaling.
+  *
+  * Construction (no RNG — bit-reproducible by anyone):
+  *  - `region`/`nation` stay fixed (TPC-H dims do not scale);
+  *  - every other table is `factor` key-shifted replicas: replica r maps
+  *    each key/FK column k → k + r·N(table-of-k), where N is the source
+  *    table's row count — keys stay dense, every FK keeps exactly its
+  *    source cardinality ratio, and replica 0 IS the source fixture;
+  *  - `documents.text` gets a per-replica suffix token (` repR`) so the
+  *    corpus does not become 90% exact duplicates (which would measure
+  *    the dedup tier's duplicate-collapse path, not its scaling;
+  *    `n_chars` is recomputed to keep the `n_chars = len(text)`
+  *    invariant the source fixture has);
+  *  - `embeddings.embedding[0]` gets +r·0.001 so vectors are distinct
+  *    across replicas (pure replication would hand ANN queries
+  *    degenerate all-ties top-k sets).
+  *
+  * Usage: sbt "runMain graft.FixtureGen /root/testdata/sf0.1 /tmp/graft-sf1 10"
+  */
+object FixtureGen {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.FixtureGen <srcDir> <outDir> [factor=10]")
+    val Array(srcDir, outDir) = args.take(2)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    require(factor >= 1, s"factor=$factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(name: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+    def save(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    // source row counts drive the key shifts (keys are dense 0..N-1)
+    val n = Map(
+      "customer" -> load("customer").count(),
+      "supplier" -> load("supplier").count(),
+      "part" -> load("part").count(),
+      "orders" -> load("orders").count(),
+      "events" -> load("events").count(),
+      "documents" -> load("documents").count(),
+      "embeddings" -> load("embeddings").count(),
+      "user" -> (load("events").agg(max(col("user_id"))).head.getLong(0) + 1))
+
+    /** factor replicas of df with each (column -> sourceTable) key
+      * shifted by r·N(sourceTable); key columns keep their source type. */
+    def replicate(df: DataFrame, keys: Map[String, String]): DataFrame = {
+      val rep = df.crossJoin(
+        spark.range(0, factor).toDF("__r").hint("broadcast"))
+      val shifted = keys.foldLeft(rep) { case (d, (c, table)) =>
+        val t = d.schema(c).dataType
+        d.withColumn(c, (col(c) + col("__r") * n(table)).cast(t))
+      }
+      shifted
+    }
+
+    save(load("region"), "region", 1)
+    save(load("nation"), "nation", 1)
+    save(replicate(load("customer"), Map("c_custkey" -> "customer"))
+      .drop("__r"), "customer", 4)
+    save(replicate(load("supplier"), Map("s_suppkey" -> "supplier"))
+      .drop("__r"), "supplier", 1)
+    save(replicate(load("part"), Map("p_partkey" -> "part"))
+      .drop("__r"), "part", 4)
+    save(replicate(load("orders"),
+      Map("o_orderkey" -> "orders", "o_custkey" -> "customer"))
+      .drop("__r"), "orders", 8)
+    save(replicate(load("lineitem"),
+      Map("l_orderkey" -> "orders", "l_partkey" -> "part",
+        "l_suppkey" -> "supplier"))
+      .drop("__r"), "lineitem", 16)
+    save(replicate(load("events"),
+      Map("event_id" -> "events", "user_id" -> "user"))
+      .drop("__r"), "events", 8)
+    save(replicate(load("documents"), Map("doc_id" -> "documents"))
+      .withColumn("text", when(col("__r") > 0,
+        concat(col("text"), lit(" rep"), col("__r"))).otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__r"), "documents", 8)
+    save(replicate(load("embeddings"), Map("vec_id" -> "embeddings"))
+      .withColumn("embedding", transform(col("embedding"), (x, i) =>
+        when(i === 0, x + col("__r").cast("float") * lit(0.001f))
+          .otherwise(x).cast("float")))
+      .drop("__r"), "embeddings", 4)
+
+    println(s"[fixturegen] wrote ${factor}x fixture to $outDir")
+    spark.stop()
+  }
+}

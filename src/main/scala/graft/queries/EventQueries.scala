@@ -573,6 +573,15 @@ object EventQueries {
     // running-max boundary): actual busy wall-clock vs the double-
     // counting duration SUM — the merge dual of q_peak's concurrency
     // sweep over the same synthesized [ts, ts + value·1s) intervals.
+    //
+    // Oracle windows carry event_id as a total-order tiebreaker: with
+    // exact duplicate (s_us, e_us) rows (replicated fixtures), brk is
+    // computed in one window pass and cumsum'd in ANOTHER — without a
+    // unique key the tie order between the two sorts is undefined, so a
+    // brk=0 duplicate can precede its brk=1 twin in the second pass and
+    // be absorbed into the PREVIOUS island, inflating its extent. The
+    // engine is immune (both exprs share one Window spec = one physical
+    // sort), root-caused on the round-5 generated fixture.
     QuerySpec("q_interval_merge", (s, dir) => {
       val iv = events(s, dir)
         .select(col("event_type"), unix_micros(col("ts")).as("s_us"),
@@ -582,25 +591,25 @@ object EventQueries {
         .orderBy("event_type")
     }, Some(
       """WITH iv AS (
-        |  SELECT event_type, epoch_us(ts) AS s_us,
+        |  SELECT event_type, event_id, epoch_us(ts) AS s_us,
         |         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e_us
         |  FROM events),
         |pm AS (
-        |  SELECT event_type, s_us, e_us,
+        |  SELECT event_type, event_id, s_us, e_us,
         |         MAX(e_us) OVER (PARTITION BY event_type
-        |                         ORDER BY s_us, e_us
+        |                         ORDER BY s_us, e_us, event_id
         |                         ROWS BETWEEN UNBOUNDED PRECEDING
         |                              AND 1 PRECEDING) AS prev_max
         |  FROM iv),
         |br AS (
-        |  SELECT event_type, s_us, e_us,
+        |  SELECT event_type, event_id, s_us, e_us,
         |         CASE WHEN prev_max IS NULL OR s_us > prev_max
         |              THEN 1 ELSE 0 END AS brk
         |  FROM pm),
         |isl AS (
         |  SELECT event_type, s_us, e_us,
         |         SUM(brk) OVER (PARTITION BY event_type
-        |                        ORDER BY s_us, e_us
+        |                        ORDER BY s_us, e_us, event_id
         |                        ROWS UNBOUNDED PRECEDING) AS island
         |  FROM br),
         |gi AS (

@@ -17,8 +17,12 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written fixture: dir of part files
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     fails = 0
     for name in sorted(oracle):
         if only and name not in only:
