@@ -99,4 +99,42 @@ object Encode {
       .select(col(catCol), col("__n").as("n_cat"), enc.as(outCol))
     df.join(broadcast(mapping), Seq(catCol), "left")
   }
+
+  /** Weight-of-evidence encoding of a categorical column against a
+    * BINARY target: WoE_c = ln( ((pos_c + α) / (pos + 2α)) /
+    * ((neg_c + α) / (neg + 2α)) ) — the credit-scoring / NLP keyness
+    * encoder (a signed, smoothed log-likelihood ratio; α is the
+    * Laplace pseudo-count that keeps single-class categories finite).
+    * Positive WoE = category over-indexes on y=1.
+    *
+    * Determinism: counts are exact integers; the ratio is one double
+    * expression written identically in the oracle, and the ln result
+    * itself is rounded to the engine's 8dp transcendental grid (the
+    * KS-test/keyness convention — ln is the only cross-libm surface).
+    * Rows with NULL category or NULL target are listwise-dropped from
+    * the counts; NULL categories encode NULL. Scale shape: one
+    * category-keyed count aggregation + a 1-row global + broadcast
+    * map-back — the fact side never shuffles (the Encode contract). */
+  def woeEncode(df: DataFrame, catCol: String, yCol: String,
+      alpha: Double = 0.5, outCol: String = "woe"): DataFrame = {
+    require(alpha > 0.0, s"alpha=$alpha must be > 0 (Laplace smoothing)")
+    Seq(outCol, "n_cat").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — rename it before encoding"))
+    val y = col(yCol).cast("long")
+    val base = df.where(col(catCol).isNotNull && col(yCol).isNotNull)
+      .select(col(catCol), y.as("__y"))
+    val per = base.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__y")).as("__pos"))
+    val glob = base.agg(count(lit(1)).as("__gn"),
+      sum(col("__y")).as("__gpos"))
+    val posRate = (col("__pos").cast("double") + lit(alpha)) /
+      (col("__gpos").cast("double") + lit(2.0 * alpha))
+    val negRate = ((col("__n") - col("__pos")).cast("double") + lit(alpha)) /
+      ((col("__gn") - col("__gpos")).cast("double") + lit(2.0 * alpha))
+    val mapping = per.crossJoin(broadcast(glob))
+      .select(col(catCol), col("__n").as("n_cat"),
+        round(log(posRate / negRate), 8).as(outCol))
+    df.join(broadcast(mapping), Seq(catCol), "left")
+  }
 }

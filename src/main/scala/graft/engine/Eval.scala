@@ -69,7 +69,33 @@ object Eval {
       labelCol: String, k: Int): DataFrame = {
     val labels = emb.select(col(idCol).cast("long").as("id"),
       col(labelCol).cast("long").as("lbl"))
-    val nbrs = Similarity.topKNeighbors(emb, idCol, vecCol, k)
+    majorityVote(labels, Similarity.topKNeighbors(emb, idCol, vecCol, k))
+  }
+
+  /** [[knnClassify]] with IVF cell-local candidates
+    * ([[Similarity.ivfTopKNeighbors]]) — the scale twin the sf1 sweep
+    * demanded: the exact tier's candidate stage is the all-pairs cross
+    * product (measured 36× for 10× rows), this one's is an equi-join on
+    * the cell id (Σ cell² candidates; per-cell quadratic only). The
+    * vote and tie-break are the identical plan; with numCells = 1 the
+    * two classifiers are equal by construction (EvalSpec gate). A
+    * vector whose cell holds no other member gets no candidates and
+    * emits no row — the same no-neighbor semantics as the exact tier on
+    * a 1-vector corpus. Output: id, actual, predicted, correct. */
+  def knnClassifyIvf(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, numCells: Int): DataFrame = {
+    val labels = emb.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("lbl"))
+    majorityVote(labels,
+      Similarity.ivfTopKNeighbors(emb, idCol, vecCol, k, numCells))
+  }
+
+  /** Shared kNN vote: count labels over (id, neighbor_id) candidate
+    * rows, argmax by struct-max over (count, −label) — exact integers,
+    * ties toward the smaller label, no float anywhere in the vote. */
+  private def majorityVote(labels: DataFrame,
+      neighbors: DataFrame): DataFrame = {
+    val nbrs = neighbors
       .select(col("id"), col("neighbor_id"))
       .join(labels.select(col("id").as("neighbor_id"),
         col("lbl").as("nlbl")), "neighbor_id")

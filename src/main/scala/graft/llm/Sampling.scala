@@ -267,4 +267,55 @@ object Sampling {
     assignSplit(df, keyCol, even, seed, outCol = "fold")
       .withColumn("fold", col("fold").cast("int"))
   }
+
+  /** Deterministic uniform negative sampling for contrastive / two-tower
+    * training: for every distinct positive (user, item) pair, draw `k`
+    * md5-uniform candidate items from the item CATALOG, then anti-join
+    * away any candidate the user actually interacted with (the standard
+    * accept–reject trade: a user keeps ≤ k·|positives| negatives, with
+    * collisions dropped rather than redrawn — redraw loops are not
+    * expressible as one deterministic pass and the loss is ~|user
+    * positives|/|catalog| per draw).
+    *
+    * The draw maps `md5(seed|user|item|i) mod N` through a DENSE RANK
+    * over the catalog ids, so any id space (gapped, non-zero-based)
+    * samples uniformly — the ivfCells lowest-id lesson. The rank window
+    * is catalog-domain-sized (a dimension, like indexEncode's); the
+    * catalog count rides a 1-row broadcast. Everything else is map-side
+    * arithmetic + two equi-joins (rank attach, positive anti-join) — no
+    * shuffle of the positives beyond their own key.
+    *
+    * Output: userCol, itemCol (the positive), draw (0-based), negCol
+    * (the sampled negative item) — one row per SURVIVING draw. */
+  def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
+      catalog: DataFrame, catItemCol: String, k: Int,
+      seed: String = "neg", negCol: String = "neg_item"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"negativeSample: k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__item").asc)
+    val ranked = catalog.select(col(catItemCol).as("__item")).distinct()
+      .withColumn("__rk", (row_number().over(w) - 1).cast("long"))
+    val cnt = ranked.agg(count(lit(1)).as("__N"))
+    val pos = positives.select(col(userCol), col(itemCol)).distinct()
+    val draws = pos
+      .crossJoin(broadcast(cnt))
+      .select(col(userCol), col(itemCol), col("__N"),
+        explode(sequence(lit(0), lit(k - 1))).as("draw"))
+      .withColumn("__hx", md5(concat(lit(s"$seed|"),
+        col(userCol).cast("string"), lit("|"),
+        col(itemCol).cast("string"), lit("|"),
+        col("draw").cast("string"))))
+      .withColumn("__rk",
+        pmod(conv(substring(col("__hx"), 1, 8), 16, 10).cast("long"),
+          col("__N")))
+    draws
+      .join(broadcast(ranked), Seq("__rk"))
+      .select(col(userCol), col(itemCol), col("draw").cast("long"),
+        col("__item").as(negCol))
+      .join(pos.select(col(userCol), col(itemCol).as(negCol)),
+        Seq(userCol, negCol), "left_anti")
+      // the USING-style anti-join moves its keys first — restore the
+      // documented (user, item, draw, neg) order
+      .select(col(userCol), col(itemCol), col("draw"), col(negCol))
+  }
 }

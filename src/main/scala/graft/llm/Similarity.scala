@@ -188,6 +188,68 @@ object Similarity {
       .select(col("id"), col("v"), col("n2"), col("cid").as("cell"))
   }
 
+  /** Cell-local top-k neighbors — [[topKNeighbors]] with IVF candidate
+    * generation (nprobe=1): each vector is ranked only against the OTHER
+    * members of its own [[ivfCells]] cell, verified with exact cosine,
+    * top-k via the bounded-heap TopK aggregate. The pair stage is an
+    * equi-join on the cell id (never a cross product), so per-cell cost
+    * is (n/cells)² for balanced cells and the candidate row count is
+    * Σ cell² — the standard IVF recall/cost trade (a neighbor routed to
+    * a different cell is unreachable; raise numCells with corpus size,
+    * or probe adjacent cells, to tune it). With numCells = 1 this IS
+    * the exact tier (single cell = all candidates), which EvalSpec uses
+    * as an equivalence gate. Output: id, neighbor_id, rank, cos. */
+  def ivfTopKNeighbors(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, numCells: Int): DataFrame = {
+    DotProduct.register(emb.sparkSession)
+    TopK.register(emb.sparkSession)
+    val cells = ivfCells(emb, idCol, vecCol, numCells)
+    val a = cells.toDF("id", "v1", "n21", "cell")
+    val b = cells.toDF("neighbor_id", "v2", "n22", "cell")
+    a.join(b, Seq("cell"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"),
+        cosine(col("v1"), col("n21"), col("v2"), col("n22")).as("cos"),
+        col("neighbor_id"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 8).as("cos"))
+  }
+
+  /** Hard-negative mining over the IVF cells — the contrastive-training
+    * complement of [[ivfTopKNeighbors]]: for each vector, the `k`
+    * highest-cosine vectors IN ITS OWN CELL carrying a DIFFERENT label
+    * (the "confusable" negatives a two-tower trainer wants, vs
+    * [[graft.llm.Sampling.negativeSample]]'s uniform draws). Same
+    * Σ cell² candidate cost and cell-equi-join shape as the IVF tiers;
+    * vectors with a NULL label neither mine nor serve (the null-safe
+    * inequality would otherwise admit them as "different"). Ties break
+    * toward the smaller negative id (TopK order). Output: id, neg_id,
+    * rank, cos. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, numCells: Int): DataFrame = {
+    DotProduct.register(emb.sparkSession)
+    TopK.register(emb.sparkSession)
+    val cells = ivfCells(emb, idCol, vecCol, numCells)
+      .join(emb.select(col(idCol).as("id"), col(labelCol).as("lbl")), "id")
+    val a = cells.toDF("id", "v1", "n21", "cell", "lbl1")
+    val b = cells.toDF("neg_id", "v2", "n22", "cell", "lbl2")
+    a.join(b, Seq("cell"))
+      .filter(col("id") =!= col("neg_id") && col("lbl1") =!= col("lbl2"))
+      .select(col("id"),
+        cosine(col("v1"), col("n21"), col("v2"), col("n22")).as("cos"),
+        col("neg_id"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("cos"), col("neg_id"), lit(k)).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("id"), col("t.id").as("neg_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 8).as("cos"))
+  }
+
   def ivfPairs(emb: DataFrame, idCol: String, vecCol: String,
       numCells: Int, minCos: Double): DataFrame = {
     DotProduct.register(emb.sparkSession)

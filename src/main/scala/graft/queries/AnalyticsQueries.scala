@@ -468,6 +468,91 @@ object AnalyticsQueries {
         |FROM orders o LEFT JOIN m USING (o_orderpriority)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // Weight-of-evidence encoding: brand → smoothed signed
+    // log-likelihood ratio of the large-size indicator (the
+    // credit-scoring categorical encoder; α = 0.5 Laplace). Exact
+    // integer counts, one ln on the 8dp transcendental grid, broadcast
+    // map-back.
+    QuerySpec("q_woe_encode", (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        (col("p_size") > 25).cast("long").as("is_large"))
+      graft.engine.Encode.woeEncode(p, "p_brand", "is_large", alpha = 0.5)
+        .select("p_partkey", "p_brand", "is_large", "n_cat", "woe")
+        .orderBy("p_partkey")
+    }, Some(
+      """WITH b AS (
+        |  SELECT p_partkey, p_brand,
+        |         CAST(CASE WHEN p_size IS NULL THEN NULL
+        |                   WHEN p_size > 25 THEN 1 ELSE 0 END
+        |              AS BIGINT) AS is_large
+        |  FROM part),
+        |f AS (SELECT * FROM b
+        |      WHERE p_brand IS NOT NULL AND is_large IS NOT NULL),
+        |per AS (
+        |  SELECT p_brand, COUNT(*) AS n, SUM(is_large) AS pos
+        |  FROM f GROUP BY p_brand),
+        |g AS (SELECT COUNT(*) AS gn, SUM(is_large) AS gpos FROM f),
+        |m AS (
+        |  SELECT p_brand, n AS n_cat,
+        |         ROUND(ln(((CAST(pos AS DOUBLE) + 0.5)
+        |                    / (CAST(gpos AS DOUBLE) + 1.0))
+        |                  / ((CAST(n - pos AS DOUBLE) + 0.5)
+        |                     / (CAST(gn - gpos AS DOUBLE) + 1.0))), 8) AS woe
+        |  FROM per CROSS JOIN g)
+        |SELECT p_partkey, b.p_brand, is_large, n_cat, woe
+        |FROM b LEFT JOIN m USING (p_brand)
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // Per-group min-max scaling to [0,1] (trainer-facing normalization;
+    // constant groups scale to NULL, never an ANSI zero-divide). One
+    // narrow min/max aggregation + broadcast map-back — the fact side
+    // never shuffles (the Encode shape).
+    QuerySpec("q_minmax_scale", (s, dir) => {
+      graft.engine.Scale.minMaxScale(
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority",
+            "o_totalprice"),
+          "o_totalprice", "o_orderpriority")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "scaled")
+        .orderBy("o_orderkey")
+    }, Some(
+      """WITH m AS (
+        |  SELECT o_orderpriority,
+        |         MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+        |         MAX(CAST(o_totalprice AS DOUBLE)) AS mx
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY o_orderpriority)
+        |SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+        |       ROUND((CAST(o_totalprice AS DOUBLE) - mn)
+        |             / (CASE WHEN mx <> mn THEN mx - mn END), 8) AS scaled
+        |FROM orders o LEFT JOIN m USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Median/IQR robust scaling (sklearn RobustScaler shape) — the
+    // outlier-insensitive twin of q_minmax_scale, riding the same
+    // session-flagged percentile machinery as the IQR imputation tier
+    // (spark.graft.percentile.approx swaps in the GK sketch at 100 TB).
+    QuerySpec("q_robust_scale", (s, dir) => {
+      graft.engine.Scale.robustScale(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+            "l_linestatus", "l_extendedprice"),
+          "l_extendedprice", "l_linestatus")
+        .select("l_orderkey", "l_linenumber", "l_linestatus",
+          "l_extendedprice", "scaled")
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some(
+      """WITH m AS (
+        |  SELECT l_linestatus,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY l_linestatus)
+        |SELECT l_orderkey, l_linenumber, l.l_linestatus, l_extendedprice,
+        |       ROUND((CAST(l_extendedprice AS DOUBLE) - med)
+        |             / (CASE WHEN q3 <> q1 THEN q3 - q1 END), 8) AS scaled
+        |FROM lineitem l LEFT JOIN m USING (l_linestatus)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // Per-group z-score normalization from exact decimal moments (the
     // q_corr_ols discipline: built-in stddev in doubles is partition-
     // order-dependent); zero-variance groups yield null, never an ANSI

@@ -52,6 +52,49 @@ object EvalQueries {
          |FROM embeddings e JOIN pred ON pred.id = e.vec_id
          |ORDER BY id""".stripMargin)),
 
+    // IVF-candidate 5-NN classification — the scale twin of
+    // q_knn_classify (measured 36× for 10× rows on the exact tier at
+    // sf1): candidates come from the vector's own IVF cell (equi-join
+    // on cell id, Σ cell² candidate rows), the vote is the identical
+    // struct-max plan. The oracle replays the cell assignment and the
+    // cell-local top-k relationally.
+    QuerySpec("q_knn_classify_ann", (s, dir) => {
+      Eval.knnClassifyIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", k = 5, numCells = 16)
+        .orderBy("id")
+    }, Some(
+      s"""WITH ${SimilarityQueries.normCte},
+         |${SimilarityQueries.ivfAssignCte(16)},
+         |p AS (
+         |  SELECT a.id AS id, b.id AS nid,
+         |         ${SimilarityQueries.dotSql("a.v", "b.v")}
+         |           / SQRT(a.n2 * b.n2) AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.id <> b.id),
+         |top AS (
+         |  SELECT id, nid FROM (
+         |    SELECT id, nid,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY cos DESC, nid) AS rnk
+         |    FROM p)
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT top.id, CAST(e.label AS BIGINT) AS nlbl,
+         |         COUNT(*) AS cnt
+         |  FROM top JOIN embeddings e ON e.vec_id = top.nid
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT id, nlbl AS predicted FROM (
+         |    SELECT id, nlbl,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY cnt DESC, nlbl) AS rn
+         |    FROM votes)
+         |  WHERE rn = 1)
+         |SELECT e.vec_id AS id, CAST(e.label AS BIGINT) AS actual,
+         |       predicted, CAST(e.label AS BIGINT) = predicted AS correct
+         |FROM embeddings e JOIN pred ON pred.id = e.vec_id
+         |ORDER BY id""".stripMargin)),
+
     // Per-class precision/recall/F1 of the self-trained Naive Bayes
     // source classifier — the quality readout over q_naive_bayes.
     QuerySpec("q_confusion_eval", (s, dir) => {

@@ -29,6 +29,22 @@ object SimilarityQueries {
        |  SELECT vec_id, v, ${dotSql("v", "v")} AS n2
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))""".stripMargin
 
+  /** Oracle fragment: IVF cell assignment (`cent` + `assign` CTEs over
+    * `n`), the same tree as [[Similarity.ivfCells]] — centroids are the
+    * `numCells` lowest-id vectors, each vector routes to its
+    * highest-cosine centroid, ties to the smaller centroid id. */
+  private[queries] def ivfAssignCte(numCells: Int): String =
+    s"""cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+       |         WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT $numCells)),
+       |assign AS (
+       |  SELECT id, v, n2, cell FROM (
+       |    SELECT n.vec_id AS id, n.v, n.n2, cent.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotSql("n.v", "cent.cv")} / SQRT(n.n2 * cent.cn2) DESC,
+       |                      cent.cid ASC) AS rn
+       |    FROM n CROSS JOIN cent) t
+       |  WHERE rn = 1)""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
 
     // Vector norms through the declarative HOF surface (zip_with squares →
@@ -163,22 +179,43 @@ object SimilarityQueries {
         .orderBy("id1", "id2")
     }, Some(
       s"""WITH $normCte,
-         |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
-         |         WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT 16)),
-         |assign AS (
-         |  SELECT id, v, n2, cell FROM (
-         |    SELECT n.vec_id AS id, n.v, n.n2, cent.cid AS cell,
-         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-         |             ORDER BY ${dotSql("n.v", "cent.cv")} / SQRT(n.n2 * cent.cn2) DESC,
-         |                      cent.cid ASC) AS rn
-         |    FROM n CROSS JOIN cent) t
-         |  WHERE rn = 1),
+         |${ivfAssignCte(16)},
          |p2 AS (
          |  SELECT a.id AS id1, b.id AS id2,
          |         ${dotSql("a.v", "b.v")} / SQRT(a.n2 * b.n2) AS cos
          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id)
          |SELECT id1, id2, ROUND(cos, 8) AS cos
          |FROM p2 WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin)),
+
+    // Hard-negative mining: per vector, the 3 highest-cosine SAME-CELL
+    // vectors with a DIFFERENT label — the confusable negatives a
+    // contrastive trainer wants (vs q_neg_sample's uniform draws). Same
+    // IVF cell-equi-join cost shape as q_ann_ivf; the oracle replays
+    // the assignment and the cell-local label-filtered top-k.
+    QuerySpec("q_hard_negatives", (s, dir) => {
+      Similarity.hardNegatives(emb(s, dir), "vec_id", "embedding",
+          "label", k = 3, numCells = 16)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy("id", "rnk")
+    }, Some(
+      s"""WITH $normCte,
+         |${ivfAssignCte(16)},
+         |lbl AS (SELECT vec_id AS id, label AS l FROM embeddings),
+         |p AS (
+         |  SELECT a.id AS id, b.id AS neg_id,
+         |         ${dotSql("a.v", "b.v")} / SQRT(a.n2 * b.n2) AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.id <> b.id
+         |  JOIN lbl la ON la.id = a.id
+         |  JOIN lbl lb ON lb.id = b.id
+         |  WHERE la.l <> lb.l),
+         |r AS (
+         |  SELECT id, neg_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY id
+         |                            ORDER BY cos DESC, neg_id) AS rnk
+         |  FROM p)
+         |SELECT id, neg_id, rnk, ROUND(cos, 8) AS cos
+         |FROM r WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin)),
 
     // Int8-quantized cosine pairs: symmetric per-vector scalar
     // quantization (q = round(127·v/amax)); the uniform scale cancels in

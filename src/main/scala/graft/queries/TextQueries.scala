@@ -14,6 +14,9 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** The en/fr/es/de stopword lexicon as a SQL VALUES list. */
   private[queries] val lexValues: String = TextAnalysis.Lexicon
     .map { case (lang, word) => s"('$lang','$word')" }.mkString(", ")
@@ -667,6 +670,46 @@ object TextQueries {
         |                 < 'e6666666' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic uniform negative sampling (contrastive/two-tower
+    // training): k=2 md5-uniform catalog draws per distinct
+    // (customer, part) positive, mapped through a dense rank over the
+    // part catalog (any id space samples uniformly), observed positives
+    // anti-joined away — collision-dropped, never redrawn.
+    QuerySpec("q_neg_sample", (s, dir) => {
+      val pos = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_partkey").as("item_id"))
+      graft.llm.Sampling.negativeSample(pos, "user_id", "item_id",
+          t(s, dir, "part"), "p_partkey", k = 2)
+        .orderBy("user_id", "item_id", "draw")
+    }, Some(
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cat AS (
+        |  SELECT item, ROW_NUMBER() OVER (ORDER BY item) - 1 AS rk
+        |  FROM (SELECT DISTINCT p_partkey AS item FROM part)),
+        |nc AS (SELECT COUNT(*) AS n FROM cat),
+        |draws AS (
+        |  SELECT user_id, item_id, i.i AS draw,
+        |         CAST(CAST(concat('0x', substr(md5('neg|'
+        |                || CAST(user_id AS VARCHAR) || '|'
+        |                || CAST(item_id AS VARCHAR) || '|'
+        |                || CAST(i.i AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |              AS BIGINT) % (SELECT n FROM nc) AS rk
+        |  FROM pos CROSS JOIN (SELECT unnest(range(0, 2)) AS i) i),
+        |cand AS (
+        |  SELECT user_id, item_id, draw, cat.item AS neg_item
+        |  FROM draws JOIN cat USING (rk))
+        |SELECT user_id, item_id, CAST(draw AS BIGINT) AS draw, neg_item
+        |FROM cand c
+        |WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |                  WHERE p.user_id = c.user_id
+        |                    AND p.item_id = c.neg_item)
+        |ORDER BY user_id, item_id, draw""".stripMargin)),
 
     // Deterministic 5-fold cross-validation assignment: equal hash-range
     // slices of the same md5-uniform key the train/val/test split uses —

@@ -66,7 +66,8 @@ class DeterminismSpec extends SparkSpec {
     "q_item_cf", "q_psi_drift", "q_logreg_irls", "q_ndcg",
     // eval tier: heap-topk votes, count-ratio metrics, quantile-cut
     // calibration bins, pooled z
-    "q_knn_classify", "q_confusion_eval", "q_calibration", "q_ab_test",
+    "q_knn_classify", "q_knn_classify_ann", "q_confusion_eval",
+    "q_calibration", "q_ab_test",
     // temporal ops: power-of-two decay units, running-last struct
     // attribution, cell-moment anomaly flags, spine anti-joins
     "q_decayed_topk", "q_attribution", "q_seasonal_anomaly",
@@ -85,8 +86,12 @@ class DeterminismSpec extends SparkSpec {
     "q_dpe_statistics", "q_url_host_cap",
     // feature-prep encoders: domain-rank index map, shrunk target means
     "q_index_encode", "q_target_encode", "q_hash_encode",
-    // round-5: Xing/VBRI average-bitrate byte walk
-    "q_mp3_vbr")
+    // round-5: Xing/VBRI average-bitrate byte walk; IVF-candidate kNN
+    // vote; feature scalers (percentile cuts, min-max map-back); WoE
+    // encoder ln grid; md5 catalog draws + rank map; cell-local
+    // label-filtered top-k
+    "q_mp3_vbr", "q_minmax_scale", "q_robust_scale", "q_woe_encode",
+    "q_neg_sample", "q_hard_negatives")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -475,6 +475,31 @@ class EncodeSpec extends SparkSpec {
     assert(raw("big") === 20.0 && raw("rare") === 0.0)
   }
 
+  test("woeEncode: hand-computed Laplace-smoothed WoE, signs, null passthrough") {
+    // cat p: 3 rows / 2 positive; cat q: 2 rows / 0 positive; gpos=2 gn=5
+    val df = Seq((Option("p"), 1L), (Option("p"), 1L), (Option("p"), 0L),
+      (Option("q"), 0L), (Option("q"), 0L), (Option.empty[String], 1L))
+      .toDF("cat", "y")
+    val m = Encode.woeEncode(df, "cat", "y").select("cat", "woe")
+      .distinct().collect()
+      .map(r => Option(r.getString(0)) -> Option(r.get(1))).toMap
+    def woe(pos: Long, n: Long): Double = {
+      val raw = math.log(((pos + 0.5) / (2 + 1.0)) /
+        ((n - pos + 0.5) / (5 - 2 + 1.0)))
+      BigDecimal(raw).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(m(Some("p")) === Some(woe(2, 3)))
+    assert(m(Some("q")) === Some(woe(0, 2)))
+    // over-indexes on y=1 → positive; never-positive → negative
+    assert(m(Some("p")).get.asInstanceOf[Double] > 0.0)
+    assert(m(Some("q")).get.asInstanceOf[Double] < 0.0)
+    assert(m(None) === None)
+    intercept[IllegalArgumentException] {
+      Encode.woeEncode(df.withColumn("woe", col("y")), "cat", "y") }
+    intercept[IllegalArgumentException] {
+      Encode.woeEncode(df, "cat", "y", alpha = 0.0) }
+  }
+
   test("hashEncode/targetEncode fail loudly on output-column collisions") {
     val df = Seq(("a", 1.0)).toDF("cat", "y")
     intercept[IllegalArgumentException] {

@@ -60,6 +60,33 @@ class EvalSpec extends SparkSpec {
     assert(r(1L) === 3L)
   }
 
+  test("knnClassifyIvf: numCells=1 is the exact classifier by construction") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 9), (2L, Array(0.99f, 0.01f), 5),
+      (3L, Array(0.98f, 0.02f), 3), (4L, Array(-1.0f, 0.1f), 7),
+      (5L, Array(-0.99f, 0.12f), 7), (6L, Array(0.5f, 0.5f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val exact = Eval.knnClassify(emb, "vec_id", "embedding", "label", k = 3)
+      .orderBy("id").collect().toSeq
+    val ivf = Eval.knnClassifyIvf(emb, "vec_id", "embedding", "label",
+      k = 3, numCells = 1).orderBy("id").collect().toSeq
+    assert(ivf === exact)
+  }
+
+  test("knnClassifyIvf: cells aligned with clusters classify perfectly") {
+    // ids 1 and 2 (the two lowest) are the de-facto centroids and sit in
+    // different clusters, so the two IVF cells ARE the two clusters
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.99f, 0.01f), 0), (4L, Array(0.98f, 0.02f), 0),
+      (5L, Array(0.01f, 0.99f), 1), (6L, Array(0.02f, 0.98f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Eval.knnClassifyIvf(emb, "vec_id", "embedding", "label",
+      k = 2, numCells = 2).collect()
+    assert(r.length === 6)
+    assert(r.forall(_.getAs[Boolean]("correct")))
+  }
+
   test("calibrationBins: perfectly calibrated synthetic scores gap ≈ 0") {
     // p = 0.25 for 8 rows with 2 positives; p = 0.75 for 8 with 6
     val rows = Seq.fill(6)((0.25, 0L)) ++ Seq.fill(2)((0.25, 1L)) ++

@@ -542,6 +542,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Int]("rank") === 1)
   }
 
+  test("hardNegatives: only different-label same-cell candidates; " +
+      "numCells=1 is the brute-force different-label top-k") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.99f, 0.01f), "a"),
+      (3L, Array(0.98f, 0.02f), "b"), (4L, Array(0.9f, 0.1f), "b"),
+      (5L, Array(0.0f, 1.0f), "a")).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      k = 1, numCells = 1).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("neg_id")).toMap
+    val labels = Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b", 5L -> "a")
+    r.foreach { case (id, neg) =>
+      assert(labels(id) !== labels(neg), s"$id mined same-label $neg") }
+    // brute-force: 1's hardest different-label neighbor is 3 (cos .98+)
+    assert(r(1L) === 3L)
+    assert(r(3L) === 2L) // b's nearest a is 2 (0.99 direction)
+    // 5 (orthogonal "a") still mines its best b, and ks cap the output
+    assert(r.size === 5)
+    val k2 = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      k = 2, numCells = 1).collect()
+    assert(k2.count(_.getAs[Long]("id") == 1L) === 2)
+  }
+
   test("ANN pairs are a subset of brute-force pairs at the same threshold") {
     val brute = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -559,4 +559,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("IVF kNN classify: the pair stage is a cell equi-join — the only " +
+      "nested-loop join is the broadcast centroid attach, never an " +
+      "all-pairs cartesian") {
+    val plan = planString(graft.engine.Eval.knnClassifyIvf(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      "label", k = 5, numCells = 16))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only BNLJs are the numCells-row centroid broadcasts — one per
+    // side of the cell self-join (the duplicated assignment subtree;
+    // AQE's exchange reuse dedupes it at runtime) — never a pair-stage
+    // nested loop over the corpus
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 2, plan)
+    // the heap top-k pre-reduces map-side before the id shuffle
+    assert(plan.contains("partial_topk_by_score"), plan)
+  }
 }

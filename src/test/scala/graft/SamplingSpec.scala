@@ -133,6 +133,42 @@ class SamplingSpec extends SparkSpec {
     assert(epoch1 !== once)                       // new seed, new order
   }
 
+  test("negativeSample: deterministic in-catalog draws, positives " +
+      "excluded, at most k per pair") {
+    val pos = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 10L))
+      .toDF("user_id", "item_id") // dup positive collapses to one draw set
+    val cat = (10L to 15L).toDF("p_partkey")
+    val r = Sampling.negativeSample(pos, "user_id", "item_id",
+      cat, "p_partkey", k = 3)
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1),
+      x.getLong(2), x.getLong(3)))
+    // stable under re-run and repartition
+    val again = Sampling.negativeSample(pos.repartition(7), "user_id",
+      "item_id", cat, "p_partkey", k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+    val positives = Set((1L, 10L), (1L, 20L), (2L, 10L))
+    rows.foreach { case (u, it, draw, neg) =>
+      assert(positives.contains((u, it)), "draws key off a real positive")
+      assert((10L to 15L).contains(neg), s"negative $neg outside catalog")
+      assert(!positives.contains((u, neg)), "sampled a positive back")
+      assert(draw >= 0L && draw < 3L)
+    }
+    // ≤ k survivors per positive pair (collisions drop, never redraw)
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      assert(g.map(_._3).distinct.length === g.length, "duplicate draw ids")
+    }
+  }
+
+  test("negativeSample: a user who saw the whole catalog gets nothing") {
+    val pos = Seq((1L, 100L), (1L, 200L)).toDF("user_id", "item_id")
+    val cat = Seq(100L, 200L).toDF("p_partkey")
+    val r = Sampling.negativeSample(pos, "user_id", "item_id",
+      cat, "p_partkey", k = 5)
+    assert(r.count() === 0L)
+  }
+
   test("kfold: total, stable, near-even, and consistent with assignSplit") {
     val folded = Sampling.kfold(keys, "id", k = 5)
     val byFold = folded.groupBy("fold").count()
