@@ -24,15 +24,26 @@ import org.apache.spark.sql.functions._
   *    across replicas (pure replication would hand ANN queries
   *    degenerate all-ties top-k sets).
   *
-  * Usage: sbt "runMain graft.FixtureGen /root/testdata/sf0.1 /tmp/graft-sf1 10"
+  * Optional 4th arg `spread`: additionally make each replica's part
+  * BRANDS and NAME first tokens replica-distinct (`p_brand || ' r<r>'`,
+  * `'r<r>_' || p_name`). Plain replication keeps every fixed-cardinality
+  * BLOCK KEY's block count constant while block sizes grow ×factor —
+  * within-block pairs grow ×factor², which measures the Σ(block²)
+  * contract, not the engine (SCALING.md "fixture-replication block
+  * inflation"). Real 10× data grows the distinct key space instead;
+  * `spread` models that regime (block count ×factor, sizes flat), so the
+  * linkage/edit-distance family can be MEASURED in it.
+  *
+  * Usage: sbt "runMain graft.FixtureGen /root/testdata/sf0.1 /tmp/graft-sf1 10 [spread]"
   */
 object FixtureGen {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: graft.FixtureGen <srcDir> <outDir> [factor=10]")
+      "usage: graft.FixtureGen <srcDir> <outDir> [factor=10] [spread]")
     val Array(srcDir, outDir) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spread = args.lift(3).contains("spread")
     require(factor >= 1, s"factor=$factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -79,8 +90,17 @@ object FixtureGen {
       .drop("__r"), "customer", 4)
     save(replicate(load("supplier"), Map("s_suppkey" -> "supplier"))
       .drop("__r"), "supplier", 1)
-    save(replicate(load("part"), Map("p_partkey" -> "part"))
-      .drop("__r"), "part", 4)
+    val partRep = replicate(load("part"), Map("p_partkey" -> "part"))
+    val partOut =
+      if (!spread) partRep
+      else partRep
+        .withColumn("p_brand", when(col("__r") > 0,
+          concat(col("p_brand"), lit(" r"), col("__r")))
+          .otherwise(col("p_brand")))
+        .withColumn("p_name", when(col("__r") > 0,
+          concat(lit("r"), col("__r"), lit("_"), col("p_name")))
+          .otherwise(col("p_name")))
+    save(partOut.drop("__r"), "part", 4)
     save(replicate(load("orders"),
       Map("o_orderkey" -> "orders", "o_custkey" -> "customer"))
       .drop("__r"), "orders", 8)
