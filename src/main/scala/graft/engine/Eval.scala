@@ -263,4 +263,75 @@ object Eval {
       when(pb > 0.0, round(pa / pb - 1.0, 8)).as("lift"),
       when(se > 0.0, round((pa - pb) / se, 8)).as("z"))
   }
+
+  /** Split-conformal regression intervals (Vovk et al.; Lei et al.
+    * 2018) around a per-group mean predictor, end to end in one plan:
+    * rows split 50/25/25 into train/cal/test by the engine's md5-hash
+    * ranges (stable, engine-portable); the predictor is the train
+    * split's per-group mean (exact DECIMAL moments); the conformal
+    * quantile q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest |y−ŷ| of the
+    * calibration split — an EXACT order statistic selected by rank
+    * (row_number under a (score, key) total order), never an
+    * interpolated percentile, so the marginal ≥1−α coverage guarantee
+    * AND cross-engine bit-equality both hold. Test rows report
+    * [ŷ−q̂, ŷ+q̂] and the coverage flag. A calibration split smaller
+    * than the rank (k > n_cal) yields the honest infinite interval:
+    * NULL bounds, covered = true.
+    *
+    * α is taken on the exact milli grid (the mmrRerank λ discipline):
+    * values finer than 3 decimals are rejected loudly rather than
+    * silently rounded. Groups absent from the train split have no
+    * predictor and are omitted from the output (no model, no claim). Scale shape: two narrow per-group aggregations +
+    * a per-group rank window over CALIBRATION rows only (25% of one
+    * group's rows — bounded like every per-group window here) + two
+    * broadcast map-backs; the test side never shuffles.
+    * Output: keyCol, groupCol, y, pred, qhat, lo, hi, covered. */
+  def conformalIntervals(df: DataFrame, keyCol: String, groupCol: String,
+      yCol: String, alpha: Double, seed: String = "conf"): DataFrame = {
+    val milli = math.round(alpha * 1000.0)
+    require(alpha > 0.0 && alpha < 1.0 &&
+      math.abs(alpha * 1000.0 - milli) < 1e-9,
+      s"alpha=$alpha must sit on the 3-decimal grid in (0,1)")
+    val split = graft.llm.Sampling.assignSplit(
+      df.where(col(yCol).isNotNull),
+      keyCol, Seq("train" -> 0.5, "cal" -> 0.25, "test" -> 0.25), seed,
+      outCol = "__split")
+    val y = col(yCol).cast("decimal(18,2)")
+    val pred = split.where(col("__split") === "train")
+      .groupBy(col(groupCol))
+      .agg((sum(y).cast("double") / count(lit(1)).cast("double"))
+        .as("pred"))
+    // calibration scores: |y - pred| ranked per group under a total
+    // order; k-th smallest is the conformal quantile
+    val cal = split.where(col("__split") === "cal")
+      .join(broadcast(pred), Seq(groupCol))
+      .select(col(groupCol), col(keyCol),
+        abs(col(yCol).cast("double") - col("pred")).as("__s"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__s").asc, col(keyCol).asc)
+    val ranked = cal.withColumn("__rn", row_number().over(w))
+    val nCal = cal.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ncal"))
+      // k = ceil((n+1)·(1000−milli)/1000), exact integer arithmetic
+      .withColumn("__k",
+        expr(s"((__ncal + 1) * ${1000 - milli} + 999) div 1000"))
+    val qhat = ranked.join(broadcast(nCal), Seq(groupCol))
+      .where(col("__rn") === col("__k"))
+      .select(col(groupCol), col("__s").as("qhat"), lit(true).as("__fin"))
+    // groups where k > n_cal never match the rank filter → left-join
+    // miss → infinite interval below
+    split.where(col("__split") === "test")
+      .join(broadcast(pred), Seq(groupCol))
+      .join(broadcast(qhat), Seq(groupCol), "left")
+      .select(col(keyCol), col(groupCol),
+        col(yCol).cast("double").as("y"),
+        round(col("pred"), 8).as("pred"),
+        round(col("qhat"), 8).as("qhat"),
+        round(col("pred") - col("qhat"), 8).as("lo"),
+        round(col("pred") + col("qhat"), 8).as("hi"),
+        when(col("__fin").isNull, lit(true))
+          .otherwise(col(yCol).cast("double") >= col("pred") - col("qhat") &&
+            col(yCol).cast("double") <= col("pred") + col("qhat"))
+          .as("covered"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Numeric feature scaling — the trainer-facing normalization tier next
@@ -64,5 +65,39 @@ object Scale {
         round((x - col("__med")) /
           when(col("__q3") =!= col("__q1"), col("__q3") - col("__q1")), 8))
       .drop("__q1", "__med", "__q3")
+  }
+
+  /** Per-group quantile (rank-uniform) transform: x ↦ its midrank ECDF
+    * position (2·cum − cnt) / (2·n) ∈ (0, 1) — the sklearn
+    * QuantileTransformer shape with the midrank tie convention (tied
+    * values share one position; the output distribution is uniform up
+    * to ties). The transform is rank-based, so it is immune to
+    * outliers and to any monotone re-scaling of the input.
+    *
+    * Scale shape (the RankStats discipline): ONE (group, value) count
+    * aggregation first, so the cumulative window sorts the VALUE
+    * DOMAIN, never rows; the map-back to rows is a plain equi-join on
+    * (group, value). All rank arithmetic is exact integers; the single
+    * division is one double expression rounded to the 8dp grid. NULL
+    * values transform to NULL. Output: input columns + `outCol`. */
+  def quantileTransform(df: DataFrame, valueCol: String, byCol: String,
+      outCol: String = "u"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a different outCol")
+    val d = df.where(col(valueCol).isNotNull)
+      .groupBy(col(byCol), col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(col(byCol))
+      .orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(byCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val m = d
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .select(col(byCol), col(valueCol),
+        round((lit(2L) * col("__cum") - col("__cnt")).cast("double") /
+          (lit(2L) * col("__n")).cast("double"), 8).as(outCol))
+    df.join(m, Seq(byCol, valueCol), "left")
   }
 }

@@ -268,6 +268,52 @@ object Sampling {
       .withColumn("fold", col("fold").cast("int"))
   }
 
+  /** Balanced inverse-frequency class weights (the sklearn
+    * `class_weight='balanced'` heuristic): w_c = n / (k·n_c), so every
+    * class contributes equal total weight to a loss. NULL labels are
+    * excluded (imputation owns them). One count aggregation; output is
+    * class-cardinality-sized. Output: labelCol, n (count), weight
+    * (8dp). */
+  def classWeights(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.where(col(labelCol).isNotNull)
+      .groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__tot"),
+      count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(labelCol), col("n"),
+        round(col("__tot").cast("double") /
+          (col("__k").cast("double") * col("n").cast("double")), 8)
+          .as("weight"))
+  }
+
+  /** Deterministic minority oversampling: every row of class c is
+    * replicated ceil(max_class_n / n_c) times (integer ceil — exact in
+    * any engine), so each class lands within one copy of the majority
+    * count — the replication flavor of imbalance correction (the
+    * weighting flavor is [[classWeights]]; SMOTE-style synthesis needs a
+    * feature space and is out of scope). Shape: one count aggregation +
+    * a broadcast factor map-back + a map-side explode — no shuffle of
+    * the fact side; output size Σ n_c·f_c ≤ k·max_n is the caller's
+    * documented budget. NULL-label rows are dropped (they belong to no
+    * class). Output: df's columns + `copy` (0-based replica index). */
+  def oversample(df: DataFrame, labelCol: String,
+      copyCol: String = "copy"): DataFrame = {
+    require(!df.columns.contains(copyCol),
+      s"input already has a '$copyCol' column — pass a different copyCol")
+    val counts = df.where(col(labelCol).isNotNull)
+      .groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
+    val mx = counts.agg(max(col("__n")).as("__mx"))
+    // integer ceil-div on positive counts (Column `/` is double division)
+    val factors = counts.crossJoin(broadcast(mx))
+      .select(col(labelCol),
+        expr("(__mx + __n - 1) div __n").as("__fac"))
+    df.where(col(labelCol).isNotNull)
+      .join(broadcast(factors), Seq(labelCol))
+      .withColumn(copyCol,
+        explode(sequence(lit(0L), col("__fac") - 1)))
+      .drop("__fac")
+  }
+
   /** Deterministic uniform negative sampling for contrastive / two-tower
     * training: for every distinct positive (user, item) pair, draw `k`
     * md5-uniform candidate items from the item CATALOG, then anti-join

@@ -553,6 +553,37 @@ object AnalyticsQueries {
         |FROM lineitem l LEFT JOIN m USING (l_linestatus)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Per-group quantile (rank-uniform) transform: midrank ECDF over
+    // the VALUE DOMAIN (one (group, value) count aggregation feeds the
+    // cumulative window — the RankStats discipline), exact integer rank
+    // arithmetic, equi-join map-back.
+    QuerySpec("q_quantile_transform", (s, dir) => {
+      graft.engine.Scale.quantileTransform(
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus",
+            "o_totalprice"),
+          "o_totalprice", "o_orderstatus")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "u")
+        .orderBy("o_orderkey")
+    }, Some(
+      """WITH d AS (
+        |  SELECT o_orderstatus, o_totalprice, COUNT(*) AS cnt
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY o_orderstatus, o_totalprice),
+        |w AS (
+        |  SELECT o_orderstatus, o_totalprice, cnt,
+        |         SUM(cnt) OVER (PARTITION BY o_orderstatus
+        |                        ORDER BY o_totalprice) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM d),
+        |m AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         ROUND(CAST(2 * cum - cnt AS DOUBLE)
+        |               / CAST(2 * n AS DOUBLE), 8) AS u
+        |  FROM w)
+        |SELECT o_orderkey, o.o_orderstatus, o_totalprice, u
+        |FROM orders o LEFT JOIN m USING (o_orderstatus, o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Per-group z-score normalization from exact decimal moments (the
     // q_corr_ols discipline: built-in stddev in doubles is partition-
     // order-dependent); zero-variance groups yield null, never an ANSI

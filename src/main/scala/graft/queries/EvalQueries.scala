@@ -148,6 +148,61 @@ object EvalQueries {
          |FROM j ORDER BY cls""".stripMargin
     }),
 
+    // Split-conformal regression intervals (α = 0.2) around the
+    // per-status mean predictor: md5 train/cal/test split, exact
+    // order-statistic conformal quantile (never an interpolated
+    // percentile), per-row coverage flags. The oracle replays the hash
+    // split, the rank selection, and the interval arithmetic.
+    QuerySpec("q_conformal", (s, dir) => {
+      Eval.conformalIntervals(t(s, dir, "orders"), "o_orderkey",
+          "o_orderstatus", "o_totalprice", alpha = 0.2)
+        .orderBy("o_orderkey")
+    }, Some {
+      val (c1, c2) = ("80000000", "c0000000") // hexThreshold(0.5/0.75)
+      s"""WITH s AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |         CAST(o_totalprice AS DOUBLE) AS y,
+         |         CASE WHEN substr(md5('conf|'
+         |                || CAST(o_orderkey AS VARCHAR)), 1, 8) < '$c1'
+         |              THEN 'train'
+         |              WHEN substr(md5('conf|'
+         |                || CAST(o_orderkey AS VARCHAR)), 1, 8) < '$c2'
+         |              THEN 'cal' ELSE 'test' END AS sp
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |pred AS (
+         |  SELECT o_orderstatus,
+         |         CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE)
+         |           / CAST(COUNT(*) AS DOUBLE) AS pred
+         |  FROM s WHERE sp = 'train' GROUP BY o_orderstatus),
+         |cal AS (
+         |  SELECT s.o_orderstatus, s.o_orderkey, ABS(s.y - p.pred) AS sc
+         |  FROM s JOIN pred p ON p.o_orderstatus = s.o_orderstatus
+         |  WHERE sp = 'cal'),
+         |r AS (
+         |  SELECT o_orderstatus, sc,
+         |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+         |                            ORDER BY sc, o_orderkey) AS rn
+         |  FROM cal),
+         |nk AS (
+         |  SELECT o_orderstatus, ((COUNT(*) + 1) * 800 + 999) // 1000 AS k
+         |  FROM cal GROUP BY o_orderstatus),
+         |q AS (
+         |  SELECT r.o_orderstatus, sc AS qhat
+         |  FROM r JOIN nk ON nk.o_orderstatus = r.o_orderstatus
+         |              AND r.rn = nk.k)
+         |SELECT s.o_orderkey, s.o_orderstatus, y,
+         |       ROUND(pred, 8) AS pred, ROUND(qhat, 8) AS qhat,
+         |       ROUND(pred - qhat, 8) AS lo, ROUND(pred + qhat, 8) AS hi,
+         |       CASE WHEN qhat IS NULL THEN true
+         |            ELSE y >= pred - qhat AND y <= pred + qhat END
+         |         AS covered
+         |FROM s
+         |JOIN pred p ON p.o_orderstatus = s.o_orderstatus
+         |LEFT JOIN q ON q.o_orderstatus = s.o_orderstatus
+         |WHERE sp = 'test'
+         |ORDER BY o_orderkey""".stripMargin
+    }),
+
     // Reliability bins for the fitted logistic scores: fit (3 IRLS
     // rounds) then score and bin in one more pass — predicted
     // probability vs observed rate per decile of p.

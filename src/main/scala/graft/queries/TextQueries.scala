@@ -671,6 +671,45 @@ object TextQueries {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Balanced inverse-frequency class weights (w_c = n/(k·n_c)) over
+    // the document sources — the weighting flavor of imbalance
+    // correction; one count aggregation, class-cardinality output.
+    QuerySpec("q_class_weights", (s, dir) => {
+      graft.llm.Sampling.classWeights(docs(s, dir), "source")
+        .orderBy("source")
+    }, Some(
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, COUNT(*) AS k FROM c)
+        |SELECT source, n,
+        |       ROUND(CAST(tot AS DOUBLE)
+        |             / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)), 8) AS weight
+        |FROM c CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    // Deterministic minority oversampling: each event type replicated
+    // ceil(max_n/n_c) times (exact integer ceil-div) — the replication
+    // flavor of imbalance correction; broadcast factor map-back +
+    // map-side explode, no fact shuffle.
+    QuerySpec("q_oversample", (s, dir) => {
+      graft.llm.Sampling.oversample(
+          t(s, dir, "events").select("event_id", "event_type"),
+          "event_type")
+        .select("event_id", "event_type", "copy")
+        .orderBy("event_id", "copy")
+    }, Some(
+      """WITH c AS (
+        |  SELECT event_type, COUNT(*) AS n FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY event_type),
+        |mx AS (SELECT MAX(n) AS m FROM c),
+        |f AS (SELECT event_type, (m + n - 1) // n AS fac
+        |      FROM c CROSS JOIN mx)
+        |SELECT event_id, event_type, copy FROM (
+        |  SELECT e.event_id, e.event_type,
+        |         unnest(range(0, f.fac)) AS copy
+        |  FROM events e JOIN f USING (event_type))
+        |ORDER BY event_id, copy""".stripMargin)),
+
     // Deterministic uniform negative sampling (contrastive/two-tower
     // training): k=2 md5-uniform catalog draws per distinct
     // (customer, part) positive, mapped through a dense rank over the

@@ -91,7 +91,11 @@ class DeterminismSpec extends SparkSpec {
     // encoder ln grid; md5 catalog draws + rank map; cell-local
     // label-filtered top-k
     "q_mp3_vbr", "q_minmax_scale", "q_robust_scale", "q_woe_encode",
-    "q_neg_sample", "q_hard_negatives")
+    "q_neg_sample", "q_hard_negatives",
+    // imbalance/uncertainty tier: count-ratio weights, ceil-div explode
+    // factors, order-statistic conformal quantiles, midrank ECDF
+    "q_class_weights", "q_oversample", "q_conformal",
+    "q_quantile_transform")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -87,6 +87,40 @@ class EvalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Boolean]("correct")))
   }
 
+  test("conformalIntervals: order-statistic quantile and coverage flags " +
+      "match an independent recomputation; alpha grid enforced") {
+    val df = (1L to 400L).map(k => (k, "g", (k % 7).toDouble))
+      .toDF("key", "grp", "y")
+    val out = Eval.conformalIntervals(df, "key", "grp", "y", alpha = 0.2,
+      seed = "t").collect()
+    assert(out.nonEmpty)
+    // independent recomputation from the same hash split
+    val sp = graft.llm.Sampling.assignSplit(df, "key",
+      Seq("train" -> 0.5, "cal" -> 0.25, "test" -> 0.25), "t",
+      outCol = "sp").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val train = (1L to 400L).filter(sp(_) == "train")
+    val pred = train.map(_ % 7).sum.toDouble / train.size
+    val cal = (1L to 400L).filter(sp(_) == "cal")
+      .map(k => math.abs((k % 7).toDouble - pred)).sorted
+    val kth = ((cal.size + 1) * 800 + 999) / 1000
+    val qhat = cal(kth.toInt - 1)
+    def r8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      assert(r.getAs[Double]("pred") === r8(pred))
+      assert(r.getAs[Double]("qhat") === r8(qhat))
+      val y = r.getAs[Double]("y")
+      assert(r.getAs[Boolean]("covered") ===
+        (y >= pred - qhat && y <= pred + qhat))
+    }
+    // test rows only, keyed by the same split
+    assert(out.map(_.getAs[Long]("key")).toSet ===
+      (1L to 400L).filter(sp(_) == "test").toSet)
+    intercept[IllegalArgumentException] {
+      Eval.conformalIntervals(df, "key", "grp", "y", alpha = 0.1234) }
+  }
+
   test("calibrationBins: perfectly calibrated synthetic scores gap ≈ 0") {
     // p = 0.25 for 8 rows with 2 positives; p = 0.75 for 8 with 6
     val rows = Seq.fill(6)((0.25, 0L)) ++ Seq.fill(2)((0.25, 1L)) ++

@@ -161,6 +161,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("classWeights: inverse-frequency balance, nulls excluded") {
+    val df = (Seq.fill(3)("a") ++ Seq("b")).map(Option(_))
+      .:+(Option.empty[String]).toDF("lbl")
+    val w = Sampling.classWeights(df, "lbl").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.keySet === Set("a", "b"))
+    def r8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(w("a") === (3L, r8(4.0 / (2 * 3)))) // n/(k·n_c), 8dp grid
+    assert(w("b") === (1L, r8(4.0 / (2 * 1))))
+  }
+
+  test("oversample: ceil(max/n) copies per class, 0-based copy ids") {
+    val df = (Seq.fill(5)("big") ++ Seq.fill(2)("small")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "lbl")
+    val r = Sampling.oversample(df, "lbl").collect()
+      .map(x => (x.getAs[String]("lbl"), x.getAs[Long]("id"),
+        x.getAs[Long]("copy")))
+    // big: factor ceil(5/5)=1; small: ceil(5/2)=3
+    assert(r.count(_._1 == "big") === 5)
+    assert(r.count(_._1 == "small") === 6)
+    r.filter(_._1 == "small").groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq === Seq(0L, 1L, 2L)) }
+    intercept[IllegalArgumentException] {
+      Sampling.oversample(df.withColumnRenamed("id", "copy"), "lbl") }
+  }
+
   test("negativeSample: a user who saw the whole catalog gets nothing") {
     val pos = Seq((1L, 100L), (1L, 200L)).toDF("user_id", "item_id")
     val cat = Seq(100L, 200L).toDF("p_partkey")

@@ -43,6 +43,23 @@ class ScaleSpec extends SparkSpec {
     assert(r(("c", 9.0)) === None)
   }
 
+  test("quantileTransform: midrank ECDF with shared tie positions, " +
+      "null passthrough") {
+    val df = Seq(("g", Option(1.0)), ("g", Option(2.0)), ("g", Option(2.0)),
+      ("g", Option(3.0)), ("g", Option.empty[Double])).toDF("grp", "x")
+    val r = graft.engine.Scale.quantileTransform(df, "x", "grp").collect()
+      .map(x => Option(x.get(x.fieldIndex("x"))) ->
+        Option(x.get(x.fieldIndex("u")))).toMap
+    // n=4: u(1)=(2·1−1)/8, u(2)=(2·3−2)/8 (both ties share it), u(3)=(2·4−1)/8
+    assert(r(Some(1.0)) === Some(0.125))
+    assert(r(Some(2.0)) === Some(0.5))
+    assert(r(Some(3.0)) === Some(0.875))
+    assert(r(None) === None)
+    intercept[IllegalArgumentException] {
+      graft.engine.Scale.quantileTransform(
+        df.withColumn("u", col("x")), "x", "grp") }
+  }
+
   test("robustScale honors spark.graft.percentile.approx: same plan " +
       "shape, identical answer on a small exact-representable group") {
     val df = (1 to 5).map(v => ("g", v.toDouble)).toDF("grp", "x")
