@@ -679,6 +679,77 @@ object Multimodal {
     bb.array()
   }
 
+  /** Lossless-audio container facts from a FLAC STREAMINFO header.
+    * duration_ms is the exact integer floor of samples·1000/rate. */
+  final case class FlacMeta(id: Long, sample_rate: Int, channels: Int,
+      bits: Int, total_samples: Long, duration_ms: Long)
+
+  /** REAL lossless-audio HEADER parse (FLAC — the `fLaC` magic and the
+    * metadata-block walk are pure byte arithmetic like the
+    * RIFF/ISO-BMFF/MPEG walks; only SUBFRAME decode needs the codec and
+    * stays on [[decodeStub]]): requires the mandatory first STREAMINFO
+    * block (type 0, declared length 34; 1-byte last-flag+type header,
+    * 24-bit big-endian length — RFC 9639 §8.2) and unpacks its packed
+    * big-endian 64-bit field group at offset 10: 20-bit sample rate,
+    * 3-bit channels−1, 5-bit bits-per-sample−1, 36-bit total samples.
+    * Every read is bounds-checked against the declared block length
+    * (the mvhd/fmt lesson: short headers must fail, not read the next
+    * block's bytes). */
+  def decodeFlac(r: MediaRecord): FlacMeta = {
+    val b = r.payload
+    require(b.length >= 4 && tag(b, 0) == "fLaC",
+      s"not a FLAC payload for id=${r.id}")
+    require(b.length >= 8, s"truncated FLAC block header for id=${r.id}")
+    val btype = b(4) & 0x7f
+    require(btype == 0,
+      s"FLAC first block type $btype != STREAMINFO for id=${r.id}")
+    val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    require(len == 34, s"STREAMINFO length $len != 34 for id=${r.id}")
+    require(8 + len <= b.length, s"truncated STREAMINFO for id=${r.id}")
+    var g = 0L
+    var i = 0
+    while (i < 8) { g = (g << 8) | (b(8 + 10 + i) & 0xffL); i += 1 }
+    val rate = (g >>> 44).toInt
+    val channels = ((g >>> 41) & 0x7L).toInt + 1
+    val bits = ((g >>> 36) & 0x1fL).toInt + 1
+    val total = g & 0xfffffffffL
+    require(rate > 0, s"FLAC sample rate 0 for id=${r.id}")
+    FlacMeta(r.id, rate, channels, bits, total, total * 1000L / rate)
+  }
+
+  /** Batched per-partition FLAC header parse — same `mapPartitions`
+    * shape as the other media decoders. */
+  def flacMeta(ds: Dataset[MediaRecord]): Dataset[FlacMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeFlac))
+  }
+
+  /** Deterministic FLAC generator (header-only: magic + STREAMINFO as
+    * the single, last metadata block — the parse target is the header
+    * walk, audio frames would need the codec): rate = 8000 +
+    * (id mod 4)·2000, channels = 1 + id mod 2, bits = 16,
+    * total = 1000 + id mod 97 — all SQL-expressible facts an oracle can
+    * recompute without decoding. */
+  def syntheticFlac(id: Long): Array[Byte] = {
+    val rate = (8000 + Math.floorMod(id, 4L) * 2000).toInt
+    val channels = (1 + Math.floorMod(id, 2L)).toInt
+    val total = 1000 + Math.floorMod(id, 97L)
+    val bb = java.nio.ByteBuffer.allocate(42) // 4 magic + 4 hdr + 34 body
+    bb.put("fLaC".getBytes("US-ASCII"))
+    bb.put(0x80.toByte) // last-block flag | type 0 (STREAMINFO)
+    bb.put(0.toByte).put(0.toByte).put(34.toByte)
+    bb.putShort(4096.toShort).putShort(4096.toShort) // min/max block size
+    bb.put(new Array[Byte](6)) // min/max frame size (24-bit each): unknown
+    var g = 0L
+    g |= rate.toLong << 44
+    g |= (channels - 1).toLong << 41
+    g |= (16 - 1).toLong << 36
+    g |= total
+    bb.putLong(g)
+    bb.put(new Array[Byte](16)) // unaudited MD5 signature: zeros
+    bb.array()
+  }
+
   /** STUB decode — deterministic fake features, used for the kinds this
     * container genuinely cannot decode (video FRAMES and lossy-audio
     * SPECTRA; container/stream metadata goes through the real

@@ -1128,6 +1128,31 @@ object EventQueries {
         |       TRUE AS vbr
         |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // REAL lossless-audio HEADER parse (FLAC STREAMINFO — magic +
+    // metadata-block walk + packed 64-bit field group, pure byte
+    // arithmetic like the RIFF/ISO-BMFF/MPEG walks; subframe decode
+    // stays on the documented stub): rate/channels/bits/total-samples
+    // generated per doc_id and recomputed arithmetically by the oracle.
+    QuerySpec("q_flac_meta", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "audio/flac",
+          Multimodal.syntheticFlac(id)))
+      Multimodal.flacMeta(recs).toDF()
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("total_samples"), col("duration_ms"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |       CAST(8000 + (doc_id % 4) * 2000 AS INT) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS INT) AS channels,
+        |       CAST(16 AS INT) AS bits,
+        |       CAST(1000 + doc_id % 97 AS BIGINT) AS total_samples,
+        |       CAST(1000 + doc_id % 97 AS BIGINT) * 1000
+        |         // CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Peak concurrency per event type (sweep-line +1/−1 prefix sum over
     // half-open [start, start+value·1s) intervals): the capacity question
     // — "how many were in flight at once, and when did the peak first

@@ -95,7 +95,9 @@ class DeterminismSpec extends SparkSpec {
     // imbalance/uncertainty tier: count-ratio weights, ceil-div explode
     // factors, order-statistic conformal quantiles, midrank ECDF
     "q_class_weights", "q_oversample", "q_conformal",
-    "q_quantile_transform")
+    "q_quantile_transform",
+    // FLAC STREAMINFO packed-field byte walk
+    "q_flac_meta")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

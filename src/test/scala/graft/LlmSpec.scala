@@ -51,6 +51,8 @@ class MultimodalProps extends Properties("llm.multimodal") {
         MediaRecord(id, "audio/mpeg", Multimodal.syntheticMp3(id)))
       val vbr = Multimodal.decodeMp3(
         MediaRecord(id, "audio/mpeg", Multimodal.syntheticMp3Vbr(id)))
+      val flac = Multimodal.decodeFlac(
+        MediaRecord(id, "audio/flac", Multimodal.syntheticFlac(id)))
       wav.n_samples == 16 + Math.floorMod(id, 17L) &&
         wav.sample_rate == 8000 + Math.floorMod(id, 4L) * 2000 &&
         mp4.duration == 2000 + Math.floorMod(id, 977L) * 3 &&
@@ -59,7 +61,12 @@ class MultimodalProps extends Properties("llm.multimodal") {
         mp3.duration_ms ==
           Math.floorDiv(mp3.frames * 1152L * 1000L, mp3.sample_rate) &&
         vbr.vbr && vbr.frames == mp3.frames &&
-        vbr.sample_rate == mp3.sample_rate
+        vbr.sample_rate == mp3.sample_rate &&
+        flac.sample_rate == wav.sample_rate &&
+        flac.channels == 1 + Math.floorMod(id, 2L) && flac.bits == 16 &&
+        flac.total_samples == 1000 + Math.floorMod(id, 97L) &&
+        flac.duration_ms == Math.floorDiv(
+          flac.total_samples * 1000L, flac.sample_rate)
     }
 
   property("parsers fail closed on truncation: IAE or a valid prefix, never index errors") =
@@ -76,6 +83,17 @@ class MultimodalProps extends Properties("llm.multimodal") {
           MediaRecord(id, "w", cut(Multimodal.syntheticWav(id))))) &&
         ok(Multimodal.decodeMp4(
           MediaRecord(id, "v", cut(Multimodal.syntheticMp4(id))))) && {
+          // FLAC: any strict prefix misses STREAMINFO bytes → must IAE
+          try {
+            val m = Multimodal.decodeFlac(
+              MediaRecord(id, "f", cut(Multimodal.syntheticFlac(id))))
+            permille == 1000 &&
+              m.total_samples == 1000 + Math.floorMod(id, 97L)
+          } catch {
+            case _: IllegalArgumentException => permille < 1000
+            case _: Throwable => false
+          }
+        } && {
           // mp3: a cut exactly on a frame boundary IS a valid shorter
           // stream — additionally require the parse to stay consistent
           try {
