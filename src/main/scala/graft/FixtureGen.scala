@@ -55,8 +55,12 @@ object FixtureGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def load(name: String): DataFrame =
-      spark.read.parquet(s"$srcDir/$name.parquet")
+    // each table is read once and cached: the count below and the
+    // replicate() scan reuse the same in-memory frame instead of
+    // re-scanning the parquet (events would otherwise be read 3×)
+    val cache = scala.collection.mutable.Map.empty[String, DataFrame]
+    def load(name: String): DataFrame = cache.getOrElseUpdate(name,
+      spark.read.parquet(s"$srcDir/$name.parquet").cache())
     def save(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")

@@ -532,13 +532,17 @@ object Multimodal {
         val mono = (b(pos + 3) >> 6 & 3) == 3
         val xo = pos + 4 + (if (mono) 17 else 32)
         val vo = pos + 4 + 32
+        // same layout, opposite meaning: "Xing" marks VBR, "Info" is
+        // LAME's CBR marker — both carry a frame count and both frames
+        // are metadata (skipped), but an Info stream keeps its nominal
+        // constant bitrate and vbr = false
         if (tagAt(xo, "Xing") || tagAt(xo, "Info")) {
           require(xo + 12 <= pos + frameLen,
             s"truncated Xing header for id=${r.id}")
           require((be32(xo + 4) & 1L) != 0,
             s"Xing header without a frame-count field for id=${r.id}")
           vbrFrames = be32(xo + 8)
-          vbr = true; isMeta = true
+          vbr = tagAt(xo, "Xing"); isMeta = true
         } else if (tagAt(vo, "VBRI")) {
           require(vo + 18 <= pos + frameLen,
             s"truncated VBRI header for id=${r.id}")
@@ -559,11 +563,10 @@ object Multimodal {
       pos += frameLen
     }
     require(frames > 0, s"MP3 payload without frames for id=${r.id}")
-    if (vbr) {
-      require(vbrFrames == frames,
-        s"Xing/VBRI frame count $vbrFrames != walked $frames for id=${r.id}")
-      kbps = (audioBytes * 8L * rate / (frames * 1152L * 1000L)).toInt
-    }
+    if (vbrFrames >= 0) require(vbrFrames == frames,
+      s"Xing/Info/VBRI frame count $vbrFrames != walked $frames " +
+        s"for id=${r.id}")
+    if (vbr) kbps = (audioBytes * 8L * rate / (frames * 1152L * 1000L)).toInt
     Mp3Meta(r.id, "MPEG1", 3, kbps, rate, frames,
       Math.floorDiv(frames * 1152L * 1000L, rate), vbr)
   }
@@ -666,6 +669,44 @@ object Multimodal {
     }
     audioLens.zipWithIndex.foreach { case (len, f) =>
       val bi = 1 + Math.floorMod(id + f, 14L).toInt
+      val pad = Math.floorMod(id + f, 2L).toInt
+      bb.put(0xff.toByte).put(0xfb.toByte)
+        .put(((bi << 4) | (si << 2) | (pad << 1)).toByte)
+        .put(0xc0.toByte)
+      var j = 4
+      while (j < len) {
+        bb.put((Math.floorMod(id * 137 + f * 19 + j, 251L)).toByte)
+        j += 1
+      }
+    }
+    bb.array()
+  }
+
+  /** Info-tagged CBR generator: LAME writes the same Xing-layout header
+    * tagged "Info" on CONSTANT-bitrate streams — the parser must skip
+    * the metadata frame, cross-check its frame count, and still report
+    * the nominal CBR bitrate with vbr = false (an "Info" treated as
+    * "Xing" would misreport e.g. a 128 kbps CBR stream as VBR with a
+    * floored 127 kbps byte-average). Same field derivations as
+    * [[syntheticMp3]]. */
+  def syntheticMp3Info(id: Long): Array[Byte] = {
+    val bi = 1 + Math.floorMod(id, 14L).toInt
+    val si = Math.floorMod(id, 3L).toInt
+    val kbps = Mp3Bitrates(bi); val rate = Mp3Rates(si)
+    val nFrames = (4 + Math.floorMod(id, 7L)).toInt
+    val hdrLen = 144 * 32000 / rate // metadata frame at bitrate index 1
+    val frameLens = (0 until nFrames).map { f =>
+      144 * (kbps * 1000) / rate + Math.floorMod(id + f, 2L).toInt
+    }
+    val bb = java.nio.ByteBuffer.allocate(hdrLen + frameLens.sum)
+    bb.put(0xff.toByte).put(0xfb.toByte)
+      .put(((1 << 4) | (si << 2)).toByte).put(0xc0.toByte)
+    bb.put(new Array[Byte](17)) // mono MPEG-1 side info
+    bb.put("Info".getBytes("US-ASCII"))
+      .putInt(1) // flags: frame count present
+      .putInt(nFrames)
+    bb.put(new Array[Byte](hdrLen - 21 - 12))
+    frameLens.zipWithIndex.foreach { case (len, f) =>
       val pad = Math.floorMod(id + f, 2L).toInt
       bb.put(0xff.toByte).put(0xfb.toByte)
         .put(((bi << 4) | (si << 2) | (pad << 1)).toByte)

@@ -53,6 +53,8 @@ class MultimodalProps extends Properties("llm.multimodal") {
         MediaRecord(id, "audio/mpeg", Multimodal.syntheticMp3Vbr(id)))
       val flac = Multimodal.decodeFlac(
         MediaRecord(id, "audio/flac", Multimodal.syntheticFlac(id)))
+      val info = Multimodal.decodeMp3(
+        MediaRecord(id, "audio/mpeg", Multimodal.syntheticMp3Info(id)))
       wav.n_samples == 16 + Math.floorMod(id, 17L) &&
         wav.sample_rate == 8000 + Math.floorMod(id, 4L) * 2000 &&
         mp4.duration == 2000 + Math.floorMod(id, 977L) * 3 &&
@@ -62,6 +64,10 @@ class MultimodalProps extends Properties("llm.multimodal") {
           Math.floorDiv(mp3.frames * 1152L * 1000L, mp3.sample_rate) &&
         vbr.vbr && vbr.frames == mp3.frames &&
         vbr.sample_rate == mp3.sample_rate &&
+        // Info = LAME's CBR marker: metadata frame skipped, frame count
+        // cross-checked, NOMINAL bitrate kept, vbr = false
+        !info.vbr && info.frames == mp3.frames &&
+        info.bitrate_kbps == mp3.bitrate_kbps &&
         flac.sample_rate == wav.sample_rate &&
         flac.channels == 1 + Math.floorMod(id, 2L) && flac.bits == 16 &&
         flac.total_samples == 1000 + Math.floorMod(id, 97L) &&
