@@ -600,4 +600,24 @@ object EventStreams {
       .psiAgainstReference(batch, valueCol, edges, refProps)
       .withColumn("batch_id", org.apache.spark.sql.functions.lit(id)))
   }
+
+  /** Per-micro-batch conformal coverage monitor — the uncertainty
+    * complement of [[driftForeachBatch]]: each batch's per-group
+    * coverage against the FIXED (group, pred, q̂) intervals a
+    * calibration fit produced (driver-side literals closed over, like
+    * the PSI reference bins). Stateless — one aggregation per batch,
+    * no reference re-scan; at-least-once replay recomputes identical
+    * monitor rows for the same batch_id (pure function of batch
+    * content). An alarm means live coverage fell below `minCoverage`
+    * (or an unmodelled group appeared): recalibrate before trusting
+    * the intervals. */
+  def conformalMonitorForeachBatch(groupCol: String, yCol: String,
+      intervals: Seq[(String, Double, Double)], minCoverage: Double,
+      append: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch, id) =>
+      append(graft.engine.Eval
+        .coverageAgainstIntervals(batch, groupCol, yCol, intervals,
+          minCoverage)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(id)))
+  }
 }

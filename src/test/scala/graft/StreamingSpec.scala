@@ -734,4 +734,50 @@ class StreamingSpec extends SparkSpec {
     val after = sink.filter(_._1 == 1L).toSet
     assert(after === before)
   }
+
+  test("foreachBatch conformal coverage monitor: calibrated batch quiet, " +
+      "shifted batch and unmodelled group alarm; replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    // fixed intervals from a (notional) calibration fit: group a covers
+    // [20, 80] (pred 50, qhat 30); minCoverage 0.8
+    val intervals = Seq(("a", 50.0, 30.0))
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Option[Double], Boolean)]
+    val fn = EventStreams.conformalMonitorForeachBatch("event_type",
+      "value", intervals, minCoverage = 0.8,
+      rep => sink ++= rep
+        .select("batch_id", "event_type", "n", "n_covered", "coverage",
+          "alarm")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5))))
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().writeStream.foreachBatch(fn)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 0: all of a's values inside [20, 80] → coverage 1, quiet
+      mem.addData(Event(1, ts(1), 1, "a", 30.0),
+        Event(2, ts(2), 1, "a", 60.0), Event(3, ts(3), 1, "a", 70.0))
+      q.processAllAvailable()
+      assert(sink.filter(_._1 == 0L).toSet ===
+        Set((0L, "a", 3L, 3L, Some(1.0), false)))
+
+      // batch 1: a shifts out of the interval (1/4 covered) AND an
+      // unmodelled group b appears — both must alarm
+      mem.addData(Event(4, ts(4), 1, "a", 90.0),
+        Event(5, ts(5), 1, "a", 95.0), Event(6, ts(6), 1, "a", 10.0),
+        Event(7, ts(7), 1, "a", 30.0), Event(8, ts(8), 1, "b", 50.0))
+      q.processAllAvailable()
+      val b1 = sink.filter(_._1 == 1L).toSet
+      assert(b1 === Set((1L, "a", 4L, 1L, Some(0.25), true),
+        (1L, "b", 1L, 0L, None, true)))
+
+      // at-least-once replay: same batch content → identical rows
+      import spark.implicits._
+      fn(Seq(("a", 90.0), ("a", 95.0), ("a", 10.0), ("a", 30.0),
+        ("b", 50.0)).toDF("event_type", "value"), 1L)
+      assert(sink.filter(_._1 == 1L).toSet === b1)
+    } finally q.stop()
+  }
 }
