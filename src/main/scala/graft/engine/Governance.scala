@@ -46,6 +46,39 @@ object Governance {
       .orderBy(col("level"))
   }
 
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2007 — the
+    * attribute-disclosure complement of [[kAnonymity]]: group SIZE
+    * protects identity, but a 50-row group whose rows all share one
+    * sensitive value still discloses the attribute). Over the full
+    * quasi-identifier grouping, reports group count, the minimum
+    * distinct-sensitive count, groups and rows below `l`, and the
+    * diverse row fraction.
+    *
+    * NULL sensitive values disclose nothing and are excluded from the
+    * diversity count (a group with only NULLs reports diversity 0);
+    * group row counts include every row. Two stacked aggregations, both
+    * map-side combinable; the per-group exact distinct is group-bounded
+    * state (the column-profile convention). Output one row: n_groups,
+    * min_diversity, groups_below_l, rows_below_l, diverse_frac. */
+  def lDiversity(df: DataFrame, qis: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(qis.nonEmpty && l >= 2, s"qis=$qis l=$l")
+    val groups = df.groupBy(qis.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col(sensitiveCol)).as("div"))
+    groups.agg(
+        count(lit(1)).as("n_groups"),
+        min(col("div")).as("min_diversity"),
+        sum(when(col("div") < l, 1L).otherwise(0L)).as("groups_below_l"),
+        sum(when(col("div") < l, col("cnt")).otherwise(lit(0L)))
+          .as("rows_below_l"),
+        sum(col("cnt")).as("__n"))
+      .select(col("n_groups"), col("min_diversity"),
+        col("groups_below_l"), col("rows_below_l"),
+        round(lit(1.0) - col("rows_below_l").cast("double") /
+          col("__n").cast("double"), 8).as("diverse_frac"))
+  }
+
   /** Functional-dependency audit lhs → rhs: does every `lhs` value map
     * to ONE `rhs` value, and if not, how far off is the data? Reports
     * the standard g3 measure (Kivinen & Mannila 1995): the minimum

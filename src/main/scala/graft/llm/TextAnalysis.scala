@@ -992,4 +992,50 @@ object TextAnalysis {
       .select(col("id1"), col("id2"), round(cosv, 8).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** χ² feature selection over document-term PRESENCE (the sklearn
+    * SelectKBest(chi2) shape for text): for each term, the 2×2
+    * term-presence × label contingency χ² with 1 df, top-k terms by
+    * statistic. Presence (DISTINCT doc-term), not counts — the classic
+    * feature-selection convention; a term present in every document (or
+    * absent from a whole class margin) has an empty margin and carries
+    * no signal: its χ² is NULL and it never ranks.
+    *
+    * Determinism/scale (the keyness discipline): one distinct
+    * (doc, term) projection feeds ONE term-keyed count aggregation;
+    * corpus totals ride a 1-row broadcast; every product is cast double
+    * BEFORE multiplying (long n11·n00 wraps at web-corpus scale); χ² is
+    * rounded to 8dp BEFORE the rank so the top-k boundary is
+    * cross-engine portable (ties break on the term). Output: term, df,
+    * n11, chi2 — top `k` by (chi2 desc, term asc). */
+  def chi2Select(docs: DataFrame, idCol: String, textCol: String,
+      positive: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"chi2Select: k=$k")
+    val labeled = docs.select(col(idCol).as("__id"),
+      when(positive, 1L).otherwise(0L).as("__y"))
+    val present = docs
+      .select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    val tot = labeled.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val per = present.join(labeled, "__id")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__y")).as("n11"))
+    val d = (c: Column) => c.cast("double")
+    val withTot = per.crossJoin(broadcast(tot))
+      .withColumn("__n10", col("df") - col("n11"))
+      .withColumn("__n01", col("__p") - col("n11"))
+      .withColumn("__n00", (col("__n") - col("__p")) - col("__n10"))
+    val num = d(col("n11")) * d(col("__n00")) -
+      d(col("__n10")) * d(col("__n01"))
+    val denom = d(col("df")) * d(col("__n") - col("df")) *
+      d(col("__p")) * d(col("__n") - col("__p"))
+    withTot
+      .select(col("term"), col("df"), col("n11"),
+        when(denom > 0.0, round(d(col("__n")) * num * num / denom, 8))
+          .as("chi2"))
+      .where(col("chi2").isNotNull)
+      .orderBy(col("chi2").desc, col("term").asc)
+      .limit(k)
+  }
 }

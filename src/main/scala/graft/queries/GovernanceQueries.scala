@@ -15,6 +15,30 @@ object GovernanceQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // l-diversity audit (the attribute-disclosure complement of
+    // q_k_anonymity): distinct users per (event type, day) group at
+    // l = 3 — group size protects identity, sensitive-value diversity
+    // protects the attribute.
+    QuerySpec("q_l_diversity", (s, dir) => {
+      Governance.lDiversity(
+        t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id", l = 3)
+    }, Some(
+      """WITH g AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |         COUNT(DISTINCT user_id) AS div
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT COUNT(*) AS n_groups, MIN(div) AS min_diversity,
+        |       CAST(SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS groups_below_l,
+        |       CAST(SUM(CASE WHEN div < 3 THEN cnt ELSE 0 END) AS BIGINT)
+        |         AS rows_below_l,
+        |       ROUND(CAST(1.0 AS DOUBLE)
+        |             - CAST(SUM(CASE WHEN div < 3 THEN cnt ELSE 0 END)
+        |                    AS DOUBLE)
+        |               / CAST(SUM(cnt) AS DOUBLE), 8) AS diverse_frac
+        |FROM g""".stripMargin)),
+
     // k-anonymity ladder over (nation, segment) quasi-identifiers at
     // k = 5 — one rollup pass gives every generalization level.
     QuerySpec("q_k_anonymity", (s, dir) => {

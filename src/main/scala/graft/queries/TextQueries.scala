@@ -671,6 +671,49 @@ object TextQueries {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // χ² feature selection (SelectKBest shape): top-20 terms by the 2×2
+    // presence×label contingency χ² against the English-language label.
+    // Products cast double BEFORE multiplying; χ² rounded BEFORE the
+    // rank so the top-k boundary is portable.
+    QuerySpec("q_chi2_select", (s, dir) => {
+      TextAnalysis.chi2Select(docs(s, dir), "doc_id", "text",
+        col("lang") === "en", k = 20)
+    }, Some(
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(string_split_regex(lower(text),
+        |             '[^a-z0-9]+'), x -> x <> '')) AS term
+        |    FROM documents)),
+        |tot AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS p FROM d),
+        |per AS (
+        |  SELECT term, COUNT(*) AS df, CAST(SUM(y) AS BIGINT) AS n11
+        |  FROM tok JOIN d USING (doc_id) GROUP BY term),
+        |x AS (
+        |  SELECT term, df, n11, n, p, df - n11 AS n10, p - n11 AS n01,
+        |         (n - p) - (df - n11) AS n00
+        |  FROM per CROSS JOIN tot),
+        |c AS (
+        |  SELECT term, df, n11,
+        |         CASE WHEN CAST(df AS DOUBLE) * CAST(n - df AS DOUBLE)
+        |                   * CAST(p AS DOUBLE) * CAST(n - p AS DOUBLE)
+        |                   > 0.0
+        |              THEN ROUND(CAST(n AS DOUBLE)
+        |                   * (CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE)
+        |                      - CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE))
+        |                   * (CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE)
+        |                      - CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE))
+        |                   / (CAST(df AS DOUBLE) * CAST(n - df AS DOUBLE)
+        |                      * CAST(p AS DOUBLE)
+        |                      * CAST(n - p AS DOUBLE)), 8)
+        |         END AS chi2
+        |  FROM x)
+        |SELECT term, df, n11, chi2 FROM c WHERE chi2 IS NOT NULL
+        |ORDER BY chi2 DESC, term LIMIT 20""".stripMargin)),
+
     // Balanced inverse-frequency class weights (w_c = n/(k·n_c)) over
     // the document sources — the weighting flavor of imbalance
     // correction; one count aggregation, class-cardinality output.

@@ -97,7 +97,9 @@ class DeterminismSpec extends SparkSpec {
     "q_class_weights", "q_oversample", "q_conformal",
     "q_quantile_transform",
     // FLAC STREAMINFO packed-field byte walk
-    "q_flac_meta")
+    "q_flac_meta",
+    // χ² presence-contingency top-k; per-group distinct-sensitive audit
+    "q_chi2_select", "q_l_diversity")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -21,6 +21,22 @@ class GovernanceSpec extends SparkSpec {
     assert(r(3L) === ((1L, 11L, 0L)))
   }
 
+  test("lDiversity: distinct-sensitive counts, null sensitive excluded") {
+    // group (x): sensitive {s1, s2, s2} → div 2; group (y): {s1} ×3 →
+    // div 1; group (z): only NULLs → div 0. l = 2: y and z below →
+    // groups_below_l 2, rows_below_l 3 + 2 = 5, diverse_frac 3/8
+    val df = Seq(("x", Option("s1")), ("x", Option("s2")),
+      ("x", Option("s2")), ("y", Option("s1")), ("y", Option("s1")),
+      ("y", Option("s1")), ("z", Option.empty[String]),
+      ("z", Option.empty[String])).toDF("qi", "s")
+    val r = Governance.lDiversity(df, Seq("qi"), "s", l = 2).head()
+    assert(r.getAs[Long]("n_groups") === 3L)
+    assert(r.getAs[Long]("min_diversity") === 0L)
+    assert(r.getAs[Long]("groups_below_l") === 2L)
+    assert(r.getAs[Long]("rows_below_l") === 5L)
+    assert(r.getAs[Double]("diverse_frac") === 0.375)
+  }
+
   test("fdAudit: holding FD has zero g3, violating FD counts repairs") {
     val holds = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
     val h = Governance.fdAudit(holds, "k", "v").head()

@@ -566,6 +566,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Int]("rank") === 1)
   }
 
+  test("chi2Select: textbook 2x2 contingency, full-margin terms excluded") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "the apple", "en"), (2L, "the apple", "en"),
+      (3L, "the banana", "fr"), (4L, "the banana", "fr"),
+      (5L, "the apple banana", "en")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.chi2Select(docs, "doc_id", "text",
+      col("lang") === "en", k = 10).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    // 'the' is in every doc (empty absent margin) → no row
+    assert(!r.map(_._1).contains("the"))
+    val m = r.toMap
+    // apple: N=5 p=3, df=3 n11=3 → chi2 = 5·(3·2)²/(3·2·3·2) = 5
+    assert(m("apple") === ((3L, 3L, 5.0)))
+    // banana: df=3 n11=1 n10=2 n01=2 n00=0 → 5·16/36 = 2.22222222 (8dp)
+    assert(m("banana") === ((3L, 1L, 2.22222222)))
+    // rank: highest chi2 first
+    assert(r.head._1 === "apple")
+  }
+
   test("hardNegatives: only different-label same-cell candidates; " +
       "numCells=1 is the brute-force different-label top-k") {
     val emb = Seq(
