@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-governance audits: k-anonymity (privacy), functional-dependency
@@ -77,6 +78,68 @@ object Governance {
         col("groups_below_l"), col("rows_below_l"),
         round(lit(1.0) - col("rows_below_l").cast("double") /
           col("__n").cast("double"), 8).as("diverse_frac"))
+  }
+
+  /** t-closeness audit for an ORDERED (numeric) sensitive attribute
+    * (Li, Li & Venkatasubramanian 2007 — the distribution-disclosure
+    * member of the privacy triad: [[kAnonymity]] guards group size,
+    * [[lDiversity]] guards distinct counts, t-closeness guards how far
+    * a group's sensitive DISTRIBUTION drifts from the table's): per
+    * quasi-identifier group, the Earth Mover's Distance to the global
+    * distribution under the ordered-distance ground metric, which
+    * collapses to EMD = Σ_v |P_g(≤v) − P(≤v)| / (m−1) over the m-value
+    * ordered domain.
+    *
+    * Exactness/scale: the cumulative difference is computed as the
+    * INTEGER numerator cum_g·n − cum·n_g over the common denominator
+    * n_g·n (DECIMAL(19,0) products — long c·n wraps at petabyte
+    * cardinalities, the HHI lesson), summed exactly, divided once in
+    * double on the 8dp grid. The value grid is (groups × domain) —
+    * domain-sized windows (the RankStats discipline), never row-sized;
+    * NULL sensitive values are excluded from both distributions.
+    * Output per group: qi columns, n, emd, above_t. */
+  def tCloseness(df: DataFrame, qis: Seq[String], sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(qis.nonEmpty && t > 0.0 && t < 1.0, s"qis=$qis t=$t")
+    val v = col(sensitiveCol)
+    val base = df.where(v.isNotNull)
+      .select(qis.map(col) :+ v.cast("long").as("__v"): _*)
+    val counts = base.groupBy(qis.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val domain = base.groupBy(col("__v")).agg(count(lit(1)).as("__gc"))
+    val wDom = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAllDom = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val globalCum = domain
+      .withColumn("__cum", sum(col("__gc")).over(wDom))
+      .withColumn("__m", count(lit(1)).over(wAllDom))
+      .withColumn("__n", sum(col("__gc")).over(wAllDom))
+      .select(col("__v"), col("__cum"), col("__m"), col("__n"))
+    val groups = counts.groupBy(qis.map(col): _*)
+      .agg(sum(col("__c")).as("__ng"))
+    // full (group × domain) grid so absent cells carry cum forward
+    val grid = groups.crossJoin(broadcast(globalCum.select(col("__v"))))
+      .join(counts, qis :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+    val wGrp = Window.partitionBy(qis.map(col): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val cells = grid
+      .withColumn("__cumg", sum(col("__c")).over(wGrp))
+      .join(broadcast(globalCum), Seq("__v"))
+      .withColumn("__num",
+        abs(dec(col("__cumg")) * dec(col("__n")) -
+          dec(col("__cum")) * dec(col("__ng"))))
+    cells.groupBy((qis.map(col) :+ col("__ng") :+ col("__m")
+        :+ col("__n")): _*)
+      .agg(sum(col("__num")).as("__s"))
+      .select(qis.map(col) ++ Seq(col("__ng").as("n"),
+        round(col("__s").cast("double") /
+          (col("__ng").cast("double") * col("__n").cast("double") *
+            (col("__m") - 1).cast("double")), 8).as("emd")): _*)
+      .withColumn("above_t", col("emd") > t)
   }
 
   /** Functional-dependency audit lhs → rhs: does every `lhs` value map

@@ -888,4 +888,67 @@ object Stats {
       .select(col(groupCol), col("n"), round(col("med"), 8).as("med"),
         round(col("mad"), 8).as("mad"), col("n_outliers"))
   }
+
+  /** Two-group log-rank test (Mantel–Cox; Mantel 1966) — "do the two
+    * arms share a survival curve?", the hypothesis-test companion of
+    * [[kaplanMeier]]. At each duration with ≥1 death: observed deaths
+    * in arm A vs the hypergeometric expectation d·n_A/n and variance
+    * d·n_A·n_B·(n−d)/(n²(n−1)); χ² = (ΣO−ΣE)²/ΣV with 1 df.
+    *
+    * Determinism: at-risk counts are reverse-cumulative INTEGER sums
+    * over the bounded duration grid (the kaplanMeier single-partition
+    * convention — the grid is durations, never subjects); each per-time
+    * E and V term is rounded to the 8dp grid and summed in DECIMAL
+    * (order-free), the division happens once at the end (the q_anova
+    * grid-sum rule — an IEEE sum over engine-ordered times would not be
+    * portable). Times with a single subject at risk contribute no
+    * variance and are excluded (n ≤ 1 — the standard convention).
+    * Exactly two non-null groups are required (checked via a 2-row
+    * bounded collect, the ≤-groups stats convention). Output one row:
+    * group_a, group_b, n_times, o_a, e_a, variance, chi2. */
+  def logRank(df: DataFrame, durCol: String, eventCol: String,
+      groupCol: String): DataFrame = {
+    val base = df
+      .where(col(durCol).isNotNull && col(eventCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(durCol).cast("long").as("dur"),
+        col(eventCol).cast("boolean").as("ev"),
+        col(groupCol).cast("string").as("g"))
+    val gs = base.select(col("g")).distinct().orderBy(col("g"))
+      .limit(3).collect().map(_.getString(0))
+    require(gs.length == 2,
+      s"logRank needs exactly 2 groups, found ${gs.length}")
+    val (ga, gb) = (gs(0), gs(1))
+    val byDur = base.groupBy(col("dur")).agg(
+      sum(when(col("g") === ga && col("ev"), 1L).otherwise(0L)).as("d_a"),
+      sum(when(col("g") === gb && col("ev"), 1L).otherwise(0L)).as("d_b"),
+      sum(when(col("g") === ga, 1L).otherwise(0L)).as("c_a"),
+      sum(when(col("g") === gb, 1L).otherwise(0L)).as("c_b"))
+    val wRisk = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = byDur
+      .withColumn("n_a", sum(col("c_a")).over(wRisk))
+      .withColumn("n_b", sum(col("c_b")).over(wRisk))
+    val d = (c: Column) => c.cast("double")
+    val n = col("n_a") + col("n_b")
+    val dd = col("d_a") + col("d_b")
+    val terms = risk
+      .where(dd > 0 && n > 1)
+      .select(col("d_a"),
+        round(d(dd) * d(col("n_a")) / d(n), 8).as("e_t"),
+        round(d(dd) * d(col("n_a")) * d(col("n_b")) * d(n - dd) /
+          (d(n) * d(n) * d(n - 1)), 8).as("v_t"))
+    val agg = terms.agg(
+      count(lit(1)).as("n_times"),
+      sum(col("d_a")).as("o_a"),
+      sum(col("e_t").cast("decimal(38,8)")).as("__e"),
+      sum(col("v_t").cast("decimal(38,8)")).as("__v"))
+    val oe = col("o_a").cast("double") - col("__e").cast("double")
+    agg.select(lit(ga).as("group_a"), lit(gb).as("group_b"),
+      col("n_times"), col("o_a"),
+      col("__e").cast("double").as("e_a"),
+      col("__v").cast("double").as("variance"),
+      when(col("__v").cast("double") > 0.0,
+        round(oe * oe / col("__v").cast("double"), 8)).as("chi2"))
+  }
 }

@@ -629,6 +629,78 @@ object EventQueries {
     // corpus reduces to one row per distinct lifetime-day first, so the
     // survival recursion's windows run over the bounded duration grid
     // (the q_ks_test single-partition convention), never over users.
+    // Two-arm log-rank test over the same lifetime spans as
+    // q_kaplan_meier: arms assigned by the engine's md5 hash split (the
+    // A/B convention), per-time hypergeometric O−E/V terms on the 8dp
+    // grid summed in DECIMAL, χ² once at the end.
+    QuerySpec("q_logrank", (s, dir) => {
+      val spans = events(s, dir)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+      val cut = spans.agg((max(col("mx")) - lit(604800000000L)).as("cut"))
+      val sp = graft.llm.Sampling.assignSplit(
+        spans.crossJoin(cut)
+          .select(col("user_id"),
+            expr("(mx - mn) div 86400000000").as("dur"),
+            (col("mx") <= col("cut")).as("ev")),
+        "user_id", Seq("a" -> 0.5, "b" -> 0.5), seed = "ab",
+        outCol = "arm")
+      graft.engine.Stats.logRank(sp, "dur", "ev", "arm")
+    }, Some(
+      """WITH s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT MAX(mx) - 604800000000 AS cut FROM s),
+        |sp AS (
+        |  SELECT (mx - mn) // 86400000000 AS dur, mx <= c.cut AS ev,
+        |         CASE WHEN substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+        |                          1, 8) < '80000000'
+        |              THEN 'a' ELSE 'b' END AS arm
+        |  FROM s CROSS JOIN c),
+        |bd AS (
+        |  SELECT dur,
+        |         CAST(SUM(CASE WHEN arm = 'a' AND ev THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS d_a,
+        |         CAST(SUM(CASE WHEN arm = 'b' AND ev THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS d_b,
+        |         CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c_a,
+        |         CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c_b
+        |  FROM sp GROUP BY dur),
+        |r AS (
+        |  SELECT dur, d_a, d_b,
+        |         SUM(c_a) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+        |                        AND UNBOUNDED FOLLOWING) AS n_a,
+        |         SUM(c_b) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+        |                        AND UNBOUNDED FOLLOWING) AS n_b
+        |  FROM bd),
+        |t AS (
+        |  SELECT d_a,
+        |         ROUND(CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |               / CAST(n_a + n_b AS DOUBLE), 8) AS e_t,
+        |         ROUND(CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |               * CAST(n_b AS DOUBLE)
+        |               * CAST(n_a + n_b - d_a - d_b AS DOUBLE)
+        |               / (CAST(n_a + n_b AS DOUBLE)
+        |                  * CAST(n_a + n_b AS DOUBLE)
+        |                  * CAST(n_a + n_b - 1 AS DOUBLE)), 8) AS v_t
+        |  FROM r WHERE d_a + d_b > 0 AND n_a + n_b > 1),
+        |a AS (
+        |  SELECT COUNT(*) AS n_times, CAST(SUM(d_a) AS BIGINT) AS o_a,
+        |         CAST(SUM(CAST(e_t AS DECIMAL(38,8))) AS DOUBLE) AS e_a,
+        |         CAST(SUM(CAST(v_t AS DECIMAL(38,8))) AS DOUBLE)
+        |           AS variance
+        |  FROM t)
+        |SELECT 'a' AS group_a, 'b' AS group_b, n_times, o_a, e_a,
+        |       variance,
+        |       CASE WHEN variance > 0.0
+        |            THEN ROUND((CAST(o_a AS DOUBLE) - e_a)
+        |                       * (CAST(o_a AS DOUBLE) - e_a)
+        |                       / variance, 8) END AS chi2
+        |FROM a""".stripMargin)),
+
     QuerySpec("q_kaplan_meier", (s, dir) => {
       val spans = events(s, dir)
         .groupBy("user_id")

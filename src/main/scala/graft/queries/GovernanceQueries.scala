@@ -39,6 +39,49 @@ object GovernanceQueries {
         |               / CAST(SUM(cnt) AS DOUBLE), 8) AS diverse_frac
         |FROM g""".stripMargin)),
 
+    // t-closeness audit (completes the privacy triad): per-returnflag
+    // EMD of the quantity distribution vs the table's, ordered ground
+    // metric, exact integer cumulative-difference numerators.
+    QuerySpec("q_t_closeness", (s, dir) => {
+      Governance.tCloseness(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", t = 0.05)
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |cnt AS (SELECT g, v, COUNT(*) AS c FROM b GROUP BY g, v),
+        |dom AS (SELECT v, COUNT(*) AS gc FROM b GROUP BY v),
+        |gl AS (
+        |  SELECT v, SUM(gc) OVER (ORDER BY v) AS cum,
+        |         COUNT(*) OVER () AS m, SUM(gc) OVER () AS n
+        |  FROM dom),
+        |grp AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM cnt GROUP BY g),
+        |grid AS (
+        |  SELECT grp.g, grp.ng, gl.v, gl.cum, gl.m, gl.n,
+        |         COALESCE(cnt.c, 0) AS c
+        |  FROM grp CROSS JOIN gl
+        |  LEFT JOIN cnt ON cnt.g = grp.g AND cnt.v = gl.v),
+        |cm AS (
+        |  SELECT g, ng, m, n, cum,
+        |         SUM(c) OVER (PARTITION BY g ORDER BY v) AS cumg
+        |  FROM grid),
+        |sm AS (
+        |  SELECT g, ng, m, n,
+        |         SUM(ABS(CAST(cumg AS DECIMAL(19,0))
+        |                 * CAST(n AS DECIMAL(19,0))
+        |                 - CAST(cum AS DECIMAL(19,0))
+        |                 * CAST(ng AS DECIMAL(19,0)))) AS sn
+        |  FROM cm GROUP BY g, ng, m, n)
+        |SELECT g AS l_returnflag, ng AS n,
+        |       ROUND(CAST(sn AS DOUBLE)
+        |             / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE)
+        |                * CAST(m - 1 AS DOUBLE)), 8) AS emd,
+        |       ROUND(CAST(sn AS DOUBLE)
+        |             / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE)
+        |                * CAST(m - 1 AS DOUBLE)), 8) > 0.05 AS above_t
+        |FROM sm ORDER BY l_returnflag""".stripMargin)),
+
     // k-anonymity ladder over (nation, segment) quasi-identifiers at
     // k = 5 — one rollup pass gives every generalization level.
     QuerySpec("q_k_anonymity", (s, dir) => {

@@ -99,7 +99,9 @@ class DeterminismSpec extends SparkSpec {
     // FLAC STREAMINFO packed-field byte walk
     "q_flac_meta",
     // χ² presence-contingency top-k; per-group distinct-sensitive audit
-    "q_chi2_select", "q_l_diversity")
+    "q_chi2_select", "q_l_diversity",
+    // privacy-triad EMD grid; hypergeometric grid-sum survival test
+    "q_t_closeness", "q_logrank")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -37,6 +37,20 @@ class GovernanceSpec extends SparkSpec {
     assert(r.getAs[Double]("diverse_frac") === 0.375)
   }
 
+  test("tCloseness: disjoint distributions hit max EMD, matching group 0") {
+    // domain {1,2}: x all-1s, y all-2s (maximally far), z mirrors global
+    val df = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L),
+      ("z", 1L), ("z", 2L)).toDF("qi", "v")
+    val r = Governance.tCloseness(df, Seq("qi"), "v", t = 0.3).collect()
+      .map(x => x.getString(0) ->
+        (x.getAs[Long]("n"), x.getAs[Double]("emd"),
+          x.getAs[Boolean]("above_t"))).toMap
+    // x: |cum_x·n − cum·n_x| at v=1: |2·6 − 3·2| = 6 → 6/(2·6·1) = 0.5
+    assert(r("x") === ((2L, 0.5, true)))
+    assert(r("y") === ((2L, 0.5, true)))
+    assert(r("z") === ((2L, 0.0, false)))
+  }
+
   test("fdAudit: holding FD has zero g3, violating FD counts repairs") {
     val holds = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
     val h = Governance.fdAudit(holds, "k", "v").head()
