@@ -993,6 +993,52 @@ object TextAnalysis {
       .filter(col("cos") >= minCos)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Text"): PageRank over the word co-occurrence
+    * graph — adjacent-token edges, undirected, DISTINCT (the unweighted
+    * TextRank variant) — then the top-k words by rank. Centrality beats
+    * raw frequency for keywords because a word that CONNECTS many
+    * contexts outranks a word that merely repeats in one.
+    *
+    * Composition, not new machinery: the co-occurrence pairs are the
+    * q_bigram_pmi adjacency projection; the solve is
+    * [[graft.llm.Graph.pageRank]]'s exact 2^30 fixed point (engine-
+    * portable integer arithmetic), run over a dense word index built
+    * with a vocabulary-domain rank window (the indexEncode discipline —
+    * the window input is the distinct vocabulary, never token rows);
+    * ranks are rounded to 8dp BEFORE the top-k so the boundary is
+    * portable (ties break on the word). Output: word, rank — top k. */
+  def textRank(docs: DataFrame, textCol: String, iters: Int,
+      k: Int): DataFrame = {
+    require(iters >= 1 && k >= 1, s"iters=$iters k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(tokens(col(textCol)).as("l"))
+    val pairs = toks.where(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l)-1), " +
+          "i -> struct(l[i-1] AS w1, l[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .where(col("w1") =!= col("w2"))
+      .distinct()
+    val vocab = pairs.select(col("w1").as("w"))
+      .unionByName(pairs.select(col("w2").as("w"))).distinct()
+    val idx = vocab.withColumn("id",
+      row_number().over(Window.orderBy(col("w").asc)).cast("long"))
+    val ids = pairs
+      .join(broadcast(idx.toDF("w1", "src")), "w1")
+      .join(broadcast(idx.toDF("w2", "dst")), "w2")
+      .select(col("src"), col("dst"))
+    // undirected: both directions feed the directed solve (pageRank
+    // distincts internally, so a pair present both ways stays simple)
+    val dir = ids.unionByName(
+      ids.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(dir, "src", "dst", iters)
+      .join(broadcast(idx.toDF("word", "node")), "node")
+      .select(col("word"), col("rank"))
+      .orderBy(col("rank").desc, col("word").asc)
+      .limit(k)
+  }
+
   /** χ² feature selection over document-term PRESENCE (the sklearn
     * SelectKBest(chi2) shape for text): for each term, the 2×2
     * term-presence × label contingency χ² with 1 df, top-k terms by

@@ -671,6 +671,50 @@ object TextQueries {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // TextRank keywords: PageRank (3 damped rounds, exact 2^30 fixed
+    // point) over the distinct adjacent-word co-occurrence graph,
+    // undirected; top-20 by 8dp-rounded rank. The oracle unrolls the
+    // identical integer solve with words as node keys (ranks are
+    // id-invariant, so the engine's dense word index is transparent).
+    QuerySpec("q_textrank", (s, dir) => {
+      TextAnalysis.textRank(docs(s, dir), "text", iters = 3, k = 20)
+    }, Some {
+      val S = "CAST(1073741824 AS BIGINT)"
+      val rounds = (1 to 3).map { r =>
+        val prev = s"r${r - 1}"
+        s"""c$r AS (
+           |  SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+           |  FROM e JOIN deg d ON d.src = e.src
+           |  JOIN $prev r ON r.node = e.src
+           |  GROUP BY e.dst),
+           |r$r AS (
+           |  SELECT nodes.node,
+           |         CAST((3 * $S) // (20 * nn.n)
+           |              + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS r
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN c$r c ON c.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                     x -> x <> '') AS l
+         |  FROM documents),
+         |pr AS (
+         |  SELECT DISTINCT l[i] AS w1, l[i + 1] AS w2
+         |  FROM tok, UNNEST(range(1, len(l))) AS t(i)
+         |  WHERE l[i] <> l[i + 1]),
+         |e AS (SELECT w1 AS src, w2 AS dst FROM pr
+         |      UNION SELECT w2, w1 FROM pr),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST($S // nn.n AS BIGINT) AS r
+         |       FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT node AS word,
+         |       ROUND(CAST(r AS DOUBLE) / 1073741824.0, 8) AS rank
+         |FROM r3 ORDER BY rank DESC, word LIMIT 20""".stripMargin
+    }),
+
     // χ² feature selection (SelectKBest shape): top-20 terms by the 2×2
     // presence×label contingency χ² against the English-language label.
     // Products cast double BEFORE multiplying; χ² rounded BEFORE the

@@ -101,7 +101,9 @@ class DeterminismSpec extends SparkSpec {
     // χ² presence-contingency top-k; per-group distinct-sensitive audit
     "q_chi2_select", "q_l_diversity",
     // privacy-triad EMD grid; hypergeometric grid-sum survival test
-    "q_t_closeness", "q_logrank")
+    "q_t_closeness", "q_logrank",
+    // co-occurrence PageRank keywords (vocabulary-domain index windows)
+    "q_textrank")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -566,6 +566,23 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Int]("rank") === 1)
   }
 
+  test("textRank: the connecting word outranks the repeating word") {
+    import graft.llm.TextAnalysis
+    // 'hub' co-occurs with every topic word; 'spam' only repeats inside
+    // one context — centrality must beat frequency
+    val docs = Seq(
+      "hub alpha", "hub beta", "hub gamma", "hub delta",
+      "spam spam spam spam spam epsilon").toDF("text")
+    val r = TextAnalysis.textRank(docs, "text", iters = 3, k = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1))
+    assert(r.head._1 === "hub")
+    val m = r.toMap
+    assert(m("hub") > m("spam"))
+    // self-loops are dropped: a doc of one repeated word adds no edge
+    assert(m.keySet ===
+      Set("hub", "alpha", "beta", "gamma", "delta", "spam", "epsilon"))
+  }
+
   test("chi2Select: textbook 2x2 contingency, full-margin terms excluded") {
     import graft.llm.TextAnalysis
     val docs = Seq(
