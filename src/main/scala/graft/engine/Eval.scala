@@ -335,6 +335,43 @@ object Eval {
           .as("covered"))
   }
 
+  /** Difference-in-differences estimator (the Card–Krueger 2×2 shape):
+    * did = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the causal
+    * screen under the parallel-trends assumption, reading an effect off
+    * observational pre/post data where a naive post-only comparison
+    * confounds treatment with time.
+    *
+    * ONE aggregation computes all four cells (conditional DECIMAL sums
+    * + counts, map-side combinable — never four scans); the means and
+    * the estimate are one double expression on the 8dp grid. Rows with
+    * a NULL outcome, treatment or period flag drop listwise; an EMPTY
+    * cell yields NULL means and a NULL estimate (no extrapolation).
+    * Output one row: n_/mean_ per cell (c_pre, c_post, t_pre, t_post)
+    * and did. */
+  def didEstimate(df: DataFrame, treatCol: String, postCol: String,
+      yCol: String): DataFrame = {
+    val y = col(yCol).cast("decimal(18,2)")
+    val t = col(treatCol).cast("boolean")
+    val p = col(postCol).cast("boolean")
+    val base = df.where(col(yCol).isNotNull && t.isNotNull && p.isNotNull)
+    def cell(cond: Column, tag: String) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(cond, y)).as(s"__s_$tag"))
+    val aggs = cell(!t && !p, "c_pre") ++ cell(!t && p, "c_post") ++
+      cell(t && !p, "t_pre") ++ cell(t && p, "t_post")
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String) = when(col(s"n_$tag") > 0,
+      col(s"__s_$tag").cast("double") / col(s"n_$tag").cast("double"))
+    agg.select(
+      col("n_c_pre"), col("n_c_post"), col("n_t_pre"), col("n_t_post"),
+      round(mean("c_pre"), 8).as("mean_c_pre"),
+      round(mean("c_post"), 8).as("mean_c_post"),
+      round(mean("t_pre"), 8).as("mean_t_pre"),
+      round(mean("t_post"), 8).as("mean_t_post"),
+      round((mean("t_post") - mean("t_pre")) -
+        (mean("c_post") - mean("c_pre")), 8).as("did"))
+  }
+
   /** Empirical conformal coverage of a batch against FIXED per-group
     * intervals (group, pred, qhat) — the monitoring half of
     * [[conformalIntervals]]: a calibrated model's marginal coverage is

@@ -629,6 +629,56 @@ object EventQueries {
     // corpus reduces to one row per distinct lifetime-day first, so the
     // survival recursion's windows run over the bounded duration grid
     // (the q_ks_test single-partition convention), never over users.
+    // Difference-in-differences over event values: arm = md5 hash split
+    // (the A/B convention), period = last-14-days cut; one aggregation
+    // computes all four cells, the estimate is one 8dp expression.
+    QuerySpec("q_did", (s, dir) => {
+      val cut = events(s, dir)
+        .agg((max(unix_micros(col("ts"))) - lit(1209600000000L)).as("cut"))
+      val base = graft.llm.Sampling.assignSplit(
+        events(s, dir).crossJoin(cut)
+          .select(col("user_id"), col("value"),
+            (unix_micros(col("ts")) >= col("cut")).as("post")),
+        "user_id", Seq("c" -> 0.5, "t" -> 0.5), seed = "did",
+        outCol = "arm")
+      graft.engine.Eval.didEstimate(
+        base.withColumn("treated", col("arm") === "t"),
+        "treated", "post", "value")
+    }, Some(
+      """WITH c AS (
+        |  SELECT MAX(epoch_us(ts)) - 1209600000000 AS cut FROM events),
+        |b AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS y,
+        |         substr(md5('did|' || CAST(user_id AS VARCHAR)), 1, 8)
+        |           >= '80000000' AS t,
+        |         epoch_us(ts) >= c.cut AS p
+        |  FROM events CROSS JOIN c WHERE value IS NOT NULL),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c_pre,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c_post,
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t_pre,
+        |    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t_post,
+        |    SUM(CASE WHEN NOT t AND NOT p THEN y END) AS s_c_pre,
+        |    SUM(CASE WHEN NOT t AND p THEN y END) AS s_c_post,
+        |    SUM(CASE WHEN t AND NOT p THEN y END) AS s_t_pre,
+        |    SUM(CASE WHEN t AND p THEN y END) AS s_t_post
+        |  FROM b)
+        |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+        |       ROUND(CAST(s_c_pre AS DOUBLE) / NULLIF(n_c_pre, 0), 8) AS mean_c_pre,
+        |       ROUND(CAST(s_c_post AS DOUBLE) / NULLIF(n_c_post, 0), 8) AS mean_c_post,
+        |       ROUND(CAST(s_t_pre AS DOUBLE) / NULLIF(n_t_pre, 0), 8) AS mean_t_pre,
+        |       ROUND(CAST(s_t_post AS DOUBLE) / NULLIF(n_t_post, 0), 8) AS mean_t_post,
+        |       ROUND((CAST(s_t_post AS DOUBLE) / NULLIF(n_t_post, 0)
+        |              - CAST(s_t_pre AS DOUBLE) / NULLIF(n_t_pre, 0))
+        |             - (CAST(s_c_post AS DOUBLE) / NULLIF(n_c_post, 0)
+        |                - CAST(s_c_pre AS DOUBLE) / NULLIF(n_c_pre, 0)), 8) AS did
+        |FROM a""".stripMargin)),
+
     // Two-arm log-rank test over the same lifetime spans as
     // q_kaplan_meier: arms assigned by the engine's md5 hash split (the
     // A/B convention), per-time hypergeometric O−E/V terms on the 8dp

@@ -103,7 +103,9 @@ class DeterminismSpec extends SparkSpec {
     // privacy-triad EMD grid; hypergeometric grid-sum survival test
     "q_t_closeness", "q_logrank",
     // co-occurrence PageRank keywords (vocabulary-domain index windows)
-    "q_textrank")
+    "q_textrank",
+    // one-pass 2×2 causal cells
+    "q_did")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

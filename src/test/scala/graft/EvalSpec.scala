@@ -87,6 +87,24 @@ class EvalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Boolean]("correct")))
   }
 
+  test("didEstimate: textbook 2x2 cells; empty cell yields NULL, never " +
+      "extrapolation") {
+    // treated: 10→15 (+5); control: 20→22 (+2) → did = +3
+    val df = Seq(
+      (true, false, 10.0), (true, false, 10.0), (true, true, 15.0),
+      (false, false, 20.0), (false, true, 22.0), (false, true, 22.0))
+      .toDF("treated", "post", "y")
+    val r = Eval.didEstimate(df, "treated", "post", "y").head()
+    assert(r.getAs[Long]("n_t_pre") === 2L)
+    assert(r.getAs[Double]("mean_t_post") === 15.0)
+    assert(r.getAs[Double]("did") === 3.0)
+    val empty = Eval.didEstimate(
+      df.where(!(col("treated") && col("post"))), "treated", "post", "y")
+      .head()
+    assert(empty.isNullAt(empty.fieldIndex("mean_t_post")))
+    assert(empty.isNullAt(empty.fieldIndex("did")))
+  }
+
   test("conformalIntervals: order-statistic quantile and coverage flags " +
       "match an independent recomputation; alpha grid enforced") {
     val df = (1L to 400L).map(k => (k, "g", (k % 7).toDouble))
