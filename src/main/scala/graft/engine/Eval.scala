@@ -335,6 +335,55 @@ object Eval {
           .as("covered"))
   }
 
+  /** Isotonic regression of a rate against an ordered score domain via
+    * the exact MINIMAX identity (Ayer et al. 1955; Barlow et al. 1972):
+    * iso(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k) — equal to the
+    * PAVA fit, but expressible as pure relational algebra with no
+    * sequential pooling loop. The monotone-recalibration step a
+    * reliability diagram feeds (isotonic calibration).
+    *
+    * Scale contract: the fit runs over the DISTINCT score domain (one
+    * count/sum aggregation reduces rows to bins first — the RankStats
+    * discipline); the (i, j, k) grid is domain³-bounded (the Tukey
+    * k²-grid convention — calibration domains are tens of bins, never
+    * row-scale; a row-scale x belongs in quantile bins first). Interval
+    * means derive from exact DECIMAL prefix sums, so both engines
+    * compare identical doubles and the min/max pick identical values.
+    * Output per bin: xCol, n, rate (8dp), iso (8dp, non-decreasing). */
+  def isotonicFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val y = col(yCol).cast("decimal(18,2)")
+    val bins = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"))
+      .agg(count(lit(1)).as("n"), sum(y).as("s"))
+    val wOrd = Window.orderBy(col("x").asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val idx = bins
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cn", sum(col("n")).over(wCum))
+      .withColumn("cs", sum(col("s")).over(wCum))
+      .withColumn("cnp", coalesce(lag(col("cn"), 1).over(wOrd), lit(0L)))
+      .withColumn("csp", coalesce(lag(col("cs"), 1).over(wOrd),
+        lit(0).cast("decimal(18,2)")))
+    // interval means over [j, k] from exact prefix-sum differences
+    val jt = idx.select(col("i").as("j"), col("cnp"), col("csp"))
+    val kt = idx.select(col("i").as("k"), col("cn"), col("cs"))
+    val pairs = jt.join(kt, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cs") - col("csp")).cast("double") /
+          (col("cn") - col("cnp")).cast("double")).as("m"))
+    val is = idx.select(col("i"))
+    val fitted = pairs
+      .join(is, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j")).agg(min(col("m")).as("__inner"))
+      .groupBy(col("i")).agg(max(col("__inner")).as("__iso"))
+    idx.join(fitted, "i")
+      .select(col("x").as(xCol), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 8)
+          .as("rate"),
+        round(col("__iso"), 8).as("iso"))
+  }
+
   /** Difference-in-differences estimator (the Card–Krueger 2×2 shape):
     * did = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the causal
     * screen under the parallel-trends assumption, reading an effect off

@@ -203,6 +203,48 @@ object EvalQueries {
          |ORDER BY o_orderkey""".stripMargin
     }),
 
+    // Exact isotonic regression (minimax identity = PAVA, relationally)
+    // of the return rate against the discount domain — the monotone
+    // recalibration step; the (i,j,k) grid is bounded by the 11-value
+    // discount domain, never rows.
+    QuerySpec("q_isotonic", (s, dir) => {
+      Eval.isotonicFit(
+          t(s, dir, "lineitem").select(col("l_discount"),
+            (col("l_returnflag") === "R").cast("int").as("is_r")),
+          "l_discount", "is_r")
+        .orderBy("l_discount")
+    }, Some(
+      """WITH b AS (
+        |  SELECT l_discount AS x,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS yy
+        |  FROM lineitem WHERE l_discount IS NOT NULL),
+        |bins AS (
+        |  SELECT x, COUNT(*) AS n, SUM(CAST(yy AS DECIMAL(18,2))) AS s
+        |  FROM b GROUP BY x),
+        |ip AS (
+        |  SELECT x, n, s,
+        |         ROW_NUMBER() OVER (ORDER BY x) AS i,
+        |         SUM(n) OVER (ORDER BY x) AS cn,
+        |         SUM(s) OVER (ORDER BY x) AS cs,
+        |         COALESCE(SUM(n) OVER (ORDER BY x) - n, 0) AS cnp,
+        |         COALESCE(SUM(s) OVER (ORDER BY x) - s,
+        |                  CAST(0 AS DECIMAL(18,2))) AS csp
+        |  FROM bins),
+        |pairs AS (
+        |  SELECT j.i AS j, k.i AS k,
+        |         CAST(k.cs - j.csp AS DOUBLE)
+        |           / CAST(k.cn - j.cnp AS DOUBLE) AS m
+        |  FROM ip j JOIN ip k ON j.i <= k.i),
+        |tri AS (
+        |  SELECT ii.i AS i, p.j, MIN(p.m) AS inner_m
+        |  FROM pairs p JOIN ip ii ON p.j <= ii.i AND ii.i <= p.k
+        |  GROUP BY ii.i, p.j),
+        |f AS (SELECT i, MAX(inner_m) AS iso FROM tri GROUP BY i)
+        |SELECT ip.x AS l_discount, ip.n,
+        |       ROUND(CAST(ip.s AS DOUBLE) / ip.n, 8) AS rate,
+        |       ROUND(f.iso, 8) AS iso
+        |FROM ip JOIN f ON f.i = ip.i ORDER BY l_discount""".stripMargin)),
+
     // Reliability bins for the fitted logistic scores: fit (3 IRLS
     // rounds) then score and bin in one more pass — predicted
     // probability vs observed rate per decile of p.

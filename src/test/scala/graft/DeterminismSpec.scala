@@ -104,8 +104,8 @@ class DeterminismSpec extends SparkSpec {
     "q_t_closeness", "q_logrank",
     // co-occurrence PageRank keywords (vocabulary-domain index windows)
     "q_textrank",
-    // one-pass 2×2 causal cells
-    "q_did")
+    // one-pass 2×2 causal cells; domain³ minimax isotonic grid
+    "q_did", "q_isotonic")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -87,6 +87,27 @@ class EvalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Boolean]("correct")))
   }
 
+  test("isotonicFit: PAVA pooling via the minimax identity; monotone " +
+      "input unchanged") {
+    // rates 0.2, 0.6, 0.4 (5 rows each) → the violating pair pools to
+    // (3+2)/10 = 0.5; the result must be non-decreasing
+    val rows = Seq.fill(4)((1.0, 0)) ++ Seq((1.0, 1)) ++
+      Seq.fill(2)((2.0, 0)) ++ Seq.fill(3)((2.0, 1)) ++
+      Seq.fill(3)((3.0, 0)) ++ Seq.fill(2)((3.0, 1))
+    val r = Eval.isotonicFit(rows.toDF("x", "yy"), "x", "yy")
+      .orderBy("x").collect()
+      .map(x => (x.getDouble(0), x.getDouble(2), x.getDouble(3)))
+    assert(r.toSeq === Seq((1.0, 0.2, 0.2), (2.0, 0.6, 0.5),
+      (3.0, 0.4, 0.5)))
+    assert(r.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    // already-monotone rates are a fixed point
+    val mono = Seq((1.0, 0), (1.0, 1), (2.0, 1), (2.0, 1))
+    val m = Eval.isotonicFit(mono.toDF("x", "yy"), "x", "yy")
+      .orderBy("x").collect()
+      .map(x => x.getDouble(2) -> x.getDouble(3))
+    assert(m.forall { case (rate, iso) => rate === iso })
+  }
+
   test("didEstimate: textbook 2x2 cells; empty cell yields NULL, never " +
       "extrapolation") {
     // treated: 10→15 (+5); control: 20→22 (+2) → did = +3
