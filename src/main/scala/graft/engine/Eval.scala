@@ -436,17 +436,25 @@ object Eval {
       yCol: String, intervals: Seq[(String, Double, Double)],
       minCoverage: Double): DataFrame = {
     require(intervals.nonEmpty, "coverageAgainstIntervals: no intervals")
+    require(intervals.map(_._1).distinct.size == intervals.size,
+      "coverageAgainstIntervals: duplicate interval group keys — a " +
+        "group joined twice would double-count its rows")
     require(minCoverage > 0.0 && minCoverage < 1.0,
       s"minCoverage=$minCoverage")
     val spark = df.sparkSession
     import spark.implicits._
     val iv = broadcast(intervals.toDF(groupCol, "__pred", "__qhat"))
     val y = col(yCol).cast("double")
-    df.where(col(yCol).isNotNull)
+    // NULL outcomes count as UNCOVERED, not dropped: a group whose rows
+    // all turn unscoreable must depress coverage and alarm, not vanish
+    // from the monitor (the fail-loud stance of the unmodelled-group
+    // branch)
+    df
       .join(iv, Seq(groupCol), "left")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        sum(when(y >= col("__pred") - col("__qhat") &&
+        sum(when(y.isNotNull &&
+          y >= col("__pred") - col("__qhat") &&
           y <= col("__pred") + col("__qhat"), 1L).otherwise(0L))
           .as("n_covered"),
         max(col("__pred").isNotNull).as("__has"))

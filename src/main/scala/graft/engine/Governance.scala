@@ -101,9 +101,13 @@ object Governance {
   def tCloseness(df: DataFrame, qis: Seq[String], sensitiveCol: String,
       t: Double): DataFrame = {
     require(qis.nonEmpty && t > 0.0 && t < 1.0, s"qis=$qis t=$t")
+    // the sensitive value keys the domain in its NATIVE type — a
+    // narrowing cast here would merge distinct fractional values
+    // (collapsing a disclosed distribution to one point: an audit
+    // false negative) and Spark truncates where DuckDB rounds
     val v = col(sensitiveCol)
     val base = df.where(v.isNotNull)
-      .select(qis.map(col) :+ v.cast("long").as("__v"): _*)
+      .select(qis.map(col) :+ v.as("__v"): _*)
     val counts = base.groupBy(qis.map(col) :+ col("__v"): _*)
       .agg(count(lit(1)).as("__c"))
     val domain = base.groupBy(col("__v")).agg(count(lit(1)).as("__gc"))
@@ -136,9 +140,15 @@ object Governance {
         :+ col("__n")): _*)
       .agg(sum(col("__num")).as("__s"))
       .select(qis.map(col) ++ Seq(col("__ng").as("n"),
-        round(col("__s").cast("double") /
-          (col("__ng").cast("double") * col("__n").cast("double") *
-            (col("__m") - 1).cast("double")), 8).as("emd")): _*)
+        // a single-valued domain (m = 1) means every distribution IS
+        // the global one: EMD is exactly 0, not the 0/0 NaN the raw
+        // formula would produce (NaN compares > t in Spark — every
+        // group would spuriously flag)
+        when(col("__m") > 1,
+          round(col("__s").cast("double") /
+            (col("__ng").cast("double") * col("__n").cast("double") *
+              (col("__m") - 1).cast("double")), 8))
+          .otherwise(lit(0.0)).as("emd")): _*)
       .withColumn("above_t", col("emd") > t)
   }
 

@@ -648,11 +648,15 @@ object EventQueries {
       """WITH c AS (
         |  SELECT MAX(epoch_us(ts)) - 1209600000000 AS cut FROM events),
         |b AS (
+        |  -- COALESCE(..., TRUE): a NULL key hashes NULL and the
+        |  -- engine's assignSplit when-chain falls through to the LAST
+        |  -- split ('t') — the oracle must agree, not drop the row
         |  SELECT CAST(value AS DECIMAL(18,2)) AS y,
-        |         substr(md5('did|' || CAST(user_id AS VARCHAR)), 1, 8)
-        |           >= '80000000' AS t,
+        |         COALESCE(substr(md5('did|' || CAST(user_id AS VARCHAR)),
+        |                         1, 8) >= '80000000', TRUE) AS t,
         |         epoch_us(ts) >= c.cut AS p
-        |  FROM events CROSS JOIN c WHERE value IS NOT NULL),
+        |  FROM events CROSS JOIN c
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL),
         |a AS (
         |  SELECT
         |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)

@@ -20,14 +20,19 @@ object GovernanceQueries {
     // l = 3 — group size protects identity, sensitive-value diversity
     // protects the attribute.
     QuerySpec("q_l_diversity", (s, dir) => {
+      // day via the timezone-free epoch div (the events-tier convention
+      // — to_date would shift midnight-adjacent rows under a non-UTC
+      // session while DuckDB's date cast would not)
       Governance.lDiversity(
-        t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+        Tables.events(s, dir).withColumn("day",
+          expr("unix_micros(ts) div 86400000000")),
         Seq("event_type", "day"), "user_id", l = 3)
     }, Some(
       """WITH g AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         COUNT(*) AS cnt,
         |         COUNT(DISTINCT user_id) AS div
-        |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+        |  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000)
         |SELECT COUNT(*) AS n_groups, MIN(div) AS min_diversity,
         |       CAST(SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS groups_below_l,
@@ -48,7 +53,7 @@ object GovernanceQueries {
         .orderBy("l_returnflag")
     }, Some(
       """WITH b AS (
-        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+        |  SELECT l_returnflag AS g, l_quantity AS v
         |  FROM lineitem WHERE l_quantity IS NOT NULL),
         |cnt AS (SELECT g, v, COUNT(*) AS c FROM b GROUP BY g, v),
         |dom AS (SELECT v, COUNT(*) AS gc FROM b GROUP BY v),

@@ -51,6 +51,24 @@ class GovernanceSpec extends SparkSpec {
     assert(r("z") === ((2L, 0.0, false)))
   }
 
+  test("tCloseness: fractional sensitive values stay distinct; a " +
+      "single-valued domain is exactly 0, never NaN") {
+    // truncating casts would merge 0.25/0.75 into one point (audit
+    // false negative); native-type domains must not
+    val frac = Seq(("x", 0.25), ("x", 0.25), ("y", 0.75), ("y", 0.75))
+      .toDF("qi", "s")
+    val rf = Governance.tCloseness(frac, Seq("qi"), "s", t = 0.3)
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("emd")).toMap
+    assert(rf("x") === 0.5 && rf("y") === 0.5)
+    // m = 1: every group IS the global distribution — EMD 0, no flag
+    // (the raw 0/0 formula would yield NaN, which compares > t)
+    val mono = Seq(("x", 7.0), ("y", 7.0)).toDF("qi", "s")
+    val rm = Governance.tCloseness(mono, Seq("qi"), "s", t = 0.3)
+      .collect().map(x => (x.getAs[Double]("emd"),
+        x.getAs[Boolean]("above_t")))
+    assert(rm.forall(_ === ((0.0, false))))
+  }
+
   test("fdAudit: holding FD has zero g3, violating FD counts repairs") {
     val holds = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
     val h = Governance.fdAudit(holds, "k", "v").head()
