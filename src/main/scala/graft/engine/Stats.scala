@@ -889,6 +889,51 @@ object Stats {
         round(col("mad"), 8).as("mad"), col("n_outliers"))
   }
 
+  /** Paired-sample sign-flip permutation test (Fisher randomization):
+    * under H₀ the sign of each paired difference is exchangeable, so
+    * the null distribution of T = Σd is sampled by md5-derived ±1
+    * flips — the engine's portable-randomness convention (the Poisson-
+    * bootstrap draw discipline): replicate b flips d_k iff the first
+    * hex digit of md5(seed|b|key) is odd. p̂ = (1 + #{|T_b| ≥ |T|}) /
+    * (B+1), the add-one estimate that can never report 0. The
+    * assumption-free member of the paired-inference family (A8
+    * parametric t, A9 rank Wilcoxon).
+    *
+    * Exactness: diffs live on the DECIMAL cent grid, every replicate
+    * sum is an exact decimal (order-free), and the |T_b| ≥ |T| compares
+    * are decimal-exact — no float anywhere until the final ratios.
+    * Scale: the explode is a B× row amplification with one md5 per
+    * cell, the documented bootstrap-explode tier (B ≤ a few hundred;
+    * the one-pass native-aggregate upgrade mirrors PoissonBootSums if a
+    * profile demands it). Output one row: n, t_obs (8dp), n_extreme,
+    * p_value. */
+  def signFlipTest(diffs: DataFrame, keyCol: String, dCol: String,
+      b: Int, seed: String = "perm"): DataFrame = {
+    require(b >= 1 && b <= 10000, s"signFlipTest: b=$b")
+    val base = diffs.where(col(dCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(dCol).cast("decimal(18,2)").as("__d"))
+    val obs = base.agg(sum(col("__d")).as("__tobs"),
+      count(lit(1)).as("n"))
+    val hx = substring(md5(concat(lit(s"$seed|"),
+      col("__b").cast("string"), lit("|"), col("__k"))), 1, 1)
+    val flip = pmod(conv(hx, 16, 10).cast("long"), lit(2)) === 1
+    val reps = base
+      .select(col("__k"), col("__d"),
+        explode(sequence(lit(0), lit(b - 1))).as("__b"))
+      .groupBy(col("__b"))
+      .agg(sum(when(flip, -col("__d")).otherwise(col("__d"))).as("__tb"))
+    reps.crossJoin(broadcast(obs))
+      .groupBy(col("n"), col("__tobs"))
+      .agg(sum(when(abs(col("__tb")) >= abs(col("__tobs")), 1L)
+        .otherwise(0L)).as("n_extreme"))
+      .select(col("n"),
+        round(col("__tobs").cast("double"), 8).as("t_obs"),
+        col("n_extreme"),
+        round((lit(1.0) + col("n_extreme").cast("double")) /
+          lit((b + 1).toDouble), 8).as("p_value"))
+  }
+
   /** Two-group log-rank test (Mantel–Cox; Mantel 1966) — "do the two
     * arms share a survival curve?", the hypothesis-test companion of
     * [[kaplanMeier]]. At each duration with ≥1 death: observed deaths

@@ -211,6 +211,61 @@ object StatsQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // A5-A8: per-group paired t statistic from exact decimal moments.
+    // Sign-flip permutation test (B = 99) on per-customer first→last
+    // order-value changes: the assumption-free paired-inference member
+    // beside the parametric t (A8) and rank Wilcoxon (A9). md5 flips,
+    // exact decimal replicate sums, add-one p.
+    QuerySpec("q_perm_test", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val diffs = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          first(col("o_totalprice")).over(w).as("__f"),
+          last(col("o_totalprice")).over(w).as("__l"),
+          count(lit(1)).over(w).as("__c"))
+        .distinct()
+        .where(col("__c") >= 2)
+        .select(col("o_custkey"),
+          (col("__l").cast("decimal(18,2)") -
+            col("__f").cast("decimal(18,2)")).as("d"))
+      Stats.signFlipTest(diffs, "o_custkey", "d", b = 99)
+    }, Some(
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         FIRST_VALUE(o_totalprice) OVER w AS f,
+        |         LAST_VALUE(o_totalprice) OVER w AS l,
+        |         COUNT(*) OVER w AS c
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND UNBOUNDED FOLLOWING)),
+        |fl AS (
+        |  SELECT DISTINCT o_custkey AS k,
+        |         CAST(l AS DECIMAL(18,2)) - CAST(f AS DECIMAL(18,2)) AS d
+        |  FROM o WHERE c >= 2),
+        |obs AS (SELECT SUM(d) AS tobs, COUNT(*) AS n FROM fl),
+        |r AS (
+        |  SELECT bb.b AS b,
+        |         SUM(CASE WHEN (instr('0123456789abcdef',
+        |                  substr(md5('perm|' || CAST(bb.b AS VARCHAR)
+        |                    || '|' || CAST(k AS VARCHAR)), 1, 1)) - 1)
+        |                  % 2 = 1
+        |             THEN -d ELSE d END) AS tb
+        |  FROM fl CROSS JOIN (SELECT unnest(range(0, 99)) AS b) bb
+        |  GROUP BY bb.b)
+        |SELECT obs.n,
+        |       ROUND(CAST(obs.tobs AS DOUBLE), 8) AS t_obs,
+        |       CAST(SUM(CASE WHEN ABS(tb) >= ABS(obs.tobs)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        |       ROUND((1.0 + SUM(CASE WHEN ABS(tb) >= ABS(obs.tobs)
+        |                             THEN 1 ELSE 0 END)) / 100.0, 8)
+        |         AS p_value
+        |FROM r CROSS JOIN obs
+        |GROUP BY obs.n, obs.tobs""".stripMargin)),
+
     QuerySpec("q_paired_ttest", (s, dir) => {
       val in = t(s, dir, "lineitem").select(col("l_returnflag"),
         col("l_extendedprice").as("x"), (col("l_quantity") * 100.0).as("y"))

@@ -104,8 +104,9 @@ class DeterminismSpec extends SparkSpec {
     "q_t_closeness", "q_logrank",
     // co-occurrence PageRank keywords (vocabulary-domain index windows)
     "q_textrank",
-    // one-pass 2×2 causal cells; domain³ minimax isotonic grid
-    "q_did", "q_isotonic")
+    // one-pass 2×2 causal cells; domain³ minimax isotonic grid;
+    // md5 sign-flip randomization sums
+    "q_did", "q_isotonic", "q_perm_test")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>
