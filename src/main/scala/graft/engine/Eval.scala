@@ -421,6 +421,65 @@ object Eval {
         (mean("c_post") - mean("c_pre")), 8).as("did"))
   }
 
+  /** 1-NN covariate matching ATT (Abadie–Imbens shape, with
+    * replacement): each treated unit is matched to the CONTROL nearest
+    * on the covariate axis, and the effect is the mean matched outcome
+    * difference — the selection-on-observables causal screen beside
+    * [[didEstimate]]'s parallel-trends one.
+    *
+    * The nearest-control search is the as-of trick on the covariate
+    * axis, never a treated×control product: ONE sort of the unioned
+    * units by (x, control-first, id) feeds a running last-control
+    * window (backward candidate) and its mirror (forward candidate);
+    * each treated row picks the closer side (tie → backward), so the
+    * whole match costs two windows over one sorted pass. Same-x
+    * controls are eligible both ways (distance 0); the control payload
+    * rides ONE struct (the multi-column window-payload rule). Treated
+    * units with no control on either side drop and are counted.
+    *
+    * Determinism: candidate choice compares exact double distances of
+    * identical values; each matched difference is rounded to the 8dp
+    * grid and summed in DECIMAL (the grid-sum rule), divided once.
+    * Output one row: n_treated, n_matched, att (8dp). */
+  def nnMatchAtt(df: DataFrame, treatCol: String, xCol: String,
+      yCol: String, idCol: String): DataFrame = {
+    val base = df.where(col(treatCol).isNotNull && col(xCol).isNotNull &&
+      col(yCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(treatCol).cast("boolean").as("t"),
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+    val ctl = when(!col("t"),
+      struct(col("x").as("cx"), col("y").as("cy"), col("id").as("cid")))
+    val wB = Window.orderBy(col("x").asc, col("t").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.orderBy(col("x").desc, col("t").asc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = base
+      .withColumn("__b", last(ctl, ignoreNulls = true).over(wB))
+      .withColumn("__f", last(ctl, ignoreNulls = true).over(wF))
+      .where(col("t"))
+    val db = col("x") - col("__b.cx")
+    val dfw = col("__f.cx") - col("x")
+    // both-null falls out of the first branch (null __b) — no typed
+    // null literal needed
+    val pick = when(col("__f").isNull, col("__b"))
+      .when(col("__b").isNull, col("__f"))
+      .when(db <= dfw, col("__b"))
+      .otherwise(col("__f"))
+    val matched = cand.withColumn("__m", pick)
+    matched.agg(
+        count(lit(1)).as("n_treated"),
+        sum(when(col("__m").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("__m").isNotNull,
+          round(col("y") - col("__m.cy"), 8).cast("decimal(38,8)")))
+          .as("__s"))
+      .select(col("n_treated"), col("n_matched"),
+        when(col("n_matched") > 0,
+          round(col("__s").cast("double") /
+            col("n_matched").cast("double"), 8)).as("att"))
+  }
+
   /** Empirical conformal coverage of a batch against FIXED per-group
     * intervals (group, pred, qhat) — the monitoring half of
     * [[conformalIntervals]]: a calibrated model's marginal coverage is

@@ -683,6 +683,92 @@ object EventQueries {
         |                - CAST(s_c_pre AS DOUBLE) / NULLIF(n_c_pre, 0)), 8) AS did
         |FROM a""".stripMargin)),
 
+    // 1-NN covariate matching ATT: users matched treated→nearest-control
+    // on their PRE-period mean value, effect read off POST-period means
+    // — the selection-on-observables screen beside q_did. As-of windows
+    // on the covariate axis (never treated×control); the oracle windows
+    // over the control's unique id and joins back (DuckDB's last_value
+    // over a CASE'd STRUCT stitches fields — the q_attribution lesson).
+    QuerySpec("q_nn_match", (s, dir) => {
+      val cut = events(s, dir)
+        .agg((max(unix_micros(col("ts"))) - lit(1209600000000L)).as("cut"))
+      val per = events(s, dir).crossJoin(cut)
+        .where(col("value").isNotNull)
+        .withColumn("post", unix_micros(col("ts")) >= col("cut"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(!col("post"), col("value").cast("decimal(18,2)")))
+            .as("sp"),
+          sum(when(!col("post"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("post"), col("value").cast("decimal(18,2)")))
+            .as("so"),
+          sum(when(col("post"), 1L).otherwise(0L)).as("no"))
+        .where(col("np") > 0 && col("no") > 0)
+        .select(col("user_id"),
+          round(col("sp").cast("double") / col("np").cast("double"), 8)
+            .as("x_pre"),
+          round(col("so").cast("double") / col("no").cast("double"), 8)
+            .as("y_post"))
+      val armed = graft.llm.Sampling.assignSplit(per, "user_id",
+        Seq("c" -> 0.5, "t" -> 0.5), seed = "match", outCol = "arm")
+      graft.engine.Eval.nnMatchAtt(
+        armed.withColumn("treated", col("arm") === "t"),
+        "treated", "x_pre", "y_post", "user_id")
+    }, Some(
+      """WITH c AS (
+        |  SELECT MAX(epoch_us(ts)) - 1209600000000 AS cut FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM c)
+        |                  THEN CAST(value AS DECIMAL(18,2)) END) AS sp,
+        |         SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM c)
+        |                  THEN 1 ELSE 0 END) AS np,
+        |         SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM c)
+        |                  THEN CAST(value AS DECIMAL(18,2)) END) AS so,
+        |         SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM c)
+        |                  THEN 1 ELSE 0 END) AS no
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id,
+        |         ROUND(CAST(sp AS DOUBLE) / np, 8) AS x,
+        |         ROUND(CAST(so AS DOUBLE) / no, 8) AS y,
+        |         COALESCE(substr(md5('match|' || CAST(user_id AS VARCHAR)),
+        |                         1, 8) >= '80000000', TRUE) AS t
+        |  FROM per WHERE np > 0 AND no > 0),
+        |w AS (
+        |  SELECT user_id, x, y, t,
+        |         last_value(CASE WHEN NOT t THEN user_id END IGNORE NULLS)
+        |           OVER (ORDER BY x, t, user_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS bid,
+        |         last_value(CASE WHEN NOT t THEN user_id END IGNORE NULLS)
+        |           OVER (ORDER BY x DESC, t, user_id DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS fid
+        |  FROM f),
+        |m AS (
+        |  SELECT w.user_id, w.x, w.y,
+        |         b.x AS bx, b.y AS bgy, fw.x AS fx, fw.y AS fgy,
+        |         CASE WHEN w.fid IS NULL AND w.bid IS NULL THEN NULL
+        |              WHEN w.fid IS NULL THEN b.y
+        |              WHEN w.bid IS NULL THEN fw.y
+        |              WHEN (w.x - b.x) <= (fw.x - w.x) THEN b.y
+        |              ELSE fw.y END AS cy
+        |  FROM w
+        |  LEFT JOIN f b ON b.user_id = w.bid
+        |  LEFT JOIN f fw ON fw.user_id = w.fid
+        |  WHERE w.t)
+        |SELECT COUNT(*) AS n_treated,
+        |       CAST(SUM(CASE WHEN cy IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_matched,
+        |       CASE WHEN SUM(CASE WHEN cy IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |            THEN ROUND(CAST(SUM(CAST(ROUND(y - cy, 8)
+        |                                     AS DECIMAL(38,8))) AS DOUBLE)
+        |                 / SUM(CASE WHEN cy IS NOT NULL THEN 1 ELSE 0 END),
+        |                 8) END AS att
+        |FROM m""".stripMargin)),
+
     // Two-arm log-rank test over the same lifetime spans as
     // q_kaplan_meier: arms assigned by the engine's md5 hash split (the
     // A/B convention), per-time hypergeometric O−E/V terms on the 8dp

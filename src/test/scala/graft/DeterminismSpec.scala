@@ -105,8 +105,8 @@ class DeterminismSpec extends SparkSpec {
     // co-occurrence PageRank keywords (vocabulary-domain index windows)
     "q_textrank",
     // one-pass 2×2 causal cells; domain³ minimax isotonic grid;
-    // md5 sign-flip randomization sums
-    "q_did", "q_isotonic", "q_perm_test")
+    // md5 sign-flip randomization sums; covariate-axis as-of matching
+    "q_did", "q_isotonic", "q_perm_test", "q_nn_match")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

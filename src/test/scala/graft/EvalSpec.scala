@@ -87,6 +87,27 @@ class EvalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Boolean]("correct")))
   }
 
+  test("nnMatchAtt: nearest-control picks, tie toward backward, " +
+      "unmatched counted") {
+    // controls at x=10 (y=100) and x=20 (y=200); treated at 12, 19 and
+    // the exact midpoint 15 (tie → backward match at x=10)
+    val df = Seq(
+      (1L, false, 10.0, 100.0), (2L, false, 20.0, 200.0),
+      (3L, true, 12.0, 150.0), (4L, true, 19.0, 210.0),
+      (5L, true, 15.0, 999.0)).toDF("id", "treated", "x", "y")
+    val r = Eval.nnMatchAtt(df, "treated", "x", "y", "id").head()
+    assert(r.getAs[Long]("n_treated") === 3L)
+    assert(r.getAs[Long]("n_matched") === 3L)
+    // (150−100) + (210−200) + (999−100) = 959; 959/3 on the 8dp grid
+    assert(r.getAs[Double]("att") === 319.66666667)
+    // no controls at all → everything unmatched, NULL estimate
+    val none = Eval.nnMatchAtt(df.withColumn("treated",
+      org.apache.spark.sql.functions.lit(true)), "treated", "x", "y", "id")
+      .head()
+    assert(none.getAs[Long]("n_matched") === 0L)
+    assert(none.isNullAt(none.fieldIndex("att")))
+  }
+
   test("coverageAgainstIntervals: null outcomes depress coverage instead " +
       "of vanishing; duplicate interval keys fail loud") {
     val batch = Seq(("a", Option(50.0)), ("a", Option.empty[Double]),
