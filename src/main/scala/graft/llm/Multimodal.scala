@@ -791,6 +791,115 @@ object Multimodal {
     bb.array()
   }
 
+  /** Web-archive facts from a WARC payload: record count and the FIRST
+    * RESPONSE record's type/URI/host/length — the fields a Common-Crawl
+    * text-extraction pipeline reads before any HTML parsing. */
+  final case class WarcMeta(id: Long, version: String, n_records: Long,
+      target_uri: String, host: String, response_len: Long)
+
+  /** REAL web-archive container walk (WARC/1.1, ISO 28500 — the
+    * Common-Crawl container; header blocks are CRLF-delimited ASCII and
+    * record payloads are skipped by their declared Content-Length, so
+    * the walk is pure byte arithmetic like the RIFF/ISO-BMFF chains):
+    * verifies the `WARC/` magic per record, reads WARC-Type /
+    * WARC-Target-URI / Content-Length from each header block, skips
+    * payload + the mandatory trailing CRLFCRLF, and reports the first
+    * `response` record's URI (host = the authority between `://` and
+    * the next `/`). Every skip is bounds-checked against the remaining
+    * buffer (the mvhd/fmt lesson) — truncation fails closed, never
+    * reads past the declared block. */
+  def decodeWarc(r: MediaRecord): WarcMeta = {
+    val b = r.payload
+    val CRLF2 = "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def indexOf(pat: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i <= b.length - pat.length) {
+        var j = 0
+        while (j < pat.length && b(i + j) == pat(j)) j += 1
+        if (j == pat.length) return i
+        i += 1
+      }
+      -1
+    }
+    var pos = 0
+    var nRec = 0L
+    var version: String = null
+    var uri: String = null
+    var respLen = -1L
+    while (pos < b.length) {
+      val hdrEnd = indexOf(CRLF2, pos)
+      require(hdrEnd >= 0, s"unterminated WARC header block at byte " +
+        s"$pos for id=${r.id}")
+      val hdr = new String(b, pos, hdrEnd - pos,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val lines = hdr.split("\r\n")
+      require(lines.nonEmpty && lines(0).startsWith("WARC/"),
+        s"missing WARC/ magic at byte $pos for id=${r.id}")
+      if (version == null) version = lines(0).stripPrefix("WARC/")
+      def field(name: String): Option[String] = lines.tail
+        .find(_.toLowerCase.startsWith(s"${name.toLowerCase}:"))
+        .map(_.split(":", 2)(1).trim)
+      val len = field("Content-Length")
+        .getOrElse(throw new IllegalArgumentException(
+          s"WARC record without Content-Length for id=${r.id}")).toLong
+      require(len >= 0 &&
+        hdrEnd + CRLF2.length + len + CRLF2.length <= b.length,
+        s"truncated WARC record payload at byte $pos for id=${r.id}")
+      if (respLen < 0 && field("WARC-Type").contains("response")) {
+        respLen = len
+        uri = field("WARC-Target-URI").orNull
+      }
+      nRec += 1
+      pos = hdrEnd + CRLF2.length + len.toInt + CRLF2.length
+    }
+    require(nRec > 0, s"WARC payload without records for id=${r.id}")
+    require(respLen >= 0, s"WARC payload without a response record " +
+      s"for id=${r.id}")
+    val host = Option(uri).map { u =>
+      val a = u.indexOf("://")
+      require(a >= 0, s"WARC-Target-URI without scheme for id=${r.id}")
+      val rest = u.substring(a + 3)
+      val slash = rest.indexOf('/')
+      if (slash < 0) rest else rest.substring(0, slash)
+    }.orNull
+    WarcMeta(r.id, version, nRec, uri, host, respLen)
+  }
+
+  /** Batched per-partition WARC walk — same `mapPartitions` shape as
+    * the other media decoders. */
+  def warcMeta(ds: Dataset[MediaRecord]): Dataset[WarcMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeWarc))
+  }
+
+  /** Deterministic WARC generator (request + response record pair, the
+    * crawl-capture shape): uri = https://h<id mod 7>.example/p/<id>,
+    * request length = 10 + id mod 5, response length = 20 + id mod 11 —
+    * all SQL-expressible facts an oracle recomputes without parsing.
+    * Payload bytes are a pure function of (id, offset). */
+  def syntheticWarc(id: Long): Array[Byte] = {
+    val uri = s"https://h${Math.floorMod(id, 7L)}.example/p/$id"
+    val reqLen = (10 + Math.floorMod(id, 5L)).toInt
+    val respLen = (20 + Math.floorMod(id, 11L)).toInt
+    def rec(typ: String, len: Int): Array[Byte] = {
+      val hdr = s"WARC/1.1\r\nWARC-Type: $typ\r\n" +
+        s"WARC-Record-ID: <urn:graft:$id:$typ>\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Length: $len\r\n\r\n"
+      val h = hdr.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](h.length + len + 4)
+      System.arraycopy(h, 0, out, 0, h.length)
+      var i = 0
+      while (i < len) {
+        out(h.length + i) = Math.floorMod(id * 31 + i * 7, 251L).toByte
+        i += 1
+      }
+      out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+      out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+      out
+    }
+    rec("request", reqLen) ++ rec("response", respLen)
+  }
+
   /** STUB decode — deterministic fake features, used for the kinds this
     * container genuinely cannot decode (video FRAMES and lossy-audio
     * SPECTRA; container/stream metadata goes through the real

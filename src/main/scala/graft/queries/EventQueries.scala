@@ -1365,6 +1365,30 @@ object EventQueries {
         |         // CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL web-archive container walk (WARC/1.1 — the Common-Crawl
+    // container: CRLF-delimited ASCII headers + Content-Length payload
+    // skips, pure byte arithmetic): request+response pairs generated per
+    // doc_id, walked back into record count + the response record's
+    // URI/host/length; every fact recomputed arithmetically.
+    QuerySpec("q_warc_meta", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "application/warc",
+          Multimodal.syntheticWarc(id)))
+      Multimodal.warcMeta(recs).toDF()
+        .select(col("id").as("doc_id"), col("version"), col("n_records"),
+          col("target_uri"), col("host"), col("response_len"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, '1.1' AS version, CAST(2 AS BIGINT) AS n_records,
+        |       'https://h' || CAST(doc_id % 7 AS VARCHAR)
+        |         || '.example/p/' || CAST(doc_id AS VARCHAR)
+        |         AS target_uri,
+        |       'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+        |       CAST(20 + doc_id % 11 AS BIGINT) AS response_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Peak concurrency per event type (sweep-line +1/−1 prefix sum over
     // half-open [start, start+value·1s) intervals): the capacity question
     // — "how many were in flight at once, and when did the peak first

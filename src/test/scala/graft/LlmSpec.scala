@@ -55,6 +55,8 @@ class MultimodalProps extends Properties("llm.multimodal") {
         MediaRecord(id, "audio/flac", Multimodal.syntheticFlac(id)))
       val info = Multimodal.decodeMp3(
         MediaRecord(id, "audio/mpeg", Multimodal.syntheticMp3Info(id)))
+      val warc = Multimodal.decodeWarc(
+        MediaRecord(id, "application/warc", Multimodal.syntheticWarc(id)))
       wav.n_samples == 16 + Math.floorMod(id, 17L) &&
         wav.sample_rate == 8000 + Math.floorMod(id, 4L) * 2000 &&
         mp4.duration == 2000 + Math.floorMod(id, 977L) * 3 &&
@@ -72,7 +74,12 @@ class MultimodalProps extends Properties("llm.multimodal") {
         flac.channels == 1 + Math.floorMod(id, 2L) && flac.bits == 16 &&
         flac.total_samples == 1000 + Math.floorMod(id, 97L) &&
         flac.duration_ms == Math.floorDiv(
-          flac.total_samples * 1000L, flac.sample_rate)
+          flac.total_samples * 1000L, flac.sample_rate) &&
+        warc.version == "1.1" && warc.n_records == 2L &&
+        warc.host == s"h${Math.floorMod(id, 7L)}.example" &&
+        warc.target_uri ==
+          s"https://h${Math.floorMod(id, 7L)}.example/p/$id" &&
+        warc.response_len == 20 + Math.floorMod(id, 11L)
     }
 
   property("parsers fail closed on truncation: IAE or a valid prefix, never index errors") =
@@ -95,6 +102,17 @@ class MultimodalProps extends Properties("llm.multimodal") {
               MediaRecord(id, "f", cut(Multimodal.syntheticFlac(id))))
             permille == 1000 &&
               m.total_samples == 1000 + Math.floorMod(id, 97L)
+          } catch {
+            case _: IllegalArgumentException => permille < 1000
+            case _: Throwable => false
+          }
+        } && {
+          // WARC: a strict prefix loses the response record (or a
+          // payload byte) → must IAE; only the full pair parses
+          try {
+            val m = Multimodal.decodeWarc(
+              MediaRecord(id, "w", cut(Multimodal.syntheticWarc(id))))
+            permille == 1000 && m.n_records == 2L
           } catch {
             case _: IllegalArgumentException => permille < 1000
             case _: Throwable => false
