@@ -993,6 +993,32 @@ object TextAnalysis {
       .filter(col("cos") >= minCos)
   }
 
+  /** HTML → text extraction (the step after the WARC walk in a crawl
+    * pipeline): drops script/style blocks and comments, strips tags,
+    * unescapes the five basic entities, collapses whitespace. Pure
+    * map-side Column chain (codegen'd regexp_replace — no UDF); every
+    * pattern is RE2-compatible (non-greedy + embedded (?s), no
+    * backreferences or lookaround) so an oracle replays it verbatim.
+    * `&amp;` unescapes LAST — the classic ordering that keeps an
+    * escaped "&amp;lt;" from turning into a live "<". This is the
+    * boilerplate-light tier: readability-grade main-content extraction
+    * needs a DOM and is out of scope (stripBoilerplate handles the
+    * line-frequency cleanup downstream). */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
     * Bringing Order into Text"): PageRank over the word co-occurrence
     * graph — adjacent-token edges, undirected, DISTINCT (the unweighted

@@ -671,6 +671,49 @@ object TextQueries {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // HTML → text extraction over deterministically-wrapped documents
+    // (script/comment/tag strip, entity unescape, whitespace collapse):
+    // the crawl-pipeline step after q_warc_meta. Map-only codegen'd
+    // regexp chain; the oracle replays every RE2-compatible pattern.
+    QuerySpec("q_html_extract", (s, dir) => {
+      val html = concat(
+        lit("<html><head><script>var x=1;</script><title>T"),
+        col("doc_id"), lit("</title></head><body><p>"), col("text"),
+        lit(" &amp; fin</p><!-- crawl meta --></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.htmlToText(html).as("extracted"))
+        .withColumn("n_chars", length(col("extracted")).cast("long"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<html><head><script>var x=1;</script><title>T'
+        |           || CAST(doc_id AS VARCHAR)
+        |           || '</title></head><body><p>' || text
+        |           || ' &amp; fin</p><!-- crawl meta --></body></html>'
+        |           AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(
+        |                   regexp_replace(html,
+        |                     '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |                   '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |                 '(?s)<!--.*?-->', ' ', 'g'),
+        |               '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |           '\s+', ' ', 'g')) AS extracted
+        |  FROM h)
+        |SELECT doc_id, extracted,
+        |       CAST(length(extracted) AS BIGINT) AS n_chars
+        |FROM x ORDER BY doc_id""".stripMargin)),
+
     // TextRank keywords: PageRank (3 damped rounds, exact 2^30 fixed
     // point) over the distinct adjacent-word co-occurrence graph,
     // undirected; top-20 by 8dp-rounded rank. The oracle unrolls the

@@ -107,8 +107,8 @@ class DeterminismSpec extends SparkSpec {
     // one-pass 2×2 causal cells; domain³ minimax isotonic grid;
     // md5 sign-flip randomization sums; covariate-axis as-of matching
     "q_did", "q_isotonic", "q_perm_test", "q_nn_match",
-    // WARC CRLF-header/Content-Length byte walk
-    "q_warc_meta")
+    // WARC CRLF-header/Content-Length byte walk; RE2 strip chain
+    "q_warc_meta", "q_html_extract")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -584,6 +584,19 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Int]("rank") === 1)
   }
 
+  test("htmlToText: scripts/comments/tags drop, entities unescape in " +
+      "the safe order, whitespace collapses") {
+    import graft.llm.TextAnalysis
+    val html = Seq(
+      "<html><script>\nif (a<b) {}\n</script><style>p{}</style>" +
+        "<body><p>A &amp;lt; B</p><!-- hidden\nnote --> C&nbsp;&amp; D" +
+        "</body></html>").toDF("h")
+    val got = html.select(TextAnalysis.htmlToText(col("h")).as("t"))
+      .head().getString(0)
+    // &amp;lt; must become the literal text "&lt;", never a live "<"
+    assert(got === "A &lt; B C & D")
+  }
+
   test("textRank: the connecting word outranks the repeating word") {
     import graft.llm.TextAnalysis
     // 'hub' co-occurs with every topic word; 'spam' only repeats inside
