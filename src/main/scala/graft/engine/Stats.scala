@@ -923,15 +923,19 @@ object Stats {
         explode(sequence(lit(0), lit(b - 1))).as("__b"))
       .groupBy(col("__b"))
       .agg(sum(when(flip, -col("__d")).otherwise(col("__d"))).as("__tb"))
-    reps.crossJoin(broadcast(obs))
-      .groupBy(col("n"), col("__tobs"))
+    // GLOBAL aggregates on both sides so an all-null/empty sample still
+    // returns the documented ONE row (n = 0, NULL statistic/p) — a
+    // groupBy over the empty replicate frame would return zero rows
+    val ext = reps.crossJoin(broadcast(obs))
       .agg(sum(when(abs(col("__tb")) >= abs(col("__tobs")), 1L)
-        .otherwise(0L)).as("n_extreme"))
+        .otherwise(0L)).as("__ne"))
+    obs.crossJoin(broadcast(ext))
       .select(col("n"),
         round(col("__tobs").cast("double"), 8).as("t_obs"),
-        col("n_extreme"),
-        round((lit(1.0) + col("n_extreme").cast("double")) /
-          lit((b + 1).toDouble), 8).as("p_value"))
+        coalesce(col("__ne"), lit(0L)).as("n_extreme"),
+        when(col("n") > 0,
+          round((lit(1.0) + coalesce(col("__ne"), lit(0L))
+            .cast("double")) / lit((b + 1).toDouble), 8)).as("p_value"))
   }
 
   /** Two-group log-rank test (Mantel–Cox; Mantel 1966) — "do the two

@@ -830,8 +830,10 @@ object Multimodal {
       val hdrEnd = indexOf(CRLF2, pos)
       require(hdrEnd >= 0, s"unterminated WARC header block at byte " +
         s"$pos for id=${r.id}")
+      // UTF-8: the WARC spec allows non-ASCII header values (IRIs in
+      // the wild) — an ASCII decode would silently U+FFFD them
       val hdr = new String(b, pos, hdrEnd - pos,
-        java.nio.charset.StandardCharsets.US_ASCII)
+        java.nio.charset.StandardCharsets.UTF_8)
       val lines = hdr.split("\r\n")
       require(lines.nonEmpty && lines(0).startsWith("WARC/"),
         s"missing WARC/ magic at byte $pos for id=${r.id}")
@@ -842,8 +844,11 @@ object Multimodal {
       val len = field("Content-Length")
         .getOrElse(throw new IllegalArgumentException(
           s"WARC record without Content-Length for id=${r.id}")).toLong
-      require(len >= 0 &&
-        hdrEnd + CRLF2.length + len + CRLF2.length <= b.length,
+      // bound BEFORE any addition: a near-Long.MaxValue declared length
+      // would wrap the naive hdrEnd+len+8 check negative, truncate in
+      // toInt, and loop the walk forever on untrusted crawl bytes
+      val room = b.length - hdrEnd - 2L * CRLF2.length
+      require(len >= 0 && len <= room,
         s"truncated WARC record payload at byte $pos for id=${r.id}")
       if (respLen < 0 && field("WARC-Type").contains("response")) {
         respLen = len

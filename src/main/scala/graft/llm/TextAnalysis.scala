@@ -1005,10 +1005,13 @@ object TextAnalysis {
     * needs a DOM and is out of scope (stripBoilerplate handles the
     * line-frequency cleanup downstream). */
   def htmlToText(html: Column): Column = {
+    // (?i): HTML tag names are case-insensitive and uppercase <SCRIPT>
+    // occurs in older pages — without it the block BODY leaks into the
+    // text once the generic tag strip removes only the tags
     val noScript = regexp_replace(html,
-      "(?s)<script[^>]*>.*?</script>", " ")
+      "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript,
-      "(?s)<style[^>]*>.*?</style>", " ")
+      "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -1016,7 +1019,10 @@ object TextAnalysis {
       .foldLeft(noTags) { case (c, (from, to)) =>
         replace(c, lit(from), lit(to))
       }
-    trim(regexp_replace(ent, "\\s+", " "))
+    // explicit class, not \s: Java's \s includes \x0B, RE2's does not —
+    // the one dialect gap in this chain, spelled out so the oracle IS a
+    // verbatim replay
+    trim(regexp_replace(ent, "[ \\t\\n\\r\\f\\x0B]+", " "))
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:

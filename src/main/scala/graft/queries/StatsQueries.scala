@@ -216,16 +216,15 @@ object StatsQueries {
     // beside the parametric t (A8) and rank Wilcoxon (A9). md5 flips,
     // exact decimal replicate sums, add-one p.
     QuerySpec("q_perm_test", (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // min_by/max_by over the (date, key) total order: one aggregation
+      // with map-side partials — a full-frame window + distinct would
+      // sort every order row and shuffle twice for the same values
+      val key = struct(col("o_orderdate"), col("o_orderkey"))
       val diffs = t(s, dir, "orders")
-        .select(col("o_custkey"),
-          first(col("o_totalprice")).over(w).as("__f"),
-          last(col("o_totalprice")).over(w).as("__l"),
-          count(lit(1)).over(w).as("__c"))
-        .distinct()
+        .groupBy(col("o_custkey"))
+        .agg(min_by(col("o_totalprice"), key).as("__f"),
+          max_by(col("o_totalprice"), key).as("__l"),
+          count(lit(1)).as("__c"))
         .where(col("__c") >= 2)
         .select(col("o_custkey"),
           (col("__l").cast("decimal(18,2)") -

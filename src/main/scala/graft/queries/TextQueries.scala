@@ -702,13 +702,13 @@ object TextQueries {
         |               regexp_replace(
         |                 regexp_replace(
         |                   regexp_replace(html,
-        |                     '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |                   '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |                     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |                 '(?s)<!--.*?-->', ' ', 'g'),
         |               '<[^>]*>', ' ', 'g'),
         |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-        |           '\s+', ' ', 'g')) AS extracted
+        |           '[ \t\n\r\f\x0B]+', ' ', 'g')) AS extracted
         |  FROM h)
         |SELECT doc_id, extracted,
         |       CAST(length(extracted) AS BIGINT) AS n_chars
