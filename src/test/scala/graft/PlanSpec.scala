@@ -560,6 +560,48 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("negativeSample: rank map-back and positive anti-join never plan " +
+      "a cartesian; the catalog rank table broadcasts") {
+    val pos = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("u"), col("o_orderkey").as("it"))
+    val plan = planString(graft.llm.Sampling.negativeSample(
+      pos, "u", "it", Tables.load(spark, dir, "part"), "p_partkey", k = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("oversample: factors ride a broadcast map-back — the fact side " +
+      "never sort-merge-joins") {
+    val plan = planString(graft.llm.Sampling.oversample(
+      Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("event_type")), "event_type"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("nnMatchAtt: the whole match is windows over one sorted pass — " +
+      "no join of treated against controls at all") {
+    val units = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"),
+        (col("o_orderkey") % 2 === 0).as("tr"),
+        col("o_totalprice").as("x"), col("o_totalprice").as("y"))
+    val plan = planString(graft.engine.Eval.nnMatchAtt(
+      units, "tr", "x", "y", "id"))
+    assert(!plan.contains("Join"), plan) // windows + one global agg only
+    assert("Window".r.findAllIn(plan).nonEmpty, plan)
+  }
+
+  test("chi2Select: one term-keyed aggregation with map-side partials; " +
+      "corpus totals ride a 1-row broadcast, never a cartesian") {
+    val plan = planString(graft.llm.TextAnalysis.chi2Select(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      col("lang") === "en", k = 20))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // the 1-row tot
+  }
+
   test("IVF kNN classify: the pair stage is a cell equi-join — the only " +
       "nested-loop join is the broadcast centroid attach, never an " +
       "all-pairs cartesian") {
