@@ -45,7 +45,8 @@ object QueryRegistry {
       queries.RecommenderQueries.specs ++
       queries.GlmQueries.specs ++
       queries.EvalQueries.specs ++
-      queries.FrontierQueries.specs
+      queries.FrontierQueries.specs ++
+      queries.InferenceQueries.specs
 
   lazy val byName: Map[String, QuerySpec] = all.map(q => q.name -> q).toMap
 }

@@ -525,4 +525,151 @@ object Eval {
           col("n_covered").cast("double") / col("n").cast("double") <
             lit(minCoverage)).as("alarm"))
   }
+
+  /** Average precision / PR-AUC (the step-wise AP of the TREC eval
+    * tradition) over a scored binary-label set — the precision-recall
+    * companion of [[aucRank]] for class-imbalanced retrieval: AP =
+    * Σ_positives precision@rank / n_pos, with TIES handled by the block
+    * convention (all rows sharing a score take the precision at the END
+    * of their block — rank order inside a tie is not observable, so no
+    * engine's sort order can leak in).
+    *
+    * One distinct-score aggregation (map-side combinable), then one
+    * window over the BOUNDED distinct-score grid; per-block terms are
+    * rounded to the 10dp grid and summed in DECIMAL (order-free).
+    * Output one row: n, n_pos, avg_precision. */
+  def averagePrecision(df: DataFrame, scoreCol: String, label: Column)
+      : DataFrame = {
+    val base = df.select(col(scoreCol).cast("decimal(18,2)").as("__s"),
+      when(label, 1L).otherwise(0L).as("__y"))
+    val blocks = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = blocks
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__cp", sum(col("__p")).over(w))
+      .withColumn("__term",
+        round(col("__p").cast("double") * col("__cp").cast("double") /
+          col("__cn").cast("double"), 10).cast("decimal(38,10)"))
+    scored.agg(sum(col("__n")).as("n"), sum(col("__p")).as("n_pos"),
+        sum(col("__term")).as("__ap"))
+      .select(col("n"), col("n_pos"),
+        when(col("n_pos") > 0,
+          round(col("__ap").cast("double") / col("n_pos").cast("double"),
+            8)).as("avg_precision"))
+  }
+
+  /** Cohen's κ (Cohen 1960): chance-corrected agreement between two
+    * categorical labelings — κ = (p_o − p_e)/(1 − p_e) with p_e from the
+    * marginal class frequencies. Three count aggregations (overall +
+    * one per rater marginal, all map-side combinable) joined on the
+    * bounded class domain; every input to the final formula is an exact
+    * integer, so the one double expression is bit-identical across
+    * engines. Output one row: n, po, pe, kappa (NULL when p_e = 1). */
+  def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val base = df.select(aCol.cast("string").as("__a"),
+      bCol.cast("string").as("__b"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("__agree"))
+    val ma = base.groupBy(col("__a").as("__cls")).agg(count(lit(1)).as("__na"))
+    val mb = base.groupBy(col("__b").as("__cls")).agg(count(lit(1)).as("__nb"))
+    val cross = ma.join(mb, Seq("__cls"))
+      .agg(sum(col("__na") * col("__nb")).as("__ee"))
+    val nd = col("n").cast("double")
+    val po = col("__agree").cast("double") / nd
+    val pe = col("__ee").cast("double") / (nd * nd)
+    tot.crossJoin(broadcast(cross))
+      .select(col("n"), round(po, 8).as("po"), round(pe, 8).as("pe"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 8)).as("kappa"))
+  }
+
+  /** Stratified IPW average-treatment-effect (Horvitz & Thompson 1952
+    * weighting, Hájek-normalized): given a KNOWN per-stratum propensity
+    * p(treat | stratum) in (0,1), the treated and control means are
+    * reweighted by 1/p and 1/(1−p) — the design-based member of the
+    * causal tier beside q_did (parallel trends) and q_nn_match
+    * (selection on observables).
+    *
+    * One stratum-keyed aggregation; the per-stratum weighted terms are
+    * rounded to the 8dp grid and summed in DECIMAL over the BOUNDED
+    * stratum domain, the Hájek ratios run once at the end. Rows with a
+    * NULL or out-of-(0,1) propensity are listwise-dropped (visible in
+    * the n_treat/n_ctrl counts — an unmodelled stratum must shrink the
+    * sample, not corrupt the estimate). Output one row: n_treat,
+    * n_ctrl, mu_treat, mu_ctrl, ate. */
+  def ipwAte(df: DataFrame, stratumCol: String, treat: Column,
+      yCol: String, pCol: String): DataFrame = {
+    val p = col(pCol).cast("double")
+    val perS = df
+      .where(p.isNotNull && p > 0.0 && p < 1.0)
+      .groupBy(col(stratumCol).as("__s"), p.as("__p"))
+      .agg(
+        sum(when(treat, col(yCol).cast("decimal(18,2)"))).as("__syt"),
+        sum(when(treat, 1L).otherwise(0L)).as("__nt"),
+        sum(when(!treat, col(yCol).cast("decimal(18,2)"))).as("__syc"),
+        sum(when(!treat, 1L).otherwise(0L)).as("__nc"))
+    val r8 = (c: Column) => round(c, 8).cast("decimal(38,8)")
+    val tot = perS.agg(
+      sum(col("__nt")).as("n_treat"), sum(col("__nc")).as("n_ctrl"),
+      sum(r8(coalesce(col("__syt").cast("double"), lit(0.0)) / col("__p")))
+        .as("__wy_t"),
+      sum(r8(col("__nt").cast("double") / col("__p"))).as("__w_t"),
+      sum(r8(coalesce(col("__syc").cast("double"), lit(0.0)) /
+        (lit(1.0) - col("__p")))).as("__wy_c"),
+      sum(r8(col("__nc").cast("double") / (lit(1.0) - col("__p"))))
+        .as("__w_c"))
+    val muT = when(col("__w_t").cast("double") > 0.0,
+      col("__wy_t").cast("double") / col("__w_t").cast("double"))
+    val muC = when(col("__w_c").cast("double") > 0.0,
+      col("__wy_c").cast("double") / col("__w_c").cast("double"))
+    tot.select(col("n_treat"), col("n_ctrl"),
+      round(muT, 8).as("mu_treat"), round(muC, 8).as("mu_ctrl"),
+      round(muT - muC, 8).as("ate"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-key binomial rates (beta-binomial
+    * with a method-of-moments prior; Robbins 1956 lineage, the
+    * "add-α/add-β from the data itself" smoothing used for CTR /
+    * return-rate league tables): the prior Beta(α, β) is fit from the
+    * across-key mean and variance of the raw rates, and each key
+    * reports the posterior mean (k + α)/(n + α + β) — low-n keys shrink
+    * toward the global mean, high-n keys keep their own rate.
+    *
+    * Input is already aggregated (key, k, n); the prior moments are
+    * DECIMAL sums of 10dp-rounded rates (order-free over the bounded
+    * key domain), the two prior scalars broadcast back via a one-row
+    * crossJoin. Keys with n = 0 are dropped; a degenerate prior
+    * (variance 0 or var ≥ μ(1−μ), i.e. no overdispersion to shrink
+    * against) yields NULL posteriors rather than a fabricated prior.
+    * Output per key: key, n, k, rate, posterior. */
+  def ebSmooth(df: DataFrame, keyCol: String, kCol: String,
+      nCol: String): DataFrame = {
+    val base = df
+      .select(col(keyCol), col(kCol).cast("long").as("__k"),
+        col(nCol).cast("long").as("__n"))
+      .where(col("__n") > 0)
+      .withColumn("__r",
+        round(col("__k").cast("double") / col("__n").cast("double"), 10))
+    val mom = base.agg(count(lit(1)).as("__m"),
+      sum(col("__r").cast("decimal(38,10)")).as("__sr"),
+      sum(round(col("__r") * col("__r"), 16).cast("decimal(38,16)"))
+        .as("__srr"))
+    val md = col("__m").cast("double")
+    val mu = col("__sr").cast("double") / md
+    val vr = (col("__srr").cast("double") -
+      col("__sr").cast("double") * col("__sr").cast("double") / md) /
+      (md - lit(1.0))
+    val prior = mom.select(col("__m"), mu.as("__mu"), vr.as("__vr"))
+      .select(col("__mu"),
+        when(col("__m") > 1 && col("__vr") > 0.0 &&
+          col("__vr") < col("__mu") * (lit(1.0) - col("__mu")),
+          col("__mu") * (lit(1.0) - col("__mu")) / col("__vr") - lit(1.0))
+          .as("__s"))
+    base.crossJoin(broadcast(prior))
+      .select(col(keyCol), col("__n").as("n"), col("__k").as("k"),
+        round(col("__r"), 8).as("rate"),
+        round((col("__k").cast("double") + col("__mu") * col("__s")) /
+          (col("__n").cast("double") + col("__s")), 8).as("posterior"))
+  }
 }

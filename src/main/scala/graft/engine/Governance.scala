@@ -215,4 +215,37 @@ object Governance {
         round(coalesce(col("matched"), lit(0L)).cast("double") /
           col("n_a").cast("double"), 8).as("coverage"))
   }
+  /** Differentially-private counts via the Laplace mechanism (Dwork,
+    * McSherry, Nissim & Smith 2006): per-key counts plus Laplace(1/ε)
+    * noise — the release-side member of the privacy tier (k-anonymity /
+    * l-diversity / t-closeness audit what a dataset leaks; this is the
+    * standard mechanism for publishing the aggregate anyway). Count
+    * queries have sensitivity 1, so the noise scale is b = 1/ε.
+    *
+    * The noise is DERIVED, not drawn: u = md5(seed|key) → 32-bit
+    * uniform, inverse-CDF'd to Laplace — deterministic per key/seed
+    * (reproducible releases, engine-portable, and the house md5-uniform
+    * convention; a cryptographic RNG would be the production swap-in
+    * and is the ONLY non-public-knowledge piece of a real release).
+    * Noise is rounded to the 6dp grid (absorbs the ≤1-ulp libm LN
+    * spread). Map-only after one count aggregation. Output per key:
+    * key, noisy_count. The raw count is deliberately NOT emitted. */
+  def dpLaplaceCounts(df: DataFrame, keyCol: String, epsilon: Double,
+      seed: String = "dp"): DataFrame = {
+    require(epsilon > 0.0 && epsilon <= 10.0,
+      s"dpLaplaceCounts: epsilon=$epsilon")
+    val cnt = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    // +0.5 keeps u strictly inside (0,1): |u-0.5| < 0.5 exactly, so the
+    // LN argument is ≥ 2^-32 and the inverse CDF can never hit -inf
+    val u = (conv(substring(md5(concat(lit(s"$seed|"),
+      col(keyCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val centered = u - lit(0.5)
+    val noise = round(
+      lit(-1.0 / epsilon) *
+        when(centered < 0.0, lit(-1.0)).otherwise(lit(1.0)) *
+        log(lit(1.0) - lit(2.0) * abs(centered)), 6)
+    cnt.select(col(keyCol),
+      round(col("__c").cast("double") + noise, 6).as("noisy_count"))
+  }
 }

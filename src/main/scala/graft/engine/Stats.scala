@@ -1000,4 +1000,245 @@ object Stats {
       when(col("__v").cast("double") > 0.0,
         round(oe * oe / col("__v").cast("double"), 8)).as("chi2"))
   }
+
+  /** Log-gamma as a SQL expression string (Lanczos 1964, g = 7, the
+    * classic 9-term coefficient set; ~1e-13 relative error for real
+    * x ≥ 1). Rendered as TEXT so the engine (via `expr`) and the DuckDB
+    * oracle share literally ONE formula: identical expression tree →
+    * identical IEEE arithmetic, with LN the only libm call (its ≤1-ulp
+    * spread is absorbed by the caller's 8dp term grid, the q_logrank
+    * convention). Every literal carries `e0` so BOTH parsers type it
+    * DOUBLE (a bare `676.52…` is DECIMAL in Spark and DuckDB, and
+    * decimal-vs-double promotion would diverge). `x` must be a
+    * DOUBLE-typed expression ≥ 1. */
+  def lgammaSql(x: String): String = {
+    val coef = Seq(
+      "676.5203681218851e0", "-1259.1392167224028e0",
+      "771.32342877765313e0", "-176.61502916214059e0",
+      "12.507343278686905e0", "-0.13857109526572012e0",
+      "9.9843695780195716e-6", "1.5056327351493116e-7")
+    val series = coef.zipWithIndex
+      .map { case (c, i) => s"(($c) / (($x) - 1.0e0 + ${i + 1}.0e0))" }
+      .foldLeft("0.99999999999980993e0")((a, t) => s"($a + $t)")
+    // 0.9189385332046727e0 = ln(2*pi)/2
+    s"(0.9189385332046727e0 + ((($x) - 0.5e0) * LN(($x) + 6.5e0))" +
+      s" - (($x) + 6.5e0) + LN($series))"
+  }
+
+  /** ln C(m, j) from three [[lgammaSql]] calls; `m`, `j` are DOUBLE
+    * expressions with 0 ≤ j ≤ m. */
+  def lnChooseSql(m: String, j: String): String =
+    s"(${lgammaSql(s"($m) + 1.0e0")} - ${lgammaSql(s"($j) + 1.0e0")}" +
+      s" - ${lgammaSql(s"($m) - ($j) + 1.0e0")})"
+
+  /** ln of the hypergeometric pmf P(K = k) for a 2×2 table with row-1
+    * margin `r1`, column-1 margin `c1`, total `n` — all DOUBLE
+    * expressions. Shared by [[fisherExact]] and its oracle. */
+  def hyperLnpSql(r1: String, c1: String, n: String, k: String): String =
+    s"(${lnChooseSql(r1, k)} + " +
+      s"${lnChooseSql(s"($n) - ($r1)", s"($c1) - ($k)")} - " +
+      s"${lnChooseSql(n, c1)})"
+
+  /** Fisher's exact test (Fisher 1935) on the 2×2 table of two boolean
+    * predicates — the small-count independence test the χ² cell screen
+    * (q_chisq_cells) cannot answer when expected counts are low.
+    * Two-sided p: the sum of all hypergeometric pmf terms ≤ the observed
+    * term, each term on the 8dp DECIMAL grid (include/exclude decided by
+    * DECIMAL compare of ROUNDED terms, so the only libm calls — LN/EXP
+    * inside the shared Lanczos rendering — cannot flip membership except
+    * at the grid boundary, the house convention).
+    *
+    * Scale: the data pass is ONE map-side-combinable count aggregation;
+    * the k-grid explode is sized by the smaller 2×2 margin (row count in
+    * the worst case, but each term is O(1) map work over a distributed
+    * `sequence` explode — no window, no sort, no driver loop). Output
+    * one row: a, b, c, d, n_terms, p_two. */
+  def fisherExact(df: DataFrame, treatCol: Column, outCol: Column)
+      : DataFrame = {
+    val cells = df.agg(
+      sum(when(treatCol && outCol, 1L).otherwise(0L)).as("a"),
+      sum(when(treatCol && !outCol, 1L).otherwise(0L)).as("b"),
+      sum(when(!treatCol && outCol, 1L).otherwise(0L)).as("c"),
+      sum(when(!treatCol && !outCol, 1L).otherwise(0L)).as("d"))
+    val ext = cells.select(col("a"), col("b"), col("c"), col("d"),
+      (col("a") + col("b")).as("r1"),
+      (col("a") + col("c")).as("c1"),
+      (col("a") + col("b") + col("c") + col("d")).as("n"))
+    val ks = ext.select(col("a"), col("b"), col("c"), col("d"),
+      col("r1"), col("c1"), col("n"),
+      explode(sequence(
+        greatest(lit(0L), col("r1") + col("c1") - col("n")),
+        least(col("r1"), col("c1")))).as("k"))
+    val lnp = hyperLnpSql("CAST(r1 AS DOUBLE)", "CAST(c1 AS DOUBLE)",
+      "CAST(n AS DOUBLE)", "CAST(k AS DOUBLE)")
+    val terms = ks.withColumn("__t",
+      round(exp(expr(lnp)), 8).cast("decimal(20,8)"))
+    val obs = terms.where(col("k") === col("a"))
+      .select(col("__t").as("__tobs"))
+    terms.crossJoin(broadcast(obs))
+      .groupBy(col("a"), col("b"), col("c"), col("d"))
+      .agg(
+        sum(when(col("__t") <= col("__tobs"), 1L).otherwise(0L))
+          .as("n_terms"),
+        round(sum(when(col("__t") <= col("__tobs"), col("__t")))
+          .cast("double"), 8).as("p_two"))
+  }
+
+  /** McNemar's test (McNemar 1947, the continuity-corrected χ² form) on
+    * two paired binary classifiers: given per-row booleans "rule A was
+    * right" / "rule B was right", the statistic uses only the discordant
+    * cells b (A right, B wrong) and c (A wrong, B right):
+    * χ² = (|b−c|−1)²/(b+c), NULL when b+c = 0. Exact integer arithmetic
+    * until the single final division; one map-side-combinable
+    * aggregation. Output one row: n, b_discordant, c_discordant, chi2. */
+  def mcnemar(df: DataFrame, aOk: Column, bOk: Column): DataFrame = {
+    val agg = df.agg(count(lit(1)).as("n"),
+      sum(when(aOk && !bOk, 1L).otherwise(0L)).as("b_discordant"),
+      sum(when(!aOk && bOk, 1L).otherwise(0L)).as("c_discordant"))
+    val bd = col("b_discordant")
+    val cd = col("c_discordant")
+    val num = abs(bd - cd).cast("double") - lit(1.0)
+    agg.select(col("n"), bd, cd,
+      when(bd + cd > 0,
+        round(num * num / (bd + cd).cast("double"), 8)).as("chi2"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972, Aalen 1978)
+    * — the hazard-scale companion of [[kaplanMeier]] over the same
+    * (duration, event) spans: H(t) = Σ_{s ≤ t} d_s / n_s. Per-time
+    * hazard increments are rounded to the 8dp grid and cumulated in
+    * DECIMAL over the bounded duration grid (the kaplanMeier
+    * single-partition window convention — the grid is durations, never
+    * subjects). Output per duration: duration, at_risk, deaths,
+    * censored, cum_hazard. */
+  def nelsonAalen(spans: DataFrame, durCol: String,
+      eventCol: String): DataFrame = {
+    val perDur = spans.groupBy(col(durCol).cast("long").as("duration"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("deaths"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("censored"))
+    val wc = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = perDur
+      .withColumn("__ended", sum(col("deaths") + col("censored")).over(wc))
+      .withColumn("__tot", sum(col("deaths") + col("censored"))
+        .over(Window.partitionBy()))
+      .withColumn("at_risk",
+        col("__tot") - col("__ended") + col("deaths") + col("censored"))
+    val h = when(col("deaths") === 0, lit(0.0))
+      .otherwise(round(
+        col("deaths").cast("double") / col("at_risk").cast("double"), 8))
+    withRisk
+      .withColumn("__h", h.cast("decimal(20,8)"))
+      .withColumn("__hs", sum(col("__h")).over(wc))
+      .select(col("duration"), col("at_risk"), col("deaths"),
+        col("censored"), col("__hs").cast("double").as("cum_hazard"))
+  }
+
+  /** Kendall's τ-b (Kendall 1938; tie correction per Kendall 1945) per
+    * group over an ordered series (idx strictly unique within group, so
+    * only y-ties correct the denominator): the rank-based trend measure
+    * beside Spearman's ρ (q_spearman) and the Mann–Kendall screen —
+    * τ-b = (C − D) / sqrt(n0 (n0 − t_y)) with n0 = n(n−1)/2.
+    *
+    * Pairs are generated by a group-keyed self-join over the BOUNDED
+    * series grid (callers aggregate to a calendar spine first — the
+    * TimeSeries contract), so cost is Σ_g m_g², never data-scale.
+    * Counts are exact integers; the single sqrt/divide runs once at the
+    * end (IEEE sqrt is correctly rounded → bit-identical across
+    * engines). Output per group: group, n_pairs, concordant, discordant,
+    * tau_b — NULL τ when the denominator is 0. */
+  def kendallTauB(series: DataFrame, groupCol: String, idxCol: String,
+      valCol: String): DataFrame = {
+    val base = series.select(col(groupCol).cast("string").as("__g"),
+      col(idxCol).cast("long").as("__i"),
+      col(valCol).cast("decimal(38,8)").as("__v"))
+    val l = base.as("l")
+    val r = base.as("r")
+    val pairs = l.join(r,
+      col("l.__g") === col("r.__g") && col("l.__i") < col("r.__i"))
+    val agg = pairs.groupBy(col("l.__g").as(groupCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("l.__v") < col("r.__v"), 1L).otherwise(0L))
+        .as("concordant"),
+      sum(when(col("l.__v") > col("r.__v"), 1L).otherwise(0L))
+        .as("discordant"),
+      sum(when(col("l.__v") === col("r.__v"), 1L).otherwise(0L))
+        .as("__ty"))
+    val n0 = col("n_pairs").cast("double")
+    val den = sqrt(n0 * (n0 - col("__ty").cast("double")))
+    agg.select(col(groupCol), col("n_pairs"), col("concordant"),
+      col("discordant"),
+      when(den > 0.0,
+        round((col("concordant") - col("discordant")).cast("double") / den,
+          8)).as("tau_b"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR correction (Benjamini & Hochberg
+    * 1995) over a family of m hypotheses: rank p ascending (key as the
+    * deterministic tie-break), raw_i = p_i · m / i, adjusted
+    * p_i = min(1, min_{j ≥ i} raw_j), reject at `alpha`. One window over
+    * the BOUNDED hypothesis grid (m = number of tests, never rows); the
+    * raw values are the same double expression tree on both engines and
+    * the suffix-min is order-fixed by the (p, key) total order. NULL
+    * p-values are listwise-dropped (they are untestable hypotheses, and
+    * Spark/DuckDB NULL sort orders differ). Output per hypothesis:
+    * key, rank, p_value, p_adj, reject — ordered by rank. */
+  def fdrBh(pvals: DataFrame, keyCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"fdrBh: alpha=$alpha")
+    val base = pvals
+      .select(col(keyCol).cast("string").as(keyCol),
+        col(pCol).cast("double").as("p_value"))
+      .where(col("p_value").isNotNull)
+    val wOrd = Window.orderBy(col("p_value").asc, col(keyCol).asc)
+    val wTail = wOrd.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    base
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(wOrd).cast("long"))
+      .withColumn("__raw",
+        col("p_value") * col("__m").cast("double") /
+          col("rank").cast("double"))
+      .withColumn("p_adj",
+        round(least(lit(1.0), min(col("__raw")).over(wTail)), 8))
+      .select(col(keyCol), col("rank"), round(col("p_value"), 8)
+        .as("p_value"), col("p_adj"),
+        (col("p_adj") <= lit(alpha)).as("reject"))
+  }
+
+  /** Per-group sign-flip permutation test — [[signFlipTest]] lifted to a
+    * family of groups so the p-values feed [[fdrBh]] directly: within
+    * each group, B md5-keyed sign flips of the paired diffs, exact
+    * DECIMAL replicate sums, add-one p = (1 + #extreme)/(B + 1). The
+    * explode is the documented B× bootstrap-explode tier; everything
+    * else is two group-keyed aggregations. Output per group: group, n,
+    * t_obs, p_value. */
+  def groupedSignFlip(diffs: DataFrame, groupCol: String, keyCol: String,
+      dCol: String, b: Int, seed: String = "perm"): DataFrame = {
+    require(b >= 1 && b <= 10000, s"groupedSignFlip: b=$b")
+    val base = diffs
+      .where(col(dCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(keyCol).cast("string").as("__k"),
+        col(dCol).cast("decimal(18,2)").as("__d"))
+    val obs = base.groupBy(col("__g"))
+      .agg(sum(col("__d")).as("__tobs"), count(lit(1)).as("n"))
+    val hx = substring(md5(concat(lit(s"$seed|"),
+      col("__b").cast("string"), lit("|"), col("__k"))), 1, 1)
+    val flip = pmod(conv(hx, 16, 10).cast("long"), lit(2)) === 1
+    val reps = base
+      .select(col("__g"), col("__k"), col("__d"),
+        explode(sequence(lit(0), lit(b - 1))).as("__b"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(when(flip, -col("__d")).otherwise(col("__d"))).as("__tb"))
+    val ext = reps.join(obs.select(col("__g"), col("__tobs")), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(sum(when(abs(col("__tb")) >= abs(col("__tobs")), 1L)
+        .otherwise(0L)).as("__ne"))
+    obs.join(ext, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__tobs").cast("double"), 8).as("t_obs"),
+        round((lit(1.0) + coalesce(col("__ne"), lit(0L)).cast("double")) /
+          lit((b + 1).toDouble), 8).as("p_value"))
+  }
 }

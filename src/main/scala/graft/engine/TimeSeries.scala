@@ -349,4 +349,52 @@ object TimeSeries {
       .join(base.distinct(), Seq("g", "day"), "left_anti")
       .select(col("g").as(groupCol), col("day"))
   }
+  /** SAX symbolization (Lin, Keogh, Lonardi & Chiu 2003): piecewise
+    * aggregate approximation of a daily series into `chunkDays`-wide
+    * chunks, z-normalization of the chunk means, then discretization at
+    * the standard-normal quartile breakpoints (±0.6745, 0) into a
+    * 4-symbol alphabet a–d — the index-friendly time-series sketch
+    * behind motif/anomaly search.
+    *
+    * One chunk-keyed aggregation over the calendar spine (exact DECIMAL
+    * sums), one pass of global moments over the BOUNDED chunk grid
+    * (8dp-rounded chunk means summed in DECIMAL, broadcast back via the
+    * one-row crossJoin convention), and a literal-breakpoint CASE —
+    * everything map-side combinable except the one narrow chunk
+    * shuffle. A zero-variance series yields NULL symbols (no z-scale
+    * exists) rather than an arbitrary letter. Output per chunk:
+    * chunk, n_days, paa, symbol. */
+  def saxSymbols(daily: DataFrame, idxCol: String, valCol: String,
+      chunkDays: Int): DataFrame = {
+    require(chunkDays >= 1, s"saxSymbols: chunkDays=$chunkDays")
+    val chunks = daily
+      .select(
+        expr(s"CAST(FLOOR(CAST($idxCol AS DOUBLE) / $chunkDays.0e0) " +
+          "AS BIGINT)").as("chunk"),
+        col(valCol).cast("decimal(18,2)").as("__v"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__v")).as("__sv"))
+      .withColumn("paa",
+        round(col("__sv").cast("double") / col("n_days").cast("double"),
+          8))
+    val mom = chunks.agg(count(lit(1)).as("__m"),
+      sum(col("paa").cast("decimal(38,8)")).as("__sp"),
+      sum(round(col("paa") * col("paa"), 16).cast("decimal(38,16)"))
+        .as("__spp"))
+    val md = col("__m").cast("double")
+    val mu = col("__sp").cast("double") / md
+    val vr = (col("__spp").cast("double") -
+      col("__sp").cast("double") * col("__sp").cast("double") / md) /
+      (md - lit(1.0))
+    val prior = mom.select(mu.as("__mu"),
+      when(col("__m") > 1 && vr > 0.0, sqrt(vr)).as("__sd"))
+    val z = (col("paa") - col("__mu")) / col("__sd")
+    chunks.crossJoin(broadcast(prior))
+      .select(col("chunk"), col("n_days"), col("paa"),
+        when(col("__sd").isNotNull,
+          when(z < -0.6745, lit("a"))
+            .when(z < 0.0, lit("b"))
+            .when(z < 0.6745, lit("c"))
+            .otherwise(lit("d"))).as("symbol"))
+  }
 }

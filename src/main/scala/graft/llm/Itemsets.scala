@@ -92,4 +92,36 @@ object Itemsets {
         round(col("support").cast("double") * col("n_baskets") /
           (col("ca") * col("cc")).cast("double"), 8).as("lift"))
   }
+  /** Frequent sequential pairs (the length-2 tier of GSP / PrefixSpan —
+    * Srikant & Agrawal 1996, Pei et al. 2001): for each session, the
+    * FIRST occurrence time of every item, then the pairs (a, b) where
+    * a's first occurrence strictly precedes b's, counted across
+    * sessions — "what follows what" for funnel and next-event mining.
+    *
+    * Scale discipline mirrors [[frequentPairs]]: the (session, item)
+    * frame holds at most |item domain| rows per session, so the
+    * session-keyed self-join costs Σ_s k_s² with k_s bounded by the
+    * item-type domain, never by event rows; support counting is one
+    * map-side-combinable aggregation. Pairs whose first occurrences
+    * share a timestamp are dropped (no order is observable — including
+    * them would make the result engine-sort-dependent). Output:
+    * item_a, item_b, n_sessions for pairs with support ≥ `minSupport`. */
+  def sequentialPairs(df: DataFrame, sessionCols: Seq[String],
+      itemCol: String, tsCol: String, minSupport: Long): DataFrame = {
+    require(sessionCols.nonEmpty, "sequentialPairs: no session key")
+    require(minSupport >= 1, s"sequentialPairs: minSupport=$minSupport")
+    val firsts = df
+      .where(col(itemCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy((sessionCols.map(col) :+ col(itemCol).as("__it")): _*)
+      .agg(min(col(tsCol)).as("__t"))
+    val l = firsts.as("l")
+    val r = firsts.as("r")
+    val sameSession = sessionCols
+      .map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduce(_ && _)
+    l.join(r, sameSession && col("l.__t") < col("r.__t"))
+      .groupBy(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .where(col("n_sessions") >= minSupport)
+  }
 }

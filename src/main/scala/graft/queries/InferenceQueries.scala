@@ -1,0 +1,570 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.{Eval, Governance, Stats, Tables, TimeSeries}
+import graft.llm.{Itemsets, Sampling}
+
+/** Round-5 inference tier: multiple-testing control (BH-FDR over a
+  * permutation-p family), small-count exact tests (Fisher 2×2, McNemar
+  * paired), survival hazards (Nelson–Aalen), rank trend (Kendall τ-b),
+  * design-based causal estimation (stratified IPW), retrieval scoring
+  * (average precision, Cohen's κ), shrinkage (empirical-Bayes rates),
+  * series symbolization (SAX), sequence mining (first-occurrence pairs),
+  * and private release (Laplace-mechanism counts).
+  *
+  * House determinism rules throughout: exact DECIMAL until the final
+  * scalar formula, 8dp grids around every libm call, md5-keyed
+  * randomness, total ORDER BY on the output key. The Fisher test's
+  * log-gamma is rendered ONCE ([[Stats.lgammaSql]]) and interpolated
+  * into both the engine plan (via `expr`) and the DuckDB oracle, so the
+  * two sides share literally one formula.
+  */
+object InferenceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** ln hypergeometric pmf shared by the q_fisher_exact engine plan and
+    * oracle — the single-source render. */
+  private val fisherLnp: String = Stats.hyperLnpSql(
+    "CAST(r1 AS DOUBLE)", "CAST(c1 AS DOUBLE)",
+    "CAST(n AS DOUBLE)", "CAST(k AS DOUBLE)")
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Benjamini–Hochberg FDR over a 25-brand family of sign-flip
+    // permutation p-values (B = 99, md5 flips, exact decimal replicate
+    // sums): the multiple-testing closure over the per-group tests the
+    // stats tier already runs one at a time.
+    QuerySpec("q_fdr_bh", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pt = t(s, dir, "part")
+      val diffs = li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .select(col("p_brand"),
+          concat_ws("#", col("l_orderkey"), col("l_linenumber")).as("k"),
+          ((col("l_tax") * 100.0).cast("decimal(18,2)") -
+            (col("l_discount") * 100.0).cast("decimal(18,2)")).as("d"))
+      val ps = Stats.groupedSignFlip(diffs, "p_brand", "k", "d",
+        b = 99, seed = "fdr").drop("n", "t_obs")
+      Stats.fdrBh(ps, "p_brand", "p_value", alpha = 0.10)
+        .orderBy("rank")
+    }, Some(
+      """WITH d AS (
+        |  SELECT p_brand AS g,
+        |         CAST(l_orderkey AS VARCHAR) || '#' ||
+        |           CAST(l_linenumber AS VARCHAR) AS k,
+        |         CAST(l_tax * 100.0 AS DECIMAL(18,2)) -
+        |           CAST(l_discount * 100.0 AS DECIMAL(18,2)) AS dd
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |obs AS (SELECT g, SUM(dd) AS tobs FROM d GROUP BY g),
+        |r AS (
+        |  SELECT g, bb.b AS b,
+        |         SUM(CASE WHEN (instr('0123456789abcdef',
+        |                  substr(md5('fdr|' || CAST(bb.b AS VARCHAR)
+        |                    || '|' || k), 1, 1)) - 1) % 2 = 1
+        |             THEN -dd ELSE dd END) AS tb
+        |  FROM d CROSS JOIN (SELECT unnest(range(0, 99)) AS b) bb
+        |  GROUP BY g, bb.b),
+        |ne AS (
+        |  SELECT r.g,
+        |         SUM(CASE WHEN ABS(tb) >= ABS(obs.tobs)
+        |                  THEN 1 ELSE 0 END) AS ne
+        |  FROM r JOIN obs ON r.g = obs.g GROUP BY r.g),
+        |p AS (
+        |  SELECT obs.g,
+        |         ROUND((1.0 + COALESCE(ne.ne, 0)) / 100.0, 8) AS p
+        |  FROM obs LEFT JOIN ne ON obs.g = ne.g),
+        |bh AS (
+        |  SELECT g, p, COUNT(*) OVER () AS m,
+        |         ROW_NUMBER() OVER (ORDER BY p, g) AS rank
+        |  FROM p WHERE p IS NOT NULL),
+        |adj AS (
+        |  SELECT g, rank, p,
+        |         ROUND(LEAST(1.0, MIN(p * CAST(m AS DOUBLE)
+        |                 / CAST(rank AS DOUBLE))
+        |               OVER (ORDER BY p, g ROWS BETWEEN CURRENT ROW
+        |                     AND UNBOUNDED FOLLOWING)), 8) AS p_adj
+        |  FROM bh)
+        |SELECT g AS p_brand, rank, ROUND(p, 8) AS p_value, p_adj,
+        |       p_adj <= 0.1e0 AS reject
+        |FROM adj ORDER BY rank""".stripMargin)),
+
+    // Fisher's exact 2×2 (urgent-priority × finished-status over one
+    // nation's orders — counts small enough that the χ² screen is the
+    // wrong tool): hypergeometric terms from the shared Lanczos
+    // log-gamma render, 8dp DECIMAL term grid, two-sided sum.
+    QuerySpec("q_fisher_exact", (s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("c_nationkey") === 0)
+      Stats.fisherExact(base,
+        col("o_orderpriority") === "1-URGENT",
+        col("o_orderstatus") === "F")
+    }, Some(
+      s"""WITH base AS (
+         |  SELECT o_orderpriority = '1-URGENT' AS tr,
+         |         o_orderstatus = 'F' AS oc
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_nationkey = 0),
+         |x AS (
+         |  SELECT CAST(SUM(CASE WHEN tr AND oc THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS a,
+         |         CAST(SUM(CASE WHEN tr AND NOT oc THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS b,
+         |         CAST(SUM(CASE WHEN NOT tr AND oc THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS c,
+         |         CAST(SUM(CASE WHEN NOT tr AND NOT oc THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS d
+         |  FROM base),
+         |e AS (SELECT a, b, c, d, a + b AS r1, a + c AS c1,
+         |             a + b + c + d AS n FROM x),
+         |ks AS (
+         |  SELECT e.*, unnest(generate_series(GREATEST(0, r1 + c1 - n),
+         |                                     LEAST(r1, c1))) AS k
+         |  FROM e),
+         |tm AS (
+         |  SELECT a, b, c, d, k,
+         |         CAST(ROUND(EXP($fisherLnp), 8) AS DECIMAL(20,8)) AS term
+         |  FROM ks),
+         |ob AS (SELECT term AS tobs FROM tm WHERE k = a)
+         |SELECT tm.a, tm.b, tm.c, tm.d,
+         |       CAST(SUM(CASE WHEN term <= tobs THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_terms,
+         |       ROUND(CAST(SUM(CASE WHEN term <= tobs THEN term END)
+         |                  AS DOUBLE), 8) AS p_two
+         |FROM tm CROSS JOIN ob
+         |GROUP BY tm.a, tm.b, tm.c, tm.d""".stripMargin)),
+
+    // McNemar's paired test: do a price rule and a priority rule
+    // disagree asymmetrically about predicting finished orders?
+    // Discordant cells only, continuity-corrected χ², exact integers
+    // until the one final division.
+    QuerySpec("q_mcnemar", (s, dir) => {
+      val truth = col("o_orderstatus") === "F"
+      Stats.mcnemar(t(s, dir, "orders"),
+        (col("o_totalprice") > 150000.0) === truth,
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") === truth)
+    }, Some(
+      """WITH b AS (
+        |  SELECT (o_totalprice > 150000.0e0) = (o_orderstatus = 'F')
+        |           AS a_ok,
+        |         (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |           = (o_orderstatus = 'F') AS b_ok
+        |  FROM orders),
+        |g AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS b_discordant,
+        |         CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c_discordant
+        |  FROM b)
+        |SELECT n, b_discordant, c_discordant,
+        |       CASE WHEN b_discordant + c_discordant > 0 THEN
+        |         ROUND((ABS(b_discordant - c_discordant) - 1.0e0) *
+        |               (ABS(b_discordant - c_discordant) - 1.0e0) /
+        |               CAST(b_discordant + c_discordant AS DOUBLE), 8)
+        |       END AS chi2
+        |FROM g""".stripMargin)),
+
+    // Nelson–Aalen cumulative hazard over the same user-lifetime spans
+    // as q_kaplan_meier: 8dp hazard increments cumulated in DECIMAL
+    // over the bounded duration grid.
+    QuerySpec("q_nelson_aalen", (s, dir) => {
+      val spans = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+      val cut = spans.agg((max(col("mx")) - lit(604800000000L)).as("cut"))
+      val sp = spans.crossJoin(cut)
+        .select(expr("(mx - mn) div 86400000000").as("dur"),
+          (col("mx") <= col("cut")).as("ev"))
+      Stats.nelsonAalen(sp, "dur", "ev").orderBy("duration")
+    }, Some(
+      """WITH s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT MAX(mx) - 604800000000 AS cut FROM s),
+        |sp AS (
+        |  SELECT (mx - mn) // 86400000000 AS duration,
+        |         mx <= c.cut AS ev
+        |  FROM s CROSS JOIN c),
+        |pd AS (
+        |  SELECT duration,
+        |         CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS deaths,
+        |         CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS censored
+        |  FROM sp GROUP BY duration),
+        |wr AS (
+        |  SELECT duration, deaths, censored,
+        |         SUM(deaths + censored)
+        |           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+        |           AS ended,
+        |         SUM(deaths + censored) OVER () AS tot
+        |  FROM pd),
+        |ar AS (
+        |  SELECT duration, deaths, censored,
+        |         CAST(tot - ended + deaths + censored AS BIGINT) AS at_risk
+        |  FROM wr),
+        |hz AS (
+        |  SELECT duration, at_risk, deaths, censored,
+        |         CAST(CASE WHEN deaths = 0 THEN CAST(0.0 AS DOUBLE)
+        |                   ELSE ROUND(CAST(deaths AS DOUBLE)
+        |                              / CAST(at_risk AS DOUBLE), 8)
+        |              END AS DECIMAL(20,8)) AS h
+        |  FROM ar)
+        |SELECT duration, at_risk, deaths, censored,
+        |       CAST(SUM(h) OVER (ORDER BY duration
+        |                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         AS cum_hazard
+        |FROM hz ORDER BY duration""".stripMargin)),
+
+    // Kendall τ-b per returnflag over the monthly quantity series:
+    // exact concordant/discordant/tie integers from a group-keyed
+    // self-join over the bounded month grid, one sqrt at the end.
+    QuerySpec("q_kendall_tau", (s, dir) => {
+      val ser = t(s, dir, "lineitem")
+        .where(col("l_shipdate").isNotNull)
+        .groupBy(col("l_returnflag"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .as("m"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("v"))
+      Stats.kendallTauB(ser, "l_returnflag", "m", "v")
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH s AS (
+        |  SELECT l_returnflag AS g,
+        |         year(l_shipdate) * 12 + month(l_shipdate) AS m,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS v
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.g,
+        |         CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS conc,
+        |         CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS disc,
+        |         CASE WHEN a.v = b.v THEN 1 ELSE 0 END AS tie
+        |  FROM s a JOIN s b ON a.g = b.g AND a.m < b.m)
+        |SELECT g AS l_returnflag, COUNT(*) AS n_pairs,
+        |       CAST(SUM(conc) AS BIGINT) AS concordant,
+        |       CAST(SUM(disc) AS BIGINT) AS discordant,
+        |       CASE WHEN SQRT(CAST(COUNT(*) AS DOUBLE) *
+        |              (CAST(COUNT(*) AS DOUBLE) -
+        |               CAST(SUM(tie) AS DOUBLE))) > 0.0 THEN
+        |         ROUND(CAST(SUM(conc) - SUM(disc) AS DOUBLE) /
+        |               SQRT(CAST(COUNT(*) AS DOUBLE) *
+        |                    (CAST(COUNT(*) AS DOUBLE) -
+        |                     CAST(SUM(tie) AS DOUBLE))), 8)
+        |       END AS tau_b
+        |FROM p GROUP BY g ORDER BY g""".stripMargin)),
+
+    // Stratified IPW ATE: treatment assigned by md5 with a KNOWN
+    // nation-stratum propensity (0.25 / 0.5 / 0.75) — the
+    // design-based causal estimator beside q_did and q_nn_match.
+    // Per-stratum Horvitz–Thompson terms on the 8dp grid, Hájek
+    // normalization once at the end.
+    QuerySpec("q_ipw_ate", (s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select((col("c_nationkey") % 3).as("str"),
+          col("o_orderkey"), col("o_totalprice"))
+        .withColumn("p", when(col("str") === 0, 0.25)
+          .when(col("str") === 1, 0.5).otherwise(0.75))
+        .withColumn("thr", when(col("str") === 0, "40000000")
+          .when(col("str") === 1, "80000000").otherwise("c0000000"))
+        .withColumn("treat",
+          Sampling.uniformHex("ipw", col("o_orderkey")) < col("thr"))
+      Eval.ipwAte(base, "str", col("treat"), "o_totalprice", "p")
+    }, Some(
+      """WITH b AS (
+        |  SELECT c_nationkey % 3 AS str, o_totalprice,
+        |         CASE c_nationkey % 3 WHEN 0 THEN 0.25e0
+        |              WHEN 1 THEN 0.5e0 ELSE 0.75e0 END AS p,
+        |         substr(md5('ipw|' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+        |           < (CASE c_nationkey % 3 WHEN 0 THEN '40000000'
+        |              WHEN 1 THEN '80000000' ELSE 'c0000000' END) AS treat
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |ps AS (
+        |  SELECT str, p,
+        |         SUM(CASE WHEN treat
+        |                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |           AS syt,
+        |         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS nt,
+        |         SUM(CASE WHEN NOT treat
+        |                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |           AS syc,
+        |         CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS nc
+        |  FROM b GROUP BY str, p),
+        |tot AS (
+        |  SELECT CAST(SUM(nt) AS BIGINT) AS n_treat,
+        |         CAST(SUM(nc) AS BIGINT) AS n_ctrl,
+        |         SUM(CAST(ROUND(COALESCE(CAST(syt AS DOUBLE), 0.0) / p, 8)
+        |                  AS DECIMAL(38,8))) AS wy_t,
+        |         SUM(CAST(ROUND(CAST(nt AS DOUBLE) / p, 8)
+        |                  AS DECIMAL(38,8))) AS w_t,
+        |         SUM(CAST(ROUND(COALESCE(CAST(syc AS DOUBLE), 0.0)
+        |                        / (1.0 - p), 8) AS DECIMAL(38,8)))
+        |           AS wy_c,
+        |         SUM(CAST(ROUND(CAST(nc AS DOUBLE) / (1.0 - p), 8)
+        |                  AS DECIMAL(38,8))) AS w_c
+        |  FROM ps)
+        |SELECT n_treat, n_ctrl,
+        |       ROUND(CASE WHEN CAST(w_t AS DOUBLE) > 0.0 THEN
+        |         CAST(wy_t AS DOUBLE) / CAST(w_t AS DOUBLE) END, 8)
+        |         AS mu_treat,
+        |       ROUND(CASE WHEN CAST(w_c AS DOUBLE) > 0.0 THEN
+        |         CAST(wy_c AS DOUBLE) / CAST(w_c AS DOUBLE) END, 8)
+        |         AS mu_ctrl,
+        |       ROUND((CASE WHEN CAST(w_t AS DOUBLE) > 0.0 THEN
+        |                CAST(wy_t AS DOUBLE) / CAST(w_t AS DOUBLE) END) -
+        |             (CASE WHEN CAST(w_c AS DOUBLE) > 0.0 THEN
+        |                CAST(wy_c AS DOUBLE) / CAST(w_c AS DOUBLE) END),
+        |             8) AS ate
+        |FROM tot""".stripMargin)),
+
+    // Average precision / PR-AUC with block tie handling over a coarse
+    // price score predicting finished orders — the imbalance-robust
+    // companion of q_auc. Distinct-score grid window, 10dp term grid.
+    QuerySpec("q_pr_auc", (s, dir) => {
+      val scored = t(s, dir, "orders")
+        .select(round(col("o_totalprice") / 1000.0, 0).as("score"),
+          col("o_orderstatus"))
+      Eval.averagePrecision(scored, "score",
+        col("o_orderstatus") === "F")
+    }, Some(
+      """WITH b AS (
+        |  SELECT CAST(ROUND(o_totalprice / 1000.0e0, 0)
+        |              AS DECIMAL(18,2)) AS s,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |bl AS (
+        |  SELECT s, COUNT(*) AS nb, CAST(SUM(y) AS BIGINT) AS pb
+        |  FROM b GROUP BY s),
+        |w AS (
+        |  SELECT nb, pb,
+        |         SUM(nb) OVER (ORDER BY s DESC
+        |                       ROWS UNBOUNDED PRECEDING) AS cn,
+        |         SUM(pb) OVER (ORDER BY s DESC
+        |                       ROWS UNBOUNDED PRECEDING) AS cp
+        |  FROM bl)
+        |SELECT CAST(SUM(nb) AS BIGINT) AS n,
+        |       CAST(SUM(pb) AS BIGINT) AS n_pos,
+        |       CASE WHEN SUM(pb) > 0 THEN
+        |         ROUND(CAST(SUM(CAST(ROUND(CAST(pb AS DOUBLE) *
+        |                 CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE), 10)
+        |               AS DECIMAL(38,10))) AS DOUBLE)
+        |               / CAST(SUM(pb) AS DOUBLE), 8)
+        |       END AS avg_precision
+        |FROM w""".stripMargin)),
+
+    // Cohen's κ between the price rater and the priority rater on the
+    // 3-class status domain — chance-corrected agreement, exact-integer
+    // inputs to one final double formula.
+    QuerySpec("q_cohens_kappa", (s, dir) => {
+      val rA = when(col("o_totalprice") > 300000.0, "F")
+        .when(col("o_totalprice") > 150000.0, "O").otherwise("P")
+      val rB = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "F")
+        .when(col("o_orderpriority") === "3-MEDIUM", "O").otherwise("P")
+      Eval.cohensKappa(t(s, dir, "orders"), rA, rB)
+    }, Some(
+      """WITH b AS (
+        |  SELECT CASE WHEN o_totalprice > 300000.0e0 THEN 'F'
+        |              WHEN o_totalprice > 150000.0e0 THEN 'O'
+        |              ELSE 'P' END AS a,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |              THEN 'F'
+        |              WHEN o_orderpriority = '3-MEDIUM' THEN 'O'
+        |              ELSE 'P' END AS bb
+        |  FROM orders),
+        |tot AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN a = bb THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS agree
+        |  FROM b),
+        |ma AS (SELECT a AS cls, COUNT(*) AS na FROM b GROUP BY a),
+        |mb AS (SELECT bb AS cls, COUNT(*) AS nb FROM b GROUP BY bb),
+        |ee AS (
+        |  SELECT CAST(SUM(na * nb) AS BIGINT) AS ee
+        |  FROM ma JOIN mb USING (cls))
+        |SELECT n,
+        |       ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 8) AS po,
+        |       ROUND(CAST(ee AS DOUBLE) /
+        |             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 8) AS pe,
+        |       CASE WHEN CAST(ee AS DOUBLE) /
+        |                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+        |            THEN ROUND((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |                   - CAST(ee AS DOUBLE) /
+        |                     (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+        |                  (1.0 - CAST(ee AS DOUBLE) /
+        |                     (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 8)
+        |       END AS kappa
+        |FROM tot CROSS JOIN ee""".stripMargin)),
+
+    // Empirical-Bayes shrinkage of per-supplier return rates: beta
+    // prior fit by method of moments across suppliers, posterior mean
+    // per supplier — low-volume suppliers shrink toward the global
+    // rate, the league-table smoothing classic.
+    QuerySpec("q_eb_smooth", (s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("k"), count(lit(1)).as("n"))
+      Eval.ebSmooth(per, "l_suppkey", "k", "n").orderBy("l_suppkey")
+    }, Some(
+      """WITH per AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS k,
+        |         COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_suppkey),
+        |b AS (
+        |  SELECT l_suppkey, k, n,
+        |         ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 10) AS r
+        |  FROM per WHERE n > 0),
+        |mo AS (
+        |  SELECT COUNT(*) AS m,
+        |         SUM(CAST(r AS DECIMAL(38,10))) AS sr,
+        |         SUM(CAST(ROUND(r * r, 16) AS DECIMAL(38,16))) AS srr
+        |  FROM b),
+        |pr AS (
+        |  SELECT CAST(sr AS DOUBLE) / CAST(m AS DOUBLE) AS mu,
+        |         CASE WHEN m > 1
+        |               AND (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) *
+        |                    CAST(sr AS DOUBLE) / CAST(m AS DOUBLE)) /
+        |                   (CAST(m AS DOUBLE) - 1.0) > 0.0
+        |               AND (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) *
+        |                    CAST(sr AS DOUBLE) / CAST(m AS DOUBLE)) /
+        |                   (CAST(m AS DOUBLE) - 1.0)
+        |                   < (CAST(sr AS DOUBLE) / CAST(m AS DOUBLE)) *
+        |                     (1.0 - CAST(sr AS DOUBLE) / CAST(m AS DOUBLE))
+        |              THEN (CAST(sr AS DOUBLE) / CAST(m AS DOUBLE)) *
+        |                   (1.0 - CAST(sr AS DOUBLE) / CAST(m AS DOUBLE)) /
+        |                   ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) *
+        |                     CAST(sr AS DOUBLE) / CAST(m AS DOUBLE)) /
+        |                    (CAST(m AS DOUBLE) - 1.0)) - 1.0
+        |         END AS s
+        |  FROM mo)
+        |SELECT l_suppkey, n, k, ROUND(r, 8) AS rate,
+        |       ROUND((CAST(k AS DOUBLE) + mu * s) /
+        |             (CAST(n AS DOUBLE) + s), 8) AS posterior
+        |FROM b CROSS JOIN pr ORDER BY l_suppkey""".stripMargin)),
+
+    // SAX symbolization of the daily-quantity series: 7-day PAA chunks,
+    // z-normalized chunk means, 4-symbol standard-normal breakpoints.
+    QuerySpec("q_sax_symbols", (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .where(col("l_shipdate").isNotNull)
+        .groupBy(datediff(to_date(col("l_shipdate")),
+          lit("1992-01-01").cast("date")).as("day"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      TimeSeries.saxSymbols(daily, "day", "qty", 7).orderBy("chunk")
+    }, Some(
+      """WITH d AS (
+        |  SELECT CAST(date_diff('day', DATE '1992-01-01',
+        |                        CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+        |ch AS (
+        |  SELECT CAST(FLOOR(CAST(day AS DOUBLE) / 7.0e0) AS BIGINT)
+        |           AS chunk,
+        |         COUNT(*) AS n_days,
+        |         SUM(CAST(qty AS DECIMAL(18,2))) AS sv
+        |  FROM d GROUP BY 1),
+        |pa AS (
+        |  SELECT chunk, n_days,
+        |         ROUND(CAST(sv AS DOUBLE) / CAST(n_days AS DOUBLE), 8)
+        |           AS paa
+        |  FROM ch),
+        |mo AS (
+        |  SELECT COUNT(*) AS m,
+        |         SUM(CAST(paa AS DECIMAL(38,8))) AS sp,
+        |         SUM(CAST(ROUND(paa * paa, 16) AS DECIMAL(38,16))) AS spp
+        |  FROM pa),
+        |pr AS (
+        |  SELECT CAST(sp AS DOUBLE) / CAST(m AS DOUBLE) AS mu,
+        |         CASE WHEN m > 1
+        |               AND (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) *
+        |                    CAST(sp AS DOUBLE) / CAST(m AS DOUBLE)) /
+        |                   (CAST(m AS DOUBLE) - 1.0) > 0.0
+        |              THEN SQRT((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) *
+        |                    CAST(sp AS DOUBLE) / CAST(m AS DOUBLE)) /
+        |                   (CAST(m AS DOUBLE) - 1.0))
+        |         END AS sd
+        |  FROM mo)
+        |SELECT chunk, n_days, paa,
+        |       CASE WHEN sd IS NOT NULL THEN
+        |         CASE WHEN (paa - mu) / sd < -0.6745e0 THEN 'a'
+        |              WHEN (paa - mu) / sd < 0.0e0 THEN 'b'
+        |              WHEN (paa - mu) / sd < 0.6745e0 THEN 'c'
+        |              ELSE 'd' END
+        |       END AS symbol
+        |FROM pa CROSS JOIN pr ORDER BY chunk""".stripMargin)),
+
+    // Frequent sequential pairs over (user, day) sessions: which event
+    // type's FIRST occurrence precedes which — the length-2 GSP tier
+    // behind funnel discovery. Equal-timestamp pairs dropped (order
+    // unobservable), support-filtered.
+    QuerySpec("q_seq_pairs", (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("event_type"), col("ts"))
+      Itemsets.sequentialPairs(ev, Seq("user_id", "day"),
+          "event_type", "ts", minSupport = 10L)
+        .orderBy("item_a", "item_b")
+    }, Some(
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         event_type, MIN(ts) AS t
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |       COUNT(*) AS n_sessions
+        |FROM f a JOIN f b
+        |  ON a.user_id = b.user_id AND a.day = b.day AND a.t < b.t
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 10
+        |ORDER BY item_a, item_b""".stripMargin)),
+
+    // Laplace-mechanism private counts per nation (ε = 0.5,
+    // sensitivity 1): md5-derived uniforms inverse-CDF'd to Laplace
+    // noise on the 6dp grid — the release-side member of the privacy
+    // tier beside the k-anonymity / l-diversity / t-closeness audits.
+    QuerySpec("q_dp_laplace", (s, dir) => {
+      val c = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+      Governance.dpLaplaceCounts(c, "n_name", epsilon = 0.5, seed = "dp")
+        .orderBy("n_name")
+    }, Some(
+      """WITH cnt AS (
+        |  SELECT n_name, COUNT(*) AS c
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |u AS (
+        |  SELECT n_name, c,
+        |         ((instr('0123456789abcdef', substr(md5('dp|' || n_name), 1, 1)) - 1) * 268435456.0e0 +
+        |          (instr('0123456789abcdef', substr(md5('dp|' || n_name), 2, 1)) - 1) * 16777216.0e0 +
+        |          (instr('0123456789abcdef', substr(md5('dp|' || n_name), 3, 1)) - 1) * 1048576.0e0 +
+        |          (instr('0123456789abcdef', substr(md5('dp|' || n_name), 4, 1)) - 1) * 65536.0e0 +
+        |          (instr('0123456789abcdef', substr(md5('dp|' || n_name), 5, 1)) - 1) * 4096.0e0 +
+        |          (instr('0123456789abcdef', substr(md5('dp|' || n_name), 6, 1)) - 1) * 256.0e0 +
+        |          (instr('0123456789abcdef', substr(md5('dp|' || n_name), 7, 1)) - 1) * 16.0e0 +
+        |          (instr('0123456789abcdef', substr(md5('dp|' || n_name), 8, 1)) - 1) * 1.0e0
+        |          + 0.5e0) / 4294967296.0e0 AS uu
+        |  FROM cnt)
+        |SELECT n_name,
+        |       ROUND(CAST(c AS DOUBLE) +
+        |             ROUND(-2.0e0 *
+        |                   (CASE WHEN (uu - 0.5e0) < 0.0e0
+        |                         THEN -1.0e0 ELSE 1.0e0 END) *
+        |                   LN(1.0e0 - 2.0e0 * ABS(uu - 0.5e0)), 6),
+        |             6) AS noisy_count
+        |FROM u ORDER BY n_name""".stripMargin))
+  )
+}
