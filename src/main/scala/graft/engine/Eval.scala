@@ -628,6 +628,90 @@ object Eval {
       round(muT - muC, 8).as("ate"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013): adjust
+    * the experiment metric y by the pre-period covariate x,
+    * y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled across arms —
+    * the industry-standard A/B sensitivity boost. The adjustment leaves
+    * every arm's mean unbiased (E[x] is arm-independent by
+    * randomization) while cancelling the pre-period component of the
+    * variance.
+    *
+    * One global moment aggregation (exact DECIMAL sums of cent-grid
+    * products), θ/x̄ broadcast back via the 1-row crossJoin convention,
+    * per-row adjusted values on the 8dp grid summed in DECIMAL per arm.
+    * Degenerate var(x) = 0 yields NULL adjusted means (no covariate to
+    * adjust on) rather than a fabricated θ. Output per arm: arm, n,
+    * mean_raw, mean_adj — ordered by arm. */
+  def cuped(df: DataFrame, armCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"),
+        col(xCol).cast("decimal(18,2)").as("__x"),
+        col(yCol).cast("decimal(18,2)").as("__y"))
+    val mom = base.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,4)")).as("__sxx"),
+      sum((col("__x") * col("__y")).cast("decimal(38,4)")).as("__sxy"))
+    val nd = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val den = col("__sxx").cast("double") - sx * sx / nd
+    val num = col("__sxy").cast("double") - sx * sy / nd
+    val prior = mom.select(
+      when(den > 0.0, num / den).as("__theta"), (sx / nd).as("__xbar"))
+    base.crossJoin(broadcast(prior))
+      .withColumn("__adj",
+        round(col("__y").cast("double") - col("__theta") *
+          (col("__x").cast("double") - col("__xbar")), 8)
+          .cast("decimal(38,8)"))
+      .groupBy(col("__arm").as(armCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__y")).cast("double") /
+          count(lit(1)).cast("double"), 8).as("mean_raw"),
+        round(sum(col("__adj")).cast("double") /
+          count(lit(1)).cast("double"), 8).as("mean_adj"))
+  }
+
+  /** Sample-ratio-mismatch check (the pre-flight every experimentation
+    * platform runs before reading an A/B result): χ² goodness-of-fit of
+    * the observed arm counts against the DESIGNED ratios — a triggered
+    * alarm means the assignment or logging pipeline is dropping one arm
+    * and every downstream metric is suspect. One count aggregation;
+    * exact integers into per-arm (o−e)²/e terms on the 8dp grid, summed
+    * in DECIMAL over the bounded arm domain. Arms in `expected` that
+    * never appear still contribute their full e (o = 0) via the full
+    * join — a vanished arm must inflate the statistic, not disappear —
+    * and an OBSERVED arm missing from the design yields a NULL chi2
+    * (the design is wrong, no statistic is honest — the fail-loud
+    * stance of the conformal monitor's unmodelled-group branch).
+    * Output one row: n, n_arms, chi2. */
+  def srmCheck(df: DataFrame, armCol: String,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "srmCheck: no expected ratios")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"srmCheck: ratios sum to ${expected.map(_._2).sum}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp0 = broadcast(expected.toDF(armCol, "__ratio"))
+    val counts = df.groupBy(col(armCol)).agg(count(lit(1)).as("__o"))
+    val joined = counts.join(exp0, Seq(armCol), "full")
+      .select(col(armCol), coalesce(col("__o"), lit(0L)).as("__o"),
+        col("__ratio"))
+      .withColumn("__n", sum(col("__o")).over(Window.partitionBy()))
+    val e = col("__ratio") * col("__n").cast("double")
+    joined
+      .withColumn("__term",
+        round((col("__o").cast("double") - e) *
+          (col("__o").cast("double") - e) / e, 8).cast("decimal(38,8)"))
+      .agg(sum(col("__o")).as("n"), count(lit(1)).as("n_arms"),
+        max(col("__ratio").isNull).as("__unmodelled"),
+        sum(col("__term")).as("__chi2"))
+      .select(col("n"), col("n_arms"),
+        when(!col("__unmodelled"),
+          round(col("__chi2").cast("double"), 8)).as("chi2"))
+  }
+
   /** Empirical-Bayes shrinkage of per-key binomial rates (beta-binomial
     * with a method-of-moments prior; Robbins 1956 lineage, the
     * "add-α/add-β from the data itself" smoothing used for CTR /

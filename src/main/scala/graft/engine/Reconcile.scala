@@ -45,4 +45,53 @@ object Reconcile {
       .select(keyCols.map(col) :+ col("change_type") :+
         col("changed_cols"): _*)
   }
+
+  /** Iterative proportional fitting / raking (Deming & Stephan 1940):
+    * scale the (row, col) cell weights so both margins match given
+    * targets — the survey-weighting classic behind post-stratification
+    * and contingency-table standardization. Each round: one row-margin
+    * scaling then one column-margin scaling, each a margin aggregation
+    * over the BOUNDED cell grid + a broadcast map-back; `rounds` is a
+    * fixed literal (the IRLS convention — determinism over adaptive
+    * stopping).
+    *
+    * Weights stay on the 8dp grid after every scaling (one rounded
+    * double ratio per cell per half-round, identical expression tree on
+    * both engines); margin sums are DECIMAL (order-free). Cells whose
+    * current margin is 0 keep weight 0 (0/0 guards to 0 — mass cannot
+    * be created on an empty margin). Output per cell: rowCol, colCol,
+    * weight. */
+  def ipfRaking(cells: DataFrame, rowCol: String, colCol: String,
+      weightCol: String, rowTargets: DataFrame, colTargets: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"ipfRaking: rounds=$rounds")
+    import org.apache.spark.sql.expressions.Window
+    // targets join ONCE before the loop and ride along as columns; each
+    // half-round's margin is then a WINDOW over the cell grid, never a
+    // self-join of the frame against its own aggregation — a join-based
+    // margin would duplicate the lineage each half-round and the plan
+    // would grow 2^(2·rounds) subtrees (a real OOM, caught by the
+    // convergence drill at rounds = 8)
+    val rt = broadcast(rowTargets.select(col(rowCol),
+      col("target").cast("double").as("__rt")))
+    val ct = broadcast(colTargets.select(col(colCol),
+      col("target").cast("double").as("__ct")))
+    def scaleBy(df: DataFrame, key: String, tCol: String): DataFrame = {
+      val ms = sum(col("__w").cast("decimal(38,8)"))
+        .over(Window.partitionBy(col(key)))
+      df.withColumn("__ms", ms)
+        .withColumn("__w",
+          when(col("__ms").cast("double") > 0.0,
+            round(col("__w") * col(tCol) /
+              col("__ms").cast("double"), 8)).otherwise(lit(0.0)))
+        .drop("__ms")
+    }
+    val start = cells.select(col(rowCol), col(colCol),
+        round(col(weightCol).cast("double"), 8).as("__w"))
+      .join(rt, Seq(rowCol)).join(ct, Seq(colCol))
+    val done = (1 to rounds).foldLeft(start) { (df, _) =>
+      scaleBy(scaleBy(df, rowCol, "__rt"), colCol, "__ct")
+    }
+    done.select(col(rowCol), col(colCol), col("__w").as("weight"))
+  }
 }

@@ -1206,6 +1206,120 @@ object Stats {
         (col("p_adj") <= lit(alpha)).as("reject"))
   }
 
+  /** Cochran–Mantel–Haenszel test (Mantel & Haenszel 1959; Cochran
+    * 1954) over stratified 2×2 tables, plus the MH pooled odds ratio —
+    * "is treatment associated with outcome after controlling for the
+    * stratum?", the stratified-association member of the causal tier
+    * beside [[Eval.ipwAte]] (weighting) and [[Eval.didEstimate]]
+    * (trends). Per stratum: observed a, hypergeometric E = r1·c1/n and
+    * V = r1·r2·c1·c2/(n²(n−1)); χ² = (Σa − ΣE)²/ΣV (no continuity
+    * correction — the scipy `correction=False` convention);
+    * OR_MH = Σ(a·d/n)/Σ(b·c/n).
+    *
+    * One stratum-keyed aggregation; per-stratum terms are computed in
+    * double (products cast BEFORE multiplying — stratum counts at web
+    * scale overflow long products, the WoE lesson), rounded to the 8dp
+    * grid and summed in DECIMAL over the bounded stratum domain.
+    * Single-subject strata (n ≤ 1) contribute nothing (V undefined).
+    * Output one row: n_strata, o_a, e_a, variance, chi2, or_mh. */
+  def cmh(df: DataFrame, stratumCol: String, treat: Column,
+      out: Column): DataFrame = {
+    val byS = df.groupBy(col(stratumCol).as("__s")).agg(
+      sum(when(treat && out, 1L).otherwise(0L)).as("a"),
+      sum(when(treat && !out, 1L).otherwise(0L)).as("b"),
+      sum(when(!treat && out, 1L).otherwise(0L)).as("c"),
+      sum(when(!treat && !out, 1L).otherwise(0L)).as("d"))
+    val dd = (c: Column) => c.cast("double")
+    val n = col("a") + col("b") + col("c") + col("d")
+    val terms = byS.where(n > 1).select(col("a"),
+      round(dd(col("a") + col("b")) * dd(col("a") + col("c")) / dd(n), 8)
+        .as("e_t"),
+      round(dd(col("a") + col("b")) * dd(col("c") + col("d")) *
+        dd(col("a") + col("c")) * dd(col("b") + col("d")) /
+        (dd(n) * dd(n) * dd(n - 1)), 8).as("v_t"),
+      round(dd(col("a")) * dd(col("d")) / dd(n), 8).as("or_n"),
+      round(dd(col("b")) * dd(col("c")) / dd(n), 8).as("or_d"))
+    val agg = terms.agg(count(lit(1)).as("n_strata"),
+      sum(col("a")).as("o_a"),
+      sum(col("e_t").cast("decimal(38,8)")).as("__e"),
+      sum(col("v_t").cast("decimal(38,8)")).as("__v"),
+      sum(col("or_n").cast("decimal(38,8)")).as("__on"),
+      sum(col("or_d").cast("decimal(38,8)")).as("__od"))
+    val oe = col("o_a").cast("double") - col("__e").cast("double")
+    agg.select(col("n_strata"), col("o_a"),
+      col("__e").cast("double").as("e_a"),
+      col("__v").cast("double").as("variance"),
+      when(col("__v").cast("double") > 0.0,
+        round(oe * oe / col("__v").cast("double"), 8)).as("chi2"),
+      when(col("__od").cast("double") > 0.0,
+        round(col("__on").cast("double") / col("__od").cast("double"), 8))
+        .as("or_mh"))
+  }
+
+  /** Exact two-sided binomial sign test (Arbuthnott 1710 lineage;
+    * the scipy `binomtest(k, n, 0.5)` shape) on paired diffs: zeros
+    * dropped, k = #positive among n non-zero, p = Σ of all Binomial(n,
+    * ½) pmf terms ≤ the observed term — the assumption-free sibling of
+    * the signed-rank test (A9) that uses only signs, never magnitudes.
+    *
+    * Same machinery as [[fisherExact]]: the j-grid is a distributed
+    * `sequence` explode (n+1 terms, map-only — the documented
+    * margin-grid tier; a normal-approx twin is the stated upgrade path
+    * past ~1e7 pairs), each ln pmf = lnChoose(n,j) + n·ln½ from the
+    * shared Lanczos render, terms on the 8dp DECIMAL grid, membership
+    * by DECIMAL compare. Output one row: n_nonzero, k_pos, p_two. */
+  def binomSignTest(diffs: DataFrame, dCol: String): DataFrame = {
+    val base = diffs.where(col(dCol).isNotNull && col(dCol) =!= 0)
+    val cells = base.agg(count(lit(1)).as("n"),
+      sum(when(col(dCol) > 0, 1L).otherwise(0L)).as("k"))
+    val js = cells.select(col("n"), col("k"),
+      explode(sequence(lit(0L), col("n"))).as("j"))
+    val lnp = Stats.lnChooseSql("CAST(n AS DOUBLE)", "CAST(j AS DOUBLE)") +
+      " + CAST(n AS DOUBLE) * (-0.6931471805599453e0)"
+    val terms = js.withColumn("__t",
+      round(exp(expr(lnp)), 8).cast("decimal(20,8)"))
+    val obs = terms.where(col("j") === col("k"))
+      .select(col("__t").as("__tobs"))
+    terms.crossJoin(broadcast(obs))
+      .groupBy(col("n"), col("k"))
+      .agg(round(sum(when(col("__t") <= col("__tobs"), col("__t")))
+        .cast("double"), 8).as("p_two"))
+      .select(col("n").as("n_nonzero"), col("k").as("k_pos"),
+        least(lit(1.0), col("p_two")).as("p_two"))
+  }
+
+  /** Restricted mean survival time (Irwin 1949; Royston & Parmar 2013
+    * revival): the area under the [[kaplanMeier]] curve up to horizon
+    * `tau` — the "average event-free days in the first τ" summary that
+    * stays meaningful when the median is never reached. The survival
+    * step function is integrated segment-by-segment: S = 1 on [0, t₁),
+    * then S(tᵢ) on [tᵢ, tᵢ₊₁) — each 8dp-survival × integer-gap product
+    * rounded to the 8dp grid and summed in DECIMAL over the bounded
+    * duration grid (one lead() window on it). Output one row: tau,
+    * n_times, rmst. */
+  def rmst(spans: DataFrame, durCol: String, eventCol: String,
+      tau: Long): DataFrame = {
+    require(tau > 0, s"rmst: tau=$tau")
+    val km = kaplanMeier(spans, durCol, eventCol)
+    val w = Window.orderBy(col("duration"))
+    val seg = km
+      .withColumn("__nxt",
+        coalesce(lead(col("duration"), 1).over(w), lit(tau)))
+      .select(col("duration"), col("survival"),
+        (least(col("__nxt"), lit(tau)) -
+          least(col("duration"), lit(tau))).as("__gap"))
+      .withColumn("__area",
+        round(col("survival") * col("__gap").cast("double"), 8)
+          .cast("decimal(38,8)"))
+    val head = km.agg(least(min(col("duration")), lit(tau)).as("__h0"))
+    seg.agg(count(lit(1)).as("n_times"),
+        sum(col("__area")).as("__a"))
+      .crossJoin(broadcast(head))
+      .select(lit(tau).as("tau"), col("n_times"),
+        round(col("__h0").cast("double") +
+          col("__a").cast("double"), 8).as("rmst"))
+  }
+
   /** Per-group sign-flip permutation test — [[signFlipTest]] lifted to a
     * family of groups so the p-values feed [[fdrBh]] directly: within
     * each group, B md5-keyed sign flips of the paired diffs, exact

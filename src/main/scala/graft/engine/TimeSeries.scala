@@ -349,6 +349,49 @@ object TimeSeries {
       .join(base.distinct(), Seq("g", "day"), "left_anti")
       .select(col("g").as(groupCol), col("day"))
   }
+  /** Page–Hinkley drift statistic (Page 1954; the PH member of the
+    * changepoint pair beside [[graft.engine.Stats]]' CUSUM): per group
+    * over an ordered series, m_t = Σ_{s≤t} (x_s − x̄_s − δ) with x̄_s
+    * the RUNNING mean, and the drift signal is the peak excursion
+    * g_t = m_t − min_{s≤t} m_s — "has the level drifted up by more than
+    * δ per step, and when did the evidence peak".
+    *
+    * Two group-partitioned windows over the CALENDAR-bounded series
+    * (the TimeSeries contract): per-step terms rounded to the 8dp grid
+    * and cumulated in DECIMAL (order fixed by the idx sort), the
+    * running min and the final argmax are exact DECIMAL compares —
+    * ties on the peak resolve to the EARLIEST idx (min_by on the
+    * (−g, idx) struct). Output per group: group, ph_stat, peak_at. */
+  def pageHinkley(df: DataFrame, groupCol: String, idxCol: String,
+      valCol: String, delta: Double): DataFrame = {
+    require(delta >= 0.0, s"pageHinkley: delta=$delta")
+    val base = df
+      .where(col(idxCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idxCol).cast("long").as("__i"),
+        col(valCol).cast("decimal(18,2)").as("__x"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = base
+      .withColumn("__cx", sum(col("__x")).over(w))
+      .withColumn("__t", count(lit(1)).over(w))
+      .withColumn("__term",
+        round(col("__x").cast("double") -
+          col("__cx").cast("double") / col("__t").cast("double") -
+          lit(delta), 8).cast("decimal(38,8)"))
+      // the window sum types as decimal(38,8); a (38,8)−(38,8) subtract
+      // needs precision 39, which Spark silently resolves by DROPPING
+      // the scale to 7dp (DuckDB keeps 8 and would overflow loudly) —
+      // re-bound the operands so the difference stays on the exact 8dp
+      // grid on both engines
+      .withColumn("__m", sum(col("__term")).over(w).cast("decimal(28,8)"))
+      .withColumn("__mn", min(col("__m")).over(w))
+      .withColumn("__gt", col("__m") - col("__mn"))
+    scored.groupBy(col("__g").as(groupCol))
+      .agg(max(col("__gt")).cast("double").as("ph_stat"),
+        min_by(col("__i"), struct((-col("__gt")).as("g"),
+          col("__i").as("i"))).as("peak_at"))
+  }
+
   /** SAX symbolization (Lin, Keogh, Lonardi & Chiu 2003): piecewise
     * aggregate approximation of a daily series into `chunkDays`-wide
     * chunks, z-normalization of the chunk means, then discretization at

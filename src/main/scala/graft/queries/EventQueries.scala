@@ -1389,6 +1389,28 @@ object EventQueries {
         |       CAST(20 + doc_id % 11 AS BIGINT) AS response_len
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL tape-archive container walk (POSIX ustar — 512-byte header
+    // blocks, octal size fields, verified checksums, ceil(size/512)
+    // data skips, two-zero-block trailer): the bulk container data-lake
+    // dumps ship in; every fact recomputed arithmetically by the oracle.
+    QuerySpec("q_tar_meta", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "application/x-tar",
+          Multimodal.syntheticTar(id)))
+      Multimodal.tarMeta(recs).toDF()
+        .select(col("id").as("doc_id"), col("n_entries"),
+          col("total_size"), col("first_name"), col("max_size"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_entries,
+        |       CAST(110 + doc_id % 7 + doc_id % 13 AS BIGINT)
+        |         AS total_size,
+        |       'a_' || CAST(doc_id AS VARCHAR) || '.txt' AS first_name,
+        |       CAST(100 + doc_id % 13 AS BIGINT) AS max_size
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Peak concurrency per event type (sweep-line +1/−1 prefix sum over
     // half-open [start, start+value·1s) intervals): the capacity question
     // — "how many were in flight at once, and when did the peak first

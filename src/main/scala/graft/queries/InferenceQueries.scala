@@ -33,6 +33,47 @@ object InferenceQueries {
     "CAST(r1 AS DOUBLE)", "CAST(c1 AS DOUBLE)",
     "CAST(n AS DOUBLE)", "CAST(k AS DOUBLE)")
 
+  /** ln Binomial(n, ½) pmf at j — the q_binom_sign render (shared
+    * Lanczos log-gamma; −0.693… = ln ½). */
+  private val binomLnp: String =
+    Stats.lnChooseSql("CAST(n AS DOUBLE)", "CAST(j AS DOUBLE)") +
+      " + CAST(n AS DOUBLE) * (-0.6931471805599453e0)"
+
+  /** One IPF half-round as oracle SQL: rescale `w` so the `key` margin
+    * matches `tgt` — the same guarded-ratio tree as
+    * [[graft.engine.Reconcile.ipfRaking]]'s scaleBy (single-sourced so
+    * the 6 unrolled stages can't drift from the engine). */
+  private def ipfStageSql(prev: String, key: String, tgt: String): String =
+    s"""SELECT nat, prio, rt, ct,
+       |  CASE WHEN CAST(SUM(CAST(w AS DECIMAL(38,8)))
+       |              OVER (PARTITION BY $key) AS DOUBLE) > 0.0e0
+       |       THEN ROUND(w * $tgt /
+       |              CAST(SUM(CAST(w AS DECIMAL(38,8)))
+       |                   OVER (PARTITION BY $key) AS DOUBLE), 8)
+       |       ELSE 0.0e0 END AS w
+       |FROM $prev""".stripMargin
+
+  private val ipfOracle: String = {
+    val stages = (1 to 3).flatMap { r =>
+      Seq(s"r$r" -> ipfStageSql(if (r == 1) "b" else s"s${r - 1}",
+        "nat", "rt"),
+        s"s$r" -> ipfStageSql(s"r$r", "prio", "ct"))
+    }.map { case (name, sql) => s"$name AS (\n$sql)" }.mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT c_nationkey AS nat, o_orderpriority AS prio,
+       |         COUNT(*) AS cnt
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT nat, prio, ROUND(CAST(cnt AS DOUBLE), 8) AS w,
+       |         CAST(SUM(cnt) OVER () AS DOUBLE) / 25.0e0 AS rt,
+       |         CAST(SUM(cnt) OVER () AS DOUBLE) / 5.0e0 AS ct
+       |  FROM c0),
+       |$stages
+       |SELECT nat, prio, w AS weight FROM s3
+       |ORDER BY nat, prio""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
 
     // Benjamini–Hochberg FDR over a 25-brand family of sign-flip
@@ -565,6 +606,348 @@ object InferenceQueries {
         |                         THEN -1.0e0 ELSE 1.0e0 END) *
         |                   LN(1.0e0 - 2.0e0 * ABS(uu - 0.5e0)), 6),
         |             6) AS noisy_count
-        |FROM u ORDER BY n_name""".stripMargin))
+        |FROM u ORDER BY n_name""".stripMargin)),
+
+    // Cochran–Mantel–Haenszel stratified 2×2 test + MH pooled odds
+    // ratio across the 25 nation strata — "is urgency associated with
+    // finished status after controlling for nation", the stratified
+    // complement of q_fisher_exact's single-stratum test.
+    QuerySpec("q_cmh", (s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+      Stats.cmh(base, "c_nationkey",
+        col("o_orderpriority") === "1-URGENT",
+        col("o_orderstatus") === "F")
+    }, Some(
+      """WITH b AS (
+        |  SELECT c_nationkey AS s, o_orderpriority = '1-URGENT' AS tr,
+        |         o_orderstatus = 'F' AS oc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |x AS (
+        |  SELECT s,
+        |         CAST(SUM(CASE WHEN tr AND oc THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS a,
+        |         CAST(SUM(CASE WHEN tr AND NOT oc THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS b,
+        |         CAST(SUM(CASE WHEN NOT tr AND oc THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c,
+        |         CAST(SUM(CASE WHEN NOT tr AND NOT oc THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS d
+        |  FROM b GROUP BY s),
+        |t AS (
+        |  SELECT a,
+        |         ROUND(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+        |               / CAST(a + b + c + d AS DOUBLE), 8) AS e_t,
+        |         ROUND(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |               * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+        |               / (CAST(a + b + c + d AS DOUBLE)
+        |                  * CAST(a + b + c + d AS DOUBLE)
+        |                  * CAST(a + b + c + d - 1 AS DOUBLE)), 8) AS v_t,
+        |         ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |               / CAST(a + b + c + d AS DOUBLE), 8) AS or_n,
+        |         ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |               / CAST(a + b + c + d AS DOUBLE), 8) AS or_d
+        |  FROM x WHERE a + b + c + d > 1),
+        |g AS (
+        |  SELECT COUNT(*) AS n_strata, CAST(SUM(a) AS BIGINT) AS o_a,
+        |         CAST(SUM(CAST(e_t AS DECIMAL(38,8))) AS DOUBLE) AS e_a,
+        |         CAST(SUM(CAST(v_t AS DECIMAL(38,8))) AS DOUBLE)
+        |           AS variance,
+        |         CAST(SUM(CAST(or_n AS DECIMAL(38,8))) AS DOUBLE) AS orn,
+        |         CAST(SUM(CAST(or_d AS DECIMAL(38,8))) AS DOUBLE) AS ord_
+        |  FROM t)
+        |SELECT n_strata, o_a, e_a, variance,
+        |       CASE WHEN variance > 0.0 THEN
+        |         ROUND((CAST(o_a AS DOUBLE) - e_a)
+        |               * (CAST(o_a AS DOUBLE) - e_a) / variance, 8)
+        |       END AS chi2,
+        |       CASE WHEN ord_ > 0.0 THEN ROUND(orn / ord_, 8) END AS or_mh
+        |FROM g""".stripMargin)),
+
+    // Exact two-sided binomial sign test on per-customer first→last
+    // order-value changes — the signs-only member beside q_perm_test
+    // (magnitudes) and q_wilcoxon (ranks); Lanczos pmf grid, 8dp terms.
+    QuerySpec("q_binom_sign", (s, dir) => {
+      val key = struct(col("o_orderdate"), col("o_orderkey"))
+      val diffs = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min_by(col("o_totalprice"), key).as("__f"),
+          max_by(col("o_totalprice"), key).as("__l"),
+          count(lit(1)).as("__c"))
+        .where(col("__c") >= 2)
+        .select((col("__l").cast("decimal(18,2)") -
+          col("__f").cast("decimal(18,2)")).as("d"))
+      Stats.binomSignTest(diffs, "d")
+    }, Some(
+      s"""WITH o AS (
+         |  SELECT o_custkey,
+         |         FIRST_VALUE(o_totalprice) OVER w AS f,
+         |         LAST_VALUE(o_totalprice) OVER w AS l,
+         |         COUNT(*) OVER w AS c
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey
+         |               ORDER BY o_orderdate, o_orderkey
+         |               ROWS BETWEEN UNBOUNDED PRECEDING
+         |               AND UNBOUNDED FOLLOWING)),
+         |fl AS (
+         |  SELECT DISTINCT o_custkey,
+         |         CAST(l AS DECIMAL(18,2)) - CAST(f AS DECIMAL(18,2)) AS d
+         |  FROM o WHERE c >= 2),
+         |cells AS (
+         |  SELECT COUNT(*) AS n,
+         |         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS k
+         |  FROM fl WHERE d <> 0),
+         |js AS (
+         |  SELECT n, k, unnest(generate_series(0, n)) AS j FROM cells),
+         |tm AS (
+         |  SELECT n, k, j,
+         |         CAST(ROUND(EXP($binomLnp), 8) AS DECIMAL(20,8)) AS term
+         |  FROM js),
+         |ob AS (SELECT term AS tobs FROM tm WHERE j = k)
+         |SELECT n AS n_nonzero, k AS k_pos,
+         |       LEAST(1.0e0, ROUND(CAST(SUM(CASE WHEN term <= tobs
+         |                                        THEN term END)
+         |                                AS DOUBLE), 8)) AS p_two
+         |FROM tm CROSS JOIN ob GROUP BY n, k""".stripMargin)),
+
+    // Restricted mean survival time (τ = 30 days) over the same
+    // user-lifetime spans as q_kaplan_meier / q_nelson_aalen: the area
+    // under the KM step curve, 8dp segment areas summed in DECIMAL.
+    QuerySpec("q_rmst", (s, dir) => {
+      val spans = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+      val cut = spans.agg((max(col("mx")) - lit(604800000000L)).as("cut"))
+      val sp = spans.crossJoin(cut)
+        .select(expr("(mx - mn) div 86400000000").as("dur"),
+          (col("mx") <= col("cut")).as("ev"))
+      Stats.rmst(sp, "dur", "ev", tau = 30L)
+    }, Some(
+      """WITH s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT MAX(mx) - 604800000000 AS cut FROM s),
+        |sp AS (
+        |  SELECT (mx - mn) // 86400000000 AS duration,
+        |         mx <= c.cut AS ev
+        |  FROM s CROSS JOIN c),
+        |pd AS (
+        |  SELECT duration,
+        |         CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS deaths,
+        |         CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS censored
+        |  FROM sp GROUP BY duration),
+        |wr AS (
+        |  SELECT duration, deaths, censored,
+        |         SUM(deaths + censored)
+        |           OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+        |           AS ended,
+        |         SUM(deaths + censored) OVER () AS tot
+        |  FROM pd),
+        |ar AS (
+        |  SELECT duration, deaths, censored,
+        |         CAST(tot - ended + deaths + censored AS BIGINT) AS at_risk
+        |  FROM wr),
+        |lf AS (
+        |  SELECT duration, at_risk, deaths,
+        |         CAST(CASE WHEN deaths = 0 OR deaths = at_risk
+        |                   THEN CAST(0.0 AS DOUBLE)
+        |                   ELSE ROUND(ln(1.0 - CAST(deaths AS DOUBLE)
+        |                                       / CAST(at_risk AS DOUBLE)),
+        |                              8)
+        |              END AS DECIMAL(20,8)) AS lnf,
+        |         CASE WHEN deaths = at_risk THEN 1 ELSE 0 END AS z
+        |  FROM ar),
+        |fin AS (
+        |  SELECT duration,
+        |         CASE WHEN SUM(z) OVER (ORDER BY duration
+        |                                ROWS UNBOUNDED PRECEDING) > 0
+        |              THEN CAST(0.0 AS DOUBLE)
+        |              ELSE ROUND(exp(CAST(SUM(lnf)
+        |                     OVER (ORDER BY duration
+        |                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)),
+        |                   8) END AS survival
+        |  FROM lf),
+        |seg AS (
+        |  SELECT duration, survival,
+        |         COALESCE(LEAD(duration) OVER (ORDER BY duration), 30)
+        |           AS nxt
+        |  FROM fin),
+        |ar2 AS (
+        |  SELECT CAST(ROUND(survival *
+        |           CAST(LEAST(nxt, 30) - LEAST(duration, 30) AS DOUBLE),
+        |           8) AS DECIMAL(38,8)) AS area
+        |  FROM seg),
+        |h AS (SELECT LEAST(MIN(duration), 30) AS h0,
+        |             COUNT(*) AS n_times FROM fin)
+        |SELECT CAST(30 AS BIGINT) AS tau, n_times,
+        |       ROUND(CAST(h0 AS DOUBLE) +
+        |             CAST((SELECT SUM(area) FROM ar2) AS DOUBLE), 8)
+        |         AS rmst
+        |FROM h""".stripMargin)),
+
+    // Page–Hinkley drift screen per event type over the daily-total
+    // series — the running-mean changepoint companion of q_cusum.
+    QuerySpec("q_page_hinkley", (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+      TimeSeries.pageHinkley(daily, "event_type", "day", "x",
+        delta = 0.0).orderBy("event_type")
+    }, Some(
+      """WITH d AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS i,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT g, i,
+        |         CAST(ROUND(CAST(x AS DOUBLE)
+        |                - CAST(SUM(x) OVER win AS DOUBLE)
+        |                  / CAST(COUNT(*) OVER win AS DOUBLE)
+        |                - 0.0e0, 8) AS DECIMAL(38,8)) AS term
+        |  FROM d
+        |  WINDOW win AS (PARTITION BY g ORDER BY i
+        |                 ROWS UNBOUNDED PRECEDING)),
+        |m AS (
+        |  SELECT g, i, SUM(term) OVER win AS mv
+        |  FROM w
+        |  WINDOW win AS (PARTITION BY g ORDER BY i
+        |                 ROWS UNBOUNDED PRECEDING)),
+        |gt AS (
+        |  SELECT g, i, mv - MIN(mv) OVER win AS gtv
+        |  FROM m
+        |  WINDOW win AS (PARTITION BY g ORDER BY i
+        |                 ROWS UNBOUNDED PRECEDING)),
+        |mx AS (SELECT g, MAX(gtv) AS mg FROM gt GROUP BY g)
+        |SELECT gt.g AS event_type, CAST(mx.mg AS DOUBLE) AS ph_stat,
+        |       MIN(gt.i) AS peak_at
+        |FROM gt JOIN mx ON gt.g = mx.g AND gt.gtv = mx.mg
+        |GROUP BY gt.g, mx.mg ORDER BY event_type""".stripMargin)),
+
+    // CUPED variance reduction: per-user pre-period spend adjusts the
+    // post-period metric before the arm comparison — the A/B
+    // sensitivity standard, θ and x̄ from one exact-moment pass.
+    QuerySpec("q_cuped", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = ev.agg((max(unix_micros(col("ts"))) -
+        lit(1209600000000L)).as("cut"))
+      val per = ev.crossJoin(cut)
+        .where(col("value").isNotNull)
+        .withColumn("post", unix_micros(col("ts")) >= col("cut"))
+        .groupBy("user_id")
+        .agg(sum(when(!col("post"), col("value").cast("decimal(18,2)")))
+          .as("x"),
+          sum(when(col("post"), col("value").cast("decimal(18,2)")))
+            .as("y"))
+        .where(col("x").isNotNull && col("y").isNotNull)
+      val arms = Sampling.assignSplit(per, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), seed = "cuped", outCol = "arm")
+      Eval.cuped(arms, "arm", "x", "y").orderBy("arm")
+    }, Some(
+      """WITH c AS (SELECT MAX(epoch_us(ts)) - 1209600000000 AS cut
+        |           FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN epoch_us(ts) < c.cut
+        |                  THEN CAST(value AS DECIMAL(18,2)) END) AS x,
+        |         SUM(CASE WHEN epoch_us(ts) >= c.cut
+        |                  THEN CAST(value AS DECIMAL(18,2)) END) AS y
+        |  FROM events CROSS JOIN c
+        |  WHERE value IS NOT NULL
+        |  GROUP BY user_id),
+        |b AS (
+        |  SELECT CASE WHEN substr(md5('cuped|' ||
+        |                     CAST(user_id AS VARCHAR)), 1, 8)
+        |                   < '80000000'
+        |              THEN 'a' ELSE 'b' END AS arm,
+        |         CAST(x AS DECIMAL(18,2)) AS x,
+        |         CAST(y AS DECIMAL(18,2)) AS y
+        |  FROM per WHERE x IS NOT NULL AND y IS NOT NULL),
+        |mo AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+        |         SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy
+        |  FROM b),
+        |pr AS (
+        |  SELECT CASE WHEN CAST(sxx AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |                     / CAST(n AS DOUBLE) > 0.0
+        |              THEN (CAST(sxy AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |                      / CAST(n AS DOUBLE))
+        |                   / (CAST(sxx AS DOUBLE)
+        |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |                        / CAST(n AS DOUBLE))
+        |         END AS theta,
+        |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM mo)
+        |SELECT arm, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 8)
+        |         AS mean_raw,
+        |       ROUND(CAST(SUM(CAST(ROUND(CAST(y AS DOUBLE)
+        |                - theta * (CAST(x AS DOUBLE) - xbar), 8)
+        |              AS DECIMAL(38,8))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 8) AS mean_adj
+        |FROM b CROSS JOIN pr
+        |GROUP BY arm ORDER BY arm""".stripMargin)),
+
+    // Sample-ratio-mismatch pre-flight on a 50/30/20 md5 assignment:
+    // χ² GOF of observed arm counts against the designed ratios.
+    QuerySpec("q_srm", (s, dir) => {
+      val sp = Sampling.assignSplit(t(s, dir, "orders"), "o_orderkey",
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), seed = "srm",
+        outCol = "arm")
+      Eval.srmCheck(sp, "arm",
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    }, Some(
+      """WITH sp AS (
+        |  SELECT CASE WHEN substr(md5('srm|' ||
+        |                     CAST(o_orderkey AS VARCHAR)), 1, 8)
+        |                   < '80000000' THEN 'a'
+        |              WHEN substr(md5('srm|' ||
+        |                     CAST(o_orderkey AS VARCHAR)), 1, 8)
+        |                   < 'cccccccd' THEN 'b'
+        |              ELSE 'c' END AS arm
+        |  FROM orders),
+        |o AS (SELECT arm, COUNT(*) AS ob FROM sp GROUP BY arm),
+        |e AS (
+        |  SELECT o.arm, ob, r, SUM(ob) OVER () AS n
+        |  FROM o JOIN (VALUES ('a', 0.5e0), ('b', 0.3e0), ('c', 0.2e0))
+        |         t(arm, r) ON o.arm = t.arm)
+        |SELECT CAST(SUM(ob) AS BIGINT) AS n, COUNT(*) AS n_arms,
+        |       ROUND(CAST(SUM(CAST(ROUND(
+        |           (CAST(ob AS DOUBLE) - r * CAST(n AS DOUBLE))
+        |         * (CAST(ob AS DOUBLE) - r * CAST(n AS DOUBLE))
+        |         / (r * CAST(n AS DOUBLE)), 8) AS DECIMAL(38,8)))
+        |         AS DOUBLE), 8) AS chi2
+        |FROM e""".stripMargin)),
+
+    // IPF raking of the (nation × priority) order cells to uniform
+    // margins, 3 fixed rounds — the survey-weighting /
+    // table-standardization classic; margins are DECIMAL window sums,
+    // each half-round one guarded 8dp ratio per cell.
+    QuerySpec("q_ipf_rake", (s, dir) => {
+      val cells = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nat"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("w0"))
+      val tot = cells.agg(sum(col("w0")).as("t"))
+      val rowT = cells.select("nat").distinct().crossJoin(broadcast(tot))
+        .select(col("nat"),
+          (col("t").cast("double") / lit(25.0)).as("target"))
+      val colT = cells.select("prio").distinct().crossJoin(broadcast(tot))
+        .select(col("prio"),
+          (col("t").cast("double") / lit(5.0)).as("target"))
+      graft.engine.Reconcile.ipfRaking(cells, "nat", "prio", "w0",
+        rowT, colT, rounds = 3).orderBy("nat", "prio")
+    }, Some(ipfOracle))
   )
 }

@@ -108,7 +108,21 @@ class DeterminismSpec extends SparkSpec {
     // md5 sign-flip randomization sums; covariate-axis as-of matching
     "q_did", "q_isotonic", "q_perm_test", "q_nn_match",
     // WARC CRLF-header/Content-Length byte walk; RE2 strip chain
-    "q_warc_meta", "q_html_extract")
+    "q_warc_meta", "q_html_extract",
+    // inference tier: md5 sign-flip p family through the BH suffix-min
+    // window; Lanczos-grid hypergeometric term sums; duration-grid
+    // hazard cumsums; month-grid pair signs; 8dp stratum term sums;
+    // distinct-score-grid AP; moment-fit EB posteriors; chunk-grid SAX
+    // z-cuts; first-occurrence pair joins; md5 inverse-CDF noise
+    "q_fdr_bh", "q_fisher_exact", "q_nelson_aalen", "q_kendall_tau",
+    "q_ipw_ate", "q_pr_auc", "q_eb_smooth", "q_sax_symbols",
+    "q_seq_pairs", "q_dp_laplace",
+    // causal/experimentation wave: stratified 8dp term sums, Lanczos
+    // pmf grids, KM-segment areas, (28,8)-bounded PH cumsums, broadcast
+    // θ/x̄ adjust, design-ratio χ², guarded IPF half-rounds, ustar
+    // checksum byte walk
+    "q_cmh", "q_binom_sign", "q_rmst", "q_page_hinkley", "q_cuped",
+    "q_srm", "q_ipf_rake", "q_tar_meta")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

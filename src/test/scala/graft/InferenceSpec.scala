@@ -291,6 +291,139 @@ class InferenceSpec extends SparkSpec {
     assert(out === Map(("view", "click") -> 2L))
   }
 
+  // ---- CMH ---------------------------------------------------------------
+
+  test("cmh: one stratum reduces to (a-E)²/V; OR_MH on a hand table") {
+    // [[4,1],[1,4]]: n=10, E = 5·5/10 = 2.5, V = 5·5·5·5/(100·9),
+    // OR_MH = (4·4/10)/(1·1/10) = 16
+    val rows = Seq.fill(4)((0, true, true)) ++ Seq.fill(1)((0, true, false)) ++
+      Seq.fill(1)((0, false, true)) ++ Seq.fill(4)((0, false, false))
+    val df = rows.toDF("s", "tr", "oc")
+    val r = Stats.cmh(df, "s", col("tr"), col("oc")).head()
+    assert(r.getAs[Long]("o_a") === 4L)
+    assert(math.abs(r.getAs[Double]("e_a") - 2.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("variance") - 625.0 / 900.0) < 1e-7)
+    val chi2 = 1.5 * 1.5 / (625.0 / 900.0)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-6)
+    assert(math.abs(r.getAs[Double]("or_mh") - 16.0) < 1e-9)
+  }
+
+  test("cmh: a single-subject stratum is excluded from every sum") {
+    val rows = Seq((0, true, true), (0, true, false), (0, false, true),
+      (0, false, false), (1, true, true)) // stratum 1 has n=1
+    val r = Stats.cmh(rows.toDF("s", "tr", "oc"), "s", col("tr"),
+      col("oc")).head()
+    assert(r.getAs[Long]("n_strata") === 1L)
+    assert(r.getAs[Long]("o_a") === 1L)
+  }
+
+  // ---- binomial sign test -----------------------------------------------
+
+  test("binomSignTest: k=n=5 → 2/32; k=3,n=4 → 10/16; zeros dropped") {
+    val all = (1 to 5).map(i => Tuple1(i.toDouble)).toDF("d")
+    val r1 = Stats.binomSignTest(all, "d").head()
+    assert(r1.getAs[Long]("k_pos") === 5L)
+    assert(math.abs(r1.getAs[Double]("p_two") - 2.0 / 32.0) < 1e-6)
+
+    val mixed = Seq(1.0, 2.0, 3.0, -1.0, 0.0).map(Tuple1(_)).toDF("d")
+    val r2 = Stats.binomSignTest(mixed, "d").head()
+    assert(r2.getAs[Long]("n_nonzero") === 4L)
+    assert(r2.getAs[Long]("k_pos") === 3L)
+    // pmf = (1,4,6,4,1)/16; obs 4/16 → included 1+4+4+1 = 10/16
+    assert(math.abs(r2.getAs[Double]("p_two") - 10.0 / 16.0) < 1e-6)
+  }
+
+  // ---- RMST -----------------------------------------------------------------
+
+  test("rmst: hand-integrated KM step function, horizon clamps") {
+    // event at t=2 (S→0.5), censored at t=5; τ=4:
+    // 1·[0,2) + 0.5·[2,4) = 2 + 1 = 3
+    val spans = Seq((2L, true), (5L, false)).toDF("dur", "ev")
+    val r = Stats.rmst(spans, "dur", "ev", tau = 4L).head()
+    assert(r.getAs[Long]("tau") === 4L)
+    assert(math.abs(r.getAs[Double]("rmst") - 3.0) < 1e-7)
+    // τ before the first event: survival never drops inside [0,τ)
+    val r2 = Stats.rmst(spans, "dur", "ev", tau = 2L).head()
+    assert(math.abs(r2.getAs[Double]("rmst") - 2.0) < 1e-9)
+  }
+
+  // ---- Page–Hinkley -----------------------------------------------------------
+
+  test("pageHinkley: constant series → 0; a step up is detected at the step") {
+    val flat = (1 to 10).map(i => ("g", i.toLong, 5.0)).toDF("g", "i", "x")
+    val rf = TimeSeries.pageHinkley(flat, "g", "i", "x", 0.0).head()
+    assert(rf.getAs[Double]("ph_stat") === 0.0)
+
+    // x = (0, 10): terms (0, +5) → m = (0, 5), min = 0 → peak 5 at i=2
+    val step = Seq(("g", 1L, 0.0), ("g", 2L, 10.0)).toDF("g", "i", "x")
+    val rs = TimeSeries.pageHinkley(step, "g", "i", "x", 0.0).head()
+    assert(math.abs(rs.getAs[Double]("ph_stat") - 5.0) < 1e-9)
+    assert(rs.getAs[Long]("peak_at") === 2L)
+  }
+
+  // ---- CUPED ---------------------------------------------------------------
+
+  test("cuped: a metric fully explained by the covariate adjusts to " +
+    "equal arm means") {
+    // y = 2x exactly → θ = 2, y' = 2x̄ for every row: both arms' adjusted
+    // means equal 2·x̄ = 2·2.5 = 5 while raw means differ
+    val df = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0), ("b", 3.0, 6.0),
+      ("b", 4.0, 8.0)).toDF("arm", "x", "y")
+    val rows = Eval.cuped(df, "arm", "x", "y").orderBy("arm").collect()
+    assert(math.abs(rows(0).getAs[Double]("mean_adj") - 5.0) < 1e-7)
+    assert(math.abs(rows(1).getAs[Double]("mean_adj") - 5.0) < 1e-7)
+    assert(rows(0).getAs[Double]("mean_raw") === 3.0)
+    assert(rows(1).getAs[Double]("mean_raw") === 7.0)
+  }
+
+  test("cuped: zero-variance covariate → NULL adjusted means") {
+    val df = Seq(("a", 1.0, 2.0), ("b", 1.0, 4.0)).toDF("arm", "x", "y")
+    val rows = Eval.cuped(df, "arm", "x", "y").collect()
+    assert(rows.forall(_.isNullAt(3)))
+  }
+
+  // ---- SRM ---------------------------------------------------------------------
+
+  test("srmCheck: hand χ² on a 60/40 split designed 50/50; vanished and " +
+    "unmodelled arms fail loud") {
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).map(Tuple1(_))
+      .toDF("arm")
+    val r = Eval.srmCheck(df, "arm", Seq("a" -> 0.5, "b" -> 0.5)).head()
+    assert(r.getAs[Long]("n") === 100L)
+    assert(math.abs(r.getAs[Double]("chi2") - 4.0) < 1e-9)
+
+    // designed arm never observed: contributes its full e
+    val r2 = Eval.srmCheck(df, "arm",
+      Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)).head()
+    assert(r2.getAs[Long]("n_arms") === 3L)
+    assert(r2.getAs[Double]("chi2") > 4.0)
+
+    // observed arm missing from the design: NULL statistic
+    val r3 = Eval.srmCheck(df, "arm", Seq("a" -> 1.0)).head()
+    assert(r3.isNullAt(2))
+  }
+
+  // ---- IPF raking -----------------------------------------------------------
+
+  test("ipfRaking: margins converge to the targets; zero margins stay 0") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val cells = Seq(("r1", "c1", 1L), ("r1", "c2", 1L), ("r2", "c1", 1L),
+      ("r2", "c2", 3L)).toDF("nat", "prio", "w0")
+    val rowT = Seq(("r1", 3.0), ("r2", 3.0)).toDF("nat", "target")
+    val colT = Seq(("c1", 2.0), ("c2", 4.0)).toDF("prio", "target")
+    val out = graft.engine.Reconcile.ipfRaking(cells, "nat", "prio",
+      "w0", rowT, colT, rounds = 8)
+    val rows = out.groupBy("nat").agg(fsum("weight").as("s"))
+      .collect().map(r => r.getAs[String]("nat") -> r.getAs[Double]("s"))
+      .toMap
+    assert(math.abs(rows("r1") - 3.0) < 1e-3, rows)
+    assert(math.abs(rows("r2") - 3.0) < 1e-3, rows)
+    val cols = out.groupBy("prio").agg(fsum("weight").as("s"))
+      .collect().map(r => r.getAs[String]("prio") -> r.getAs[Double]("s"))
+      .toMap
+    assert(math.abs(cols("c2") - 4.0) < 1e-3, cols)
+  }
+
   // ---- DP Laplace -----------------------------------------------------------
 
   test("dpLaplaceCounts: deterministic noise matches an independent " +

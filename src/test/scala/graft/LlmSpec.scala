@@ -82,6 +82,40 @@ class MultimodalProps extends Properties("llm.multimodal") {
         warc.response_len == 20 + Math.floorMod(id, 11L)
     }
 
+  property("tar generator round-trips; checksum verified per entry") =
+    Prop.forAll(anyId) { id =>
+      val tar = Multimodal.decodeTar(
+        MediaRecord(id, "application/x-tar", Multimodal.syntheticTar(id)))
+      val s1 = 10 + Math.floorMod(id, 7L)
+      val s2 = 100 + Math.floorMod(id, 13L)
+      tar.n_entries == 2L && tar.total_size == s1 + s2 &&
+        tar.first_name == s"a_$id.txt" && tar.max_size == s2 && {
+          // corrupt one name byte: the verified checksum must catch it
+          val bad = Multimodal.syntheticTar(id).clone()
+          bad(0) = (bad(0) ^ 0x01).toByte
+          try { Multimodal.decodeTar(MediaRecord(id, "t", bad)); false }
+          catch {
+            case _: IllegalArgumentException => true
+            case _: Throwable => false
+          }
+        }
+    }
+
+  property("tar fails closed on truncation: IAE or a valid entry prefix") =
+    Prop.forAll(anyId, Gen.choose(0, 1000)) { (id, permille) =>
+      val full = Multimodal.syntheticTar(id)
+      val cut = full.take((full.length.toLong * permille / 1000L).toInt)
+      try {
+        val m = Multimodal.decodeTar(MediaRecord(id, "t", cut))
+        // an aligned cut that keeps ≥1 complete entry is a valid prefix
+        m.n_entries >= 1L && m.n_entries <= 2L &&
+          m.first_name == s"a_$id.txt"
+      } catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+
   property("parsers fail closed on truncation: IAE or a valid prefix, never index errors") =
     Prop.forAll(anyId, Gen.choose(0, 1000)) { (id, permille) =>
       def cut(b: Array[Byte]): Array[Byte] =

@@ -617,4 +617,86 @@ class PlanSpec extends SparkSpec {
     // the heap top-k pre-reduces map-side before the id shuffle
     assert(plan.contains("partial_topk_by_score"), plan)
   }
+
+  test("fisherExact: the k-grid is a Generate over the 1-row cell agg — " +
+      "no cartesian; the observed term rides a 1-row broadcast") {
+    val plan = planString(graft.engine.Stats.fisherExact(
+      Tables.load(spark, dir, "orders"),
+      col("o_orderpriority") === "1-URGENT",
+      col("o_orderstatus") === "F"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate explode"), plan) // the margin-sized grid
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // 1-row obs
+    assert(plan.contains("partial_sum"), plan) // cell counts pre-reduce
+  }
+
+  test("ipwAte: one stratum-keyed aggregation, no join anywhere — the " +
+      "Hajek ratios are a second global agg over the stratum grid") {
+    val base = Tables.load(spark, dir, "orders")
+      .select((col("o_orderkey") % 3).as("str"), col("o_totalprice"),
+        (col("o_orderkey") % 2 === 0).as("tr"), lit(0.5).as("p"))
+    val plan = planString(graft.engine.Eval.ipwAte(
+      base, "str", col("tr"), "o_totalprice", "p"))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("averagePrecision: distinct-score blocks pre-reduce map-side " +
+      "before the single grid window — no join") {
+    val plan = planString(graft.engine.Eval.averagePrecision(
+      Tables.load(spark, dir, "orders")
+        .select(round(col("o_totalprice") / 1000.0, 0).as("s"),
+          col("o_orderstatus")),
+      "s", col("o_orderstatus") === "F"))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert("Window".r.findAllIn(plan).length === 1, plan)
+  }
+
+  test("ebSmooth: the two prior scalars ride a 1-row broadcast back onto " +
+      "the key table — never a shuffle join of keys against moments") {
+    val per = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("k"), count(lit(1)).as("n"))
+    val plan = planString(graft.engine.Eval.ebSmooth(per, "l_suppkey",
+      "k", "n"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sequentialPairs: the pair stage is a session-keyed equi-join " +
+      "(never a cartesian) over the first-occurrence table") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"), col("ts"))
+    val plan = planString(graft.llm.Itemsets.sequentialPairs(
+      ev, Seq("user_id", "day"), "event_type", "ts", minSupport = 1L))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_min"), plan) // first-occurrence agg
+  }
+
+  test("dpLaplaceCounts: one count aggregation then map-only noise — " +
+      "no join, no window, no second shuffle") {
+    val plan = planString(graft.engine.Governance.dpLaplaceCounts(
+      Tables.load(spark, dir, "customer"), "c_nationkey", epsilon = 0.5))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert("Exchange".r.findAllIn(plan).length === 1, plan)
+  }
+
+  test("kendallTauB: pairs come from a group-keyed equi-join over the " +
+      "bounded series grid — the join key is the group, never a cartesian") {
+    val ser = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("m"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("v"))
+    val plan = planString(graft.engine.Stats.kendallTauB(
+      ser, "l_returnflag", "m", "v"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
