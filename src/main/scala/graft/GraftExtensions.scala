@@ -86,6 +86,14 @@ object GraftFunctions {
         graft.engine.PoissonBootSums(exprs(0), exprs(1),
           literalK(exprs(2), "poisson_boot_sums"),
           literalString(exprs(3), "poisson_boot_sums"))
+          .toAggregateExpression()),
+    ("sign_flip_sums",
+      new ExpressionInfo(classOf[graft.engine.SignFlipSums].getName,
+        "sign_flip_sums"),
+      (exprs: Seq[Expression]) =>
+        graft.engine.SignFlipSums(exprs(0), exprs(1),
+          literalK(exprs(2), "sign_flip_sums"),
+          literalString(exprs(3), "sign_flip_sums"))
           .toAggregateExpression()))
 
   /** Evaluate a foldable argument as a non-null string literal. */

@@ -143,3 +143,103 @@ case class PoissonBootSums(
       newChildren: IndexedSeq[Expression]): PoissonBootSums =
     copy(keyExpr = newChildren(0), centsExpr = newChildren(1))
 }
+
+/** Native sign-flip permutation accumulator: ONE pass over the rows
+  * updates all `b` replicates' signed cent sums — the aggregate form of
+  * [[Stats.groupedSignFlip]]'s explode-×B plan (81 s → sub-second at
+  * sf0.1: the explode amplified 600k rows 99× and hashed once per
+  * (row, replicate); here each row is hashed ONCE and its 128 digest
+  * bits drive up to 128 replicates, each task reducing to one b-long
+  * buffer before the shuffle — the PoissonBootSums argument applied to
+  * sign flipping).
+  *
+  * Flip parity with the declarative oracle: replicate r flips the row
+  * iff bit (3 − r mod 4) of hex digit (r div 4) of md5(seed|key) is
+  * set — exactly `((instr('0123456789abcdef', substr(md5(seed || '|'
+  * || key), 1 + r // 4, 1)) - 1) >> (3 - r % 4)) & 1` in DuckDB, so an
+  * oracle can replay every flip relationally.
+  *
+  * Capacity: one digest = 128 bits caps b at 128 (chunked digests like
+  * PoissonBootSums are the extension if a caller ever needs more);
+  * signed cent sums accumulate in int64 — with cents ≤ 1e7 they wrap
+  * after ~9e11 rows per group (the CovSums shard-and-merge contract).
+  * Output: array of `b` longs (replicate sign-flipped Σcents). */
+case class SignFlipSums(
+    keyExpr: Expression,
+    centsExpr: Expression,
+    b: Int,
+    seed: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(b >= 1 && b <= 128, s"sign_flip_sums: b=$b (one digest = 128 bits)")
+
+  override def children: Seq[Expression] = Seq(keyExpr, centsExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_flip_sums"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](b)
+
+  @transient private lazy val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val k = keyExpr.eval(input)
+    val c = centsExpr.eval(input)
+    if (k != null && c != null) {
+      val key = k.asInstanceOf[UTF8String].toString
+      val cents = c.asInstanceOf[Long]
+      val digest = md.get()
+      digest.reset()
+      digest.update((seed + "|" + key).getBytes(UTF_8))
+      val d = digest.digest()
+      var r = 0
+      while (r < b) {
+        // hex digit r/4 of the digest, bit (3 - r%4) — the exact SQL
+        // replay formula in the scaladoc
+        val byte = d(r / 8) & 0xff
+        val digit = if ((r / 4) % 2 == 0) byte >> 4 else byte & 0xf
+        val flip = ((digit >> (3 - r % 4)) & 1) == 1
+        buf(r) += (if (flip) -cents else cents)
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(x => x: Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(b * 8)
+    var i = 0
+    while (i < b) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](b)
+    var i = 0
+    while (i < b) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): SignFlipSums =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SignFlipSums =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SignFlipSums =
+    copy(keyExpr = newChildren(0), centsExpr = newChildren(1))
+}

@@ -103,9 +103,10 @@ object InferenceQueries {
         |obs AS (SELECT g, SUM(dd) AS tobs FROM d GROUP BY g),
         |r AS (
         |  SELECT g, bb.b AS b,
-        |         SUM(CASE WHEN (instr('0123456789abcdef',
-        |                  substr(md5('fdr|' || CAST(bb.b AS VARCHAR)
-        |                    || '|' || k), 1, 1)) - 1) % 2 = 1
+        |         SUM(CASE WHEN ((instr('0123456789abcdef',
+        |                    substr(md5('fdr|' || k),
+        |                           CAST(1 + bb.b // 4 AS INT), 1)) - 1)
+        |                  >> CAST(3 - (bb.b % 4) AS INT)) & 1 = 1
         |             THEN -dd ELSE dd END) AS tb
         |  FROM d CROSS JOIN (SELECT unnest(range(0, 99)) AS b) bb
         |  GROUP BY g, bb.b),

@@ -152,6 +152,33 @@ class InferenceSpec extends SparkSpec {
     assert(r("mix") > 0.2)    // T_obs = 0: every replicate is ≥ it
   }
 
+  test("groupedSignFlip native flips match an independent MD5 recompute") {
+    val rows = Seq(("g1", "a", 3.0), ("g1", "b", -1.5), ("g1", "c", 2.25),
+      ("g2", "d", 10.0), ("g2", "e", -10.0))
+    val df = rows.toDF("g", "k", "d")
+    val b = 8
+    val got = Stats.groupedSignFlip(df, "g", "k", "d", b, seed = "x")
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getAs[Double]("p_value")).toMap
+    def flip(key: String, r: Int): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"x|$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((Character.digit(hex.charAt(r / 4), 16) >> (3 - r % 4)) & 1) == 1
+    }
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val cents = rs.map(t => (t._2, math.round(t._3 * 100)))
+      val tobs = cents.map(_._2).sum
+      val ne = (0 until b).count { r =>
+        val tb = cents.map { case (k, c) => if (flip(k, r)) -c else c }.sum
+        math.abs(tb) >= math.abs(tobs)
+      }
+      g -> BigDecimal((1.0 + ne) / (b + 1.0))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === want)
+  }
+
   // ---- average precision ---------------------------------------------------
 
   test("averagePrecision: hand AP with a tie block") {
