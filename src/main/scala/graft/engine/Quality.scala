@@ -95,4 +95,90 @@ object Quality {
         col("r.column_name"), col("r.metric_value"), col("r.passed")): _*)
       .orderBy(groupCols.map(col) :+ col("check_name"): _*)
   }
+  /** robots.txt parse → per-URL crawl decision (REP, RFC 9309): the
+    * admission gate every crawl pipeline runs before fetching — "may
+    * `agent` fetch this path on this host?". Takes the RAW robots.txt
+    * text per host and a URL frame, and answers with the
+    * longest-prefix-match rule.
+    *
+    * Group semantics (RFC 9309 §2.2.1): consecutive `User-agent:` lines
+    * at a group's head share its rules; a host that has any group
+    * naming `agent` EXACTLY uses ONLY those groups, otherwise the `*`
+    * groups; no applicable rule → allowed. Empty `Disallow:` is a
+    * no-op. Longest matching prefix wins; at equal length Allow wins
+    * (the Google tie convention). Matching is literal prefix only (the
+    * `*`/`$` wildcard extension is out of contract, documented).
+    *
+    * Shape: one posexplode over the robots lines (line numbers give the
+    * running-group window, host-partitioned), rules join URLs on the
+    * HOST key (never a cross), the winner is one max_by over the
+    * bounded per-URL candidate set. Output: host, path, allowed,
+    * rule_prefix (NULL when no rule applied). */
+  def robotsDecisions(robots: DataFrame, hostCol: String,
+      contentCol: String, urls: DataFrame, urlHostCol: String,
+      pathCol: String, agent: String): DataFrame = {
+    require(agent.nonEmpty && agent != "*",
+      s"robotsDecisions: agent='$agent' (pass a concrete agent token)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("__ln"))
+    val lines = robots
+      .select(col(hostCol).as("__h"),
+        posexplode(split(col(contentCol), "\\r?\\n"))
+          .as(Seq("__ln", "__line")))
+      .withColumn("__line", trim(col("__line")))
+      // strip trailing comments, keep the directive token + value
+      .withColumn("__line",
+        trim(regexp_replace(col("__line"), "#.*$", "")))
+      .withColumn("__kind",
+        when(lower(col("__line")).startsWith("user-agent:"), "ua")
+          .when(lower(col("__line")).startsWith("disallow:"), "dis")
+          .when(lower(col("__line")).startsWith("allow:"), "alw"))
+      .withColumn("__val",
+        trim(regexp_replace(col("__line"), "^[^:]*:", "")))
+      .where(col("__kind").isNotNull)
+    // a ua line STARTS a new group unless the previous kept line is
+    // also ua (the consecutive-UA head run)
+    val grouped = lines
+      .withColumn("__prev", lag(col("__kind"), 1).over(w))
+      .withColumn("__start",
+        when(col("__kind") === "ua" &&
+          (col("__prev").isNull || col("__prev") =!= "ua"), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__start")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .where(col("__grp") > 0)
+    val agents = grouped.where(col("__kind") === "ua")
+      .groupBy(col("__h"), col("__grp"))
+      .agg(max(lower(col("__val")) === agent.toLowerCase).as("__exact"),
+        max(col("__val") === "*").as("__star"))
+    val hostHasExact = agents.groupBy(col("__h"))
+      .agg(max(col("__exact")).as("__has_exact"))
+    val applicable = agents.join(hostHasExact, Seq("__h"))
+      .where(when(col("__has_exact"), col("__exact"))
+        .otherwise(col("__star")))
+      .select(col("__h"), col("__grp"))
+    val rules = grouped.where(col("__kind") =!= "ua")
+      .join(applicable, Seq("__h", "__grp"))
+      .where(length(col("__val")) > 0) // empty Disallow/Allow = no-op
+      .select(col("__h"), col("__val").as("__prefix"),
+        (col("__kind") === "alw").as("__allow"))
+    val u = urls.select(col(urlHostCol).as("__h"), col(pathCol).as("path"))
+    // LEFT join keeps every URL even when no rule matches its prefix —
+    // the winner max_by skips non-matching rows via its NULL ordering
+    // key, so "host has rules but none apply" still reports allowed
+    u.join(rules, Seq("__h"), "left")
+      .withColumn("__hit", col("__prefix").isNotNull &&
+        col("path").startsWith(col("__prefix")))
+      .groupBy(col("__h").as("host"), col("path"))
+      .agg(
+        max_by(struct(col("__allow"), col("__prefix")),
+          when(col("__hit"),
+            // longest prefix wins; Allow outranks Disallow on ties
+            struct(length(col("__prefix")).as("l"),
+              col("__allow").cast("int").as("a")))).as("__win"))
+      .select(col("host"), col("path"),
+        coalesce(col("__win.__allow"), lit(true)).as("allowed"),
+        col("__win.__prefix").as("rule_prefix"))
+  }
 }

@@ -662,4 +662,47 @@ object Similarity {
       .digest(s.getBytes(StandardCharsets.UTF_8))
     d.map(b => f"$b%02x").mkString
   }
+  /** Matryoshka truncation fidelity (Kusupati et al. 2022): for each
+    * query vector, the top-k cosine neighbor set under the FULL
+    * embedding vs under its first `prefixDim` components — overlap@k
+    * answers "how many retrieval neighbors survive truncating the
+    * embedding", the measurement behind serving shorter vectors.
+    *
+    * Shape: the query side is a bounded predicate-selected set (never
+    * all-pairs both ways); both rankings come from one candidate join
+    * with the bounded-heap TopK aggregate (map-side pre-reduce), ties
+    * broken by neighbor id — the q_cosine_topk convention on both
+    * scores. Output per query: id, overlap (|∩|/k, 8dp). */
+  def mrlOverlap(emb: DataFrame, idCol: String, vecCol: String,
+      prefixDim: Int, k: Int, queryPred: Column): DataFrame = {
+    require(prefixDim >= 1, s"mrlOverlap: prefixDim=$prefixDim")
+    require(k >= 1, s"mrlOverlap: k=$k")
+    DotProduct.register(emb.sparkSession)
+    TopK.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("id"),
+        vecDouble(col(vecCol)).as("v"))
+      .withColumn("p", slice(col("v"), 1, prefixDim))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .withColumn("np2", dot(col("p"), col("p")))
+      // zero-norm vectors (full OR truncated) have no cosine: excluded
+      // from queries and candidates alike, the cosinePairs convention
+      .where(col("n2") > 0.0 && col("np2") > 0.0)
+    val q = base.select(col("id").as("qid"), col("v").as("qv"),
+      col("p").as("qp"), col("n2").as("qn2"), col("np2").as("qnp2"))
+      .where(queryPred)
+    val pairs = q.join(base, col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        (dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+          .as("cf"),
+        (dot(col("qp"), col("p")) / sqrt(col("qnp2") * col("np2")))
+          .as("cp"))
+    val top = pairs.groupBy(col("qid")).agg(
+      TopK.topKByScore(col("cf"), col("id"), lit(k)).as("tf"),
+      TopK.topKByScore(col("cp"), col("id"), lit(k)).as("tp"))
+    top.select(col("qid").as("id"),
+      round(size(array_intersect(
+        transform(col("tf"), t => t.getField("id")),
+        transform(col("tp"), t => t.getField("id"))))
+        .cast("double") / lit(k.toDouble), 8).as("overlap"))
+  }
 }

@@ -1116,4 +1116,37 @@ object TextAnalysis {
       .orderBy(col("chi2").desc, col("term").asc)
       .limit(k)
   }
+  /** URL canonicalization (the normalize-before-dedup step of the URL
+    * tier beside the per-host cap): lowercase scheme+host, strip the
+    * scheme's default port (:443 https / :80 http), drop the fragment,
+    * delete tracking parameters (utm_*, fbclid, gclid, msclkid), sort
+    * the surviving query parameters byte-wise, and drop an empty
+    * trailing `?`. Two URLs that differ only in these dimensions are
+    * the same fetch — canonical-key dedup folds them.
+    *
+    * All map-only string/array kernels (regexp_extract, split,
+    * filter, array_sort, array_join) — codegen-friendly, no UDF, no
+    * shuffle; paths are left byte-exact (case-significant per RFC
+    * 3986). Output: the input columns + `canon_url`. */
+  def canonicalizeUrl(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"))
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)="))
+    val sortedQ = array_join(array_sort(params), "&")
+    df.withColumn("canon_url",
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        when(path === "", lit("/")).otherwise(path),
+        when(sortedQ === "", lit(""))
+          .otherwise(concat(lit("?"), sortedQ))))
+  }
 }

@@ -1411,6 +1411,28 @@ object EventQueries {
         |       CAST(100 + doc_id % 13 AS BIGINT) AS max_size
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL gzip member decode (RFC 1952/1951 via the JDK's zlib): header
+    // field walk + FULL DEFLATE inflate with the trailer CRC32/ISIZE
+    // verified against the recomputed output, 64 MiB bomb cap — the
+    // first multimodal tier with no stub anywhere in the decode.
+    QuerySpec("q_gzip_meta", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "application/gzip",
+          Multimodal.syntheticGzip(id)))
+      Multimodal.gzipMeta(recs).toDF()
+        .select(col("id").as("doc_id"), col("fname"), col("mtime"),
+          col("os"), col("uncompressed_len"), col("crc_ok"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, 'f' || CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+        |       CAST(1700000000 + doc_id % 1000 AS BIGINT) AS mtime,
+        |       CAST(3 AS INT) AS os,
+        |       CAST(50 + doc_id % 31 AS BIGINT) AS uncompressed_len,
+        |       TRUE AS crc_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Peak concurrency per event type (sweep-line +1/−1 prefix sum over
     // half-open [start, start+value·1s) intervals): the capacity question
     // — "how many were in flight at once, and when did the peak first

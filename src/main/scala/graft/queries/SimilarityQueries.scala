@@ -86,6 +86,43 @@ object SimilarityQueries {
          |FROM r WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin),
       headline = true),
 
+    // Matryoshka truncation fidelity: top-10 cosine neighbor overlap
+    // between the full 64-dim embedding and its first 16 dims for a
+    // bounded query set — "can we serve the short vector" measured.
+    QuerySpec("q_mrl_overlap", (s, dir) => {
+      Similarity.mrlOverlap(emb(s, dir), "vec_id", "embedding",
+          prefixDim = 16, k = 10, queryPred = col("qid") < 10)
+        .orderBy("id")
+    }, Some(
+      s"""WITH n0 AS (
+         |  SELECT vec_id, v, p, ${dotSql("v", "v")} AS n2,
+         |         ${dotSql("p", "p")} AS np2
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |               (embedding::DOUBLE[])[1:16] AS p
+         |        FROM embeddings)),
+         |n AS (SELECT * FROM n0 WHERE n2 > 0.0 AND np2 > 0.0),
+         |q AS (SELECT * FROM n WHERE vec_id < 10),
+         |pr AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS id,
+         |         ${dotSql("q.v", "n.v")} / SQRT(q.n2 * n.n2) AS cf,
+         |         ${dotSql("q.p", "n.p")} / SQRT(q.np2 * n.np2) AS cp
+         |  FROM q JOIN n ON q.vec_id <> n.vec_id),
+         |rf AS (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |                ORDER BY cf DESC, id) AS r FROM pr),
+         |rp AS (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |                ORDER BY cp DESC, id) AS r FROM pr),
+         |ov AS (
+         |  SELECT f.qid, COUNT(*) AS c
+         |  FROM (SELECT qid, id FROM rf WHERE r <= 10) f
+         |  JOIN (SELECT qid, id FROM rp WHERE r <= 10) p2
+         |    ON f.qid = p2.qid AND f.id = p2.id
+         |  GROUP BY f.qid)
+         |SELECT q.vec_id AS id,
+         |       ROUND(CAST(COALESCE(ov.c, 0) AS DOUBLE) / 10.0e0, 8)
+         |         AS overlap
+         |FROM q LEFT JOIN ov ON q.vec_id = ov.qid
+         |ORDER BY id""".stripMargin)),
+
     // Embedding-cosine near-dup pairs (brute-force verification tier).
     QuerySpec("q_embed_neardup", (s, dir) => {
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", minCos = 0.4)

@@ -301,6 +301,87 @@ object TextQueries {
         |  FROM h)
         |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
 
+    // robots.txt crawl-admission decisions (REP, RFC 9309): REAL text
+    // parse of per-host robots files — group head runs, exact-agent
+    // specificity over '*', longest-prefix match with Allow tie wins —
+    // against a synthetic URL set whose expected decisions the oracle
+    // recomputes arithmetically (the WARC convention: the parse is
+    // real, the facts are formula-derivable).
+    QuerySpec("q_robots_txt", (s, dir) => {
+      val h = col("doc_id") % 7
+      val robots = docs(s, dir).select(h.as("hh")).distinct()
+        .select(concat(lit("h"), col("hh")).as("host"),
+          concat(
+            lit("User-agent: *\nDisallow: /p/\nAllow: /p/open"),
+            when(col("hh") % 2 === 0, lit("\nDisallow: /q"))
+              .otherwise(lit("")),
+            when(col("hh") % 3 === 0,
+              lit("\nUser-agent: graftbot\nDisallow: /"))
+              .otherwise(lit(""))).as("content"))
+      val urls = docs(s, dir).select(
+        concat(lit("h"), col("doc_id") % 7).as("host"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("/p/x"), col("doc_id")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/p/open/"), col("doc_id")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/q"), col("doc_id")))
+          .otherwise(concat(lit("/r/"), col("doc_id"))).as("path"))
+      graft.engine.Quality.robotsDecisions(robots, "host", "content",
+          urls, "host", "path", agent = "graftbot")
+        .orderBy("host", "path")
+    }, Some(
+      """WITH u AS (
+        |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+        |         doc_id % 7 AS h, doc_id % 4 AS m,
+        |         CASE doc_id % 4
+        |           WHEN 0 THEN '/p/x' || CAST(doc_id AS VARCHAR)
+        |           WHEN 1 THEN '/p/open/' || CAST(doc_id AS VARCHAR)
+        |           WHEN 2 THEN '/q' || CAST(doc_id AS VARCHAR)
+        |           ELSE '/r/' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents)
+        |SELECT host, path,
+        |       CASE WHEN h % 3 = 0 THEN FALSE
+        |            WHEN m = 0 THEN FALSE
+        |            WHEN m = 1 THEN TRUE
+        |            WHEN m = 2 THEN h % 2 <> 0
+        |            ELSE TRUE END AS allowed,
+        |       CASE WHEN h % 3 = 0 THEN '/'
+        |            WHEN m = 0 THEN '/p/'
+        |            WHEN m = 1 THEN '/p/open'
+        |            WHEN m = 2 AND h % 2 = 0 THEN '/q'
+        |       END AS rule_prefix
+        |FROM u ORDER BY host, path""".stripMargin)),
+
+    // URL canonicalization (normalize-before-dedup): REAL map-only
+    // string kernels — lowercased scheme/host, default-port strip,
+    // fragment drop, tracking-param delete, byte-sorted query — against
+    // formula-derivable expected canon forms (the robots convention).
+    QuerySpec("q_url_canon", (s, dir) => {
+      val m = col("doc_id") % 4
+      val url = when(m === 0, concat(lit("HTTPS://WWW.Example.COM:443/Art/"),
+          col("doc_id"), lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(m === 1, concat(lit("http://example.com:8080/x/"),
+          col("doc_id"), lit("?z=9&fbclid=abc")))
+        .when(m === 2, concat(lit("https://Example.com/p?a="),
+          col("doc_id")))
+        .otherwise(lit("HTTP://EXAMPLE.COM:80/?utm_campaign=x"))
+      graft.llm.TextAnalysis.canonicalizeUrl(
+          docs(s, dir).select(col("doc_id"), url.as("url")), "url")
+        .select(col("doc_id"), col("canon_url"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |       CASE doc_id % 4
+        |         WHEN 0 THEN 'https://www.example.com/Art/'
+        |                     || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+        |         WHEN 1 THEN 'http://example.com:8080/x/'
+        |                     || CAST(doc_id AS VARCHAR) || '?z=9'
+        |         WHEN 2 THEN 'https://example.com/p?a='
+        |                     || CAST(doc_id AS VARCHAR)
+        |         ELSE 'http://example.com/' END AS canon_url
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Per-host document cap (the RefinedWeb/CCNet URL-dedup shape: a
     // handful of hosts must not dominate the corpus): deterministic URL
     // per doc (synthetic-payload convention — host facts stay

@@ -122,7 +122,11 @@ class DeterminismSpec extends SparkSpec {
     // θ/x̄ adjust, design-ratio χ², guarded IPF half-rounds, ustar
     // checksum byte walk
     "q_cmh", "q_binom_sign", "q_rmst", "q_page_hinkley", "q_cuped",
-    "q_srm", "q_ipf_rake", "q_tar_meta")
+    "q_srm", "q_ipf_rake", "q_tar_meta",
+    // crawl-pipeline tier: REAL inflate + CRC verify, group-window
+    // robots parse with longest-prefix max_by ties, map-only canon
+    // kernels, dual-ranking heap top-k overlap
+    "q_gzip_meta", "q_robots_txt", "q_url_canon", "q_mrl_overlap")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -101,6 +101,38 @@ class MultimodalProps extends Properties("llm.multimodal") {
         }
     }
 
+  property("gzip generator round-trips through the REAL inflate") =
+    Prop.forAll(anyId) { id =>
+      val g = Multimodal.decodeGzip(
+        MediaRecord(id, "application/gzip", Multimodal.syntheticGzip(id)))
+      g.fname == s"f$id.txt" &&
+        g.mtime == 1700000000L + Math.floorMod(id, 1000L) &&
+        g.os == 3 && g.crc_ok &&
+        g.uncompressed_len == 50 + Math.floorMod(id, 31L) && {
+          // flip one DEFLATE body byte: either the inflate fails loudly
+          // or the recomputed CRC must disagree with the trailer
+          val bad = Multimodal.syntheticGzip(id).clone()
+          val bodyOff = 10 + s"f$id.txt".length + 1
+          bad(bodyOff + 2) = (bad(bodyOff + 2) ^ 0x40).toByte
+          try !Multimodal.decodeGzip(MediaRecord(id, "g", bad)).crc_ok
+          catch {
+            case _: IllegalArgumentException => true
+            case _: Throwable => false
+          }
+        }
+    }
+
+  property("gzip fails closed on truncation: IAE, never index errors") =
+    Prop.forAll(anyId, Gen.choose(0, 999)) { (id, permille) =>
+      val full = Multimodal.syntheticGzip(id)
+      val cut = full.take((full.length.toLong * permille / 1000L).toInt)
+      try { Multimodal.decodeGzip(MediaRecord(id, "g", cut)); false }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+
   property("tar fails closed on truncation: IAE or a valid entry prefix") =
     Prop.forAll(anyId, Gen.choose(0, 1000)) { (id, permille) =>
       val full = Multimodal.syntheticTar(id)
@@ -854,6 +886,43 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     // int8 over 4 dims: quantized score within ~1/127-per-component error
     assert(math.abs(qp((1L, 2L)) - exact((1L, 2L))) < 0.02)
+  }
+
+  test("mrlOverlap: prefix = full dim gives overlap 1; orthogonal prefix drops it") {
+    import org.apache.spark.sql.functions.col
+    // 6 vectors in 4 dims; query 0
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0.8f, 0.2f, 0f, 0f)), (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0.9f, 0.1f, 0f)), (5L, Array(0.5f, 0.5f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.mrlOverlap(vs, "vec_id", "embedding",
+      prefixDim = 4, k = 3, queryPred = col("qid") === 0).collect().head
+    assert(full.getAs[Double]("overlap") === 1.0)
+    val pre = Similarity.mrlOverlap(vs, "vec_id", "embedding",
+      prefixDim = 1, k = 3, queryPred = col("qid") === 0).collect().head
+    // dim-1 ranking ties all x>0 vectors at cos 1 (id tie-break) —
+    // overlap stays well-defined and ≤ 1
+    assert(pre.getAs[Double]("overlap") <= 1.0)
+    assert(pre.getAs[Double]("overlap") >= 1.0 / 3.0)
+  }
+
+  test("canonicalizeUrl: ports, params, fragments, case — each rule isolated") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "HTTPS://Host.COM:443/KeepCase/Path?b=2&a=1&utm_x=1#f",
+      "http://host.com:8080/p",
+      "https://host.com:8443/p?gclid=g",
+      "http://HOST.com:80/",
+      "https://host.com").map(Tuple1(_)).toDF("url")
+    val got = graft.llm.TextAnalysis.canonicalizeUrl(urls, "url")
+      .collect().map(_.getAs[String]("canon_url")).toSeq
+    assert(got === Seq(
+      "https://host.com/KeepCase/Path?a=1&b=2",
+      "http://host.com:8080/p",
+      "https://host.com:8443/p",
+      "http://host.com/",
+      "https://host.com/"))
   }
 }
 

@@ -689,6 +689,45 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("canonicalizeUrl is map-only: no exchange, no join — pure " +
+      "codegen'd string kernels") {
+    val plan = planString(graft.llm.TextAnalysis.canonicalizeUrl(
+      Tables.load(spark, dir, "documents")
+        .select(concat(lit("https://h/"), col("doc_id")).as("url")),
+      "url"))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    // the higher-order filter/array_sort lambdas keep the outer project
+    // out of whole-stage codegen (Spark interprets HOFs); the shape that
+    // matters at scale — single map-only projection, zero shuffle — is
+    // asserted above
+  }
+
+  test("robotsDecisions: rules meet URLs on the HOST equi-join — " +
+      "never a cartesian of rules against the corpus") {
+    val robots = Tables.load(spark, dir, "documents")
+      .select(concat(lit("h"), col("doc_id") % 7).as("host"),
+        lit("User-agent: *\nDisallow: /p/").as("content")).distinct()
+    val urls = Tables.load(spark, dir, "documents")
+      .select(concat(lit("h"), col("doc_id") % 7).as("host"),
+        concat(lit("/p/"), col("doc_id")).as("path"))
+    val plan = planString(graft.engine.Quality.robotsDecisions(
+      robots, "host", "content", urls, "host", "path", "graftbot"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("mrlOverlap: the bounded query side broadcasts; both rankings " +
+      "share one candidate join and pre-reduce via the heap top-k") {
+    val plan = planString(graft.llm.Similarity.mrlOverlap(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      prefixDim = 16, k = 5, queryPred = col("qid") < 5))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_topk_by_score"), plan)
+    // ONE candidate join feeds both the full and prefix rankings
+    assert("NestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
+  }
+
   test("kendallTauB: pairs come from a group-keyed equi-join over the " +
       "bounded series grid — the join key is the group, never a cartesian") {
     val ser = Tables.load(spark, dir, "lineitem")

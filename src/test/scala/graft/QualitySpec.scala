@@ -41,4 +41,39 @@ class QualitySpec extends SparkSpec {
     assert(r.isNullAt(2))
     assert(!r.getBoolean(3))
   }
+
+test("robotsDecisions: specificity, longest-prefix, Allow tie win, " +
+    "no-rule default, empty Disallow no-op") {
+    import org.apache.spark.sql.functions.col
+    val robots = Seq(
+      // host A: * group with nested Allow under a Disallow + empty noop
+      ("a", "User-agent: *\nDisallow: /p/\nAllow: /p/open\nDisallow:"),
+      // host B: a specific group for graftbot OVERRIDES the * group
+      ("b", "User-agent: *\nAllow: /\nUser-agent: graftbot\nDisallow: /"),
+      // host C: consecutive UA head run shares the rules
+      ("c", "User-agent: other\nUser-agent: graftbot\nDisallow: /x")
+    ).toDF("host", "content")
+    val urls = Seq(("a", "/p/x1"), ("a", "/p/open/2"), ("a", "/free"),
+      ("b", "/anything"), ("c", "/x/deep"), ("c", "/y"),
+      ("d", "/no-robots-host")).toDF("host", "path")
+    val out = Quality.robotsDecisions(robots, "host", "content",
+        urls, "host", "path", agent = "graftbot")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getBoolean(2), Option(r.getString(3)))).toMap
+    assert(out(("a", "/p/x1")) === ((false, Some("/p/"))))
+    assert(out(("a", "/p/open/2")) === ((true, Some("/p/open"))))
+    assert(out(("a", "/free")) === ((true, None)))
+    assert(out(("b", "/anything")) === ((false, Some("/"))))
+    assert(out(("c", "/x/deep")) === ((false, Some("/x"))))
+    assert(out(("c", "/y")) === ((true, None)))
+    assert(out(("d", "/no-robots-host")) === ((true, None)))
+    // equal-length Allow/Disallow tie: Allow wins
+    val tie = Seq(("t", "User-agent: *\nDisallow: /a\nAllow: /a"))
+      .toDF("host", "content")
+    val tu = Seq(("t", "/a/1")).toDF("host", "path")
+    val tr = Quality.robotsDecisions(tie, "host", "content", tu,
+      "host", "path", "graftbot").collect().head
+    assert(tr.getBoolean(2) === true)
+  }
 }
