@@ -721,9 +721,11 @@ object Eval {
     * toward the global mean, high-n keys keep their own rate.
     *
     * Input is already aggregated (key, k, n); the prior moments are
-    * DECIMAL sums of 10dp-rounded rates (order-free over the bounded
-    * key domain), the two prior scalars broadcast back via a one-row
-    * crossJoin. Keys with n = 0 are dropped; a degenerate prior
+    * DECIMAL sums of 8dp-rounded rates (order-free over the bounded
+    * key domain; rounded ONCE — a 10dp-then-8dp double-round lands on
+    * 8dp ties where the engines' intermediate doubles differ by 1 ulp,
+    * caught by the sf1 sweep), the two prior scalars broadcast back via
+    * a one-row crossJoin. Keys with n = 0 are dropped; a degenerate prior
     * (variance 0 or var ≥ μ(1−μ), i.e. no overdispersion to shrink
     * against) yields NULL posteriors rather than a fabricated prior.
     * Output per key: key, n, k, rate, posterior. */
@@ -734,9 +736,9 @@ object Eval {
         col(nCol).cast("long").as("__n"))
       .where(col("__n") > 0)
       .withColumn("__r",
-        round(col("__k").cast("double") / col("__n").cast("double"), 10))
+        round(col("__k").cast("double") / col("__n").cast("double"), 8))
     val mom = base.agg(count(lit(1)).as("__m"),
-      sum(col("__r").cast("decimal(38,10)")).as("__sr"),
+      sum(col("__r").cast("decimal(38,8)")).as("__sr"),
       sum(round(col("__r") * col("__r"), 16).cast("decimal(38,16)"))
         .as("__srr"))
     val md = col("__m").cast("double")
@@ -752,7 +754,7 @@ object Eval {
           .as("__s"))
     base.crossJoin(broadcast(prior))
       .select(col(keyCol), col("__n").as("n"), col("__k").as("k"),
-        round(col("__r"), 8).as("rate"),
+        col("__r").as("rate"),
         round((col("__k").cast("double") + col("__mu") * col("__s")) /
           (col("__n").cast("double") + col("__s")), 8).as("posterior"))
   }

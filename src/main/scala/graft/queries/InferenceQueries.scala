@@ -467,11 +467,11 @@ object InferenceQueries {
         |  FROM lineitem GROUP BY l_suppkey),
         |b AS (
         |  SELECT l_suppkey, k, n,
-        |         ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 10) AS r
+        |         ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 8) AS r
         |  FROM per WHERE n > 0),
         |mo AS (
         |  SELECT COUNT(*) AS m,
-        |         SUM(CAST(r AS DECIMAL(38,10))) AS sr,
+        |         SUM(CAST(r AS DECIMAL(38,8))) AS sr,
         |         SUM(CAST(ROUND(r * r, 16) AS DECIMAL(38,16))) AS srr
         |  FROM b),
         |pr AS (
@@ -492,7 +492,7 @@ object InferenceQueries {
         |                    (CAST(m AS DOUBLE) - 1.0)) - 1.0
         |         END AS s
         |  FROM mo)
-        |SELECT l_suppkey, n, k, ROUND(r, 8) AS rate,
+        |SELECT l_suppkey, n, k, r AS rate,
         |       ROUND((CAST(k AS DOUBLE) + mu * s) /
         |             (CAST(n AS DOUBLE) + s), 8) AS posterior
         |FROM b CROSS JOIN pr ORDER BY l_suppkey""".stripMargin)),
