@@ -540,8 +540,11 @@ object Eval {
     * Output one row: n, n_pos, avg_precision. */
   def averagePrecision(df: DataFrame, scoreCol: String, label: Column)
       : DataFrame = {
-    val base = df.select(col(scoreCol).cast("decimal(18,2)").as("__s"),
-      when(label, 1L).otherwise(0L).as("__y"))
+    // NULL scores are unrankable: their block position would depend on
+    // the engine's NULL sort order (the fdrBh NULL-drop rationale)
+    val base = df.where(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("decimal(18,2)").as("__s"),
+        when(label, 1L).otherwise(0L).as("__y"))
     val blocks = base.groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
     val w = Window.orderBy(col("__s").desc)
@@ -594,15 +597,16 @@ object Eval {
     * One stratum-keyed aggregation; the per-stratum weighted terms are
     * rounded to the 8dp grid and summed in DECIMAL over the BOUNDED
     * stratum domain, the Hájek ratios run once at the end. Rows with a
-    * NULL or out-of-(0,1) propensity are listwise-dropped (visible in
-    * the n_treat/n_ctrl counts — an unmodelled stratum must shrink the
-    * sample, not corrupt the estimate). Output one row: n_treat,
+    * NULL outcome or a NULL / out-of-(0,1) propensity are
+    * listwise-dropped (visible in the n_treat/n_ctrl counts — an
+    * unmodelled stratum or unscored unit must shrink the sample, not
+    * drag the weighted mean toward 0). Output one row: n_treat,
     * n_ctrl, mu_treat, mu_ctrl, ate. */
   def ipwAte(df: DataFrame, stratumCol: String, treat: Column,
       yCol: String, pCol: String): DataFrame = {
     val p = col(pCol).cast("double")
     val perS = df
-      .where(p.isNotNull && p > 0.0 && p < 1.0)
+      .where(p.isNotNull && p > 0.0 && p < 1.0 && col(yCol).isNotNull)
       .groupBy(col(stratumCol).as("__s"), p.as("__p"))
       .agg(
         sum(when(treat, col(yCol).cast("decimal(18,2)"))).as("__syt"),
@@ -689,6 +693,12 @@ object Eval {
   def srmCheck(df: DataFrame, armCol: String,
       expected: Seq[(String, Double)]): DataFrame = {
     require(expected.nonEmpty, "srmCheck: no expected ratios")
+    // a designed-zero arm has no finite χ² term: (o−0)²/0 would pass
+    // through as Infinity and VANISH in the decimal cast+sum — reject
+    // the design up front instead of under-reporting the exact failure
+    // SRM exists to catch
+    require(expected.forall(_._2 > 0.0),
+      s"srmCheck: every designed ratio must be > 0, got $expected")
     require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
       s"srmCheck: ratios sum to ${expected.map(_._2).sum}")
     val spark = df.sparkSession
@@ -737,18 +747,9 @@ object Eval {
       .where(col("__n") > 0)
       .withColumn("__r",
         round(col("__k").cast("double") / col("__n").cast("double"), 8))
-    val mom = base.agg(count(lit(1)).as("__m"),
-      sum(col("__r").cast("decimal(38,8)")).as("__sr"),
-      sum(round(col("__r") * col("__r"), 16).cast("decimal(38,16)"))
-        .as("__srr"))
-    val md = col("__m").cast("double")
-    val mu = col("__sr").cast("double") / md
-    val vr = (col("__srr").cast("double") -
-      col("__sr").cast("double") * col("__sr").cast("double") / md) /
-      (md - lit(1.0))
-    val prior = mom.select(col("__m"), mu.as("__mu"), vr.as("__vr"))
+    val prior = Stats.gridMoments(base, "__r")
       .select(col("__mu"),
-        when(col("__m") > 1 && col("__vr") > 0.0 &&
+        when(col("__vr").isNotNull && col("__vr") > 0.0 &&
           col("__vr") < col("__mu") * (lit(1.0) - col("__mu")),
           col("__mu") * (lit(1.0) - col("__mu")) / col("__vr") - lit(1.0))
           .as("__s"))

@@ -675,17 +675,9 @@ object Stats {
     * Output: duration, at_risk, deaths, censored, survival. */
   def kaplanMeier(spans: DataFrame, durCol: String,
       eventCol: String): DataFrame = {
-    val perDur = spans.groupBy(col(durCol).cast("long").as("duration"))
-      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("deaths"),
-        sum(when(col(eventCol), 0L).otherwise(1L)).as("censored"))
     val wc = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withRisk = perDur
-      .withColumn("__ended", sum(col("deaths") + col("censored")).over(wc))
-      .withColumn("__tot", sum(col("deaths") + col("censored"))
-        .over(Window.partitionBy()))
-      .withColumn("at_risk",
-        col("__tot") - col("__ended") + col("deaths") + col("censored"))
+    val withRisk = riskTable(spans, durCol, eventCol)
     // grid-ln of each step factor; all-die steps flag zero instead
     val lnf = when(col("deaths") === 0, lit(0.0))
       .otherwise(round(log(lit(1.0) -
@@ -1060,11 +1052,11 @@ object Stats {
       sum(when(treatCol && !outCol, 1L).otherwise(0L)).as("b"),
       sum(when(!treatCol && outCol, 1L).otherwise(0L)).as("c"),
       sum(when(!treatCol && !outCol, 1L).otherwise(0L)).as("d"))
-    val ext = cells.select(col("a"), col("b"), col("c"), col("d"),
+    val margins = cells.select(col("a"), col("b"), col("c"), col("d"),
       (col("a") + col("b")).as("r1"),
       (col("a") + col("c")).as("c1"),
       (col("a") + col("b") + col("c") + col("d")).as("n"))
-    val ks = ext.select(col("a"), col("b"), col("c"), col("d"),
+    val ks = margins.select(col("a"), col("b"), col("c"), col("d"),
       col("r1"), col("c1"), col("n"),
       explode(sequence(
         greatest(lit(0L), col("r1") + col("c1") - col("n")),
@@ -1073,15 +1065,20 @@ object Stats {
       "CAST(n AS DOUBLE)", "CAST(k AS DOUBLE)")
     val terms = ks.withColumn("__t",
       round(exp(expr(lnp)), 8).cast("decimal(20,8)"))
+    // GLOBAL aggregates on both sides so an empty input still returns
+    // the documented ONE row (NULL cells/statistic) — a groupBy over
+    // the empty k-grid would return zero rows (the signFlipTest shape)
     val obs = terms.where(col("k") === col("a"))
-      .select(col("__t").as("__tobs"))
-    terms.crossJoin(broadcast(obs))
-      .groupBy(col("a"), col("b"), col("c"), col("d"))
+      .agg(max(col("__t")).as("__tobs"))
+    val ext = terms.crossJoin(broadcast(obs))
       .agg(
         sum(when(col("__t") <= col("__tobs"), 1L).otherwise(0L))
           .as("n_terms"),
         round(sum(when(col("__t") <= col("__tobs"), col("__t")))
           .cast("double"), 8).as("p_two"))
+    cells.crossJoin(broadcast(ext))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        col("n_terms"), col("p_two"))
   }
 
   /** McNemar's test (McNemar 1947, the continuity-corrected χ² form) on
@@ -1111,23 +1108,58 @@ object Stats {
     * single-partition window convention — the grid is durations, never
     * subjects). Output per duration: duration, at_risk, deaths,
     * censored, cum_hazard. */
-  def nelsonAalen(spans: DataFrame, durCol: String,
+  /** One-row exact-moment pass over an 8dp-grid double column — the
+    * shared method-of-moments idiom behind [[Eval.ebSmooth]]'s beta
+    * prior and [[TimeSeries.saxSymbols]]' z-normalization (single-
+    * sourced after the eb_smooth double-rounding fix showed how easily
+    * hand-rolled copies of the grid drift): DECIMAL sums of the rounded
+    * values and their 16dp-rounded squares (order-free), then the mean
+    * and SAMPLE variance as one double formula. Output one row:
+    * __m (count), __mu, __vr (NULL when m ≤ 1). */
+  private[graft] def gridMoments(df: DataFrame, valCol: String)
+      : DataFrame = {
+    val mom = df.agg(count(lit(1)).as("__m"),
+      sum(col(valCol).cast("decimal(38,8)")).as("__s"),
+      sum(round(col(valCol) * col(valCol), 16).cast("decimal(38,16)"))
+        .as("__ss"))
+    val md = col("__m").cast("double")
+    val mu = col("__s").cast("double") / md
+    val vr = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / md) /
+      (md - lit(1.0))
+    mom.select(col("__m"), mu.as("__mu"),
+      when(col("__m") > 1, vr).as("__vr"))
+  }
+
+  /** Shared survival scaffolding: subjects → one row per distinct
+    * duration with exact (deaths, censored) counts and the cumulative
+    * at-risk column — the risk table both [[kaplanMeier]] and
+    * [[nelsonAalen]] estimate from (single-sourced so a tie/NULL
+    * convention change cannot silently diverge the two estimators).
+    * Output: duration, deaths, censored, at_risk (+ internal sums). */
+  private def riskTable(spans: DataFrame, durCol: String,
       eventCol: String): DataFrame = {
     val perDur = spans.groupBy(col(durCol).cast("long").as("duration"))
       .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("deaths"),
         sum(when(col(eventCol), 0L).otherwise(1L)).as("censored"))
     val wc = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withRisk = perDur
+    perDur
       .withColumn("__ended", sum(col("deaths") + col("censored")).over(wc))
       .withColumn("__tot", sum(col("deaths") + col("censored"))
         .over(Window.partitionBy()))
       .withColumn("at_risk",
         col("__tot") - col("__ended") + col("deaths") + col("censored"))
+  }
+
+  def nelsonAalen(spans: DataFrame, durCol: String,
+      eventCol: String): DataFrame = {
+    val wc = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val h = when(col("deaths") === 0, lit(0.0))
       .otherwise(round(
         col("deaths").cast("double") / col("at_risk").cast("double"), 8))
-    withRisk
+    riskTable(spans, durCol, eventCol)
       .withColumn("__h", h.cast("decimal(20,8)"))
       .withColumn("__hs", sum(col("__h")).over(wc))
       .select(col("duration"), col("at_risk"), col("deaths"),
@@ -1278,14 +1310,19 @@ object Stats {
       " + CAST(n AS DOUBLE) * (-0.6931471805599453e0)"
     val terms = js.withColumn("__t",
       round(exp(expr(lnp)), 8).cast("decimal(20,8)"))
+    // global aggregates preserve the one-row contract on empty/all-zero
+    // input (n = 0, NULL k/p) — the signFlipTest/fisherExact shape
     val obs = terms.where(col("j") === col("k"))
-      .select(col("__t").as("__tobs"))
-    terms.crossJoin(broadcast(obs))
-      .groupBy(col("n"), col("k"))
+      .agg(max(col("__t")).as("__tobs"))
+    val ext = terms.crossJoin(broadcast(obs))
       .agg(round(sum(when(col("__t") <= col("__tobs"), col("__t")))
-        .cast("double"), 8).as("p_two"))
+        .cast("double"), 8).as("__p"))
+    cells.crossJoin(broadcast(ext))
       .select(col("n").as("n_nonzero"), col("k").as("k_pos"),
-        least(lit(1.0), col("p_two")).as("p_two"))
+        // least() SKIPS nulls (would turn an undefined p into 1.0) —
+        // gate the cap on a defined statistic
+        when(col("__p").isNotNull, least(lit(1.0), col("__p")))
+          .as("p_two"))
   }
 
   /** Restricted mean survival time (Irwin 1949; Royston & Parmar 2013
@@ -1311,10 +1348,12 @@ object Stats {
       .withColumn("__area",
         round(col("survival") * col("__gap").cast("double"), 8)
           .cast("decimal(38,8)"))
-    val head = km.agg(least(min(col("duration")), lit(tau)).as("__h0"))
+    // the S=1 head segment [0, t₁) folds into the SAME aggregation —
+    // duration is a seg column, so a second kaplanMeier pass (and its
+    // windows) for min(duration) would double the whole spans scan
     seg.agg(count(lit(1)).as("n_times"),
-        sum(col("__area")).as("__a"))
-      .crossJoin(broadcast(head))
+        sum(col("__area")).as("__a"),
+        least(min(col("duration")), lit(tau)).as("__h0"))
       .select(lit(tau).as("tau"), col("n_times"),
         round(col("__h0").cast("double") +
           col("__a").cast("double"), 8).as("rmst"))

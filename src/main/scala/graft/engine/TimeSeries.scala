@@ -420,17 +420,10 @@ object TimeSeries {
       .withColumn("paa",
         round(col("__sv").cast("double") / col("n_days").cast("double"),
           8))
-    val mom = chunks.agg(count(lit(1)).as("__m"),
-      sum(col("paa").cast("decimal(38,8)")).as("__sp"),
-      sum(round(col("paa") * col("paa"), 16).cast("decimal(38,16)"))
-        .as("__spp"))
-    val md = col("__m").cast("double")
-    val mu = col("__sp").cast("double") / md
-    val vr = (col("__spp").cast("double") -
-      col("__sp").cast("double") * col("__sp").cast("double") / md) /
-      (md - lit(1.0))
-    val prior = mom.select(mu.as("__mu"),
-      when(col("__m") > 1 && vr > 0.0, sqrt(vr)).as("__sd"))
+    val prior = graft.engine.Stats.gridMoments(chunks, "paa")
+      .select(col("__mu"),
+        when(col("__vr").isNotNull && col("__vr") > 0.0,
+          sqrt(col("__vr"))).as("__sd"))
     val z = (col("paa") - col("__mu")) / col("__sd")
     chunks.crossJoin(broadcast(prior))
       .select(col("chunk"), col("n_days"), col("paa"),

@@ -1138,7 +1138,9 @@ object TextAnalysis {
       !((scheme === "https" && port === "443") ||
         (scheme === "http" && port === "80"))
     val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // anchor the query BEFORE the fragment: a '?' inside '#…' is
+    // fragment text, not a query (SPA-style '#/route?a=1' URLs)
+    val query = regexp_extract(u, "^[^#]*?\\?([^#]*)", 1)
     val params = filter(split(query, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)="))
     val sortedQ = array_join(array_sort(params), "&")

@@ -48,6 +48,18 @@ class InferenceSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("p_two") - 1.0) < 1e-6)
   }
 
+test("fisherExact and binomSignTest keep the one-row contract on " +
+    "empty input") {
+    val empty = Seq.empty[(Boolean, Boolean)].toDF("tr", "oc")
+    val fr = Stats.fisherExact(empty, col("tr"), col("oc")).collect()
+    assert(fr.length === 1 && fr.head.isNullAt(5))
+    val zeros = Seq(0.0, 0.0).map(Tuple1(_)).toDF("d")
+    val br = Stats.binomSignTest(zeros, "d").collect()
+    assert(br.length === 1)
+    assert(br.head.getAs[Long]("n_nonzero") === 0L)
+    assert(br.head.isNullAt(2))
+  }
+
   // ---- McNemar ----------------------------------------------------------
 
   test("mcnemar: b=3 c=1 → (|3-1|-1)²/4 = 0.25; b=c=0 → NULL") {
@@ -428,6 +440,31 @@ class InferenceSpec extends SparkSpec {
     // observed arm missing from the design: NULL statistic
     val r3 = Eval.srmCheck(df, "arm", Seq("a" -> 1.0)).head()
     assert(r3.isNullAt(2))
+  }
+
+test("srmCheck rejects a designed-zero ratio up front") {
+    val df = Seq("a","b").map(Tuple1(_)).toDF("arm")
+    intercept[IllegalArgumentException] {
+      Eval.srmCheck(df, "arm", Seq("a" -> 1.0, "b" -> 0.0))
+    }
+  }
+
+  test("ipwAte listwise-drops NULL outcomes (visible in counts, mean " +
+    "unaffected)") {
+    val df = Seq(("s", true, Some(10.0), 0.5), ("s", true, None, 0.5),
+      ("s", false, Some(4.0), 0.5)).toDF("str", "treat", "y", "p")
+    val r = Eval.ipwAte(df, "str", col("treat"), "y", "p").head()
+    assert(r.getAs[Long]("n_treat") === 1L)
+    assert(math.abs(r.getAs[Double]("mu_treat") - 10.0) < 1e-9)
+  }
+
+  test("averagePrecision drops NULL scores instead of ranking them") {
+    val df = Seq((Some(0.9), true), (None, true), (Some(0.1), false))
+      .toDF("s", "y")
+    val r = Eval.averagePrecision(df, "s", col("y")).head()
+    assert(r.getAs[Long]("n") === 2L)
+    assert(r.getAs[Long]("n_pos") === 1L)
+    assert(math.abs(r.getAs[Double]("avg_precision") - 1.0) < 1e-12)
   }
 
   // ---- IPF raking -----------------------------------------------------------

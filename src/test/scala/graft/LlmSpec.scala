@@ -923,6 +923,13 @@ class SimilaritySpec extends SparkSpec {
       "https://host.com:8443/p",
       "http://host.com/",
       "https://host.com/"))
+    // a '?' INSIDE the fragment is fragment text, not a query (the
+    // SPA-route review finding): both forms share one canonical key
+    val spa = Seq("https://host.com/p#/route?a=1", "https://host.com/p")
+      .map(Tuple1(_)).toDF("url")
+    val canon = graft.llm.TextAnalysis.canonicalizeUrl(spa, "url")
+      .collect().map(_.getAs[String]("canon_url")).toSeq
+    assert(canon === Seq("https://host.com/p", "https://host.com/p"))
   }
 }
 
