@@ -37,7 +37,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(builders.keySet ===
       Set("simhash64", "dot_seq", "topk_by_score", "word_shingles",
         "winnow_fps", "minhash_sigs", "cov_sums", "jaro_winkler",
-        "poisson_boot_sums"))
+        "poisson_boot_sums", "sign_flip_sums"))
     assert(builders("jaro_winkler")(Seq(Literal("ab"), Literal("ba")))
       .isInstanceOf[graft.llm.JaroWinklerExpr])
     assert(builders("minhash_sigs")(
