@@ -433,4 +433,80 @@ object TimeSeries {
             .when(z < 0.6745, lit("c"))
             .otherwise(lit("d"))).as("symbol"))
   }
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    * & Wallis 1969): for each block size s, the mean ln(R/S) over
+    * complete s-day blocks — R the range of cumulative deviations from
+    * the block mean, S the block standard deviation — then H = the
+    * log-log OLS slope across sizes. H ≈ 0.5 is a random walk,
+    * > 0.5 persistent trend, < 0.5 mean reversion — the long-memory
+    * screen beside the ACF grid.
+    *
+    * Scale discipline: block stats are one (size × block)-keyed
+    * aggregation joined back (blocks are calendar-bounded); the cumdev
+    * window partitions by (size, block); per-block ln(R/S) terms ride
+    * the 8dp grid into DECIMAL means; the final OLS runs over the
+    * literal size grid. Incomplete tail blocks are excluded (the
+    * standard convention — a short block biases R/S down). Output per
+    * size: size, n_blocks, ln_rs_mean, hurst (the shared slope, 8dp). */
+  def hurstRs(daily: DataFrame, idxCol: String, valCol: String,
+      sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.size >= 2 && sizes.forall(_ >= 2),
+      s"hurstRs: sizes=$sizes")
+    val base = daily.select(col(idxCol).cast("long").as("__i"),
+      col(valCol).cast("decimal(18,2)").as("__x"))
+    val sized = base.select(col("__i"), col("__x"),
+      explode(array(sizes.map(lit): _*)).as("__s"))
+      .withColumn("__blk", expr("__i div __s"))
+    val stats = sized.groupBy(col("__s"), col("__blk"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum((col("__x") * col("__x")).cast("decimal(38,4)")).as("__sxx"))
+      .where(col("__n") === col("__s")) // complete blocks only
+    val wb = Window.partitionBy(col("__s"), col("__blk"))
+      .orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cumdev in exact n-scaled cents (the cusum trick):
+    // n·Σ_{j≤i}x − i·Σx = n·(true cumdev_i) — tight decimal widths so
+    // the product/difference never hits Spark's precision-38 scale-drop
+    // (the pageHinkley lesson; block sums are ≤ 64 daily cent values)
+    val dev = sized.join(stats, Seq("__s", "__blk"))
+      .withColumn("__cum",
+        sum(col("__x")).over(wb).cast("decimal(24,2)") *
+          col("__n").cast("decimal(8,0)") -
+          count(lit(1)).over(wb).cast("decimal(8,0)") *
+            col("__sx").cast("decimal(24,2)"))
+    val perBlock = dev.groupBy(col("__s"), col("__blk"),
+        col("__n"), col("__sx"), col("__sxx"))
+      .agg((max(col("__cum")) - min(col("__cum"))).as("__rn"))
+    val nd = col("__n").cast("double")
+    val rr = col("__rn").cast("double") / nd // un-scale R by n
+    val vr = (col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double") / nd) / nd
+    val lnRs = perBlock
+      .where(vr > 0.0)
+      .select(col("__s"),
+        round(log(rr / sqrt(vr)), 8).cast("decimal(38,8)").as("__lrs"))
+    val perSize = lnRs.groupBy(col("__s"))
+      .agg(count(lit(1)).as("n_blocks"),
+        round(sum(col("__lrs")).cast("double") /
+          count(lit(1)).cast("double"), 8).as("ln_rs_mean"))
+      .withColumn("__lns", round(log(col("__s").cast("double")), 8))
+    val mom = perSize.agg(count(lit(1)).as("__m"),
+      sum(col("__lns").cast("decimal(38,8)")).as("__sa"),
+      sum(col("ln_rs_mean").cast("decimal(38,8)")).as("__sb"),
+      sum(round(col("__lns") * col("__lns"), 16).cast("decimal(38,16)"))
+        .as("__saa"),
+      sum(round(col("__lns") * col("ln_rs_mean"), 16)
+        .cast("decimal(38,16)")).as("__sab"))
+    val md = col("__m").cast("double")
+    val sa = col("__sa").cast("double")
+    val sb = col("__sb").cast("double")
+    val den = col("__saa").cast("double") - sa * sa / md
+    val slope = mom.select(
+      when(col("__m") > 1 && den > 0.0,
+        round((col("__sab").cast("double") - sa * sb / md) / den, 8))
+        .as("hurst"))
+    perSize.crossJoin(broadcast(slope))
+      .select(col("__s").as("size"), col("n_blocks"),
+        col("ln_rs_mean"), col("hurst"))
+  }
 }

@@ -1178,4 +1178,123 @@ object Multimodal {
     bb.putInt(crc.getValue.toInt).putInt(n)
     bb.array()
   }
+  /** Archive facts from a ZIP (PKWARE APPNOTE local-header walk):
+    * entry count, byte totals, first member, and whether every STORED
+    * member's CRC32 matches a recompute over its data. */
+  final case class ZipMeta(id: Long, n_entries: Long, total_size: Long,
+      first_name: String, crc_ok: Boolean)
+
+  /** REAL ZIP container walk (PKWARE APPNOTE 4.3.x local file headers —
+    * the other bulk container data dumps ship in, beside tar and the
+    * gzip member): little-endian signature/size/name-length fields,
+    * per-entry data skips, stop at the central directory. Contract kept
+    * tight and fail-closed: STORED (method 0) members only — their
+    * CRC32 is recomputed over the raw data and verified; a compressed
+    * method or the bit-3 data-descriptor flag (sizes unknown at header
+    * time) rejects loudly rather than guessing; every skip is
+    * bounds-checked before the arithmetic (the WARC lesson). */
+  def decodeZip(r: MediaRecord): ZipMeta = {
+    val b = r.payload
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def le32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    require(b.length >= 22, s"zip too short (${b.length}) for id=${r.id}")
+    var off = 0
+    var entries = 0L
+    var total = 0L
+    var first: String = null
+    var crcOk = true
+    while (off + 4 <= b.length && le32(off) == 0x04034b50L) {
+      require(off + 30 <= b.length,
+        s"truncated local header at entry $entries for id=${r.id}")
+      val flags = le16(off + 6)
+      require((flags & 0x8) == 0,
+        s"zip data-descriptor flag unsupported for id=${r.id}")
+      val method = le16(off + 8)
+      require(method == 0,
+        s"zip method $method != STORED for id=${r.id} (deflate members " +
+          "belong to the gzip/deflate tier)")
+      val crcStored = le32(off + 14)
+      val compSize = le32(off + 18)
+      val uncompSize = le32(off + 22)
+      require(compSize == uncompSize,
+        s"STORED sizes disagree for id=${r.id}")
+      val nameLen = le16(off + 26)
+      val extraLen = le16(off + 28)
+      val dataOff = off + 30 + nameLen + extraLen
+      require(dataOff >= 0 && dataOff + compSize <= b.length,
+        s"zip entry data runs past the archive for id=${r.id}")
+      val name = new String(b, off + 30, nameLen, "US-ASCII")
+      if (first == null) first = name
+      val crc = new java.util.zip.CRC32
+      crc.update(b, dataOff, compSize.toInt)
+      if (crc.getValue != crcStored) crcOk = false
+      entries += 1
+      total += uncompSize
+      off = dataOff + compSize.toInt
+    }
+    require(entries > 0, s"no zip local headers for id=${r.id}")
+    require(off + 4 <= b.length && le32(off) == 0x02014b50L,
+      s"central directory missing after entries for id=${r.id}")
+    ZipMeta(r.id, entries, total, first, crcOk)
+  }
+
+  /** Batched per-partition ZIP walk — same `mapPartitions` shape as the
+    * other container decoders. */
+  def zipMeta(ds: Dataset[MediaRecord]): Dataset[ZipMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeZip))
+  }
+
+  /** Deterministic ZIP generator: two STORED members (`a_<id>.txt` of
+    * 10 + id mod 7 bytes, `d/b_<id>.bin` of 100 + id mod 13 bytes) with
+    * real CRC32s, a matching central directory, and the EOCD record —
+    * all facts SQL-expressible. */
+  def syntheticZip(id: Long): Array[Byte] = {
+    def entry(name: String, data: Array[Byte]): (Array[Byte], Long) = {
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      val nb = name.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(30 + nb.length + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x04034b50).putShort(20).putShort(0).putShort(0)
+        .putShort(0).putShort(0)
+        .putInt(crc.getValue.toInt)
+        .putInt(data.length).putInt(data.length)
+        .putShort(nb.length.toShort).putShort(0)
+      bb.put(nb).put(data)
+      (bb.array(), crc.getValue)
+    }
+    def central(name: String, crc: Long, size: Int,
+        localOff: Int): Array[Byte] = {
+      val nb = name.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(46 + nb.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x02014b50).putShort(20).putShort(20).putShort(0)
+        .putShort(0).putShort(0).putShort(0)
+        .putInt(crc.toInt).putInt(size).putInt(size)
+        .putShort(nb.length.toShort).putShort(0).putShort(0)
+        .putShort(0).putShort(0).putInt(0).putInt(localOff)
+      bb.put(nb)
+      bb.array()
+    }
+    val s1 = (10 + Math.floorMod(id, 7L)).toInt
+    val s2 = (100 + Math.floorMod(id, 13L)).toInt
+    val d1 = Array.tabulate(s1)(i => Math.floorMod(id + i, 251L).toByte)
+    val d2 = Array.tabulate(s2)(i =>
+      Math.floorMod(id * 7 + i, 251L).toByte)
+    val (e1, c1) = entry(s"a_$id.txt", d1)
+    val (e2, c2) = entry(s"d/b_$id.bin", d2)
+    val cd1 = central(s"a_$id.txt", c1, s1, 0)
+    val cd2 = central(s"d/b_$id.bin", c2, s2, e1.length)
+    val cdLen = cd1.length + cd2.length
+    val eocd = java.nio.ByteBuffer.allocate(22)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0x06054b50).putShort(0).putShort(0)
+      .putShort(2).putShort(2)
+      .putInt(cdLen).putInt(e1.length + e2.length).putShort(0)
+      .array()
+    e1 ++ e2 ++ cd1 ++ cd2 ++ eocd
+  }
 }

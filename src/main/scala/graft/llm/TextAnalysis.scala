@@ -1151,4 +1151,88 @@ object TextAnalysis {
         when(sortedQ === "", lit(""))
           .otherwise(concat(lit("?"), sortedQ))))
   }
+  /** Heaps'-law fit (Heaps 1978; Herdan 1960): vocabulary growth
+    * V(n) ≈ K·n^β over corpus prefixes — the corpus statistic that
+    * predicts how a tokenizer's vocabulary demand scales with data (the
+    * growth-side companion of the Zipf rank fit). β for natural text
+    * sits in ~0.4–0.6; a β drifting toward 1 flags boilerplate-free
+    * synthetic noise, toward 0 heavy duplication.
+    *
+    * Scale discipline: docs map to `buckets` id-range prefixes (pure
+    * arithmetic on the broadcast max id — no sort, no row-scale
+    * window); each term contributes its FIRST bucket via one min
+    * aggregation, so cumulative vocabulary is a cumsum over the BUCKET
+    * grid; the log-log OLS runs on ≤`buckets` points with 8dp ln grids
+    * and DECIMAL product sums. Output one row: n_points, beta, ln_k. */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"heapsLaw: buckets=$buckets")
+    val mx = docs.agg(max(col(idCol).cast("long")).as("__mx"))
+    val toks = docs
+      .select(col(idCol).cast("long").as("__id"),
+        explode(tokens(col(textCol))).as("__t"))
+      .crossJoin(broadcast(mx))
+      .withColumn("__b", expr(s"(__id * $buckets) div (__mx + 1)"))
+    val perBucket = toks.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nt"))
+    val newPerBucket = toks.groupBy(col("__t"))
+      .agg(min(col("__b")).as("__fb"))
+      .groupBy(col("__fb").as("__b"))
+      .agg(count(lit(1)).as("__nv"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val pts = perBucket.join(newPerBucket, Seq("__b"), "left")
+      .withColumn("__cn", sum(col("__nt")).over(wc))
+      .withColumn("__cv", sum(coalesce(col("__nv"), lit(0L))).over(wc))
+      .where(col("__cn") > 0 && col("__cv") > 0)
+      .select(round(log(col("__cn").cast("double")), 8).as("__x"),
+        round(log(col("__cv").cast("double")), 8).as("__y"))
+    val mom = pts.agg(count(lit(1)).as("__m"),
+      sum(col("__x").cast("decimal(38,8)")).as("__sx"),
+      sum(col("__y").cast("decimal(38,8)")).as("__sy"),
+      sum(round(col("__x") * col("__x"), 16).cast("decimal(38,16)"))
+        .as("__sxx"),
+      sum(round(col("__x") * col("__y"), 16).cast("decimal(38,16)"))
+        .as("__sxy"))
+    val md = col("__m").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val den = col("__sxx").cast("double") - sx * sx / md
+    val beta = when(col("__m") > 1 && den > 0.0,
+      (col("__sxy").cast("double") - sx * sy / md) / den)
+    mom.select(col("__m").as("n_points"),
+      round(beta, 8).as("beta"),
+      round(sy / md - beta * (sx / md), 8).as("ln_k"))
+  }
+
+  /** Sentence-integral training chunks: rule-split sentences (runs of
+    * `.!?` followed by whitespace — the RE2-portable boundary, no
+    * lookbehind), then assign each sentence to chunk
+    * ⌊words-before / maxWords⌋ — chunks never split a sentence and
+    * track the word budget without any sequential fold (the
+    * pack_sequences convention on the sentence axis).
+    *
+    * One posexplode + one doc-partitioned window (bounded by sentences
+    * per doc) + one group-by. Output per (doc, chunk): idCol, chunk,
+    * n_sentences, n_words — ordered by the caller. */
+  def sentenceChunks(docs: DataFrame, idCol: String, textCol: String,
+      maxWords: Int): DataFrame = {
+    require(maxWords >= 1, s"sentenceChunks: maxWords=$maxWords")
+    val sents = docs
+      .select(col(idCol),
+        posexplode(filter(split(col(textCol), "[.!?]+\\s+"),
+          x => trim(x) =!= "")).as(Seq("__pos", "__sent")))
+      .withColumn("__w",
+        size(filter(split(col("__sent"), "\\s+"), x => x =!= "")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    sents
+      .withColumn("__before", sum(col("__w")).over(w) - col("__w"))
+      .withColumn("chunk", expr(s"__before div $maxWords"))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(count(lit(1)).as("n_sentences"), sum(col("__w")).as("n_words"))
+  }
 }

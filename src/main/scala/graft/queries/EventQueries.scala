@@ -1411,6 +1411,28 @@ object EventQueries {
         |       CAST(100 + doc_id % 13 AS BIGINT) AS max_size
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL ZIP container walk (PKWARE local-header chain → central
+    // directory stop): STORED members with per-entry CRC32 recompute,
+    // data-descriptor/compressed members fail closed — completes the
+    // data-lake container family (tar, gzip, warc, zip).
+    QuerySpec("q_zip_meta", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "application/zip",
+          Multimodal.syntheticZip(id)))
+      Multimodal.zipMeta(recs).toDF()
+        .select(col("id").as("doc_id"), col("n_entries"),
+          col("total_size"), col("first_name"), col("crc_ok"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_entries,
+        |       CAST(110 + doc_id % 7 + doc_id % 13 AS BIGINT)
+        |         AS total_size,
+        |       'a_' || CAST(doc_id AS VARCHAR) || '.txt' AS first_name,
+        |       TRUE AS crc_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // REAL gzip member decode (RFC 1952/1951 via the JDK's zlib): header
     // field walk + FULL DEFLATE inflate with the trailer CRC32/ISIZE
     // verified against the recomputed output, 64 MiB bomb cap — the

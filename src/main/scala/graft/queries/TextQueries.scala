@@ -301,6 +301,91 @@ object TextQueries {
         |  FROM h)
         |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
 
+    // Heaps'-law vocabulary-growth fit V(n) ≈ K·n^β over 16 id-range
+    // corpus prefixes: each term contributes its FIRST bucket, so
+    // cumulative vocabulary is a bucket-grid cumsum — no row-scale
+    // window; log-log OLS on ≤16 points with 8dp ln grids.
+    QuerySpec("q_heaps_law", (s, dir) => {
+      TextAnalysis.heapsLaw(docs(s, dir), "doc_id", "text", buckets = 16)
+    }, Some(
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |tk AS (
+        |  SELECT doc_id, b, unnest(l) AS t
+        |  FROM (SELECT doc_id, (doc_id * 16) // (m + 1) AS b,
+        |               list_filter(string_split_regex(lower(text),
+        |                 '[^a-z0-9]+'), x -> x <> '') AS l
+        |        FROM documents CROSS JOIN mx)),
+        |pb AS (SELECT b, COUNT(*) AS nt FROM tk GROUP BY b),
+        |nv AS (
+        |  SELECT fb AS b, COUNT(*) AS nv
+        |  FROM (SELECT t, MIN(b) AS fb FROM tk GROUP BY t)
+        |  GROUP BY fb),
+        |pts AS (
+        |  SELECT ROUND(LN(CAST(SUM(nt) OVER win AS DOUBLE)), 8) AS x,
+        |         ROUND(LN(CAST(SUM(COALESCE(nv, 0)) OVER win AS DOUBLE)),
+        |               8) AS y
+        |  FROM pb LEFT JOIN nv USING (b)
+        |  WINDOW win AS (ORDER BY b ROWS UNBOUNDED PRECEDING)
+        |  QUALIFY SUM(nt) OVER win > 0
+        |      AND SUM(COALESCE(nv, 0)) OVER win > 0),
+        |mo AS (
+        |  SELECT COUNT(*) AS m,
+        |         SUM(CAST(x AS DECIMAL(38,8))) AS sx,
+        |         SUM(CAST(y AS DECIMAL(38,8))) AS sy,
+        |         SUM(CAST(ROUND(x * x, 16) AS DECIMAL(38,16))) AS sxx,
+        |         SUM(CAST(ROUND(x * y, 16) AS DECIMAL(38,16))) AS sxy
+        |  FROM pts)
+        |SELECT m AS n_points,
+        |       ROUND(CASE WHEN m > 1 AND
+        |               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |                 * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) > 0.0
+        |             THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |                     * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+        |                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |                     * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+        |             END, 8) AS beta,
+        |       ROUND(CAST(sy AS DOUBLE) / CAST(m AS DOUBLE) -
+        |             (CASE WHEN m > 1 AND
+        |               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |                 * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) > 0.0
+        |             THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |                     * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+        |                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |                     * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+        |             END) * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)), 8)
+        |         AS ln_k
+        |FROM mo""".stripMargin)),
+
+    // Sentence-integral training chunks: RE2-portable sentence split,
+    // then chunk = ⌊words-before / 40⌋ — sentences never split, the
+    // word budget tracked by one doc-partitioned window.
+    QuerySpec("q_sent_chunks", (s, dir) => {
+      TextAnalysis.sentenceChunks(docs(s, dir), "doc_id", "text",
+          maxWords = 40)
+        .orderBy("doc_id", "chunk")
+    }, Some(
+      """WITH s0 AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '[.!?]+\s+'),
+        |           x -> trim(x) <> '') AS l
+        |  FROM documents),
+        |se AS (
+        |  SELECT doc_id, i AS pos,
+        |         CAST(len(list_filter(string_split_regex(l[i], '\s+'),
+        |           x -> x <> '')) AS BIGINT) AS w
+        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        |        FROM s0)),
+        |ch AS (
+        |  SELECT doc_id,
+        |         CAST((SUM(w) OVER (PARTITION BY doc_id ORDER BY pos
+        |                            ROWS UNBOUNDED PRECEDING) - w) // 40
+        |              AS BIGINT) AS chunk,
+        |         w
+        |  FROM se)
+        |SELECT doc_id, chunk, COUNT(*) AS n_sentences,
+        |       CAST(SUM(w) AS BIGINT) AS n_words
+        |FROM ch GROUP BY 1, 2 ORDER BY doc_id, chunk""".stripMargin)),
+
     // robots.txt crawl-admission decisions (REP, RFC 9309): REAL text
     // parse of per-host robots files — group head runs, exact-agent
     // specificity over '*', longest-prefix match with Allow tie wins —

@@ -52,6 +52,82 @@ object TimeSeriesQueries {
 
     // ACF at lags 1..5 over the daily quantity series, one window pass —
     // the memory-structure diagnostic generalizing q_autocorr's lag-1.
+    // Hurst exponent by rescaled-range analysis over the global daily
+    // quantity series: complete 8/16/32/64-day blocks, exact n-scaled
+    // cumdev cents, 8dp ln(R/S) means per size, H = log-log OLS slope.
+    QuerySpec("q_hurst", (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .where(col("l_shipdate").isNotNull)
+        .groupBy(datediff(to_date(col("l_shipdate")),
+          lit("1992-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      TimeSeries.hurstRs(daily, "day", "qty").orderBy("size")
+    }, Some(
+      """WITH d AS (
+        |  SELECT CAST(datediff('day', DATE '1992-01-01',
+        |                       CAST(l_shipdate AS DATE)) AS BIGINT) AS i,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS x
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+        |sz AS (
+        |  SELECT i, x, s, i // s AS blk
+        |  FROM d CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS s)),
+        |st AS (
+        |  SELECT s, blk, COUNT(*) AS n, SUM(x) AS sx,
+        |         SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx
+        |  FROM sz GROUP BY s, blk
+        |  HAVING COUNT(*) = s),
+        |dev AS (
+        |  SELECT sz.s, sz.blk, st.n, st.sx, st.sxx,
+        |         CAST(SUM(sz.x) OVER win AS DECIMAL(24,2))
+        |           * CAST(st.n AS DECIMAL(8,0))
+        |         - CAST(COUNT(*) OVER win AS DECIMAL(8,0))
+        |           * CAST(st.sx AS DECIMAL(24,2)) AS cum
+        |  FROM sz JOIN st ON sz.s = st.s AND sz.blk = st.blk
+        |  WINDOW win AS (PARTITION BY sz.s, sz.blk ORDER BY sz.i
+        |                 ROWS UNBOUNDED PRECEDING)),
+        |pb AS (
+        |  SELECT s, blk, n, sx, sxx,
+        |         MAX(cum) - MIN(cum) AS rn
+        |  FROM dev GROUP BY s, blk, n, sx, sxx),
+        |lr AS (
+        |  SELECT s,
+        |         CAST(ROUND(LN((CAST(rn AS DOUBLE) / CAST(n AS DOUBLE))
+        |           / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |                  / CAST(n AS DOUBLE))), 8) AS DECIMAL(38,8))
+        |           AS lrs
+        |  FROM pb
+        |  WHERE (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |           * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE) > 0.0),
+        |ps AS (
+        |  SELECT s, COUNT(*) AS n_blocks,
+        |         ROUND(CAST(SUM(lrs) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE), 8) AS ln_rs_mean,
+        |         ROUND(LN(CAST(s AS DOUBLE)), 8) AS lns
+        |  FROM lr GROUP BY s),
+        |mo AS (
+        |  SELECT COUNT(*) AS m,
+        |         SUM(CAST(lns AS DECIMAL(38,8))) AS sa,
+        |         SUM(CAST(ln_rs_mean AS DECIMAL(38,8))) AS sb,
+        |         SUM(CAST(ROUND(lns * lns, 16) AS DECIMAL(38,16)))
+        |           AS saa,
+        |         SUM(CAST(ROUND(lns * ln_rs_mean, 16)
+        |                  AS DECIMAL(38,16))) AS sab
+        |  FROM ps),
+        |h AS (
+        |  SELECT CASE WHEN m > 1 AND
+        |           CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |             * CAST(sa AS DOUBLE) / CAST(m AS DOUBLE) > 0.0
+        |         THEN ROUND((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE)
+        |                * CAST(sb AS DOUBLE) / CAST(m AS DOUBLE))
+        |              / (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |                 * CAST(sa AS DOUBLE) / CAST(m AS DOUBLE)), 8)
+        |         END AS hurst
+        |  FROM mo)
+        |SELECT s AS size, n_blocks, ln_rs_mean, hurst
+        |FROM ps CROSS JOIN h ORDER BY size""".stripMargin)),
+
     QuerySpec("q_acf_grid", (s, dir) => {
       TimeSeries.acfGrid(RankStatsQueries.dailySeries(s, dir),
           "l_returnflag", "day", "v", maxLag = 5)

@@ -126,7 +126,11 @@ class DeterminismSpec extends SparkSpec {
     // crawl-pipeline tier: REAL inflate + CRC verify, group-window
     // robots parse with longest-prefix max_by ties, map-only canon
     // kernels, dual-ranking heap top-k overlap
-    "q_gzip_meta", "q_robots_txt", "q_url_canon", "q_mrl_overlap")
+    "q_gzip_meta", "q_robots_txt", "q_url_canon", "q_mrl_overlap",
+    // corpus-statistics wave: bucket-grid first-occurrence cumsums,
+    // words-before chunk division, n-scaled cumdev block ranges, ZIP
+    // local-header CRC walk
+    "q_heaps_law", "q_sent_chunks", "q_hurst", "q_zip_meta")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -133,6 +133,37 @@ class MultimodalProps extends Properties("llm.multimodal") {
       }
     }
 
+  property("zip generator round-trips; corrupt STORED data flips crc_ok") =
+    Prop.forAll(anyId) { id =>
+      val z = Multimodal.decodeZip(
+        MediaRecord(id, "application/zip", Multimodal.syntheticZip(id)))
+      val s1 = 10 + Math.floorMod(id, 7L)
+      val s2 = 100 + Math.floorMod(id, 13L)
+      z.n_entries == 2L && z.total_size == s1 + s2 &&
+        z.first_name == s"a_$id.txt" && z.crc_ok && {
+          // corrupt one byte of the FIRST member's data: the walk still
+          // completes (structure intact) but the CRC recompute must flag
+          val bad = Multimodal.syntheticZip(id).clone()
+          val dataOff = 30 + s"a_$id.txt".length
+          bad(dataOff) = (bad(dataOff) ^ 0x7f).toByte
+          !Multimodal.decodeZip(MediaRecord(id, "z", bad)).crc_ok
+        }
+    }
+
+  property("zip fails closed on truncation: IAE or all entries intact " +
+    "(a cut inside the central directory keeps the walked facts)") =
+    Prop.forAll(anyId, Gen.choose(0, 999)) { (id, permille) =>
+      val full = Multimodal.syntheticZip(id)
+      val cut = full.take((full.length.toLong * permille / 1000L).toInt)
+      try {
+        val m = Multimodal.decodeZip(MediaRecord(id, "z", cut))
+        m.n_entries == 2L && m.first_name == s"a_$id.txt" && m.crc_ok
+      } catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+
   property("tar fails closed on truncation: IAE or a valid entry prefix") =
     Prop.forAll(anyId, Gen.choose(0, 1000)) { (id, permille) =>
       val full = Multimodal.syntheticTar(id)
@@ -930,6 +961,38 @@ class SimilaritySpec extends SparkSpec {
     val canon = graft.llm.TextAnalysis.canonicalizeUrl(spa, "url")
       .collect().map(_.getAs[String]("canon_url")).toSeq
     assert(canon === Seq("https://host.com/p", "https://host.com/p"))
+  }
+
+  test("heapsLaw: linear vocab growth fits beta = 1; constant vocab " +
+    "fits beta = 0") {
+    import org.apache.spark.sql.functions.col
+    // 16 docs, each contributing 4 NEW distinct tokens: V(n) = n → β = 1
+    val lin = (0 until 16).map(i =>
+      (i.toLong, (0 until 4).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b1 = graft.llm.TextAnalysis.heapsLaw(lin, "doc_id", "text", 8)
+      .head()
+    assert(math.abs(b1.getAs[Double]("beta") - 1.0) < 1e-6)
+    // every doc repeats the SAME 4 tokens: V constant → β = 0
+    val const = (0 until 16).map(i => (i.toLong, "a b c d"))
+      .toDF("doc_id", "text")
+    val b0 = graft.llm.TextAnalysis.heapsLaw(const, "doc_id", "text", 8)
+      .head()
+    assert(math.abs(b0.getAs[Double]("beta")) < 1e-6)
+  }
+
+  test("sentenceChunks: sentences never split; chunk ids follow the " +
+    "words-before budget") {
+    import org.apache.spark.sql.functions.col
+    // 4 sentences of 3 words each, maxWords = 5: words-before =
+    // (0,3,6,9) → chunks (0,0,1,1)
+    val doc = Seq((1L, "one two three. four five six. " +
+      "seven eight nine. ten eleven twelve.")).toDF("doc_id", "text")
+    val rows = graft.llm.TextAnalysis.sentenceChunks(doc, "doc_id",
+      "text", maxWords = 5).orderBy("chunk").collect()
+    assert(rows.map(r => (r.getAs[Long]("chunk"),
+      r.getAs[Long]("n_sentences"), r.getAs[Long]("n_words"))).toSeq ===
+      Seq((0L, 2L, 6L), (1L, 2L, 6L)))
   }
 }
 

@@ -728,6 +728,30 @@ class PlanSpec extends SparkSpec {
     assert("NestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
   }
 
+  test("heapsLaw: the max-id scalar broadcasts; the only windows run " +
+      "AFTER the bucket aggregation — no row-scale sort") {
+    val plan = planString(graft.llm.TextAnalysis.heapsLaw(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", 16))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // two grid windows (cumN, cumV share one spec) over the bucket agg
+    assert(plan.contains("partial_count"), plan)
+    assert("Window".r.findAllIn(plan).length <= 2, plan)
+  }
+
+  test("hurstRs: block stats meet the series on the (size, block) " +
+      "equi-join; cumdev windows partition by block — never global") {
+    val daily = Tables.load(spark, dir, "lineitem")
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        lit("1992-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+    val plan = planString(graft.engine.TimeSeries.hurstRs(
+      daily, "day", "qty"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the cumdev window partitions on (__s, __blk) — block-local
+    assert("windowspecdefinition\\(__s#\\d+, __blk#".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("kendallTauB: pairs come from a group-keyed equi-join over the " +
       "bounded series grid — the join key is the group, never a cartesian") {
     val ser = Tables.load(spark, dir, "lineitem")

@@ -143,4 +143,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(lo < mean && mean < hi)
     assert(hi - lo < 2.0) // sane width for sd≈2.87, n=200
   }
+
+test("hurstRs: a straight-line trend reports H near 1; per-size " +
+    "ln(R/S) grows with the block size") {
+    import org.apache.spark.sql.functions.col
+    val trend = (0 until 256).map(i => (i.toLong, i.toDouble))
+      .toDF("day", "v")
+    val rows = graft.engine.TimeSeries.hurstRs(trend, "day", "v")
+      .orderBy("size").collect()
+    val h = rows.head.getAs[Double]("hurst")
+    assert(h > 0.9 && h < 1.1, s"trend H=$h")
+    val means = rows.map(_.getAs[Double]("ln_rs_mean"))
+    assert(means.zip(means.tail).forall { case (a, b) => a < b }, means.toSeq)
+    // md5-noise series: H should sit loosely around 1/2, far from 1
+    val noise = (0 until 256).map { i =>
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hurst|$i".getBytes("UTF-8"))
+      (i.toLong, ((hx(0) & 0xff) * 256 + (hx(1) & 0xff)).toDouble / 100.0)
+    }.toDF("day", "v")
+    val hn = graft.engine.TimeSeries.hurstRs(noise, "day", "v")
+      .head().getAs[Double]("hurst")
+    assert(hn > 0.2 && hn < 0.8, s"noise H=$hn")
+  }
 }
