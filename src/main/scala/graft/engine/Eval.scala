@@ -759,4 +759,56 @@ object Eval {
         round((col("__k").cast("double") + col("__mu") * col("__s")) /
           (col("__n").cast("double") + col("__s")), 8).as("posterior"))
   }
+  /** Sharp regression-discontinuity estimate (Thistlethwaite & Campbell
+    * 1960; the local-linear form of Imbens & Lemieux 2008): fit y on
+    * (x − c) separately within the bandwidth on each side of the cutoff
+    * and report the gap between the two intercepts AT the cutoff — the
+    * fourth member of the causal tier (DiD trends, IPW weighting, 1-NN
+    * matching, RDD thresholds).
+    *
+    * One aggregation computes BOTH sides' exact DECIMAL moment sets
+    * (cent-grid x−c and y products); the two OLS solves and the gap are
+    * one double formula over those sums. Degenerate sides (n ≤ 1 or
+    * zero x-variance) yield NULL intercepts and a NULL gap — never a
+    * fabricated line. Output one row: n_left, n_right, alpha_left,
+    * alpha_right, gap. */
+  def rddGap(df: DataFrame, xCol: String, yCol: String, cutoff: Double,
+      bandwidth: Double): DataFrame = {
+    require(bandwidth > 0.0, s"rddGap: bandwidth=$bandwidth")
+    // (12,2) keeps the x·x / x·y products at precision 25 — a (18,2)
+    // square would hit 39 and trip Spark's silent scale adjustment (the
+    // pageHinkley lesson); |x−c| < bandwidth by construction and the
+    // cent-grid outcome contract caps y at 1e10
+    val x = col(xCol).cast("decimal(12,2)")
+    val y = col(yCol).cast("decimal(12,2)")
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((x - lit(cutoff).cast("decimal(12,2)")).as("__x"),
+        y.as("__y"))
+      .where(col("__x") >= -bandwidth && col("__x") < bandwidth)
+      .withColumn("__r", col("__x") >= 0)
+    def side(tag: String, cond: Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(cond, col("__x"))).as(s"sx_$tag"),
+      sum(when(cond, col("__y"))).as(s"sy_$tag"),
+      sum(when(cond, (col("__x") * col("__x")).cast("decimal(38,4)")))
+        .as(s"sxx_$tag"),
+      sum(when(cond, (col("__x") * col("__y")).cast("decimal(38,4)")))
+        .as(s"sxy_$tag"))
+    val moments = side("l", !col("__r")) ++ side("r", col("__r"))
+    val agg = base.agg(moments.head, moments.tail: _*)
+    def alpha(tag: String): Column = {
+      val nd = col(s"n_$tag").cast("double")
+      val sx = col(s"sx_$tag").cast("double")
+      val sy = col(s"sy_$tag").cast("double")
+      val den = col(s"sxx_$tag").cast("double") - sx * sx / nd
+      val b = (col(s"sxy_$tag").cast("double") - sx * sy / nd) / den
+      when(col(s"n_$tag") > 1 && den > 0.0,
+        sy / nd - b * (sx / nd))
+    }
+    agg.select(col("n_l").as("n_left"), col("n_r").as("n_right"),
+      round(alpha("l"), 8).as("alpha_left"),
+      round(alpha("r"), 8).as("alpha_right"),
+      round(alpha("r") - alpha("l"), 8).as("gap"))
+  }
 }

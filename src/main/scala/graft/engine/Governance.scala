@@ -248,4 +248,32 @@ object Governance {
     cnt.select(col(keyCol),
       round(col("__c").cast("double") + noise, 6).as("noisy_count"))
   }
+  /** Randomized response (Warner 1965) — the LOCAL differential-privacy
+    * member beside the central [[dpLaplaceCounts]]: each unit reports
+    * its true boolean with probability q and the lie otherwise, and the
+    * group-level prevalence is debiased by π̂ = (p̂ + q − 1)/(2q − 1).
+    * Plausible deniability per row, unbiased estimates in aggregate —
+    * the survey mechanism for sensitive attributes.
+    *
+    * The coin is md5-derived per key (deterministic, engine-portable,
+    * the dpLaplaceCounts convention — a crypto RNG is the production
+    * swap-in); one count aggregation per group, exact integers into one
+    * final double formula. Output per group: group, n, p_reported,
+    * pi_hat (both 8dp; q must keep 2q−1 ≠ 0). */
+  def randomizedResponse(df: DataFrame, groupCol: String, keyCol: String,
+      truth: Column, q: Double, seed: String = "rr"): DataFrame = {
+    require(q > 0.5 && q < 1.0, s"randomizedResponse: q=$q " +
+      "(q ≤ 0.5 destroys identification; q = 1 destroys deniability)")
+    val thr = graft.llm.Sampling.hexThreshold(q)
+    val honest = graft.llm.Sampling.uniformHex(seed, col(keyCol)) <
+      lit(thr)
+    val reported = when(honest, truth).otherwise(!truth)
+    val agg = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"),
+      sum(when(reported, 1L).otherwise(0L)).as("__y"))
+    val ph = col("__y").cast("double") / col("n").cast("double")
+    agg.select(col(groupCol), col("n"),
+      round(ph, 8).as("p_reported"),
+      round((ph + lit(q) - lit(1.0)) / lit(2.0 * q - 1.0), 8)
+        .as("pi_hat"))
+  }
 }

@@ -929,6 +929,100 @@ object InferenceQueries {
         |         AS DOUBLE), 8) AS chi2
         |FROM e""".stripMargin)),
 
+    // Randomized response (Warner 1965) — the LOCAL-DP member beside
+    // q_dp_laplace: md5-coin honest/lie reports per customer, debiased
+    // per-nation prevalence of positive balances.
+    QuerySpec("q_rand_response", (s, dir) => {
+      val base = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+      Governance.randomizedResponse(base, "n_name", "c_custkey",
+          col("c_acctbal") > 0.0, q = 0.75, seed = "rr")
+        .orderBy("n_name")
+    }, Some(
+      """WITH b AS (
+        |  SELECT n_name,
+        |         CASE WHEN substr(md5('rr|' || CAST(c_custkey AS VARCHAR)),
+        |                          1, 8) < 'c0000000'
+        |              THEN c_acctbal > 0.0e0
+        |              ELSE NOT (c_acctbal > 0.0e0) END AS rep
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CASE WHEN rep THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 8) AS p_reported,
+        |       ROUND((CAST(SUM(CASE WHEN rep THEN 1 ELSE 0 END) AS DOUBLE)
+        |              / CAST(COUNT(*) AS DOUBLE) + 0.75e0 - 1.0e0)
+        |             / 0.5e0, 8) AS pi_hat
+        |FROM b GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Sharp regression discontinuity at a 250k order-value cutoff with
+    // a CONSTRUCTED +50 jump (the estimator must recover it exactly on
+    // noise-free linear sides) — the threshold member closing the
+    // causal tier (q_did, q_ipw_ate, q_nn_match, q_rdd_gap).
+    QuerySpec("q_rdd_gap", (s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_totalprice").as("x"),
+        (round(col("o_totalprice") / 1000.0, 2) +
+          when(col("o_totalprice") >= 250000.0, 50.0).otherwise(0.0))
+          .as("y"))
+      Eval.rddGap(base, "x", "y", cutoff = 250000.0,
+        bandwidth = 100000.0)
+    }, Some(
+      """WITH b0 AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(12,2))
+        |           - CAST(250000.0e0 AS DECIMAL(12,2)) AS x,
+        |         CAST(ROUND(o_totalprice / 1000.0e0, 2) +
+        |              CASE WHEN o_totalprice >= 250000.0e0
+        |                   THEN 50.0e0 ELSE 0.0e0 END
+        |              AS DECIMAL(12,2)) AS y
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT x, y, x >= 0 AS r FROM b0
+        |      WHERE x >= -100000.0e0 AND x < 100000.0e0),
+        |mo AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+        |    SUM(CASE WHEN NOT r THEN x END) AS sx_l,
+        |    SUM(CASE WHEN NOT r THEN y END) AS sy_l,
+        |    SUM(CASE WHEN NOT r THEN CAST(x * x AS DECIMAL(38,4)) END)
+        |      AS sxx_l,
+        |    SUM(CASE WHEN NOT r THEN CAST(x * y AS DECIMAL(38,4)) END)
+        |      AS sxy_l,
+        |    CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        |    SUM(CASE WHEN r THEN x END) AS sx_r,
+        |    SUM(CASE WHEN r THEN y END) AS sy_r,
+        |    SUM(CASE WHEN r THEN CAST(x * x AS DECIMAL(38,4)) END)
+        |      AS sxx_r,
+        |    SUM(CASE WHEN r THEN CAST(x * y AS DECIMAL(38,4)) END)
+        |      AS sxy_r
+        |  FROM b),
+        |a AS (
+        |  SELECT n_l AS n_left, n_r AS n_right,
+        |    CASE WHEN n_l > 1 AND CAST(sxx_l AS DOUBLE)
+        |           - CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE)
+        |             / CAST(n_l AS DOUBLE) > 0.0
+        |         THEN CAST(sy_l AS DOUBLE) / CAST(n_l AS DOUBLE)
+        |              - ((CAST(sxy_l AS DOUBLE) - CAST(sx_l AS DOUBLE)
+        |                    * CAST(sy_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+        |                 / (CAST(sxx_l AS DOUBLE) - CAST(sx_l AS DOUBLE)
+        |                    * CAST(sx_l AS DOUBLE) / CAST(n_l AS DOUBLE)))
+        |                * (CAST(sx_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+        |    END AS al,
+        |    CASE WHEN n_r > 1 AND CAST(sxx_r AS DOUBLE)
+        |           - CAST(sx_r AS DOUBLE) * CAST(sx_r AS DOUBLE)
+        |             / CAST(n_r AS DOUBLE) > 0.0
+        |         THEN CAST(sy_r AS DOUBLE) / CAST(n_r AS DOUBLE)
+        |              - ((CAST(sxy_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
+        |                    * CAST(sy_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+        |                 / (CAST(sxx_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
+        |                    * CAST(sx_r AS DOUBLE) / CAST(n_r AS DOUBLE)))
+        |                * (CAST(sx_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+        |    END AS ar
+        |  FROM mo)
+        |SELECT n_left, n_right, ROUND(al, 8) AS alpha_left,
+        |       ROUND(ar, 8) AS alpha_right, ROUND(ar - al, 8) AS gap
+        |FROM a""".stripMargin)),
+
     // IPF raking of the (nation × priority) order cells to uniform
     // margins, 3 fixed rounds — the survey-weighting /
     // table-standardization classic; margins are DECIMAL window sums,

@@ -130,7 +130,9 @@ class DeterminismSpec extends SparkSpec {
     // corpus-statistics wave: bucket-grid first-occurrence cumsums,
     // words-before chunk division, n-scaled cumdev block ranges, ZIP
     // local-header CRC walk
-    "q_heaps_law", "q_sent_chunks", "q_hurst", "q_zip_meta")
+    "q_heaps_law", "q_sent_chunks", "q_hurst", "q_zip_meta",
+    // local-DP coin debias; two-sided exact-moment RDD intercepts
+    "q_rand_response", "q_rdd_gap")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -467,6 +467,51 @@ test("srmCheck rejects a designed-zero ratio up front") {
     assert(math.abs(r.getAs[Double]("avg_precision") - 1.0) < 1e-12)
   }
 
+// ---- randomized response / RDD -------------------------------------
+
+  test("randomizedResponse: debias matches an independent MD5 coin " +
+    "recompute; all-true group lands near 1") {
+    val rows = (1 to 200).map(i => ("g", s"u$i", true))
+    val df = rows.toDF("g", "k", "truth")
+    val r = Governance.randomizedResponse(df, "g", "k", col("truth"),
+      q = 0.75, seed = "spec").head()
+    def honest(key: String): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"spec|$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      hex < "c0000000"
+    }
+    val rep = rows.count(t => honest(t._2)) // truth=true: report=honest
+    val ph = rep.toDouble / 200.0
+    assert(math.abs(r.getAs[Double]("p_reported") - ph) < 1e-8)
+    val pi = (ph + 0.75 - 1.0) / 0.5
+    assert(math.abs(r.getAs[Double]("pi_hat") - pi) < 1e-8)
+    assert(math.abs(r.getAs[Double]("pi_hat") - 1.0) < 0.2) // ~q ± noise
+  }
+
+  test("rddGap recovers a constructed jump exactly on noise-free sides") {
+    // y = 2x + 7 (+10 at/after the cutoff), x on the cent grid
+    val df = (-50 to 49).map { i =>
+      val x = i.toDouble
+      (x, 2.0 * x + 7.0 + (if (x >= 0) 10.0 else 0.0))
+    }.toDF("x", "y")
+    val r = Eval.rddGap(df, "x", "y", cutoff = 0.0, bandwidth = 30.0)
+      .head()
+    assert(r.getAs[Long]("n_left") === 30L)
+    assert(r.getAs[Long]("n_right") === 30L)
+    assert(math.abs(r.getAs[Double]("alpha_left") - 7.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("alpha_right") - 17.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("gap") - 10.0) < 1e-6)
+  }
+
+  test("rddGap: a degenerate side (single point) yields NULL, not a line") {
+    val df = Seq((-1.0, 5.0), (0.0, 6.0), (1.0, 7.0)).toDF("x", "y")
+    val r = Eval.rddGap(df, "x", "y", cutoff = 0.0, bandwidth = 2.0)
+      .head()
+    assert(r.isNullAt(2)) // one left point: no slope exists
+    assert(r.isNullAt(4))
+  }
+
   // ---- IPF raking -----------------------------------------------------------
 
   test("ipfRaking: margins converge to the targets; zero margins stay 0") {
