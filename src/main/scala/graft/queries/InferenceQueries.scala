@@ -960,9 +960,14 @@ object InferenceQueries {
     // noise-free linear sides) — the threshold member closing the
     // causal tier (q_did, q_ipw_ate, q_nn_match, q_rdd_gap).
     QuerySpec("q_rdd_gap", (s, dir) => {
+      // NO explicit ROUND on y: Spark's exact-decimal ROUND and
+      // DuckDB's float ROUND disagree on o/1000 = x.xx5 ties (caught by
+      // the sf1 sweep); the correctly-rounded double→DECIMAL cast
+      // inside rddGap grids it portably (exact .xx5 doubles cannot
+      // occur: 1000a+5 ≢ 0 mod 125)
       val base = t(s, dir, "orders").select(
         col("o_totalprice").as("x"),
-        (round(col("o_totalprice") / 1000.0, 2) +
+        (col("o_totalprice") / 1000.0 +
           when(col("o_totalprice") >= 250000.0, 50.0).otherwise(0.0))
           .as("y"))
       Eval.rddGap(base, "x", "y", cutoff = 250000.0,
@@ -971,7 +976,7 @@ object InferenceQueries {
       """WITH b0 AS (
         |  SELECT CAST(o_totalprice AS DECIMAL(12,2))
         |           - CAST(250000.0e0 AS DECIMAL(12,2)) AS x,
-        |         CAST(ROUND(o_totalprice / 1000.0e0, 2) +
+        |         CAST(o_totalprice / 1000.0e0 +
         |              CASE WHEN o_totalprice >= 250000.0e0
         |                   THEN 50.0e0 ELSE 0.0e0 END
         |              AS DECIMAL(12,2)) AS y
