@@ -811,4 +811,40 @@ object Eval {
       round(alpha("r"), 8).as("alpha_right"),
       round(alpha("r") - alpha("l"), 8).as("gap"))
   }
+  /** UCB1 arm scores (Auer, Cesa-Bianchi & Fischer 2002): per arm the
+    * mean reward plus the exploration bonus sqrt(c·ln N / n), and which
+    * arm the policy would pull next — the allocation readout an
+    * experimentation platform computes between batches (the bandit
+    * complement of the fixed-split q_srm / q_ab_test machinery).
+    *
+    * One count/sum aggregation (exact DECIMAL reward sums); N and the
+    * argmax derive from one-row/bounded-arm broadcasts; ties on the
+    * UCB break toward the lexicographically smaller arm. Output per
+    * arm: arm, n, mean_reward, ucb, chosen — ordered by arm. */
+  def ucbArms(df: DataFrame, armCol: String, rewardCol: String,
+      c: Double = 2.0): DataFrame = {
+    require(c > 0.0, s"ucbArms: c=$c")
+    val base = df
+      .where(col(armCol).isNotNull && col(rewardCol).isNotNull)
+      .select(col(armCol).cast("string").as("arm"),
+        col(rewardCol).cast("decimal(18,2)").as("__r"))
+    val per = base.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("__r")).as("__sr"))
+    val tot = per.agg(sum(col("n")).as("__nn"))
+    val mean = col("__sr").cast("double") / col("n").cast("double")
+    val ucb = round(mean + sqrt(lit(c) * log(col("__nn").cast("double")) /
+      col("n").cast("double")), 8)
+    val scored = per.crossJoin(broadcast(tot))
+      .select(col("arm"), col("n"), round(mean, 8).as("mean_reward"),
+        ucb.as("ucb"))
+    // argmax with the smaller-arm tie-break via a second bounded pass:
+    // join back on the exact (rounded) ucb, then min(arm) flags chosen
+    val maxU = scored.agg(max(col("ucb")).as("__mu"))
+    val chosenArm = scored.crossJoin(broadcast(maxU))
+      .where(col("ucb") === col("__mu"))
+      .agg(min(col("arm")).as("__ca"))
+    scored.crossJoin(broadcast(chosenArm))
+      .select(col("arm"), col("n"), col("mean_reward"), col("ucb"),
+        (col("arm") === col("__ca")).as("chosen"))
+  }
 }

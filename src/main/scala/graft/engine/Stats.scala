@@ -1395,4 +1395,44 @@ object Stats {
       round((lit(1.0) + ne.cast("double")) / lit((b + 1).toDouble), 8)
         .as("p_value"))
   }
+  /** Hill tail-index estimator (Hill 1975): over the top k+1 order
+    * statistics of a positive measure, α̂ = 1 / mean(ln(x₍ᵢ₎/x₍ₖ₊₁₎)) —
+    * the heavy-tail exponent diagnostic beside the Zipf rank fit
+    * (frequencies) and Hurst (long memory); α ≤ 2 means infinite
+    * variance, the regime where mean-based monitors mislead.
+    *
+    * Scale shape: the ONLY data pass is a TakeOrdered top-(k+1) with a
+    * deterministic (value DESC, key ASC) tie order — a bounded heap per
+    * task, never a global sort; the ln grid and mean run on the k+1
+    * collected-size rows. Output one row: k, x_k (the threshold order
+    * statistic), hill_alpha (8dp; NULL when fewer than k+1 positive
+    * rows or a zero mean ratio). */
+  def hillTail(df: DataFrame, valCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"hillTail: k=$k")
+    val top = df
+      .where(col(valCol).isNotNull && col(valCol) > 0)
+      .select(col(valCol).cast("double").as("__x"),
+        col(keyCol).cast("string").as("__k"))
+      .orderBy(col("__x").desc, col("__k").asc)
+      .limit(k + 1)
+    val w = Window.orderBy(col("__x").desc, col("__k").asc)
+    val ranked = top.withColumn("__rn", row_number().over(w))
+    // global aggregates preserve the one-row contract when fewer than
+    // k+1 positive rows exist (NULL threshold/alpha) — the
+    // signFlipTest/fisherExact shape
+    val thr = ranked
+      .agg(max(when(col("__rn") === k + 1, col("__x"))).as("__thr"))
+    val ext = ranked.where(col("__rn") <= k)
+      .crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(log(col("__x") / col("__thr")), 8)
+          .cast("decimal(38,8)")).as("__s"))
+    thr.crossJoin(broadcast(ext))
+      .select(lit(k).cast("long").as("k"),
+        round(col("__thr"), 8).as("x_k"),
+        when(col("__n") === k && col("__s").cast("double") > 0.0,
+          round(lit(k.toDouble) / col("__s").cast("double"), 8))
+          .as("hill_alpha"))
+  }
 }

@@ -1235,4 +1235,23 @@ object TextAnalysis {
       .groupBy(col(idCol), col("chunk"))
       .agg(count(lit(1)).as("n_sentences"), sum(col("__w")).as("n_words"))
   }
+  /** License-mention detection (the SPDX-screen tier of training-data
+    * governance: code/text corpora must route copyleft and
+    * attribution-bound documents differently): first-match over a fixed
+    * priority ladder of RE2-portable phrase patterns on the lowercased
+    * text. A HEURISTIC screen by contract — the production upgrade is
+    * full SPDX text matching; the pipeline shape (map-only rlike
+    * ladder, zero shuffle) is identical. Output: input columns +
+    * `license` ('mit' | 'apache' | 'gpl' | 'cc_by' | 'none'). */
+  def licenseDetect(df: DataFrame, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    df.withColumn("license",
+      when(t.rlike("permission is hereby granted|mit license"), "mit")
+        .when(t.rlike("apache license|licensed under the apache"),
+          "apache")
+        .when(t.rlike("gnu general public license|gpl-[23]\\.0"), "gpl")
+        .when(t.rlike("creative commons attribution|cc-by-[0-9]"),
+          "cc_by")
+        .otherwise("none"))
+  }
 }

@@ -1028,6 +1028,85 @@ object InferenceQueries {
         |       ROUND(ar, 8) AS alpha_right, ROUND(ar - al, 8) AS gap
         |FROM a""".stripMargin)),
 
+    // License-mention screen over documents with injected phrase
+    // variants (the real kernel exercised against formula-derivable
+    // labels — the WARC convention): routes copyleft / attribution
+    // docs before training-corpus admission.
+    QuerySpec("q_license_detect", (s, dir) => {
+      val inj = when(col("doc_id") % 5 === 0,
+        lit(" Permission is hereby granted, free of charge."))
+        .when(col("doc_id") % 5 === 1,
+          lit(" Licensed under the Apache License, Version 2.0."))
+        .when(col("doc_id") % 5 === 2,
+          lit(" Released under the GNU General Public License."))
+        .when(col("doc_id") % 5 === 3,
+          lit(" Creative Commons Attribution 4.0 International."))
+        .otherwise(lit(""))
+      graft.llm.TextAnalysis.licenseDetect(
+          t(s, dir, "documents")
+            .select(col("doc_id"), concat(col("text"), inj).as("text")),
+          "text")
+        .select(col("doc_id"), col("license"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |       CASE doc_id % 5 WHEN 0 THEN 'mit' WHEN 1 THEN 'apache'
+        |            WHEN 2 THEN 'gpl' WHEN 3 THEN 'cc_by'
+        |            ELSE 'none' END AS license
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Hill tail-index over the top-100 order values: the heavy-tail
+    // exponent diagnostic (infinite-variance regimes mislead mean-based
+    // monitors) — one bounded-heap TakeOrdered pass, ln grid on k+1 rows.
+    QuerySpec("q_hill_tail", (s, dir) => {
+      Stats.hillTail(t(s, dir, "orders"), "o_totalprice", "o_orderkey",
+        k = 100)
+    }, Some(
+      """WITH top AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        |         CAST(o_orderkey AS VARCHAR) AS k
+        |  FROM orders WHERE o_totalprice > 0
+        |  ORDER BY x DESC, k ASC LIMIT 101),
+        |r AS (
+        |  SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, k ASC) AS rn
+        |  FROM top),
+        |thr AS (SELECT x AS t FROM r WHERE rn = 101),
+        |tm AS (
+        |  SELECT CAST(ROUND(LN(x / thr.t), 8) AS DECIMAL(38,8)) AS lt,
+        |         thr.t
+        |  FROM r CROSS JOIN thr WHERE rn <= 100)
+        |SELECT CAST(100 AS BIGINT) AS k, ROUND(t, 8) AS x_k,
+        |       CASE WHEN COUNT(*) = 100 AND CAST(SUM(lt) AS DOUBLE) > 0.0
+        |            THEN ROUND(100.0e0 / CAST(SUM(lt) AS DOUBLE), 8)
+        |       END AS hill_alpha
+        |FROM tm GROUP BY t""".stripMargin)),
+
+    // UCB1 allocation readout per event-type "arm" (reward = event
+    // value): which arm the bandit pulls next, exploration bonus and
+    // all — the adaptive complement of the fixed-split q_srm.
+    QuerySpec("q_ucb_arms", (s, dir) => {
+      Eval.ucbArms(Tables.events(s, dir), "event_type", "value", c = 2.0)
+        .orderBy("arm")
+    }, Some(
+      """WITH b AS (
+        |  SELECT event_type AS arm, CAST(value AS DECIMAL(18,2)) AS r
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |per AS (SELECT arm, COUNT(*) AS n, SUM(r) AS sr FROM b GROUP BY arm),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM per),
+        |sc AS (
+        |  SELECT arm, n,
+        |         ROUND(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE), 8)
+        |           AS mean_reward,
+        |         ROUND(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) +
+        |               SQRT(2.0e0 * LN(CAST(nn AS DOUBLE))
+        |                    / CAST(n AS DOUBLE)), 8) AS ucb
+        |  FROM per CROSS JOIN tot),
+        |mu AS (SELECT MAX(ucb) AS m FROM sc),
+        |ca AS (SELECT MIN(arm) AS a FROM sc CROSS JOIN mu
+        |       WHERE ucb = mu.m)
+        |SELECT arm, n, mean_reward, ucb, arm = ca.a AS chosen
+        |FROM sc CROSS JOIN ca ORDER BY arm""".stripMargin)),
+
     // IPF raking of the (nation × priority) order cells to uniform
     // margins, 3 fixed rounds — the survey-weighting /
     // table-standardization classic; margins are DECIMAL window sums,

@@ -132,7 +132,10 @@ class DeterminismSpec extends SparkSpec {
     // local-header CRC walk
     "q_heaps_law", "q_sent_chunks", "q_hurst", "q_zip_meta",
     // local-DP coin debias; two-sided exact-moment RDD intercepts
-    "q_rand_response", "q_rdd_gap")
+    "q_rand_response", "q_rdd_gap",
+    // rlike ladder labels; bounded-heap order-statistic ln grid;
+    // exploration-bonus argmax with exact-ucb tie join
+    "q_license_detect", "q_hill_tail", "q_ucb_arms")
 
   test("query results are identical under different shuffle partitioning") {
     names.foreach { name =>

@@ -512,6 +512,53 @@ test("srmCheck rejects a designed-zero ratio up front") {
     assert(r.isNullAt(4))
   }
 
+// ---- license / hill / ucb ------------------------------------------
+
+  test("licenseDetect: ladder priority and none-fallthrough") {
+    val df = Seq(
+      "Permission is hereby granted AND GNU General Public License",
+      "licensed under the apache license",
+      "plain text with no license at all",
+      "Creative Commons Attribution 4.0").map(Tuple1(_)).toDF("text")
+    val got = graft.llm.TextAnalysis.licenseDetect(df, "text")
+      .collect().map(_.getAs[String]("license")).toSeq
+    assert(got === Seq("mit", "apache", "none", "cc_by"))
+  }
+
+  test("hillTail: geometric top set gives alpha = 1/(2.5 ln 2)") {
+    // top-5 of {16,8,4,2,1,0.5,...}: k=4, threshold x_(5)=1 →
+    // mean ln ratio = (4+3+2+1)/4 · ln2 = 2.5 ln2
+    val df = Seq(16.0, 8.0, 4.0, 2.0, 1.0, 0.5, 0.25)
+      .zipWithIndex.map { case (v, i) => (v, s"k$i") }.toDF("v", "k")
+    val r = Stats.hillTail(df, "v", "k", k = 4).head()
+    assert(r.getAs[Double]("x_k") === 1.0)
+    assert(math.abs(r.getAs[Double]("hill_alpha") -
+      1.0 / (2.5 * math.log(2.0))) < 1e-6)
+    // fewer than k+1 positive rows → NULL
+    val small = Seq((3.0, "a"), (2.0, "b")).toDF("v", "k")
+    assert(Stats.hillTail(small, "v", "k", k = 4).head().isNullAt(2))
+  }
+
+  test("ucbArms: under-pulled arm gets the bonus; ties choose the " +
+    "smaller arm") {
+    // arm a: 8 pulls mean 1.0; arm b: 2 pulls mean 1.0 → b's bonus is
+    // larger → chosen = b
+    val rows = Seq.fill(8)(("a", 1.0)) ++ Seq.fill(2)(("b", 1.0))
+    val out = Eval.ucbArms(rows.toDF("arm", "r"), "arm", "r", c = 2.0)
+      .collect().map(x => x.getAs[String]("arm") ->
+        (x.getAs[Double]("ucb"), x.getAs[Boolean]("chosen"))).toMap
+    assert(out("b")._1 > out("a")._1)
+    assert(out("b")._2 && !out("a")._2)
+    val wantB = 1.0 + math.sqrt(2.0 * math.log(10.0) / 2.0)
+    assert(math.abs(out("b")._1 - wantB) < 1e-7)
+    // exact tie (same n, same mean): the smaller arm is chosen
+    val tie = Seq(("x", 1.0), ("y", 1.0)).toDF("arm", "r")
+    val t = Eval.ucbArms(tie, "arm", "r").collect()
+      .map(x => x.getAs[String]("arm") -> x.getAs[Boolean]("chosen"))
+      .toMap
+    assert(t("x") && !t("y"))
+  }
+
   // ---- IPF raking -----------------------------------------------------------
 
   test("ipfRaking: margins converge to the targets; zero margins stay 0") {
