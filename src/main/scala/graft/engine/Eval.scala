@@ -794,7 +794,9 @@ object Eval {
       sum(when(cond, (col("__x") * col("__x")).cast("decimal(38,4)")))
         .as(s"sxx_$tag"),
       sum(when(cond, (col("__x") * col("__y")).cast("decimal(38,4)")))
-        .as(s"sxy_$tag"))
+        .as(s"sxy_$tag"),
+      min(when(cond, col("__x"))).as(s"xmin_$tag"),
+      max(when(cond, col("__x"))).as(s"xmax_$tag"))
     val moments = side("l", !col("__r")) ++ side("r", col("__r"))
     val agg = base.agg(moments.head, moments.tail: _*)
     def alpha(tag: String): Column = {
@@ -803,7 +805,11 @@ object Eval {
       val sy = col(s"sy_$tag").cast("double")
       val den = col(s"sxx_$tag").cast("double") - sx * sx / nd
       val b = (col(s"sxy_$tag").cast("double") - sx * sy / nd) / den
-      when(col(s"n_$tag") > 1 && den > 0.0,
+      // zero x-variance is decided by the EXACT decimal min/max compare
+      // — `den > 0` alone tests floating-point noise (an all-equal side
+      // can land at den ≈ 2.8e-17 and emit a fabricated line)
+      when(col(s"n_$tag") > 1 &&
+        col(s"xmin_$tag") =!= col(s"xmax_$tag") && den > 0.0,
         sy / nd - b * (sx / nd))
     }
     agg.select(col("n_l").as("n_left"), col("n_r").as("n_right"),
@@ -837,13 +843,16 @@ object Eval {
     val scored = per.crossJoin(broadcast(tot))
       .select(col("arm"), col("n"), round(mean, 8).as("mean_reward"),
         ucb.as("ucb"))
-    // argmax with the smaller-arm tie-break via a second bounded pass:
-    // join back on the exact (rounded) ucb, then min(arm) flags chosen
-    val maxU = scored.agg(max(col("ucb")).as("__mu"))
-    val chosenArm = scored.crossJoin(broadcast(maxU))
-      .where(col("ucb") === col("__mu"))
-      .agg(min(col("arm")).as("__ca"))
-    scored.crossJoin(broadcast(chosenArm))
+    // argmax with the smaller-arm tie-break over the BOUNDED arm set:
+    // two full-frame windows on the per-arm rows (never a re-aggregation
+    // of the raw input — a second scored subtree would re-scan the
+    // corpus per use)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    scored
+      .withColumn("__mu", max(col("ucb")).over(wAll))
+      .withColumn("__ca",
+        min(when(col("ucb") === col("__mu"), col("arm"))).over(wAll))
       .select(col("arm"), col("n"), col("mean_reward"), col("ucb"),
         (col("arm") === col("__ca")).as("chosen"))
   }

@@ -268,8 +268,13 @@ object Governance {
     val honest = graft.llm.Sampling.uniformHex(seed, col(keyCol)) <
       lit(thr)
     val reported = when(honest, truth).otherwise(!truth)
-    val agg = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"),
-      sum(when(reported, 1L).otherwise(0L)).as("__y"))
+    // NULL truth or NULL key rows are unanswerable units: listwise-drop
+    // (a NULL truth would silently count as a 'false' report and a NULL
+    // key would deterministically lie — both bias the debias)
+    val agg = df
+      .where(truth.isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"),
+        sum(when(reported, 1L).otherwise(0L)).as("__y"))
     val ph = col("__y").cast("double") / col("n").cast("double")
     agg.select(col(groupCol), col("n"),
       round(ph, 8).as("p_reported"),

@@ -1417,20 +1417,25 @@ object Stats {
       .orderBy(col("__x").desc, col("__k").asc)
       .limit(k + 1)
     val w = Window.orderBy(col("__x").desc, col("__k").asc)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    // ONE TakeOrdered pass feeds everything: the threshold rides a
+    // full-frame window over the ≤ k+1 ranked rows (a thr/ext crossJoin
+    // pair would rebuild the TakeOrdered scan per use — 3 scans of the
+    // raw input), and the single GLOBAL aggregate preserves the one-row
+    // contract when fewer than k+1 positive rows exist (NULL
+    // threshold/alpha) — the signFlipTest/fisherExact shape
     val ranked = top.withColumn("__rn", row_number().over(w))
-    // global aggregates preserve the one-row contract when fewer than
-    // k+1 positive rows exist (NULL threshold/alpha) — the
-    // signFlipTest/fisherExact shape
-    val thr = ranked
-      .agg(max(when(col("__rn") === k + 1, col("__x"))).as("__thr"))
-    val ext = ranked.where(col("__rn") <= k)
-      .crossJoin(broadcast(thr))
-      .agg(count(lit(1)).as("__n"),
-        sum(round(log(col("__x") / col("__thr")), 8)
-          .cast("decimal(38,8)")).as("__s"))
-    thr.crossJoin(broadcast(ext))
+      .withColumn("__thr",
+        max(when(col("__rn") === k + 1, col("__x"))).over(wAll))
+    ranked
+      .agg(max(col("__thr")).as("__t"),
+        sum(when(col("__rn") <= k, 1L).otherwise(0L)).as("__n"),
+        sum(when(col("__rn") <= k,
+          round(log(col("__x") / col("__thr")), 8)
+            .cast("decimal(38,8)"))).as("__s"))
       .select(lit(k).cast("long").as("k"),
-        round(col("__thr"), 8).as("x_k"),
+        round(col("__t"), 8).as("x_k"),
         when(col("__n") === k && col("__s").cast("double") > 0.0,
           round(lit(k.toDouble) / col("__s").cast("double"), 8))
           .as("hill_alpha"))

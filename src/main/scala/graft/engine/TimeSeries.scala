@@ -452,8 +452,13 @@ object TimeSeries {
       sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
     require(sizes.size >= 2 && sizes.forall(_ >= 2),
       s"hurstRs: sizes=$sizes")
-    val base = daily.select(col(idxCol).cast("long").as("__i"),
-      col(valCol).cast("decimal(18,2)").as("__x"))
+    // NULL rows drop BEFORE the complete-block check: a NULL value
+    // would pass count(n) == s while vanishing from the sums, silently
+    // shifting the block variance and cumdev (the acfGrid rule)
+    val base = daily
+      .where(col(idxCol).isNotNull && col(valCol).isNotNull)
+      .select(col(idxCol).cast("long").as("__i"),
+        col(valCol).cast("decimal(18,2)").as("__x"))
     val sized = base.select(col("__i"), col("__x"),
       explode(array(sizes.map(lit): _*)).as("__s"))
       .withColumn("__blk", expr("__i div __s"))

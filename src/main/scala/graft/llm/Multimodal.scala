@@ -1211,6 +1211,9 @@ object Multimodal {
       val flags = le16(off + 6)
       require((flags & 0x8) == 0,
         s"zip data-descriptor flag unsupported for id=${r.id}")
+      require((flags & 0x800) == 0,
+        s"zip UTF-8 (EFS) names unsupported for id=${r.id} — the " +
+          "US-ASCII decode would silently garble them")
       val method = le16(off + 8)
       require(method == 0,
         s"zip method $method != STORED for id=${r.id} (deflate members " +

@@ -993,17 +993,21 @@ object InferenceQueries {
         |      AS sxx_l,
         |    SUM(CASE WHEN NOT r THEN CAST(x * y AS DECIMAL(38,4)) END)
         |      AS sxy_l,
+        |    MIN(CASE WHEN NOT r THEN x END) AS xmin_l,
+        |    MAX(CASE WHEN NOT r THEN x END) AS xmax_l,
         |    CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
         |    SUM(CASE WHEN r THEN x END) AS sx_r,
         |    SUM(CASE WHEN r THEN y END) AS sy_r,
         |    SUM(CASE WHEN r THEN CAST(x * x AS DECIMAL(38,4)) END)
         |      AS sxx_r,
         |    SUM(CASE WHEN r THEN CAST(x * y AS DECIMAL(38,4)) END)
-        |      AS sxy_r
+        |      AS sxy_r,
+        |    MIN(CASE WHEN r THEN x END) AS xmin_r,
+        |    MAX(CASE WHEN r THEN x END) AS xmax_r
         |  FROM b),
         |a AS (
         |  SELECT n_l AS n_left, n_r AS n_right,
-        |    CASE WHEN n_l > 1 AND CAST(sxx_l AS DOUBLE)
+        |    CASE WHEN n_l > 1 AND xmin_l <> xmax_l AND CAST(sxx_l AS DOUBLE)
         |           - CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE)
         |             / CAST(n_l AS DOUBLE) > 0.0
         |         THEN CAST(sy_l AS DOUBLE) / CAST(n_l AS DOUBLE)
@@ -1013,7 +1017,7 @@ object InferenceQueries {
         |                    * CAST(sx_l AS DOUBLE) / CAST(n_l AS DOUBLE)))
         |                * (CAST(sx_l AS DOUBLE) / CAST(n_l AS DOUBLE))
         |    END AS al,
-        |    CASE WHEN n_r > 1 AND CAST(sxx_r AS DOUBLE)
+        |    CASE WHEN n_r > 1 AND xmin_r <> xmax_r AND CAST(sxx_r AS DOUBLE)
         |           - CAST(sx_r AS DOUBLE) * CAST(sx_r AS DOUBLE)
         |             / CAST(n_r AS DOUBLE) > 0.0
         |         THEN CAST(sy_r AS DOUBLE) / CAST(n_r AS DOUBLE)
@@ -1067,19 +1071,23 @@ object InferenceQueries {
         |         CAST(o_orderkey AS VARCHAR) AS k
         |  FROM orders WHERE o_totalprice > 0
         |  ORDER BY x DESC, k ASC LIMIT 101),
-        |r AS (
+        |r0 AS (
         |  SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, k ASC) AS rn
         |  FROM top),
-        |thr AS (SELECT x AS t FROM r WHERE rn = 101),
-        |tm AS (
-        |  SELECT CAST(ROUND(LN(x / thr.t), 8) AS DECIMAL(38,8)) AS lt,
-        |         thr.t
-        |  FROM r CROSS JOIN thr WHERE rn <= 100)
-        |SELECT CAST(100 AS BIGINT) AS k, ROUND(t, 8) AS x_k,
-        |       CASE WHEN COUNT(*) = 100 AND CAST(SUM(lt) AS DOUBLE) > 0.0
-        |            THEN ROUND(100.0e0 / CAST(SUM(lt) AS DOUBLE), 8)
+        |r AS (
+        |  SELECT x, rn,
+        |         MAX(CASE WHEN rn = 101 THEN x END) OVER () AS thr
+        |  FROM r0)
+        |SELECT CAST(100 AS BIGINT) AS k, ROUND(MAX(thr), 8) AS x_k,
+        |       CASE WHEN SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) = 100
+        |             AND CAST(SUM(CASE WHEN rn <= 100 THEN
+        |                   CAST(ROUND(LN(x / thr), 8) AS DECIMAL(38,8))
+        |                 END) AS DOUBLE) > 0.0
+        |            THEN ROUND(100.0e0 / CAST(SUM(CASE WHEN rn <= 100 THEN
+        |                   CAST(ROUND(LN(x / thr), 8) AS DECIMAL(38,8))
+        |                 END) AS DOUBLE), 8)
         |       END AS hill_alpha
-        |FROM tm GROUP BY t""".stripMargin)),
+        |FROM r""".stripMargin)),
 
     // UCB1 allocation readout per event-type "arm" (reward = event
     // value): which arm the bandit pulls next, exploration bonus and
