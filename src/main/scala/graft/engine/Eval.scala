@@ -569,10 +569,16 @@ object Eval {
     * one per rater marginal, all map-side combinable) joined on the
     * bounded class domain; every input to the final formula is an exact
     * integer, so the one double expression is bit-identical across
-    * engines. Output one row: n, po, pe, kappa (NULL when p_e = 1). */
+    * engines. Rows where either label is NULL are listwise-dropped (the
+    * fdrBh convention): keeping them would count NULL rows in n and the
+    * p_o denominator (null === null agrees as 0) while the inner
+    * marginal join drops the NULL class from p_e — biasing κ whenever a
+    * rater column has NULLs. Output one row: n, po, pe, kappa (NULL
+    * when p_e = 1). */
   def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val base = df.select(aCol.cast("string").as("__a"),
       bCol.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
     val tot = base.agg(count(lit(1)).as("n"),
       sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("__agree"))
     val ma = base.groupBy(col("__a").as("__cls")).agg(count(lit(1)).as("__na"))

@@ -59,8 +59,16 @@ object Reconcile {
     * double ratio per cell per half-round, identical expression tree on
     * both engines); margin sums are DECIMAL (order-free). Cells whose
     * current margin is 0 keep weight 0 (0/0 guards to 0 — mass cannot
-    * be created on an empty margin). Output per cell: rowCol, colCol,
-    * weight. */
+    * be created on an empty margin).
+    *
+    * Target coverage is REQUIRED: a cell whose row or column key has no
+    * target raises in-plan (the srmCheck unmodelled-arm stance — an
+    * inner join here would silently vanish that cell's mass from the
+    * raking). The converse — a target key with no observed cells — is
+    * NOT an error: IPF simply cannot move mass onto an empty margin
+    * (the 0-margin guard above), the shortfall is visible in the output
+    * margins, and standard raking practice treats structurally-empty
+    * cells as fixed zeros. Output per cell: rowCol, colCol, weight. */
   def ipfRaking(cells: DataFrame, rowCol: String, colCol: String,
       weightCol: String, rowTargets: DataFrame, colTargets: DataFrame,
       rounds: Int): DataFrame = {
@@ -88,7 +96,16 @@ object Reconcile {
     }
     val start = cells.select(col(rowCol), col(colCol),
         round(col(weightCol).cast("double"), 8).as("__w"))
-      .join(rt, Seq(rowCol)).join(ct, Seq(colCol))
+      .join(rt, Seq(rowCol), "left").join(ct, Seq(colCol), "left")
+      .select(col(rowCol), col(colCol), col("__w"),
+        when(col("__rt").isNull, raise_error(concat(
+          lit("ipfRaking: no row target for "),
+          col(rowCol).cast("string"))))
+          .otherwise(col("__rt")).as("__rt"),
+        when(col("__ct").isNull, raise_error(concat(
+          lit("ipfRaking: no col target for "),
+          col(colCol).cast("string"))))
+          .otherwise(col("__ct")).as("__ct"))
     val done = (1 to rounds).foldLeft(start) { (df, _) =>
       scaleBy(scaleBy(df, rowCol, "__rt"), colCol, "__ct")
     }

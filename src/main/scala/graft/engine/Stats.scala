@@ -1075,10 +1075,16 @@ object Stats {
         sum(when(col("__t") <= col("__tobs"), 1L).otherwise(0L))
           .as("n_terms"),
         round(sum(when(col("__t") <= col("__tobs"), col("__t")))
-          .cast("double"), 8).as("p_two"))
+          .cast("double"), 8).as("__p"))
     cells.crossJoin(broadcast(ext))
       .select(col("a"), col("b"), col("c"), col("d"),
-        col("n_terms"), col("p_two"))
+        col("n_terms"),
+        // the 8dp-rounded term sum can exceed 1 by accumulated rounding
+        // over thousands of k-grid terms — cap at 1.0 with the
+        // binomSignTest convention: least() SKIPS nulls (would turn an
+        // undefined p on empty input into 1.0), so gate on a defined sum
+        when(col("__p").isNotNull, least(lit(1.0), col("__p")))
+          .as("p_two"))
   }
 
   /** McNemar's test (McNemar 1947, the continuity-corrected χ² form) on
@@ -1377,8 +1383,14 @@ object Stats {
       dCol: String, b: Int, seed: String = "perm"): DataFrame = {
     require(b >= 1 && b <= 128, s"groupedSignFlip: b=$b")
     graft.GraftFunctions.register(diffs.sparkSession, "sign_flip_sums")
+    // Listwise-drop NULL keys too (the randomizedResponse convention):
+    // SignFlipSums.update skips null keys from every replicate sum, so a
+    // NULL-keyed row kept here would enter t_obs and n but none of the
+    // B permutation sums — the replicates would be computed over a
+    // DIFFERENT sample than the observed statistic and p-values invalid.
     val base = diffs
-      .where(col(dCol).isNotNull && col(groupCol).isNotNull)
+      .where(col(dCol).isNotNull && col(groupCol).isNotNull &&
+        col(keyCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"),
         col(keyCol).cast("string").as("__k"),
         col(dCol).cast("decimal(18,2)").as("__d"))

@@ -1025,6 +1025,40 @@ object TextAnalysis {
     trim(regexp_replace(ent, "[ \\t\\n\\r\\f\\x0B]+", " "))
   }
 
+  /** Scale-safe dense ids over a distinct key domain: contiguous
+    * 1..|domain| longs WITHOUT any global sort — per-partition row
+    * numbers composed with running partition offsets (the zipWithIndex
+    * shape, declaratively). The only unpartitioned window runs over the
+    * per-partition COUNTS — #partitions rows, bounded by cluster
+    * config, never by data; the per-key window partitions by
+    * `spark_partition_id()`. Ids are injective always; their VALUES
+    * depend on the physical partitioning, so use this only where the
+    * consumer is relabeling-invariant (PageRank/HITS-style solves,
+    * join-through indices) — NOT where the id itself is output (that is
+    * [[graft.engine.Encode.indexEncode]]'s frequency-ranked contract,
+    * which pins an order and caps the domain instead). Callers that
+    * consume the index more than once must barrier it
+    * ([[graft.engine.Checkpoints.iterationBarrier]]):
+    * `spark_partition_id` is free to differ between duplicated plan
+    * subtrees, and an inconsistent assignment across consumers would
+    * tear the graph. Output: keyCol, id. */
+  private[graft] def zipIndex(domain: DataFrame, keyCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = domain.withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col(keyCol)))
+        .cast("long"))
+    val offs = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    parts.join(broadcast(offs), "__pid")
+      .select(col(keyCol), (col("__off") + col("__rn")).as("id"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
     * Bringing Order into Text"): PageRank over the word co-occurrence
     * graph — adjacent-token edges, undirected, DISTINCT (the unweighted
@@ -1036,14 +1070,23 @@ object TextAnalysis {
     * q_bigram_pmi adjacency projection; the solve is
     * [[graft.llm.Graph.pageRank]]'s exact 2^30 fixed point (engine-
     * portable integer arithmetic), run over a dense word index built
-    * with a vocabulary-domain rank window (the indexEncode discipline —
-    * the window input is the distinct vocabulary, never token rows);
-    * ranks are rounded to 8dp BEFORE the top-k so the boundary is
-    * portable (ties break on the word). Output: word, rank — top k. */
+    * WITHOUT any global sort: per-partition row numbers composed with
+    * running partition offsets (the zipWithIndex shape, declaratively).
+    * A web-corpus adjacent-token vocabulary is billions of strings — a
+    * vocabulary-wide `row_number` window would drag them all onto ONE
+    * partition; here the only global window runs over #partitions rows,
+    * bounded by cluster config, never by data. PageRank is invariant
+    * under any injective relabeling (every step joins on the id; n,
+    * base and the per-node sums are label-free), so the id VALUES are
+    * free — only injectivity matters, which the offset composition
+    * gives exactly. The index is barriered so all three consumers join
+    * against the SAME materialized assignment (spark_partition_id may
+    * differ between duplicated plan subtrees otherwise). Ranks are
+    * rounded to 8dp BEFORE the top-k so the boundary is portable (ties
+    * break on the word). Output: word, rank — top k. */
   def textRank(docs: DataFrame, textCol: String, iters: Int,
       k: Int): DataFrame = {
     require(iters >= 1 && k >= 1, s"iters=$iters k=$k")
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(tokens(col(textCol)).as("l"))
     val pairs = toks.where(size(col("l")) >= 2)
       .select(explode(expr(
@@ -1054,18 +1097,21 @@ object TextAnalysis {
       .distinct()
     val vocab = pairs.select(col("w1").as("w"))
       .unionByName(pairs.select(col("w2").as("w"))).distinct()
-    val idx = vocab.withColumn("id",
-      row_number().over(Window.orderBy(col("w").asc)).cast("long"))
+    val idx = graft.engine.Checkpoints.iterationBarrier(
+      zipIndex(vocab, "w"))
+    // vocabulary-sized sides join as plain equi-joins — no broadcast
+    // hint: at web scale the index does not fit an executor, and at
+    // test scale AQE broadcasts it on its own
     val ids = pairs
-      .join(broadcast(idx.toDF("w1", "src")), "w1")
-      .join(broadcast(idx.toDF("w2", "dst")), "w2")
+      .join(idx.toDF("w1", "src"), "w1")
+      .join(idx.toDF("w2", "dst"), "w2")
       .select(col("src"), col("dst"))
     // undirected: both directions feed the directed solve (pageRank
     // distincts internally, so a pair present both ways stays simple)
     val dir = ids.unionByName(
       ids.select(col("dst").as("src"), col("src").as("dst")))
     Graph.pageRank(dir, "src", "dst", iters)
-      .join(broadcast(idx.toDF("word", "node")), "node")
+      .join(idx.toDF("word", "node"), "node")
       .select(col("word"), col("rank"))
       .orderBy(col("rank").desc, col("word").asc)
       .limit(k)

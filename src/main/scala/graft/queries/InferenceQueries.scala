@@ -176,8 +176,12 @@ object InferenceQueries {
          |SELECT tm.a, tm.b, tm.c, tm.d,
          |       CAST(SUM(CASE WHEN term <= tobs THEN 1 ELSE 0 END)
          |            AS BIGINT) AS n_terms,
-         |       ROUND(CAST(SUM(CASE WHEN term <= tobs THEN term END)
-         |                  AS DOUBLE), 8) AS p_two
+         |       CASE WHEN SUM(CASE WHEN term <= tobs THEN term END)
+         |              IS NOT NULL THEN
+         |         LEAST(1.0e0,
+         |               ROUND(CAST(SUM(CASE WHEN term <= tobs THEN term
+         |                              END) AS DOUBLE), 8))
+         |       END AS p_two
          |FROM tm CROSS JOIN ob
          |GROUP BY tm.a, tm.b, tm.c, tm.d""".stripMargin)),
 
@@ -708,9 +712,12 @@ object InferenceQueries {
          |  FROM js),
          |ob AS (SELECT term AS tobs FROM tm WHERE j = k)
          |SELECT n AS n_nonzero, k AS k_pos,
-         |       LEAST(1.0e0, ROUND(CAST(SUM(CASE WHEN term <= tobs
-         |                                        THEN term END)
-         |                                AS DOUBLE), 8)) AS p_two
+         |       CASE WHEN SUM(CASE WHEN term <= tobs THEN term END)
+         |              IS NOT NULL THEN
+         |         LEAST(1.0e0, ROUND(CAST(SUM(CASE WHEN term <= tobs
+         |                                          THEN term END)
+         |                                  AS DOUBLE), 8))
+         |       END AS p_two
          |FROM tm CROSS JOIN ob GROUP BY n, k""".stripMargin)),
 
     // Restricted mean survival time (τ = 30 days) over the same

@@ -60,6 +60,21 @@ test("fisherExact and binomSignTest keep the one-row contract on " +
     assert(br.head.isNullAt(2))
   }
 
+  test("fisherExact: p_two is capped at 1.0 (binomSignTest convention) " +
+    "even when the 8dp term sum carries accumulated rounding") {
+    // 500/500 balanced margins → 501 k-grid terms, central observed →
+    // every term ≤ tobs; the exact sum is 1 and per-term 8dp rounding
+    // can push the raw sum past 1. The cap must hold, NULL-gated.
+    val n = 500
+    val rows = Seq.fill(n / 2)((true, true)) ++
+      Seq.fill(n / 2)((true, false)) ++ Seq.fill(n / 2)((false, true)) ++
+      Seq.fill(n / 2)((false, false))
+    val r = Stats.fisherExact(rows.toDF("tr", "oc"), col("tr"), col("oc"))
+      .head()
+    val p = r.getAs[Double]("p_two")
+    assert(p <= 1.0 && p > 0.999, s"p_two=$p")
+  }
+
   // ---- McNemar ----------------------------------------------------------
 
   test("mcnemar: b=3 c=1 → (|3-1|-1)²/4 = 0.25; b=c=0 → NULL") {
@@ -164,6 +179,23 @@ test("fisherExact and binomSignTest keep the one-row contract on " +
     assert(r("mix") > 0.2)    // T_obs = 0: every replicate is ≥ it
   }
 
+  test("groupedSignFlip: NULL keys are listwise-dropped — t_obs, n and " +
+    "the replicates cover the SAME rows") {
+    // A NULL-keyed row is skipped by SignFlipSums.update; before the
+    // fix it still entered t_obs/n, so the replicates were computed
+    // over a different sample than the observed statistic.
+    val withNull = (1 to 20).map(i => ("g", s"k$i", 5.0)) :+
+      (("g", null: String, 1000.0))
+    val clean = (1 to 20).map(i => ("g", s"k$i", 5.0))
+    val got = Stats.groupedSignFlip(withNull.toDF("g", "k", "d"),
+      "g", "k", "d", b = 32, seed = "n").head()
+    val want = Stats.groupedSignFlip(clean.toDF("g", "k", "d"),
+      "g", "k", "d", b = 32, seed = "n").head()
+    assert(got.getAs[Long]("n") === 20L)
+    assert(got.getAs[Double]("t_obs") === want.getAs[Double]("t_obs"))
+    assert(got.getAs[Double]("p_value") === want.getAs[Double]("p_value"))
+  }
+
   test("groupedSignFlip native flips match an independent MD5 recompute") {
     val rows = Seq(("g1", "a", 3.0), ("g1", "b", -1.5), ("g1", "c", 2.25),
       ("g2", "d", 10.0), ("g2", "e", -10.0))
@@ -233,6 +265,24 @@ test("fisherExact and binomSignTest keep the one-row contract on " +
     val disj = Seq(("x", "y"), ("y", "x")).toDF("a", "b")
     assert(Eval.cohensKappa(disj, col("a"), col("b")).head()
       .getAs[Double]("kappa") <= 0.0)
+  }
+
+  test("cohensKappa: NULL-labeled rows are listwise-dropped — po and pe " +
+    "cover the same sample") {
+    // Before the fix a NULL label counted in n and the p_o denominator
+    // (null === null agrees as 0) but vanished from the p_e marginal
+    // join — kappa biased. With the drop, the classic example's 0.4
+    // must survive added NULL rows untouched.
+    val rows = Seq.fill(20)(("x", "x")) ++ Seq.fill(15)(("y", "y")) ++
+      Seq.fill(10)(("x", "y")) ++ Seq.fill(5)(("y", "x")) ++
+      Seq.fill(10)((null: String, "x")) ++
+      Seq.fill(4)(("y", null: String))
+    val r = Eval.cohensKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .head()
+    assert(r.getAs[Long]("n") === 50L)
+    assert(math.abs(r.getAs[Double]("po") - 0.7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pe") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-9)
   }
 
   // ---- IPW ATE -----------------------------------------------------------
@@ -578,6 +628,42 @@ test("srmCheck rejects a designed-zero ratio up front") {
       .collect().map(r => r.getAs[String]("prio") -> r.getAs[Double]("s"))
       .toMap
     assert(math.abs(cols("c2") - 4.0) < 1e-3, cols)
+  }
+
+  test("ipfRaking: a cell with no row/col target raises in-plan instead " +
+    "of silently vanishing its mass") {
+    val cells = Seq(("r1", "c1", 1L), ("r9", "c1", 2L))
+      .toDF("nat", "prio", "w0")
+    val rowT = Seq(("r1", 3.0)).toDF("nat", "target") // r9 unmodelled
+    val colT = Seq(("c1", 3.0)).toDF("prio", "target")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Exception] {
+      graft.engine.Reconcile.ipfRaking(cells, "nat", "prio", "w0",
+        rowT, colT, rounds = 1).collect()
+    }
+    assert(messages(ex).exists(_.contains("no row target")),
+      messages(ex).mkString(" | "))
+    val colMiss = Seq(("c9", 1.0)).toDF("prio", "target")
+    val ex2 = intercept[Exception] {
+      graft.engine.Reconcile.ipfRaking(cells, "nat", "prio", "w0",
+        Seq(("r1", 1.0), ("r9", 2.0)).toDF("nat", "target"), colMiss,
+        rounds = 1).collect()
+    }
+    assert(messages(ex2).exists(_.contains("no col target")),
+      messages(ex2).mkString(" | "))
+  }
+
+  test("ipfRaking: target keys with NO observed cells are tolerated — " +
+    "mass cannot be created on an empty margin") {
+    val cells = Seq(("r1", "c1", 2L)).toDF("nat", "prio", "w0")
+    val rowT = Seq(("r1", 4.0), ("rGhost", 7.0)).toDF("nat", "target")
+    val colT = Seq(("c1", 4.0)).toDF("prio", "target")
+    val out = graft.engine.Reconcile.ipfRaking(cells, "nat", "prio",
+      "w0", rowT, colT, rounds = 2).collect()
+    assert(out.length === 1)
+    assert(math.abs(out.head.getAs[Double]("weight") - 4.0) < 1e-9)
   }
 
   // ---- DP Laplace -----------------------------------------------------------

@@ -711,6 +711,19 @@ class SimilaritySpec extends SparkSpec {
       Set("hub", "alpha", "beta", "gamma", "delta", "spam", "epsilon"))
   }
 
+  test("zipIndex: contiguous 1..|domain| ids, injective, for any " +
+    "partitioning") {
+    import graft.llm.TextAnalysis
+    val dom = (1 to 97).map(i => f"k$i%03d").toDF("w")
+    for (reparted <- Seq(dom, dom.repartition(7), dom.repartition(1))) {
+      val got = TextAnalysis.zipIndex(reparted.distinct(), "w").collect()
+      assert(got.length === 97)
+      assert(got.map(_.getAs[Long]("id")).sorted.toSeq ===
+        (1L to 97L), "ids must be exactly 1..n")
+      assert(got.map(_.getAs[String]("w")).distinct.length === 97)
+    }
+  }
+
   test("chi2Select: textbook 2x2 contingency, full-margin terms excluded") {
     import graft.llm.TextAnalysis
     val docs = Seq(

@@ -752,6 +752,22 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("zipIndex (textRank's word index): the per-key window partitions " +
+      "by spark_partition_id — no vocabulary-wide single-partition sort") {
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text")))
+        .as("w")).distinct()
+    val plan = planString(graft.llm.TextAnalysis.zipIndex(vocab, "w"))
+    // the row_number spec must carry __pid as its partition key...
+    assert("windowspecdefinition\\(__pid#\\d+, w#".r
+      .findFirstIn(plan).isDefined, plan)
+    // ...and no window may sort the raw vocabulary globally (the r5
+    // shape: windowspecdefinition(w# ASC ...) with no partition column)
+    assert("windowspecdefinition\\(w#".r.findFirstIn(plan).isEmpty, plan)
+    // the offsets side rides a broadcast back onto the keyed rows
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("kendallTauB: pairs come from a group-keyed equi-join over the " +
       "bounded series grid — the join key is the group, never a cartesian") {
     val ser = Tables.load(spark, dir, "lineitem")
