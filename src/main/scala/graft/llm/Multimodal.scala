@@ -198,6 +198,60 @@ object Multimodal {
     }
   }
 
+  /** One luminance-histogram bucket of a decoded image — the per-image
+    * pixel-intensity distribution a multimodal curation pipeline filters
+    * on (near-black/near-white screenshots, low-contrast scans). */
+  final case class ImageHist(id: Long, width: Int, height: Int,
+      bin: Int, n_px: Long)
+
+  /** Luminance histogram from a REAL `javax.imageio` decode (PNG/JPEG/
+    * GIF/BMP): integer BT.601 luma per pixel — (77·r + 150·g + 29·b)
+    * div 256, coefficients summing to 256 so a gray pixel's luma IS its
+    * gray value exactly — bucketed into `bins` equal-width bins over
+    * 0..255. All counting is exact integers (no float anywhere), so the
+    * histogram is deterministic under any partitioning and recomputable
+    * arithmetically by an oracle that knows the pixels.
+    *
+    * Every bin is emitted, zeros included — the row count is exactly
+    * `bins` per image, so downstream joins/pivots never need an
+    * absent-bin fill (the PSI absent-bin lesson). Fail-closed: bytes no
+    * installed reader accepts (or a truncated stream the PNG inflater
+    * cannot finish) throw — a partial decode must never pass silently
+    * as a valid histogram. Scale: map-only per-partition decode; output
+    * is `bins` rows/image, pixels never leave the partition. */
+  def imageHistogram(ds: Dataset[MediaRecord], bins: Int)
+      : Dataset[ImageHist] = {
+    require(bins >= 2 && bins <= 256 && 256 % bins == 0,
+      s"imageHistogram: bins=$bins must divide 256")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.flatMap(decodeImageHist(_, bins)))
+  }
+
+  /** Per-record kernel of [[imageHistogram]] (factored out so the fuzz
+    * properties drive it without a Spark session). */
+  private[graft] def decodeImageHist(r: MediaRecord, bins: Int)
+      : Seq[ImageHist] = {
+    val binWidth = 256 / bins
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload for id=${r.id}")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val counts = new Array[Long](bins)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (77 * ((rgb >> 16) & 0xff) +
+          150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+        counts(luma / binWidth) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (0 until bins).map(b => ImageHist(r.id, w, h, b, counts(b)))
+  }
+
   /** Deterministic 16×16 grayscale gradient PNG whose pixel values are a
     * pure function of `id` — unlike [[syntheticPng]] (solid fill, for
     * channel-mean checks) this varies WITHIN the image, so its aHash is

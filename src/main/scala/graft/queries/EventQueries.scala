@@ -1121,6 +1121,37 @@ object EventQueries {
         |       CAST(83 * doc_id % 256 AS DOUBLE) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL pixel-level decode: luminance histogram (integer BT.601 luma,
+    // 16 equal bins, zeros emitted) over the deterministic 16×16
+    // gradient PNGs, decoded back through javax.imageio. The oracle
+    // recomputes every pixel from the generator formula (gray ⇒ luma IS
+    // the gray value, the 77+150+29=256 identity) and re-buckets — any
+    // pixel the decode gets wrong moves a count.
+    QuerySpec("q_image_decode", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "image/png",
+          Multimodal.syntheticGradientPng(id)))
+      Multimodal.imageHistogram(recs, bins = 16).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("bin"), col("n_px"))
+        .orderBy("doc_id", "bin")
+    }, Some(
+      s"""WITH $imagePixelCte,
+         |cnt AS (
+         |  SELECT doc_id, v // 16 AS bin, COUNT(*) AS c
+         |  FROM px GROUP BY doc_id, v // 16),
+         |grid AS (
+         |  SELECT doc_id, bin FROM documents
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin))
+         |SELECT g.doc_id, CAST(16 AS INT) AS width,
+         |       CAST(16 AS INT) AS height, CAST(g.bin AS INT) AS bin,
+         |       CAST(COALESCE(c.c, 0) AS BIGINT) AS n_px
+         |FROM grid g LEFT JOIN cnt c
+         |  ON g.doc_id = c.doc_id AND g.bin = c.bin
+         |ORDER BY g.doc_id, g.bin""".stripMargin)),
+
     // Image PERCEPTUAL hash (aHash) through the REAL decode path: a
     // deterministic 16×16 gradient PNG per doc_id is encoded, decoded
     // back via javax.imageio, block-averaged to an 8×8 bit grid
@@ -1498,7 +1529,11 @@ object EventQueries {
     * exact-integer block/total sums → bit = 64·blockSum > totalSum →
     * 4×16-bit words. Mirrors [[graft.llm.Multimodal.syntheticGradientPng]]
     * + [[graft.llm.Multimodal.imagePhash]]. */
-  private[queries] val imagePhashCte: String =
+  /** Shared oracle CTEs recomputing the 16×16 gradient image's PIXELS
+    * from the generator formula (no decode) — the prefix of both the
+    * aHash chain ([[imagePhashCte]]) and the q_image_decode histogram
+    * oracle. Mirrors [[graft.llm.Multimodal.syntheticGradientPng]]. */
+  private[queries] val imagePixelCte: String =
     """coef AS (
       |  SELECT doc_id, doc_id // 7 AS g, doc_id % 7 AS o,
       |         1 + (7 * (doc_id // 7)) % 11 AS a,
@@ -1510,7 +1545,10 @@ object EventQueries {
       |         (a * x + b * y + c * x * y + 37 * g + o) % 256 AS v
       |  FROM coef
       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS x)
-      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y)),
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y))""".stripMargin
+
+  private[queries] val imagePhashCte: String =
+    s"""$imagePixelCte,
       |tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
       |        FROM px GROUP BY doc_id),
       |blk AS (

@@ -610,7 +610,20 @@ object EventStreams {
     * monitor rows for the same batch_id (pure function of batch
     * content). An alarm means live coverage fell below `minCoverage`
     * (or an unmodelled group appeared): recalibrate before trusting
-    * the intervals. */
+    * the intervals.
+    *
+    * Crash-window guarantee (the [[hostCapIngestForeachBatch]]
+    * treatment, degenerate here because the monitor keeps NO state —
+    * the one external write is `append`): every verdict row is a pure
+    * function of (batch content, batch_id, the closed-over intervals),
+    * so a crash at ANY point leaves either nothing (before append —
+    * replay emits the full verdict) or a prefix of the rows (a torn
+    * multi-partition append — replay rewrites every row BIT-IDENTICALLY
+    * beside the torn ones). A coverage alarm can therefore never be
+    * lost and never be contradicted by a replay: readers keying on
+    * (batch_id, group) — last- or first-wins, either collapses
+    * duplicates to the same row — see exactly one verdict per group
+    * per batch under any crash/replay pattern. */
   def conformalMonitorForeachBatch(groupCol: String, yCol: String,
       intervals: Seq[(String, Double, Double)], minCoverage: Double,
       append: DataFrame => Unit): (DataFrame, Long) => Unit = {

@@ -102,8 +102,11 @@ class DeterminismSpec extends SparkSpec {
     "q_chi2_select", "q_l_diversity",
     // privacy-triad EMD grid; hypergeometric grid-sum survival test
     "q_t_closeness", "q_logrank",
-    // co-occurrence PageRank keywords (vocabulary-domain index windows)
+    // co-occurrence PageRank keywords (zipIndex partition-offset ids —
+    // output must be invariant to the physical id assignment)
     "q_textrank",
+    // real-decode luminance histogram: exact integer counts per bin
+    "q_image_decode",
     // one-pass 2×2 causal cells; domain³ minimax isotonic grid;
     // md5 sign-flip randomization sums; covariate-axis as-of matching
     "q_did", "q_isotonic", "q_perm_test", "q_nn_match",

@@ -141,6 +141,91 @@ class InferenceProps extends Properties("engine.inference") {
         }
     }
 
+  private val cellGen: Gen[(Int, Int, Int, Int)] = Gen.zip(
+    Gen.choose(0, 12), Gen.choose(0, 12), Gen.choose(0, 12),
+    Gen.choose(0, 12)).suchThat(t => t._1 + t._2 + t._3 + t._4 >= 2)
+
+  property("hypergeometric pmf render (hyperLnpSql / shared Lanczos): " +
+    "exp(lnp) matches an exact BigInt hypergeometric to 1e-10 over the " +
+    "whole support, and the support sums to 1") =
+    Prop.forAll(cellGen) { case (a, b, c, d) =>
+      import spark.implicits._
+      val (r1, c1, n) = (a + b, a + c, a + b + c + d)
+      def bin(m: Long, k: Long): BigInt =
+        if (k < 0 || k > m) BigInt(0)
+        else (BigInt(1) to BigInt(k)).foldLeft(BigInt(1))((acc, i) =>
+          acc * (BigInt(m) - i + 1) / i)
+      val kLo = math.max(0, r1 + c1 - n)
+      val kHi = math.min(r1, c1)
+      val mc = new java.math.MathContext(40)
+      val denom = BigDecimal(bin(n, c1), mc)
+      val lnp = Stats.hyperLnpSql(s"$r1.0e0", s"$c1.0e0", s"$n.0e0",
+        "CAST(k AS DOUBLE)")
+      val got = spark.range(kLo, kHi + 1).toDF("k")
+        .select(col("k"), expr(s"EXP($lnp)").as("p"))
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("p"))
+        .toMap
+      val exact = (kLo.toLong to kHi.toLong).map(k => k ->
+        (BigDecimal(bin(r1, k) * bin(n - r1, c1 - k), mc) / denom)).toMap
+      exact.values.sum.doubleValue > 1.0 - 1e-9 &&
+        exact.values.sum.doubleValue < 1.0 + 1e-9 &&
+        got.forall { case (k, p) =>
+          math.abs(p - exact(k).doubleValue) <= 1e-10
+        }
+    }
+
+  private val strataGen: Gen[List[(Int, Int, Int, Int)]] =
+    Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, Gen.zip(
+      Gen.choose(0, 10), Gen.choose(0, 10), Gen.choose(0, 10),
+      Gen.choose(0, 10))))
+
+  property("cmh matches the 2x2xK closed form recomputed independently " +
+    "in plain scala") = Prop.forAll(strataGen) { strata =>
+    import spark.implicits._
+    val rows = strata.zipWithIndex.flatMap { case ((a, b, c, d), s) =>
+      List.fill(a)((s"s$s", true, true)) ++
+        List.fill(b)((s"s$s", true, false)) ++
+        List.fill(c)((s"s$s", false, true)) ++
+        List.fill(d)((s"s$s", false, false))
+    }
+    // closed form over the n>1 strata, unrounded doubles
+    val used = strata.filter(t => t._1 + t._2 + t._3 + t._4 > 1)
+    rows.isEmpty || {
+      val r = Stats.cmh(rows.toDF("s", "tr", "oc"), "s", col("tr"),
+        col("oc")).head()
+      if (used.isEmpty) {
+        r.getAs[Long]("n_strata") == 0L && r.isNullAt(4) // V empty → NULL
+      } else {
+        val oA = used.map(_._1.toLong).sum
+        val eA = used.map { case (a, b, c, d) =>
+          val n = (a + b + c + d).toDouble
+          (a + b) * (a + c) / n
+        }.sum
+        val vA = used.map { case (a, b, c, d) =>
+          val n = (a + b + c + d).toDouble
+          (a + b).toDouble * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        }.sum
+        val on = used.map { case (a, b, c, d) =>
+          a.toDouble * d / (a + b + c + d) }.sum
+        val od = used.map { case (a, b, c, d) =>
+          b.toDouble * c / (a + b + c + d) }.sum
+        val chiOk = if (vA > 0.0) {
+          val want = (oA - eA) * (oA - eA) / vA
+          math.abs(r.getAs[Double]("chi2") - want) <= 5e-7 * (1 + want)
+        } else r.isNullAt(4)
+        val orOk = if (od > 0.0)
+          math.abs(r.getAs[Double]("or_mh") - on / od) <=
+            5e-7 * (1 + on / od)
+        else r.isNullAt(5)
+        r.getAs[Long]("n_strata") == used.length.toLong &&
+          r.getAs[Long]("o_a") == oA &&
+          math.abs(r.getAs[Double]("e_a") - eA) <= 1e-6 &&
+          math.abs(r.getAs[Double]("variance") - vA) <= 1e-6 &&
+          chiOk && orOk
+      }
+    }
+  }
+
   property("binomSignTest: p in (0,1], symmetric in sign flips") =
     Prop.forAll(Gen.choose(1, 15).flatMap(n => Gen.listOfN(n,
       Gen.choose(-20, 20).map(_.toDouble).suchThat(_ != 0.0)))) { ds =>

@@ -133,6 +133,46 @@ class MultimodalProps extends Properties("llm.multimodal") {
       }
     }
 
+  property("imageHistogram matches the gradient-generator formula; " +
+    "bins sum to the pixel count") =
+    Prop.forAll(anyId) { id =>
+      val hist = Multimodal.decodeImageHist(
+        MediaRecord(id, "image/png", Multimodal.syntheticGradientPng(id)),
+        bins = 16)
+      val g = Math.floorDiv(id, 7L)
+      val o = Math.floorMod(id, 7L)
+      val a = 1 + Math.floorMod(7 * g, 11L)
+      val b = 1 + Math.floorMod(5 * g, 13L)
+      val c = Math.floorMod(3 * g, 5L)
+      val want = Array.fill(16)(0L)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = Math.floorMod(a * x + b * y + c * x * y + 37 * g + o,
+          256L).toInt
+        want(v / 16) += 1 // gray pixel: BT.601 luma == gray (Σcoef=256)
+      }
+      hist.length == 16 &&
+        hist.forall(e => e.width == 16 && e.height == 16) &&
+        hist.map(_.n_px).sum == 256L &&
+        hist.forall(e => e.n_px == want(e.bin))
+    }
+
+  property("image decode fails CLOSED on truncation: throws or decodes " +
+    "to the full image's histogram, never a silently wrong one") =
+    Prop.forAll(anyId, Gen.choose(0, 999)) { (id, permille) =>
+      val full = Multimodal.syntheticGradientPng(id)
+      val want = Multimodal.decodeImageHist(
+        MediaRecord(id, "i", full), bins = 16)
+      val cut = full.take((full.length.toLong * permille / 1000L).toInt)
+      try {
+        Multimodal.decodeImageHist(MediaRecord(id, "i", cut), 16) == want
+      } catch {
+        case _: IllegalArgumentException => true
+        case _: javax.imageio.IIOException => true
+        case _: java.io.IOException => true
+        case _: Throwable => false
+      }
+    }
+
   property("zip generator round-trips; corrupt STORED data flips crc_ok") =
     Prop.forAll(anyId) { id =>
       val z = Multimodal.decodeZip(
@@ -1614,6 +1654,26 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(m => m.id -> m).toMap
     assert(metas.size === 50)
     assert(metas(13L).width === (8 + 13 % 5) && metas(13L).mean_g === (59 * 13 % 256).toDouble)
+  }
+
+  test("imageHistogram decodes a Dataset of PNGs distributively; bins " +
+    "are complete (zeros emitted) and sum to width*height") {
+    val hist = Multimodal.imageHistogram(
+        spark.range(0, 50).as[Long].repartition(4)
+          .map(id => Multimodal.MediaRecord(id, "image/png",
+            Multimodal.syntheticGradientPng(id))), bins = 16)
+      .collect()
+    assert(hist.length === 50 * 16) // every bin of every image, zeros too
+    val perId = hist.groupBy(_.id)
+    assert(perId.forall { case (_, es) =>
+      es.map(_.bin).sorted.toSeq == (0 until 16) &&
+        es.map(_.n_px).sum == 256L
+    })
+    // solid-fill image: ALL pixels land in one bin
+    val solid = Multimodal.decodeImageHist(
+      Multimodal.MediaRecord(3L, "image/png", Multimodal.syntheticPng(3L)),
+      bins = 16)
+    assert(solid.count(_.n_px > 0) === 1)
   }
 
   test("imagePhash: decoded aHash equals the direct pixel-formula hash") {

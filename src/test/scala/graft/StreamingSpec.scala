@@ -780,4 +780,56 @@ class StreamingSpec extends SparkSpec {
       assert(sink.filter(_._1 == 1L).toSet === b1)
     } finally q.stop()
   }
+
+  test("conformal monitor crash drill: a crash between partial append " +
+      "and checkpoint commit cannot lose or contradict an alarm") {
+    // The monitor is stateless; its one external write is `append`.
+    // Crash windows: (a) before append — no rows; (b) mid-append — a
+    // TORN prefix of the verdict rows; (c) after append, before the
+    // checkpoint commit — all rows, batch replays anyway. In every
+    // case the replay must leave readers keyed on (batch_id, group)
+    // with exactly the correct verdict.
+    import spark.implicits._
+    val intervals = Seq(("a", 50.0, 30.0))
+    val log = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Option[Double], Boolean)]
+    def rows(rep: org.apache.spark.sql.DataFrame) = rep
+      .select("batch_id", "event_type", "n", "n_covered", "coverage",
+        "alarm")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5)))
+    val fn = EventStreams.conformalMonitorForeachBatch("event_type",
+      "value", intervals, minCoverage = 0.8, rep => log ++= rows(rep))
+    val batch = Seq(("a", 90.0), ("a", 95.0), ("a", 10.0), ("a", 30.0),
+      ("b", 50.0)).toDF("event_type", "value")
+    val want = Set(
+      (7L, "a", 4L, 1L, Some(0.25), true),   // shifted → alarm
+      (7L, "b", 1L, 0L, None, true))         // unmodelled → alarm
+
+    // (a) crash BEFORE append: nothing written; the replay delivers
+    // the full verdict — the alarm is not lost
+    fn(batch, 7L)
+    assert(log.toSet === want)
+
+    // (b) crash MID-append: simulate a torn write — only group "a"'s
+    // row landed before the crash; replay appends the full verdict
+    log.clear()
+    log += ((7L, "a", 4L, 1L, Some(0.25), true)) // the torn prefix
+    fn(batch, 7L)
+    // the torn row's replay twin is bit-identical (duplicate, not a
+    // contradiction) and a keyed reader sees exactly `want`
+    assert(log.count(_ == ((7L, "a", 4L, 1L, Some(0.25), true))) === 2)
+    assert(log.groupBy(r => (r._1, r._2)).values
+      .forall(_.distinct.length == 1), log)
+    assert(log.toSet === want)
+
+    // (c) crash AFTER append: the whole verdict duplicates; keyed
+    // readers still collapse to the single correct row set
+    fn(batch, 7L)
+    assert(log.toSet === want)
+    assert(log.groupBy(r => (r._1, r._2)).values
+      .forall(_.distinct.length == 1), log)
+  }
 }
