@@ -167,16 +167,33 @@ object Similarity {
   /** IVF cell assignment shared by [[ivfPairs]] and [[pqIvfTopK]]:
     * centroids are the `numCells` lowest-id vectors (broadcast), each
     * vector routes to its highest-cosine centroid, ties to the smallest
-    * centroid id. Output: id, v, n2, cell. */
+    * centroid id.
+    *
+    * `numCells <= 0` means AUTO: ⌊√n⌋ cells (min 1) from one count of
+    * the vector table — the standard IVF heuristic that keeps cell-pair
+    * work Σ cell² ≈ n^1.5 instead of n²/cells for a FIXED cell count
+    * (the sf10 lesson: 16 cells that cost 30 s at 20k vectors cost
+    * ~100× more at 200k; √n re-tunes itself as the corpus grows). The
+    * count is a driver scalar (the PageRank |V| prologue class) and
+    * runs AT PLAN-CONSTRUCTION time — one column-pruned pass over the
+    * vector table the moment the auto variant is built, even if the
+    * result is never executed (LIMIT needs a literal; callers that only
+    * want the plan shape should pass an explicit numCells). √ is
+    * IEEE-exact so the engine and a COUNT(*)-windowed oracle derive the
+    * SAME cell count bit-for-bit. Output: id, v, n2, cell. */
   def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
       numCells: Int): DataFrame = {
     DotProduct.register(emb.sparkSession)
     val withNorm = emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(1L, math.floor(math.sqrt(withNorm.count()
+        .toDouble)).toLong).toInt
     // genuinely the numCells LOWEST ids (TakeOrdered — bounded heap, no
     // full sort), not `id < numCells`: a non-zero-based or gapped id
     // space would silently shrink or empty the centroid set otherwise.
-    val centroids = broadcast(withNorm.orderBy(col("id")).limit(numCells)
+    val centroids = broadcast(withNorm.orderBy(col("id")).limit(cells)
       .toDF("cid", "cv", "cn2"))
     val score = cosine(col("v"), col("n2"), col("cv"), col("cn2"))
     val wAssign = Window.partitionBy(col("id"))

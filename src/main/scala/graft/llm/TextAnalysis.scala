@@ -1025,38 +1025,38 @@ object TextAnalysis {
     trim(regexp_replace(ent, "[ \\t\\n\\r\\f\\x0B]+", " "))
   }
 
-  /** Scale-safe dense ids over a distinct key domain: contiguous
-    * 1..|domain| longs WITHOUT any global sort — per-partition row
-    * numbers composed with running partition offsets (the zipWithIndex
-    * shape, declaratively). The only unpartitioned window runs over the
-    * per-partition COUNTS — #partitions rows, bounded by cluster
-    * config, never by data; the per-key window partitions by
-    * `spark_partition_id()`. Ids are injective always; their VALUES
-    * depend on the physical partitioning, so use this only where the
-    * consumer is relabeling-invariant (PageRank/HITS-style solves,
-    * join-through indices) — NOT where the id itself is output (that is
-    * [[graft.engine.Encode.indexEncode]]'s frequency-ranked contract,
-    * which pins an order and caps the domain instead). Callers that
-    * consume the index more than once must barrier it
-    * ([[graft.engine.Checkpoints.iterationBarrier]]):
-    * `spark_partition_id` is free to differ between duplicated plan
-    * subtrees, and an inconsistent assignment across consumers would
-    * tear the graph. Output: keyCol, id. */
+  /** Scale-safe dense-range ids over a distinct key domain WITHOUT any
+    * global sort: id = (spark_partition_id << 40) | per-partition
+    * row_number — the zipWithIndex idea with bit composition instead of
+    * running offsets. Injective by construction (a partition holds far
+    * fewer than 2^40 rows; Spark caps partition ids far below 2^23),
+    * and — unlike an offsets variant that aggregates the partition
+    * counts and joins them back — the whole index is ONE plan subtree
+    * consumed once, so there is no second evaluation of
+    * `spark_partition_id` that could disagree with the first (a torn
+    * assignment would silently drop or collide vocabulary ids). The
+    * only window partitions by `__pid`; nothing sorts the domain on one
+    * task (a web-corpus vocabulary is billions of strings).
+    *
+    * Id VALUES depend on the physical partitioning, so use this only
+    * where the consumer is relabeling-invariant (PageRank/HITS-style
+    * solves, join-through indices) — NOT where the id itself is output
+    * (that is [[graft.engine.Encode.indexEncode]]'s frequency-ranked
+    * contract, which pins an order and caps the domain instead).
+    * Callers that consume the index MORE THAN ONCE must barrier it
+    * ([[graft.engine.Checkpoints.iterationBarrier]]): each job would
+    * otherwise re-evaluate the subtree, and two evaluations under
+    * different runtime partitionings assign different ids — consistent
+    * within themselves, torn across the consumers. Output: keyCol, id. */
   private[graft] def zipIndex(domain: DataFrame, keyCol: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = domain.withColumn("__pid", spark_partition_id())
+    domain.withColumn("__pid", spark_partition_id())
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__pid")).orderBy(col(keyCol)))
         .cast("long"))
-    val offs = parts.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__off",
-        coalesce(sum(col("__c")).over(Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    parts.join(broadcast(offs), "__pid")
-      .select(col(keyCol), (col("__off") + col("__rn")).as("id"))
+      .select(col(keyCol),
+        (shiftleft(col("__pid").cast("long"), 40) + col("__rn")).as("id"))
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:

@@ -59,12 +59,16 @@ object EvalQueries {
     // struct-max plan. The oracle replays the cell assignment and the
     // cell-local top-k relationally.
     QuerySpec("q_knn_classify_ann", (s, dir) => {
+      // numCells <= 0 = AUTO ⌊√n⌋ (the ivfCells contract) — a fixed
+      // cell count re-quadratizes as the corpus grows (16 cells: 30 s
+      // at 20k vectors, ~100× that at 200k); √n keeps cell-pair work
+      // ≈ n^1.5 at every scale
       Eval.knnClassifyIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
-          "label", k = 5, numCells = 16)
+          "label", k = 5, numCells = 0)
         .orderBy("id")
     }, Some(
       s"""WITH ${SimilarityQueries.normCte},
-         |${SimilarityQueries.ivfAssignCte(16)},
+         |${SimilarityQueries.ivfAssignCteAuto},
          |p AS (
          |  SELECT a.id AS id, b.id AS nid,
          |         ${SimilarityQueries.dotSql("a.v", "b.v")}

@@ -1524,11 +1524,6 @@ object EventQueries {
         |ORDER BY c.event_type""".stripMargin))
   )
 
-  /** Shared oracle CTE chain recomputing the 16×16 gradient image's aHash
-    * arithmetically (no decode): pixel grid from the generator formula →
-    * exact-integer block/total sums → bit = 64·blockSum > totalSum →
-    * 4×16-bit words. Mirrors [[graft.llm.Multimodal.syntheticGradientPng]]
-    * + [[graft.llm.Multimodal.imagePhash]]. */
   /** Shared oracle CTEs recomputing the 16×16 gradient image's PIXELS
     * from the generator formula (no decode) — the prefix of both the
     * aHash chain ([[imagePhashCte]]) and the q_image_decode histogram
@@ -1547,6 +1542,10 @@ object EventQueries {
       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS x)
       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y))""".stripMargin
 
+  /** Oracle CTE chain recomputing the gradient image's aHash
+    * arithmetically on top of [[imagePixelCte]]: exact-integer
+    * block/total sums → bit = 64·blockSum > totalSum → 4×16-bit words.
+    * Mirrors [[graft.llm.Multimodal.imagePhash]]. */
   private[queries] val imagePhashCte: String =
     s"""$imagePixelCte,
       |tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total

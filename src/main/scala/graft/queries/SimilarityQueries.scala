@@ -33,10 +33,8 @@ object SimilarityQueries {
     * `n`), the same tree as [[Similarity.ivfCells]] — centroids are the
     * `numCells` lowest-id vectors, each vector routes to its
     * highest-cosine centroid, ties to the smaller centroid id. */
-  private[queries] def ivfAssignCte(numCells: Int): String =
-    s"""cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
-       |         WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT $numCells)),
-       |assign AS (
+  private val cellAssignCte: String =
+    s"""assign AS (
        |  SELECT id, v, n2, cell FROM (
        |    SELECT n.vec_id AS id, n.v, n.n2, cent.cid AS cell,
        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -44,6 +42,26 @@ object SimilarityQueries {
        |                      cent.cid ASC) AS rn
        |    FROM n CROSS JOIN cent) t
        |  WHERE rn = 1)""".stripMargin
+
+  private[queries] def ivfAssignCte(numCells: Int): String =
+    s"""cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+       |         WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT $numCells)),
+       |$cellAssignCte""".stripMargin
+
+  /** AUTO-cell variant of [[ivfAssignCte]] — ⌊√n⌋ centroids (min 1)
+    * derived from COUNT(*) OVER (), mirroring
+    * [[graft.llm.Similarity.ivfCells]]' `numCells <= 0` contract
+    * (IEEE sqrt is correctly rounded, so both engines floor the SAME
+    * double). */
+  private[queries] val ivfAssignCteAuto: String =
+    s"""cent AS (
+       |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM (
+       |    SELECT vec_id, v, n2,
+       |           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+       |           COUNT(*) OVER () AS nn
+       |    FROM n) t
+       |  WHERE rn <= GREATEST(1, CAST(FLOOR(SQRT(nn)) AS BIGINT))),
+       |$cellAssignCte""".stripMargin
 
   def specs: Seq[QuerySpec] = Seq(
 

@@ -87,6 +87,21 @@ class EvalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Boolean]("correct")))
   }
 
+  test("knnClassifyIvf: numCells=0 is AUTO floor(sqrt(n)) — identical " +
+    "to passing that cell count explicitly") {
+    // 9 vectors → auto = 3 cells; the two runs must match row-for-row
+    val emb = (1L to 9L).map { i =>
+      val a = (math.cos(i * 0.7)).toFloat
+      val b = (math.sin(i * 0.7)).toFloat
+      (i, Array(a, b), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val auto = Eval.knnClassifyIvf(emb, "vec_id", "embedding", "label",
+      k = 2, numCells = 0).orderBy("id").collect().toSeq
+    val explicit = Eval.knnClassifyIvf(emb, "vec_id", "embedding",
+      "label", k = 2, numCells = 3).orderBy("id").collect().toSeq
+    assert(auto === explicit)
+  }
+
   test("nnMatchAtt: nearest-control picks, tie toward backward, " +
       "unmatched counted") {
     // controls at x=10 (y=100) and x=20 (y=200); treated at 12, 19 and

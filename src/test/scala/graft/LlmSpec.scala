@@ -751,17 +751,21 @@ class SimilaritySpec extends SparkSpec {
       Set("hub", "alpha", "beta", "gamma", "delta", "spam", "epsilon"))
   }
 
-  test("zipIndex: contiguous 1..|domain| ids, injective, for any " +
+  test("zipIndex: injective positive ids, one per key, for any " +
     "partitioning") {
     import graft.llm.TextAnalysis
     val dom = (1 to 97).map(i => f"k$i%03d").toDF("w")
     for (reparted <- Seq(dom, dom.repartition(7), dom.repartition(1))) {
       val got = TextAnalysis.zipIndex(reparted.distinct(), "w").collect()
       assert(got.length === 97)
-      assert(got.map(_.getAs[Long]("id")).sorted.toSeq ===
-        (1L to 97L), "ids must be exactly 1..n")
+      val ids = got.map(_.getAs[Long]("id"))
+      assert(ids.distinct.length === 97, "ids must be injective")
+      assert(ids.forall(_ >= 1L))
       assert(got.map(_.getAs[String]("w")).distinct.length === 97)
     }
+    // single partition degenerates to exactly 1..n (pid 0 contributes 0)
+    val one = TextAnalysis.zipIndex(dom.repartition(1), "w").collect()
+    assert(one.map(_.getAs[Long]("id")).sorted.toSeq === (1L to 97L))
   }
 
   test("chi2Select: textbook 2x2 contingency, full-margin terms excluded") {

@@ -764,8 +764,9 @@ class PlanSpec extends SparkSpec {
     // ...and no window may sort the raw vocabulary globally (the r5
     // shape: windowspecdefinition(w# ASC ...) with no partition column)
     assert("windowspecdefinition\\(w#".r.findFirstIn(plan).isEmpty, plan)
-    // the offsets side rides a broadcast back onto the keyed rows
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // ONE subtree: bit-composed ids need no offsets aggregation joined
+    // back, so there is no join for a torn __pid assignment to hide in
+    assert(!plan.contains("Join"), plan)
   }
 
   test("kendallTauB: pairs come from a group-keyed equi-join over the " +
