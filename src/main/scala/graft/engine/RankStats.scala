@@ -112,11 +112,24 @@ object RankStats {
         // LongType wraps once tie-count × 2N passes 2^63
         sum(col("cfv").cast("decimal(19,0)") *
           col("mr2").cast("decimal(19,0)")).as("r2g"))
-    // R_g = r2g/2; term_g = R_g²/n_g rounded to the grid, summed exactly
+    // R_g = r2g/2; term_g = R_g²/(n_g·N(N+1)) rounded to the grid,
+    // summed exactly. N(N+1) divides INSIDE the per-group term (not in
+    // the final h expression): Σ R_g²/n_g alone reaches ~5e19 at sf1 —
+    // a DECIMAL(28,8) with ~28 significant digits, and decimal→double
+    // conversion is engine-dependent past ~16 significant digits (the
+    // round-1 lesson; a 1-ulp difference in the converted sum flipped
+    // h's 8th decimal at sf1). Scaled by 1/(N(N+1)) the summed decimal
+    // stays ≤ ~14 significant digits at any SF and converts
+    // bit-identically. r2g itself is exact in double to 2^53 (~1e15 at
+    // sf10).
+    val nk = perF.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"))
+    val nTot = col("n").cast("double")
     val term = round(col("r2g").cast("double") * col("r2g").cast("double") /
-      (lit(4.0) * col("ng").cast("double")), 8).cast("decimal(28,8)")
-    val gAgg = perF.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
-      sum(term).as("rterm"))
+      (lit(4.0) * col("ng").cast("double")) /
+      (nTot * (nTot + 1.0)), 8).cast("decimal(28,8)")
+    val gAgg = perF.crossJoin(broadcast(nk))
+      .agg(max(col("k")).as("k"), max(col("n")).as("n"),
+        sum(term).as("rterm"))
     // tie term Σ(t³−t) — doubles BEFORE multiplying (LongType t³ wraps
     // past t ≈ 2e6 duplicates of one value)
     val cd = col("c").cast("double")
@@ -125,7 +138,8 @@ object RankStats {
         .as("ties"))
 
     val nd = col("n").cast("double")
-    val h = lit(12.0) / (nd * (nd + 1.0)) * col("rterm").cast("double") -
+    // rterm already carries the 1/(N(N+1)) factor (see above)
+    val h = lit(12.0) * col("rterm").cast("double") -
       lit(3.0) * (nd + 1.0)
     val corr = lit(1.0) - col("ties") / (nd * nd * nd - nd)
     gAgg.crossJoin(tAgg).select(col("k"), col("n"),

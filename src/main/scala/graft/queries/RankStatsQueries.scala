@@ -113,12 +113,16 @@ object RankStatsQueries {
         |         SUM(CAST(cfv AS DECIMAL(19,0))
         |             * CAST(mr2 AS DECIMAL(19,0))) AS r2g
         |  FROM fv JOIN ranks USING (v) GROUP BY f),
+        |nk AS (SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n
+        |       FROM pf),
         |gagg AS (
-        |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |  SELECT MAX(k) AS k, MAX(n) AS n,
         |         SUM(CAST(ROUND(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
-        |                        / (4.0 * CAST(ng AS DOUBLE)), 8)
+        |                        / (4.0 * CAST(ng AS DOUBLE))
+        |                        / (CAST(n AS DOUBLE)
+        |                           * (CAST(n AS DOUBLE) + 1.0)), 8)
         |                  AS DECIMAL(28,8))) AS rterm
-        |  FROM pf),
+        |  FROM pf CROSS JOIN nk),
         |tagg AS (
         |  SELECT COALESCE(SUM(CASE WHEN c > 1
         |           THEN CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
@@ -131,12 +135,10 @@ object RankStatsQueries {
         |  FROM gagg CROSS JOIN tagg)
         |SELECT k, n,
         |       CASE WHEN k > 1 AND n > k
-        |            THEN ROUND(12.0 / (nd * (nd + 1.0)) * rt
-        |                       - 3.0 * (nd + 1.0), 8) END AS h,
+        |            THEN ROUND(12.0 * rt - 3.0 * (nd + 1.0), 8) END AS h,
         |       CASE WHEN k > 1 AND n > k
         |             AND 1.0 - ties / (nd * nd * nd - nd) > 0.0
-        |            THEN ROUND((12.0 / (nd * (nd + 1.0)) * rt
-        |                        - 3.0 * (nd + 1.0))
+        |            THEN ROUND((12.0 * rt - 3.0 * (nd + 1.0))
         |                       / (1.0 - ties / (nd * nd * nd - nd)), 8)
         |       END AS h_corrected
         |FROM d""".stripMargin)),
