@@ -118,18 +118,29 @@ object RankStats {
     // a DECIMAL(28,8) with ~28 significant digits, and decimal→double
     // conversion is engine-dependent past ~16 significant digits (the
     // round-1 lesson; a 1-ulp difference in the converted sum flipped
-    // h's 8th decimal at sf1). Scaled by 1/(N(N+1)) the summed decimal
-    // stays ≤ ~14 significant digits at any SF and converts
-    // bit-identically. r2g itself is exact in double to 2^53 (~1e15 at
-    // sf10).
-    val nk = perF.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"))
-    val nTot = col("n").cast("double")
+    // h's 8th decimal at sf1). Scaled down, the summed decimal stays
+    // ≤ ~15 significant digits through sf10 and converts identically.
+    // WIDTH BOUNDS, honestly stated: r2g ~ N²/k must stay exact in the
+    // double cast, which holds to 2^53 ≈ 9e15 (N ≈ 1.6e8 rows at k=3 —
+    // past ~sf25 this term needs a decimal-division rewrite; the
+    // hurstRs/rddGap width-bounded-grid convention, recorded here so
+    // the next scale decade knows where the cliff is). GRID CONTRACT:
+    // each term is 8dp-rounded, so h deviates from the unquantized
+    // statistic by ≤ 12k·5e-9 — the per-stratum-term convention the
+    // inference tier already uses (cmh e_t/v_t, fisher terms); KW is a
+    // small-k omnibus test, so k stays in the dozens, not millions.
+    // N rides a single-partition window over perF — the k-row GROUP
+    // domain, never row-scale (the indexEncode discipline); this keeps
+    // ONE pass over perF and the empty-input one-row k=0 contract.
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withN = perF.withColumn("__n", sum(col("ng")).over(wAll))
+    val nTot = col("__n").cast("double")
     val term = round(col("r2g").cast("double") * col("r2g").cast("double") /
       (lit(4.0) * col("ng").cast("double")) /
       (nTot * (nTot + 1.0)), 8).cast("decimal(28,8)")
-    val gAgg = perF.crossJoin(broadcast(nk))
-      .agg(max(col("k")).as("k"), max(col("n")).as("n"),
-        sum(term).as("rterm"))
+    val gAgg = withN.agg(count(lit(1)).as("k"), max(col("__n")).as("n"),
+      sum(term).as("rterm"))
     // tie term Σ(t³−t) — doubles BEFORE multiplying (LongType t³ wraps
     // past t ≈ 2e6 duplicates of one value)
     val cd = col("c").cast("double")

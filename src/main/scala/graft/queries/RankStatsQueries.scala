@@ -113,16 +113,16 @@ object RankStatsQueries {
         |         SUM(CAST(cfv AS DECIMAL(19,0))
         |             * CAST(mr2 AS DECIMAL(19,0))) AS r2g
         |  FROM fv JOIN ranks USING (v) GROUP BY f),
-        |nk AS (SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n
-        |       FROM pf),
+        |pfn AS (SELECT pf.*, CAST(SUM(ng) OVER () AS BIGINT) AS nn
+        |        FROM pf),
         |gagg AS (
-        |  SELECT MAX(k) AS k, MAX(n) AS n,
+        |  SELECT COUNT(*) AS k, MAX(nn) AS n,
         |         SUM(CAST(ROUND(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
         |                        / (4.0 * CAST(ng AS DOUBLE))
-        |                        / (CAST(n AS DOUBLE)
-        |                           * (CAST(n AS DOUBLE) + 1.0)), 8)
+        |                        / (CAST(nn AS DOUBLE)
+        |                           * (CAST(nn AS DOUBLE) + 1.0)), 8)
         |                  AS DECIMAL(28,8))) AS rterm
-        |  FROM pf CROSS JOIN nk),
+        |  FROM pfn),
         |tagg AS (
         |  SELECT COALESCE(SUM(CASE WHEN c > 1
         |           THEN CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
