@@ -109,6 +109,17 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Compact summary LAST on stdout: the driver keeps only a ~1.5 KB
+    // tail of stdout, so the full ~9 KB line above loses its head and
+    // never parses ("parsed": null in BENCH_r04–r06). A final short line
+    // (total + top-20 queries by time) fits entirely inside the tail
+    // capture and parses; the full per-query map lives in the file above.
+    val topK = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$topK,"sf":"$sfDir","n_queries":${results.size},""" +
+      s""""note":"top-20 by time; full per-query map in $outPath"}""")
     spark.stop()
   }
 }

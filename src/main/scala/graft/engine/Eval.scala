@@ -90,6 +90,26 @@ object Eval {
       Similarity.ivfTopKNeighbors(emb, idCol, vecCol, k, numCells))
   }
 
+  /** [[knnClassify]] with multi-probe IVF candidates
+    * ([[Similarity.ivfProbeTopKNeighbors]]) — the LINEAR-candidate-volume
+    * twin: cells = ⌊n/targetCellSize⌋ keep cell size constant, queries
+    * probe their `nprobe` nearest cells, so candidate volume is
+    * n·nprobe·targetCellSize (vs the auto-√n tier's n^1.5 — the measured
+    * 62.6× for 10× rows at sf10). The vote and tie-break are the
+    * identical plan; with n ≤ targetCellSize there is one cell and the
+    * classifier equals the exact tier by construction (EvalSpec gate).
+    * Zero-norm vectors are excluded from corpus and queries (no cosine
+    * exists), so they emit no row. Output: id, actual, predicted,
+    * correct. */
+  def knnClassifyIvfProbe(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, targetCellSize: Int,
+      nprobe: Int): DataFrame = {
+    val labels = emb.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("lbl"))
+    majorityVote(labels, Similarity.ivfProbeTopKNeighbors(
+      emb, idCol, vecCol, k, targetCellSize, nprobe))
+  }
+
   /** Shared kNN vote: count labels over (id, neighbor_id) candidate
     * rows, argmax by struct-max over (count, −label) — exact integers,
     * ties toward the smaller label, no float anywhere in the vote. */

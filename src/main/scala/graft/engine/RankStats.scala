@@ -58,6 +58,14 @@ object RankStats {
 
     // cast to DECIMAL BEFORE multiplying — a LongType rank product wraps
     // past rank ≈ 3e9 (the mannWhitneyStat rule)
+    // WIDTH: the five decimal moments cast to double below; the widest
+    // (sxx/syy/sxy ≈ 4n³ per group) stays within double's exact-integer
+    // range 2^53 to n ≈ 1.3e5 rows per group, and past that the rho
+    // FORMULA is a ratio of same-magnitude terms whose shared leading
+    // digits cancel identically in both engines only while the decimal
+    // converts to ≤ ~15 significant digits (n ≈ 3e4); groups larger than
+    // that need the kruskal-style per-term scaled grid. Recorded per the
+    // decimal→double width-contract convention (see kruskalWallis).
     val d19 = "decimal(19,0)"
     val m = ranked.groupBy(col("g")).agg(
       count(lit(1)).as("n"),
@@ -120,6 +128,9 @@ object RankStats {
     // round-1 lesson; a 1-ulp difference in the converted sum flipped
     // h's 8th decimal at sf1). Scaled down, the summed decimal stays
     // ≤ ~15 significant digits through sf10 and converts identically.
+    // WIDTH: (the decimal→double width-contract convention: every
+    // DECIMAL that crosses to double states how many significant digits
+    // it can carry and where that breaks)
     // WIDTH BOUNDS, honestly stated: r2g ~ N²/k must stay exact in the
     // double cast, which holds to 2^53 ≈ 9e15 (N ≈ 1.6e8 rows at k=3 —
     // past ~sf25 this term needs a decimal-division rewrite; the
@@ -184,6 +195,12 @@ object RankStats {
         abs(col("xm").cast("double") - col("med")).as("dev"))
     // anovaOneWay's moment formula inline, on the exact integer grid
     // (dev is integer-or-half-integer-valued — DECIMAL(28,1) is exact)
+    // WIDTH: sg/ssg cast to double below; ssg ≈ n·dev² on the milli
+    // grid stays ≤ 15 significant digits (converts identically in both
+    // engines) to n·(1000·range)² ≈ 1e15 — e.g. 1e9 rows at range 1.0;
+    // the per-group term is 8dp-grid-rounded before the cross-group sum
+    // (the kruskalWallis convention), so the summed decimal never
+    // re-widens.
     val d = col("dev").cast("decimal(28,1)")
     val g = dev.groupBy(col("g")).agg(
       count(lit(1)).as("ng"), sum(d).as("sg"), sum(d * d).as("ssg"))
@@ -220,6 +237,11 @@ object RankStats {
     // null observations drop ENTIRELY (listwise): counting them in n
     // and the tie term while their pairs vanish from S would make the
     // variance inconsistent with the statistic (the corrMatrix rule)
+    // WIDTH: the DECIMAL value difference casts to double only through
+    // signum (±1/0 — width-free); S itself is a long count. The
+    // variance products run in double from the start (doc above), so no
+    // decimal→double conversion carries more than the time-grid count
+    // (~2.4k) — nothing here approaches the 15-significant-digit cliff.
     val clean = series.where(col(vCol).isNotNull)
     val a = clean.select(col(groupCol).as("g"), col(tCol).as("t1"),
       col(vCol).as("v1"))
@@ -263,6 +285,10 @@ object RankStats {
       vCol: String): DataFrame = {
     // listwise null exclusion: a null observation would silently count
     // in n_pairs while its slope vanishes from the median multiset
+    // WIDTH: the DECIMAL difference v2−v1 casts to double per PAIR —
+    // on the (18,2) grid it is exact in double to |Δv| ≈ 9e13 (2^53
+    // cents), far above any value spread here; no aggregation ever
+    // widens a decimal before the cast.
     val clean = series.where(col(vCol).isNotNull)
     val a = clean.select(col(groupCol).as("g"), col(tCol).as("t1"),
       col(vCol).as("v1"))

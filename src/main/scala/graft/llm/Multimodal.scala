@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * dimensions + per-channel means. AUDIO decode is REAL for WAV/PCM:
   * [[decodeWav]] walks the RIFF chunk layout (fmt/data) with pure byte
   * arithmetic — no codec involved — into rate/channels/bit-depth/sample
-  * stats, and [[decodeMp3]] walks MPEG-1 Layer III frame headers
-  * (bitrate/rate/frames/duration) the same way. Only true codec decode —
-  * video FRAMES and lossy-audio SPECTRA — remains a clearly-marked STUB
-  * ([[decodeStub]] — the container ships no codecs); swapping in a real
-  * codec changes only that function.
+  * stats plus REAL spectral features ([[wavSpectrum]] — a fixed-point
+  * 16-point DFT over the decoded samples), and [[decodeMp3]] walks
+  * MPEG-1 Layer III frame headers (bitrate/rate/frames/duration) the
+  * same way. Only true codec decode — video FRAMES and LOSSY-audio
+  * spectra — remains a clearly-marked STUB ([[decodeStub]] — the
+  * container ships no codecs); swapping in a real codec changes only
+  * that function.
   */
 object Multimodal {
 
@@ -388,6 +390,110 @@ object Multimodal {
       i += 1
     }
     bb.array()
+  }
+
+  /** Fixed-point Q20 twiddle table for the 16-point DFT of
+    * [[wavSpectrum]]: `ctab(j) = round(cos(2πj/16) · 2^20)` — 16 exact
+    * integer constants, with `sin(2πj/16) = cos(2π(j−4)/16) =
+    * ctab((j+12) mod 16)`. The oracle SQL embeds the SAME integers (the
+    * spec builder interpolates this table at construction time), so no
+    * cross-engine trig evaluation exists anywhere — the md5-derived-
+    * randomness trick applied to twiddle factors. */
+  val cosTableQ20: IndexedSeq[Long] = (0 until 16).map(j =>
+    Math.round(Math.cos(2.0 * Math.PI * j / 16.0) * (1L << 20)))
+
+  /** One DFT band energy of a WAV payload. */
+  final case class WavBand(id: Long, band: Int, energy: Double)
+
+  /** First `maxSamples` 16-bit PCM samples of a WAV/PCM payload — the
+    * [[decodeWav]] RIFF walk collecting sample VALUES instead of
+    * moments (same fail-closed chunk guards: declared sizes are
+    * bounds-checked before any read, fmt must precede data, 16-bit PCM
+    * only). */
+  def wavPcm16(r: MediaRecord, maxSamples: Int): Array[Int] = {
+    val b = r.payload
+    require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+      s"not a RIFF/WAVE payload for id=${r.id}")
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var bits = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Int](maxSamples)
+    while (pos + 8 <= b.length) {
+      val id = tag(b, pos)
+      val size = bb.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= b.length,
+        s"truncated chunk '$id' in WAV payload for id=${r.id}")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"short fmt chunk ($size) in WAV for id=${r.id}")
+          require(bb.getShort(pos + 8) == 1,
+            s"non-PCM WAV (format ${bb.getShort(pos + 8)}) for id=${r.id}")
+          bits = bb.getShort(pos + 22)
+          require(bits == 16,
+            s"wavPcm16 requires 16-bit PCM, got $bits for id=${r.id}")
+        case "data" =>
+          require(bits != 0, s"WAV data chunk before fmt for id=${r.id}")
+          var i = pos + 8
+          val end = pos + 8 + (size & ~1)
+          while (i < end && out.length < maxSamples) {
+            out += bb.getShort(i).toInt
+            i += 2
+          }
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    out.toArray
+  }
+
+  /** REAL spectral features for WAV audio — band energies from a
+    * 16-point fixed-point DFT over the decoded PCM samples (the last
+    * pure-JDK slice of audio decode; only LOSSY codecs remain on
+    * [[decodeStub]]). For band k = 1..bands over the first 16 samples:
+    *
+    *   re_k = Σ_i x_i · ctab[(k·i) mod 16],
+    *   im_k = −Σ_i x_i · ctab[(k·i+12) mod 16],
+    *   energy_k = (re_k/2^20)² + (im_k/2^20)²
+    *
+    * Exactness: x_i ≤ 2^15 and ctab ≤ 2^20 over 16 terms keep re/im
+    * within 2^40 — exact long accumulation, order-free; re/2^20 is an
+    * exactly representable double (≤ 40 significand bits), and the final
+    * square-and-add is a fixed 3-operation IEEE tree both engines
+    * evaluate identically — no rounding grid needed (the q_audio_meta
+    * mean_abs convention). Per-record map work only; batched
+    * `mapPartitions` like every decoder here. Output: id, band
+    * (1-based), energy. */
+  def wavSpectrum(ds: Dataset[MediaRecord], bands: Int = 4)
+      : Dataset[WavBand] = {
+    import ds.sparkSession.implicits._
+    require(bands >= 1 && bands <= 8, s"wavSpectrum: bands=$bands")
+    ds.mapPartitions(_.flatMap { r =>
+      val x = wavPcm16(r, 16)
+      require(x.length == 16,
+        s"wavSpectrum needs >= 16 samples, got ${x.length} for id=${r.id}")
+      val e = wavBandEnergies(x, bands)
+      (1 to bands).map(k => WavBand(r.id, k, e(k - 1)))
+    })
+  }
+
+  /** The pure DFT kernel of [[wavSpectrum]] (exactness contract in its
+    * doc): band energies 1..bands over exactly 16 samples. */
+  def wavBandEnergies(x: Array[Int], bands: Int): Array[Double] = {
+    require(x.length == 16, s"wavBandEnergies needs 16 samples, got ${x.length}")
+    Array.tabulate(bands) { b =>
+      val k = b + 1
+      var re = 0L
+      var im = 0L
+      var i = 0
+      while (i < 16) {
+        re += x(i) * cosTableQ20((k * i) & 15)
+        im -= x(i) * cosTableQ20((k * i + 12) & 15)
+        i += 1
+      }
+      val rd = re.toDouble / (1L << 20)
+      val imd = im.toDouble / (1L << 20)
+      rd * rd + imd * imd
+    }
   }
 
   /** Video container facts from an MP4/ISO-BMFF payload: major brand +
@@ -960,11 +1066,12 @@ object Multimodal {
   }
 
   /** STUB decode — deterministic fake features, used for the kinds this
-    * container genuinely cannot decode (video FRAMES and lossy-audio
-    * SPECTRA; container/stream metadata goes through the real
-    * [[decodeMp4]]/[[decodeMp3]], images through [[decodeImage]],
-    * WAV audio through [[decodeWav]]). Rolling-hash checksum +
-    * first-4-bytes "feature". */
+    * container genuinely cannot decode (video FRAMES and LOSSY-audio
+    * spectra only, as of round 7: container/stream metadata goes through
+    * the real [[decodeMp4]]/[[decodeMp3]], images through
+    * [[decodeImage]] with real pixel decode, WAV audio through
+    * [[decodeWav]] and its real spectral tier [[wavSpectrum]]).
+    * Rolling-hash checksum + first-4-bytes "feature". */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     var h = 0L
     var i = 0

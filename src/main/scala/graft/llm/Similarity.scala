@@ -236,6 +236,88 @@ object Similarity {
         round(col("t.score"), 8).as("cos"))
   }
 
+  /** Multi-probe IVF top-k neighbors — the LINEAR-candidate-volume ANN
+    * contract the auto-√n tier can't give (√n cells ⇒ Σ cell² ≈ n^1.5
+    * candidates, the measured 62.6× for 10× rows at sf10):
+    *
+    *  - cells = max(1, ⌊n / targetCellSize⌋), so cell SIZE stays ~constant
+    *    as the corpus grows;
+    *  - every vector is ASSIGNED to its single highest-cosine centroid
+    *    (the [[ivfCells]] rule, ties to the smaller centroid id) — the
+    *    data side;
+    *  - every vector PROBES its `nprobe` highest-cosine centroids — the
+    *    query side — recovering the neighbors that sit just across a cell
+    *    boundary (the standard multi-probe recall fix).
+    *
+    * Candidate volume is n · nprobe · targetCellSize — LINEAR in n — and
+    * every shuffle is linear too: routing scores the broadcast centroid
+    * table map-side and reduces to one row per vector via the
+    * bounded-heap TopK aggregate (map-side combine — never the n×cells
+    * scored rows a window formulation would sort), and the probe⋈assign
+    * stage is an equi-join on the cell id. The remaining super-linear
+    * term is routing CPU, n·cells = n²/targetCellSize dots: it crosses
+    * the candidate term at n ≈ nprobe·targetCellSize² (≈ 2M vectors at
+    * the registered 1024/2) — past that decade a coarse quantizer level
+    * in front of the centroid scan is the standard fix (FAISS IVF with
+    * an HNSW coarse quantizer); recorded here so the cliff is a known
+    * contract, not a surprise.
+    *
+    * Zero-norm vectors have no cosine to any centroid and are excluded
+    * from corpus and queries alike (the [[mrlOverlap]] convention).
+    * Centroid count derives from one column-pruned count at
+    * plan-construction time (the [[ivfCells]] auto caveat); integer
+    * division n/targetCellSize is exact in any engine, so the oracle's
+    * COUNT(*)-windowed `nn // targetCellSize` lands on the SAME cell
+    * count. With cells = 1 (n ≤ targetCellSize) this IS the exact tier.
+    * Output: id, neighbor_id, rank, cos. */
+  def ivfProbeTopKNeighbors(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, targetCellSize: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && targetCellSize >= 1 && nprobe >= 1,
+      s"ivfProbeTopKNeighbors: k=$k targetCellSize=$targetCellSize " +
+        s"nprobe=$nprobe")
+    DotProduct.register(emb.sparkSession)
+    TopK.register(emb.sparkSession)
+    val withNorm = emb.select(col(idCol).as("id"),
+        vecDouble(col(vecCol)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .where(col("n2") > 0.0)
+    val n = withNorm.count()
+    val cells = math.max(1L, n / targetCellSize).toInt
+    val centroids = broadcast(withNorm.orderBy(col("id")).limit(cells)
+      .toDF("cid", "cv", "cn2"))
+    // routing: broadcast-score all centroids, keep the top-nprobe per
+    // vector with the bounded-heap aggregate — TopK's (score desc, id
+    // asc) order matches the assignment tie-break; probes(1) IS the
+    // assignment. Materialized once (localCheckpoint): both join sides
+    // below consume it, and the routing scan is the expensive subtree.
+    val routed = withNorm.crossJoin(centroids)
+      .select(col("id"), col("v"), col("n2"),
+        cosine(col("v"), col("n2"), col("cv"), col("cn2")).as("score"),
+        col("cid"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("score"), col("cid"), lit(nprobe))
+          .as("probes"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .localCheckpoint()
+    val qry = routed.select(col("id"), col("v").as("v1"),
+      col("n2").as("n21"),
+      explode(transform(col("probes"), p => p.getField("id"))).as("cell"))
+    val data = routed.select(col("id").as("neighbor_id"),
+      col("v").as("v2"), col("n2").as("n22"),
+      element_at(col("probes"), 1).getField("id").as("cell"))
+    qry.join(data, Seq("cell"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"),
+        cosine(col("v1"), col("n21"), col("v2"), col("n22")).as("cos"),
+        col("neighbor_id"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 8).as("cos"))
+  }
+
   /** Hard-negative mining over the IVF cells — the contrastive-training
     * complement of [[ivfTopKNeighbors]]: for each vector, the `k`
     * highest-cosine vectors IN ITS OWN CELL carrying a DIFFERENT label

@@ -99,6 +99,52 @@ object EvalQueries {
          |FROM embeddings e JOIN pred ON pred.id = e.vec_id
          |ORDER BY id""".stripMargin)),
 
+    // Multi-probe IVF 5-NN classification — the LINEAR-candidate-volume
+    // ANN twin (vs q_knn_classify_ann's auto-√n tier, whose Σ cell² ≈
+    // n^1.5 candidates measured 62.6× for 10× rows at sf10): cells =
+    // ⌊n/1024⌋ keep cell size constant, every query probes its 2 nearest
+    // cells, so candidate volume is n·2·1024 — linear — and the routing
+    // term n·cells crosses it only past n ≈ 2M vectors (the documented
+    // contract in Similarity.ivfProbeTopKNeighbors). The vote is the
+    // identical struct-max plan; the oracle replays the probe/assign
+    // split and the integer-division cell count relationally.
+    QuerySpec("q_knn_ann_nprobe", (s, dir) => {
+      Eval.knnClassifyIvfProbe(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 5, targetCellSize = 1024, nprobe = 2)
+        .orderBy("id")
+    }, Some(
+      s"""WITH ${SimilarityQueries.normCte},
+         |${SimilarityQueries.ivfProbeCte(1024, 2)},
+         |p AS (
+         |  SELECT q.id AS id, d.id AS nid,
+         |         ${SimilarityQueries.dotSql("q.v", "d.v")}
+         |           / SQRT(q.n2 * d.n2) AS cos
+         |  FROM probes q JOIN assign d
+         |    ON q.cell = d.cell AND q.id <> d.id),
+         |top AS (
+         |  SELECT id, nid FROM (
+         |    SELECT id, nid,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY cos DESC, nid) AS rnk
+         |    FROM p)
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT top.id, CAST(e.label AS BIGINT) AS nlbl,
+         |         COUNT(*) AS cnt
+         |  FROM top JOIN embeddings e ON e.vec_id = top.nid
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT id, nlbl AS predicted FROM (
+         |    SELECT id, nlbl,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY cnt DESC, nlbl) AS rn
+         |    FROM votes)
+         |  WHERE rn = 1)
+         |SELECT e.vec_id AS id, CAST(e.label AS BIGINT) AS actual,
+         |       predicted, CAST(e.label AS BIGINT) = predicted AS correct
+         |FROM embeddings e JOIN pred ON pred.id = e.vec_id
+         |ORDER BY id""".stripMargin)),
+
     // Per-class precision/recall/F1 of the self-trained Naive Bayes
     // source classifier — the quality readout over q_naive_bayes.
     QuerySpec("q_confusion_eval", (s, dir) => {

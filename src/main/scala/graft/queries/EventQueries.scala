@@ -1263,6 +1263,55 @@ object EventQueries {
         |FROM samp GROUP BY doc_id, sample_rate, n
         |ORDER BY doc_id""".stripMargin)),
 
+    // REAL WAV spectral features — 4 band energies from a 16-point
+    // fixed-point DFT over the DECODED PCM samples (the last pure-JDK
+    // audio slice; only lossy codecs remain stubbed). The twiddle table
+    // is 16 exact Q20 integers computed once in Scala and interpolated
+    // into BOTH sides, so no cross-engine trig exists; re/im are exact
+    // long sums and the final square-and-add is a fixed 3-op IEEE tree
+    // — bit-identical without any rounding grid (the q_audio_meta
+    // mean_abs convention). The oracle replays the synthetic sample
+    // formula (generator = oracle, the q_image_meta pattern) while the
+    // engine path decodes the actual RIFF bytes.
+    QuerySpec("q_wav_spectrum", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "audio/wav",
+          Multimodal.syntheticWav(id)))
+      Multimodal.wavSpectrum(recs, bands = 4).toDF()
+        .select(col("id").as("doc_id"), col("band"), col("energy"))
+        .orderBy("doc_id", "band")
+    }, Some {
+      val ctab = Multimodal.cosTableQ20.zipWithIndex
+        .map { case (c, j) => s"($j, $c)" }.mkString(", ")
+      s"""WITH u AS (
+         |  SELECT doc_id, unnest(range(0, 16)) AS i FROM documents
+         |), x AS (
+         |  SELECT doc_id, i,
+         |         ((doc_id * 31 + i * 97) % 65536) - 32768 AS x
+         |  FROM u
+         |), ct AS (SELECT * FROM (VALUES $ctab) AS t(j, c)
+         |), b AS (SELECT unnest(range(1, 5)) AS band
+         |), term AS (
+         |  SELECT x.doc_id, b.band,
+         |         x.x * cc.c AS rc, -(x.x * cs.c) AS ic
+         |  FROM x CROSS JOIN b
+         |  JOIN ct cc ON cc.j = (b.band * x.i) % 16
+         |  JOIN ct cs ON cs.j = (b.band * x.i + 12) % 16
+         |), agg AS (
+         |  SELECT doc_id, band,
+         |         CAST(SUM(rc) AS BIGINT) AS re,
+         |         CAST(SUM(ic) AS BIGINT) AS im
+         |  FROM term GROUP BY doc_id, band)
+         |SELECT doc_id, CAST(band AS INT) AS band,
+         |       (CAST(re AS DOUBLE) / 1048576.0)
+         |         * (CAST(re AS DOUBLE) / 1048576.0)
+         |       + (CAST(im AS DOUBLE) / 1048576.0)
+         |         * (CAST(im AS DOUBLE) / 1048576.0) AS energy
+         |FROM agg ORDER BY doc_id, band""".stripMargin
+    }),
+
     // REAL video CONTAINER parse (MP4/ISO-BMFF box walk — pure byte
     // arithmetic like the WAV RIFF walk; only frame decoding needs a
     // codec and stays on the stub): ftyp brand + moov/mvhd

@@ -63,6 +63,31 @@ object SimilarityQueries {
        |  WHERE rn <= GREATEST(1, CAST(FLOOR(SQRT(nn)) AS BIGINT))),
        |$cellAssignCte""".stripMargin
 
+  /** Multi-probe IVF oracle fragment (expects the `n` norm CTE): `pos`
+    * filters zero-norm vectors, `cent` takes the lowest
+    * GREATEST(1, n // targetCellSize) ids as centroids (integer division
+    * — exact in both engines, mirroring
+    * [[graft.llm.Similarity.ivfProbeTopKNeighbors]]), `ranked` scores
+    * every (vector, centroid), `assign` is the single nearest cell (the
+    * data side), `probes` the nprobe nearest (the query side). */
+  private[queries] def ivfProbeCte(targetCellSize: Int, nprobe: Int): String =
+    s"""pos AS (SELECT vec_id, v, n2 FROM n WHERE n2 > 0),
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM (
+       |    SELECT vec_id, v, n2,
+       |           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+       |           COUNT(*) OVER () AS nn
+       |    FROM pos) t
+       |  WHERE rn <= GREATEST(1, nn // $targetCellSize)),
+       |ranked AS (
+       |  SELECT p.vec_id AS id, p.v, p.n2, cent.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |           ORDER BY ${dotSql("p.v", "cent.cv")} / SQRT(p.n2 * cent.cn2) DESC,
+       |                    cent.cid ASC) AS rn
+       |  FROM pos p CROSS JOIN cent),
+       |assign AS (SELECT id, v, n2, cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT id, v, n2, cell FROM ranked WHERE rn <= $nprobe)""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
 
     // Vector norms through the declarative HOF surface (zip_with squares →

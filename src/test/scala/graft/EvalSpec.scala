@@ -102,6 +102,54 @@ class EvalSpec extends SparkSpec {
     assert(auto === explicit)
   }
 
+  test("knnClassifyIvfProbe: one cell (n <= targetCellSize) equals the " +
+    "exact classifier by construction") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 9), (2L, Array(0.99f, 0.01f), 5),
+      (3L, Array(0.98f, 0.02f), 3), (4L, Array(-1.0f, 0.1f), 7),
+      (5L, Array(-0.99f, 0.12f), 7), (6L, Array(0.5f, 0.5f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val exact = Eval.knnClassify(emb, "vec_id", "embedding", "label", k = 3)
+      .orderBy("id").collect().toSeq
+    val probed = Eval.knnClassifyIvfProbe(emb, "vec_id", "embedding",
+      "label", k = 3, targetCellSize = 100, nprobe = 2)
+      .orderBy("id").collect().toSeq
+    assert(probed === exact)
+  }
+
+  test("ivfProbeTopKNeighbors: nprobe covering every cell equals the " +
+    "exact top-k; nprobe=2 recovers the cross-cell neighbor nprobe=1 " +
+    "misses") {
+    import graft.llm.Similarity
+    // 6 vectors, targetCellSize=3 → 2 cells; centroids = ids 1 and 2.
+    // id 6 sits just on cell 1's side of the boundary while its TRUE
+    // nearest neighbor (id 5) is assigned to cell 2 — the exact recall
+    // hole multi-probe exists to close.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(0.69f, 0.72f)), (6L, Array(0.72f, 0.69f)))
+      .toDF("vec_id", "embedding")
+    // with 2 cells and nprobe=2 every vector probes BOTH cells, so the
+    // candidate set is the full corpus: bit-equal to the exact tier
+    val exact = Similarity.topKNeighbors(emb, "vec_id", "embedding", k = 3)
+      .orderBy("id", "rank").collect().toSeq
+    val full = Similarity.ivfProbeTopKNeighbors(emb, "vec_id", "embedding",
+        k = 3, targetCellSize = 3, nprobe = 2)
+      .orderBy("id", "rank").collect().toSeq
+    assert(full === exact)
+    // nprobe=1 confines id 6 to cell 1 {1,3}: rank-1 is id 3, not the
+    // true nearest id 5; nprobe=2 finds id 5
+    val single = Similarity.ivfProbeTopKNeighbors(emb, "vec_id",
+        "embedding", k = 1, targetCellSize = 3, nprobe = 1)
+      .where(col("id") === 6L).head()
+    assert(single.getAs[Long]("neighbor_id") === 3L)
+    val multi = Similarity.ivfProbeTopKNeighbors(emb, "vec_id",
+        "embedding", k = 1, targetCellSize = 3, nprobe = 2)
+      .where(col("id") === 6L).head()
+    assert(multi.getAs[Long]("neighbor_id") === 5L)
+  }
+
   test("nnMatchAtt: nearest-control picks, tie toward backward, " +
       "unmatched counted") {
     // controls at x=10 (y=100) and x=20 (y=200); treated at 12, 19 and

@@ -219,6 +219,54 @@ class MultimodalProps extends Properties("llm.multimodal") {
       }
     }
 
+  property("wavPcm16 round-trips the synthetic sample formula and fails " +
+    "closed on truncation") =
+    Prop.forAll(anyId, Gen.choose(0, 1000)) { (id, permille) =>
+      val full = Multimodal.syntheticWav(id)
+      val expected = (0 until 16).map(i =>
+        (Math.floorMod(id * 31 + i * 97L, 65536L) - 32768L).toInt)
+      val roundTrip = Multimodal.wavPcm16(
+        MediaRecord(id, "w", full), 16).toSeq == expected
+      val cut = full.take(full.length.toLong.*(permille)./(1000L).toInt)
+      val failsClosed =
+        try { Multimodal.wavPcm16(MediaRecord(id, "w", cut), 16); true }
+        catch {
+          case _: IllegalArgumentException => true
+          case _: Throwable => false
+        }
+      roundTrip && failsClosed
+    }
+
+  property("wavBandEnergies matches an independent BigInt recomputation " +
+    "and a pure band-k tone concentrates its energy in band k") =
+    Prop.forAll(anyId, Gen.choose(1, 4)) { (id, tone) =>
+      val x = Multimodal.wavPcm16(
+        MediaRecord(id, "w", Multimodal.syntheticWav(id)), 16)
+      val engine = Multimodal.wavBandEnergies(x, 4)
+      val ref = (1 to 4).map { k =>
+        var re = BigInt(0); var im = BigInt(0)
+        for (i <- 0 until 16) {
+          re += BigInt(x(i)) * Multimodal.cosTableQ20((k * i) % 16)
+          im -= BigInt(x(i)) * Multimodal.cosTableQ20((k * i + 12) % 16)
+        }
+        val rd = re.toDouble / 1048576.0
+        val imd = im.toDouble / 1048576.0
+        rd * rd + imd * imd
+      }
+      val kernelExact = engine.toSeq == ref
+      // spectral sanity: a pure cosine at band frequency `tone` (built
+      // from the SAME Q20 table, scaled to ~2^14) must put >100x more
+      // energy in its own band than in any other
+      val pure = Array.tabulate(16)(i =>
+        (Multimodal.cosTableQ20((tone * i) & 15) >> 6).toInt)
+      val e = Multimodal.wavBandEnergies(pure, 4)
+      val own = e(tone - 1)
+      val others = e.zipWithIndex.collect {
+        case (v, j) if j != tone - 1 => v
+      }
+      kernelExact && others.forall(o => own > 100.0 * (o + 1e-9))
+    }
+
   property("parsers fail closed on truncation: IAE or a valid prefix, never index errors") =
     Prop.forAll(anyId, Gen.choose(0, 1000)) { (id, permille) =>
       def cut(b: Array[Byte]): Array[Byte] =

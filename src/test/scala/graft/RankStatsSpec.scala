@@ -136,4 +136,27 @@ class RankStatsSpec extends SparkSpec {
     val r = RankStats.theilSen(df, "lbl", "t", "v").head()
     assert(r.getAs[Double]("sen_slope") === 2.0)
   }
+
+  test("width-contract convention: every RankStats function mixing " +
+    "DECIMAL aggregation with a double cast carries a WIDTH: comment") {
+    // The round-6 sf1 Kruskal–Wallis defect was a decimal→double
+    // conversion past ~16 significant digits — engine-dependent and
+    // invisible at sf0.001. The convention: each function that sums in
+    // DECIMAL and casts the sum to double must state (grep-ably, as a
+    // `WIDTH:` comment) the significant-digit bound and where it breaks.
+    // This audit fails compilation-adjacent instead of at the sf25 sweep.
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/engine/RankStats.scala", "UTF-8")
+    val text = try src.mkString finally src.close()
+    // split on top-level defs; block i spans def i .. def i+1
+    val blocks = text.split("\n  def ").drop(1)
+    assert(blocks.length >= 5, "expected the five RankStats functions")
+    blocks.foreach { b =>
+      val name = b.takeWhile(_ != '(')
+      if (b.contains("decimal") && b.contains("cast(\"double\")"))
+        assert(b.contains("WIDTH"),
+          s"RankStats.$name mixes DECIMAL with a double cast but has " +
+            "no WIDTH: width-contract comment")
+    }
+  }
 }
