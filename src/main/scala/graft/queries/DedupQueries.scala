@@ -23,20 +23,25 @@ object DedupQueries {
       n = 3, bands = 3, rowsPerBand = 3, threshold = 0.5)
       .select("id1", "id2")
 
-  /** Shared oracle CTE: tokenized docs + distinct 3-gram shingle sets. */
+  /** Shared oracle CTE: tokenized docs + distinct 3-gram shingle sets.
+    * `sh`/`sizes` are MATERIALIZED: DuckDB 1.0 re-INLINES a CTE at every
+    * reference (sh feeds sizes, sig and the double-sided mh_inter join),
+    * and on chained oracles the re-evaluation compounds exponentially —
+    * measured 308 s → 2.1 s on q_hits at sf0.1, and the round-6 sf1
+    * sweep's 76 GB q_kcore spill was this, not data volume. */
   private[queries] val shingleCte =
     """toks AS (
       |  SELECT doc_id,
       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
       |  FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id,
       |         unnest(CASE WHEN len(t) >= 3
       |                     THEN list_transform(range(1, len(t) - 1),
       |                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
       |                     ELSE [] END) AS shingle
       |  FROM toks),
-      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+      |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
   /** CTE prefix for the EXACT (quadratic-input) cluster oracle: all-pairs
     * jaccard pairs → symmetric edges → recursive reachability. Retained as
@@ -47,12 +52,12 @@ object DedupQueries {
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT id1, id2 FROM inter
        |  JOIN sizes s1 ON id1 = s1.doc_id
        |  JOIN sizes s2 ON id2 = s2.doc_id
        |  WHERE ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) >= 0.5),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id1 AS src, id2 AS dst FROM pairs
        |  UNION SELECT id2, id1 FROM pairs),
        |reach AS (
@@ -77,7 +82,7 @@ object DedupQueries {
     * the cluster/canonical oracles (which consume LSH pairs, not the
     * quadratic all-pairs set). */
   private[queries] val minhashPairsCte: String =
-    """sig AS (
+    """sig AS MATERIALIZED (
       |  SELECT doc_id,
       |         MIN(SUBSTR(md5('0|' || shingle), 1, 16))  AS s0,
       |         MIN(SUBSTR(md5('0|' || shingle), 17, 16)) AS s1,
@@ -89,7 +94,7 @@ object DedupQueries {
       |         MIN(SUBSTR(md5('3|' || shingle), 17, 16)) AS s7,
       |         MIN(SUBSTR(md5('4|' || shingle), 1, 16))  AS s8
       |  FROM sh GROUP BY doc_id),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |  SELECT doc_id, 0 AS band, md5(s0 || s1 || s2) AS band_key FROM sig
       |  UNION ALL SELECT doc_id, 1, md5(s3 || s4 || s5) FROM sig
       |  UNION ALL SELECT doc_id, 2, md5(s6 || s7 || s8) FROM sig),
@@ -103,7 +108,7 @@ object DedupQueries {
       |  JOIN sh a ON a.doc_id = c.id1
       |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
       |  GROUP BY c.id1, c.id2),
-      |mh_pairs AS (
+      |mh_pairs AS MATERIALIZED (
       |  SELECT id1, id2,
       |         ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 8) AS jaccard
       |  FROM mh_inter
@@ -126,7 +131,7 @@ object DedupQueries {
   private val dupClustersLshCtes: String =
     s"""WITH $shingleCte,
        |$minhashPairsCte,
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id1 AS src, id2 AS dst FROM mh_pairs
        |  UNION SELECT id2, id1 FROM mh_pairs),
        |reach AS (

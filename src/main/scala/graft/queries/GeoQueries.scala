@@ -26,15 +26,20 @@ object GeoQueries {
     s"CAST(CAST(concat('0x', substr(md5('$prefix' || CAST($key AS VARCHAR)), " +
       s"1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0"
 
+  // MATERIALIZED: DuckDB 1.0 re-inlines a CTE at every reference — cust
+  // feeds probes, the pair join AND the final projection, so the md5
+  // coordinate derivation would otherwise recompute 3-4x (and on the
+  // chained dbscan oracle the re-evaluation compounds; the DedupQueries
+  // shingleCte note has the measured numbers)
   private def custCte =
-    s"""cust AS (
+    s"""cust AS MATERIALIZED (
        |  SELECT c_custkey,
        |         41.0 + ${uSql("glat|", "c_custkey")} * 10.0 AS lat,
        |         -5.0 + ${uSql("glon|", "c_custkey")} * 13.0 AS lon
        |  FROM customer)""".stripMargin
 
   private def suppCte =
-    s"""supp AS (
+    s"""supp AS MATERIALIZED (
        |  SELECT s_suppkey,
        |         41.0 + ${uSql("slat|", "s_suppkey")} * 10.0 AS lat,
        |         -5.0 + ${uSql("slon|", "s_suppkey")} * 13.0 AS lon
@@ -154,7 +159,33 @@ object GeoQueries {
             "glat|", "glon|"),
           "c_custkey", cellDeg = 0.12, epsKm = 8.0, minPts = 4)
         .orderBy("c_custkey")
-    }, Some(
+    }, Some {
+      // Connected components as UNROLLED min-label relax+jump rounds
+      // (each round: one edges⋈labels MIN relax, then one pointer jump
+      // lbl ← lbl(lbl)) instead of a recursive reachability CTE. The
+      // recursive form accumulates EVERY (id, reaching-label) pair — m²
+      // rows for an m-node component, which at sf1 density (~27 in-eps
+      // neighbors/point, box-spanning components) was the measured
+      // 108 GB RSS. Relax+jump state is one row per node per round;
+      // labels are min-monotone so the fixpoint is the same per-component
+      // MIN id the recursive form computes, and relax+jump contracts
+      // label chains geometrically (Shiloach–Vishkin hook/jump), so 24
+      // rounds cover any component this fixed 10°x13° box can produce
+      // (graph diameter ≤ ~box-diagonal/eps ≈ 200 hops ≪ the doubling
+      // reach). The sf1 sweep additionally asserts the fixpoint (one
+      // extra relax changes nothing) before trusting the unroll depth.
+      val ccRounds = (1 to 24).map { k =>
+        s"""rx$k AS MATERIALIZED (
+           |  SELECT u.id, MIN(u.lbl) AS lbl FROM (
+           |    SELECT e.src AS id, l.lbl FROM edges e
+           |    JOIN l${k - 1} l ON l.id = e.dst
+           |    UNION ALL
+           |    SELECT id, lbl FROM l${k - 1}) u
+           |  GROUP BY u.id),
+           |l$k AS MATERIALIZED (
+           |  SELECT a.id, b.lbl FROM rx$k a JOIN rx$k b ON b.id = a.lbl)"""
+          .stripMargin
+      }.mkString(",\n")
       s"""WITH $custCte,
          |probes AS (
          |  SELECT c.c_custkey, c.lat AS plat, c.lon AS plon,
@@ -163,7 +194,7 @@ object GeoQueries {
          |  FROM cust c
          |  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
          |  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT p.c_custkey AS ak, s.c_custkey AS bk
          |  FROM probes p
          |  JOIN cust s
@@ -172,23 +203,19 @@ object GeoQueries {
          |   AND p.c_custkey <> s.c_custkey
          |  WHERE ${havSql("p.plat", "p.plon", "s.lat", "s.lon")} <= 8.0),
          |nc AS (SELECT ak, COUNT(*) AS n FROM pairs GROUP BY ak),
-         |core AS (
+         |core AS MATERIALIZED (
          |  SELECT c.c_custkey AS k FROM cust c LEFT JOIN nc ON nc.ak = c.c_custkey
          |  WHERE COALESCE(nc.n, 0) + 1 >= 4),
          |ce AS (
          |  SELECT p.ak AS id1, p.bk AS id2 FROM pairs p
          |  JOIN core c1 ON p.ak = c1.k JOIN core c2 ON p.bk = c2.k),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT id1 AS src, id2 AS dst FROM ce
          |  UNION SELECT id2, id1 FROM ce),
-         |reach AS (
-         |  WITH RECURSIVE r(id, lbl) AS (
-         |    SELECT src, src FROM edges
-         |    UNION
-         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
-         |  SELECT * FROM r),
-         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
-         |corecl AS (
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+         |$ccRounds,
+         |cl AS (SELECT id, lbl AS cluster_id FROM l24),
+         |corecl AS MATERIALIZED (
          |  SELECT c.k, COALESCE(cl.cluster_id, c.k) AS cluster_id
          |  FROM core c LEFT JOIN cl ON cl.id = c.k),
          |border AS (
@@ -202,5 +229,6 @@ object GeoQueries {
          |  SELECT k, 'core' AS role, cluster_id FROM corecl
          |  UNION ALL
          |  SELECT k, 'border', cluster_id FROM border) a ON a.k = c.c_custkey
-         |ORDER BY c.c_custkey""".stripMargin)))
+         |ORDER BY c.c_custkey""".stripMargin
+    }))
 }

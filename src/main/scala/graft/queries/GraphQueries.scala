@@ -36,25 +36,25 @@ object GraphQueries {
     val S = "CAST(1073741824 AS BIGINT)"
     val rounds = (1 to iters).map { k =>
       val prev = s"r${k - 1}"
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          |  SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
          |  FROM e JOIN deg d ON d.src = e.src JOIN $prev r ON r.node = e.src
          |  GROUP BY e.dst),
-         |r$k AS (
+         |r$k AS MATERIALIZED (
          |  SELECT nodes.node,
          |         CAST((3 * $S) // (20 * nn.n)
          |              + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS r
          |  FROM nodes CROSS JOIN nn LEFT JOIN c$k c ON c.node = nodes.node)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS src,
        |         l_suppkey + 1000000 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |nn AS (SELECT COUNT(*) AS n FROM nodes),
-       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
-       |r0 AS (SELECT node, CAST($S // nn.n AS BIGINT) AS r
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT node, CAST($S // nn.n AS BIGINT) AS r
        |       FROM nodes CROSS JOIN nn),
        |$rounds
        |SELECT node, ROUND(CAST(r AS DOUBLE) / 1073741824.0, 8) AS rank
@@ -87,7 +87,7 @@ object GraphQueries {
     }, Some(
       s"""WITH ${DedupQueries.shingleCte},
          |${DedupQueries.minhashPairsCte},
-         |und AS (SELECT id1 AS a, id2 AS b FROM mh_pairs),
+         |und AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM mh_pairs),
          |tri AS (
          |  SELECT ab.a AS a, ab.b AS b, ac.b AS c
          |  FROM und ab
@@ -111,7 +111,7 @@ object GraphQueries {
         .orderBy("node")
     }, Some {
       val rounds = (1 to 3).map { k =>
-        s"""l$k AS (
+        s"""l$k AS MATERIALIZED (
            |  SELECT node, lbl FROM (
            |    SELECT node, lbl,
            |           ROW_NUMBER() OVER (PARTITION BY node
@@ -123,9 +123,9 @@ object GraphQueries {
       }.mkString(",\n")
       s"""WITH ${DedupQueries.shingleCte},
          |${DedupQueries.minhashPairsCte},
-         |und AS (SELECT id1 AS a, id2 AS b FROM mh_pairs
+         |und AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM mh_pairs
          |        UNION SELECT id2, id1 FROM mh_pairs),
-         |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM und),
          |$rounds
          |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin
     }),
@@ -143,7 +143,7 @@ object GraphQueries {
         .orderBy("node")
     }, Some {
       val rounds = (1 to 4).map { k =>
-        s"""d$k AS (
+        s"""d$k AS MATERIALIZED (
            |  SELECT node, MIN(dist) AS dist FROM (
            |    SELECT node, dist FROM d${k - 1}
            |    UNION ALL
@@ -151,12 +151,12 @@ object GraphQueries {
            |    FROM e JOIN d${k - 1} p ON p.node = e.a AND p.dist = ${k - 1})
            |  GROUP BY node)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e0 AS (
+      s"""WITH e0 AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |e AS (SELECT src AS a, dst AS b FROM e0
+         |e AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0
          |      UNION SELECT dst, src FROM e0),
-         |d0 AS (SELECT DISTINCT c_custkey AS node, 0 AS dist
+         |d0 AS MATERIALIZED (SELECT DISTINCT c_custkey AS node, 0 AS dist
          |       FROM customer WHERE c_nationkey = 1),
          |$rounds
          |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
@@ -176,14 +176,14 @@ object GraphQueries {
         .orderBy("node")
     }, Some {
       val rounds = (1 to 3).map { k =>
-        s"""a$k AS (SELECT a FROM e${k - 1} GROUP BY a HAVING COUNT(*) >= 2),
-           |e$k AS (SELECT e.a, e.b FROM e${k - 1} e
+        s"""a$k AS MATERIALIZED (SELECT a FROM e${k - 1} GROUP BY a HAVING COUNT(*) >= 2),
+           |e$k AS MATERIALIZED (SELECT e.a, e.b FROM e${k - 1} e
            |        JOIN a$k x ON e.a = x.a JOIN a$k y ON e.b = y.a)"""
           .stripMargin
       }.mkString(",\n")
       s"""WITH ${DedupQueries.shingleCte},
          |${DedupQueries.minhashPairsCte},
-         |e0 AS (SELECT id1 AS a, id2 AS b FROM mh_pairs
+         |e0 AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM mh_pairs
          |       UNION SELECT id2, id1 FROM mh_pairs),
          |$rounds
          |SELECT a AS node, COUNT(*) AS deg FROM e3
@@ -203,13 +203,13 @@ object GraphQueries {
           col("l_partkey").as("dst"))
       Graph.adamicAdar(li, "src", "dst", topK = 20, maxDeg = 100)
     }, Some(
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT DISTINCT l_suppkey + 1000000 AS a, l_partkey AS b
          |  FROM lineitem
          |  UNION
          |  SELECT DISTINCT l_partkey, l_suppkey + 1000000 FROM lineitem),
-         |deg AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY a),
-         |w8 AS (
+         |deg AS MATERIALIZED (SELECT a, COUNT(*) AS deg FROM e GROUP BY a),
+         |w8 AS MATERIALIZED (
          |  SELECT e.a AS w, e.b AS n,
          |         CAST(ROUND(CAST(1.0 AS DOUBLE)
          |                    / ROUND(LN(CAST(deg AS DOUBLE)), 8), 8)
@@ -236,24 +236,24 @@ object GraphQueries {
         .orderBy("side", "node")
     }, Some {
       val rounds = (1 to 3).map { k =>
-        s"""ra$k AS (
+        s"""ra$k AS MATERIALIZED (
            |  SELECT e.dst AS node, CAST(SUM(h.h) AS HUGEINT) AS raw
            |  FROM e JOIN h${k - 1} h ON h.node = e.src GROUP BY e.dst),
            |ta$k AS (SELECT SUM(raw) AS t FROM ra$k),
-           |a$k AS (SELECT node, (raw * 100000000) // t AS a
+           |a$k AS MATERIALIZED (SELECT node, (raw * 100000000) // t AS a
            |        FROM ra$k CROSS JOIN ta$k),
-           |rh$k AS (
+           |rh$k AS MATERIALIZED (
            |  SELECT e.src AS node, CAST(SUM(a.a) AS HUGEINT) AS raw
            |  FROM e JOIN a$k a ON a.node = e.dst GROUP BY e.src),
            |th$k AS (SELECT SUM(raw) AS t FROM rh$k),
-           |h$k AS (SELECT node, (raw * 100000000) // t AS h
+           |h$k AS MATERIALIZED (SELECT node, (raw * 100000000) // t AS h
            |        FROM rh$k CROSS JOIN th$k)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey AS src,
          |         l_suppkey + 1000000 AS dst
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |h0 AS (SELECT DISTINCT src AS node,
+         |h0 AS MATERIALIZED (SELECT DISTINCT src AS node,
          |              CAST(100000000 AS HUGEINT) AS h FROM e),
          |$rounds
          |SELECT 'hub' AS side, node, CAST(h AS BIGINT) AS score_e8 FROM h3
