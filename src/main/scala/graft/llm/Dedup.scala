@@ -571,16 +571,26 @@ object Dedup {
         coalesce(col("canonical_id"), col("rep")).as("canonical_id"))
   }
 
-  /** Duplicate clusters from near-dup pairs: connected components by
-    * iterative min-label propagation, so each document maps to a canonical
-    * id (the smallest id in its component) — the "keep one per cluster"
-    * step of a dedup pipeline.
+  /** Duplicate clusters from near-dup pairs: connected components, so
+    * each document maps to a canonical id (the smallest id in its
+    * component) — the "keep one per cluster" step of a dedup pipeline.
     *
-    * Driver-side loop of joins (label ← min(label, neighbours' labels))
-    * with an early-exit convergence check; iterations are bounded by the
-    * component diameter, which for near-dup clusters is tiny. Each
-    * iteration is one shuffle join on the (small) node set — the standard
-    * large-graph CC shape without needing GraphX.
+    * Two tiers: edge sets that fit on the driver go through exact
+    * union-find ([[localUnionFind]] — zero shuffles); larger graphs go
+    * through [[dupClustersStar]]'s large/small-star contraction, which
+    * converges in O(log n) rounds REGARDLESS of component diameter and
+    * fails loud if the round budget is ever exceeded.
+    *
+    * History (the round-7 sf1 lesson): the distributed path used to be
+    * min-label relax propagation capped at 20 rounds. Relax moves labels
+    * ONE hop per round, so the supercritical sf1 grid-DBSCAN component
+    * (150k nodes spanning the fixed geo box, ~200-hop diameter) exited
+    * the cap UNCONVERGED and silently under-merged — the sweep caught
+    * engine label 6 vs the true component min on 86k rows. Adding a
+    * Shiloach–Vishkin pointer jump barely helped on that graph (measured
+    * 59 rounds: spatially-local minima don't form long label chains for
+    * the jump to contract), while star contraction converged it in 7.
+    * One converged implementation + fail-loud replaced two capped loops.
     * Input: pairs (id1, id2). Output: (id, canonical_id). */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
       localEdgeThreshold: Long = 1000000L): DataFrame = {
@@ -602,34 +612,7 @@ object Dedup {
         case None => () // non-integral ids: fall through to the loop
       }
     }
-    val edges0 = p.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(p.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct()
-    val edgesCk = graft.engine.Checkpoints.iterationBarrier(edges0)
-    val nodes = edgesCk.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("canonical_id", col("id"))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val viaNeighbor = edgesCk
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("canonical_id")).as("nl"))
-      // checkpoint the new labels WITH a per-row change flag, then read the
-      // convergence bit off the checkpointed data — one materialization per
-      // round instead of computing the update plan twice.
-      val updated = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("canonical_id"), coalesce(col("nl"), col("canonical_id")))
-            .as("canonical_id"),
-          (col("nl").isNotNull && col("nl") < col("canonical_id")).as("__changed"))
-      val updatedCk = graft.engine.Checkpoints.iterationBarrier(updated)
-      val changed = updatedCk.filter(col("__changed")).limit(1).count()
-      labels = updatedCk.drop("__changed")
-      converged = changed == 0
-      iter += 1
-    }
-    labels
+    dupClustersStar(p, maxIter)
   }
 
   /** Driver-side exact union-find over a collected edge set (the
@@ -739,6 +722,15 @@ object Dedup {
       sig = nextSig
       iter += 1
     }
+    // an unconverged exit would return an UNDER-MERGED clustering — the
+    // silent-wrong-answer class the round-7 sf1 sweep caught on the
+    // relax-propagation predecessor. Star contraction needs O(log n)
+    // rounds (the 150k-node sf1 geo component converged in 7), so the
+    // default budget has orders-of-magnitude headroom; if it's ever hit,
+    // fail loud instead of shipping wrong labels.
+    require(converged,
+      s"dupClustersStar: edge set not at fixpoint after $maxIter " +
+        "large/small-star rounds — raise maxIter (O(log n) expected)")
     // fixed point = disjoint stars rooted at each component's minimum:
     // every edge is (member, root); roots/isolated nodes label themselves
     nodes.join(edges.select(col("a").as("id"), col("b").as("root")),

@@ -160,31 +160,34 @@ object GeoQueries {
           "c_custkey", cellDeg = 0.12, epsKm = 8.0, minPts = 4)
         .orderBy("c_custkey")
     }, Some {
-      // Connected components as UNROLLED min-label relax+jump rounds
-      // (each round: one edges⋈labels MIN relax, then one pointer jump
-      // lbl ← lbl(lbl)) instead of a recursive reachability CTE. The
-      // recursive form accumulates EVERY (id, reaching-label) pair — m²
-      // rows for an m-node component, which at sf1 density (~27 in-eps
-      // neighbors/point, box-spanning components) was the measured
-      // 108 GB RSS. Relax+jump state is one row per node per round;
-      // labels are min-monotone so the fixpoint is the same per-component
-      // MIN id the recursive form computes, and relax+jump contracts
-      // label chains geometrically (Shiloach–Vishkin hook/jump), so 24
-      // rounds cover any component this fixed 10°x13° box can produce
-      // (graph diameter ≤ ~box-diagonal/eps ≈ 200 hops ≪ the doubling
-      // reach). The sf1 sweep additionally asserts the fixpoint (one
-      // extra relax changes nothing) before trusting the unroll depth.
-      val ccRounds = (1 to 24).map { k =>
-        s"""rx$k AS MATERIALIZED (
-           |  SELECT u.id, MIN(u.lbl) AS lbl FROM (
-           |    SELECT e.src AS id, l.lbl FROM edges e
-           |    JOIN l${k - 1} l ON l.id = e.dst
-           |    UNION ALL
-           |    SELECT id, lbl FROM l${k - 1}) u
-           |  GROUP BY u.id),
-           |l$k AS MATERIALIZED (
-           |  SELECT a.id, b.lbl FROM rx$k a JOIN rx$k b ON b.id = a.lbl)"""
-          .stripMargin
+      // Connected components as UNROLLED large/small-star contraction
+      // rounds (Kiveris et al., the same algorithm the engine's
+      // dupClustersStar runs) instead of a recursive reachability CTE.
+      // The recursive form accumulates EVERY (id, reaching-label) pair —
+      // m² rows for an m-node component, which at sf1 density (where the
+      // whole 150k-point box is ONE supercritical component) was the
+      // measured 108 GB RSS; min-label relax unrolls need O(diameter)
+      // rounds (59 measured on that graph, pointer jumps barely helping).
+      // Star contraction converges in O(log n) rounds — 7 measured at
+      // sf1 — and its state is the (shrinking) edge set itself. 12
+      // unrolled rounds carry margin, and the query FAILS LOUD (error())
+      // if rounds 11 and 12 still differ, so an unconverged unroll can
+      // never silently ship wrong labels. At the fixpoint the edge set
+      // is the star forest (member, component-min-root) — exactly the
+      // engine's label table.
+      val starRounds = (1 to 12).map { k =>
+        s"""s$k AS (SELECT a AS u, b AS v FROM e${k - 1}
+           |        UNION ALL SELECT b, a FROM e${k - 1}),
+           |m$k AS (SELECT u, LEAST(u, MIN(v)) AS m FROM s$k GROUP BY u),
+           |ls$k AS MATERIALIZED (
+           |  SELECT DISTINCT s.v AS a, m.m AS b
+           |  FROM s$k s JOIN m$k m USING (u) WHERE s.v > s.u),
+           |sm$k AS (SELECT a, MIN(b) AS m FROM ls$k GROUP BY a),
+           |e$k AS MATERIALIZED (
+           |  SELECT DISTINCT a, b FROM (
+           |    SELECT l.b AS a, sm.m AS b FROM ls$k l
+           |    JOIN sm$k sm USING (a) WHERE l.b <> sm.m
+           |    UNION ALL SELECT a, m FROM sm$k) t)""".stripMargin
       }.mkString(",\n")
       s"""WITH $custCte,
          |probes AS (
@@ -209,12 +212,20 @@ object GeoQueries {
          |ce AS (
          |  SELECT p.ak AS id1, p.bk AS id2 FROM pairs p
          |  JOIN core c1 ON p.ak = c1.k JOIN core c2 ON p.bk = c2.k),
-         |edges AS MATERIALIZED (
-         |  SELECT id1 AS src, id2 AS dst FROM ce
-         |  UNION SELECT id2, id1 FROM ce),
-         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-         |$ccRounds,
-         |cl AS (SELECT id, lbl AS cluster_id FROM l24),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT GREATEST(id1, id2) AS a, LEAST(id1, id2) AS b
+         |  FROM ce WHERE id1 <> id2),
+         |$starRounds,
+         |conv AS (
+         |  SELECT COUNT(*) AS d FROM (
+         |    (SELECT * FROM e12 EXCEPT SELECT * FROM e11)
+         |    UNION ALL
+         |    (SELECT * FROM e11 EXCEPT SELECT * FROM e12)) x),
+         |cl AS (
+         |  SELECT a AS id, b AS cluster_id FROM e12
+         |  WHERE CASE WHEN (SELECT d FROM conv) = 0 THEN 1
+         |             ELSE CAST(error('q_geo_dbscan oracle: star contraction not converged in 12 rounds') AS INT)
+         |        END = 1),
          |corecl AS MATERIALIZED (
          |  SELECT c.k, COALESCE(cl.cluster_id, c.k) AS cluster_id
          |  FROM core c LEFT JOIN cl ON cl.id = c.k),

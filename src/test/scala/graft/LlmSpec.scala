@@ -649,6 +649,21 @@ class DedupSpec extends SparkSpec {
     assert(fast(220L) === 200L)
   }
 
+  test("dupClusters: the distributed path converges a 2000-hop path " +
+    "inside the default 20-round cap (the round-7 sf1 geo regression)") {
+    import spark.implicits._
+    // the old relax loop moved labels ONE hop per round — a diameter-2000
+    // path would exit the 20-round cap unconverged and silently
+    // under-merge (exactly what the sf1 sweep caught on the box-spanning
+    // DBSCAN component); the star-contraction path must converge in
+    // O(log n) rounds and fails loud otherwise
+    val path = (0L until 2000L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.dupClusters(path, localEdgeThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 2001)
+    assert(got.values.forall(_ === 0L))
+  }
+
   test("dupClusters: null ids fall back to the distributed path, no crash") {
     import spark.implicits._
     val pairs = Seq((Some(1L), Some(2L)), (Some(2L), None), (None, Some(9L)))
