@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -176,12 +176,26 @@ object RankStats {
     * from the group median.
     *
     * Exactness: values move to the integer MILLI grid (×1000 — the
-    * half-cent interpolated medians land on multiples of 5, exactly
-    * representable doubles), so `|x − med|` is exact integer arithmetic
-    * and the F statistic — scale-invariant by definition — is computed
-    * on a grid both engines agree on bit-for-bit. Two passes: exact
-    * percentile medians (k rows, broadcast back), then the `anovaOneWay`
-    * DECIMAL moment formula. Output (one row): k, n, f_stat (8dp). */
+    * half-cent interpolated medians land on multiples of 5), and the
+    * doubled deviations e = 2·|x − med| are exact LONGS (e ≤ ~1e9 for
+    * any sane value range, e² ≤ 1e18 fits a long), summed in
+    * DECIMAL(38,0) — exact integers at any scale. Two passes: exact
+    * percentile medians (k rows, broadcast back), then the moment
+    * formula with every per-group term scaled by 1/(N·10⁶) and rounded
+    * to the 8dp grid before the cross-group DECIMAL sum (the
+    * kruskalWallis convention; F is the same ratio because numerator
+    * and denominator scale identically).
+    *
+    * WIDTH: Σe² reaches ~4e22 already at sf1 (6M rows × 1e8-milli
+    * deviations) — far past BOTH the old DECIMAL(28,8) term cap (the
+    * round-7 sf1 crash: 1.35e21 would not fit) and the ~16-significant-
+    * digit decimal→double portability cliff. The wide integer sums
+    * therefore never convert directly: [[hiLoDouble]] splits them into
+    * (hi, lo) = ((x − x mod 10¹²)/10¹², x mod 10¹²) — both exact
+    * integers ≤ 2^53, converted exactly, recombined with two IEEE ops
+    * both engines evaluate identically. Exact until Σe² ≈ 10¹²·2^53 ≈
+    * 9e27 (~sf1e6 at this data shape). Output (one row): k, n,
+    * f_stat (8dp). */
   def brownForsythe(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val xm = (col(valueCol).cast("decimal(18,2)") * 1000)
@@ -190,33 +204,61 @@ object RankStats {
       .select(col(groupCol).as("g"), xm)
     val med = base.groupBy(col("g"))
       .agg(percentile(col("xm"), lit(0.5)).as("med"))
+    // e = 2·|xm − med|: med is integer-or-half, so e is an exact integer
     val dev = base.join(broadcast(med), "g")
       .select(col("g"),
-        abs(col("xm").cast("double") - col("med")).as("dev"))
-    // anovaOneWay's moment formula inline, on the exact integer grid
-    // (dev is integer-or-half-integer-valued — DECIMAL(28,1) is exact)
-    // WIDTH: sg/ssg cast to double below; ssg ≈ n·dev² on the milli
-    // grid stays ≤ 15 significant digits (converts identically in both
-    // engines) to n·(1000·range)² ≈ 1e15 — e.g. 1e9 rows at range 1.0;
-    // the per-group term is 8dp-grid-rounded before the cross-group sum
-    // (the kruskalWallis convention), so the summed decimal never
-    // re-widens.
-    val d = col("dev").cast("decimal(28,1)")
+        (abs(col("xm").cast("double") - col("med")) * 2).cast("long")
+          .as("e"))
+    // WIDTH: the doc contract above — wide integer DECIMAL sums go
+    // through hiLoDouble (exact to Σe² ≈ 9e27), per-group terms scale by
+    // 1/(N·10⁶) and 8dp-round before the cross-group decimal sum, so no
+    // decimal here ever converts past ~14 significant digits.
+    val d38 = "decimal(38,0)"
     val g = dev.groupBy(col("g")).agg(
-      count(lit(1)).as("ng"), sum(d).as("sg"), sum(d * d).as("ssg"))
-    val term = round(col("sg").cast("double") * col("sg").cast("double") /
-      col("ng").cast("double"), 8).cast("decimal(28,8)")
-    val m = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
-      sum(col("sg")).as("s"), sum(col("ssg")).as("ss"),
-      sum(term).as("t"))
-    val (kd, nd, sd, ssd, td) = (col("k").cast("double"),
-      col("n").cast("double"), col("s").cast("double"),
-      col("ss").cast("double"), col("t").cast("double"))
-    val ssb = td - sd * sd / nd
-    val ssw = ssd - td
+      count(lit(1)).as("ng"),
+      sum(col("e").cast(d38)).as("s1"),
+      sum((col("e") * col("e")).cast(d38)).as("s2"))
+    // N rides a single-partition window over the k-row group table (the
+    // kruskalWallis convention — one pass, empty-input contract intact)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withN = g.withColumn("__n", sum(col("ng")).over(wAll))
+    val nd = col("__n").cast("double")
+    val ngd = col("ng").cast("double")
+    val sgu = hiLoDouble(col("s1")) / 2000.0 // Σ|dev| in value UNITS
+    val ssgu = hiLoDouble(col("s2")) / 4.0e6 // Σ dev² in UNIT²
+    val tG = round(sgu * sgu / ngd / nd, 8).cast("decimal(28,8)")
+    val wG = round(ssgu / nd, 8).cast("decimal(28,8)")
+    val sG = round(sgu, 8).cast("decimal(28,8)")
+    val m = withN.agg(count(lit(1)).as("k"), max(col("__n")).as("n"),
+      sum(sG).as("s"), sum(tG).as("t"), sum(wG).as("w"))
+    val (kd, nd2) = (col("k").cast("double"), col("n").cast("double"))
+    val sbar = col("s").cast("double") / nd2
+    // ssb >= 0 by Cauchy–Schwarz; the 8dp term grid can push the
+    // difference a few 1e-9 NEGATIVE (identical-shape groups), which
+    // would surface as a nonsense negative F — clamp at the identity
+    val ssb = greatest(col("t").cast("double") - sbar * sbar, lit(0.0))
+    val ssw = col("w").cast("double") - col("t").cast("double")
     m.select(col("k"), col("n"),
       when(col("k") > 1 && col("n") > col("k") && ssw > 0.0,
-        round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 8)).as("f_stat"))
+        round((ssb / (kd - 1.0)) / (ssw / (nd2 - kd)), 8)).as("f_stat"))
+  }
+
+  /** Engine-portable wide-DECIMAL(38,0)→double conversion: decimal→double
+    * is engine-dependent past ~16 significant digits (the round-1
+    * lesson), so split x into (hi, lo) around 10¹² — `x − x mod 10¹²`
+    * is exactly divisible, making the quotient exact in ANY division
+    * rounding mode — convert both (exact: each ≤ 2^53 for x ≤ 9e27),
+    * and recombine with two correctly-rounded IEEE ops both engines
+    * evaluate identically. */
+  private def hiLoDouble(c: Column): Column = {
+    // WIDTH: hi and lo are exact integers ≤ 2^53 for inputs up to
+    // ~9e27; both casts are therefore exact and the recombination is
+    // two correctly-rounded IEEE ops — engine-portable by construction.
+    val m = lit(1000000000000L).cast("decimal(13,0)")
+    val lo = c % m
+    val hi = ((c - lo) / m).cast("long")
+    hi.cast("double") * lit(1.0e12) + lo.cast("long").cast("double")
   }
 
   /** Mann–Kendall trend test per group over an ordered series

@@ -145,11 +145,22 @@ object RankStatsQueries {
 
     // Brown–Forsythe variance-homogeneity (median-centered Levene):
     // ANOVA F over |x − group median| on the exact integer milli grid.
+    // The wide integer sums (Σ(2d)² ≈ 4e22 at sf1) never convert to
+    // double directly — decimal→double is engine-dependent past ~16
+    // significant digits and the old DECIMAL(28,8) term overflowed at
+    // sf1 — they split into exact (hi, lo) parts around 10¹² first
+    // (RankStats.hiLoDouble, mirrored verbatim here); every per-group
+    // term is then scaled by 1/(N·10⁶) and 8dp-grid-rounded before the
+    // cross-group DECIMAL sum (F is the same ratio: numerator and
+    // denominator scale identically).
     QuerySpec("q_levene_bf", (s, dir) => {
       RankStats.brownForsythe(t(s, dir, "lineitem"), "l_returnflag",
         "l_extendedprice")
-    }, Some(
-      """WITH base AS (
+    }, Some {
+      def hiLo(c: String): String =
+        s"CAST(CAST(($c - $c % 1000000000000) / 1000000000000 AS BIGINT) AS DOUBLE) * 1.0e12" +
+          s" + CAST(CAST($c % 1000000000000 AS BIGINT) AS DOUBLE)"
+      s"""WITH base AS (
         |  SELECT l_returnflag AS g,
         |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000
         |              AS BIGINT) AS xm
@@ -158,29 +169,41 @@ object RankStatsQueries {
         |        FROM base GROUP BY g),
         |dev AS (
         |  SELECT base.g AS g,
-        |         CAST(ABS(CAST(xm AS DOUBLE) - med) AS DECIMAL(28,1)) AS d
+        |         CAST(ABS(CAST(xm AS DOUBLE) - med) * 2 AS BIGINT) AS e
         |  FROM base JOIN med USING (g)),
         |gm AS (
-        |  SELECT g, COUNT(*) AS ng, SUM(d) AS sg, SUM(d * d) AS ssg
+        |  SELECT g, COUNT(*) AS ng,
+        |         SUM(CAST(e AS DECIMAL(38,0))) AS s1,
+        |         SUM(CAST(e * e AS DECIMAL(38,0))) AS s2
         |  FROM dev GROUP BY g),
+        |gn AS (SELECT g, ng, s1, s2, SUM(ng) OVER () AS nn FROM gm),
+        |terms AS (
+        |  SELECT ng, nn,
+        |         (${hiLo("s1")}) / 2000.0 AS sgu,
+        |         (${hiLo("s2")}) / 4.0e6 AS ssgu
+        |  FROM gn),
         |m AS (
-        |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
-        |         SUM(sg) AS s, SUM(ssg) AS ss,
-        |         SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
-        |                        / CAST(ng AS DOUBLE), 8)
-        |                  AS DECIMAL(28,8))) AS t
-        |  FROM gm),
+        |  SELECT COUNT(*) AS k, CAST(MAX(nn) AS BIGINT) AS n,
+        |         SUM(CAST(ROUND(sgu, 8) AS DECIMAL(28,8))) AS s,
+        |         SUM(CAST(ROUND(sgu * sgu / CAST(ng AS DOUBLE)
+        |                        / CAST(nn AS DOUBLE), 8)
+        |                  AS DECIMAL(28,8))) AS t,
+        |         SUM(CAST(ROUND(ssgu / CAST(nn AS DOUBLE), 8)
+        |                  AS DECIMAL(28,8))) AS w
+        |  FROM terms),
         |d AS (
         |  SELECT k, n, CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd,
-        |         CAST(s AS DOUBLE) AS sd, CAST(ss AS DOUBLE) AS ssd,
-        |         CAST(t AS DOUBLE) AS td
+        |         CAST(s AS DOUBLE) AS sd, CAST(t AS DOUBLE) AS td,
+        |         CAST(w AS DOUBLE) AS wd
         |  FROM m)
         |SELECT k, n,
-        |       CASE WHEN k > 1 AND n > k AND ssd - td > 0.0
-        |            THEN ROUND(((td - sd * sd / nd) / (kd - 1.0))
-        |                       / ((ssd - td) / (nd - kd)), 8)
+        |       CASE WHEN k > 1 AND n > k AND wd - td > 0.0
+        |            THEN ROUND((GREATEST(td - (sd / nd) * (sd / nd), 0.0)
+        |                        / (kd - 1.0))
+        |                       / ((wd - td) / (nd - kd)), 8)
         |       END AS f_stat
-        |FROM d""".stripMargin)),
+        |FROM d""".stripMargin
+    }),
 
     // Mann–Kendall trend screen over the per-returnflag daily quantity
     // series — monotone-trend detection with tie-corrected variance and

@@ -27,10 +27,10 @@ object RecommenderQueries {
           maxBasket = 1000, minSupport = 2)
         .orderBy("item", "rank")
     }, Some(
-      """WITH inc AS (
+      """WITH inc AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey AS b, l_partkey AS i
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        |kept AS (
+        |kept AS MATERIALIZED (
         |  SELECT b, i FROM inc
         |  WHERE b IN (SELECT b FROM inc GROUP BY b
         |              HAVING COUNT(*) <= 1000)),
@@ -39,7 +39,7 @@ object RecommenderQueries {
         |  SELECT a.i AS i, c.i AS j, COUNT(*) AS c
         |  FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |scored AS (
+        |scored AS MATERIALIZED (
         |  SELECT co.i, co.j, c,
         |         ROUND(CAST(c AS DOUBLE)
         |               / SQRT(CAST(n1.n AS DOUBLE)
