@@ -26,13 +26,18 @@ import org.apache.spark.sql.functions._
   *
   * Optional 4th arg `spread`: additionally make each replica's part
   * BRANDS and NAME first tokens replica-distinct (`p_brand || ' r<r>'`,
-  * `'r<r>_' || p_name`). Plain replication keeps every fixed-cardinality
+  * `'r<r>_' || p_name`), and each replica's document text WORD-wise
+  * replica-distinct (every token gains `_r<r>`, so replicas of one doc
+  * share NO shingles — they are genuinely different documents, not the
+  * plain mode's trailing-token near-clones that band into C(factor,2)
+  * LSH cliques). Plain replication keeps every fixed-cardinality
   * BLOCK KEY's block count constant while block sizes grow ×factor —
   * within-block pairs grow ×factor², which measures the Σ(block²)
   * contract, not the engine (SCALING.md "fixture-replication block
   * inflation"). Real 10× data grows the distinct key space instead;
   * `spread` models that regime (block count ×factor, sizes flat), so the
-  * linkage/edit-distance family can be MEASURED in it.
+  * linkage/edit-distance family AND the near-dup cluster family can be
+  * MEASURED in it.
   *
   * Usage: sbt "runMain graft.FixtureGen /root/testdata/sf0.1 /tmp/graft-sf1 10 [spread]"
   */
@@ -115,9 +120,18 @@ object FixtureGen {
     save(replicate(load("events"),
       Map("event_id" -> "events", "user_id" -> "user"))
       .drop("__r"), "events", 8)
+    // plain: replicas are trailing-token near-clones (shingle sets ~equal
+    // → factor-way LSH cliques). spread: every word carries the replica
+    // tag, so no shingle crosses replicas and the within-replica near-dup
+    // structure of the source is preserved exactly.
+    val docText =
+      if (!spread) when(col("__r") > 0,
+        concat(col("text"), lit(" rep"), col("__r"))).otherwise(col("text"))
+      else when(col("__r") > 0,
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(w, lit("_r"), col("__r"))))).otherwise(col("text"))
     save(replicate(load("documents"), Map("doc_id" -> "documents"))
-      .withColumn("text", when(col("__r") > 0,
-        concat(col("text"), lit(" rep"), col("__r"))).otherwise(col("text")))
+      .withColumn("text", docText)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__r"), "documents", 8)
     save(replicate(load("embeddings"), Map("vec_id" -> "embeddings"))
