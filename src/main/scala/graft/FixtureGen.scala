@@ -39,16 +39,28 @@ import org.apache.spark.sql.functions._
   * linkage/edit-distance family AND the near-dup cluster family can be
   * MEASURED in it.
   *
-  * Usage: sbt "runMain graft.FixtureGen /root/testdata/sf0.1 /tmp/graft-sf1 10 [spread]"
+  * Optional `tables=a,b,c` arg: write only those tables (plus the
+  * always-tiny region/nation dims). A third-decade fixture (factor
+  * 1000, ~20 GB) whose tier only reads lineitem+embeddings should not
+  * spend 25 GB and half an hour replicating events it never scans; the
+  * key-shift math is unaffected because the SOURCE counts still come
+  * from the full source dir.
+  *
+  * Usage: sbt "runMain graft.FixtureGen /root/testdata/sf0.1 /tmp/graft-sf1 10 [spread] [tables=lineitem,embeddings]"
   */
 object FixtureGen {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: graft.FixtureGen <srcDir> <outDir> [factor=10] [spread]")
+      "usage: graft.FixtureGen <srcDir> <outDir> [factor=10] [spread] " +
+        "[tables=a,b,c]")
     val Array(srcDir, outDir) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val spread = args.lift(3).contains("spread")
+    val flags = args.drop(3)
+    val spread = flags.contains("spread")
+    val tableFilter: Option[Set[String]] = flags
+      .find(_.startsWith("tables="))
+      .map(_.stripPrefix("tables=").split(",").map(_.trim).toSet)
     require(factor >= 1, s"factor=$factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -66,9 +78,13 @@ object FixtureGen {
     val cache = scala.collection.mutable.Map.empty[String, DataFrame]
     def load(name: String): DataFrame = cache.getOrElseUpdate(name,
       spark.read.parquet(s"$srcDir/$name.parquet").cache())
+    // region/nation are always written (every query family joins the
+    // tiny dims); scaled tables honor the tables= filter
     def save(df: DataFrame, name: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      if (tableFilter.forall(t => t.contains(name) ||
+          name == "region" || name == "nation"))
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
 
     // source row counts drive the key shifts (keys are dense 0..N-1)
     val n = Map(

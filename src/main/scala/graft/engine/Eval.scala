@@ -110,6 +110,21 @@ object Eval {
       emb, idCol, vecCol, k, targetCellSize, nprobe))
   }
 
+  /** kNN vote over [[graft.llm.Similarity.ivfHierProbeTopKNeighbors]] —
+    * the two-level-routed twin of [[knnClassifyIvfProbe]] (⌊√cells⌋
+    * coarse level kills the flat router's n·cells term at its ~2M-vector
+    * crossover). Same vote, same tie-breaks; with cells ≤ 3 the coarse
+    * level is a no-op and this equals the flat tier by construction
+    * (EvalSpec gate). */
+  def knnClassifyIvfHier(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, targetCellSize: Int, nprobe: Int,
+      sprobe: Int): DataFrame = {
+    val labels = emb.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("lbl"))
+    majorityVote(labels, Similarity.ivfHierProbeTopKNeighbors(
+      emb, idCol, vecCol, k, targetCellSize, nprobe, sprobe))
+  }
+
   /** Shared kNN vote: count labels over (id, neighbor_id) candidate
     * rows, argmax by struct-max over (count, −label) — exact integers,
     * ties toward the smaller label, no float anywhere in the vote. */

@@ -318,6 +318,109 @@ object Similarity {
         round(col("t.score"), 8).as("cos"))
   }
 
+  /** Two-level (coarse-quantized) multi-probe IVF top-k — the routing
+    * fix for [[ivfProbeTopKNeighbors]]' one remaining super-linear term.
+    * Flat multi-probe routing scores every vector against every centroid
+    * (n·cells = n²/targetCellSize rows), which crosses the linear
+    * candidate term at n ≈ nprobe·targetCellSize² — 2M vectors at the
+    * registered 1024/2, i.e. the sf100 decade of the 2k-vector base
+    * fixture. The standard fix (FAISS's coarse quantizer in front of an
+    * IVF list scan) adds one level:
+    *
+    *  - ⌊√cells⌋ SUPER-centroids (min 1; the lowest-id centroids — same
+    *    deterministic seeding rule as the centroids themselves);
+    *  - each centroid is assigned to its nearest super-centroid (cosine,
+    *    ties to the smaller super-id) — a cells×√cells broadcast job;
+    *  - each vector scores only the √cells super-centroids, probes its
+    *    `sprobe` nearest, and then scores only the centroids assigned to
+    *    those super-cells: ~sprobe·√cells of them.
+    *
+    * Routing rows drop from n·cells to n·(√cells + sprobe·√cells) =
+    * O(n·√cells·sprobe) — at the 2M-vector crossover that is ~15× less
+    * routing work, and the end-to-end volume is candidates-dominated
+    * (n·nprobe·targetCellSize, linear) through the sf100 decade and the
+    * one after it. The price is the standard recall approximation: a
+    * centroid whose super-cell is not probed is invisible to that query
+    * vector even if it is the true nearest (with scells = 1 — i.e.
+    * cells ≤ 3 — stage 1 is a no-op and this IS flat multi-probe,
+    * spec-gated). Every score is the same sequential-fold double cosine,
+    * all ties break to the smaller id, and the oracle replays the whole
+    * two-level split relationally, so results stay engine-portable.
+    * Output: id, neighbor_id, rank, cos. */
+  def ivfHierProbeTopKNeighbors(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int, targetCellSize: Int, nprobe: Int,
+      sprobe: Int): DataFrame = {
+    require(k >= 1 && targetCellSize >= 1 && nprobe >= 1 && sprobe >= 1,
+      s"ivfHierProbeTopKNeighbors: k=$k targetCellSize=$targetCellSize " +
+        s"nprobe=$nprobe sprobe=$sprobe")
+    DotProduct.register(emb.sparkSession)
+    TopK.register(emb.sparkSession)
+    val withNorm = emb.select(col(idCol).as("id"),
+        vecDouble(col(vecCol)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .where(col("n2") > 0.0)
+    val n = withNorm.count()
+    val cells = math.max(1L, n / targetCellSize).toInt
+    val scells = math.max(1, math.floor(math.sqrt(cells.toDouble)).toInt)
+    val centroids = broadcast(withNorm.orderBy(col("id")).limit(cells)
+      .toDF("cid", "cv", "cn2"))
+    val superCents = broadcast(withNorm.orderBy(col("id")).limit(scells)
+      .toDF("sid", "sv", "sn2"))
+    // centroid -> super-cell map: cells × scells scored rows (a few 10⁵
+    // at the crossover decade), reduced by the same bounded-heap TopK
+    // and broadcast to both routing stages below
+    val cmap = broadcast(centroids.crossJoin(superCents)
+      .select(col("cid"), col("cv"), col("cn2"),
+        cosine(col("cv"), col("cn2"), col("sv"), col("sn2")).as("score"),
+        col("sid"))
+      .groupBy(col("cid"))
+      .agg(TopK.topKByScore(col("score"), col("sid"), lit(1)).as("s"),
+        first(col("cv")).as("cv"), first(col("cn2")).as("cn2"))
+      .select(col("cid"), col("cv"), col("cn2"),
+        element_at(col("s"), 1).getField("id").as("sid")))
+    // stage 1: each vector probes its sprobe nearest super-cells
+    val sroutes = withNorm.crossJoin(superCents)
+      .select(col("id"), col("v"), col("n2"),
+        cosine(col("v"), col("n2"), col("sv"), col("sn2")).as("score"),
+        col("sid"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("score"), col("sid"), lit(sprobe))
+          .as("sps"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .select(col("id"), col("v"), col("n2"),
+        explode(transform(col("sps"), p => p.getField("id"))).as("sid"))
+    // stage 2: score only the centroids living in the probed super-cells
+    // (broadcast equi-join on sid — a centroid maps to exactly ONE
+    // super-cell, so (id, cid) pairs are unique by construction);
+    // probes(1) IS the data-side assignment, as in the flat tier
+    val routed = sroutes.join(cmap, Seq("sid"))
+      .select(col("id"), col("v"), col("n2"),
+        cosine(col("v"), col("n2"), col("cv"), col("cn2")).as("score"),
+        col("cid"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("score"), col("cid"), lit(nprobe))
+          .as("probes"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .localCheckpoint()
+    val qry = routed.select(col("id"), col("v").as("v1"),
+      col("n2").as("n21"),
+      explode(transform(col("probes"), p => p.getField("id"))).as("cell"))
+    val data = routed.select(col("id").as("neighbor_id"),
+      col("v").as("v2"), col("n2").as("n22"),
+      element_at(col("probes"), 1).getField("id").as("cell"))
+    qry.join(data, Seq("cell"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"),
+        cosine(col("v1"), col("n21"), col("v2"), col("n22")).as("cos"),
+        col("neighbor_id"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 8).as("cos"))
+  }
+
   /** Hard-negative mining over the IVF cells — the contrastive-training
     * complement of [[ivfTopKNeighbors]]: for each vector, the `k`
     * highest-cosine vectors IN ITS OWN CELL carrying a DIFFERENT label

@@ -145,6 +145,52 @@ object EvalQueries {
          |FROM embeddings e JOIN pred ON pred.id = e.vec_id
          |ORDER BY id""".stripMargin)),
 
+    // Two-level (coarse-quantized) multi-probe IVF 5-NN — the routing
+    // fix measured at the third decade: flat multi-probe routing is
+    // n·cells rows and crosses the linear candidate term at ~2M vectors
+    // (n²/targetCellSize); a ⌊√cells⌋ coarse level in front (each vector
+    // probes sprobe=2 super-cells, then scores only their centroids)
+    // cuts routing to O(n·√cells) — the FAISS coarse-quantizer shape.
+    // Same vote, same tie-breaks; the oracle replays the two-level
+    // routing relationally (scent/cmap/sroute CTEs).
+    QuerySpec("q_knn_ann_hier", (s, dir) => {
+      Eval.knnClassifyIvfHier(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 5, targetCellSize = 1024, nprobe = 2,
+          sprobe = 2)
+        .orderBy("id")
+    }, Some(
+      s"""WITH ${SimilarityQueries.normCte},
+         |${SimilarityQueries.ivfHierProbeCte(1024, 2, 2)},
+         |p AS (
+         |  SELECT q.id AS id, d.id AS nid,
+         |         ${SimilarityQueries.dotSql("q.v", "d.v")}
+         |           / SQRT(q.n2 * d.n2) AS cos
+         |  FROM probes q JOIN assign d
+         |    ON q.cell = d.cell AND q.id <> d.id),
+         |top AS (
+         |  SELECT id, nid FROM (
+         |    SELECT id, nid,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY cos DESC, nid) AS rnk
+         |    FROM p)
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT top.id, CAST(e.label AS BIGINT) AS nlbl,
+         |         COUNT(*) AS cnt
+         |  FROM top JOIN embeddings e ON e.vec_id = top.nid
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT id, nlbl AS predicted FROM (
+         |    SELECT id, nlbl,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY cnt DESC, nlbl) AS rn
+         |    FROM votes)
+         |  WHERE rn = 1)
+         |SELECT e.vec_id AS id, CAST(e.label AS BIGINT) AS actual,
+         |       predicted, CAST(e.label AS BIGINT) = predicted AS correct
+         |FROM embeddings e JOIN pred ON pred.id = e.vec_id
+         |ORDER BY id""".stripMargin)),
+
     // Per-class precision/recall/F1 of the self-trained Naive Bayes
     // source classifier — the quality readout over q_naive_bayes.
     QuerySpec("q_confusion_eval", (s, dir) => {

@@ -88,6 +88,59 @@ object SimilarityQueries {
        |assign AS (SELECT id, v, n2, cell FROM ranked WHERE rn = 1),
        |probes AS (SELECT id, v, n2, cell FROM ranked WHERE rn <= $nprobe)""".stripMargin
 
+  /** Two-level multi-probe IVF oracle fragment (expects the `n` norm
+    * CTE), mirroring [[graft.llm.Similarity.ivfHierProbeTopKNeighbors]]:
+    * `scent` takes the lowest ⌊√cells⌋ centroid ids as SUPER-centroids
+    * (IEEE sqrt is correctly rounded, so both engines floor the same
+    * integer), `cmap` assigns each centroid to its nearest super-cell,
+    * `sroute` probes each vector's `sprobe` nearest super-cells, and
+    * `ranked` scores only the centroids mapped to those super-cells —
+    * a centroid maps to exactly one super-cell, so (vector, centroid)
+    * rows are unique and the final `assign`/`probes` split is the flat
+    * fragment's shape verbatim. */
+  private[queries] def ivfHierProbeCte(targetCellSize: Int, nprobe: Int,
+      sprobe: Int): String =
+    s"""pos AS (SELECT vec_id, v, n2 FROM n WHERE n2 > 0),
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM (
+       |    SELECT vec_id, v, n2,
+       |           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+       |           COUNT(*) OVER () AS nn
+       |    FROM pos) t
+       |  WHERE rn <= GREATEST(1, nn // $targetCellSize)),
+       |scent AS (
+       |  SELECT cid AS sid, cv AS sv, cn2 AS sn2 FROM (
+       |    SELECT cid, cv, cn2,
+       |           ROW_NUMBER() OVER (ORDER BY cid) AS rn,
+       |           COUNT(*) OVER () AS nc
+       |    FROM cent) t
+       |  WHERE rn <= GREATEST(1, CAST(FLOOR(SQRT(CAST(nc AS DOUBLE)))
+       |                               AS BIGINT))),
+       |cmap AS (
+       |  SELECT cid, cv, cn2, sid FROM (
+       |    SELECT c.cid, c.cv, c.cn2, s.sid,
+       |           ROW_NUMBER() OVER (PARTITION BY c.cid
+       |             ORDER BY ${dotSql("c.cv", "s.sv")} / SQRT(c.cn2 * s.sn2) DESC,
+       |                      s.sid ASC) AS rn
+       |    FROM cent c CROSS JOIN scent s) t
+       |  WHERE rn = 1),
+       |sroute AS (
+       |  SELECT id, v, n2, sid FROM (
+       |    SELECT p.vec_id AS id, p.v, p.n2, s.sid,
+       |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${dotSql("p.v", "s.sv")} / SQRT(p.n2 * s.sn2) DESC,
+       |                      s.sid ASC) AS rn
+       |    FROM pos p CROSS JOIN scent s) t
+       |  WHERE rn <= $sprobe),
+       |ranked AS (
+       |  SELECT r.id, r.v, r.n2, m.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY r.id
+       |           ORDER BY ${dotSql("r.v", "m.cv")} / SQRT(r.n2 * m.cn2) DESC,
+       |                    m.cid ASC) AS rn
+       |  FROM sroute r JOIN cmap m ON r.sid = m.sid),
+       |assign AS (SELECT id, v, n2, cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT id, v, n2, cell FROM ranked WHERE rn <= $nprobe)""".stripMargin
+
   def specs: Seq[QuerySpec] = Seq(
 
     // Vector norms through the declarative HOF surface (zip_with squares →

@@ -150,6 +150,73 @@ class EvalSpec extends SparkSpec {
     assert(multi.getAs[Long]("neighbor_id") === 5L)
   }
 
+  test("ivfHierProbeTopKNeighbors: a single super-cell (cells <= 3) is " +
+    "flat multi-probe bit-for-bit") {
+    import graft.llm.Similarity
+    // tcs=3 over 6 vectors → 2 cells → scells = ⌊√2⌋ = 1: stage 1 is a
+    // no-op and the two-level tier must equal the flat tier exactly
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(0.69f, 0.72f)), (6L, Array(0.72f, 0.69f)))
+      .toDF("vec_id", "embedding")
+    val flat = Similarity.ivfProbeTopKNeighbors(emb, "vec_id", "embedding",
+        k = 3, targetCellSize = 3, nprobe = 2)
+      .orderBy("id", "rank").collect().toSeq
+    val hier = Similarity.ivfHierProbeTopKNeighbors(emb, "vec_id",
+        "embedding", k = 3, targetCellSize = 3, nprobe = 2, sprobe = 2)
+      .orderBy("id", "rank").collect().toSeq
+    assert(hier === flat)
+  }
+
+  test("ivfHierProbeTopKNeighbors: sprobe covering every super-cell " +
+    "equals flat multi-probe; sprobe=1 only narrows the candidate set") {
+    import graft.llm.Similarity
+    // 8 vectors, tcs=2 → 4 cells → scells = 2 (a REAL coarse split:
+    // super-centroids are ids 1 and 2, centroids 1..4). With sprobe=2
+    // every super-cell is probed, so stage 2 scores every centroid and
+    // the result must be bit-equal to the flat tier.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(0.8f, 0.2f)), (6L, Array(0.2f, 0.8f)),
+      (7L, Array(0.7f, 0.3f)), (8L, Array(0.3f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val flat = Similarity.ivfProbeTopKNeighbors(emb, "vec_id", "embedding",
+        k = 2, targetCellSize = 2, nprobe = 2)
+      .orderBy("id", "rank").collect().toSeq
+    val hier = Similarity.ivfHierProbeTopKNeighbors(emb, "vec_id",
+        "embedding", k = 2, targetCellSize = 2, nprobe = 2, sprobe = 2)
+      .orderBy("id", "rank").collect().toSeq
+    assert(hier === flat)
+    // sprobe=1: each vector sees ONE super-cell's centroids only — a
+    // subset of the flat candidate set, so per-row cosines can only be
+    // ≤ the flat rank-1 cosine, and every vector still emits rows
+    val narrow = Similarity.ivfHierProbeTopKNeighbors(emb, "vec_id",
+        "embedding", k = 2, targetCellSize = 2, nprobe = 2, sprobe = 1)
+      .orderBy("id", "rank").collect().toSeq
+    assert(narrow.map(_.getAs[Long]("id")).distinct.size === 8)
+    val flatBest = flat.groupBy(_.getAs[Long]("id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Double]("cos")).max }
+    narrow.groupBy(_.getAs[Long]("id")).foreach { case (id, rs) =>
+      assert(rs.map(_.getAs[Double]("cos")).max <= flatBest(id))
+    }
+  }
+
+  test("knnClassifyIvfHier: one cell equals the exact classifier") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 9), (2L, Array(0.99f, 0.01f), 5),
+      (3L, Array(0.98f, 0.02f), 3), (4L, Array(-1.0f, 0.1f), 7),
+      (5L, Array(-0.99f, 0.12f), 7), (6L, Array(0.5f, 0.5f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val exact = Eval.knnClassify(emb, "vec_id", "embedding", "label", k = 3)
+      .orderBy("id").collect().toSeq
+    val hier = Eval.knnClassifyIvfHier(emb, "vec_id", "embedding",
+      "label", k = 3, targetCellSize = 100, nprobe = 2, sprobe = 2)
+      .orderBy("id").collect().toSeq
+    assert(hier === exact)
+  }
+
   test("nnMatchAtt: nearest-control picks, tie toward backward, " +
       "unmatched counted") {
     // controls at x=10 (y=100) and x=20 (y=200); treated at 12, 19 and
