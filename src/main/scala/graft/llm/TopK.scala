@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
   * cosine; at cluster scale, billions). A `TypedImperativeAggregate` is
   * map-side combinable: each task reduces its partition to ≤k rows per key
   * before the exchange, so the shuffle carries |keys|×k rows instead of all
-  * candidates, and nothing is globally sorted.
+  * candidates, and nothing is globally sorted. That last clause is only
+  * true in ObjectHashAggregate's HASH mode — see [[TopK.register]], which
+  * raises the 128-key sort-based fallback threshold that would otherwise
+  * silently re-introduce a full-input sort on any large key domain.
   *
   * Ordering matches the window formulation exactly: higher score wins, ties
   * broken by smaller id — so results are identical to `row_number`-based
@@ -107,8 +110,30 @@ case class TopKByScore(
 }
 
 object TopK {
-  def register(spark: SparkSession): Unit =
+  /** ObjectHashAggregateExec (the physical operator every
+    * TypedImperativeAggregate runs in) falls back to SORT-based
+    * aggregation once a partition has seen
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * distinct keys — default 128. For a grouped-top-k over a large key
+    * domain that default silently voids this aggregate's whole contract:
+    * virtually every input row takes the sort path, and the sort spills
+    * the FULL input row (vector payloads included), not the ≤k-pair
+    * state. Measured at sf100 (2M vectors): the flat multi-probe
+    * router's 3.9e9 routing rows × ~550 B needed ~2 TB of sort spill
+    * and died on disk, where hash mode holds 62k bounded heaps per
+    * partition (~tens of MB) and spills nothing. 2^20 keys/partition ×
+    * (k·16 B heap + ~180 B overhead) ≈ 200 MB worst case — safe on any
+    * executor this engine targets, and the fallback still protects a
+    * truly unbounded key domain past that. Raised only while the conf
+    * still carries the Spark default, so an explicit user setting wins. */
+  private val FallbackThresholdKey =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  def register(spark: SparkSession): Unit = {
     graft.GraftFunctions.register(spark, "topk_by_score")
+    if (spark.conf.get(FallbackThresholdKey, "128") == "128")
+      spark.conf.set(FallbackThresholdKey, (1 << 20).toString)
+  }
 
   /** Column form; requires [[register]] on the session first. */
   def topKByScore(score: Column, id: Column, k: Column): Column =
