@@ -61,6 +61,17 @@ object FixtureGen {
     val tableFilter: Option[Set[String]] = flags
       .find(_.startsWith("tables="))
       .map(_.stripPrefix("tables=").split(",").map(_.trim).toSet)
+    // fail fast on unknown table names: a typo (tables=lineitm) would
+    // otherwise "succeed" writing only region/nation and downstream tier
+    // runs would die later on missing parquet paths
+    val knownTables = Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
+    tableFilter.foreach { t =>
+      val unknown = t -- knownTables
+      require(unknown.isEmpty,
+        s"unknown tables=${unknown.mkString(",")}; known: " +
+          knownTables.toSeq.sorted.mkString(","))
+    }
     require(factor >= 1, s"factor=$factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

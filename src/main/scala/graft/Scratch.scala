@@ -21,6 +21,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.llm.TopK.raiseSortFallbackThreshold(spark)
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = QueryRegistry.byName(n).run(spark, dir).count()

@@ -21,6 +21,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // driver-entry-point scope for the ObjectHashAggregate hash-mode
+    // capacity (see TopK.raiseSortFallbackThreshold's scaladoc)
+    graft.llm.TopK.raiseSortFallbackThreshold(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -115,7 +115,11 @@ object Eval {
     * coarse level kills the flat router's n·cells term at its ~2M-vector
     * crossover). Same vote, same tie-breaks; with cells ≤ 3 the coarse
     * level is a no-op and this equals the flat tier by construction
-    * (EvalSpec gate). */
+    * (EvalSpec gate). MEASURED CAVEAT: this variant's coarse level is
+    * id-seeded (untrained) — on a drifted corpus it collapses assignment
+    * mass and ran 3.3× SLOWER than flat at sf100 (SCALING.md finding 3 /
+    * CellBalance); linear-candidate volume holds only when the coarse
+    * level spreads. Prefer [[knnClassifyIvfHierTrained]] at scale. */
   def knnClassifyIvfHier(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int, targetCellSize: Int, nprobe: Int,
       sprobe: Int): DataFrame = {
@@ -123,6 +127,20 @@ object Eval {
       col(labelCol).cast("long").as("lbl"))
     majorityVote(labels, Similarity.ivfHierProbeTopKNeighbors(
       emb, idCol, vecCol, k, targetCellSize, nprobe, sprobe))
+  }
+
+  /** kNN vote over
+    * [[graft.llm.Similarity.ivfHierProbeTopKNeighborsTrained]] — the
+    * two-level tier with a k-means-trained coarse quantizer (the fix for
+    * the measured id-seeded inversion above). Same vote, same
+    * tie-breaks. */
+  def knnClassifyIvfHierTrained(emb: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, targetCellSize: Int,
+      nprobe: Int, sprobe: Int, trainIters: Int): DataFrame = {
+    val labels = emb.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("lbl"))
+    majorityVote(labels, Similarity.ivfHierProbeTopKNeighborsTrained(
+      emb, idCol, vecCol, k, targetCellSize, nprobe, sprobe, trainIters))
   }
 
   /** Shared kNN vote: count labels over (id, neighbor_id) candidate

@@ -236,6 +236,186 @@ object Similarity {
         round(col("t.score"), 8).as("cos"))
   }
 
+  // ---------------------------------------------------------------------
+  // Multi-probe IVF routing stages — shared by the flat tier, the
+  // two-level (hier) tiers, and the [[graft.CellBalance]] diagnostic,
+  // which must replay the PRODUCTION routing tree by construction (a
+  // copy would silently measure a different router the moment a seeding
+  // or tie-break rule changed here).
+  // ---------------------------------------------------------------------
+
+  /** (id, v, n2) with zero-norm vectors excluded from corpus and queries
+    * alike (no cosine exists — the [[mrlOverlap]] convention). */
+  private[graft] def ivfNorm(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    DotProduct.register(emb.sparkSession)
+    emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .where(col("n2") > 0.0)
+  }
+
+  /** The `cells` lowest-id vectors as a broadcast centroid table
+    * (cid, cv, cn2) — the deterministic, engine-portable id-seeding rule
+    * shared with [[ivfCells]] and the k-means seeds. */
+  private[graft] def lowestIdCentroids(withNorm: DataFrame,
+      cells: Int): DataFrame =
+    broadcast(withNorm.orderBy(col("id")).limit(cells)
+      .toDF("cid", "cv", "cn2"))
+
+  /** Id-seeded super-centroids (sid, sv, sn2): the `scells` lowest-id
+    * vectors. MEASURED CAVEAT (sf100, 2M vectors — SCALING.md finding 3 /
+    * CellBalance): id-seeding the COARSE level is only safe when the
+    * lowest-id vectors happen to spread the corpus; on a drifted fixture
+    * the untrained super-centroids collapse assignment mass (maxAssign
+    * 45,042 vs flat 3,242), inflate candidate pairs 4.2×, and the hier
+    * tier runs 3.3× SLOWER than flat. Use [[trainedSuperCents]] at scale. */
+  private[graft] def idSeededSuperCents(withNorm: DataFrame,
+      scells: Int): DataFrame =
+    broadcast(withNorm.orderBy(col("id")).limit(scells)
+      .toDF("sid", "sv", "sn2"))
+
+  /** K-MEANS-TRAINED super-centroids (sid, sv, sn2) — the fix for the
+    * [[idSeededSuperCents]] collapse: `iters` deterministic fixed-point
+    * Lloyd rounds (the [[kmeansAssign]] arithmetic — seeds are the
+    * `scells` lowest-id CENTROIDS, distances exact integer sums of
+    * 2^scaleBits fixed-point squared differences, ties to the smaller
+    * seed id) run over the CENTROID TABLE itself, and the trained
+    * super-centroid is the final per-cluster mean, each component
+    * `round(Σxi/2^scaleBits/n, 8)` — a double computed by the identical
+    * expression in any engine, so the oracle replays the training
+    * relationally. Training cost is cells×scells×iters exact integer
+    * dots — broadcast-scale (the centroid table is ~n/targetCellSize
+    * rows), NOT an n-scale pass, which is what makes a trained coarse
+    * level affordable where FAISS pays a sampled k-means.
+    *
+    * A seed whose cluster empties in some round drops out (the
+    * [[kmeansAssign]] convention, mirrored by the oracle's joins); a
+    * surviving cluster always has every dim. `sid` is the seed
+    * centroid's cid, so tie-breaks stay anchored to the same id space. */
+  private[graft] def trainedSuperCents(centroids: DataFrame, scells: Int,
+      iters: Int, scaleBits: Int = 20): DataFrame = {
+    require(scells >= 1 && iters >= 1,
+      s"trainedSuperCents: scells=$scells iters=$iters")
+    val scale = (1L << scaleBits).toDouble
+    val cvx = centroids
+      .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("x") * lit(scale)).cast("long").as("xi"))
+    val seeds = centroids.orderBy(col("cid")).limit(scells)
+      .select(col("cid").as("cluster"))
+    var cent = seeds
+      .join(cvx.withColumnRenamed("cid", "cluster"), Seq("cluster"))
+      .select(col("cluster"), col("dim"), col("xi").as("ci"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("d2").asc, col("cluster").asc)
+    var means: DataFrame = null
+    for (_ <- 1 to iters) {
+      val diff = col("xi") - col("ci")
+      val assign = cvx.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("cid"), col("cluster"))
+        .agg(sum(diff * diff).as("d2"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cid"), col("cluster"))
+      means = assign.join(cvx, Seq("cid"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(round(sum(col("xi")).cast("double") / lit(scale) /
+          count(lit(1)), 8).as("m"))
+      cent = means.select(col("cluster"), col("dim"),
+        floor(col("m") * lit(scale)).cast("long").as("ci"))
+    }
+    broadcast(means
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("__sm"))
+      .select(col("cluster").as("sid"),
+        transform(col("__sm"), x => x.getField("m")).as("sv"))
+      .withColumn("sn2", dot(col("sv"), col("sv"))))
+  }
+
+  /** Flat routing: broadcast-score every centroid, keep the top-nprobe
+    * per vector with the bounded-heap aggregate — TopK's (score desc, id
+    * asc) order matches the assignment tie-break; probes(1) IS the
+    * assignment. Materialized once (localCheckpoint): both candidate
+    * join sides consume it, and the routing scan is the expensive
+    * subtree. Returns (id, probes[nprobe], v, n2). */
+  private[graft] def flatRoute(withNorm: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    TopK.register(withNorm.sparkSession)
+    withNorm.crossJoin(centroids)
+      .select(col("id"), col("v"), col("n2"),
+        cosine(col("v"), col("n2"), col("cv"), col("cn2")).as("score"),
+        col("cid"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("score"), col("cid"), lit(nprobe))
+          .as("probes"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .localCheckpoint()
+  }
+
+  /** Two-level routing: assign each centroid to its nearest super-cell
+    * (cells × scells broadcast job), probe each vector's `sprobe`
+    * nearest super-cells, then score only the centroids living in those
+    * super-cells (a broadcast equi-join on sid — a centroid maps to
+    * exactly ONE super-cell, so (id, cid) pairs are unique by
+    * construction). Same output contract as [[flatRoute]]. */
+  private[graft] def hierRoute(withNorm: DataFrame, centroids: DataFrame,
+      superCents: DataFrame, nprobe: Int, sprobe: Int): DataFrame = {
+    TopK.register(withNorm.sparkSession)
+    val cmap = broadcast(centroids.crossJoin(superCents)
+      .select(col("cid"), col("cv"), col("cn2"),
+        cosine(col("cv"), col("cn2"), col("sv"), col("sn2")).as("score"),
+        col("sid"))
+      .groupBy(col("cid"))
+      .agg(TopK.topKByScore(col("score"), col("sid"), lit(1)).as("s"),
+        first(col("cv")).as("cv"), first(col("cn2")).as("cn2"))
+      .select(col("cid"), col("cv"), col("cn2"),
+        element_at(col("s"), 1).getField("id").as("sid")))
+    val sroutes = withNorm.crossJoin(superCents)
+      .select(col("id"), col("v"), col("n2"),
+        cosine(col("v"), col("n2"), col("sv"), col("sn2")).as("score"),
+        col("sid"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("score"), col("sid"), lit(sprobe))
+          .as("sps"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .select(col("id"), col("v"), col("n2"),
+        explode(transform(col("sps"), p => p.getField("id"))).as("sid"))
+    sroutes.join(cmap, Seq("sid"))
+      .select(col("id"), col("v"), col("n2"),
+        cosine(col("v"), col("n2"), col("cv"), col("cn2")).as("score"),
+        col("cid"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("score"), col("cid"), lit(nprobe))
+          .as("probes"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+      .localCheckpoint()
+  }
+
+  /** Probe⋈assign candidate equi-join + bounded-heap top-k tail shared
+    * by every multi-probe tier: probes explode to (id, cell) query rows,
+    * probes(1) is the data-side assignment, candidates pay one exact
+    * cosine, and the per-id top-k reduces map-side (|ids|×k shuffle
+    * rows). Output: id, neighbor_id, rank, cos. */
+  private def probeTopKTail(routed: DataFrame, k: Int): DataFrame = {
+    val qry = routed.select(col("id"), col("v").as("v1"),
+      col("n2").as("n21"),
+      explode(transform(col("probes"), p => p.getField("id"))).as("cell"))
+    val data = routed.select(col("id").as("neighbor_id"),
+      col("v").as("v2"), col("n2").as("n22"),
+      element_at(col("probes"), 1).getField("id").as("cell"))
+    qry.join(data, Seq("cell"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"),
+        cosine(col("v1"), col("n21"), col("v2"), col("n22")).as("cos"),
+        col("neighbor_id"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 8).as("cos"))
+  }
+
   /** Multi-probe IVF top-k neighbors — the LINEAR-candidate-volume ANN
     * contract the auto-√n tier can't give (√n cells ⇒ Σ cell² ≈ n^1.5
     * candidates, the measured 62.6× for 10× rows at sf10):
@@ -275,47 +455,11 @@ object Similarity {
     require(k >= 1 && targetCellSize >= 1 && nprobe >= 1,
       s"ivfProbeTopKNeighbors: k=$k targetCellSize=$targetCellSize " +
         s"nprobe=$nprobe")
-    DotProduct.register(emb.sparkSession)
-    TopK.register(emb.sparkSession)
-    val withNorm = emb.select(col(idCol).as("id"),
-        vecDouble(col(vecCol)).as("v"))
-      .withColumn("n2", dot(col("v"), col("v")))
-      .where(col("n2") > 0.0)
+    val withNorm = ivfNorm(emb, idCol, vecCol)
     val n = withNorm.count()
     val cells = math.max(1L, n / targetCellSize).toInt
-    val centroids = broadcast(withNorm.orderBy(col("id")).limit(cells)
-      .toDF("cid", "cv", "cn2"))
-    // routing: broadcast-score all centroids, keep the top-nprobe per
-    // vector with the bounded-heap aggregate — TopK's (score desc, id
-    // asc) order matches the assignment tie-break; probes(1) IS the
-    // assignment. Materialized once (localCheckpoint): both join sides
-    // below consume it, and the routing scan is the expensive subtree.
-    val routed = withNorm.crossJoin(centroids)
-      .select(col("id"), col("v"), col("n2"),
-        cosine(col("v"), col("n2"), col("cv"), col("cn2")).as("score"),
-        col("cid"))
-      .groupBy(col("id"))
-      .agg(TopK.topKByScore(col("score"), col("cid"), lit(nprobe))
-          .as("probes"),
-        first(col("v")).as("v"), first(col("n2")).as("n2"))
-      .localCheckpoint()
-    val qry = routed.select(col("id"), col("v").as("v1"),
-      col("n2").as("n21"),
-      explode(transform(col("probes"), p => p.getField("id"))).as("cell"))
-    val data = routed.select(col("id").as("neighbor_id"),
-      col("v").as("v2"), col("n2").as("n22"),
-      element_at(col("probes"), 1).getField("id").as("cell"))
-    qry.join(data, Seq("cell"))
-      .filter(col("id") =!= col("neighbor_id"))
-      .select(col("id"),
-        cosine(col("v1"), col("n21"), col("v2"), col("n22")).as("cos"),
-        col("neighbor_id"))
-      .groupBy(col("id"))
-      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), lit(k)).as("top"))
-      .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("id"), col("t.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"),
-        round(col("t.score"), 8).as("cos"))
+    val centroids = lowestIdCentroids(withNorm, cells)
+    probeTopKTail(flatRoute(withNorm, centroids, nprobe), k)
   }
 
   /** Two-level (coarse-quantized) multi-probe IVF top-k — the routing
@@ -327,8 +471,8 @@ object Similarity {
     * fixture. The standard fix (FAISS's coarse quantizer in front of an
     * IVF list scan) adds one level:
     *
-    *  - ⌊√cells⌋ SUPER-centroids (min 1; the lowest-id centroids — same
-    *    deterministic seeding rule as the centroids themselves);
+    *  - ⌊√cells⌋ SUPER-centroids (min 1; id-seeded — the lowest-id
+    *    centroids, same deterministic rule as the centroids themselves);
     *  - each centroid is assigned to its nearest super-centroid (cosine,
     *    ties to the smaller super-id) — a cells×√cells broadcast job;
     *  - each vector scores only the √cells super-centroids, probes its
@@ -336,16 +480,23 @@ object Similarity {
     *    those super-cells: ~sprobe·√cells of them.
     *
     * Routing rows drop from n·cells to n·(√cells + sprobe·√cells) =
-    * O(n·√cells·sprobe) — at the 2M-vector crossover that is ~15× less
-    * routing work, and the end-to-end volume is candidates-dominated
-    * (n·nprobe·targetCellSize, linear) through the sf100 decade and the
-    * one after it. The price is the standard recall approximation: a
-    * centroid whose super-cell is not probed is invisible to that query
-    * vector even if it is the true nearest (with scells = 1 — i.e.
-    * cells ≤ 3 — stage 1 is a no-op and this IS flat multi-probe,
-    * spec-gated). Every score is the same sequential-fold double cosine,
-    * all ties break to the smaller id, and the oracle replays the whole
-    * two-level split relationally, so results stay engine-portable.
+    * O(n·√cells·sprobe). MEASURED CAVEAT (sf100, 2M drifted vectors —
+    * SCALING.md finding 3 / CellBalance): the end-to-end volume is
+    * candidates-dominated (linear) ONLY when the coarse level spreads
+    * assignment mass. This variant's UNTRAINED id-seeded super-centroids
+    * collapse on drifted corpora — maxAssign 45,042 vs flat 3,242,
+    * candidate pairs 1.89e10 vs 4.51e9, wall-clock 3.3× SLOWER than flat
+    * — exactly the failure FAISS trains its coarse quantizer to avoid.
+    * Prefer [[ivfHierProbeTopKNeighborsTrained]] beyond the ~2M-vector
+    * crossover; this id-seeded form is safe for well-spread corpora and
+    * as the spec-gated equivalence baseline. The price of any coarse
+    * level is the standard recall approximation: a centroid whose
+    * super-cell is not probed is invisible to that query vector even if
+    * it is the true nearest (with scells = 1 — i.e. cells ≤ 3 — stage 1
+    * is a no-op and this IS flat multi-probe, spec-gated). Every score
+    * is the same sequential-fold double cosine, all ties break to the
+    * smaller id, and the oracle replays the whole two-level split
+    * relationally, so results stay engine-portable.
     * Output: id, neighbor_id, rank, cos. */
   def ivfHierProbeTopKNeighbors(emb: DataFrame, idCol: String,
       vecCol: String, k: Int, targetCellSize: Int, nprobe: Int,
@@ -353,72 +504,45 @@ object Similarity {
     require(k >= 1 && targetCellSize >= 1 && nprobe >= 1 && sprobe >= 1,
       s"ivfHierProbeTopKNeighbors: k=$k targetCellSize=$targetCellSize " +
         s"nprobe=$nprobe sprobe=$sprobe")
-    DotProduct.register(emb.sparkSession)
-    TopK.register(emb.sparkSession)
-    val withNorm = emb.select(col(idCol).as("id"),
-        vecDouble(col(vecCol)).as("v"))
-      .withColumn("n2", dot(col("v"), col("v")))
-      .where(col("n2") > 0.0)
+    val withNorm = ivfNorm(emb, idCol, vecCol)
     val n = withNorm.count()
     val cells = math.max(1L, n / targetCellSize).toInt
     val scells = math.max(1, math.floor(math.sqrt(cells.toDouble)).toInt)
-    val centroids = broadcast(withNorm.orderBy(col("id")).limit(cells)
-      .toDF("cid", "cv", "cn2"))
-    val superCents = broadcast(withNorm.orderBy(col("id")).limit(scells)
-      .toDF("sid", "sv", "sn2"))
-    // centroid -> super-cell map: cells × scells scored rows (a few 10⁵
-    // at the crossover decade), reduced by the same bounded-heap TopK
-    // and broadcast to both routing stages below
-    val cmap = broadcast(centroids.crossJoin(superCents)
-      .select(col("cid"), col("cv"), col("cn2"),
-        cosine(col("cv"), col("cn2"), col("sv"), col("sn2")).as("score"),
-        col("sid"))
-      .groupBy(col("cid"))
-      .agg(TopK.topKByScore(col("score"), col("sid"), lit(1)).as("s"),
-        first(col("cv")).as("cv"), first(col("cn2")).as("cn2"))
-      .select(col("cid"), col("cv"), col("cn2"),
-        element_at(col("s"), 1).getField("id").as("sid")))
-    // stage 1: each vector probes its sprobe nearest super-cells
-    val sroutes = withNorm.crossJoin(superCents)
-      .select(col("id"), col("v"), col("n2"),
-        cosine(col("v"), col("n2"), col("sv"), col("sn2")).as("score"),
-        col("sid"))
-      .groupBy(col("id"))
-      .agg(TopK.topKByScore(col("score"), col("sid"), lit(sprobe))
-          .as("sps"),
-        first(col("v")).as("v"), first(col("n2")).as("n2"))
-      .select(col("id"), col("v"), col("n2"),
-        explode(transform(col("sps"), p => p.getField("id"))).as("sid"))
-    // stage 2: score only the centroids living in the probed super-cells
-    // (broadcast equi-join on sid — a centroid maps to exactly ONE
-    // super-cell, so (id, cid) pairs are unique by construction);
-    // probes(1) IS the data-side assignment, as in the flat tier
-    val routed = sroutes.join(cmap, Seq("sid"))
-      .select(col("id"), col("v"), col("n2"),
-        cosine(col("v"), col("n2"), col("cv"), col("cn2")).as("score"),
-        col("cid"))
-      .groupBy(col("id"))
-      .agg(TopK.topKByScore(col("score"), col("cid"), lit(nprobe))
-          .as("probes"),
-        first(col("v")).as("v"), first(col("n2")).as("n2"))
-      .localCheckpoint()
-    val qry = routed.select(col("id"), col("v").as("v1"),
-      col("n2").as("n21"),
-      explode(transform(col("probes"), p => p.getField("id"))).as("cell"))
-    val data = routed.select(col("id").as("neighbor_id"),
-      col("v").as("v2"), col("n2").as("n22"),
-      element_at(col("probes"), 1).getField("id").as("cell"))
-    qry.join(data, Seq("cell"))
-      .filter(col("id") =!= col("neighbor_id"))
-      .select(col("id"),
-        cosine(col("v1"), col("n21"), col("v2"), col("n22")).as("cos"),
-        col("neighbor_id"))
-      .groupBy(col("id"))
-      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), lit(k)).as("top"))
-      .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("id"), col("t.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"),
-        round(col("t.score"), 8).as("cos"))
+    val centroids = lowestIdCentroids(withNorm, cells)
+    val superCents = idSeededSuperCents(withNorm, scells)
+    probeTopKTail(hierRoute(withNorm, centroids, superCents, nprobe,
+      sprobe), k)
+  }
+
+  /** [[ivfHierProbeTopKNeighbors]] with a K-MEANS-TRAINED coarse level
+    * ([[trainedSuperCents]]) — the production two-level tier. The
+    * round-7 sf100 measurement showed the id-seeded coarse quantizer
+    * INVERTING the hier win on a drifted corpus (1873.9 s vs flat
+    * 574.1 s; CellBalance maxAssign 45,042 vs 3,242): a coarse quantizer
+    * is only as good as its training, so this variant spends
+    * cells×scells×trainIters exact integer dots (broadcast-scale — the
+    * training set is the centroid table, not the corpus) to spread the
+    * super-cells before any n-scale routing happens. Routing, candidate
+    * join, top-k, and every tie-break are the identical shared stages;
+    * the oracle unrolls the Lloyd rounds relationally, so the result
+    * stays engine-portable and hash-checkable.
+    * Output: id, neighbor_id, rank, cos. */
+  def ivfHierProbeTopKNeighborsTrained(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int, targetCellSize: Int, nprobe: Int,
+      sprobe: Int, trainIters: Int): DataFrame = {
+    require(k >= 1 && targetCellSize >= 1 && nprobe >= 1 && sprobe >= 1 &&
+      trainIters >= 1,
+      s"ivfHierProbeTopKNeighborsTrained: k=$k " +
+        s"targetCellSize=$targetCellSize nprobe=$nprobe sprobe=$sprobe " +
+        s"trainIters=$trainIters")
+    val withNorm = ivfNorm(emb, idCol, vecCol)
+    val n = withNorm.count()
+    val cells = math.max(1L, n / targetCellSize).toInt
+    val scells = math.max(1, math.floor(math.sqrt(cells.toDouble)).toInt)
+    val centroids = lowestIdCentroids(withNorm, cells)
+    val superCents = trainedSuperCents(centroids, scells, trainIters)
+    probeTopKTail(hierRoute(withNorm, centroids, superCents, nprobe,
+      sprobe), k)
   }
 
   /** Hard-negative mining over the IVF cells — the contrastive-training

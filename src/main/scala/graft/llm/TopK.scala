@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   * map-side combinable: each task reduces its partition to ≤k rows per key
   * before the exchange, so the shuffle carries |keys|×k rows instead of all
   * candidates, and nothing is globally sorted. That last clause is only
-  * true in ObjectHashAggregate's HASH mode — see [[TopK.register]], which
-  * raises the 128-key sort-based fallback threshold that would otherwise
+  * true in ObjectHashAggregate's HASH mode — see
+  * [[TopK.raiseSortFallbackThreshold]], which the driver entry points call
+  * to lift the 128-key sort-based fallback threshold that would otherwise
   * silently re-introduce a full-input sort on any large key domain.
   *
   * Ordering matches the window formulation exactly: higher score wins, ties
@@ -124,16 +125,39 @@ object TopK {
     * partition (~tens of MB) and spills nothing. 2^20 keys/partition ×
     * (k·16 B heap + ~180 B overhead) ≈ 200 MB worst case — safe on any
     * executor this engine targets, and the fallback still protects a
-    * truly unbounded key domain past that. Raised only while the conf
-    * still carries the Spark default, so an explicit user setting wins. */
+    * truly unbounded key domain past that. */
   private val FallbackThresholdKey =
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
 
-  def register(spark: SparkSession): Unit = {
+  /** Graft-scoped override knob for the raise below: set
+    * `spark.graft.objectHashCapacity=<n>` (any value, including 128) and
+    * the entry points apply THAT instead of the 2^20 default. This is
+    * the only reliable "user explicitly chose" signal: for a REGISTERED
+    * Spark conf, `spark.conf.getOption` returns the DEFAULT ("128") even
+    * when nothing was ever set, so unset-vs-explicitly-128 is not
+    * distinguishable through the public conf API (measured the hard way:
+    * an isEmpty guard here never fired and CellBalance re-ran the 2 TB
+    * sf100 sort-spill this raise exists to prevent). */
+  private val CapacityKey = "spark.graft.objectHashCapacity"
+
+  /** Raise the sort-based fallback threshold for this session — called by
+    * the DRIVER ENTRY POINTS (Bench / Verify / CellBalance / Scratch),
+    * never as a side effect of registering a function: the threshold is
+    * session-wide and also governs Spark builtins with genuinely
+    * unbounded per-key buffers (collect_list / collect_set / percentile),
+    * where the sort fallback is an OOM safety valve. A raise hidden
+    * inside register() would silently disable that valve for everything
+    * in the session — including sessions graft does not own. The graft
+    * mains own their sessions, so here the raise is unconditional (to
+    * 2^20, or to [[CapacityKey]] when set — the explicit-user-choice
+    * channel, since the underlying Spark conf cannot distinguish unset
+    * from explicitly-128 through the public API). */
+  def raiseSortFallbackThreshold(spark: SparkSession): Unit =
+    spark.conf.set(FallbackThresholdKey,
+      spark.conf.getOption(CapacityKey).getOrElse((1 << 20).toString))
+
+  def register(spark: SparkSession): Unit =
     graft.GraftFunctions.register(spark, "topk_by_score")
-    if (spark.conf.get(FallbackThresholdKey, "128") == "128")
-      spark.conf.set(FallbackThresholdKey, (1 << 20).toString)
-  }
 
   /** Column form; requires [[register]] on the session first. */
   def topKByScore(score: Column, id: Column, k: Column): Column =

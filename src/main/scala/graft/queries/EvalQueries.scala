@@ -152,7 +152,12 @@ object EvalQueries {
     // probes sprobe=2 super-cells, then scores only their centroids)
     // cuts routing to O(n·√cells) — the FAISS coarse-quantizer shape.
     // Same vote, same tie-breaks; the oracle replays the two-level
-    // routing relationally (scent/cmap/sroute CTEs).
+    // routing relationally (scent/cmap/sroute CTEs). MEASURED CAVEAT
+    // (SCALING.md sf100 finding 3 / CellBalance): this tier's coarse
+    // level is id-seeded (untrained) — on a drifted corpus it collapses
+    // assignment mass and ran 3.3× SLOWER than flat at sf100; the
+    // linear-candidate contract holds only when the coarse level
+    // spreads. q_knn_ann_trained below is the production form.
     QuerySpec("q_knn_ann_hier", (s, dir) => {
       Eval.knnClassifyIvfHier(t(s, dir, "embeddings"), "vec_id",
           "embedding", "label", k = 5, targetCellSize = 1024, nprobe = 2,
@@ -161,6 +166,54 @@ object EvalQueries {
     }, Some(
       s"""WITH ${SimilarityQueries.normCte},
          |${SimilarityQueries.ivfHierProbeCte(1024, 2, 2)},
+         |p AS (
+         |  SELECT q.id AS id, d.id AS nid,
+         |         ${SimilarityQueries.dotSql("q.v", "d.v")}
+         |           / SQRT(q.n2 * d.n2) AS cos
+         |  FROM probes q JOIN assign d
+         |    ON q.cell = d.cell AND q.id <> d.id),
+         |top AS (
+         |  SELECT id, nid FROM (
+         |    SELECT id, nid,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY cos DESC, nid) AS rnk
+         |    FROM p)
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT top.id, CAST(e.label AS BIGINT) AS nlbl,
+         |         COUNT(*) AS cnt
+         |  FROM top JOIN embeddings e ON e.vec_id = top.nid
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT id, nlbl AS predicted FROM (
+         |    SELECT id, nlbl,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY cnt DESC, nlbl) AS rn
+         |    FROM votes)
+         |  WHERE rn = 1)
+         |SELECT e.vec_id AS id, CAST(e.label AS BIGINT) AS actual,
+         |       predicted, CAST(e.label AS BIGINT) = predicted AS correct
+         |FROM embeddings e JOIN pred ON pred.id = e.vec_id
+         |ORDER BY id""".stripMargin)),
+
+    // Two-level multi-probe IVF 5-NN with a K-MEANS-TRAINED coarse
+    // quantizer — the production form of q_knn_ann_hier. The id-seeded
+    // coarse level measurably INVERTS at sf100 on a drifted corpus
+    // (hier 1873.9 s vs flat 574.1 s; CellBalance maxAssign 45,042 vs
+    // 3,242 — a coarse quantizer is only as good as its training), so
+    // this tier spends 2 deterministic fixed-point Lloyd rounds over the
+    // CENTROID TABLE (cells×scells×2 exact integer dots — broadcast-
+    // scale, never an n-scale pass) before any routing. The oracle
+    // unrolls the training relationally (td/ta/tm/tc CTEs) and replays
+    // the identical two-level split against the trained means.
+    QuerySpec("q_knn_ann_trained", (s, dir) => {
+      Eval.knnClassifyIvfHierTrained(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 5, targetCellSize = 1024, nprobe = 2,
+          sprobe = 2, trainIters = 2)
+        .orderBy("id")
+    }, Some(
+      s"""WITH ${SimilarityQueries.normCte},
+         |${SimilarityQueries.ivfHierTrainedProbeCte(1024, 2, 2, 2)},
          |p AS (
          |  SELECT q.id AS id, d.id AS nid,
          |         ${SimilarityQueries.dotSql("q.v", "d.v")}

@@ -141,6 +141,99 @@ object SimilarityQueries {
        |assign AS (SELECT id, v, n2, cell FROM ranked WHERE rn = 1),
        |probes AS (SELECT id, v, n2, cell FROM ranked WHERE rn <= $nprobe)""".stripMargin
 
+  /** Two-level multi-probe IVF oracle fragment with a K-MEANS-TRAINED
+    * coarse level (expects the `n` norm CTE), mirroring
+    * [[graft.llm.Similarity.ivfHierProbeTopKNeighborsTrained]]: `cvx`
+    * explodes the centroid table to 2^20 fixed-point longs, `sseed`
+    * takes the lowest ⌊√cells⌋ centroid ids as Lloyd seeds, and
+    * `trainIters` unrolled rounds (td/ta/tm/tc — exact integer L2
+    * assign with ties to the smaller seed, mean update
+    * `ROUND(SUM(xi)/2^20/COUNT, 8)` re-quantized via FLOOR) produce the
+    * trained super-centroids `scent` (per-cluster mean vectors via
+    * `list(m ORDER BY dim)`). The routing split (cmap/sroute/ranked/
+    * assign/probes) is the [[ivfHierProbeCte]] shape verbatim, scoring
+    * against the trained means instead of the lowest-id vectors.
+    * `cent`/`cvx` are MATERIALIZED — DuckDB 1.0 re-inlines CTEs at every
+    * reference and both feed multiple rounds. */
+  private[queries] def ivfHierTrainedProbeCte(targetCellSize: Int,
+      nprobe: Int, sprobe: Int, trainIters: Int): String = {
+    require(trainIters >= 1, s"trainIters=$trainIters")
+    val head =
+      s"""pos AS (SELECT vec_id, v, n2 FROM n WHERE n2 > 0),
+         |cent AS MATERIALIZED (
+         |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM (
+         |    SELECT vec_id, v, n2,
+         |           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+         |           COUNT(*) OVER () AS nn
+         |    FROM pos) t
+         |  WHERE rn <= GREATEST(1, nn // $targetCellSize)),
+         |cvx AS MATERIALIZED (
+         |  SELECT cid, unnest(range(1, len(cv) + 1)) AS dim,
+         |         unnest(list_transform(range(1, len(cv) + 1),
+         |                  d -> CAST(FLOOR(cv[d] * 1048576.0) AS BIGINT)))
+         |           AS xi
+         |  FROM cent),
+         |sseed AS (
+         |  SELECT cid AS cluster FROM (
+         |    SELECT cid, ROW_NUMBER() OVER (ORDER BY cid) AS rn,
+         |           COUNT(*) OVER () AS nc
+         |    FROM cent) t
+         |  WHERE rn <= GREATEST(1, CAST(FLOOR(SQRT(CAST(nc AS DOUBLE)))
+         |                               AS BIGINT))),
+         |tc0 AS (SELECT s.cluster, cvx.dim, cvx.xi AS ci
+         |        FROM sseed s JOIN cvx ON cvx.cid = s.cluster)""".stripMargin
+    val rounds = (1 to trainIters).map { i =>
+      s"""td$i AS (SELECT cvx.cid, c.cluster,
+         |              SUM((cvx.xi - c.ci) * (cvx.xi - c.ci)) AS d2
+         |       FROM cvx JOIN tc${i - 1} c USING (dim)
+         |       GROUP BY cvx.cid, c.cluster),
+         |ta$i AS (SELECT cid, cluster FROM (
+         |         SELECT cid, cluster,
+         |                ROW_NUMBER() OVER (PARTITION BY cid
+         |                                   ORDER BY d2, cluster) AS rn
+         |         FROM td$i) WHERE rn = 1),
+         |tm$i AS MATERIALIZED (
+         |        SELECT a.cluster, cvx.dim,
+         |               ROUND(CAST(SUM(cvx.xi) AS DOUBLE) / 1048576.0
+         |                     / COUNT(*), 8) AS m
+         |        FROM ta$i a JOIN cvx ON cvx.cid = a.cid
+         |        GROUP BY a.cluster, cvx.dim),
+         |tc$i AS (SELECT cluster, dim,
+         |               CAST(FLOOR(m * 1048576.0) AS BIGINT) AS ci
+         |        FROM tm$i)""".stripMargin
+    }
+    val tail =
+      s"""scent AS MATERIALIZED (
+         |  SELECT sid, sv, ${dotSql("sv", "sv")} AS sn2 FROM (
+         |    SELECT cluster AS sid, list(m ORDER BY dim) AS sv
+         |    FROM tm$trainIters GROUP BY cluster)),
+         |cmap AS (
+         |  SELECT cid, cv, cn2, sid FROM (
+         |    SELECT c.cid, c.cv, c.cn2, s.sid,
+         |           ROW_NUMBER() OVER (PARTITION BY c.cid
+         |             ORDER BY ${dotSql("c.cv", "s.sv")} / SQRT(c.cn2 * s.sn2) DESC,
+         |                      s.sid ASC) AS rn
+         |    FROM cent c CROSS JOIN scent s) t
+         |  WHERE rn = 1),
+         |sroute AS (
+         |  SELECT id, v, n2, sid FROM (
+         |    SELECT p.vec_id AS id, p.v, p.n2, s.sid,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |             ORDER BY ${dotSql("p.v", "s.sv")} / SQRT(p.n2 * s.sn2) DESC,
+         |                      s.sid ASC) AS rn
+         |    FROM pos p CROSS JOIN scent s) t
+         |  WHERE rn <= $sprobe),
+         |ranked AS (
+         |  SELECT r.id, r.v, r.n2, m.cid AS cell,
+         |         ROW_NUMBER() OVER (PARTITION BY r.id
+         |           ORDER BY ${dotSql("r.v", "m.cv")} / SQRT(r.n2 * m.cn2) DESC,
+         |                    m.cid ASC) AS rn
+         |  FROM sroute r JOIN cmap m ON r.sid = m.sid),
+         |assign AS (SELECT id, v, n2, cell FROM ranked WHERE rn = 1),
+         |probes AS (SELECT id, v, n2, cell FROM ranked WHERE rn <= $nprobe)""".stripMargin
+    (Seq(head) ++ rounds ++ Seq(tail)).mkString(",\n")
+  }
+
   def specs: Seq[QuerySpec] = Seq(
 
     // Vector norms through the declarative HOF surface (zip_with squares →

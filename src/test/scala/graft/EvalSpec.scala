@@ -203,6 +203,77 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("ivfHierProbeTopKNeighborsTrained: sprobe covering every " +
+    "super-cell equals flat multi-probe (training moves routing, never " +
+    "scores, when nothing is pruned)") {
+    import graft.llm.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(0.8f, 0.2f)), (6L, Array(0.2f, 0.8f)),
+      (7L, Array(0.7f, 0.3f)), (8L, Array(0.3f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val flat = Similarity.ivfProbeTopKNeighbors(emb, "vec_id", "embedding",
+        k = 2, targetCellSize = 2, nprobe = 2)
+      .orderBy("id", "rank").collect().toSeq
+    val trained = Similarity.ivfHierProbeTopKNeighborsTrained(emb,
+        "vec_id", "embedding", k = 2, targetCellSize = 2, nprobe = 2,
+        sprobe = 2, trainIters = 2)
+      .orderBy("id", "rank").collect().toSeq
+    assert(trained === flat)
+  }
+
+  test("trainedSuperCents: two Lloyd rounds separate a drifted corpus " +
+    "whose id-seeded coarse pool is one-sided; deterministic under " +
+    "repartition") {
+    import graft.llm.Similarity
+    // 16 vectors, tcs=2 → 8 centroids (ids 1-8), scells=2 → the
+    // id-seeded super-centroid pool is ids {1, 2} — BOTH A-direction
+    // (the drift collapse shape from the sf100 measurement). K-means
+    // seeds start at the same two ids, but round 1 pulls cluster 2's
+    // mean toward the B mass and round 2 re-assigns cleanly: one
+    // trained super-centroid per direction.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.97f, 0.05f)),
+      (3L, Array(0.95f, 0.1f)), (4L, Array(0.9f, 0.05f)),
+      (5L, Array(0.05f, 1.0f)), (6L, Array(0.1f, 0.95f)),
+      (7L, Array(0.05f, 0.9f)), (8L, Array(0.15f, 0.85f)),
+      (9L, Array(0.92f, 0.08f)), (10L, Array(0.12f, 0.88f)),
+      (11L, Array(0.88f, 0.12f)), (12L, Array(0.08f, 0.92f)),
+      (13L, Array(0.93f, 0.07f)), (14L, Array(0.07f, 0.93f)),
+      (15L, Array(0.91f, 0.09f)), (16L, Array(0.09f, 0.91f)))
+      .toDF("vec_id", "embedding")
+    def trained(df: org.apache.spark.sql.DataFrame) = Similarity
+      .trainedSuperCents(
+        Similarity.lowestIdCentroids(
+          Similarity.ivfNorm(df, "vec_id", "embedding"), 8),
+        scells = 2, iters = 2)
+      .orderBy("sid").collect().toSeq
+    val sc = trained(emb)
+    assert(sc.map(_.getAs[Long]("sid")) === Seq(1L, 2L)) // seed ids
+    val svs = sc.map(_.getSeq[Double](1))
+    // one super-centroid per direction — the separation id-seeding lacks
+    assert(svs.count(v => v(0) > v(1)) === 1)
+    assert(svs.count(v => v(1) > v(0)) === 1)
+    // fixed-point Lloyd is bit-deterministic under any partitioning
+    assert(trained(emb.repartition(5)) === sc)
+  }
+
+  test("knnClassifyIvfHierTrained: one cell equals the exact classifier") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 9), (2L, Array(0.99f, 0.01f), 5),
+      (3L, Array(0.98f, 0.02f), 3), (4L, Array(-1.0f, 0.1f), 7),
+      (5L, Array(-0.99f, 0.12f), 7), (6L, Array(0.5f, 0.5f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val exact = Eval.knnClassify(emb, "vec_id", "embedding", "label", k = 3)
+      .orderBy("id").collect().toSeq
+    val trained = Eval.knnClassifyIvfHierTrained(emb, "vec_id",
+      "embedding", "label", k = 3, targetCellSize = 100, nprobe = 2,
+      sprobe = 2, trainIters = 2)
+      .orderBy("id").collect().toSeq
+    assert(trained === exact)
+  }
+
   test("knnClassifyIvfHier: one cell equals the exact classifier") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 9), (2L, Array(0.99f, 0.01f), 5),
