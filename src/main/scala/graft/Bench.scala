@@ -22,6 +22,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE convert sort-merge joins to shuffled-hash when the build
+      // side's post-shuffle partitions fit locally (default 0 = never):
+      // the dedup verify join streams pairs carrying ~KB shingle-set
+      // arrays, and SMJ would SORT that fat stream — at sf100-spread the
+      // sort spill, not the shuffle itself, was the disk frontier. 512 MB
+      // × shuffle-partitions bounds the per-executor build memory.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "512m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

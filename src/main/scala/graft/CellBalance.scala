@@ -38,6 +38,10 @@ object CellBalance {
     val nprobe = sys.env.getOrElse("CELLBAL_NPROBE", "2").toInt
     val sprobe = sys.env.getOrElse("CELLBAL_SPROBE", "2").toInt
     val trainIters = sys.env.getOrElse("CELLBAL_TRAIN_ITERS", "2").toInt
+    // mode filter (comma list of flat,hier,trained) — re-measuring one
+    // router shouldn't pay the others' n·cells routing scans
+    val modes = sys.env.getOrElse("CELLBAL_MODES", "flat,hier,trained")
+      .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,12 +61,20 @@ object CellBalance {
     val scells = math.max(1, math.floor(math.sqrt(cells.toDouble)).toInt)
     val centroids = Similarity.lowestIdCentroids(withNorm, cells)
 
-    val flatRouted = Similarity.flatRoute(withNorm, centroids, nprobe)
-    val hierRouted = Similarity.hierRoute(withNorm, centroids,
+    def flatRouted() = Similarity.flatRoute(withNorm, centroids, nprobe)
+    def hierRouted() = Similarity.hierRoute(withNorm, centroids,
       Similarity.idSeededSuperCents(withNorm, scells), nprobe, sprobe)
-    val trainedRouted = Similarity.hierRoute(withNorm, centroids,
-      Similarity.trainedSuperCents(centroids, scells, trainIters),
-      nprobe, sprobe)
+    // BOTH levels trained, the ivfHierProbeTopKNeighborsTrained
+    // construction: fine centroids from a 4·cells corpus hash sample,
+    // super-centroids from the trained fine centroids
+    def trainedRouted() = {
+      val fineCents = broadcast(Similarity.trainedCentroids(
+        Similarity.hashSample(withNorm, 4 * cells), cells, trainIters)
+        .toDF("cid", "cv", "cn2"))
+      Similarity.hierRoute(withNorm, fineCents,
+        Similarity.trainedCentroids(fineCents, scells, trainIters),
+        nprobe, sprobe)
+    }
 
     def report(tag: String, routed: DataFrame): Unit = {
       val assign = routed.select(
@@ -83,9 +95,9 @@ object CellBalance {
         f"p99Assign=${joined.getAs[Double]("p99A")}%.0f " +
         f"candidatePairs=${joined.getAs[Long]("cand")}")
     }
-    report("flat", flatRouted)
-    report("hier", hierRouted)
-    report("trained", trainedRouted)
+    if (modes("flat")) report("flat", flatRouted())
+    if (modes("hier")) report("hier", hierRouted())
+    if (modes("trained")) report("trained", trainedRouted())
     spark.stop()
   }
 }

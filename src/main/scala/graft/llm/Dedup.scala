@@ -174,13 +174,17 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dups: candidates verified with exact Jaccard —
-    * the full scale path. Shuffle budget: ONE aggregation for signatures +
-    * set sizes (from raw shingles, no pre-distinct), one banded equi-join
-    * on short keys for candidates, and a verification join that first
-    * prunes the shingle stream to candidate docs with a broadcast semi
-    * join — set-dedup happens only on that pruned sliver, so nothing
-    * quadratic or full-data-wide ever shuffles.
-    * Output: id1, id2, jaccard ≥ threshold. */
+    * the full scale path. Shuffle budget: ONE kernel pass for signatures
+    * + set sizes (map-only, no pre-distinct), one banded equi-join on
+    * short keys for candidates, the SOUND [[sizePrefilter]] (two narrow
+    * joins — kills banding false positives whose Jaccard upper bound
+    * cannot reach the threshold before any set payload exists), and a
+    * verification join that first prunes the shingle stream to candidate
+    * docs with a broadcast semi join — set-dedup happens only on that
+    * pruned sliver, so nothing quadratic or full-data-wide ever
+    * shuffles, and the one pairs×set-bytes exchange (the measured
+    * sf100-spread disk frontier) pays only for pairs that can still
+    * pass. Output: id1, id2, jaccard ≥ threshold. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val shRaw = rawShingles(docs, idCol, textCol, n)
@@ -188,15 +192,47 @@ object Dedup {
     // projection over the scan; the old explode → groupBy(min…,
     // countDistinct) formulation shuffled every shingle occurrence and
     // paid an Expand for the distinct count. The kernel scan has exactly
-    // ONE consumer (the band join); sizes come from the already-pruned
-    // candidate shingle set below, so no second kernel pass exists.
-    val sig = minhashSignatures(docs, idCol, textCol, n,
+    // ONE consumer (the band join); sizes ride the same kernel pass and
+    // feed the size prefilter below, so no second kernel pass exists.
+    val sigSz = minhashSignaturesWithSize(docs, idCol, textCol, n,
       bands * rowsPerBand)
-    val cand = candidatePairsFromBands(lshBands(sig, idCol, bands, rowsPerBand))
+    val cand = candidatePairsFromBands(
+      lshBands(sigSz, idCol, bands, rowsPerBand))
     // verification (candidate-id pruning + exact Jaccard) lives in
     // verifiedJaccard, which semi-joins the raw shingle stream down to
-    // candidate docs before any set-dedup.
-    verifiedJaccard(cand, shRaw, idCol, threshold)
+    // candidate docs before any set-dedup; the SOUND size prefilter
+    // drops banding false positives whose Jaccard upper bound cannot
+    // reach the threshold BEFORE any shingle-set payload exists.
+    val sizes = sigSz.select(col(idCol), col("sz"))
+    verifiedJaccard(sizePrefilter(cand, sizes, idCol, threshold), shRaw,
+      idCol, threshold)
+  }
+
+  /** SOUND verify-stage prefilter: with i = |A∩B| ≤ min(sz1, sz2),
+    *   J = i/(sz1+sz2−i) ≤ min/(sz1+sz2−min),
+    * so a candidate pair whose size-only UPPER BOUND sits below the
+    * threshold can never pass exact verification — it is dropped here,
+    * BEFORE the verification join attaches the two ~KB shingle-hash
+    * arrays per pair (the measured sf100-spread disk frontier: the
+    * pair⋈sets exchange was the one shuffle whose volume is
+    * pairs × set-bytes, and banding false positives between
+    * different-length documents pay it for nothing). The sizes input is
+    * the kernel's exact distinct-shingle count, costing two narrow
+    * equi-joins on the candidate list. The 1e-8 slack absorbs the
+    * division ulp plus the verifier's 8dp output rounding, so the filter
+    * is conservative by construction: results are bit-identical to the
+    * unfiltered plan (the oracle needs no counterpart — it verifies every
+    * candidate and filters on the same rounded threshold). */
+  private[graft] def sizePrefilter(cand: DataFrame, sizes: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    val mn = least(col("sz1"), col("sz2")).cast("double")
+    val bound = mn /
+      (col("sz1") + col("sz2") - least(col("sz1"), col("sz2"))).cast("double")
+    cand
+      .join(sizes.toDF("id1", "sz1"), "id1")
+      .join(sizes.toDF("id2", "sz2"), "id2")
+      .filter(bound >= threshold - 1e-8)
+      .select("id1", "id2")
   }
 
   /** Shared verification tail: exact Jaccard over candidate pairs, with

@@ -274,34 +274,71 @@ object Similarity {
     broadcast(withNorm.orderBy(col("id")).limit(scells)
       .toDF("sid", "sv", "sn2"))
 
-  /** K-MEANS-TRAINED super-centroids (sid, sv, sn2) — the fix for the
-    * [[idSeededSuperCents]] collapse: `iters` deterministic fixed-point
-    * Lloyd rounds (the [[kmeansAssign]] arithmetic — seeds are the
-    * `scells` lowest-id CENTROIDS, distances exact integer sums of
-    * 2^scaleBits fixed-point squared differences, ties to the smaller
-    * seed id) run over the CENTROID TABLE itself, and the trained
-    * super-centroid is the final per-cluster mean, each component
+  /** Deterministic corpus sample for coarse-quantizer training: the
+    * `size` vectors whose md5(id-string) sorts lowest, re-labeled
+    * cid = 1..size in that hash order — a uniform, engine-portable
+    * pseudo-random draw (the id-hash trick the minhash permutations
+    * already rely on; the oracle replays it as
+    * `ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)`).
+    *
+    * Why not lowest-id, like the LIST-level centroids? On a sharded or
+    * replicated corpus the lowest ids all live in the FIRST shard, so a
+    * lowest-id training set never sees cross-shard structure — measured
+    * at sf100 (drifted-replica fixture): super-centroids trained on the
+    * all-replica-0 centroid table still collapsed assignment mass
+    * (maxAssign 25,273 vs flat's 3,242; every heavily-drifted vector
+    * ranks the same drift-friendliest super-centroid first), where a
+    * hash sample spans the drift axis and spreads. The FINE level
+    * tolerates lowest-id seeding because 1953 fine cells over-cover the
+    * base cloud; the 44-cell coarse level has no such slack. Cost: one
+    * TakeOrdered (bounded heap) over the corpus + a `size`-row window. */
+  private[graft] def hashSample(withNorm: DataFrame, size: Int): DataFrame = {
+    val hkey = md5(col("id").cast("string"))
+    val w = Window.orderBy(md5(col("id").cast("string")), col("id"))
+    broadcast(withNorm.orderBy(hkey, col("id")).limit(size)
+      .select(row_number().over(w).cast("long").as("cid"),
+        col("v").as("cv"), col("n2").as("cn2")))
+  }
+
+  /** K-MEANS-TRAINED centroids (sid, sv, sn2) from a TRAINING-SET table
+    * (cid, cv, cn2): `iters` deterministic fixed-point Lloyd rounds (the
+    * [[kmeansAssign]] arithmetic — seeds are the `k` lowest-cid rows of
+    * the training set, distances exact integer sums of 2^scaleBits
+    * fixed-point squared differences, ties to the smaller seed id); the
+    * trained centroid is the final per-cluster mean, each component
     * `round(Σxi/2^scaleBits/n, 8)` — a double computed by the identical
     * expression in any engine, so the oracle replays the training
-    * relationally. Training cost is cells×scells×iters exact integer
-    * dots — broadcast-scale (the centroid table is ~n/targetCellSize
-    * rows), NOT an n-scale pass, which is what makes a trained coarse
-    * level affordable where FAISS pays a sampled k-means.
+    * relationally. Used at BOTH index levels by
+    * [[ivfHierProbeTopKNeighborsTrained]]: fine centroids train on a
+    * [[hashSample]] of the corpus (cid = hash rank, so seeds are a
+    * uniform draw), super-centroids train on the trained fine centroids
+    * themselves (clustering the centroid set — the FAISS coarse-level
+    * geometry). Training cost is |trainSet|×k×iters per-DIM integer
+    * multiply-adds — ~1/dim the cost of the same count of full dots, and
+    * never an n-scale pass.
     *
     * A seed whose cluster empties in some round drops out (the
     * [[kmeansAssign]] convention, mirrored by the oracle's joins); a
-    * surviving cluster always has every dim. `sid` is the seed
-    * centroid's cid, so tie-breaks stay anchored to the same id space. */
-  private[graft] def trainedSuperCents(centroids: DataFrame, scells: Int,
+    * surviving cluster always has every dim. `sid` is the seed row's
+    * cid, so tie-breaks stay anchored to the same id space. */
+  private[graft] def trainedCentroids(train: DataFrame, k: Int,
       iters: Int, scaleBits: Int = 20): DataFrame = {
-    require(scells >= 1 && iters >= 1,
-      s"trainedSuperCents: scells=$scells iters=$iters")
+    require(k >= 1 && iters >= 1, s"trainedCentroids: k=$k iters=$iters")
     val scale = (1L << scaleBits).toDouble
-    val cvx = centroids
+    // repartition by cid: the training table arrives as a SINGLE
+    // partition (orderBy().limit() output), and the per-round
+    // dim-broadcast join fans it out |train|×k-fold — measured at sf100
+    // (7812-sample × 1953 clusters = 976M joined rows) running in ONE
+    // task for tens of minutes. cid-partitioning spreads the fan-out
+    // across the cluster AND bounds each task's partial-agg group count
+    // to (cids-per-partition × k), instead of the full |train|×k map a
+    // dim-partitioning would force on every task.
+    val cvx = train
       .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
       .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
         floor(col("x") * lit(scale)).cast("long").as("xi"))
-    val seeds = centroids.orderBy(col("cid")).limit(scells)
+      .repartition(col("cid"))
+    val seeds = train.orderBy(col("cid")).limit(k)
       .select(col("cid").as("cluster"))
     var cent = seeds
       .join(cvx.withColumnRenamed("cid", "cluster"), Seq("cluster"))
@@ -317,10 +354,18 @@ object Similarity {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("cid"), col("cluster"))
-      means = assign.join(cvx, Seq("cid"))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(round(sum(col("xi")).cast("double") / lit(scale) /
-          count(lit(1)), 8).as("m"))
+      // barrier per round (the kmeansAssign discipline): means feeds BOTH
+      // the next round's quantized table and the final output — without
+      // it each round's consumers replay every earlier round, and the
+      // returned table's many downstream references (coarse-level cvx,
+      // seeds, cmap, every coarse Lloyd round) each re-run the whole
+      // |train|×k training job (measured at sf100: the 976M-row fine
+      // pass re-executed per reference, minutes → tens of minutes)
+      means = graft.engine.Checkpoints.iterationBarrier(
+        assign.join(cvx, Seq("cid"))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(round(sum(col("xi")).cast("double") / lit(scale) /
+            count(lit(1)), 8).as("m")))
       cent = means.select(col("cluster"), col("dim"),
         floor(col("m") * lit(scale)).cast("long").as("ci"))
     }
@@ -396,7 +441,7 @@ object Similarity {
     * probes(1) is the data-side assignment, candidates pay one exact
     * cosine, and the per-id top-k reduces map-side (|ids|×k shuffle
     * rows). Output: id, neighbor_id, rank, cos. */
-  private def probeTopKTail(routed: DataFrame, k: Int): DataFrame = {
+  private[graft] def probeTopKTail(routed: DataFrame, k: Int): DataFrame = {
     val qry = routed.select(col("id"), col("v").as("v1"),
       col("n2").as("n21"),
       explode(transform(col("probes"), p => p.getField("id"))).as("cell"))
@@ -514,19 +559,35 @@ object Similarity {
       sprobe), k)
   }
 
-  /** [[ivfHierProbeTopKNeighbors]] with a K-MEANS-TRAINED coarse level
-    * ([[trainedSuperCents]]) — the production two-level tier. The
-    * round-7 sf100 measurement showed the id-seeded coarse quantizer
-    * INVERTING the hier win on a drifted corpus (1873.9 s vs flat
-    * 574.1 s; CellBalance maxAssign 45,042 vs 3,242): a coarse quantizer
-    * is only as good as its training, so this variant spends
-    * cells×scells×trainIters exact integer dots (broadcast-scale — the
-    * training set is the centroid table, not the corpus) to spread the
-    * super-cells before any n-scale routing happens. Routing, candidate
-    * join, top-k, and every tie-break are the identical shared stages;
-    * the oracle unrolls the Lloyd rounds relationally, so the result
-    * stays engine-portable and hash-checkable.
-    * Output: id, neighbor_id, rank, cos. */
+  /** [[ivfHierProbeTopKNeighbors]] with BOTH index levels K-MEANS-TRAINED
+    * — the production two-level tier, and the FAISS IVF construction
+    * proper (train the list-level quantizer on a data sample; the coarse
+    * quantizer then indexes the trained centroid set):
+    *
+    *  - FINE centroids: [[trainedCentroids]] over a [[hashSample]] of
+    *    4·cells corpus vectors, k = cells — so the cell partition spans
+    *    whatever structure the corpus has (drift, shards, replicas),
+    *    unlike lowest-id seeding which samples only the first shard;
+    *  - SUPER-centroids: [[trainedCentroids]] over those trained fine
+    *    centroids, k = ⌊√cells⌋ — the coarse level must live in the
+    *    CENTROID manifold it routes over (measured dead ends at sf100,
+    *    CellBalance: id-seeded coarse maxAssign 45,042; coarse trained
+    *    on the all-replica-0 id-seeded centroid table 25,273; coarse
+    *    trained on a corpus sample OVER id-seeded fine centroids 48,331
+    *    — spreading super-cells along an axis the fine centroids don't
+    *    span just empties most super-cells; vs flat 3,242).
+    *
+    * Training cost is (4·cells·cells + cells·√cells)·iters per-dim
+    * integer multiply-adds — at the 2M-vector decade ~2e9 dim-rows ≈
+    * 30M dot-equivalents, noise against the 3.9e9-dot flat routing scan
+    * it replaces. Routing, candidate join, top-k, and every tie-break
+    * are the identical shared stages; the oracle unrolls the hash
+    * sample and both Lloyd chains relationally, so the result stays
+    * engine-portable and hash-checkable. With cells = 1 the trained
+    * index is one cell and this equals the exact tier by construction
+    * (spec gate); with sprobe ≥ scells the coarse level prunes nothing
+    * and this equals a flat probe over the SAME trained centroids
+    * (spec gate). Output: id, neighbor_id, rank, cos. */
   def ivfHierProbeTopKNeighborsTrained(emb: DataFrame, idCol: String,
       vecCol: String, k: Int, targetCellSize: Int, nprobe: Int,
       sprobe: Int, trainIters: Int): DataFrame = {
@@ -539,9 +600,11 @@ object Similarity {
     val n = withNorm.count()
     val cells = math.max(1L, n / targetCellSize).toInt
     val scells = math.max(1, math.floor(math.sqrt(cells.toDouble)).toInt)
-    val centroids = lowestIdCentroids(withNorm, cells)
-    val superCents = trainedSuperCents(centroids, scells, trainIters)
-    probeTopKTail(hierRoute(withNorm, centroids, superCents, nprobe,
+    val fineCents = broadcast(
+      trainedCentroids(hashSample(withNorm, 4 * cells), cells, trainIters)
+        .toDF("cid", "cv", "cn2"))
+    val superCents = trainedCentroids(fineCents, scells, trainIters)
+    probeTopKTail(hierRoute(withNorm, fineCents, superCents, nprobe,
       sprobe), k)
   }
 

@@ -200,12 +200,19 @@ object EvalQueries {
     // quantizer — the production form of q_knn_ann_hier. The id-seeded
     // coarse level measurably INVERTS at sf100 on a drifted corpus
     // (hier 1873.9 s vs flat 574.1 s; CellBalance maxAssign 45,042 vs
-    // 3,242 — a coarse quantizer is only as good as its training), so
-    // this tier spends 2 deterministic fixed-point Lloyd rounds over the
-    // CENTROID TABLE (cells×scells×2 exact integer dots — broadcast-
-    // scale, never an n-scale pass) before any routing. The oracle
-    // unrolls the training relationally (td/ta/tm/tc CTEs) and replays
-    // the identical two-level split against the trained means.
+    // 3,242 — a quantizer is only as good as its training), so this tier
+    // trains BOTH levels with deterministic fixed-point Lloyd rounds —
+    // fine centroids on a md5-ordered corpus sample of 4·cells vectors
+    // (so the cell partition spans the drift axis lowest-id seeding
+    // never sees), super-centroids on those trained centroids (the
+    // coarse level must live in the centroid manifold: half-measures
+    // measured at sf100 — coarse-only trained on the replica-0 centroid
+    // table 25,273 maxAssign, coarse-only trained on a corpus sample
+    // 48,331 — both still far from flat's 3,242). Training is
+    // broadcast-scale (~30M dot-equivalents at 2M vectors vs the 3.9e9-
+    // dot flat routing scan it replaces). The oracle unrolls the sample
+    // and both Lloyd chains relationally (fsamp/f*/fcent/s*/scent CTEs)
+    // and replays the identical two-level split.
     QuerySpec("q_knn_ann_trained", (s, dir) => {
       Eval.knnClassifyIvfHierTrained(t(s, dir, "embeddings"), "vec_id",
           "embedding", "label", k = 5, targetCellSize = 1024, nprobe = 2,

@@ -141,79 +141,104 @@ object SimilarityQueries {
        |assign AS (SELECT id, v, n2, cell FROM ranked WHERE rn = 1),
        |probes AS (SELECT id, v, n2, cell FROM ranked WHERE rn <= $nprobe)""".stripMargin
 
-  /** Two-level multi-probe IVF oracle fragment with a K-MEANS-TRAINED
-    * coarse level (expects the `n` norm CTE), mirroring
-    * [[graft.llm.Similarity.ivfHierProbeTopKNeighborsTrained]]: `cvx`
-    * explodes the centroid table to 2^20 fixed-point longs, `sseed`
-    * takes the lowest ⌊√cells⌋ centroid ids as Lloyd seeds, and
-    * `trainIters` unrolled rounds (td/ta/tm/tc — exact integer L2
-    * assign with ties to the smaller seed, mean update
-    * `ROUND(SUM(xi)/2^20/COUNT, 8)` re-quantized via FLOOR) produce the
-    * trained super-centroids `scent` (per-cluster mean vectors via
-    * `list(m ORDER BY dim)`). The routing split (cmap/sroute/ranked/
-    * assign/probes) is the [[ivfHierProbeCte]] shape verbatim, scoring
-    * against the trained means instead of the lowest-id vectors.
-    * `cent`/`cvx` are MATERIALIZED — DuckDB 1.0 re-inlines CTEs at every
-    * reference and both feed multiple rounds. */
-  private[queries] def ivfHierTrainedProbeCte(targetCellSize: Int,
-      nprobe: Int, sprobe: Int, trainIters: Int): String = {
-    require(trainIters >= 1, s"trainIters=$trainIters")
+  /** Unrolled deterministic Lloyd chain over a (cid, cv, cn2) training
+    * CTE — the SQL twin of [[graft.llm.Similarity.trainedCentroids]],
+    * emitted once per index level by [[ivfHierTrainedProbeCte]]. Seeds
+    * are the `k` lowest-cid training rows; each round is an exact
+    * integer-L2 assign (ties to the smaller seed) + a mean update
+    * `ROUND(SUM(xi)/2^20/COUNT, 8)` re-quantized via FLOOR. CTE names
+    * carry `pfx` (f = fine level, s = super level); the final means live
+    * in `${"$"}{pfx}tm${"$"}{iters}`. `cvx`/`tm` are MATERIALIZED —
+    * DuckDB 1.0 re-inlines CTEs at every reference and both feed
+    * multiple consumers. */
+  private def lloydSql(pfx: String, train: String, kSel: String,
+      iters: Int): String = {
+    val cvx = s"${pfx}cvx"
     val head =
-      s"""pos AS (SELECT vec_id, v, n2 FROM n WHERE n2 > 0),
-         |cent AS MATERIALIZED (
-         |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM (
-         |    SELECT vec_id, v, n2,
-         |           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
-         |           COUNT(*) OVER () AS nn
-         |    FROM pos) t
-         |  WHERE rn <= GREATEST(1, nn // $targetCellSize)),
-         |cvx AS MATERIALIZED (
+      s"""$cvx AS MATERIALIZED (
          |  SELECT cid, unnest(range(1, len(cv) + 1)) AS dim,
          |         unnest(list_transform(range(1, len(cv) + 1),
          |                  d -> CAST(FLOOR(cv[d] * 1048576.0) AS BIGINT)))
          |           AS xi
-         |  FROM cent),
-         |sseed AS (
+         |  FROM $train),
+         |${pfx}seed AS (
          |  SELECT cid AS cluster FROM (
-         |    SELECT cid, ROW_NUMBER() OVER (ORDER BY cid) AS rn,
-         |           COUNT(*) OVER () AS nc
-         |    FROM cent) t
-         |  WHERE rn <= GREATEST(1, CAST(FLOOR(SQRT(CAST(nc AS DOUBLE)))
-         |                               AS BIGINT))),
-         |tc0 AS (SELECT s.cluster, cvx.dim, cvx.xi AS ci
-         |        FROM sseed s JOIN cvx ON cvx.cid = s.cluster)""".stripMargin
-    val rounds = (1 to trainIters).map { i =>
-      s"""td$i AS (SELECT cvx.cid, c.cluster,
-         |              SUM((cvx.xi - c.ci) * (cvx.xi - c.ci)) AS d2
-         |       FROM cvx JOIN tc${i - 1} c USING (dim)
-         |       GROUP BY cvx.cid, c.cluster),
-         |ta$i AS (SELECT cid, cluster FROM (
+         |    SELECT cid, ROW_NUMBER() OVER (ORDER BY cid) AS rn
+         |    FROM $train) t
+         |  WHERE rn <= ($kSel)),
+         |${pfx}tc0 AS (SELECT s.cluster, c.dim, c.xi AS ci
+         |        FROM ${pfx}seed s JOIN $cvx c ON c.cid = s.cluster)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${pfx}td$i AS (SELECT c0.cid, c.cluster,
+         |              SUM((c0.xi - c.ci) * (c0.xi - c.ci)) AS d2
+         |       FROM $cvx c0 JOIN ${pfx}tc${i - 1} c USING (dim)
+         |       GROUP BY c0.cid, c.cluster),
+         |${pfx}ta$i AS (SELECT cid, cluster FROM (
          |         SELECT cid, cluster,
          |                ROW_NUMBER() OVER (PARTITION BY cid
          |                                   ORDER BY d2, cluster) AS rn
-         |         FROM td$i) WHERE rn = 1),
-         |tm$i AS MATERIALIZED (
-         |        SELECT a.cluster, cvx.dim,
-         |               ROUND(CAST(SUM(cvx.xi) AS DOUBLE) / 1048576.0
+         |         FROM ${pfx}td$i) WHERE rn = 1),
+         |${pfx}tm$i AS MATERIALIZED (
+         |        SELECT a.cluster, c0.dim,
+         |               ROUND(CAST(SUM(c0.xi) AS DOUBLE) / 1048576.0
          |                     / COUNT(*), 8) AS m
-         |        FROM ta$i a JOIN cvx ON cvx.cid = a.cid
-         |        GROUP BY a.cluster, cvx.dim),
-         |tc$i AS (SELECT cluster, dim,
+         |        FROM ${pfx}ta$i a JOIN $cvx c0 ON c0.cid = a.cid
+         |        GROUP BY a.cluster, c0.dim),
+         |${pfx}tc$i AS (SELECT cluster, dim,
          |               CAST(FLOOR(m * 1048576.0) AS BIGINT) AS ci
-         |        FROM tm$i)""".stripMargin
+         |        FROM ${pfx}tm$i)""".stripMargin
     }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** Collect a Lloyd chain's final means into a centroid table
+    * (`$idc`, `$vc` list, `$n2c` sequential-fold norm). */
+  private def lloydCentSql(pfx: String, out: String, iters: Int,
+      idc: String, vc: String, n2c: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT $idc, $vc, ${dotSql(vc, vc)} AS $n2c FROM (
+       |    SELECT cluster AS $idc, list(m ORDER BY dim) AS $vc
+       |    FROM ${pfx}tm$iters GROUP BY cluster))""".stripMargin
+
+  /** Two-level multi-probe IVF oracle fragment with BOTH index levels
+    * K-MEANS-TRAINED (expects the `n` norm CTE), mirroring
+    * [[graft.llm.Similarity.ivfHierProbeTopKNeighborsTrained]]: `kf`/`ks`
+    * derive cells and ⌊√cells⌋, `fsamp` is the deterministic md5-ordered
+    * corpus sample of 4·cells vectors re-labeled cid = 1..size in hash
+    * order (the [[graft.llm.Similarity.hashSample]] contract), the `f`
+    * Lloyd chain trains the FINE centroids `fcent` on it (k = cells),
+    * the `s` Lloyd chain trains the SUPER-centroids `scent` on `fcent`
+    * itself (k = ⌊√cells⌋ — the coarse level clusters the centroid
+    * set), and the routing split (cmap/sroute/ranked/assign/probes) is
+    * the [[ivfHierProbeCte]] shape verbatim over the trained tables. */
+  private[queries] def ivfHierTrainedProbeCte(targetCellSize: Int,
+      nprobe: Int, sprobe: Int, trainIters: Int): String = {
+    require(trainIters >= 1, s"trainIters=$trainIters")
+    val head =
+      s"""pos AS MATERIALIZED (SELECT vec_id, v, n2 FROM n WHERE n2 > 0),
+         |kf AS (SELECT GREATEST(1, COUNT(*) // $targetCellSize) AS k
+         |       FROM pos),
+         |ks AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(CAST(k AS DOUBLE)))
+         |                              AS BIGINT)) AS k FROM kf),
+         |fsamp AS MATERIALIZED (
+         |  SELECT cid, cv, cn2 FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |                              vec_id) AS cid,
+         |           v AS cv, n2 AS cn2
+         |    FROM pos) t
+         |  WHERE cid <= 4 * (SELECT k FROM kf))""".stripMargin
+    val fine = lloydSql("f", "fsamp", "SELECT k FROM kf", trainIters)
+    val fcent = lloydCentSql("f", "fcent", trainIters, "cid", "cv", "cn2")
+    val coarse = lloydSql("s", "fcent", "SELECT k FROM ks", trainIters)
+    val scent = lloydCentSql("s", "scent", trainIters, "sid", "sv", "sn2")
     val tail =
-      s"""scent AS MATERIALIZED (
-         |  SELECT sid, sv, ${dotSql("sv", "sv")} AS sn2 FROM (
-         |    SELECT cluster AS sid, list(m ORDER BY dim) AS sv
-         |    FROM tm$trainIters GROUP BY cluster)),
-         |cmap AS (
+      s"""cmap AS (
          |  SELECT cid, cv, cn2, sid FROM (
          |    SELECT c.cid, c.cv, c.cn2, s.sid,
          |           ROW_NUMBER() OVER (PARTITION BY c.cid
          |             ORDER BY ${dotSql("c.cv", "s.sv")} / SQRT(c.cn2 * s.sn2) DESC,
          |                      s.sid ASC) AS rn
-         |    FROM cent c CROSS JOIN scent s) t
+         |    FROM fcent c CROSS JOIN scent s) t
          |  WHERE rn = 1),
          |sroute AS (
          |  SELECT id, v, n2, sid FROM (
@@ -231,7 +256,7 @@ object SimilarityQueries {
          |  FROM sroute r JOIN cmap m ON r.sid = m.sid),
          |assign AS (SELECT id, v, n2, cell FROM ranked WHERE rn = 1),
          |probes AS (SELECT id, v, n2, cell FROM ranked WHERE rn <= $nprobe)""".stripMargin
-    (Seq(head) ++ rounds ++ Seq(tail)).mkString(",\n")
+    Seq(head, fine, fcent, coarse, scent, tail).mkString(",\n")
   }
 
   def specs: Seq[QuerySpec] = Seq(

@@ -203,27 +203,45 @@ class EvalSpec extends SparkSpec {
     }
   }
 
-  test("ivfHierProbeTopKNeighborsTrained: sprobe covering every " +
-    "super-cell equals flat multi-probe (training moves routing, never " +
-    "scores, when nothing is pruned)") {
+  test("ivfHierProbeTopKNeighborsTrained: nprobe covering every cell " +
+    "equals the exact top-k; sprobe covering every super-cell equals a " +
+    "flat probe over the SAME trained centroids") {
     import graft.llm.Similarity
+    import org.apache.spark.sql.functions.broadcast
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
       (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)),
       (5L, Array(0.8f, 0.2f)), (6L, Array(0.2f, 0.8f)),
       (7L, Array(0.7f, 0.3f)), (8L, Array(0.3f, 0.7f)))
       .toDF("vec_id", "embedding")
-    val flat = Similarity.ivfProbeTopKNeighbors(emb, "vec_id", "embedding",
-        k = 2, targetCellSize = 2, nprobe = 2)
+    // tcs=2 over 8 vectors → cells=4, scells=2. nprobe=4 probes every
+    // cell and sprobe=2 every super-cell: the candidate set is the full
+    // corpus whatever the training produced — bit-equal to exact.
+    val exact = Similarity.topKNeighbors(emb, "vec_id", "embedding", k = 2)
+      .orderBy("id", "rank").collect().toSeq
+    val full = Similarity.ivfHierProbeTopKNeighborsTrained(emb,
+        "vec_id", "embedding", k = 2, targetCellSize = 2, nprobe = 4,
+        sprobe = 2, trainIters = 2)
+      .orderBy("id", "rank").collect().toSeq
+    assert(full === exact)
+    // partial nprobe, saturating sprobe: the coarse level prunes
+    // nothing, so the result equals flat multi-probe routing over the
+    // IDENTICAL trained fine centroids (the hierRoute≡flatRoute gate)
+    val withNorm = Similarity.ivfNorm(emb, "vec_id", "embedding")
+    val fineCents = broadcast(Similarity.trainedCentroids(
+        Similarity.hashSample(withNorm, 16), k = 4, iters = 2)
+      .toDF("cid", "cv", "cn2"))
+    val flatTrained = Similarity.probeTopKTail(
+        Similarity.flatRoute(withNorm, fineCents, nprobe = 2), k = 2)
       .orderBy("id", "rank").collect().toSeq
     val trained = Similarity.ivfHierProbeTopKNeighborsTrained(emb,
         "vec_id", "embedding", k = 2, targetCellSize = 2, nprobe = 2,
         sprobe = 2, trainIters = 2)
       .orderBy("id", "rank").collect().toSeq
-    assert(trained === flat)
+    assert(trained === flatTrained)
   }
 
-  test("trainedSuperCents: two Lloyd rounds separate a drifted corpus " +
+  test("trainedCentroids: two Lloyd rounds separate a drifted corpus " +
     "whose id-seeded coarse pool is one-sided; deterministic under " +
     "repartition") {
     import graft.llm.Similarity
@@ -232,7 +250,7 @@ class EvalSpec extends SparkSpec {
     // (the drift collapse shape from the sf100 measurement). K-means
     // seeds start at the same two ids, but round 1 pulls cluster 2's
     // mean toward the B mass and round 2 re-assigns cleanly: one
-    // trained super-centroid per direction.
+    // trained centroid per direction.
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.97f, 0.05f)),
       (3L, Array(0.95f, 0.1f)), (4L, Array(0.9f, 0.05f)),
@@ -244,19 +262,32 @@ class EvalSpec extends SparkSpec {
       (15L, Array(0.91f, 0.09f)), (16L, Array(0.09f, 0.91f)))
       .toDF("vec_id", "embedding")
     def trained(df: org.apache.spark.sql.DataFrame) = Similarity
-      .trainedSuperCents(
+      .trainedCentroids(
         Similarity.lowestIdCentroids(
           Similarity.ivfNorm(df, "vec_id", "embedding"), 8),
-        scells = 2, iters = 2)
+        k = 2, iters = 2)
       .orderBy("sid").collect().toSeq
     val sc = trained(emb)
     assert(sc.map(_.getAs[Long]("sid")) === Seq(1L, 2L)) // seed ids
     val svs = sc.map(_.getSeq[Double](1))
-    // one super-centroid per direction — the separation id-seeding lacks
+    // one trained centroid per direction — the separation id-seeding lacks
     assert(svs.count(v => v(0) > v(1)) === 1)
     assert(svs.count(v => v(1) > v(0)) === 1)
     // fixed-point Lloyd is bit-deterministic under any partitioning
     assert(trained(emb.repartition(5)) === sc)
+  }
+
+  test("hashSample: deterministic md5-ordered draw, re-labeled 1..size, " +
+    "invariant under input partitioning") {
+    import graft.llm.Similarity
+    val emb = (1L to 40L).map(i => i -> Array(i.toFloat, 1.0f))
+      .toDF("vec_id", "embedding")
+    def samp(df: org.apache.spark.sql.DataFrame) = Similarity
+      .hashSample(Similarity.ivfNorm(df, "vec_id", "embedding"), 10)
+      .orderBy("cid").collect().toSeq
+    val s = samp(emb)
+    assert(s.map(_.getAs[Long]("cid")) === (1L to 10L))
+    assert(samp(emb.repartition(7)) === s)
   }
 
   test("knnClassifyIvfHierTrained: one cell equals the exact classifier") {

@@ -360,6 +360,43 @@ class DedupSpec extends SparkSpec {
     assert(nd.contains((1L, 2L)))  // identical docs always collide on every band
   }
 
+  test("sizePrefilter: keeps exactly the pairs whose Jaccard upper " +
+    "bound min/(sz1+sz2-min) can still reach the threshold") {
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("id1", "id2")
+    val sizes = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 21L), (5L, 30L))
+      .toDF("doc_id", "sz")
+    val kept = Dedup.sizePrefilter(cand, sizes, "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (10,10): bound 1.0 kept; (10,20): bound 10/20 = 0.5 EXACTLY on the
+    // threshold — must survive (a pair with i = min = 10 has J = 0.5);
+    // (10,21): bound 0.476 < 0.5 dropped; (10,30): 0.333 dropped
+    assert(kept === Set((1L, 2L), (1L, 3L)))
+  }
+
+  test("size prefilter is sound end-to-end: near-dup output equals " +
+    "exhaustive exact verification of every band candidate") {
+    // families of identical docs, near-dups, a subset/superset pair, and
+    // unrelated noise — whatever the banding surfaces, the prefiltered
+    // pipeline must return exactly the candidates whose TRUE Jaccard
+    // passes (the prefilter may only remove can't-pass pairs)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = (
+      Seq((1L, base), (2L, base), (3L, base + " lambda mu"),
+        (4L, (base + " ") * 4 + base),
+        (5L, "one two three four five six seven eight nine ten")) ++
+      (6L to 20L).map(i => i ->
+        s"doc $i filler ${"x" * (i % 5).toInt} unique token${i} tail end here now")
+      ).toDF("doc_id", "text")
+    val nd = Dedup.minhashNearDups(corpus, "doc_id", "text", 3, 3, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(corpus, "doc_id", "text", 3, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd === exact.intersect(cand))
+  }
+
   test("too-short docs produce no shingles and no pairs") {
     val sh = Dedup.shingleSets(docs.filter(col("doc_id") === 5), "doc_id", "text", 3)
     assert(sh.count() === 0)
