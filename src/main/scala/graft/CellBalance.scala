@@ -62,6 +62,13 @@ object CellBalance {
     val centroids = Similarity.lowestIdCentroids(withNorm, cells)
 
     def flatRouted() = Similarity.flatRoute(withNorm, centroids, nprobe)
+    // flat tier over TRAINED fine centroids (no coarse level) — the
+    // "does training help the flat list level" measurement: same n·cells
+    // routing cost as flat, only the cell partition differs
+    def flatTrainedRouted() = Similarity.flatRoute(withNorm,
+      broadcast(Similarity.trainedCentroids(
+        Similarity.hashSample(withNorm, 4 * cells), cells, trainIters)
+        .toDF("cid", "cv", "cn2")), nprobe)
     def hierRouted() = Similarity.hierRoute(withNorm, centroids,
       Similarity.idSeededSuperCents(withNorm, scells), nprobe, sprobe)
     // BOTH levels trained, the ivfHierProbeTopKNeighborsTrained
@@ -96,6 +103,7 @@ object CellBalance {
         f"candidatePairs=${joined.getAs[Long]("cand")}")
     }
     if (modes("flat")) report("flat", flatRouted())
+    if (modes("flattrained")) report("flattrained", flatTrainedRouted())
     if (modes("hier")) report("hier", hierRouted())
     if (modes("trained")) report("trained", trainedRouted())
     spark.stop()

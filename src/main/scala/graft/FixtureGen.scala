@@ -148,15 +148,27 @@ object FixtureGen {
       Map("event_id" -> "events", "user_id" -> "user"))
       .drop("__r"), "events", 8)
     // plain: replicas are trailing-token near-clones (shingle sets ~equal
-    // → factor-way LSH cliques). spread: every word carries the replica
-    // tag, so no shingle crosses replicas and the within-replica near-dup
-    // structure of the source is preserved exactly.
+    // → factor-way LSH cliques). spread: every TOKEN carries the replica
+    // tag as an inseparable alphanumeric PREFIX (regex-group rewrite,
+    // not the old word-level "_rN" suffix), so no shingle crosses
+    // replicas and the within-replica near-dup structure of the source
+    // is preserved exactly. The prefix form matters: the shingle
+    // tokenizer splits on non-[a-z0-9] runs, so the old "word_rN" suffix
+    // split into (word, rN) — interleaving a REPLICA-SHARED rN token
+    // after every word and giving any two same-replica docs sharing ANY
+    // word a common "rN w rN" shingle. Measured at sf10-spread (round
+    // 8): 13.99M banding candidates against 25.5k true ≥0.5 pairs,
+    // where the source structure is 263 candidates / 256 true per 5k
+    // docs — the FIXTURE, not the engine, had gone quadratic within
+    // replicas, and that is what exhausted the disk at sf100-spread in
+    // round 7. A per-token prefix maps token t to "r<N>t" bijectively,
+    // so within-replica Jaccard equals the source's exactly.
     val docText =
       if (!spread) when(col("__r") > 0,
         concat(col("text"), lit(" rep"), col("__r"))).otherwise(col("text"))
       else when(col("__r") > 0,
-        concat_ws(" ", transform(split(col("text"), " "),
-          w => concat(w, lit("_r"), col("__r"))))).otherwise(col("text"))
+        regexp_replace(col("text"), lit("([a-zA-Z0-9]+)"),
+          concat(lit("r"), col("__r"), lit("$1")))).otherwise(col("text"))
     save(replicate(load("documents"), Map("doc_id" -> "documents"))
       .withColumn("text", docText)
       .withColumn("n_chars", length(col("text")).cast("long"))
