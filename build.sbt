@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's LAST stdout line as JSON. Two sbt
+// behaviors broke that for four rounds (BENCH_r04–r07 "parsed": null):
+// the forked run's stdout rides the sbt logger ("[info] {...}" — never
+// raw JSON), and sbt appends its own "[success] Total time ..." epilogue
+// after the run. StdoutOutput passes the forked process's stdout through
+// verbatim; showSuccess drops the epilogue. Failures still exit nonzero
+// (the driver's rc check is unaffected).
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -25,11 +25,17 @@ object Bench {
       // let AQE convert sort-merge joins to shuffled-hash when the build
       // side's post-shuffle partitions fit locally (default 0 = never):
       // the dedup verify join streams pairs carrying ~KB shingle-set
-      // arrays, and SMJ would SORT that fat stream — at sf100-spread the
-      // sort spill, not the shuffle itself, was the disk frontier. 512 MB
-      // × shuffle-partitions bounds the per-executor build memory.
+      // arrays, and SMJ would SORT that fat stream. The threshold is
+      // MEASURED, not guessed (q_adamic_adar sf1, REPS=2 minima): 64m →
+      // 11.8 s, stock 0 → 64.5 s (the mid-size degree joins convert and
+      // skip their sorts), 512m → 115.9 s (the ~200 MB/partition wedge
+      // build also converts and GC-thrashes) — small builds love hash,
+      // big builds need the sort-merge spill path, and 64m is the
+      // boundary that keeps every measured win (ANN tier sf10 20.2 →
+      // 16.1 s) with no measured loss. SPARK_GRAFT_SHJ overrides (A/B
+      // knob; "0" = stock).
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "512m")
+        sys.env.getOrElse("SPARK_GRAFT_SHJ", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

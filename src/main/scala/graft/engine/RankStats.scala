@@ -110,6 +110,12 @@ object RankStats {
     // one eager localCheckpoint trades a domain-sized materialization
     // for two full input passes; blocks free on RDD GC (the
     // verifiedOverlap rationale — never a CacheManager pin).
+    // EAGER checkpoint, measured against the alternatives (REPS=3
+    // minima): eager 0.50 s sf0.1 / 0.72 s sf1; lazy
+    // localCheckpoint(false) 0.66 / 0.88 (the first job still computes
+    // every subtree before blocks exist); no checkpoint at all 0.41 /
+    // 1.56 (three full input scans — the r5 shape). The ~0.1 s eager-job
+    // latency at gate scale buys 2.2× at sf1 and grows with the input.
     val fv = df.where(col(valueCol).isNotNull)
       .groupBy(col(factorCol).as("f"),
         col(valueCol).cast("decimal(18,2)").as("v"))
