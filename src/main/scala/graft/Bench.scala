@@ -151,5 +151,11 @@ object Bench {
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     sys.addShutdownHook { rawOut.println(compact); rawOut.flush() }
     spark.stop()
+    // Normal-exit belt to the hook's suspenders: shutdown hooks run in
+    // unspecified order relative to other registered hooks, so a hook
+    // that writes stdout could land after ours. Printing once more after
+    // spark.stop() returns makes the clean-exit path hook-order-proof
+    // (the duplicate line is harmless — the driver takes the LAST line).
+    rawOut.println(compact); rawOut.flush()
   }
 }

@@ -47,7 +47,8 @@ object DedupStats {
     def payload(pairs: org.apache.spark.sql.DataFrame): Long =
       pairs.join(sizes.toDF("id1", "s1"), "id1")
         .join(sizes.toDF("id2", "s2"), "id2")
-        .agg(sum((col("s1") + col("s2")) * 8L)).head().getLong(0)
+        .agg(coalesce(sum((col("s1") + col("s2")) * 8L), lit(0L)))
+        .head().getLong(0)
     val nDocs = docs.count()
     val nCand = cand.count()
     val nKept = kept.count()

@@ -15,6 +15,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // match the query-running mains' aggregate config so the printed
+    // plans are the plans Bench/Verify actually execute
+    graft.llm.TopK.raiseSortFallbackThreshold(spark)
     QueryRegistry.all.filter(q => names.contains(q.name)).foreach { q =>
       println(s"\n=================== ${q.name} ===================")
       q.run(spark, sfDir).explain("formatted")

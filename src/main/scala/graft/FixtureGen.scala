@@ -167,8 +167,15 @@ object FixtureGen {
       if (!spread) when(col("__r") > 0,
         concat(col("text"), lit(" rep"), col("__r"))).otherwise(col("text"))
       else when(col("__r") > 0,
+        // "z" sentinel terminates the replica number so the mapping is
+        // prefix-free: without it, replica 1's token "2foo" and replica
+        // 12's "foo" both map to "r12foo" (and a replica-0 source token
+        // literally starting "r<digits>" collides with a tagged one),
+        // silently merging shingle spaces across replicas. With the
+        // sentinel a collision needs a source token matching r\d+z.*,
+        // i.e. a digit-bearing source token — the corpus has none.
         regexp_replace(col("text"), lit("([a-zA-Z0-9]+)"),
-          concat(lit("r"), col("__r"), lit("$1")))).otherwise(col("text"))
+          concat(lit("r"), col("__r"), lit("z$1")))).otherwise(col("text"))
     save(replicate(load("documents"), Map("doc_id" -> "documents"))
       .withColumn("text", docText)
       .withColumn("n_chars", length(col("text")).cast("long"))
