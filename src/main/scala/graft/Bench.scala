@@ -22,20 +22,22 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // let AQE convert sort-merge joins to shuffled-hash when the build
-      // side's post-shuffle partitions fit locally (default 0 = never):
-      // the dedup verify join streams pairs carrying ~KB shingle-set
-      // arrays, and SMJ would SORT that fat stream. The threshold is
-      // MEASURED, not guessed (q_adamic_adar sf1, REPS=2 minima): 64m →
-      // 11.8 s, stock 0 → 64.5 s (the mid-size degree joins convert and
-      // skip their sorts), 512m → 115.9 s (the ~200 MB/partition wedge
-      // build also converts and GC-thrashes) — small builds love hash,
-      // big builds need the sort-merge spill path, and 64m is the
-      // boundary that keeps every measured win (ANN tier sf10 20.2 →
-      // 16.1 s) with no measured loss. SPARK_GRAFT_SHJ overrides (A/B
-      // knob; "0" = stock).
+      // AQE sort-merge→shuffled-hash conversion threshold. The default
+      // is Spark's stock 0 (never convert) because the choice is SCALE-
+      // DEPENDENT and was measured BOTH ways (round-9 isolated A/B,
+      // REPS=3, full 320-query registry, quiet machine —
+      // bench_r9_ab_shj64m.json vs bench_r9_ab_shj0.json): at sf0.1 the
+      // 64m threshold LOSES a net 21.5 s (250.1 vs 228.6 s; +31.8 s
+      // spread across ~90 mid-size-join queries whose builds convert and
+      // pay hash-build overhead SMJ's codegen path beats at this size,
+      // −10.3 s of wins) — it was the round-8 driver-bench regression.
+      // At sf1+ the picture inverts on the join-heavy tail (q_adamic_adar
+      // 64.5 s stock → 11.8 s at 64m: the wedge-stage degree joins skip
+      // their sorts; 512m → 115.9 s GC-thrash, so 64m is the scale
+      // sweet spot). SPARK_GRAFT_SHJ selects: unset/"0" = stock (the
+      // sf0.1 driver bench), "64m" for sf1+ scale sessions.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ", "64m"))
+        sys.env.getOrElse("SPARK_GRAFT_SHJ", "0"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[decodeImage]] parses PNG/JPEG bytes with the
   * JDK's built-in `javax.imageio` (no external codec needed) into
-  * dimensions + per-channel means. AUDIO decode is REAL for WAV/PCM:
+  * dimensions + per-channel means — including the baseline-DCT JPEG
+  * path, oracle-gated end to end by `q_jpeg_decode` via
+  * [[syntheticQuadJpeg]] fixtures whose lossy round-trip is provably
+  * bit-exact, with truncated JPEG failing CLOSED (EOI-marker guard;
+  * libjpeg otherwise pads a cut scan into silently wrong pixels). AUDIO decode is REAL for WAV/PCM:
   * [[decodeWav]] walks the RIFF chunk layout (fmt/data) with pure byte
   * arithmetic — no codec involved — into rate/channels/bit-depth/sample
   * stats plus REAL spectral features ([[wavSpectrum]] — a fixed-point
@@ -85,7 +89,25 @@ object Multimodal {
     * the end — deterministic under any partitioning. Throws on bytes no
     * installed reader accepts (callers route non-image kinds to
     * [[decodeStub]]). */
+  /** Fail-closed guard for JPEG payloads: libjpeg tolerates a truncated
+    * scan and pads the missing blocks (probed: 15 of 342 cut points of a
+    * 16×16 JPEG decode to a WRONG image with no exception), so unlike
+    * PNG — whose inflater throws on an unfinished stream — a byte-level
+    * integrity check must run BEFORE the decode. A baseline JPEG is
+    * SOI(FFD8)…EOI(FFD9); a payload that starts with SOI but does not
+    * end with EOI lost its tail in transit and must throw, never decode
+    * to a silently wrong histogram/hash/mean. Non-JPEG payloads pass
+    * through untouched (PNG's own CRC+inflate already fails closed). */
+  private def requireJpegComplete(r: MediaRecord): Unit = {
+    val p = r.payload
+    if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+      require(p.length >= 4 && (p(p.length - 2) & 0xff) == 0xff &&
+        (p(p.length - 1) & 0xff) == 0xd9,
+        s"truncated JPEG payload for id=${r.id}: missing EOI marker")
+  }
+
   def decodeImage(r: MediaRecord): ImageMeta = {
+    requireJpegComplete(r)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
     require(img != null, s"undecodable image payload for id=${r.id}")
     val (w, h) = (img.getWidth, img.getHeight)
@@ -164,6 +186,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
+        requireJpegComplete(r)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
         require(img != null, s"undecodable image payload for id=${r.id}")
@@ -234,6 +257,7 @@ object Multimodal {
   private[graft] def decodeImageHist(r: MediaRecord, bins: Int)
       : Seq[ImageHist] = {
     val binWidth = 256 / bins
+    requireJpegComplete(r)
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(r.payload))
     require(img != null, s"undecodable image payload for id=${r.id}")
@@ -284,6 +308,58 @@ object Multimodal {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic 16×16 grayscale BASELINE JPEG of four solid 8×8
+    * quadrants, quadrant q (row-major) holding value
+    * (37·id + 53·q) mod 256, compressed at quality 1.0.
+    *
+    * Why this shape is ORACLE-EXACT through a lossy codec: each JPEG
+    * MCU is an 8×8 block, so a block-uniform image has only DC
+    * coefficients; at libjpeg quality 100 the quantization table is all
+    * ones, and DC = 8·(v−128) is an exact integer — the decoded block
+    * is bit-identical to the source (probed exhaustively: every value
+    * 0..255 and 500 quadrant images round-trip exactly, incl. non-
+    * multiple-of-8 dims). The four distinct quadrant DCs still exercise
+    * the REAL baseline-DCT path end to end — Huffman DC-delta decode,
+    * dequantization, IDCT — which a single solid fill would not
+    * (one DC delta of zero per block). Pixels are GRAY-valued RGB
+    * (r=g=b=v, the syntheticGradientPng convention) rather than a
+    * single-component TYPE_BYTE_GRAY raster, for two exactness reasons:
+    * (a) gray pixels make the RGB↔YCbCr fixed-point conversion lossless
+    * — the Y coefficients sum to unity so Y=v ± nothing, and both
+    * chroma planes are the constant 128, which also makes any chroma
+    * subsampling exact; (b) BufferedImage.getRGB on TYPE_BYTE_GRAY runs
+    * a LINEAR-gray→sRGB color-space conversion (128 → 188, measured),
+    * so a gray raster would break the getRGB-based histogram/phash
+    * kernels even though its raw samples round-trip. Probed: 500 ids
+    * (including negatives) decode bit-exactly via getRGB. */
+  def syntheticQuadJpeg(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val q = (y / 8) * 2 + (x / 8)
+        val v = Math.floorMod(37 * id + 53 * q, 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close()
+    writer.dispose()
     out.toByteArray
   }
 

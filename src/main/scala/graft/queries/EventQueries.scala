@@ -1152,6 +1152,47 @@ object EventQueries {
          |  ON g.doc_id = c.doc_id AND g.bin = c.bin
          |ORDER BY g.doc_id, g.bin""".stripMargin)),
 
+    // REAL baseline-DCT JPEG decode (javax.imageio's native libjpeg
+    // path: Huffman DC-delta decode, dequantization, IDCT, YCbCr→RGB):
+    // per doc_id a 16×16 gray-valued-RGB JPEG of four solid 8×8
+    // quadrants (value (37·id+53·q) mod 256) encoded at quality 1.0 —
+    // block-uniform images have DC-only spectra and an all-ones quant
+    // table, and gray pixels make the color conversion exact (Y
+    // coefficients sum to unity, chroma constant 128), so the lossy
+    // codec round-trips BIT-EXACTLY (probed: all 256 values + 500
+    // quadrant images), which is what makes a lossy format oracle-able
+    // at all. Decoded through the same imageHistogram kernel as
+    // q_image_decode; the oracle recomputes each quadrant's 64-pixel
+    // contribution arithmetically — any decoded pixel off by one moves
+    // a bin count.
+    QuerySpec("q_jpeg_decode", (s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, "image/jpeg",
+          Multimodal.syntheticQuadJpeg(id)))
+      Multimodal.imageHistogram(recs, bins = 16).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("bin"), col("n_px"))
+        .orderBy("doc_id", "bin")
+    }, Some(
+      """WITH quad AS (
+        |  SELECT doc_id, (37 * doc_id + 53 * q) % 256 AS v
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS q)),
+        |cnt AS (
+        |  SELECT doc_id, v // 16 AS bin, 64 * COUNT(*) AS c
+        |  FROM quad GROUP BY doc_id, v // 16),
+        |grid AS (
+        |  SELECT doc_id, bin FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin))
+        |SELECT g.doc_id, CAST(16 AS INT) AS width,
+        |       CAST(16 AS INT) AS height, CAST(g.bin AS INT) AS bin,
+        |       CAST(COALESCE(c.c, 0) AS BIGINT) AS n_px
+        |FROM grid g LEFT JOIN cnt c
+        |  ON g.doc_id = c.doc_id AND g.bin = c.bin
+        |ORDER BY g.doc_id, g.bin""".stripMargin)),
+
     // Image PERCEPTUAL hash (aHash) through the REAL decode path: a
     // deterministic 16×16 gradient PNG per doc_id is encoded, decoded
     // back via javax.imageio, block-averaged to an 8×8 bit grid

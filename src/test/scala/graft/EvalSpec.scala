@@ -319,6 +319,91 @@ class EvalSpec extends SparkSpec {
     assert(hier === exact)
   }
 
+  // ── sf1 ANN recall gate ───────────────────────────────────────────
+  // The check the sf100 routing collapse demanded a round earlier: the
+  // equivalence gates above run the hier tiers only at one cell (exact
+  // by construction), so a quantizer that ROUTES BADLY at real cell
+  // counts is invisible to them — the id-seeded coarse level passed
+  // every such gate and then collapsed assignment mass at sf100
+  // (SCALING.md finding 3). This gate rebuilds the deterministic sf1
+  // embedding fixture inline (FixtureGen's exact construction, FIXTURES
+  // .md §5: 10 key-shifted replicas, dim-0 drift nudge +r·0.001f) —
+  // 20,000 vectors → 19 fine cells / 4 super-cells under the production
+  // parameters (targetCellSize=1024, nprobe=2, sprobe=2, trainIters=2)
+  // — and scores the trained tier against an exact top-5 ground truth
+  // on a deterministic 253-query sample (vec_id % 79 == 0, spans every
+  // replica; 253×20k pairs ≈ 5M cosines, so the exact side stays
+  // test-suite cheap while the ANN side runs the FULL production plan).
+  // Measured on the round-9 engine: recall@5 = 1.0000, vote agreement
+  // = 1.0000 over 254 sampled queries (recorded in SCALING.md) — the
+  // 0.95/0.98 pins below sit under that with margin. A quantizer
+  // regression that degrades routing quality fails HERE, at sf1 cost —
+  // not at sf100.
+  test("sf1 recall gate: trained two-level IVF recall@5 and vote " +
+      "agreement vs exact, at real cell counts") {
+    import graft.llm.{DotProduct, Similarity, TopK}
+    DotProduct.register(spark)
+    TopK.register(spark)
+    val src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nSrc = src.count()
+    val emb = src.crossJoin(spark.range(0, 10).toDF("__r")
+        .hint("broadcast"))
+      .select(
+        (col("vec_id") + col("__r") * nSrc).cast("long").as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + col("__r").cast("float") * lit(0.001f))
+            .otherwise(x).cast("float")).as("embedding"),
+        col("label"))
+      .localCheckpoint()
+    // production-parameter ANN over the full corpus, sampled queries out
+    val ann = Similarity.ivfHierProbeTopKNeighborsTrained(emb, "vec_id",
+        "embedding", k = 5, targetCellSize = 1024, nprobe = 2,
+        sprobe = 2, trainIters = 2)
+      .filter(col("id") % 79 === 0)
+      .select(col("id"), col("neighbor_id")).localCheckpoint()
+    // exact top-5 ground truth for the sampled queries only
+    val withNorm = emb.select(col("vec_id").as("id"),
+        Similarity.vecDouble(col("embedding")).as("v"))
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+    val q = withNorm.filter(col("id") % 79 === 0).toDF("id", "v1", "n21")
+    val c = withNorm.toDF("neighbor_id", "v2", "n22")
+    val exact = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"),
+        (Similarity.dot(col("v1"), col("v2")) /
+          sqrt(col("n21") * col("n22"))).as("cos"),
+        col("neighbor_id"))
+      .groupBy(col("id"))
+      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), lit(5))
+        .as("top"))
+      .select(col("id"), explode(col("top")).as("t"))
+      .select(col("id"), col("t.id").as("neighbor_id"))
+      .localCheckpoint()
+    val nQ = exact.select("id").distinct().count()
+    assert(nQ >= 200, s"sample degenerated: $nQ queries")
+    val recall = exact.join(ann, Seq("id", "neighbor_id")).count()
+      .toDouble / (nQ * 5.0)
+    // leave-one-out majority vote on each candidate set (the exact
+    // struct-max vote Eval.majorityVote runs: integer counts, ties
+    // toward the smaller label)
+    val labels = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("nlbl"))
+    def vote(nbrs: org.apache.spark.sql.DataFrame) = nbrs
+      .join(labels, "neighbor_id")
+      .groupBy("id", "nlbl").agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(max(struct(col("cnt"), (-col("nlbl")).as("neg"))).as("m"))
+      .select(col("id"), (-col("m.neg")).as("pred"))
+    val agree = vote(exact).toDF("id", "p_exact")
+      .join(vote(ann).toDF("id", "p_ann"), "id")
+      .agg(avg(when(col("p_exact") === col("p_ann"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    info(f"sf1 ANN gate: queries=$nQ recall@5=$recall%.4f " +
+      f"agreement=$agree%.4f")
+    assert(recall >= 0.95, f"recall@5 $recall%.4f under the 0.95 pin")
+    assert(agree >= 0.98, f"vote agreement $agree%.4f under the 0.98 pin")
+  }
+
   test("nnMatchAtt: nearest-control picks, tie toward backward, " +
       "unmatched counted") {
     // controls at x=10 (y=100) and x=20 (y=200); treated at 12, 19 and

@@ -138,6 +138,51 @@ class JdbcSpec extends SparkSpec {
       "int64" -> 23, "datetime64[ns]" -> 6))
   }
 
+  test("Postgres golden DDL: the exact CREATE-TABLE column list for all " +
+      "6 gold entities, pinned file-for-file") {
+    // The last cheap slice of the no-live-Postgres gap: jdbcLoadOrdered
+    // appends into pre-created tables, and the DDL those tables need is
+    // exactly what Spark's own writer would generate —
+    // JdbcUtils.schemaString(PostgresDialect, entitySchema). This pins
+    // that string for every entity the REAL conform path produces
+    // (empty 229-col silver frame → Entities.conform → schema), so any
+    // drift in the dialect mapping, the entity specs, the dtype→Spark
+    // translation, OR column nullability shows as a golden-file diff.
+    // Regenerate after an intentional schema change:
+    //   GRAFT_REGOLD=1 sbt 'testOnly graft.JdbcSpec' prints the new
+    //   block to paste into src/test/resources/gold_entities_postgres.ddl
+    import org.apache.spark.sql.types._
+    val silverJson = new String(
+      getClass.getResourceAsStream("/schema_silver_data.json")
+        .readAllBytes(), "UTF-8")
+    val silverSchema = graft.engine.SchemaIO.schemaFromDtypeJson(silverJson)
+    val emptySilver = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], silverSchema)
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects
+      .get("jdbc:postgresql://dbhost/graft")
+    val juCls = Class.forName(
+      "org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils$")
+    val ju = juCls.getField("MODULE$").get(null)
+    val entities = graft.engine.SchemaIO.referenceGoldEntities
+    assert(entities.map(_.name).sorted === Seq("adresses",
+      "donnees_climatiques", "donnees_geocodage", "logements",
+      "tests_statistiques_dpe", "villes"))
+    val rendered = entities.sortBy(_.name).map { spec =>
+      val schema = graft.engine.Entities.conform(emptySilver, spec).schema
+      val ddl = juCls.getMethod("schemaString",
+          classOf[org.apache.spark.sql.jdbc.JdbcDialect],
+          classOf[StructType], classOf[Boolean], classOf[Option[String]])
+        .invoke(ju, dialect, schema, java.lang.Boolean.FALSE, None)
+        .asInstanceOf[String]
+      s"CREATE TABLE ${spec.name} ($ddl);"
+    }.mkString("\n")
+    if (sys.env.contains("GRAFT_REGOLD")) info("\n" + rendered + "\n")
+    val golden = new String(
+      getClass.getResourceAsStream("/gold_entities_postgres.ddl")
+        .readAllBytes(), "UTF-8").trim
+    assert(rendered === golden)
+  }
+
   test("upsert round-trip: JDBC-read state, upsert, write back") {
     ddl("""CREATE TABLE kv ("k" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
     Seq((1L, "old"), (2L, "keep")).toDF("k", "v")

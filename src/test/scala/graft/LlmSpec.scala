@@ -173,6 +173,41 @@ class MultimodalProps extends Properties("llm.multimodal") {
       }
     }
 
+  property("JPEG quadrant fixture round-trips BIT-EXACTLY through the " +
+    "lossy baseline-DCT codec (block-uniform DC-only spectra, all-ones " +
+    "quant table at quality 1.0)") =
+    Prop.forAll(anyId) { id =>
+      val hist = Multimodal.decodeImageHist(
+        MediaRecord(id, "image/jpeg", Multimodal.syntheticQuadJpeg(id)),
+        bins = 16)
+      val want = Array.fill(16)(0L)
+      for (q <- 0 until 4)
+        want(Math.floorMod(37 * id + 53 * q, 256L).toInt / 16) += 64L
+      hist.length == 16 &&
+        hist.forall(e => e.width == 16 && e.height == 16) &&
+        hist.map(_.n_px).sum == 256L &&
+        hist.forall(e => e.n_px == want(e.bin))
+    }
+
+  property("JPEG decode fails CLOSED on truncation: libjpeg would pad a " +
+    "cut scan into a silently wrong image, the EOI guard must throw " +
+    "first (or the decode must equal the full histogram)") =
+    Prop.forAll(anyId, Gen.choose(0, 999)) { (id, permille) =>
+      val full = Multimodal.syntheticQuadJpeg(id)
+      val want = Multimodal.decodeImageHist(
+        MediaRecord(id, "image/jpeg", full), bins = 16)
+      val cut = full.take((full.length.toLong * permille / 1000L).toInt)
+      try {
+        Multimodal.decodeImageHist(
+          MediaRecord(id, "image/jpeg", cut), 16) == want
+      } catch {
+        case _: IllegalArgumentException => true
+        case _: javax.imageio.IIOException => true
+        case _: java.io.IOException => true
+        case _: Throwable => false
+      }
+    }
+
   property("zip generator round-trips; corrupt STORED data flips crc_ok") =
     Prop.forAll(anyId) { id =>
       val z = Multimodal.decodeZip(
