@@ -32,9 +32,22 @@ object Glm {
     require(iters >= 1 && iters <= 10, s"iters=$iters")
     val spark = df.sparkSession
     import spark.implicits._
+    // The IRLS working set, materialized ONCE: every round is a full
+    // pass over (y, x), and without this each round re-runs the source
+    // scan + cast chain (3 parquet decodes of the fit columns at
+    // iters=3, plus whatever joins fed `df`). Two doubles per row is
+    // the classic cached-training-set shape (16 B/row — ~10 GB across a
+    // 1000-executor cluster at 600M rows, far under the input it
+    // replaces). Measured at sf0.1 (isolated): q_logreg_irls 5.86 →
+    // 5.42 s (REPS=5 min), q_calibration 7.66 → 7.14 s (REPS=3) — a
+    // MODEST local win because per-round codegen/scheduling dominates
+    // at 600k rows, but the scan elimination is the term that matters
+    // at scale: iters+1 passes over the raw source become one
+    // projection write + iters+1 passes over 16 B/row.
     val base = df.select(yCol.cast("double").as("y"),
       xCol.cast("double").as("x"))
       .where(col("y").isNotNull && col("x").isNotNull)
+      .localCheckpoint()
 
     // 8dp-grid term in exact integer 1e-8 units: the INNER round is the
     // oracle's ROUND(expr, 8) verbatim; extracting its integer numerator
