@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   * Optional 4th arg `spread`: additionally make each replica's part
   * BRANDS and NAME first tokens replica-distinct (`p_brand || ' r<r>'`,
   * `'r<r>_' || p_name`), and each replica's document text WORD-wise
-  * replica-distinct (every token gains `_r<r>`, so replicas of one doc
+  * replica-distinct (every token t becomes `r<r>z<t>` — a prefix-free
+  * PREFIX, see the in-code note — so replicas of one doc
   * share NO shingles — they are genuinely different documents, not the
   * plain mode's trailing-token near-clones that band into C(factor,2)
   * LSH cliques). Plain replication keeps every fixed-cardinality

@@ -36,6 +36,9 @@ object PairCounts {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // every query-running main raises the ObjectHashAggregate hash-mode
+    // capacity the same way (see TopK.raiseSortFallbackThreshold)
+    graft.llm.TopK.raiseSortFallbackThreshold(spark)
 
     // Σ d(d−1)/2 — summed as the even integer d(d−1) and halved in Scala
     // (Spark's `/` on integers is true division → double)

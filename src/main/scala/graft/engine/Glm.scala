@@ -44,10 +44,18 @@ object Glm {
     // at 600k rows, but the scan elimination is the term that matters
     // at scale: iters+1 passes over the raw source become one
     // projection write + iters+1 passes over 16 B/row.
+    // persist (NOT localCheckpoint): a checkpoint truncates lineage, so
+    // on a real cluster one lost executor mid-fit kills the job with
+    // unrecoverable blocks — persist keeps the recompute path; and the
+    // blocks release DETERMINISTICALLY in the finally below instead of
+    // waiting on ContextCleaner's GC-driven weak references (the
+    // "persist leaks" round-1 lesson — safe here because every consumer
+    // of `base` finishes inside this function; the returned betas are
+    // literals).
     val base = df.select(yCol.cast("double").as("y"),
       xCol.cast("double").as("x"))
       .where(col("y").isNotNull && col("x").isNotNull)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 8dp-grid term in exact integer 1e-8 units: the INNER round is the
     // oracle's ROUND(expr, 8) verbatim; extracting its integer numerator
@@ -70,6 +78,7 @@ object Glm {
     var b0 = 0.0
     var b1 = 0.0
     var n = 0L
+    try {
     for (_ <- 1 to iters) {
       val eta = lit(b0) + lit(b1) * col("x")
       val mu0 = round(lit(1.0) / (lit(1.0) + exp(-eta)), 6)
@@ -124,5 +133,8 @@ object Glm {
     }
     // Option-wrapped so both exits share one nullable schema
     Seq((n, Option(b0), Option(b1))).toDF("n", "b0", "b1")
+    // the finally covers BOTH early returns and the normal exit — the
+    // blocking=false release is async but explicit (no GC dependence)
+    } finally base.unpersist(blocking = false)
   }
 }

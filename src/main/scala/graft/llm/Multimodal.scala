@@ -83,29 +83,46 @@ object Multimodal {
     }
   }
 
-  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP):
-    * bytes → BufferedImage → (width, height, per-channel means). Exact
-    * long-integer channel sums (no float accumulation), divided once at
-    * the end — deterministic under any partitioning. Throws on bytes no
-    * installed reader accepts (callers route non-image kinds to
-    * [[decodeStub]]). */
   /** Fail-closed guard for JPEG payloads: libjpeg tolerates a truncated
     * scan and pads the missing blocks (probed: 15 of 342 cut points of a
     * 16×16 JPEG decode to a WRONG image with no exception), so unlike
     * PNG — whose inflater throws on an unfinished stream — a byte-level
     * integrity check must run BEFORE the decode. A baseline JPEG is
-    * SOI(FFD8)…EOI(FFD9); a payload that starts with SOI but does not
-    * end with EOI lost its tail in transit and must throw, never decode
-    * to a silently wrong histogram/hash/mean. Non-JPEG payloads pass
-    * through untouched (PNG's own CRC+inflate already fails closed). */
+    * SOI(FFD8)…EOI(FFD9); a payload that starts with SOI must carry an
+    * EOI within its trailing 64 bytes or it throws — never a silently
+    * wrong histogram/hash/mean. The window (not a strict last-2-bytes
+    * check) tolerates the common small trailers real files carry —
+    * block/alignment zero-padding, a camera firmware tail — while
+    * staying fail-closed against truncation, which cuts entropy-coded
+    * data where byte stuffing guarantees no FFD9 can appear; a payload
+    * with a LARGER trailer is rejected LOUDLY (fail-closed is the
+    * documented trade — an exotic-trailer false reject is an error the
+    * caller sees, a padded truncation false accept would be silent
+    * corruption). Non-JPEG payloads pass through untouched (PNG's own
+    * CRC+inflate already fails closed). */
   private def requireJpegComplete(r: MediaRecord): Unit = {
     val p = r.payload
-    if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
-      require(p.length >= 4 && (p(p.length - 2) & 0xff) == 0xff &&
-        (p(p.length - 1) & 0xff) == 0xd9,
-        s"truncated JPEG payload for id=${r.id}: missing EOI marker")
+    if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      var i = p.length - 2
+      val stop = math.max(1, p.length - 64)
+      var found = false
+      while (!found && i >= stop) {
+        found = (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd9
+        i -= 1
+      }
+      require(found,
+        s"truncated JPEG payload for id=${r.id}: no EOI marker in the " +
+          "trailing 64 bytes")
+    }
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP):
+    * bytes → BufferedImage → (width, height, per-channel means). Exact
+    * long-integer channel sums (no float accumulation), divided once at
+    * the end — deterministic under any partitioning. Throws on bytes no
+    * installed reader accepts, and on truncated JPEG via
+    * [[requireJpegComplete]] (callers route non-image kinds to
+    * [[decodeStub]]). */
   def decodeImage(r: MediaRecord): ImageMeta = {
     requireJpegComplete(r)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))

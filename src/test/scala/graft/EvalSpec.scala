@@ -342,6 +342,12 @@ class EvalSpec extends SparkSpec {
   test("sf1 recall gate: trained two-level IVF recall@5 and vote " +
       "agreement vs exact, at real cell counts") {
     import graft.llm.{DotProduct, Similarity, TopK}
+    // sf0.1 is part of the driver's fixture contract (TESTDATA.md) and
+    // the only scale with enough vectors for real cell counts; cancel
+    // loudly (not fail) on a partial checkout that generated only the
+    // smaller fixtures
+    assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet")
+      .exists(), "sf0.1 fixture missing — the recall gate needs it")
     DotProduct.register(spark)
     TopK.register(spark)
     val src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -394,9 +400,14 @@ class EvalSpec extends SparkSpec {
       .groupBy("id")
       .agg(max(struct(col("cnt"), (-col("nlbl")).as("neg"))).as("m"))
       .select(col("id"), (-col("m.neg")).as("pred"))
+    // LEFT join from the exact side: a query the ANN tier drops
+    // entirely (empty candidate set) must count as DISAGREEMENT, not
+    // silently shrink the averaging population — with an inner join a
+    // dozen fully-dropped queries would still pass both pins
     val agree = vote(exact).toDF("id", "p_exact")
-      .join(vote(ann).toDF("id", "p_ann"), "id")
-      .agg(avg(when(col("p_exact") === col("p_ann"), 1.0).otherwise(0.0)))
+      .join(vote(ann).toDF("id", "p_ann"), Seq("id"), "left")
+      .agg(avg(when(col("p_ann").isNotNull &&
+        col("p_exact") === col("p_ann"), 1.0).otherwise(0.0)))
       .head().getDouble(0)
     info(f"sf1 ANN gate: queries=$nQ recall@5=$recall%.4f " +
       f"agreement=$agree%.4f")
