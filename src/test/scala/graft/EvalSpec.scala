@@ -319,6 +319,23 @@ class EvalSpec extends SparkSpec {
     assert(hier === exact)
   }
 
+  /** The deterministic sf1 embedding fixture rebuilt inline —
+    * FixtureGen's exact construction (FIXTURES.md §5: 10 key-shifted
+    * replicas of the sf0.1 table, dim-0 drift nudge +r·0.001f) →
+    * 20,000 vectors, shared by both recall-gate tests. */
+  private def sf1EmbFixture(): org.apache.spark.sql.DataFrame = {
+    val src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nSrc = src.count()
+    src.crossJoin(spark.range(0, 10).toDF("__r").hint("broadcast"))
+      .select(
+        (col("vec_id") + col("__r") * nSrc).cast("long").as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + col("__r").cast("float") * lit(0.001f))
+            .otherwise(x).cast("float")).as("embedding"),
+        col("label"))
+      .localCheckpoint()
+  }
+
   // ── sf1 ANN recall gate ───────────────────────────────────────────
   // The check the sf100 routing collapse demanded a round earlier: the
   // equivalence gates above run the hier tiers only at one cell (exact
@@ -350,17 +367,7 @@ class EvalSpec extends SparkSpec {
       .exists(), "sf0.1 fixture missing — the recall gate needs it")
     DotProduct.register(spark)
     TopK.register(spark)
-    val src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val nSrc = src.count()
-    val emb = src.crossJoin(spark.range(0, 10).toDF("__r")
-        .hint("broadcast"))
-      .select(
-        (col("vec_id") + col("__r") * nSrc).cast("long").as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, x + col("__r").cast("float") * lit(0.001f))
-            .otherwise(x).cast("float")).as("embedding"),
-        col("label"))
-      .localCheckpoint()
+    val emb = sf1EmbFixture()
     // production-parameter ANN over the full corpus, sampled queries out
     val ann = Similarity.ivfHierProbeTopKNeighborsTrained(emb, "vec_id",
         "embedding", k = 5, targetCellSize = 1024, nprobe = 2,
@@ -413,6 +420,80 @@ class EvalSpec extends SparkSpec {
       f"agreement=$agree%.4f")
     assert(recall >= 0.95, f"recall@5 $recall%.4f under the 0.95 pin")
     assert(agree >= 0.98, f"vote agreement $agree%.4f under the 0.98 pin")
+  }
+
+  // The same measured-quality-floor discipline for EVERY other top-k
+  // ANN tier: each gets its recall@5 scored on the same 253-query
+  // deterministic sample against the ground truth in ITS metric —
+  // cosine for the IVF family, exact raw-double L2 for PQ-ADC (PQ ranks
+  // by asymmetric squared distance on the fixed-point grid, so its gate
+  // measures the FULL pipeline loss: quantization + codebook + LUT).
+  // Round-9 measured values: flat(auto) 1.0000, multi-probe 1.0000,
+  // id-seeded hier 0.9984 (the untrained coarse level ALREADY loses
+  // 0.16% of true neighbors at sf1 — the quality shadow of the sf100
+  // routing collapse, visible here for 40 s of suite time), PQ-ADC
+  // 0.6150 (the honest m=8/ksub=16 full-pipeline quantization loss; in
+  // production PQ is a candidate generator whose top-k gets exact
+  // re-ranking — see pqIvfTopK's scaladoc). Pins sit under measured
+  // with margin; a routing, seeding, or quantization regression in any
+  // tier fails the suite at sf1 cost.
+  test("sf1 recall gate, remaining ANN tiers: flat auto-cell IVF, " +
+      "multi-probe, id-seeded hier vs exact cosine; PQ-ADC vs exact L2") {
+    import graft.llm.{DotProduct, Similarity, TopK}
+    assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet")
+      .exists(), "sf0.1 fixture missing — the recall gate needs it")
+    DotProduct.register(spark)
+    TopK.register(spark)
+    val emb = sf1EmbFixture()
+    val withNorm = emb.select(col("vec_id").as("id"),
+        Similarity.vecDouble(col("embedding")).as("v"))
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+    val q = withNorm.filter(col("id") % 79 === 0).toDF("id", "v1", "n21")
+    val c = withNorm.toDF("neighbor_id", "v2", "n22")
+    // exact top-5 under a given score (TopK ties toward smaller id on
+    // both sides, same as every production tier)
+    def exactTop5(score: org.apache.spark.sql.Column) =
+      c.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("neighbor_id"))
+        .select(col("id"), score.as("s"), col("neighbor_id"))
+        .groupBy(col("id"))
+        .agg(TopK.topKByScore(col("s"), col("neighbor_id"), lit(5))
+          .as("top"))
+        .select(col("id"), explode(col("top")).as("t"))
+        .select(col("id"), col("t.id").as("neighbor_id"))
+        .localCheckpoint()
+    val dotQC = Similarity.dot(col("v1"), col("v2"))
+    val exactCos = exactTop5(dotQC / sqrt(col("n21") * col("n22")))
+    // L2² = |q|² + |c|² − 2q·c; negated so "higher is better" for TopK
+    val exactL2 = exactTop5(-(col("n21") + col("n22") - lit(2.0) * dotQC))
+    val nQ = exactCos.select("id").distinct().count()
+    assert(nQ >= 200, s"sample degenerated: $nQ queries")
+    def recallOf(nbrs: org.apache.spark.sql.DataFrame,
+        truth: org.apache.spark.sql.DataFrame): Double =
+      truth.join(nbrs, Seq("id", "neighbor_id")).count()
+        .toDouble / (nQ * 5.0)
+    def sampled(nbrs: org.apache.spark.sql.DataFrame) =
+      nbrs.filter(col("id") % 79 === 0).select("id", "neighbor_id")
+    // numCells = 0 → AUTO floor(sqrt(n)) = 141 cells at 20k vectors
+    val flat = recallOf(sampled(Similarity.ivfTopKNeighbors(
+      emb, "vec_id", "embedding", k = 5, numCells = 0)), exactCos)
+    val probe = recallOf(sampled(Similarity.ivfProbeTopKNeighbors(
+      emb, "vec_id", "embedding", k = 5, targetCellSize = 1024,
+      nprobe = 2)), exactCos)
+    val hier = recallOf(sampled(Similarity.ivfHierProbeTopKNeighbors(
+      emb, "vec_id", "embedding", k = 5, targetCellSize = 1024,
+      nprobe = 2, sprobe = 2)), exactCos)
+    val qids = exactCos.select("id").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val pq = recallOf(Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, queryIds = qids, k = 5)
+      .select(col("query_id").as("id"), col("neighbor_id")), exactL2)
+    info(f"sf1 ANN tiers recall@5: flat(auto)=$flat%.4f " +
+      f"probe=$probe%.4f hier(id-seeded)=$hier%.4f pq_adc=$pq%.4f")
+    assert(flat >= 0.95, f"flat IVF recall $flat%.4f under the 0.95 pin")
+    assert(probe >= 0.95, f"multi-probe recall $probe%.4f under 0.95")
+    assert(hier >= 0.95, f"id-seeded hier recall $hier%.4f under 0.95")
+    assert(pq >= 0.50, f"PQ-ADC recall $pq%.4f under the 0.50 pin")
   }
 
   test("nnMatchAtt: nearest-control picks, tie toward backward, " +
