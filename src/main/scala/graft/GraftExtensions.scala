@@ -54,8 +54,17 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))),
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      // unconditional Casts (SimplifyCasts erases the no-ops): the
+      // aggregate's update() unboxes (double, long) with asInstanceOf,
+      // so an int32 id column would otherwise ClassCastException on an
+      // executor; coercion here covers every call site at once
       (exprs: Seq[Expression]) =>
-        TopKByScore(exprs(0), exprs(1), literalK(exprs(2), "topk_by_score"))
+        TopKByScore(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(0),
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+            org.apache.spark.sql.types.LongType),
+          literalK(exprs(2), "topk_by_score"))
           .toAggregateExpression()),
     ("word_shingles",
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),

@@ -112,6 +112,10 @@ object Similarity {
     * cosine verification ≥ minCos. Output: id1, id2, cos. */
   def annPairs(emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, minCos: Double): DataFrame = {
+    // planes <= 0 would make lshBucket a constant (one bucket = the
+    // all-pairs cross join this function exists to avoid) — fail loud,
+    // the ivfProbeTopKNeighbors parameter-guard convention
+    require(planes >= 1, s"annPairs: planes=$planes")
     DotProduct.register(emb.sparkSession)
     val hp = hyperplanes(planes, dimOf(emb, vecCol))
     val withB = emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
@@ -141,8 +145,18 @@ object Similarity {
     * max_cos (8dp). */
   def crossContamination(left: DataFrame, right: DataFrame, idCol: String,
       vecCol: String, planes: Int, minCos: Double): DataFrame = {
+    require(planes >= 1, s"crossContamination: planes=$planes")
     DotProduct.register(left.sparkSession)
-    val hp = hyperplanes(planes, dimOf(left, vecCol))
+    // schema drift between the two corpora must surface, not truncate:
+    // the native dot loops to min(len) — with mismatched dims the
+    // buckets and cosines would be silently computed over the shared
+    // prefix. Checked only when both sides are non-empty (an empty side
+    // flows zero rows regardless).
+    val (ld, rd) = (dimOf(left, vecCol, emptyDim = 0),
+      dimOf(right, vecCol, emptyDim = 0))
+    require(ld == 0 || rd == 0 || ld == rd,
+      s"crossContamination: dim mismatch left=$ld right=$rd")
+    val hp = hyperplanes(planes, math.max(ld, 1))
     def side(df: DataFrame, p: String): DataFrame =
       df.select(col(idCol).as(s"${p}_id"), vecDouble(col(vecCol)).as(s"${p}_v"))
         .withColumn(s"${p}_n2", dot(col(s"${p}_v"), col(s"${p}_v")))
@@ -380,7 +394,7 @@ object Similarity {
   /** Flat routing: broadcast-score every centroid, keep the top-nprobe
     * per vector with the bounded-heap aggregate — TopK's (score desc, id
     * asc) order matches the assignment tie-break; probes(1) IS the
-    * assignment. Materialized once (localCheckpoint): both candidate
+    * assignment. Materialized once (iterationBarrier): both candidate
     * join sides consume it, and the routing scan is the expensive
     * subtree. Returns (id, probes[nprobe], v, n2). */
   private[graft] def flatRoute(withNorm: DataFrame, centroids: DataFrame,
@@ -394,7 +408,9 @@ object Similarity {
       .agg(TopK.topKByScore(col("score"), col("cid"), lit(nprobe))
           .as("probes"),
         first(col("v")).as("v"), first(col("n2")).as("n2"))
-      .localCheckpoint()
+      // iterationBarrier, not bare localCheckpoint: honors the
+      // spark.graft.checkpoint.reliable mode long cluster jobs set
+      .transform(graft.engine.Checkpoints.iterationBarrier)
   }
 
   /** Two-level routing: assign each centroid to its nearest super-cell
@@ -433,7 +449,7 @@ object Similarity {
       .agg(TopK.topKByScore(col("score"), col("cid"), lit(nprobe))
           .as("probes"),
         first(col("v")).as("v"), first(col("n2")).as("n2"))
-      .localCheckpoint()
+      .transform(graft.engine.Checkpoints.iterationBarrier)
   }
 
   /** Probe⋈assign candidate equi-join + bounded-heap top-k tail shared
@@ -500,7 +516,11 @@ object Similarity {
     require(k >= 1 && targetCellSize >= 1 && nprobe >= 1,
       s"ivfProbeTopKNeighbors: k=$k targetCellSize=$targetCellSize " +
         s"nprobe=$nprobe")
-    val withNorm = ivfNorm(emb, idCol, vecCol)
+    // materialize the normed projection ONCE: count(), the centroid
+    // TakeOrdered, and the routing crossJoin each re-ran the full
+    // source scan + dot(v,v) otherwise (3+ passes per call)
+    val withNorm = graft.engine.Checkpoints.iterationBarrier(
+      ivfNorm(emb, idCol, vecCol))
     val n = withNorm.count()
     val cells = math.max(1L, n / targetCellSize).toInt
     val centroids = lowestIdCentroids(withNorm, cells)
@@ -549,7 +569,11 @@ object Similarity {
     require(k >= 1 && targetCellSize >= 1 && nprobe >= 1 && sprobe >= 1,
       s"ivfHierProbeTopKNeighbors: k=$k targetCellSize=$targetCellSize " +
         s"nprobe=$nprobe sprobe=$sprobe")
-    val withNorm = ivfNorm(emb, idCol, vecCol)
+    // materialize the normed projection ONCE: count(), the centroid
+    // TakeOrdered, and the routing crossJoin each re-ran the full
+    // source scan + dot(v,v) otherwise (3+ passes per call)
+    val withNorm = graft.engine.Checkpoints.iterationBarrier(
+      ivfNorm(emb, idCol, vecCol))
     val n = withNorm.count()
     val cells = math.max(1L, n / targetCellSize).toInt
     val scells = math.max(1, math.floor(math.sqrt(cells.toDouble)).toInt)
@@ -596,7 +620,11 @@ object Similarity {
       s"ivfHierProbeTopKNeighborsTrained: k=$k " +
         s"targetCellSize=$targetCellSize nprobe=$nprobe sprobe=$sprobe " +
         s"trainIters=$trainIters")
-    val withNorm = ivfNorm(emb, idCol, vecCol)
+    // materialize the normed projection ONCE: count(), the centroid
+    // TakeOrdered, and the routing crossJoin each re-ran the full
+    // source scan + dot(v,v) otherwise (3+ passes per call)
+    val withNorm = graft.engine.Checkpoints.iterationBarrier(
+      ivfNorm(emb, idCol, vecCol))
     val n = withNorm.count()
     val cells = math.max(1L, n / targetCellSize).toInt
     val scells = math.max(1, math.floor(math.sqrt(cells.toDouble)).toInt)
@@ -653,16 +681,6 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 8).as("cos"))
   }
 
-  /** Per-vector symmetric int8 scalar quantization: `q_j = round(127 ·
-    * v_j / amax)` with `amax = max_j |v_j|` (an all-zero vector stays
-    * all-zero with a null scale). Codes are 4× smaller than float32 —
-    * the storage/bandwidth tier for 100 TB similarity search: candidate
-    * scans read int8 codes, only survivors fetch full-precision vectors.
-    * Output: id, q (array<bigint> in [-127,127]), scale (amax/127).
-    *
-    * The codes are emitted as longs rather than bytes so downstream
-    * integer arithmetic can't overflow a narrow type under ANSI mode;
-    * a parquet sink would store them as `array<tinyint>` via cast. */
   /** Per-label centroid of an embedding column — the training step of an
     * IVF index (cells = labels here; k-means iterations are this exact
     * aggregation in a loop) and the class-prototype primitive of
@@ -698,7 +716,6 @@ object Similarity {
   def nearestCentroids(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, labelCol: String = "label",
       scaleBits: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scale = (1L << scaleBits).toDouble
     val cent = centroids.select(col(labelCol), col("dim"),
       floor(col("centroid") * lit(scale)).cast("long").as("ci"))
@@ -736,7 +753,6 @@ object Similarity {
     * Output: idCol, cluster_id. */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scaleBits: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && iters >= 1, s"kmeans: k=$k iters=$iters")
     val scale = (1L << scaleBits).toDouble
     val vx = emb
@@ -804,6 +820,16 @@ object Similarity {
         round(col("__acc").cast("double") / lit(scale), 8).as("value"))
   }
 
+  /** Per-vector symmetric int8 scalar quantization: `q_j = round(127 ·
+    * v_j / amax)` with `amax = max_j |v_j|` (an all-zero vector stays
+    * all-zero with a null scale). Codes are 4× smaller than float32 —
+    * the storage/bandwidth tier for 100 TB similarity search: candidate
+    * scans read int8 codes, only survivors fetch full-precision vectors.
+    * Output: id, q (array<bigint> in [-127,127]), scale (amax/127).
+    *
+    * The codes are emitted as longs rather than bytes so downstream
+    * integer arithmetic can't overflow a narrow type under ANSI mode;
+    * a parquet sink would store them as `array<tinyint>` via cast. */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), vecDouble(col(vecCol)).as("v"))
       .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
@@ -848,8 +874,9 @@ object Similarity {
     * within subspace, xi = 2^scaleBits fixed-point component). */
   private def pqVx(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, scaleBits: Int): DataFrame = {
-    val dim = dimOf(emb, vecCol)
-    require(m >= 1 && dim % m == 0, s"PQ: m=$m must divide dim=$dim")
+    require(m >= 1, s"PQ: m=$m")
+    val dim = dimOf(emb, vecCol, emptyDim = m)
+    require(dim % m == 0, s"PQ: m=$m must divide dim=$dim")
     val dsub = dim / m
     val scale = (1L << scaleBits).toDouble
     emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -1022,12 +1049,13 @@ object Similarity {
     val assign = kmeansAssign(emb, idCol, vecCol, k, iters)
     // withNorm feeds BOTH pair sides and the final kept-projection: the
     // Lloyd-assignment subtree is the operator's most expensive plan, so
-    // materialize it once (localCheckpoint — blocks free on RDD GC, no
-    // CacheManager pin; same rationale as verifiedOverlap)
+    // materialize it once (iterationBarrier: localCheckpoint by default
+    // — blocks free on RDD GC, no CacheManager pin, the verifiedOverlap
+    // rationale — or a reliable checkpoint when the cluster mode asks)
     val withNorm = emb.select(col(idCol), vecDouble(col(vecCol)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
       .join(assign, Seq(idCol))
-      .localCheckpoint()
+      .transform(graft.engine.Checkpoints.iterationBarrier)
     val a = withNorm.select(col(idCol).as("id1"), col("v").as("v1"),
       col("n2").as("n21"), col("cluster_id"))
     val b = withNorm.select(col(idCol).as("id2"), col("v").as("v2"),
@@ -1043,8 +1071,19 @@ object Similarity {
         coalesce(col("__dup"), lit(false)).unary_!.as("kept"))
   }
 
-  private def dimOf(emb: DataFrame, vecCol: String): Int =
-    emb.select(size(col(vecCol))).head().getInt(0)
+  /** Embedding dimension from the first non-null vector. Empty corpus
+    * (or all-null vectors) → `emptyDim`: any dim valid for the caller is
+    * correct there, since no rows flow through the plan it parameterizes
+    * — the callers (hyperplanes, PQ subspace split) then return their
+    * empty result instead of crashing head() on an empty/null first row
+    * (a legitimately empty daily partition must not kill the job).
+    * annPairs/crossContamination pass 1; pqVx passes `m` so its
+    * dim-divisibility require stays satisfiable on the empty frame. */
+  private def dimOf(emb: DataFrame, vecCol: String,
+      emptyDim: Int = 1): Int =
+    emb.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d"))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(emptyDim)
 
   private def md5Hex(s: String): String = {
     val d = MessageDigest.getInstance("MD5")
@@ -1088,10 +1127,16 @@ object Similarity {
     val top = pairs.groupBy(col("qid")).agg(
       TopK.topKByScore(col("cf"), col("id"), lit(k)).as("tf"),
       TopK.topKByScore(col("cp"), col("id"), lit(k)).as("tp"))
-    top.select(col("qid").as("id"),
-      round(size(array_intersect(
-        transform(col("tf"), t => t.getField("id")),
-        transform(col("tp"), t => t.getField("id"))))
-        .cast("double") / lit(k.toDouble), 8).as("overlap"))
+    // LEFT join from the query set: a query with ZERO candidates (every
+    // other vector zero-norm, or a one-vector corpus) must emit
+    // overlap 0.0 — the oracle's `q LEFT JOIN ov` shape — not silently
+    // vanish from the output
+    q.select(col("qid"))
+      .join(top, Seq("qid"), "left")
+      .select(col("qid").as("id"),
+        coalesce(round(size(array_intersect(
+          transform(col("tf"), t => t.getField("id")),
+          transform(col("tp"), t => t.getField("id"))))
+          .cast("double") / lit(k.toDouble), 8), lit(0.0)).as("overlap"))
   }
 }

@@ -39,6 +39,13 @@ case class TopKByScore(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
+  // NOTE: inputs MUST be (double, long) — update() unboxes with
+  // asInstanceOf. The registered builder (GraftFunctions) wraps both
+  // arguments in Cast unconditionally (SimplifyCasts erases the no-ops),
+  // so an int32 parquet id or a float score coerces instead of crashing
+  // an executor with an opaque ClassCastException. Constructing the
+  // aggregate directly bypasses that coercion — go through the builder
+  // (call_function / TopK.topKByScore).
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -856,6 +856,43 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Int]("rank") === 1)
   }
 
+  test("top-k neighbors: INT ids coerce (builder-inserted casts), no " +
+      "executor ClassCastException") {
+    // an int32 parquet id column is the common real-world shape; the
+    // aggregate's update() unboxes Long, so without the builder's Cast
+    // this crashed an executor opaquely
+    val intIds = Seq((1, Array(1.0f, 0.0f)), (2, Array(0.9f, 0.1f)),
+      (3, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.topKNeighbors(intIds, "vec_id", "embedding",
+      k = 1).filter(col("id") === 1).head()
+    assert(top.getAs[Long]("neighbor_id") === 2L)
+  }
+
+  test("empty embedding corpus: annPairs and PQ return empty, never " +
+      "crash deriving the dimension; planes<=0 fails loud") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.annPairs(empty, "vec_id", "embedding", planes = 4,
+      minCos = 0.5).count() === 0L)
+    assert(Similarity.pqAdcTopK(empty, "vec_id", "embedding", m = 8,
+      ksub = 16, queryIds = Seq(1L), k = 5).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Similarity.annPairs(vecs, "vec_id", "embedding", planes = 0,
+        minCos = 0.5)
+    }
+  }
+
+  test("mrlOverlap: a query with zero candidates emits overlap 0.0 " +
+      "(the oracle's LEFT-JOIN shape), not a dropped row") {
+    // corpus = one query vector + only zero-norm others → no candidates
+    val vs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mrlOverlap(vs, "vec_id", "embedding",
+      prefixDim = 1, k = 2, queryPred = col("qid") === 1L).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("id") === 1L)
+    assert(r.head.getAs[Double]("overlap") === 0.0)
+  }
+
   test("htmlToText: scripts/comments/tags drop, entities unescape in " +
       "the safe order, whitespace collapses") {
     import graft.llm.TextAnalysis
