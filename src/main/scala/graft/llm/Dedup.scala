@@ -191,11 +191,15 @@ object Dedup {
     // signatures come from the native per-document kernel — a map-only
     // projection over the scan; the old explode → groupBy(min…,
     // countDistinct) formulation shuffled every shingle occurrence and
-    // paid an Expand for the distinct count. The kernel scan has exactly
-    // ONE consumer (the band join); sizes ride the same kernel pass and
-    // feed the size prefilter below, so no second kernel pass exists.
-    val sigSz = minhashSignaturesWithSize(docs, idCol, textCol, n,
-      bands * rowsPerBand)
+    // paid an Expand for the distinct count. The kernel output now has
+    // TWO consumers (the band join and the size prefilter below, added
+    // with the prefilter) whose exchanges differ (band/band_key vs id) —
+    // no ReusedExchange applies, so WITHOUT a barrier the md5-heavy
+    // kernel ran over the whole corpus twice. Materialized once: the
+    // signature rows are (id, perms longs, sz), a sliver of the corpus.
+    val sigSz = graft.engine.Checkpoints.iterationBarrier(
+      minhashSignaturesWithSize(docs, idCol, textCol, n,
+        bands * rowsPerBand))
     val cand = candidatePairsFromBands(
       lshBands(sigSz, idCol, bands, rowsPerBand))
     // verification (candidate-id pruning + exact Jaccard) lives in
@@ -247,7 +251,7 @@ object Dedup {
     require(threshold > 0, s"threshold must be positive, got $threshold")
     val j = col("i").cast("double") /
       (col("sz1") + col("sz2") - col("i")).cast("double")
-    verifiedOverlap(cand, shRaw, idCol)
+    verifiedOverlap(cand, shRaw, idCol, jaccardBound = Some(threshold))
       .select(col("id1"), col("id2"), round(j, 8).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -270,7 +274,7 @@ object Dedup {
     * it is bounded by the candidate doc count, which AQE can still
     * broadcast when small but must stay a shuffle join at corpus scale. */
   private def verifiedOverlap(cand: DataFrame, shRaw: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String, jaccardBound: Option[Double] = None): DataFrame = {
     val candCached = cand.localCheckpoint()
     val candIds = candCached
       .select(explode(array(col("id1"), col("id2"))).as(idCol))
@@ -281,11 +285,32 @@ object Dedup {
     // are unchanged absent an xxhash64 collision inside a candidate
     // pair's sets (~2^-65 per pair — the same collision-freeness the md5
     // signature contract already assumes).
-    val sets = shRaw.join(broadcast(candIds), Seq(idCol), "left_semi")
+    // NO broadcast hint on candIds: the candidate-id set is unbounded
+    // (boilerplate-heavy corpora band into billions of pairs → the
+    // distinct id side can reach tens of GB), and a forced broadcast
+    // bypasses AQE's size check — the 8 GB hard error / driver OOM land
+    // exactly in the at-scale regime this path serves. AQE still picks
+    // broadcast on its own whenever the set is actually small.
+    val sets = shRaw.join(candIds, Seq(idCol), "left_semi")
       .groupBy(col(idCol))
       .agg(collect_set(xxhash64(col("shingle"))).as("shs"))
       .localCheckpoint()
-    candCached
+    // Jaccard callers get the SOUND size-bound pre-drop HERE, from the
+    // set sizes themselves, BEFORE the joins that attach the two ~KB
+    // hash arrays per pair (that exchange was the measured sf100-spread
+    // disk frontier). The batch path also prefilters earlier from its
+    // signature-stage sizes; this covers the paths with no signature
+    // stage — notably the INCREMENTAL batch-vs-corpus join, whose
+    // banding false positives otherwise carried full arrays. Containment
+    // callers pass None: a small set fully inside a large one reaches
+    // containment 1.0 at ANY size ratio, so no sound size bound exists.
+    val pruned = jaccardBound match {
+      case Some(t) => sizePrefilter(candCached,
+        sets.select(col(idCol), size(col("shs")).cast("long").as("sz")),
+        idCol, t)
+      case None => candCached
+    }
+    pruned
       .join(sets.select(col(idCol).as("id1"), col("shs").as("shs1")), Seq("id1"))
       .join(sets.select(col(idCol).as("id2"), col("shs").as("shs2")), Seq("id2"))
       .select(col("id1"), col("id2"),
@@ -488,7 +513,14 @@ object Dedup {
     val fp = graft.engine.Checkpoints.iterationBarrier(fpIn)
     // rebuild the 64-bit fingerprint from its 16-bit words, then slice it
     // into numBands contiguous ranges (widths differ by at most one bit)
-    val h64 = (0 until 4).map(k => shiftleft(col(s"w$k"), k * 16))
+    // cast to long BEFORE shifting: shiftleft on an IntegerType column
+    // is a Java int shift (amount mod 32), so int-typed w2/w3 from an
+    // external caller would shift by 0/16 and scramble the band keys —
+    // a SILENT recall loss (verification still runs, over wrong
+    // candidates). Internal producers emit Long; the cast is a no-op
+    // there and the public any-4×16-bit-words contract holds otherwise.
+    val h64 = (0 until 4).map(k => shiftleft(col(s"w$k").cast("long"),
+        k * 16))
       .reduce(_ bitwiseOR _)
     val widths = Array.tabulate(numBands)(k =>
       64 / numBands + (if (k < 64 % numBands) 1 else 0))
@@ -530,7 +562,10 @@ object Dedup {
     * Output: idCol, n_shared (distinct shared n-grams per flagged doc). */
   def contaminatedDocs(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val evalSh = shingleSets(eval, idCol, textCol, n)
+    // rawShingles, not shingleSets: the per-(id, shingle) distinct would
+    // shuffle once just to be re-distincted down to shingles — one
+    // corpus-keyed exchange for nothing
+    val evalSh = rawShingles(eval, idCol, textCol, n)
       .select("shingle").distinct()
     rawShingles(train, idCol, textCol, n)
       .join(broadcast(evalSh), Seq("shingle"))
@@ -558,8 +593,13 @@ object Dedup {
   def contaminatedDocsBloom(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int, expectedShingles: Long,
       fpp: Double = 0.03): DataFrame = {
-    val evalSh = shingleSets(eval, idCol, textCol, n)
-      .select("shingle").distinct()
+    // built from rawShingles (one distinct, not shingleSets' two) and
+    // materialized ONCE: evalSh feeds BOTH the eager bloom build and the
+    // exact verification join, and this variant exists precisely for
+    // eval corpora with hundreds of millions of n-grams — without the
+    // barrier that whole scan + distinct ran twice
+    val evalSh = graft.engine.Checkpoints.iterationBarrier(
+      rawShingles(eval, idCol, textCol, n).select("shingle").distinct())
     val bloom = evalSh.stat.bloomFilter("shingle", expectedShingles, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
     // null-safe: <=> TRUE keeps the old udf's null→false routing
@@ -592,7 +632,14 @@ object Dedup {
   def nearDupClustersExactFirst(docs: DataFrame, idCol: String,
       textCol: String, n: Int, bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val keyed = docs.select(col(idCol), md5(col(textCol)).as("__k"))
+    // null text gets a sentinel key: md5(NULL) is NULL and the equi-join
+    // below uses EqualTo semantics (NULL never equals NULL), so without
+    // the coalesce every null-text document silently VANISHED from the
+    // output — violating the every-input-document contract. Null texts
+    // now form one exact-dup group (they are byte-identical "content")
+    // whose rep carries no shingles and so never pairs in the LSH stage.
+    val keyed = docs.select(col(idCol),
+      coalesce(md5(col(textCol)), lit("__null_text__")).as("__k"))
     val groups = keyed.groupBy(col("__k")).agg(min(col(idCol)).as("rep"))
     // rep-id set is corpus-sized (one per distinct text) — a plain
     // shuffled semi-join; never broadcast it
@@ -780,21 +827,31 @@ object Dedup {
     * the policy step that turns cluster labels into a deduplicated corpus.
     * Docs absent from `clusters` (the (id, canonical_id) output of
     * [[dupClusters]]/[[dupClustersStar]]) are singletons and keep
-    * themselves. One window over cluster_id; the join ships (id, score)
-    * pairs only, never documents. */
+    * themselves. Best-per-cluster is a struct-min AGGREGATION, not a
+    * row_number window: min(struct(−score, id)) picks the identical
+    * (score desc NULLS LAST, id asc) winner but combines MAP-SIDE, so a
+    * giant boilerplate cluster (millions of near-identical docs — the
+    * common case this policy step exists for) collapses per mapper
+    * instead of sorting in one unsplittable window partition (AQE
+    * cannot split a window's hot key). The join ships (id, score) pairs
+    * only, never documents. */
   def keepCanonical(docs: DataFrame, idCol: String, scoreCol: String,
       clusters: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val assign = docs.select(col(idCol), col(scoreCol))
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("canonical_id"), col(idCol)))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    val wc = Window.partitionBy(col("cluster_id"))
-    assign.withColumn("__rn", row_number().over(w))
-      .withColumn("n_docs", count(lit(1)).over(wc))
-      .where(col("__rn") === 1)
-      .select(col("cluster_id"), col(idCol).as("kept_id"), col("n_docs"))
+    assign
+      .groupBy(col("cluster_id"))
+      .agg(min(struct(
+          // NULL score sorts FIRST under struct-min (null < non-null) —
+          // map it to +inf so it stays the loser, matching the window
+          // formulation's desc-NULLS-LAST
+          coalesce((-col(scoreCol)).cast("double"),
+            lit(Double.PositiveInfinity)).as("negs"),
+          col(idCol).as("kid"))).as("__m"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), col("__m.kid").as("kept_id"),
+        col("n_docs"))
   }
 
   /** Segment-level exact dedup (the "line dedup" pass of RefinedWeb-style
@@ -816,7 +873,6 @@ object Dedup {
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"segmentDedup: k=$k")
-    import org.apache.spark.sql.expressions.Window
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
     val base = docs.select(col(idCol), toks.as("__toks"))
       .withColumn("n_segs", ceil(size(col("__toks")) / lit(k.toDouble)).cast("long"))
@@ -831,13 +887,19 @@ object Dedup {
       .select(col(idCol), col("seg_idx"),
         array_join(slice(col("__toks"),
           (col("seg_idx") * k + 1).cast("int"), lit(k)), " ").as("seg_text"))
-    val w = Window.partitionBy(col("__key"))
-      .orderBy(col(idCol).asc, col("seg_idx").asc)
+    // keep-first as a struct-min AGGREGATION, not a row_number window:
+    // min(struct(id, seg_idx)) is field-lexicographic — the identical
+    // (id asc, seg_idx asc) winner — but combines MAP-SIDE, so a
+    // boilerplate segment repeated 10^9 times collapses per mapper
+    // instead of sorting in one unsplittable window partition (AQE
+    // cannot split a window's hot key; it was the straggler/OOM on the
+    // exact workload segment dedup exists for)
     val kept = segs
       .select(col(idCol), col("seg_idx"), md5(col("seg_text")).as("__key"))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col(idCol), col("seg_idx"))
+      .groupBy(col("__key"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("__m"))
+      .select(col(s"__m.$idCol").as(idCol),
+        col("__m.seg_idx").as("seg_idx"))
     val rebuilt = kept.join(segs, Seq(idCol, "seg_idx"))
       .groupBy(col(idCol))
       .agg(
@@ -849,7 +911,11 @@ object Dedup {
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_segs"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        // null text: size(split(NULL)) is NULL under ANSI — coalesce to
+        // 0 so null-text rows match the empty-string rows' (\'\', 0, 0)
+        // shape instead of leaking a NULL n_segs into NOT NULL sinks
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** SimHash fingerprints via the native expression; emitted as 4×16-bit

@@ -91,4 +91,22 @@ class DedupSkewSpec extends SparkSpec {
       skewDocs.dropDuplicates("text"), "doc_id", "text", 3, 3, 3).count()
     assert(repCands <= 200, s"collapsed candidates: $repCands")
   }
+
+  test("exact-first collapse: null-text documents keep the every-input " +
+      "contract (sentinel key; md5(NULL) would drop them from the join)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]),
+      (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Dedup.nearDupClustersExactFirst(
+        docs, "doc_id", "text", 3, 3, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // EVERY input document is labeled; the two null-text docs form one
+    // exact-dup group under the smallest null-text id
+    assert(got.size === 4)
+    assert(got(2L) === 2L && got(3L) === 2L)
+    assert(got(1L) === 1L && got(4L) === 1L)
+  }
 }
