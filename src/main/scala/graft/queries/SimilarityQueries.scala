@@ -634,6 +634,54 @@ object SimilarityQueries {
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
 
+    // PQ candidate-generation + exact re-rank (the production PQ shape:
+    // ADC is a candidate GENERATOR, not a ranker): ADC picks the top-40
+    // candidates per query (8×k, ties to the smallest id), then the
+    // candidate set alone fetches full fixed-point vectors and re-ranks
+    // by exact integer L2 over all 64 components. The oracle chains the
+    // shared PQ CTE with the candidate cut and the exact re-rank join.
+    QuerySpec("q_pq_rerank", (s, dir) => {
+      Similarity.pqAdcRerank(emb(s, dir), "vec_id", "embedding", m = 8,
+          ksub = 16, queryIds = Seq(20L, 21L, 22L), k = 5, cand = 40)
+        .orderBy("query_id", "rank")
+    }, Some(
+      s"""WITH $pqCte,
+        |q AS (
+        |  SELECT vec_id AS qid, s, j, xi FROM vx WHERE vec_id IN (20, 21, 22)),
+        |lut AS (
+        |  SELECT q.qid, q.s, cb.code,
+        |         CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS ld2
+        |  FROM q JOIN cb ON q.s = cb.s AND q.j = cb.j
+        |  GROUP BY q.qid, q.s, cb.code),
+        |adc AS (
+        |  SELECT l.qid, a.vec_id, CAST(SUM(l.ld2) AS BIGINT) AS ad2
+        |  FROM a JOIN lut l ON a.s = l.s AND a.code = l.code
+        |  WHERE a.vec_id <> l.qid
+        |  GROUP BY l.qid, a.vec_id),
+        |cands AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |                              ORDER BY ad2, vec_id) AS crank
+        |    FROM adc) t
+        |  WHERE crank <= 40),
+        |ex AS (
+        |  SELECT c.qid, c.vec_id,
+        |         CAST(SUM((nv.xi - q.xi) * (nv.xi - q.xi)) AS BIGINT) AS d2
+        |  FROM cands c
+        |  JOIN vx nv ON nv.vec_id = c.vec_id
+        |  JOIN q ON q.qid = c.qid AND q.s = nv.s AND q.j = nv.j
+        |  GROUP BY c.qid, c.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY d2, vec_id) AS rank
+        |  FROM ex)
+        |SELECT qid AS query_id, vec_id AS neighbor_id,
+        |       CAST(rank AS INT) AS rank, d2
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the exact
     // cosine ranking and the PQ-ADC approximate ranking for the same
     // queries — the standard ensemble step of hybrid retrieval, and the

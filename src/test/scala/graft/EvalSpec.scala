@@ -488,12 +488,21 @@ class EvalSpec extends SparkSpec {
     val pq = recallOf(Similarity.pqAdcTopK(emb, "vec_id", "embedding",
         m = 8, ksub = 16, queryIds = qids, k = 5)
       .select(col("query_id").as("id"), col("neighbor_id")), exactL2)
+    // the production PQ composition (q_pq_rerank): ADC generates top-40
+    // candidates (8×k), exact grid L2 re-ranks — quantization survives
+    // only as candidate-selection loss, so this is the tier whose recall
+    // must clear the same 0.95 production floor as the IVF family
+    val pqr = recallOf(Similarity.pqAdcRerank(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, queryIds = qids, k = 5, cand = 40)
+      .select(col("query_id").as("id"), col("neighbor_id")), exactL2)
     info(f"sf1 ANN tiers recall@5: flat(auto)=$flat%.4f " +
-      f"probe=$probe%.4f hier(id-seeded)=$hier%.4f pq_adc=$pq%.4f")
+      f"probe=$probe%.4f hier(id-seeded)=$hier%.4f pq_adc=$pq%.4f " +
+      f"pq_rerank=$pqr%.4f")
     assert(flat >= 0.95, f"flat IVF recall $flat%.4f under the 0.95 pin")
     assert(probe >= 0.95, f"multi-probe recall $probe%.4f under 0.95")
     assert(hier >= 0.95, f"id-seeded hier recall $hier%.4f under 0.95")
     assert(pq >= 0.50, f"PQ-ADC recall $pq%.4f under the 0.50 pin")
+    assert(pqr >= 0.95, f"PQ re-rank recall $pqr%.4f under the 0.95 pin")
   }
 
   test("nnMatchAtt: nearest-control picks, tie toward backward, " +
