@@ -22,35 +22,88 @@ object EventQueries {
   def specs: Seq[QuerySpec] = Seq(
 
     // Per-user EWMA (alpha = 0.5) over the event-time-ordered value
-    // series: a sequential left fold seeded by the first value, so the
-    // evaluation order is pinned and both engines produce bit-identical
-    // doubles (0.5 is exact; the fold is the same expression tree).
-    // Scale shape: one groupBy on the key; each user's series folds
-    // inside its own aggregation buffer — no window, no global sort.
+    // series, seeded by the first value. The sequential fold is affine in
+    // its seed (out = a + f·seed with f = 0.5^len), so it evaluates as a
+    // TWO-LEVEL chunked fold: a row_number window (sort-based, spillable
+    // — the per-user-partitioned window pattern of sessionization/CUSUM)
+    // slices each series into 1024-event chunks; each (user, chunk)
+    // group folds its ≤1024 values into the pair (a = fold from seed 0 —
+    // seed x₁ for chunk 0 —, f = 0.5^len, both exact per step); the
+    // per-user combine then folds the CHUNK summaries in chunk order
+    // (acc = a_c + f_c·acc). Per-task aggregation state is bounded at
+    // 1024 values (level 1) / n/1024 summaries (level 2) — a 10⁸-event
+    // hot key holds ~100k small structs (~2 MB), never the multi-GB
+    // full series a single collect_list would buffer. Both engines
+    // evaluate the identical chunked association (0.5 scaling is exact;
+    // add/mul order pinned), so the doubles stay bit-identical.
     QuerySpec("q_ewma", (s, dir) => {
-      events(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chunks = events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        .groupBy("user_id")
-        .agg(
+        .withColumn("rn", row_number().over(w))
+        .withColumn("chunk", expr("CAST((rn - 1) div 1024 AS BIGINT)"))
+        .groupBy("user_id", "chunk")
+        .agg(sort_array(collect_list(struct(col("rn"), col("value"))))
+            .as("__evs"),
+          count(lit(1)).as("n"))
+        .withColumn("__vals",
+          transform(col("__evs"), x => x.getField("value")))
+        .select(col("user_id"), col("chunk"), col("n"),
+          when(col("chunk") === 0,
+            aggregate(
+              slice(col("__vals"), lit(2),
+                greatest(size(col("__vals")) - 1, lit(0))),
+              element_at(col("__vals"), 1),
+              (acc, x) => x * lit(0.5) + acc * lit(0.5)))
+          .otherwise(
+            aggregate(col("__vals"), lit(0.0d),
+              (acc, x) => x * lit(0.5) + acc * lit(0.5))).as("a"),
+          aggregate(col("__vals"), lit(1.0d),
+            (acc, _) => acc * lit(0.5)).as("f"))
+      chunks.groupBy("user_id")
+        .agg(sum(col("n")).as("n_events"),
           sort_array(collect_list(
-            struct(col("ts"), col("event_id"), col("value")))).as("__evs"),
-          count(lit(1)).as("n_events"))
-        .withColumn("__vals", transform(col("__evs"), x => x.getField("value")))
+            struct(col("chunk"), col("a"), col("f")))).as("__cs"))
         .select(col("user_id"), col("n_events"),
           round(aggregate(
-            slice(col("__vals"), lit(2),
-              greatest(size(col("__vals")) - 1, lit(0))),
-            element_at(col("__vals"), 1),
-            (acc, x) => x * lit(0.5) + acc * lit(0.5)), 8).as("ewma"))
+            slice(col("__cs"), lit(2),
+              greatest(size(col("__cs")) - 1, lit(0))),
+            element_at(col("__cs"), 1).getField("a"),
+            (acc, x) => x.getField("a") + x.getField("f") * acc), 8)
+            .as("ewma"))
         .orderBy("user_id")
     }, Some(
-      """WITH g AS (
-        |  SELECT user_id, COUNT(*) AS n_events,
-        |         list(value ORDER BY ts, event_id) AS vals
-        |  FROM events GROUP BY user_id)
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, (rn - 1) // 1024 AS chunk, COUNT(*) AS n,
+        |         list(value ORDER BY rn) AS vals
+        |  FROM r GROUP BY user_id, (rn - 1) // 1024),
+        |cf AS (
+        |  SELECT user_id, chunk, n,
+        |         CASE WHEN chunk = 0
+        |              THEN list_reduce(vals, (acc, x) -> x * 0.5 + acc * 0.5)
+        |              ELSE list_reduce(
+        |                     list_prepend(CAST(0.0 AS DOUBLE), vals),
+        |                     (acc, x) -> x * 0.5 + acc * 0.5)
+        |         END AS a,
+        |         list_reduce(list_prepend(CAST(1.0 AS DOUBLE), vals),
+        |                     (acc, x) -> acc * 0.5) AS f
+        |  FROM ch),
+        |u AS (
+        |  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |         list({'chunk': chunk, 'a': a, 'f': f} ORDER BY chunk) AS cs
+        |  FROM cf GROUP BY user_id)
         |SELECT user_id, n_events,
-        |       ROUND(list_reduce(vals, (acc, x) -> x * 0.5 + acc * 0.5), 8) AS ewma
-        |FROM g ORDER BY user_id""".stripMargin)),
+        |       ROUND(list_reduce(cs,
+        |               (acc, x) -> {'chunk': x.chunk,
+        |                            'a': x.a + x.f * acc.a,
+        |                            'f': x.f}).a, 8) AS ewma
+        |FROM u ORDER BY user_id""".stripMargin)),
 
     // Tumbling 1-hour window aggregation (batch form; the streaming form
     // with watermark lives in graft.streaming.EventStreams).
