@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *    volume Σ d² (symmetrized distinct co-supply edges, shared-neighbor
   *    degree in [2, 100] — the query's maxDeg). This is the metric the
   *    SCALING.md disposition pinned (18 034 987 at sf0.1 →
-  *    180 348 870 at sf1; reproduced exactly by this main).
+  *    180 349 870 at sf1; reproduced exactly by this main).
   *  - wedges: the distinct unordered wedge pairs Σ d(d−1)/2 of the same
   *    distribution (8 722 007 → 87 220 070, exactly 10×).
   *  - copairs: q_item_cf's exact co-pair volume — distinct (customer,

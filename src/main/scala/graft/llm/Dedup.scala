@@ -834,7 +834,15 @@ object Dedup {
     * common case this policy step exists for) collapses per mapper
     * instead of sorting in one unsplittable window partition (AQE
     * cannot split a window's hot key). The join ships (id, score) pairs
-    * only, never documents. */
+    * only, never documents.
+    *
+    * Score contract: `scoreCol` must be a finite numeric whose values
+    * are exactly representable as doubles — the struct-min negates it
+    * through a double cast, so DECIMAL/LONG magnitudes beyond 2^53 lose
+    * the sub-ULP orderings an exact window sort would keep, and a NaN
+    * score sorts GREATEST after negation (loser) where the old desc
+    * window put NaN first (winner). Quality scores on the engine's 8dp
+    * grid (every producer in this codebase) satisfy both. */
   def keepCanonical(docs: DataFrame, idCol: String, scoreCol: String,
       clusters: DataFrame): DataFrame = {
     val assign = docs.select(col(idCol), col(scoreCol))

@@ -87,32 +87,55 @@ object Multimodal {
     * scan and pads the missing blocks (probed: 15 of 342 cut points of a
     * 16×16 JPEG decode to a WRONG image with no exception), so unlike
     * PNG — whose inflater throws on an unfinished stream — a byte-level
-    * integrity check must run BEFORE the decode. A baseline JPEG is
-    * SOI(FFD8)…EOI(FFD9); a payload that starts with SOI must carry an
-    * EOI within its trailing 64 bytes or it throws — never a silently
-    * wrong histogram/hash/mean. The window (not a strict last-2-bytes
-    * check) tolerates the common small trailers real files carry —
-    * block/alignment zero-padding, a camera firmware tail — while
-    * staying fail-closed against truncation, which cuts entropy-coded
-    * data where byte stuffing guarantees no FFD9 can appear; a payload
-    * with a LARGER trailer is rejected LOUDLY (fail-closed is the
-    * documented trade — an exotic-trailer false reject is an error the
-    * caller sees, a padded truncation false accept would be silent
-    * corruption). Non-JPEG payloads pass through untouched (PNG's own
-    * CRC+inflate already fails closed). */
+    * integrity check must run BEFORE the decode. The check WALKS the
+    * marker-segment structure from SOI (FFD8): every length-prefixed
+    * segment (APPn/COM/DQT/DHT/SOF/...) is skipped whole via its declared
+    * length — so an EXIF APP1 whose embedded thumbnail carries its own
+    * EOI can never satisfy the guard (a file truncated just after the
+    * thumbnail fails, where a trailing-window scan would silently pass
+    * padded wrong pixels) — and from the first SOS onward entropy-coded
+    * data is scanned byte-wise, where FF00 stuffing and FFD0–D7 restart
+    * markers are data, any other FFxx re-enters marker mode, and only a
+    * structural FFD9 counts as the image's true EOI. Arbitrarily large
+    * POST-EOI trailers (camera firmware tails, alignment padding) are
+    * accepted — the walk stops at the EOI it reaches, replacing the old
+    * 64-byte-trailer trade-off — while any truncation (mid-segment,
+    * mid-scan, or inside an embedded thumbnail) throws, never a silently
+    * wrong histogram/hash/mean. Non-JPEG payloads pass through untouched
+    * (PNG's own CRC+inflate already fails closed). */
   private def requireJpegComplete(r: MediaRecord): Unit = {
     val p = r.payload
     if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
-      var i = p.length - 2
-      val stop = math.max(1, p.length - 64)
+      var i = 2
+      var inScan = false
       var found = false
-      while (!found && i >= stop) {
-        found = (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd9
-        i -= 1
+      while (!found && i + 1 < p.length) {
+        if ((p(i) & 0xff) != 0xff) {
+          // marker mode expects FF here for a well-formed file; scan mode
+          // is plain entropy data. Either way advance — completeness is
+          // judged solely by reaching a structural EOI.
+          i += 1
+        } else (p(i + 1) & 0xff) match {
+          case 0xd9 => found = true                     // EOI
+          case 0x00 if inScan => i += 2                 // stuffed FF data byte
+          case m if m >= 0xd0 && m <= 0xd7 => i += 2    // RSTn (no payload)
+          case 0xff => i += 1                           // fill byte
+          case 0xd8 | 0x01 => i += 2                    // SOI / TEM (no payload)
+          case m =>
+            // length-prefixed segment (APPn incl. EXIF thumbnails, COM,
+            // DQT, DHT, SOF, SOS, DNL, ...): skip the declared payload;
+            // SOS additionally switches to entropy-coded scanning
+            if (i + 3 >= p.length) i = p.length         // cut inside header
+            else {
+              val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+              i += 2 + len
+              inScan = m == 0xda
+            }
+        }
       }
       require(found,
-        s"truncated JPEG payload for id=${r.id}: no EOI marker in the " +
-          "trailing 64 bytes")
+        s"truncated JPEG payload for id=${r.id}: segment walk reached " +
+          "end of payload without a structural EOI marker")
     }
   }
 

@@ -156,7 +156,11 @@ object Similarity {
       dimOf(right, vecCol, emptyDim = 0))
     require(ld == 0 || rd == 0 || ld == rd,
       s"crossContamination: dim mismatch left=$ld right=$rd")
-    val hp = hyperplanes(planes, math.max(ld, 1))
+    // whichever side is non-empty supplies the plane dimension (an
+    // empty left with a non-empty right previously projected the right
+    // side through degenerate dim-1 planes — correct output, since the
+    // bucket join stays empty, but wasted projection work)
+    val hp = hyperplanes(planes, math.max(math.max(ld, rd), 1))
     def side(df: DataFrame, p: String): DataFrame =
       df.select(col(idCol).as(s"${p}_id"), vecDouble(col(vecCol)).as(s"${p}_v"))
         .withColumn(s"${p}_n2", dot(col(s"${p}_v"), col(s"${p}_v")))

@@ -208,6 +208,41 @@ class MultimodalProps extends Properties("llm.multimodal") {
       }
     }
 
+  property("JPEG EOI guard walks segments: an EXIF-style APP1 segment " +
+    "embedding a thumbnail WITH ITS OWN EOI cannot satisfy the guard " +
+    "when the outer image is truncated right after it; a valid file " +
+    "with an arbitrarily large post-EOI trailer is accepted") =
+    Prop.forAll(anyId, Gen.choose(65, 4096)) { (id, trailerLen) =>
+      val full = Multimodal.syntheticQuadJpeg(id)
+      // a complete mini-JPEG (own SOI..EOI) as the APP1 thumbnail body
+      val thumb = Multimodal.syntheticQuadJpeg(id + 1)
+      val app1Len = 2 + 6 + thumb.length // len field + "Exif\0\0" + body
+      val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+        ((app1Len >> 8) & 0xff).toByte, (app1Len & 0xff).toByte,
+        'E', 'x', 'i', 'f', 0, 0) ++ thumb
+      // SOI + APP1(thumbnail) + rest-of-real-image, CUT right after the
+      // thumbnail: the trailing bytes end in the thumbnail's FFD9, which
+      // a trailing-window scan would accept — the segment walk must not
+      val cutAfterThumb = full.take(2) ++ app1
+      val cutRejected =
+        try { Multimodal.decodeImageHist(MediaRecord(id, "image/jpeg",
+          cutAfterThumb), 16); false }
+        catch { case _: IllegalArgumentException => true
+                case _: Throwable => false }
+      // same structure but COMPLETE (real image follows the APP1), plus
+      // a large non-FFD9 trailer: must decode to the un-thumbnailed
+      // image's histogram (ImageIO skips unknown APP1 payloads)
+      val withThumbAndTrailer = full.take(2) ++ app1 ++ full.drop(2) ++
+        Array.fill(trailerLen)(0x41.toByte)
+      val want = Multimodal.decodeImageHist(
+        MediaRecord(id, "image/jpeg", full), 16)
+      val got =
+        try Multimodal.decodeImageHist(MediaRecord(id, "image/jpeg",
+          withThumbAndTrailer), 16)
+        catch { case _: Throwable => Nil }
+      cutRejected && got == want
+    }
+
   property("zip generator round-trips; corrupt STORED data flips crc_ok") =
     Prop.forAll(anyId) { id =>
       val z = Multimodal.decodeZip(
