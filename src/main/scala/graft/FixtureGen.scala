@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic fixture scaler for the round-5 scale-stress pass: reads
@@ -47,7 +47,25 @@ import org.apache.spark.sql.functions._
   * key-shift math is unaffected because the SOURCE counts still come
   * from the full source dir.
   *
-  * Usage: sbt "runMain graft.FixtureGen /root/testdata/sf0.1 /tmp/graft-sf1 10 [spread] [tables=lineitem,embeddings]"
+  * Optional `zipf` arg (the round-10 skew drill): after replication,
+  * redirect a deterministic md5-drawn fraction of FKs onto a small
+  * Zipf(1)-weighted HUB set (rank drawn log-uniformly — P(rank k) ∝
+  * ln(1+1/k) ≈ 1/k — via the inverse-CDF trick floor((H+1)^u)):
+  *  - 25 % of lineitem rows point `l_partkey` at one of 64 global hub
+  *    parts (hub degree grows ×factor with scale — a real hub, not a
+  *    replica-local one): the q_adamic_adar co-supply graph gains
+  *    part-side hubs far beyond maxDeg = 100;
+  *  - 10 % of orders point `o_custkey` at one of 16 hub customers:
+  *    q_item_cf gains power-user baskets far beyond maxBasket = 1000;
+  *  - every document appends 8 hub tokens drawn from a 256-token
+  *    Zipf vocabulary (`hubz<k>`, shared ACROSS replicas — appended
+  *    after the spread rewrite on purpose): q_tfidf_cosine gains hub
+  *    trigrams with df ≫ maxDf = 20.
+  * The near-uniform TPC-H-ish fixtures never exercised the caps that
+  * keep these three families linear; this variant measures cap + AQE
+  * behavior under genuinely Zipfian hubs.
+  *
+  * Usage: sbt "runMain graft.FixtureGen /root/testdata/sf0.1 /tmp/graft-sf1 10 [spread] [zipf] [tables=lineitem,embeddings]"
   */
 object FixtureGen {
 
@@ -59,6 +77,7 @@ object FixtureGen {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val flags = args.drop(3)
     val spread = flags.contains("spread")
+    val zipf = flags.contains("zipf")
     val tableFilter: Option[Set[String]] = flags
       .find(_.startsWith("tables="))
       .map(_.stripPrefix("tables=").split(",").map(_.trim).toSet)
@@ -121,6 +140,16 @@ object FixtureGen {
       shifted
     }
 
+    // md5-uniform in [0,1) from the (post-shift, replica-unique) row
+    // identity — the Sampling.scala derivation, 15 hex chars / 16^15
+    def u01(seed: String, cols: Column*): Column =
+      conv(substring(md5(concat_ws("|", (lit(seed) +: cols): _*)), 1, 15),
+        16, 10).cast("double") / lit(math.pow(16.0, 15))
+    // Zipf(1) hub rank in [0, nHubs): inverse-CDF log-uniform draw —
+    // P(rank = k) = log_{H+1}((k+2)/(k+1)) ∝ 1/k
+    def zipfHub(u: Column, nHubs: Int): Column =
+      (floor(pow(lit(nHubs + 1.0), u)) - 1).cast("long")
+
     save(load("region"), "region", 1)
     save(load("nation"), "nation", 1)
     save(replicate(load("customer"), Map("c_custkey" -> "customer"))
@@ -138,13 +167,25 @@ object FixtureGen {
           concat(lit("r"), col("__r"), lit("_"), col("p_name")))
           .otherwise(col("p_name")))
     save(partOut.drop("__r"), "part", 4)
-    save(replicate(load("orders"),
+    val ordRep = replicate(load("orders"),
       Map("o_orderkey" -> "orders", "o_custkey" -> "customer"))
-      .drop("__r"), "orders", 8)
-    save(replicate(load("lineitem"),
+    val ordOut =
+      if (!zipf) ordRep
+      else ordRep.withColumn("o_custkey",
+        when(u01("zipfcust", col("o_orderkey")) < 0.10,
+          zipfHub(u01("zipfcustpick", col("o_orderkey")), 16))
+          .otherwise(col("o_custkey")))
+    save(ordOut.drop("__r"), "orders", 8)
+    val liRep = replicate(load("lineitem"),
       Map("l_orderkey" -> "orders", "l_partkey" -> "part",
         "l_suppkey" -> "supplier"))
-      .drop("__r"), "lineitem", 16)
+    val liOut =
+      if (!zipf) liRep
+      else liRep.withColumn("l_partkey",
+        when(u01("zipfhit", col("l_orderkey"), col("l_linenumber")) < 0.25,
+          zipfHub(u01("zipfpick", col("l_orderkey"), col("l_linenumber")),
+            64)).otherwise(col("l_partkey")))
+    save(liOut.drop("__r"), "lineitem", 16)
     save(replicate(load("events"),
       Map("event_id" -> "events", "user_id" -> "user"))
       .drop("__r"), "events", 8)
@@ -177,8 +218,16 @@ object FixtureGen {
         // i.e. a digit-bearing source token — the corpus has none.
         regexp_replace(col("text"), lit("([a-zA-Z0-9]+)"),
           concat(lit("r"), col("__r"), lit("z$1")))).otherwise(col("text"))
+    // zipf: hub tokens append AFTER the spread rewrite so they stay
+    // GLOBAL (replica-shared) — hub trigram df must grow with factor
+    val zipfText =
+      if (!zipf) docText
+      else concat((docText +: (0 until 8).flatMap(i => Seq(lit(" "),
+        concat(lit("hubz"),
+          zipfHub(u01(s"zipfdoc$i", col("doc_id")), 256)
+            .cast("string"))))): _*)
     save(replicate(load("documents"), Map("doc_id" -> "documents"))
-      .withColumn("text", docText)
+      .withColumn("text", zipfText)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__r"), "documents", 8)
     save(replicate(load("embeddings"), Map("vec_id" -> "embeddings"))
