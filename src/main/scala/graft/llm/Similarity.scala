@@ -1089,6 +1089,43 @@ object Similarity {
         (-col("t.score")).cast("long").as("d2"))
   }
 
+  /** IVF-PQ + exact re-rank — the full FAISS-default retrieval shape
+    * (route → compress → re-rank), composing [[pqIvfTopK]]'s cell-pruned
+    * ADC candidate generation with [[pqAdcRerank]]'s exact-distance
+    * re-rank: the query's IVF cell prunes the scan to 1/numCells of the
+    * corpus, PQ codes rank what remains asymmetrically (top-`cand` out),
+    * and only those candidate ids fetch full fixed-point vectors for the
+    * exact integer L2 final ranking. Same tie/exclusion contract as the
+    * other PQ tiers; candidate-selection loss now includes the routing
+    * term (a true neighbor outside the query's cell can't be recovered
+    * by the re-rank — the nprobe=1 recall contract of [[ivfPairs]]).
+    * Output: query_id, neighbor_id, rank, d2 (exact fixed-point L2²). */
+  def pqIvfRerank(emb: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, m: Int, ksub: Int, queryIds: Seq[Long], k: Int,
+      cand: Int, scaleBits: Int = 20): DataFrame = {
+    require(k >= 1 && cand >= k && queryIds.nonEmpty,
+      s"pqIvfRerank: k=$k cand=$cand queries=$queryIds")
+    TopK.register(emb.sparkSession)
+    val candidates = pqIvfTopK(emb, idCol, vecCol, numCells, m, ksub,
+        queryIds, cand, scaleBits)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("id"))
+    val vx = pqVx(emb, idCol, vecCol, m, scaleBits)
+    val qvx = broadcast(vx.filter(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("s"), col("j"), col("xi").as("qxi")))
+    val diff = col("xi") - col("qxi")
+    vx.join(broadcast(candidates), Seq("id"))
+      .join(qvx, Seq("qid", "s", "j"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(diff * diff).as("d2"))
+      .select(col("qid"), (-col("d2").cast("double")).as("score"), col("id"))
+      .groupBy(col("qid"))
+      .agg(TopK.topKByScore(col("score"), col("id"), lit(k)).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("t.score")).cast("long").as("d2"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
     * cluster-then-compare. Vectors are k-means-clustered
     * ([[kmeansAssign]] — deterministic seeds/fixed-point updates), and

@@ -815,6 +815,66 @@ object SimilarityQueries {
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF-PQ + exact re-rank (the full FAISS-default retrieval shape:
+    // route → compress → re-rank): the query's cell prunes the scan, ADC
+    // ranks the cell's codes, the top-40 candidates (8×k) alone fetch
+    // full fixed-point vectors for the exact integer L2 final ranking.
+    QuerySpec("q_ivf_pq_rerank", (s, dir) => {
+      Similarity.pqIvfRerank(emb(s, dir), "vec_id", "embedding",
+          numCells = 16, m = 8, ksub = 16, queryIds = Seq(20L, 21L, 22L),
+          k = 5, cand = 40)
+        .orderBy("query_id", "rank")
+    }, Some(
+      s"""WITH $normCte,
+        |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+         |         WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT 16)),
+        |assign AS (
+        |  SELECT id, cell FROM (
+        |    SELECT n.vec_id AS id, cent.cid AS cell,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY ${dotSql("n.v", "cent.cv")} / SQRT(n.n2 * cent.cn2) DESC,
+        |                      cent.cid ASC) AS rn
+        |    FROM n CROSS JOIN cent) t
+        |  WHERE rn = 1),
+        |$pqCte,
+        |qc AS (SELECT id AS qid, cell FROM assign WHERE id IN (20, 21, 22)),
+        |q AS (
+        |  SELECT vec_id AS qid, s, j, xi FROM vx WHERE vec_id IN (20, 21, 22)),
+        |lut AS (
+        |  SELECT q.qid, q.s, cb.code,
+        |         CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS ld2
+        |  FROM q JOIN cb ON q.s = cb.s AND q.j = cb.j
+        |  GROUP BY q.qid, q.s, cb.code),
+        |adc AS (
+        |  SELECT qc.qid, a.vec_id, CAST(SUM(l.ld2) AS BIGINT) AS ad2
+        |  FROM a JOIN assign av ON av.id = a.vec_id
+        |  JOIN qc ON qc.cell = av.cell AND a.vec_id <> qc.qid
+        |  JOIN lut l ON l.qid = qc.qid AND l.s = a.s AND l.code = a.code
+        |  GROUP BY qc.qid, a.vec_id),
+        |cands AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |                              ORDER BY ad2, vec_id) AS crank
+        |    FROM adc) t
+        |  WHERE crank <= 40),
+        |ex AS (
+        |  SELECT c.qid, c.vec_id,
+        |         CAST(SUM((nv.xi - q.xi) * (nv.xi - q.xi)) AS BIGINT) AS d2
+        |  FROM cands c
+        |  JOIN vx nv ON nv.vec_id = c.vec_id
+        |  JOIN q ON q.qid = c.qid AND q.s = nv.s AND q.j = nv.j
+        |  GROUP BY c.qid, c.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY d2, vec_id) AS rank
+        |  FROM ex)
+        |SELECT qid AS query_id, vec_id AS neighbor_id,
+        |       CAST(rank AS INT) AS rank, d2
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // SemDeDup (cluster-then-compare semantic dedup): k-means cells from
     // the same deterministic Lloyd unroll, exact cosine only WITHIN each
     // cell, drop-the-higher-id greedy rule. The oracle reuses the k-means

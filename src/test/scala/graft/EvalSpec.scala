@@ -495,14 +495,24 @@ class EvalSpec extends SparkSpec {
     val pqr = recallOf(Similarity.pqAdcRerank(emb, "vec_id", "embedding",
         m = 8, ksub = 16, queryIds = qids, k = 5, cand = 40)
       .select(col("query_id").as("id"), col("neighbor_id")), exactL2)
+    // IVF-PQ + re-rank (q_ivf_pq_rerank): recall additionally pays the
+    // nprobe=1 ROUTING loss (a true neighbor outside the query's cell is
+    // unrecoverable) — measured separately so the two loss terms stay
+    // attributable; cells = floor(sqrt(n)) ≈ the flat tier's auto count
+    val ivfCellCount = math.max(1, math.sqrt(emb.count().toDouble).toInt)
+    val ivfr = recallOf(Similarity.pqIvfRerank(emb, "vec_id", "embedding",
+        numCells = ivfCellCount, m = 8, ksub = 16, queryIds = qids,
+        k = 5, cand = 40)
+      .select(col("query_id").as("id"), col("neighbor_id")), exactL2)
     info(f"sf1 ANN tiers recall@5: flat(auto)=$flat%.4f " +
       f"probe=$probe%.4f hier(id-seeded)=$hier%.4f pq_adc=$pq%.4f " +
-      f"pq_rerank=$pqr%.4f")
+      f"pq_rerank=$pqr%.4f ivf_pq_rerank=$ivfr%.4f")
     assert(flat >= 0.95, f"flat IVF recall $flat%.4f under the 0.95 pin")
     assert(probe >= 0.95, f"multi-probe recall $probe%.4f under 0.95")
     assert(hier >= 0.95, f"id-seeded hier recall $hier%.4f under 0.95")
     assert(pq >= 0.50, f"PQ-ADC recall $pq%.4f under the 0.50 pin")
     assert(pqr >= 0.95, f"PQ re-rank recall $pqr%.4f under the 0.95 pin")
+    assert(ivfr >= 0.95, f"IVF-PQ re-rank recall $ivfr%.4f under 0.95")
   }
 
   test("nnMatchAtt: nearest-control picks, tie toward backward, " +
