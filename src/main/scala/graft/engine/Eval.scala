@@ -178,10 +178,18 @@ object Eval {
     require(bins >= 2 && bins <= 1000, s"bins=$bins")
     val p = col(probCol).cast("double")
     // unscored rows (null p) and unlabeled rows drop — they would land
-    // in bin 0 / inflate n while the micro-unit sum skips them
-    val base = scored
+    // in bin 0 / inflate n while the micro-unit sum skips them.
+    // Spread + barrier (round 10): `base` feeds TWO full passes (the
+    // cut aggregation, then the binning aggregation) and `scored` is
+    // typically an expensive projection (q_calibration: sigmoid + two
+    // BRounds per row) — without the barrier both passes re-run it, and
+    // it inherits the source's scan splits (3 tasks at sf0.1). One
+    // materialized 16 B/row pass at full parallelism replaces two
+    // recomputed under-parallel ones; at 100 TB this is the cached-
+    // training-set shape (the Glm.logisticIrls argument verbatim).
+    val base = Checkpoints.iterationBarrier(Partitioning.spread(scored
       .where(col(probCol).isNotNull && col(yCol).isNotNull)
-      .select(p.as("p"), col(yCol).cast("long").as("y"))
+      .select(p.as("p"), col(yCol).cast("long").as("y"))))
     val probs = (1 until bins).map(_.toDouble / bins)
     // Percentiles.pct honors spark.graft.percentile.approx: the 100 TB
     // path swaps the exact value-multiset cut for the GK sketch with the
@@ -260,10 +268,13 @@ object Eval {
   def gainsTable(df: DataFrame, scoreCol: String, labelCol: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 100, s"bins=$bins")
-    val base = df.where(col(scoreCol).isNotNull)
-      .select(col(scoreCol).cast("double").as("s"),
-        labelCol.cast("long").as("y"))
-      .where(col("y").isNotNull)
+    // spread + barrier: same two-pass shape as [[calibrationBins]] —
+    // one materialized narrow pass feeds the cut and band aggregations
+    val base = Checkpoints.iterationBarrier(Partitioning.spread(
+      df.where(col(scoreCol).isNotNull)
+        .select(col(scoreCol).cast("double").as("s"),
+          labelCol.cast("long").as("y"))
+        .where(col("y").isNotNull)))
     val probs = (1 until bins).map(_.toDouble / bins)
     // same session-flagged exact→approx switch as [[calibrationBins]]
     val cuts = base.agg(Percentiles.pct(df.sparkSession,

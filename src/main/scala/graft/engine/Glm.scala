@@ -52,9 +52,18 @@ object Glm {
     // "persist leaks" round-1 lesson — safe here because every consumer
     // of `base` finishes inside this function; the returned betas are
     // literals).
-    val base = df.select(yCol.cast("double").as("y"),
-      xCol.cast("double").as("x"))
-      .where(col("y").isNotNull && col("x").isNotNull)
+    // Partitioning.spread: the 16 B/row working set inherits the SOURCE
+    // scan's split count — 3 splits at sf0.1 (openCostInBytes floors the
+    // 9.2 MB lineitem at 4 MB/split), so every IRLS round ran 3 tasks on
+    // a 32-core session (ProfileQ: 3 × ~2.3 s stages = 70% of the
+    // query). Round-robin-spreading the projection BEFORE persist puts
+    // all `iters` passes at full parallelism; at 100 TB the guard
+    // no-ops (scan splits >> cores). Sums are e8-integer-grid → order-
+    // free, so redistribution cannot change a bit of the result.
+    val base = Partitioning.spread(
+      df.select(yCol.cast("double").as("y"),
+          xCol.cast("double").as("x"))
+        .where(col("y").isNotNull && col("x").isNotNull))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 8dp-grid term in exact integer 1e-8 units: the INNER round is the

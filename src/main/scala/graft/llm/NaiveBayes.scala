@@ -39,7 +39,14 @@ object NaiveBayes {
     * neg_logprob (total score magnitude, double, 8dp-grid-exact). */
   def trainScore(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), col(labelCol).as("__lbl"),
+    // spread BEFORE the tokenize/explode: a compact documents source
+    // arrives in 1–3 scan splits at fixture scale, which would serialize
+    // BOTH corpus-sized tokenize passes (tf and the model counts) on one
+    // core; the guard no-ops at 100 TB (splits >> cores) — guide-§2
+    // scale-adaptive partitioning
+    val spreadDocs = graft.engine.Partitioning.spread(
+      docs.select(col(idCol), col(labelCol), col(textCol)))
+    val toks = spreadDocs.select(col(idCol), col(labelCol).as("__lbl"),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
     // per-doc term frequencies (the one corpus-sized aggregation)
     val tf = toks.groupBy(col(idCol), col("token"))
@@ -48,7 +55,12 @@ object NaiveBayes {
     val ctl = toks.groupBy(col("token"), col("__lbl"))
       .agg(count(lit(1)).as("ctl"))
     val cl = ctl.groupBy(col("__lbl")).agg(sum(col("ctl")).as("cl"))
-    val vsz = tf.agg(countDistinct(col("token")).as("__vsz"))
+    // vocab size from the MODEL table, not the corpus-sized tf table:
+    // the distinct-token set of ctl IS the corpus vocabulary (every
+    // token appears under ≥1 label), and deriving it here keeps tf a
+    // single-consumer subtree (round-10: one fewer corpus-scale
+    // aggregation; same value by construction)
+    val vsz = ctl.agg(countDistinct(col("token")).as("__vsz"))
     val nDocs = docs.groupBy(col(labelCol).as("__lbl"))
       .agg(count(lit(1)).as("nl"))
     val nTot = docs.agg(count(lit(1)).as("__n"))
@@ -59,14 +71,31 @@ object NaiveBayes {
       .select(col("__lbl"),
         grid(col("nl").cast("double") / col("__n").cast("double"))
           .as("__prior"))
-    // label dimension carrying everything per-label scoring needs
+    // label dimension carrying everything per-label scoring needs,
+    // including the unseen-(token,label) floor term ln(1/(c(l)+V)) —
+    // |labels| grid(log) evaluations, computed once
     val labelDim = cl.join(priors, Seq("__lbl")).crossJoin(vsz)
-    val scored = tf.crossJoin(labelDim)
-      .join(ctl, Seq("token", "__lbl"), "left")
+      .withColumn("__floor",
+        grid(lit(1.0) / (col("cl") + col("__vsz")).cast("double")))
+    // Per-(token,label) model term ln((c(t,l)+1)/(c(l)+V)) precomputed
+    // on the MODEL table (round 10): the term depends only on (token,
+    // label), so evaluating it here costs |vocab|·|labels| grid(log)
+    // calls instead of |tf|·|labels| after the join — at sf0.1 that is
+    // ~0.2M vs ~4M log+BRound evaluations (the 3.3 s single-task
+    // scoring stage in ProfileQ), and at 100 TB it moves a per-corpus-
+    // row transcendental to the model-sized side. Values are identical:
+    // present (t,l) rows take __t = grid((ctl+1)/(cl+V)), absent ones
+    // coalesce to the per-label __floor = grid(1/(cl+V)) — exactly the
+    // old coalesce(ctl, 0) branches.
+    val term = ctl.join(cl, Seq("__lbl")).crossJoin(vsz)
+      .select(col("token"), col("__lbl"),
+        grid((col("ctl") + 1).cast("double") /
+          (col("cl") + col("__vsz")).cast("double")).as("__t"))
+    val scored = tf.crossJoin(
+        labelDim.select(col("__lbl"), col("__prior"), col("__floor")))
+      .join(term, Seq("token", "__lbl"), "left")
       .select(col(idCol), col("__lbl"), col("__prior"),
-        (col("tf") *
-          grid((coalesce(col("ctl"), lit(0L)) + 1).cast("double") /
-            (col("cl") + col("__vsz")).cast("double"))).as("__c"))
+        (col("tf") * coalesce(col("__t"), col("__floor"))).as("__c"))
       .groupBy(col(idCol), col("__lbl"), col("__prior"))
       .agg(sum(col("__c")).as("__s"))
       .select(col(idCol), col("__lbl"),

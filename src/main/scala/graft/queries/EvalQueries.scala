@@ -405,12 +405,13 @@ object EvalQueries {
     // rounds) then score and bin in one more pass — predicted
     // probability vs observed rate per decile of p.
     QuerySpec("q_calibration", (s, dir) => {
-      val base = GlmQueries.logregBase(s, dir)
-      val beta = Glm.logisticIrls(t(s, dir, "lineitem"),
-        (col("l_returnflag") === "R").cast("int"),
-        col("l_extendedprice").cast("decimal(18,2)").cast("double") /
-          lit(100000.0),
-        iters = 3)
+      // spread BEFORE the sigmoid projection so the scoring pass runs at
+      // session parallelism, not the source's 3 scan splits; the fit
+      // reuses the same spread frame (identical y/x derivation to the
+      // old inline expressions — logregBase IS that projection)
+      val base = graft.engine.Partitioning.spread(
+        GlmQueries.logregBase(s, dir))
+      val beta = Glm.logisticIrls(base, col("y"), col("x"), iters = 3)
       val eta = col("b0") + col("b1") * col("x")
       val scored = base.crossJoin(broadcast(beta))
         .select(round(lit(1.0) / (lit(1.0) + exp(-eta)), 6).as("p"),
