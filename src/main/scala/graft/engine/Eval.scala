@@ -29,22 +29,32 @@ object Eval {
       col(predCol).cast("string").as("p"))
     val cells = base.groupBy(col("a"), col("p"))
       .agg(count(lit(1)).as("n"))
-    val classes = cells.select(col("a").as("cls"))
-      .union(cells.select(col("p"))).distinct()
-    val tp = cells.where(col("a") === col("p"))
-      .select(col("a").as("cls"), col("n").as("tp"))
-    val actual = cells.groupBy(col("a").as("cls"))
-      .agg(sum(col("n")).as("support"))
-    val predicted = cells.groupBy(col("p").as("cls"))
-      .agg(sum(col("n")).as("n_pred"))
-    val j = classes
-      .join(tp, Seq("cls"), "left")
-      .join(actual, Seq("cls"), "left")
-      .join(predicted, Seq("cls"), "left")
-      .select(col("cls"),
-        coalesce(col("tp"), lit(0L)).as("tp"),
-        coalesce(col("support"), lit(0L)).as("support"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+    // ONE contribution pass over cells (round 11): the old shape
+    // consumed `cells` FOUR times (classes union-distinct, tp filter,
+    // actual/predicted rollups) and three-way left-joined the results —
+    // every consumer re-embedded the full upstream plan (q_confusion_
+    // eval's NaiveBayes subtree: a 210-Exchange formatted plan,
+    // plans/r10/q_confusion_eval_before.txt). Exploding each cell into
+    // its two per-class contributions (row class: support + tp-when-
+    // diagonal; column class: n_pred) and summing per class computes
+    // the identical report with `cells` — and the whole upstream
+    // subtree — appearing ONCE, and replaces union+distinct+filter+two
+    // rollups+three joins with one explode + one bounded groupBy
+    // (guide §2.4: remove shuffles outright). Sums over the union of
+    // both sides reproduce the old coalesce(·, 0) semantics exactly: a
+    // never-predicted class sums n_pred = 0, a hallucinated class sums
+    // support = tp = 0.
+    val contrib = cells.select(explode(array(
+        struct(col("a").as("cls"),
+          when(col("a") === col("p"), col("n")).otherwise(lit(0L))
+            .as("tp"),
+          col("n").as("support"), lit(0L).as("n_pred")),
+        struct(col("p").as("cls"), lit(0L).as("tp"),
+          lit(0L).as("support"), col("n").as("n_pred")))).as("c"))
+    val j = contrib.groupBy(col("c.cls").as("cls"))
+      .agg(sum(col("c.tp")).as("tp"),
+        sum(col("c.support")).as("support"),
+        sum(col("c.n_pred")).as("n_pred"))
     val prec = col("tp").cast("double") / col("n_pred").cast("double")
     val rec = col("tp").cast("double") / col("support").cast("double")
     j.select(col("cls"), col("support"), col("tp"),
@@ -179,17 +189,18 @@ object Eval {
     val p = col(probCol).cast("double")
     // unscored rows (null p) and unlabeled rows drop — they would land
     // in bin 0 / inflate n while the micro-unit sum skips them.
-    // Spread + barrier (round 10): `base` feeds TWO full passes (the
-    // cut aggregation, then the binning aggregation) and `scored` is
-    // typically an expensive projection (q_calibration: sigmoid + two
-    // BRounds per row) — without the barrier both passes re-run it, and
-    // it inherits the source's scan splits (3 tasks at sf0.1). One
-    // materialized 16 B/row pass at full parallelism replaces two
-    // recomputed under-parallel ones; at 100 TB this is the cached-
-    // training-set shape (the Glm.logisticIrls argument verbatim).
-    val base = Checkpoints.iterationBarrier(Partitioning.spread(scored
+    // Spread, NO barrier (round 11): `base` feeds TWO passes (the cut
+    // aggregation, then the binning aggregation), but both live in ONE
+    // plan — the spread repartition (or whatever exchange the caller's
+    // lineage already carries) is an identical subtree under both, so
+    // ReuseExchange computes the heavy map side once and only the cheap
+    // narrow projection replays. Round 10 put an eager localCheckpoint
+    // here; the driver bench measured it as a 2.7× LOSS (7.4 → 20.3 s)
+    // and at 100 TB it is a §5 storage cliff (full scored projection
+    // pinned to executor blocks) bought to save one cheap re-scan.
+    val base = Partitioning.spread(scored
       .where(col(probCol).isNotNull && col(yCol).isNotNull)
-      .select(p.as("p"), col(yCol).cast("long").as("y"))))
+      .select(p.as("p"), col(yCol).cast("long").as("y")))
     val probs = (1 until bins).map(_.toDouble / bins)
     // Percentiles.pct honors spark.graft.percentile.approx: the 100 TB
     // path swaps the exact value-multiset cut for the GK sketch with the
@@ -268,13 +279,14 @@ object Eval {
   def gainsTable(df: DataFrame, scoreCol: String, labelCol: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 100, s"bins=$bins")
-    // spread + barrier: same two-pass shape as [[calibrationBins]] —
-    // one materialized narrow pass feeds the cut and band aggregations
-    val base = Checkpoints.iterationBarrier(Partitioning.spread(
+    // spread, NO barrier: same two-pass-one-plan shape as
+    // [[calibrationBins]] — the shared exchange is reused within the
+    // single action; an eager checkpoint here was the round-10 loss
+    val base = Partitioning.spread(
       df.where(col(scoreCol).isNotNull)
         .select(col(scoreCol).cast("double").as("s"),
           labelCol.cast("long").as("y"))
-        .where(col("y").isNotNull)))
+        .where(col("y").isNotNull))
     val probs = (1 until bins).map(_.toDouble / bins)
     // same session-flagged exact→approx switch as [[calibrationBins]]
     val cuts = base.agg(Percentiles.pct(df.sparkSession,

@@ -39,21 +39,24 @@ object NaiveBayes {
     * neg_logprob (total score magnitude, double, 8dp-grid-exact). */
   def trainScore(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
-    // spread BEFORE the tokenize/explode: a compact documents source
-    // arrives in 1–3 scan splits at fixture scale, which would serialize
-    // BOTH corpus-sized tokenize passes (tf and the model counts) on one
-    // core; the guard no-ops at 100 TB (splits >> cores) — guide-§2
-    // scale-adaptive partitioning
-    val spreadDocs = graft.engine.Partitioning.spread(
-      docs.select(col(idCol), col(labelCol), col(textCol)))
-    val toks = spreadDocs.select(col(idCol), col(labelCol).as("__lbl"),
+    val toks = docs.select(col(idCol), col(labelCol).as("__lbl"),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
-    // per-doc term frequencies (the one corpus-sized aggregation)
-    val tf = toks.groupBy(col(idCol), col("token"))
+    // Per-doc term frequencies — the ONE corpus-sized tokenize +
+    // aggregation (round 11): carrying the label through the groupBy is
+    // free (idCol determines it — same groups, one extra tiny key
+    // column), and every OTHER corpus-scale pass derives from this
+    // aggregated table instead of re-tokenizing:
+    //  - ctl(t,l) = Σ_{d: lbl(d)=l} tf(d,t) — a rollup of tf, exactly
+    //    the old per-occurrence count grouped the same way;
+    //  - tf's exchange is an identical subtree under both consumers, so
+    //    ReuseExchange runs tokenize/explode ONCE per action (round 10
+    //    ran it twice and round-10's docs-spread then shuffled the full
+    //    TEXT column to parallelize the second pass — both costs gone).
+    val tf = toks.groupBy(col(idCol), col("__lbl"), col("token"))
       .agg(count(lit(1)).as("tf"))
     // model: per-(token,label) and per-label counts, vocab size, priors
-    val ctl = toks.groupBy(col("token"), col("__lbl"))
-      .agg(count(lit(1)).as("ctl"))
+    val ctl = tf.groupBy(col("token"), col("__lbl"))
+      .agg(sum(col("tf")).as("ctl"))
     val cl = ctl.groupBy(col("__lbl")).agg(sum(col("ctl")).as("cl"))
     // vocab size from the MODEL table, not the corpus-sized tf table:
     // the distinct-token set of ctl IS the corpus vocabulary (every
@@ -91,7 +94,9 @@ object NaiveBayes {
       .select(col("token"), col("__lbl"),
         grid((col("ctl") + 1).cast("double") /
           (col("cl") + col("__vsz")).cast("double")).as("__t"))
-    val scored = tf.crossJoin(
+    // tf's own label column drops before the cross: scoring crosses each
+    // doc's tf rows with EVERY label, and labelDim brings its own __lbl
+    val scored = tf.drop("__lbl").crossJoin(
         labelDim.select(col("__lbl"), col("__prior"), col("__floor")))
       .join(term, Seq("token", "__lbl"), "left")
       .select(col(idCol), col("__lbl"), col("__prior"),
